@@ -1,0 +1,488 @@
+"""ZappyFrame — the reference's distributed-ndarray API on a DataFrame.
+
+The reference models one abstraction: a dense 2-D numeric array
+chunked along axis 0, with numpy-ufunc elementwise ops, axis
+aggregations, broadcast binary arithmetic, and boolean row masking
+(public repo ``zappy/base.py::ZappyArray``; per-backend factories in
+``zappy/spark.py`` etc. — checkout empty this round, see SURVEY §0).
+
+Our encoding: a DataFrame with an explicit ``row_id BIGINT`` plus one
+``vec ARRAY<DOUBLE>`` column. Differences from the reference, all
+deliberate (SURVEY §1.2):
+
+- **Explicit row identity.** zappy keeps implicit positional order
+  via ``partition_row_counts`` bookkeeping; at 1000-executor scale
+  implicit order is fragile, so rows carry ids and every cross-array
+  binary op is an equi-join on ``row_id`` (co-partitioned joins stay
+  shuffle-light; same-lineage operands fuse into one projection via
+  Catalyst common-subexpression handling).
+- **Lazy via Catalyst, not RDD lineage.** Every method composes
+  Column expressions; nothing executes until ``asndarray()`` /
+  ``to_parquet()`` / an action. No Python runs per element — all
+  elementwise ops are JVM HigherOrderFunctions.
+- **axis=0 results are small** (ncols values) and return a local
+  numpy array, matching zappy's driver-side reduce semantics.
+- **axis=1 results stay distributed** as a (row_id, value) frame,
+  matching zappy's same-chunking column vector.
+"""
+
+from __future__ import annotations
+
+import builtins
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_D = "double"
+
+
+def _lit_vec(arr: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in arr])
+
+
+class ZappyVector:
+    """A distributed column vector: (row_id, value) — the result of an
+    axis=1 reduction, usable as a broadcast operand (zappy's
+    ``X / X.sum(axis=1)[:, np.newaxis]`` pattern)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df  # columns: row_id, value
+
+    def asndarray(self) -> np.ndarray:
+        pdf = self.df.orderBy("row_id").toPandas()
+        return pdf["value"].to_numpy()
+
+    def _cmp(self, op: str, other: float) -> "ZappyVector":
+        c = F.col("value")
+        expr = {
+            ">": c > other, ">=": c >= other, "<": c < other,
+            "<=": c <= other, "==": c == other, "!=": c != other,
+        }[op]
+        return ZappyVector(self.df.select("row_id", expr.alias("value")))
+
+    def __gt__(self, other):
+        return self._cmp(">", other)
+
+    def __ge__(self, other):
+        return self._cmp(">=", other)
+
+    def __lt__(self, other):
+        return self._cmp("<", other)
+
+    def __le__(self, other):
+        return self._cmp("<=", other)
+
+
+class ZappyFrame:
+    """Distributed dense 2-D float matrix over a Spark DataFrame."""
+
+    def __init__(self, df: DataFrame, ncols: int):
+        self.df = df  # columns: row_id BIGINT, vec ARRAY<DOUBLE>
+        self.ncols = ncols
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_ndarray(
+        cls, spark: SparkSession, arr: np.ndarray, num_partitions: int | None = None
+    ) -> "ZappyFrame":
+        """zappy ``from_ndarray``: parallelize a local matrix.
+
+        Chunk count maps to DataFrame partitions; Arrow handles the
+        transfer batch-wise."""
+        import pandas as pd
+
+        arr = np.asarray(arr, dtype=np.float64)
+        if arr.ndim != 2:
+            raise ValueError("ZappyFrame models 2-D arrays")
+        pdf = pd.DataFrame(
+            {"row_id": np.arange(arr.shape[0], dtype=np.int64), "vec": list(arr)}
+        )
+        df = spark.createDataFrame(pdf)
+        if num_partitions:
+            df = df.repartition(num_partitions, "row_id")
+        return cls(df, arr.shape[1])
+
+    @classmethod
+    def from_parquet(
+        cls, spark: SparkSession, path: str, vec_col: str, row_id_col: str
+    ) -> "ZappyFrame":
+        """zappy ``from_zarr`` analog: chunked columnar store → frame;
+        one Spark input split per parquet row-group (the engine's
+        ``get_chunk_indices``)."""
+        df = spark.read.parquet(path).select(
+            F.col(row_id_col).cast("bigint").alias("row_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast(_D)).alias("vec"),
+        )
+        ncols = df.select(F.size("vec")).first()[0]
+        return cls(df, ncols)
+
+    # -- internals ---------------------------------------------------------
+
+    def _map(self, fn) -> "ZappyFrame":
+        """Elementwise unary: one JVM ``transform`` lambda, no Python."""
+        return ZappyFrame(
+            self.df.select(
+                "row_id", F.transform("vec", lambda x: fn(x)).alias("vec")
+            ),
+            self.ncols,
+        )
+
+    def _zip_other(self, other: "ZappyFrame", fn) -> "ZappyFrame":
+        """Same-shape binary: equi-join on row_id + zip_with.
+
+        The reference zips aligned RDD partitions (``rdd.zip``); a
+        keyed join is the scale-safe equivalent (alignment survives
+        repartitioning, AQE handles skew)."""
+        o = other.df.select(
+            F.col("row_id").alias("row_id_r"), F.col("vec").alias("vec_r")
+        )
+        j = self.df.join(o, F.col("row_id") == F.col("row_id_r"))
+        return ZappyFrame(
+            j.select(
+                "row_id", F.zip_with("vec", "vec_r", fn).alias("vec")
+            ),
+            self.ncols,
+        )
+
+    def _zip_vector(self, vec: ZappyVector, fn) -> "ZappyFrame":
+        """Column-vector broadcast (nrows×1 operand)."""
+        o = vec.df.select(
+            F.col("row_id").alias("row_id_r"), F.col("value").alias("value_r")
+        )
+        j = self.df.join(o, F.col("row_id") == F.col("row_id_r"))
+        return ZappyFrame(
+            j.select(
+                "row_id",
+                F.transform("vec", lambda x: fn(x, F.col("value_r"))).alias("vec"),
+            ),
+            self.ncols,
+        )
+
+    def _binary(self, other, fn) -> "ZappyFrame":
+        if isinstance(other, ZappyFrame):
+            return self._zip_other(other, fn)
+        if isinstance(other, ZappyVector):
+            return self._zip_vector(other, fn)
+        if isinstance(other, (list, tuple, np.ndarray)):
+            rv = _lit_vec(other)  # row-vector broadcast (1×ncols)
+            return ZappyFrame(
+                self.df.select(
+                    "row_id", F.zip_with("vec", rv, fn).alias("vec")
+                ),
+                self.ncols,
+            )
+        lit = F.lit(float(other))  # scalar broadcast
+        return ZappyFrame(
+            self.df.select(
+                "row_id", F.transform("vec", lambda x: fn(x, lit)).alias("vec")
+            ),
+            self.ncols,
+        )
+
+    # -- elementwise unary (numpy ufunc surface) ---------------------------
+
+    def log1p(self):
+        return self._map(F.log1p)
+
+    def log(self):
+        return self._map(F.log)
+
+    def exp(self):
+        return self._map(F.exp)
+
+    def expm1(self):
+        return self._map(F.expm1)
+
+    def sqrt(self):
+        return self._map(F.sqrt)
+
+    def square(self):
+        return self._map(lambda x: x * x)
+
+    def abs(self):
+        return self._map(F.abs)
+
+    def sign(self):
+        return self._map(F.signum)
+
+    def floor(self):
+        return self._map(lambda x: F.floor(x).cast(_D))
+
+    def ceil(self):
+        return self._map(lambda x: F.ceil(x).cast(_D))
+
+    def negative(self):
+        return self._map(lambda x: -x)
+
+    def astype(self, dtype: str):
+        spark_t = {
+            "float64": "double", "float32": "float",
+            "int64": "bigint", "int32": "int", "bool": "boolean",
+        }.get(str(dtype), str(dtype))
+        # vec stays ARRAY<DOUBLE> internally; astype is observable at
+        # asndarray time, like zappy's per-chunk numpy astype.
+        out = self._map(lambda x: x.cast(spark_t).cast(_D))
+        out._np_dtype = np.dtype(dtype)  # type: ignore[attr-defined]
+        return out
+
+    # -- numpy interop: np.log1p(zf) etc. dispatch here --------------------
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__":
+            return NotImplemented
+        name = ufunc.__name__
+        unary = {
+            "log1p": self.log1p, "log": self.log, "exp": self.exp,
+            "expm1": self.expm1, "sqrt": self.sqrt, "square": self.square,
+            "absolute": self.abs, "sign": self.sign, "floor": self.floor,
+            "ceil": self.ceil, "negative": self.negative,
+        }
+        if len(inputs) == 1 and name in unary:
+            return unary[name]()
+        binary = {
+            "add": "__add__", "subtract": "__sub__", "multiply": "__mul__",
+            "true_divide": "__truediv__", "divide": "__truediv__",
+            "power": "__pow__",
+        }
+        if len(inputs) == 2 and name in binary:
+            a, b = inputs
+            if a is self:
+                return getattr(self, binary[name])(b)
+            # reflected: scalar/ndarray op frame
+            return getattr(self, {
+                "add": "__radd__", "subtract": "__rsub__",
+                "multiply": "__rmul__", "true_divide": "__rtruediv__",
+                "divide": "__rtruediv__", "power": "__rpow__",
+            }[name])(a)
+        return NotImplemented
+
+    # -- binary arithmetic (four broadcast shapes, SURVEY §2.1) ------------
+
+    def __add__(self, other):
+        return self._binary(other, lambda x, y: x + y)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._binary(other, lambda x, y: x - y)
+
+    def __rsub__(self, other):
+        return self._binary(other, lambda x, y: y - x)
+
+    def __mul__(self, other):
+        return self._binary(other, lambda x, y: x * y)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._binary(other, lambda x, y: x / y)
+
+    def __rtruediv__(self, other):
+        return self._binary(other, lambda x, y: y / x)
+
+    def __pow__(self, other):
+        return self._binary(other, lambda x, y: F.pow(x, y))
+
+    def __rpow__(self, other):
+        return self._binary(other, lambda x, y: F.pow(y, x))
+
+    def __neg__(self):
+        return self.negative()
+
+    # -- comparisons → boolean frame ---------------------------------------
+
+    def _compare(self, other, fn) -> "ZappyFrame":
+        # booleans kept as 0.0/1.0 doubles so the vec type is uniform;
+        # asndarray(bool) recovers numpy bool semantics.
+        return self._binary(
+            other, lambda x, y: F.when(fn(x, y), 1.0).otherwise(0.0)
+        )
+
+    def __gt__(self, other):
+        return self._compare(other, lambda x, y: x > y)
+
+    def __ge__(self, other):
+        return self._compare(other, lambda x, y: x >= y)
+
+    def __lt__(self, other):
+        return self._compare(other, lambda x, y: x < y)
+
+    def __le__(self, other):
+        return self._compare(other, lambda x, y: x <= y)
+
+    def eq(self, other):
+        return self._compare(other, lambda x, y: x == y)
+
+    def ne(self, other):
+        return self._compare(other, lambda x, y: x != y)
+
+    # -- aggregations ------------------------------------------------------
+
+    def _row_reduce(self, col_fn) -> ZappyVector:
+        return ZappyVector(
+            self.df.select("row_id", col_fn(F.col("vec")).alias("value"))
+        )
+
+    def _col_agg(self, agg_fn) -> np.ndarray:
+        """axis=0: per-column aggregate → local ndarray (zappy returns
+        a driver-side array here too). posexplode + groupBy(pos) is a
+        shuffle over ncols keys — partial aggregation makes the
+        shuffled data ncols×npartitions rows, independent of nrows."""
+        ex = self.df.select(F.posexplode("vec").alias("pos", "x"))
+        rows = (
+            ex.groupBy("pos").agg(agg_fn(F.col("x")).alias("v")).orderBy("pos")
+        ).collect()
+        return np.array([r["v"] for r in rows], dtype=np.float64)
+
+    def sum(self, axis: int | None = None):
+        if axis == 1:
+            return self._row_reduce(
+                lambda v: F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+            )
+        if axis == 0:
+            return self._col_agg(F.sum)
+        return float(
+            self.df.select(
+                F.sum(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x))
+            ).first()[0]
+        )
+
+    def mean(self, axis: int | None = None):
+        if axis == 1:
+            return self._row_reduce(
+                lambda v: F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+                / F.size(v)
+            )
+        if axis == 0:
+            return self._col_agg(F.avg)
+        return self.sum() / (self.count_rows() * self.ncols)
+
+    def var(self, axis: int | None = 0, ddof: int = 0) -> np.ndarray:
+        fn = F.var_samp if ddof == 1 else F.var_pop
+        if axis != 0:
+            raise NotImplementedError("var: axis=0 only (scanpy scale path)")
+        return self._col_agg(fn)
+
+    def std(self, axis: int | None = 0, ddof: int = 0) -> np.ndarray:
+        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        if axis != 0:
+            raise NotImplementedError("std: axis=0 only (scanpy scale path)")
+        return self._col_agg(fn)
+
+    def min(self, axis: int | None = None):
+        if axis == 1:
+            return self._row_reduce(F.array_min)
+        if axis == 0:
+            return self._col_agg(F.min)
+        return float(self.df.select(F.min(F.array_min("vec"))).first()[0])
+
+    def max(self, axis: int | None = None):
+        if axis == 1:
+            return self._row_reduce(F.array_max)
+        if axis == 0:
+            return self._col_agg(F.max)
+        return float(self.df.select(F.max(F.array_max("vec"))).first()[0])
+
+    def count_nonzero(self) -> int:
+        return int(
+            self.df.select(
+                F.sum(
+                    F.size(F.filter("vec", lambda x: x != 0.0))
+                )
+            ).first()[0]
+        )
+
+    def any(self) -> bool:
+        return bool(
+            self.df.select(
+                F.max(F.exists("vec", lambda x: x != 0.0))
+            ).first()[0]
+        )
+
+    def all(self) -> bool:
+        return bool(
+            self.df.select(
+                F.min(F.forall("vec", lambda x: x != 0.0))
+            ).first()[0]
+        )
+
+    def count_rows(self) -> int:
+        return self.df.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.count_rows(), self.ncols)
+
+    # -- selection / indexing (zappy __getitem__) ---------------------------
+
+    def __getitem__(self, key):
+        rows, cols = key if isinstance(key, tuple) else (key, slice(None))
+        zf = self
+        # row selector
+        if isinstance(rows, ZappyVector):
+            # boolean mask (itself distributed, zappy EP3): semi-join
+            mask = rows.df.filter(F.col("value").cast("boolean")).select(
+                F.col("row_id").alias("row_id_m")
+            )
+            zf = ZappyFrame(
+                zf.df.join(
+                    mask, F.col("row_id") == F.col("row_id_m"), "left_semi"
+                ),
+                zf.ncols,
+            )
+        elif isinstance(rows, slice):
+            if not (rows.start is None and rows.stop is None):
+                lo = rows.start or 0
+                cond = F.col("row_id") >= lo
+                if rows.stop is not None:
+                    cond = cond & (F.col("row_id") < rows.stop)
+                zf = ZappyFrame(zf.df.filter(cond), zf.ncols)
+        else:
+            raise TypeError(f"unsupported row selector: {type(rows)}")
+        # column selector
+        if isinstance(cols, slice):
+            if cols.start is None and cols.stop is None:
+                return zf
+            idx = list(range(*cols.indices(zf.ncols)))
+        elif isinstance(cols, (list, tuple, np.ndarray)):
+            arr = np.asarray(cols)
+            if arr.dtype == bool:
+                idx = [i for i, b in enumerate(arr) if b]
+            else:
+                idx = [int(i) for i in arr]
+        else:
+            raise TypeError(f"unsupported column selector: {type(cols)}")
+        picked = F.array(
+            *[F.element_at("vec", i + 1) for i in idx]
+        )  # element_at is 1-based
+        return ZappyFrame(
+            zf.df.select("row_id", picked.alias("vec")), len(idx)
+        )
+
+    # -- materialization ----------------------------------------------------
+
+    def asndarray(self) -> np.ndarray:
+        """Collect to the driver (zappy ``asndarray``); Arrow-batched."""
+        pdf = self.df.orderBy("row_id").toPandas()
+        out = np.stack(pdf["vec"].to_numpy()) if len(pdf) else np.empty(
+            (0, self.ncols)
+        )
+        dtype = getattr(self, "_np_dtype", None)
+        return out.astype(dtype) if dtype is not None else out
+
+    def to_parquet(self, path: str, num_chunks: int | None = None) -> None:
+        """zappy ``to_zarr`` analog: rechunk + parallel aligned write.
+
+        ``repartitionByRange`` on row_id reproduces the reference's
+        ``_repartition_chunks`` uniform-chunk rebuild (its only
+        shuffle) with a range shuffle."""
+        df = self.df
+        if num_chunks:
+            df = df.repartitionByRange(num_chunks, "row_id")
+        df.write.mode("overwrite").parquet(path)
+
+    def repartition(self, n: int) -> "ZappyFrame":
+        return ZappyFrame(self.df.repartitionByRange(n, "row_id"), self.ncols)

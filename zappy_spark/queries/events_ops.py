@@ -1,0 +1,166 @@
+"""S-series: streaming-shaped operators over the ``events`` table.
+
+Each builder is the **batch-equivalent** of a Structured Streaming
+job (SURVEY §2.4): the same logical plan runs under ``readStream``
+(see ``zappy_spark.streaming``), and in complete/append mode must
+converge to exactly this result after consuming the whole table —
+that equivalence is what tests/test_streaming.py asserts.
+
+``events.ts`` arrives as parquet TIMESTAMP(NANOS); the session
+registry repairs it to a micros timestamp (see session.py) before any
+of these run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zappy_spark.queries._util import t
+
+
+def s1(spark: SparkSession, d: str) -> DataFrame:
+    """Tumbling 1h window agg — F.window compiles to a single
+    group-by; in streaming mode the identical expression is the
+    watermark-gated stateful aggregation."""
+    ev = t(spark, d, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("window.start").alias("w"), "event_type", "c", "s")
+        .orderBy("w", "event_type")
+        .limit(50)
+    )
+
+
+def s2(spark: SparkSession, d: str) -> DataFrame:
+    """Sliding window (2h width / 1h slide): each event lands in two
+    windows; Spark expands rows window-side, no self-union needed."""
+    ev = t(spark, d, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "event_type", "c")
+        .orderBy("w", "event_type")
+        .limit(100)
+    )
+
+
+def s3(spark: SparkSession, d: str) -> DataFrame:
+    """Session windows, 30-minute gap; the DuckDB oracle does the
+    same via gaps-and-islands."""
+    ev = t(spark, d, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.count("*").alias("sessions"), F.sum("n").alias("events"))
+        .orderBy("user_id")
+    )
+
+
+def s4(spark: SparkSession, d: str) -> DataFrame:
+    """Dedup keep-first per (user_id, event_type) — batch spelling of
+    streaming ``dropDuplicates`` with event-time preference."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t(spark, d, "events")
+        .select(
+            "user_id", "event_type", "event_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+        .limit(100)
+    )
+
+
+def s5(spark: SparkSession, d: str) -> DataFrame:
+    """Stream-static enrichment: fact stream ⋈ broadcast dim."""
+    ev = t(spark, d, "events")
+    nation = F.broadcast(t(spark, d, "nation"))
+    return (
+        ev.join(
+            nation, (F.col("user_id") % 25).cast("int") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .orderBy("n_name")
+    )
+
+
+def s7(spark: SparkSession, d: str) -> DataFrame:
+    """Prev-event gap analytics (as-of self-join via lag).
+
+    Epoch-floor on both engines — DuckDB date_diff counts boundary
+    crossings while Spark floors, so both sides difference floored
+    epoch seconds (SURVEY Appendix A)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, d, "events").select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    return (
+        ev.filter(F.col("prev_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")), 3
+            ).alias("avg_gap")
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "s1_tumbling_window": s1,
+    "s2_sliding_window": s2,
+    "s3_session_window": s3,
+    "s4_dedup_keep_first": s4,
+    "s5_stream_static_join": s5,
+    "s7_prev_event_gap": s7,
+}
+
+ORACLE = {
+    "s1_tumbling_window": (
+        "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) w, "
+        "event_type, COUNT(*) c, ROUND(SUM(value),2) s "
+        "FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 50"
+    ),
+    "s2_sliding_window": (
+        "SELECT w, event_type, COUNT(*) c FROM ("
+        "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) w, event_type "
+        "FROM events UNION ALL "
+        "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' "
+        "AS TIMESTAMP) w, event_type FROM events) t "
+        "GROUP BY w, event_type ORDER BY w, event_type LIMIT 100"
+    ),
+    "s3_session_window": (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes' "
+        "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "THEN 1 ELSE 0 END ns FROM events), "
+        "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM g) "
+        "SELECT user_id, COUNT(DISTINCT sid) sessions, COUNT(*) events "
+        "FROM s GROUP BY user_id ORDER BY user_id"
+    ),
+    "s4_dedup_keep_first": (
+        "SELECT user_id, event_type, event_id FROM ("
+        "SELECT user_id, event_type, event_id, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) rn FROM events) t "
+        "WHERE rn=1 ORDER BY user_id, event_type LIMIT 100"
+    ),
+    "s5_stream_static_join": (
+        "SELECT n_name, COUNT(*) c, ROUND(SUM(value),2) s FROM events "
+        "JOIN nation ON CAST(user_id%25 AS INT)=n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    ),
+    "s7_prev_event_gap": (
+        "SELECT user_id, ROUND(AVG(CAST(FLOOR(epoch(ts)) AS BIGINT) - "
+        "CAST(FLOOR(epoch(prev_ts)) AS BIGINT)),3) avg_gap "
+        "FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) prev_ts FROM events) t "
+        "WHERE prev_ts IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+}

@@ -1,0 +1,196 @@
+"""L-series: LLM-data-pipeline operators (beyond-reference).
+
+Exact dedup, vector similarity (the zappy dense-matrix analog:
+``embeddings`` is a 500×64 float32 matrix in DataFrame encoding),
+text statistics, tokenization. All vector math in DOUBLE (Appendix A).
+
+Scale notes (100 TB):
+- L2/L8 top-k vs one query vector: the query vector is a broadcast
+  1-row aggregate → brute-force scan is embarrassingly parallel and
+  the ORDER BY+LIMIT compiles to TakeOrderedAndProject. The
+  approximate scale path (LSH bucketing, then exact re-rank) lives in
+  ``zappy_spark.operators.similarity``.
+- L6 threshold self-join is O(n²) by semantics; the scale path is the
+  banded-LSH pre-filter in ``operators.dedup`` — this exact form is
+  the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zappy_spark.queries._util import cosine, euclidean, t
+
+
+def l1(spark: SparkSession, d: str) -> DataFrame:
+    ev = t(spark, d, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("int")), 3
+            ).alias("k")
+        )
+        .orderBy("event_type")
+    )
+
+
+def l2(spark: SparkSession, d: str) -> DataFrame:
+    emb = t(spark, d, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(cosine("embedding", "qv"), 4).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def l3(spark: SparkSession, d: str) -> DataFrame:
+    docs = t(spark, d, "documents")
+    words = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum(words).alias("words"))
+        .orderBy("lang")
+    )
+
+
+def l4(spark: SparkSession, d: str) -> DataFrame:
+    """Exact dedup via content hash — count-distinct form; the
+    materializing form (keep one representative per hash) lives in
+    operators.dedup.exact_dedup."""
+    docs = t(spark, d, "documents")
+    return docs.agg(
+        F.count("*").alias("total"),
+        F.countDistinct(F.md5("text")).alias("uniq"),
+    )
+
+
+def l5(spark: SparkSession, d: str) -> DataFrame:
+    docs = t(spark, d, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.avg("n_chars"), 3).alias("ac"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .orderBy("lang")
+    )
+
+
+def l6(spark: SparkSession, d: str) -> DataFrame:
+    """Cosine-threshold self-join (exact, O(n²)) — oracle for the LSH
+    near-dup path."""
+    emb = t(spark, d, "embeddings")
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    return pairs.filter(cosine("ea", "eb") > 0.3).agg(F.count("*").alias("c"))
+
+
+def l7(spark: SparkSession, d: str) -> DataFrame:
+    docs = t(spark, d, "documents")
+    return (
+        docs.filter(
+            F.col("n_chars").between(100, 400) & (F.length("text") > 60)
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .orderBy("source")
+        .limit(100)
+    )
+
+
+def l8(spark: SparkSession, d: str) -> DataFrame:
+    emb = t(spark, d, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(euclidean("embedding", "qv"), 4).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+    )
+
+
+def l10(spark: SparkSession, d: str) -> DataFrame:
+    docs = t(spark, d, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "l01_json_extract": l1,
+    "l02_cosine_topk": l2,
+    "l03_word_counts": l3,
+    "l04_exact_dedup_hash": l4,
+    "l05_doc_stats": l5,
+    "l06_similarity_self_join": l6,
+    "l07_quality_filter": l7,
+    "l08_euclidean_topk": l8,
+    "l10_term_frequency": l10,
+}
+
+ORACLE = {
+    "l01_json_extract": (
+        "SELECT event_type, "
+        "ROUND(AVG(CAST(json_extract_string(props,'$.k') AS INT)),3) k "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "l02_cosine_topk": (
+        "WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id=0) "
+        "SELECT vec_id, ROUND(list_cosine_similarity(embedding,qv),4) sim "
+        "FROM embeddings, q WHERE vec_id<>0 ORDER BY sim DESC, vec_id LIMIT 10"
+    ),
+    "l03_word_counts": (
+        "SELECT lang, SUM(length(text)-length(replace(text,' ',''))+1) words "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "l04_exact_dedup_hash": (
+        "SELECT COUNT(*) total, COUNT(DISTINCT md5(text)) uniq FROM documents"
+    ),
+    "l05_doc_stats": (
+        "SELECT lang, COUNT(*) c, ROUND(AVG(n_chars),3) ac, MIN(n_chars) mn, "
+        "MAX(n_chars) mx FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "l06_similarity_self_join": (
+        "WITH p AS (SELECT a.vec_id i, b.vec_id j, "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "CAST(b.embedding AS DOUBLE[])) s "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id<b.vec_id) "
+        "SELECT COUNT(*) c FROM p WHERE s>0.3"
+    ),
+    "l07_quality_filter": (
+        "SELECT source, COUNT(*) c FROM documents "
+        "WHERE n_chars BETWEEN 100 AND 400 AND LENGTH(text)>60 "
+        "GROUP BY source ORDER BY source LIMIT 100"
+    ),
+    "l08_euclidean_topk": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings "
+        "WHERE vec_id=0) "
+        "SELECT vec_id, ROUND(list_distance(CAST(embedding AS DOUBLE[]),qv),4) d "
+        "FROM embeddings, q WHERE vec_id<>0 ORDER BY d, vec_id LIMIT 10"
+    ),
+    "l10_term_frequency": (
+        "SELECT tok, COUNT(*) c FROM "
+        "(SELECT UNNEST(string_split(text,' ')) tok FROM documents) t "
+        "WHERE tok<>'' GROUP BY tok ORDER BY c DESC, tok LIMIT 20"
+    ),
+}

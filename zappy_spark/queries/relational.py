@@ -1,0 +1,678 @@
+"""R/B-series: relational operators (beyond-reference, SURVEY §2.2/§2.3).
+
+zappy has no joins, group-by, sort, or SQL (SURVEY §2.1 honesty
+list); this module is the beyond-reference relational surface mandated
+by BASELINE.json, built entirely on Catalyst primitives.
+
+Scale notes (100 TB):
+- Dimension tables (region, nation) are explicitly ``F.broadcast``-
+  hinted; AQE would usually get there, but at cluster scale an
+  explicit hint on a known-small dim avoids a sort-merge fallback
+  when stats are missing.
+- Scalar subqueries (R19) are a broadcast of a 1-row aggregate, not a
+  driver collect — the plan stays fully distributed.
+- Top-k (B4, R3-style patterns) compiles to TakeOrderedAndProject —
+  no global sort is materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zappy_spark.queries._util import t
+
+
+def r1(spark: SparkSession, d: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): scan→filter→hash-agg→sort.
+
+    The filter reaches the parquet scan as a pushed predicate; agg is
+    partial→final (map-side combine), exactly zappy's
+    per-chunk-then-reduce pattern done by the engine.
+    """
+    li = t(spark, d, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sb"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sd"),
+            F.round(F.avg("l_quantity"), 4).alias("aq"),
+            F.count("*").alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def r2(spark: SparkSession, d: str) -> DataFrame:
+    """5-way equi-join + agg (TPC-H Q5 shape). Dims broadcast-hinted;
+    the big fact-fact join (orders⋈lineitem) is left to AQE."""
+    cust = t(spark, d, "customer")
+    orders = t(spark, d, "orders")
+    li = t(spark, d, "lineitem")
+    nation = F.broadcast(t(spark, d, "nation"))
+    region = F.broadcast(t(spark, d, "region"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def r3(spark: SparkSession, d: str) -> DataFrame:
+    """Top-k per group via row_number window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        t(spark, d, "orders")
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("o_custkey", "rnk")
+        .limit(100)
+    )
+
+
+def r4(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("d")
+        .limit(50)
+    )
+
+
+def r5(spark: SparkSession, d: str) -> DataFrame:
+    """EXISTS → left-semi join (Catalyst plans the same for the SQL)."""
+    cust = t(spark, d, "customer")
+    big = t(spark, d, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+def r6(spark: SparkSession, d: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    cust = t(spark, d, "customer")
+    big = t(spark, d, "orders").filter(F.col("o_totalprice") > 350000)
+    return (
+        cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def r7(spark: SparkSession, d: str) -> DataFrame:
+    cust = t(spark, d, "customer")
+    orders = t(spark, d, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy(F.desc("n"), "c_custkey")
+        .limit(100)
+    )
+
+
+def r8(spark: SparkSession, d: str) -> DataFrame:
+    a = (
+        t(spark, d, "customer")
+        .groupBy(F.col("c_nationkey").alias("ka"))
+        .agg(F.count("*").alias("cs"))
+    )
+    b = (
+        t(spark, d, "supplier")
+        .groupBy(F.col("s_nationkey").alias("kb"))
+        .agg(F.count("*").alias("ss"))
+    )
+    return (
+        a.join(b, F.col("ka") == F.col("kb"), "full")
+        .select(
+            F.coalesce("ka", "kb").alias("k"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            F.coalesce("ss", F.lit(0)).alias("ss"),
+        )
+        .orderBy("k")
+    )
+
+
+def r9(spark: SparkSession, d: str) -> DataFrame:
+    region = t(spark, d, "region")
+    flags = t(spark, d, "lineitem").select(
+        F.col("l_returnflag").alias("f")
+    ).distinct()
+    return (
+        region.crossJoin(flags)
+        .groupBy("r_name", "f")
+        .agg(F.count("*").alias("c"))
+        .orderBy("r_name", "f")
+    )
+
+
+def r10(spark: SparkSession, d: str) -> DataFrame:
+    """Equi key + range residual: Catalyst keys the join on
+    l_orderkey=o_orderkey and applies the date range as a residual —
+    never a cross product."""
+    orders = t(spark, d, "orders")
+    li = t(spark, d, "lineitem")
+    return orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+    ).agg(F.count("*").alias("c"))
+
+
+def r11(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+            F.count("*").alias("c"),
+            F.round(F.sum("l_quantity"), 2).alias("s"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g1",
+            "g2",
+            "c",
+            "s",
+        )
+        .orderBy("rf", "ls", "g1", "g2")
+    )
+
+
+def r12(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
+            "c",
+        )
+        .orderBy("st", "pr")
+    )
+
+
+def r15(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 15)
+        .orderBy(F.desc("c"), "o_custkey")
+        .limit(100)
+    )
+
+
+def r17(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, d, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+def r17b(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, d, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.union(s).groupBy("k").agg(F.count("*").alias("c")).orderBy("k")
+    )
+
+
+def r18(spark: SparkSession, d: str) -> DataFrame:
+    nat = t(spark, d, "nation").select(F.col("n_nationkey").alias("k"))
+    ev = t(spark, d, "events").select(
+        (F.col("user_id") % 20).cast("int").alias("k")
+    )
+    # subtract == EXCEPT (distinct semantics), matching the SQL.
+    return nat.subtract(ev).orderBy("k")
+
+
+def r19(spark: SparkSession, d: str) -> DataFrame:
+    """Uncorrelated scalar subquery = broadcast of a 1-row aggregate;
+    stays distributed, nothing collected to the driver."""
+    orders = t(spark, d, "orders")
+    avg_df = orders.agg(F.avg("o_totalprice").alias("_avg_tp"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg_tp"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def r20(spark: SparkSession, d: str) -> DataFrame:
+    """IN-subquery → left-semi join against the (broadcast) dim."""
+    cust = t(spark, d, "customer")
+    keys = t(spark, d, "nation").filter(F.col("n_regionkey") == 1).select(
+        "n_nationkey"
+    )
+    return (
+        cust.join(
+            F.broadcast(keys),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def r21(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("b"),
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+                "s"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def r22(spark: SparkSession, d: str) -> DataFrame:
+    p = t(spark, d, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_brand").alias("u"),
+            F.lower("p_type").alias("l"),
+            F.substring("p_name", 1, 8).alias("s"),
+            F.length("p_name").alias("n"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("c"),
+            F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("r"),
+            F.trim("p_name").alias("t"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("lp"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+def r22b(spark: SparkSession, d: str) -> DataFrame:
+    p = t(spark, d, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("m"),
+            F.when(F.col("p_name").rlike("[aeiou]{2}"), 1).otherwise(0).alias(
+                "has2"
+            ),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+def r23(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mt"),
+            F.datediff(
+                F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("dd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def r24(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("p"),
+            F.round(F.log("l_extendedprice"), 6).alias("ln_"),
+            F.round(F.log10("l_extendedprice"), 6).alias("lg"),
+            (F.col("l_quantity").cast("int") % 7).alias("md"),
+            F.greatest("l_tax", "l_discount").alias("g"),
+            F.least("l_tax", "l_discount").alias("le"),
+        )
+        .orderBy(
+            "l_orderkey", "l_linenumber", "p", "ln_", "lg", "md", "g", "le"
+        )
+        .limit(100)
+    )
+
+
+def r25(spark: SparkSession, d: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t(spark, d, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("lg"),
+            F.lead("o_totalprice").over(w).alias("ld"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("run"),
+            F.first("o_orderkey").over(w).alias("fv"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+def r27(spark: SparkSession, d: str) -> DataFrame:
+    """Global ranking window — single-partition by construction; fine
+    for declared semantics, and orders is the small fact table."""
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, d, "orders")
+        .select(
+            "o_orderkey",
+            F.rank().over(w).alias("r"),
+            F.dense_rank().over(w).alias("dr"),
+            F.ntile(4).over(w).alias("nt"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def r28(spark: SparkSession, d: str) -> DataFrame:
+    """Pivot in its portable conditional-aggregation form (one pass,
+    no pivot shuffle)."""
+    o = t(spark, d, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("o"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("f"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("p"),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
+def r29(spark: SparkSession, d: str) -> DataFrame:
+    emb = t(spark, d, "embeddings")
+    return (
+        emb.select("vec_id", F.explode("embedding").alias("e"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("e").cast("double") * F.col("e")), 4).alias("ss"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def b4(spark: SparkSession, d: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort)."""
+    return (
+        t(spark, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_extendedprice")
+        .limit(10)
+    )
+
+
+def b5(spark: SparkSession, d: str) -> DataFrame:
+    return t(spark, d, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("c1"),
+        F.countDistinct("l_suppkey").alias("c2"),
+    )
+
+
+def b7(spark: SparkSession, d: str) -> DataFrame:
+    docs = t(spark, d, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(F.col("text").like("%join%"), 1).otherwise(0)).alias("j"),
+        )
+        .orderBy("lang")
+    )
+
+
+def b9(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem").select(F.col("l_partkey").alias("c"))
+    p = t(spark, d, "part").select(F.col("p_partkey").alias("c"))
+    return li.intersect(p).orderBy("c").limit(5)
+
+
+QUERIES = {
+    "r01_pricing_summary": r1,
+    "r02_join5_agg": r2,
+    "r03_topk_per_group": r3,
+    "r04_group_by_date": r4,
+    "r05_semi_join": r5,
+    "r06_anti_join": r6,
+    "r07_left_join": r7,
+    "r08_full_outer_join": r8,
+    "r09_cross_join": r9,
+    "r10_range_join": r10,
+    "r11_rollup": r11,
+    "r12_cube": r12,
+    "r15_having": r15,
+    "r17_union": r17,
+    "r17b_union_all": r17b,
+    "r18_except": r18,
+    "r19_scalar_subquery": r19,
+    "r20_in_subquery": r20,
+    "r21_case_coalesce": r21,
+    "r22_string_funcs": r22,
+    "r22b_regex": r22b,
+    "r23_date_funcs": r23,
+    "r24_math_funcs": r24,
+    "r25_analytic_window": r25,
+    "r27_ranking_suite": r27,
+    "r28_pivot_conditional": r28,
+    "r29_explode_reagg": r29,
+    "b04_global_topk": b4,
+    "b05_distinct_counts": b5,
+    "b07_string_filter_agg": b7,
+    "b09_intersect": b9,
+}
+
+ORACLE = {
+    "r01_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) sq, "
+        "ROUND(SUM(l_extendedprice),2) sb, "
+        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) sd, "
+        "ROUND(AVG(l_quantity),4) aq, COUNT(*) c "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "r02_join5_agg": (
+        "SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue "
+        "FROM customer JOIN orders ON c_custkey=o_custkey "
+        "JOIN lineitem ON l_orderkey=o_orderkey "
+        "JOIN nation ON c_nationkey=n_nationkey "
+        "JOIN region ON n_regionkey=r_regionkey "
+        "WHERE r_name='ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    "r03_topk_per_group": (
+        "SELECT o_custkey, o_orderkey, rnk FROM (SELECT o_custkey, o_orderkey, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, "
+        "o_orderkey) rnk FROM orders) t WHERE rnk<=2 ORDER BY o_custkey, rnk "
+        "LIMIT 100"
+    ),
+    "r04_group_by_date": (
+        "SELECT CAST(o_orderdate AS DATE) d, COUNT(*) c FROM orders "
+        "GROUP BY 1 ORDER BY 1 LIMIT 50"
+    ),
+    "r05_semi_join": (
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>100000) "
+        "ORDER BY c_custkey LIMIT 50"
+    ),
+    "r06_anti_join": (
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>350000) "
+        "ORDER BY c_custkey LIMIT 100"
+    ),
+    "r07_left_join": (
+        "SELECT c_custkey, COUNT(o_orderkey) n FROM customer "
+        "LEFT JOIN orders ON c_custkey=o_custkey "
+        "GROUP BY c_custkey ORDER BY n DESC, c_custkey LIMIT 100"
+    ),
+    "r08_full_outer_join": (
+        "SELECT COALESCE(a.k, b.k) k, COALESCE(cs,0) cs, COALESCE(ss,0) ss "
+        "FROM (SELECT c_nationkey k, COUNT(*) cs FROM customer GROUP BY 1) a "
+        "FULL JOIN (SELECT s_nationkey k, COUNT(*) ss FROM supplier GROUP BY 1) b "
+        "ON a.k=b.k ORDER BY k"
+    ),
+    "r09_cross_join": (
+        "SELECT r_name, f, COUNT(*) c FROM region CROSS JOIN "
+        "(SELECT DISTINCT l_returnflag f FROM lineitem) t "
+        "GROUP BY r_name, f ORDER BY r_name, f"
+    ),
+    "r10_range_join": (
+        "SELECT COUNT(*) c FROM orders JOIN lineitem "
+        "ON l_orderkey=o_orderkey AND l_shipdate>o_orderdate"
+    ),
+    "r11_rollup": (
+        "SELECT COALESCE(l_returnflag,'ALL') rf, COALESCE(l_linestatus,'ALL') ls, "
+        "GROUPING(l_returnflag) g1, GROUPING(l_linestatus) g2, COUNT(*) c, "
+        "ROUND(SUM(l_quantity),2) s "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY rf, ls, g1, g2"
+    ),
+    "r12_cube": (
+        "SELECT COALESCE(o_orderstatus,'ALL') st, COALESCE(o_orderpriority,'ALL') pr, "
+        "COUNT(*) c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+        "ORDER BY st, pr"
+    ),
+    "r15_having": (
+        "SELECT o_custkey, COUNT(*) c FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*)>15 ORDER BY c DESC, o_custkey LIMIT 100"
+    ),
+    "r17_union": (
+        "SELECT k FROM (SELECT c_nationkey k FROM customer "
+        "UNION SELECT s_nationkey FROM supplier) t ORDER BY k"
+    ),
+    "r17b_union_all": (
+        "SELECT k, COUNT(*) c FROM (SELECT c_nationkey k FROM customer "
+        "UNION ALL SELECT s_nationkey FROM supplier) t GROUP BY k ORDER BY k"
+    ),
+    "r18_except": (
+        "SELECT k FROM (SELECT n_nationkey k FROM nation "
+        "EXCEPT SELECT CAST(user_id%20 AS INT) FROM events) t ORDER BY k"
+    ),
+    "r19_scalar_subquery": (
+        "SELECT COUNT(*) c FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders)"
+    ),
+    "r20_in_subquery": (
+        "SELECT c_custkey FROM customer WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey=1) "
+        "ORDER BY c_custkey LIMIT 100"
+    ),
+    "r21_case_coalesce": (
+        "SELECT o_orderkey, CASE WHEN o_totalprice>200000 THEN 'big' "
+        "WHEN o_totalprice>100000 THEN 'mid' ELSE 'small' END b, "
+        "COALESCE(NULLIF(o_orderstatus,'O'),'open') s FROM orders "
+        "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r22_string_funcs": (
+        "SELECT p_partkey, UPPER(p_brand) u, LOWER(p_type) l, SUBSTR(p_name,1,8) s, "
+        "LENGTH(p_name) n, CONCAT(p_brand,'#',p_type) c, "
+        "REPLACE(p_brand,'Brand','B') r, TRIM(p_name) t, "
+        "LPAD(CAST(p_size AS VARCHAR),4,'0') lp "
+        "FROM part ORDER BY p_partkey LIMIT 100"
+    ),
+    "r22b_regex": (
+        "SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) m, "
+        "(CASE WHEN regexp_matches(p_name,'[aeiou]{2}') THEN 1 ELSE 0 END) has2 "
+        "FROM part ORDER BY p_partkey LIMIT 100"
+    ),
+    "r23_date_funcs": (
+        "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) y, "
+        "EXTRACT(MONTH FROM o_orderdate) m, EXTRACT(DAY FROM o_orderdate) d, "
+        "CAST(date_trunc('month', o_orderdate) AS DATE) mt, "
+        "date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') dd "
+        "FROM orders ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r24_math_funcs": (
+        "SELECT l_orderkey, l_linenumber, ROUND(POWER(l_quantity,2),4) p, "
+        "ROUND(LN(l_extendedprice),6) ln_, ROUND(LOG10(l_extendedprice),6) lg, "
+        "MOD(CAST(l_quantity AS INT),7) md, GREATEST(l_tax,l_discount) g, "
+        "LEAST(l_tax,l_discount) le "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, p, ln_, lg, md, g, le "
+        "LIMIT 100"
+    ),
+    "r25_analytic_window": (
+        "SELECT o_custkey, o_orderkey, LAG(o_totalprice) OVER w lg, "
+        "LEAD(o_totalprice) OVER w ld, "
+        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) run, "
+        "FIRST_VALUE(o_orderkey) OVER w fv "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, "
+        "o_orderkey) ORDER BY o_custkey, o_orderkey LIMIT 100"
+    ),
+    "r27_ranking_suite": (
+        "SELECT o_orderkey, RANK() OVER w r, DENSE_RANK() OVER w dr, "
+        "NTILE(4) OVER w nt, ROUND(PERCENT_RANK() OVER w,6) pr "
+        "FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey) "
+        "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r28_pivot_conditional": (
+        "SELECT o_custkey, SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) o, "
+        "SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) f, "
+        "SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) p "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100"
+    ),
+    "r29_explode_reagg": (
+        "SELECT vec_id, COUNT(*) n, ROUND(SUM(e*e),4) ss "
+        "FROM (SELECT vec_id, UNNEST(embedding) e FROM embeddings) t "
+        "GROUP BY vec_id ORDER BY vec_id LIMIT 100"
+    ),
+    "b04_global_topk": (
+        "SELECT l_orderkey, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_extendedprice LIMIT 10"
+    ),
+    "b05_distinct_counts": (
+        "SELECT COUNT(DISTINCT l_partkey) c1, COUNT(DISTINCT l_suppkey) c2 "
+        "FROM lineitem"
+    ),
+    "b07_string_filter_agg": (
+        "SELECT lang, COUNT(*) c, "
+        "SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) j "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "b09_intersect": (
+        "SELECT c FROM (SELECT l_partkey c FROM lineitem "
+        "INTERSECT SELECT p_partkey FROM part) t ORDER BY c LIMIT 5"
+    ),
+}

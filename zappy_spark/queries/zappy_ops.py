@@ -1,0 +1,339 @@
+"""Z-series: the reference's array-operator surface on DataFrames.
+
+zappy's operator set (SURVEY §2.1; public repo ``zappy/base.py`` —
+``_unary_ufunc`` / ``_binary_ufunc`` dispatchers, ``_calc_func_axis``
+aggregations, ``__getitem__`` masking) re-expressed as Catalyst column
+expressions:
+
+- elementwise ufuncs      → built-in functions (Z3 Z4 Z6 Z7)
+- comparisons → bool      → boolean columns (Z9)
+- axis=0 aggregation      → ``df.agg`` (partial→final, zappy's
+                            per-chunk-then-reduce done by the engine)
+                            (Z1 Z2 Z12 Z13 Z15 Z16 Z18)
+- axis=1 aggregation      → array lambda reduce, one row at a time,
+                            fully distributed (Z5 Z14 Z17 Z19)
+- boolean mask / fancy
+  index (``__getitem__``) → filter / select (Z10 Z11)
+
+Everything is JVM-side whole-stage-codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zappy_spark.queries._util import t, vsum
+
+
+def z1(spark: SparkSession, d: str) -> DataFrame:
+    """sum(axis=0): per-column total → driver-side scalar row."""
+    return t(spark, d, "lineitem").agg(
+        F.round(F.sum("l_quantity"), 2).alias("a"),
+        F.round(F.sum("l_extendedprice"), 2).alias("b"),
+    )
+
+
+def z2(spark: SparkSession, d: str) -> DataFrame:
+    return t(spark, d, "lineitem").agg(
+        F.round(F.avg("l_quantity"), 6).alias("a"),
+        F.round(F.avg("l_discount"), 6).alias("b"),
+    )
+
+
+def z3(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.log1p("l_quantity"), 6).alias("v"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "v")
+        .limit(100)
+    )
+
+
+def z4(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.exp("l_discount"), 6).alias("e"),
+            F.round(F.exp("l_discount") - 1, 6).alias("em"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "e", "em")
+        .limit(100)
+    )
+
+
+def z5(spark: SparkSession, d: str) -> DataFrame:
+    """sum(axis=1): per-row reduce of the array column, distributed."""
+    return (
+        t(spark, d, "embeddings")
+        .select("vec_id", F.round(vsum("embedding"), 4).alias("s"))
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def z6(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+            F.round(F.col("l_discount") * F.col("l_discount"), 6).alias("p2"),
+            F.abs(F.col("l_quantity") - 25).alias("ab"),
+            (-F.col("l_tax")).alias("neg"),
+            F.signum(F.col("l_quantity") - 25.0).alias("sg"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("fl"),
+            F.ceil(F.col("l_tax") * 100).alias("ce"),
+        )
+        .orderBy(
+            "l_orderkey", "l_linenumber", "sq", "p2", "ab", "neg", "sg", "fl", "ce"
+        )
+        .limit(100)
+    )
+
+
+def z7(spark: SparkSession, d: str) -> DataFrame:
+    """Scalar-broadcast arithmetic; Catalyst constant-folds 3/1.5."""
+    return (
+        t(spark, d, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round((F.col("l_quantity") + 1.5) * 2 - 3 / 1.5, 6).alias("v"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "v")
+        .limit(100)
+    )
+
+
+def z9(spark: SparkSession, d: str) -> DataFrame:
+    """Comparisons produce bool columns; count via conditional sum."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.sum(
+            F.when(F.col("l_quantity") > F.col("l_discount") * 100, 1).otherwise(0)
+        ).alias("c"),
+        F.sum(F.when(F.col("l_tax") >= 0.04, 1).otherwise(0)).alias("d"),
+    )
+
+
+def z10(spark: SparkSession, d: str) -> DataFrame:
+    """Boolean row mask — zappy's X[mask, :]; a free filter in Spark."""
+    return (
+        t(spark, d, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)
+    )
+
+
+def z11(spark: SparkSession, d: str) -> DataFrame:
+    """Column select — fancy-index on axis 1 → projection (pruned scan)."""
+    return (
+        t(spark, d, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+        .limit(100)
+    )
+
+
+def z12(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.round(F.var_pop("l_discount"), 8).alias("vp"),
+        F.round(F.stddev_pop("l_discount"), 8).alias("sp"),
+        F.round(F.var_samp("l_discount"), 8).alias("vs"),
+        F.round(F.stddev_samp("l_discount"), 8).alias("ss"),
+    )
+
+
+def z13(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("a"),
+        F.max("l_quantity").alias("b"),
+        F.min("l_shipdate").alias("c"),
+        F.max("l_shipdate").alias("d"),
+        F.min("l_returnflag").alias("e"),
+        F.max("l_returnflag").alias("f"),
+    )
+
+
+def z14(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "embeddings")
+        .select(
+            "vec_id",
+            F.round(F.array_min("embedding"), 6).alias("mn"),
+            F.round(F.array_max("embedding"), 6).alias("mx"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def z15(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("a"),
+        F.sum((F.col("l_discount") * 100).cast("bigint")).alias("b"),
+    )
+
+
+def z16(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "lineitem")
+        .agg(F.sum(F.when(F.col("l_discount") != 0, 1).otherwise(0)).alias("nz"))
+    )
+
+
+def z17(spark: SparkSession, d: str) -> DataFrame:
+    """Column-vector broadcast (X / X.sum(axis=1)) — same-row expr,
+    no zip-of-aligned-partitions needed (zappy's EP2, SURVEY §3.1)."""
+    emb = t(spark, d, "embeddings")
+    s = vsum("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.element_at("embedding", 1) / s, 6).alias("e1"),
+            F.round(F.element_at("embedding", 2) / s, 6).alias("e2"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def z18(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("ba"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("bo"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def z19(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "embeddings")
+        .select(
+            "vec_id",
+            F.round(vsum("embedding") / F.size("embedding"), 6).alias("m"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "z01_sum_axis0": z1,
+    "z02_mean_axis0": z2,
+    "z03_log1p": z3,
+    "z04_exp_expm1": z4,
+    "z05_row_sum_axis1": z5,
+    "z06_unary_suite": z6,
+    "z07_scalar_broadcast": z7,
+    "z09_comparisons": z9,
+    "z10_bool_mask": z10,
+    "z11_column_select": z11,
+    "z12_var_std": z12,
+    "z13_minmax_axis0": z13,
+    "z14_minmax_axis1": z14,
+    "z15_astype_cast": z15,
+    "z16_count_nonzero": z16,
+    "z17_row_normalize": z17,
+    "z18_any_all": z18,
+    "z19_mean_axis1": z19,
+}
+
+ORACLE = {
+    "z01_sum_axis0": (
+        "SELECT ROUND(SUM(l_quantity),2) a, ROUND(SUM(l_extendedprice),2) b FROM lineitem"
+    ),
+    "z02_mean_axis0": (
+        "SELECT ROUND(AVG(l_quantity),6) a, ROUND(AVG(l_discount),6) b FROM lineitem"
+    ),
+    "z03_log1p": (
+        "SELECT l_orderkey, l_linenumber, ROUND(LN(1+l_quantity),6) v FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber, v LIMIT 100"
+    ),
+    "z04_exp_expm1": (
+        "SELECT l_orderkey, l_linenumber, ROUND(EXP(l_discount),6) e, "
+        "ROUND(EXP(l_discount)-1,6) em FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber, e, em LIMIT 100"
+    ),
+    "z05_row_sum_axis1": (
+        "SELECT vec_id, ROUND(list_aggregate(embedding,'sum'),4) s FROM embeddings "
+        "ORDER BY vec_id LIMIT 100"
+    ),
+    "z06_unary_suite": (
+        "SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_quantity),6) sq, "
+        "ROUND(l_discount*l_discount,6) p2, ABS(l_quantity-25) ab, -l_tax neg, "
+        "SIGN(l_quantity-25.0) sg, FLOOR(l_extendedprice/1000) fl, CEIL(l_tax*100) ce "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, p2, ab, neg, sg, fl, ce "
+        "LIMIT 100"
+    ),
+    "z07_scalar_broadcast": (
+        "SELECT l_orderkey, l_linenumber, ROUND((l_quantity+1.5)*2-3/1.5,6) v "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, v LIMIT 100"
+    ),
+    "z09_comparisons": (
+        "SELECT SUM(CASE WHEN l_quantity > l_discount*100 THEN 1 ELSE 0 END) c, "
+        "SUM(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END) d FROM lineitem"
+    ),
+    "z10_bool_mask": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity>45 AND l_discount<0.05 "
+        "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100"
+    ),
+    "z11_column_select": (
+        "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey<100 "
+        "ORDER BY l_orderkey, l_partkey, l_quantity LIMIT 100"
+    ),
+    "z12_var_std": (
+        "SELECT ROUND(VAR_POP(l_discount),8) vp, ROUND(STDDEV_POP(l_discount),8) sp, "
+        "ROUND(VAR_SAMP(l_discount),8) vs, ROUND(STDDEV_SAMP(l_discount),8) ss "
+        "FROM lineitem"
+    ),
+    "z13_minmax_axis0": (
+        "SELECT MIN(l_quantity) a, MAX(l_quantity) b, MIN(l_shipdate) c, "
+        "MAX(l_shipdate) d, MIN(l_returnflag) e, MAX(l_returnflag) f FROM lineitem"
+    ),
+    "z14_minmax_axis1": (
+        "SELECT vec_id, ROUND(list_aggregate(embedding,'min'),6) mn, "
+        "ROUND(list_aggregate(embedding,'max'),6) mx "
+        "FROM embeddings ORDER BY vec_id LIMIT 100"
+    ),
+    "z15_astype_cast": (
+        "SELECT SUM(CAST(l_quantity AS BIGINT)) a, "
+        "SUM(CAST(l_discount*100 AS BIGINT)) b FROM lineitem"
+    ),
+    "z16_count_nonzero": (
+        "SELECT SUM(CASE WHEN l_discount<>0 THEN 1 ELSE 0 END) nz FROM lineitem"
+    ),
+    "z17_row_normalize": (
+        "SELECT vec_id, "
+        "ROUND(list_extract(embedding,1)/list_aggregate(embedding,'sum'),6) e1, "
+        "ROUND(list_extract(embedding,2)/list_aggregate(embedding,'sum'),6) e2 "
+        "FROM embeddings ORDER BY vec_id LIMIT 100"
+    ),
+    "z18_any_all": (
+        "SELECT l_returnflag, BOOL_AND(l_quantity>0) ba, BOOL_OR(l_discount>0.09) bo "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "z19_mean_axis1": (
+        "SELECT vec_id, ROUND(list_aggregate(embedding,'sum')/len(embedding),6) m "
+        "FROM embeddings ORDER BY vec_id LIMIT 100"
+    ),
+}

@@ -1,0 +1,101 @@
+"""SparkSession factory + testdata table registry.
+
+The reference (zappy) has per-backend factories
+(``zappy/spark.py::from_zarr`` etc.); our single backend is Spark SQL,
+so the analog is one session factory that pins the semantics every
+query in the corpus was verified under (SURVEY.md Appendix A):
+
+- ``spark.sql.session.timeZone=UTC`` — cross-engine timestamp parity.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is
+  parquet TIMESTAMP(NANOS), which Spark 4 otherwise refuses
+  (PARQUET_TYPE_ILLEGAL). The registry repairs the long back to a
+  micros timestamp so queries never see the raw long.
+- AQE on — runtime coalesce / broadcast conversion / skew-join split;
+  this is the 100 TB story for shuffle sizing, not hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_session(
+    app_name: str = "zappy-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session shaped like a production cluster config.
+
+    ``local[N]`` here; on a real cluster only master/memory change —
+    the SQL confs (timezone, nanos handling, AQE) are the portable
+    part and are the ones correctness depends on.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # Arrow for toPandas / pandas_udf (the zappy escape hatch).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Pin required runtime confs on a session we did not create.
+
+    The driver harness constructs its own SparkSession; every conf we
+    rely on is a runtime-settable SQLConf, so this makes any session
+    corpus-safe. Idempotent and cheap — call it at the top of every
+    query entry point.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, applying per-table ingest repairs."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as LongType nanos (see module docstring); convert
+        # to a real timestamp (micros) once, here, so no query ever
+        # sees the raw long. Verified equal to DuckDB's native read.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views (idempotent)."""
+    configure(spark)
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
