@@ -1,0 +1,79 @@
+"""Benchmark runner — reproduces the BASELINE.md protocol.
+
+Runs the 10-query bench suite (B1..B10 ↦ declared corpus ids) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; warm engine, one untimed warm run,
+median of 3 timed runs, ``collect()`` included, session startup
+excluded. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from zappy_spark.queries import QUERIES  # noqa: E402
+from zappy_spark.session import get_session  # noqa: E402
+
+# B-id → corpus key (BASELINE.md mapping: B1=R1, B2=R2, B3=R3, B6=S1,
+# B8=L2, B10=L1).
+BENCH = {
+    "q1": "r01_pricing_summary",
+    "q2": "r02_join5_agg",
+    "q3": "r03_topk_per_group",
+    "q4": "b04_global_topk",
+    "q5": "b05_distinct_counts",
+    "q6": "s1_tumbling_window",
+    "q7": "b07_string_filter_agg",
+    "q8": "l02_cosine_topk",
+    "q9": "b09_intersect",
+    "q10": "l01_json_extract",
+}
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    spark = get_session(app_name="zappy-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm: session up, JIT + parquet footer caches primed, untimed.
+    for key in BENCH.values():
+        QUERIES[key](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for qid, key in BENCH.items():
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        per_query[qid] = round(statistics.median(samples), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
