@@ -1,0 +1,116 @@
+"""ZappyFrame vs numpy — the reference's oracle style: same
+expression on a plain ndarray and on the distributed frame, assert
+allclose (zappy's test_base.py pattern, SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zappy_spark.frame import ZappyFrame
+
+
+@pytest.fixture(scope="module")
+def xz(spark):
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0.1, 5.0, size=(37, 5))
+    return X, ZappyFrame.from_ndarray(spark, X, num_partitions=4)
+
+
+def test_elementwise_unary(xz):
+    X, zf = xz
+    assert np.allclose(zf.log1p().asndarray(), np.log1p(X))
+    assert np.allclose(zf.sqrt().asndarray(), np.sqrt(X))
+    assert np.allclose(zf.square().asndarray(), X * X)
+    assert np.allclose((-zf).asndarray(), -X)
+    assert np.allclose(zf.floor().asndarray(), np.floor(X))
+
+
+def test_numpy_ufunc_interop(xz):
+    X, zf = xz
+    assert np.allclose(np.log1p(zf).asndarray(), np.log1p(X))
+    assert np.allclose(np.exp(zf).asndarray(), np.exp(X))
+    assert np.allclose((2.0 - zf).asndarray(), 2.0 - X)
+
+
+def test_broadcast_shapes(xz):
+    X, zf = xz
+    # scalar
+    assert np.allclose((zf * 3 + 1).asndarray(), X * 3 + 1)
+    # row vector (1×ncols)
+    rv = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert np.allclose((zf - rv).asndarray(), X - rv)
+    # same shape (aligned zip via row_id join)
+    assert np.allclose((zf * zf).asndarray(), X * X)
+    # column vector (axis-1 reduction reused as operand)
+    norm = zf / zf.sum(axis=1)
+    assert np.allclose(norm.asndarray(), X / X.sum(axis=1)[:, None])
+
+
+def test_axis_aggregations(xz):
+    X, zf = xz
+    assert np.isclose(zf.sum(), X.sum())
+    assert np.allclose(zf.sum(axis=0), X.sum(axis=0))
+    assert np.allclose(zf.sum(axis=1).asndarray(), X.sum(axis=1))
+    assert np.allclose(zf.mean(axis=0), X.mean(axis=0))
+    assert np.allclose(zf.mean(axis=1).asndarray(), X.mean(axis=1))
+    assert np.allclose(zf.var(axis=0), X.var(axis=0))
+    assert np.allclose(zf.std(axis=0, ddof=1), X.std(axis=0, ddof=1))
+    assert np.allclose(zf.min(axis=0), X.min(axis=0))
+    assert np.allclose(zf.max(axis=1).asndarray(), X.max(axis=1))
+    assert np.isclose(zf.max(), X.max())
+    assert zf.count_nonzero() == np.count_nonzero(X)
+    assert zf.any() == X.astype(bool).any()
+    assert zf.all() == X.astype(bool).all()
+
+
+def test_boolean_masking(xz):
+    X, zf = xz
+    mask = zf.sum(axis=1) > 7.5
+    assert np.allclose(zf[mask, :].asndarray(), X[X.sum(axis=1) > 7.5, :])
+    # empty result keeps shape discipline
+    assert zf[zf.sum(axis=1) > 1e9, :].asndarray().shape == (0, 5)
+
+
+def test_indexing(xz):
+    X, zf = xz
+    assert np.allclose(zf[:, [0, 2]].asndarray(), X[:, [0, 2]])
+    assert np.allclose(zf[:, 1:4].asndarray(), X[:, 1:4])
+    assert np.allclose(zf[3:7].asndarray(), X[3:7])
+    bools = np.array([True, False, True, False, True])
+    assert np.allclose(zf[:, bools].asndarray(), X[:, bools])
+
+
+def test_comparisons(xz):
+    X, zf = xz
+    gt = (zf > 2.5).asndarray()
+    assert np.array_equal(gt.astype(bool), X > 2.5)
+
+
+def test_astype(xz):
+    X, zf = xz
+    out = zf.astype("int64").asndarray()
+    assert out.dtype == np.int64
+    assert np.array_equal(out, X.astype(np.int64))
+
+
+def test_scanpy_style_pipeline(xz):
+    """The reference's target workload: normalize → log1p → filter."""
+    X, zf = xz
+    out = (zf / zf.sum(axis=1)).log1p()
+    keep = out.sum(axis=1) > 0
+    got = out[keep, :].asndarray()
+    ref = np.log1p(X / X.sum(axis=1)[:, None])
+    ref = ref[ref.sum(axis=1) > 0, :]
+    assert np.allclose(got, ref)
+
+
+def test_parquet_round_trip(xz, tmp_path):
+    X, zf = xz
+    p = str(tmp_path / "zf.parquet")
+    zf.to_parquet(p, num_chunks=3)
+    back = ZappyFrame.from_parquet(
+        zf.df.sparkSession, p, vec_col="vec", row_id_col="row_id"
+    )
+    assert np.allclose(back.asndarray(), X)
+    assert back.shape == X.shape

@@ -1,0 +1,184 @@
+"""Property tests for operators whose physical plans aren't
+SQL-oracle-able (SURVEY §5.2 items 4/6): LSH recall with planted
+duplicates, SimHash locality, ANN recall, lang-id accuracy,
+multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """200 random docs + 10 planted near-duplicate pairs (~90% token
+    overlap) + 3 exact duplicate pairs."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(200):
+        words = list(rng.choice(vocab, size=40))
+        docs.append((i, " ".join(words)))
+    planted = []
+    for k in range(10):
+        base_id, base_text = docs[k]
+        words = base_text.split(" ")
+        # mutate ~10% of tokens
+        for pos in rng.choice(len(words), size=4, replace=False):
+            words[pos] = str(rng.choice(vocab))
+        dup_id = 1000 + k
+        docs.append((dup_id, " ".join(words)))
+        planted.append((base_id, dup_id))
+    for k in range(3):
+        docs.append((2000 + k, docs[k][1]))  # exact dups
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return df, planted
+
+
+def test_exact_dedup_finds_planted(spark, planted_docs):
+    from zappy_spark.operators.dedup import drop_exact_dups, exact_dedup
+
+    df, _ = planted_docs
+    groups = exact_dedup(df, "text", "doc_id")
+    dup_groups = groups.filter(F.col("n") > 1).collect()
+    assert len(dup_groups) == 3
+    assert all(g["n"] == 2 for g in dup_groups)
+    kept = drop_exact_dups(df, "text", "doc_id")
+    assert kept.count() == df.count() - 3
+
+
+def test_minhash_lsh_recall(spark, planted_docs):
+    from zappy_spark.operators.dedup import near_dup_pairs
+
+    df, planted = planted_docs
+    found = {
+        (r["i"], r["j"])
+        for r in near_dup_pairs(
+            df, "text", "doc_id", threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    hits = sum((a, b) in found for a, b in planted)
+    # 90% token overlap → shingle Jaccard ≈ 0.7; 8 bands × 2 rows
+    # catches nearly all; require ≥ 8/10.
+    assert hits >= 8, f"LSH recall too low: {hits}/10, found={found}"
+    # precision: no random pair should pass the exact-Jaccard verify
+    random_pairs = [
+        (i, j) for (i, j) in found if j < 1000 and (i, j) not in planted
+    ]
+    assert not random_pairs
+
+
+def test_simhash_locality(spark, planted_docs):
+    from zappy_spark.operators.dedup import simhash_bits
+
+    df, planted = planted_docs
+    sh = {r["doc_id"]: r["sh"] for r in simhash_bits(df, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    rng = np.random.default_rng(3)
+    dup_d = np.mean([ham(sh[a], sh[b]) for a, b in planted])
+    ids = sorted(k for k in sh if k < 1000)
+    rand_d = np.mean(
+        [ham(sh[a], sh[b]) for a, b in zip(rng.choice(ids, 50), rng.choice(ids, 50)) if a != b]
+    )
+    assert dup_d < rand_d, f"simhash not locality-sensitive: {dup_d} vs {rand_d}"
+
+
+def test_rp_lsh_ann_recall(spark):
+    from zappy_spark.operators.similarity import cosine_topk, rp_lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    pool = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(pool, "embedding", "vec_id", qvec, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in rp_lsh_topk(
+            pool, "embedding", "vec_id", qvec, 10, num_planes=4, probe_radius=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    # testdata embeddings are near-random (max pairwise cosine ≈0.51),
+    # the hardest case for LSH; multi-probe r=2 measured 0.8 here.
+    assert recall >= 0.6, f"ANN recall@10 too low: {recall}"
+
+
+def test_similarity_join_lsh_vs_exact(spark):
+    from zappy_spark.operators.similarity import similarity_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    exact = similarity_join(emb, "embedding", "vec_id", 0.3, exact=True).count()
+    blocked = similarity_join(
+        emb, "embedding", "vec_id", 0.3, num_planes=2
+    ).count()
+    assert blocked <= exact
+    assert blocked >= exact * 0.2, f"LSH blocking recall too low: {blocked}/{exact}"
+
+
+def test_lang_id_on_real_samples(spark):
+    from zappy_spark.operators.text import lang_id
+
+    samples = [
+        (1, "the cat sat on the mat and it is happy with that", "en"),
+        (2, "der hund ist nicht mit der katze und das ist gut", "de"),
+        (3, "el perro y la gata viven en una casa con los gatos", "es"),
+        (4, "le chat est dans la maison pour les enfants et une femme", "fr"),
+    ]
+    df = spark.createDataFrame(samples, ["id", "text", "truth"])
+    out = lang_id(df, "text").collect()
+    for r in out:
+        assert r["lang_pred"] == r["truth"], (r["text"], r["lang_pred"])
+        assert r["lang_conf"] > 0
+
+
+def test_quality_filter(spark):
+    from zappy_spark.operators.text import quality_features, quality_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feat = quality_features(docs, "text")
+    row = feat.first()
+    assert 0 <= row["q_punct_ratio"] <= 1
+    assert 0 <= row["q_stopword_ratio"] <= 1
+    kept = quality_filter(docs, "text", min_chars=50).count()
+    assert 0 < kept <= docs.count()
+
+
+def test_multimodal_feature_extraction(spark):
+    from zappy_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "image", b"\x00\x01\x02\x03" * 64, (8, 8, None, None, "image/png")),
+        (2, "audio", b"\xff\xfe" * 300, (None, None, 16000, None, "audio/wav")),
+        (3, "video", b"\x10\x20\x30" * 100, (64, 48, None, 95, "video/mp4")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(df, dim=8)
+    assert feats.schema == FEATURE_SCHEMA
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == 256
+    assert len(got[2]["feature"]) == 8
+    assert abs(sum(got[3]["feature"]) - 1.0) < 1e-6  # histogram normalized
+    # deterministic fake: same payload → same feature
+    again = {r["media_id"]: r for r in extract_features(df, dim=8).collect()}
+    assert got[1]["feature"] == again[1]["feature"]
+
+    frames = frame_sample_plan(df, every_n=10)
+    idx = [r["frame_idx"] for r in frames.collect()]
+    assert idx == list(range(0, 95, 10))
+
+
+def test_decode_stub_raises(spark):
+    from zappy_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all engine-portable and deterministic (no engine-
+specific hash functions — every hash is md5-over-string, so DuckDB
+oracles can replay them exactly):
+
+- exact        : content-hash group-by (one shuffle on the hash key)
+- MinHash LSH  : shingle → K min-hashes → bands → bucket join
+- SimHash      : per-bit majority vote over token hashes
+- n-gram Jaccard: exact set similarity (verification / re-rank stage)
+
+Scale design (100 TB):
+- Exact dedup is a single hash-partitioned aggregation; the key is
+  md5(text) (128-bit), so collisions are negligible and the shuffle
+  carries only (hash, id) pairs after partial aggregation.
+- MinHash signatures are computed scan-side (one pass, no shuffle);
+  the LSH bucket join shuffles on band keys whose cardinality grows
+  with corpus size, keeping partitions balanced. Candidate pairs are
+  then verified with exact Jaccard — the classic
+  generate-and-verify split, so the O(n²) step only runs inside
+  buckets.
+- All lambdas are Catalyst HigherOrderFunctions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts; returns (h, keep, n) with the smallest
+    id as the kept representative."""
+    return (
+        df.groupBy(F.md5(text_col).alias("h"))
+        .agg(F.min(id_col).alias("keep"), F.count("*").alias("n"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Materializing form: keep one row per distinct text."""
+    keep = exact_dedup(df, text_col, id_col).select(
+        F.col("keep").alias("_keep_id")
+    )
+    return df.join(keep, F.col(id_col) == F.col("_keep_id"), "left_semi")
+
+
+def word_shingles(text_col: str | Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (documents with < k words yield
+    an empty array — callers filter, because NULL-in-concat semantics
+    differ across engines)."""
+    ws = F.split(text_col, " ")
+    n = F.size(ws) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family h_i(g) = md5(i || '|' || g) compared lexicographically
+    — md5 output is uniform, so the min over a keyed-salt family is a
+    valid permutation-min approximation, and it is portable: any
+    engine with md5 reproduces it bit-for-bit.
+
+    Output: (id_col, sig ARRAY<STRING>[num_hashes]).
+    Single scan-side pass: shingle expansion and all mins happen in
+    one groupBy(id) after an explode — the shuffle key is the doc id.
+    """
+    g = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = g.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band the signatures and bucket-join: docs agreeing on all
+    ``rows`` hashes of any band become a candidate pair (i < j).
+
+    The band key is md5(band_id || joined rows) — high-cardinality,
+    so the shuffle is balanced; identical pairs found via multiple
+    bands are deduplicated."""
+    banded = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    other = banded.select(
+        F.col("_id").alias("_id2"), F.col("bucket").alias("bucket2")
+    )
+    return (
+        banded.join(
+            other,
+            (F.col("bucket") == F.col("bucket2"))
+            & (F.col("_id") < F.col("_id2")),
+        )
+        .select(F.col("_id").alias("i"), F.col("_id2").alias("j"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    a_grams: Column | str, b_grams: Column | str
+) -> Column:
+    """Exact Jaccard over two shingle arrays (distinct semantics)."""
+    da = F.array_distinct(a_grams)
+    db = F.array_distinct(b_grams)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded bucket
+    join → exact-Jaccard verification ≥ threshold. Returns (i, j, jac).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, k)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    grams = df.select(
+        F.col(id_col).alias("_gid"),
+        word_shingles(F.col(text_col), k).alias("grams"),
+    )
+    ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
+    return (
+        cand.join(ga, "i")
+        .join(gb, "j")
+        .select("i", "j", ngram_jaccard("ga", "gb").alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash via per-bit majority vote over token md5s.
+
+    Bit b of a token = high bit of hex digit b of md5(token)
+    (digit ≥ '8' lexicographically — portable across engines).
+    Output: (id_col, sh STRING of '0'/'1' × bits). Hamming distance
+    between sh strings approximates cosine of the token multisets.
+    Single explode + one groupBy(id): scan-side, shuffle on doc id.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(text_col, " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    h = tok.select(id_col, F.md5("t").alias("m"))
+    votes = [
+        F.sum(
+            F.when(F.substring("m", b + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sh = F.concat(
+        *[
+            F.when(F.col(f"_v{b}") > 0, "1").otherwise("0")
+            for b in range(bits)
+        ]
+    )
+    return agg.select(id_col, sh.alias("sh"))

@@ -1,0 +1,125 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: payloads live in a
+``BinaryType`` column (or object-store URIs for > ~100 MB blobs) next
+to a typed metadata struct; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so each Python worker sees a bounded
+pandas batch, never one row at a time.
+
+The decode kernels themselves are STUBBED here (no image/audio libs
+in this container, marked NotImplementedError / deterministic fake)
+— the Spark-side plumbing (schema, batch iteration, partition sizing)
+is real and tested in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                    StructField("mime", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a directory of files as (path, modificationTime, length,
+    content BINARY) — Spark's built-in binaryFile source."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — image decode requires a codec library not present in
+    this container. The mapInPandas plumbing around it is real."""
+    raise NotImplementedError(
+        "image decode stub: install a codec (e.g. pillow) and replace"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'embedding' of a payload: byte histogram
+    folded to `dim` buckets — stands in for a real encoder so the
+    pipeline shape (binary → fixed-dim float vector) is testable."""
+    buckets = [0] * dim
+    for b in payload:
+        buckets[b % dim] += 1
+    total = float(len(payload)) or 1.0
+    return [c / total for c in buckets]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """binary payload → fixed-dim feature vector via mapInPandas.
+
+    Arrow-batched: each call receives a pandas DataFrame of
+    spark.sql.execution.arrow.maxRecordsPerBatch rows; payload bytes
+    stay off the driver. Output schema is declared up front
+    (FEATURE_SCHEMA) so downstream plans are fully typed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": pdf["payload"].map(
+                        lambda p: _fake_feature(bytes(p), dim)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: expand (media_id, n_frames) to
+    one row per sampled frame index — pure Spark (sequence+explode);
+    the actual frame decode would slot into extract_features."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, trading recall for scan cost:
+
+- ``cosine_topk``     — exact brute force. At 100 TB this is one
+  embarrassingly-parallel scan + TakeOrderedAndProject (no global
+  sort, no shuffle of the data); the right baseline and the oracle
+  for the approximate tiers.
+- ``ivf_topk``        — IVF-style: restrict the scan to the coarse
+  partition(s) of the query (any partitioner column works; testdata
+  uses ``label``). On disk this maps to partition pruning: store the
+  table partitioned by the coarse key and Spark scans only matching
+  files.
+- ``rp_lsh_topk``     — random-hyperplane LSH: sign-bit bucket from
+  R fixed Gaussian planes (seeded, shipped as literals), probe the
+  query's bucket, exact re-rank inside. Recall is property-tested
+  (tests/test_operators.py), not oracle-hashed.
+
+All distance math in DOUBLE via JVM lambda expressions (Appendix A).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zappy_spark.queries._util import cosine, dot
+
+
+def _qcol(query_vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs a literal query vector."""
+    q = _qcol(query_vec)
+    return (
+        df.select(
+            F.col(id_col), cosine(F.col(vec_col), q).alias("sim")
+        )
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    coarse_col: str,
+    query_vec,
+    query_coarse,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe: exact top-k within the query's coarse partition.
+
+    With the table written partitioned by ``coarse_col``, the filter
+    prunes to one partition's files — the scan touches 1/nlist of
+    the data."""
+    return cosine_topk(
+        df.filter(F.col(coarse_col) == query_coarse), vec_col, id_col, query_vec, k
+    )
+
+
+def rp_signature(vec_col: str | Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature string from R fixed hyperplanes (R×dim)."""
+    bits = [
+        F.when(dot(vec_col, _qcol(p)) >= 0, "1").otherwise("0") for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def make_planes(dim: int, num_planes: int = 8, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+
+def _probe_sigs(qsig: str, radius: int) -> list[str]:
+    """The query signature plus all signatures within Hamming
+    distance ``radius`` (multi-probe LSH)."""
+    sigs = {qsig}
+    frontier = {qsig}
+    for _ in range(radius):
+        nxt = set()
+        for s in frontier:
+            for b in range(len(s)):
+                flipped = s[:b] + ("0" if s[b] == "1" else "1") + s[b + 1 :]
+                nxt.add(flipped)
+        sigs |= nxt
+        frontier = nxt
+    return sorted(sigs)
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's sign bucket plus all
+    buckets within ``probe_radius`` bit flips, exact re-rank inside.
+
+    At scale the signature is precomputed and the table clustered /
+    partitioned by it, so each probe is a partition-pruned scan of
+    ~(1+R·num_planes)/2^num_planes of the data. Multi-probe trades a
+    few extra bucket reads for much better recall than one bucket —
+    the standard knob when vectors are weakly clustered."""
+    dim = len(query_vec)
+    planes = make_planes(dim, num_planes, seed)
+    qsig = "".join(
+        "1" if float(np.dot(p, np.asarray(query_vec, dtype=float))) >= 0 else "0"
+        for p in planes
+    )
+    probes = _probe_sigs(qsig, probe_radius)
+    bucketed = df.withColumn("_sig", rp_signature(vec_col, planes))
+    return cosine_topk(
+        bucketed.filter(F.col("_sig").isin(probes)), vec_col, id_col, query_vec, k
+    )
+
+
+def similarity_join(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    num_planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold.
+
+    exact=True: full O(n²) self-join (the oracle; fine ≤ ~10⁵ rows).
+    exact=False: LSH-blocked — pairs must share a sign bucket first,
+    then exact cosine verifies. Misses cross-bucket pairs by design;
+    recall is property-tested."""
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.join(b, F.col("i") < F.col("j"))
+    else:
+        if dim is None:
+            dim = df.select(F.size(vec_col)).first()[0]
+        planes = make_planes(dim, num_planes, seed)
+        sa = a.withColumn("_sa", rp_signature("va", planes))
+        sb = b.withColumn("_sb", rp_signature("vb", planes))
+        pairs = sa.join(
+            sb, (F.col("_sa") == F.col("_sb")) & (F.col("i") < F.col("j"))
+        )
+    return pairs.select(
+        "i", "j", cosine("va", "vb").alias("sim")
+    ).filter(F.col("sim") >= threshold)

@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (n-gram profile heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(k-gram min-hash, a winnowing-lite rolling scheme). Everything is
+built-in-function expressions — scan-side, codegen'd, no Python in
+the hot path — so a 100 TB corpus pays one pass per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic language identifier. Deliberately small: the operator is
+# the Spark plumbing; swap profiles for fastText-style models via the
+# same expression shape.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que"),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ("a", "an", "for", "on", "as", "are")
+
+# BPE-ish token regex: runs of word chars, or single non-space
+# punctuation — approximates byte-pair pre-tokenization boundaries.
+TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens_ws(text: str | Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count_ws(text: str | Column) -> Column:
+    return F.size(tokens_ws(text))
+
+
+def token_count_re(text: str | Column) -> Column:
+    """BPE-ish regex token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def _stopword_hits(text: str | Column, words: tuple[str, ...]) -> Column:
+    toks = tokens_ws(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(text: str | Column) -> Column:
+    """Map<lang, double>: stopword-hit ratio per language profile."""
+    toks = tokens_ws(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in LANG_PROFILES]),
+        F.array(
+            *[
+                (_stopword_hits(text, words) / n)
+                for words in LANG_PROFILES.values()
+            ]
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Append (lang_pred, lang_conf): argmax over profile scores,
+    'und' when no profile matches at all."""
+    scores = lang_scores(F.col(text_col))
+    # argmax over the map via sorted (score desc, lang asc) struct array
+    ranked = F.array_sort(
+        F.transform(
+            F.map_entries(scores),
+            lambda e: F.struct(
+                (-e["value"]).alias("neg"), e["key"].alias("lang")
+            ),
+        )
+    )
+    best = F.element_at(ranked, 1)
+    return df.withColumn(
+        "lang_pred",
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_conf", F.round(-best["neg"], 6))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the classic quality-filter features: char count, word
+    count, mean word length, punctuation ratio, stopword ratio,
+    alpha ratio."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens_ws(text)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), 0)
+    )
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z]"), 0))
+    sw = _stopword_hits(text, STOPWORDS_EN)
+    return (
+        df.withColumn("q_chars", n_chars)
+        .withColumn("q_words", F.size(toks))
+        .withColumn(
+            "q_mean_word_len",
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0.0), lambda a, t: a + F.length(t)
+                )
+                / n_words,
+                6,
+            ),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "q_alpha_ratio",
+            F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn("q_stopword_ratio", F.round(sw / n_words, 6))
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+    max_punct_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher-style keep-filter over the quality features."""
+    feat = quality_features(df, text_col)
+    return feat.filter(
+        (F.col("q_chars") >= min_chars)
+        & (F.col("q_chars") <= max_chars)
+        & (F.col("q_stopword_ratio") >= min_stopword_ratio)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    )
+
+
+def char_kgrams(text: str | Column, k: int = 8) -> Column:
+    """All character k-grams (rolling window), as an array."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k)
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Document fingerprint: min-md5 over character k-grams — the
+    winnowing idea with window = whole document. Two documents
+    sharing any k-gram region are likely to collide; used as a fast
+    pre-cluster key before pairwise verification. Output (id, fp)."""
+    grams = char_kgrams(F.col(text_col), k)
+    fp = F.array_min(F.transform(grams, F.md5))
+    return df.select(F.col(id_col), fp.alias("fp"))

@@ -8,13 +8,20 @@ oracle (non-SQL-expressible ops) appear only in QUERIES.
 
 from __future__ import annotations
 
-from zappy_spark.queries import events_ops, llm_ops, relational, zappy_ops
+from zappy_spark.queries import (
+    events_ops,
+    llm_ops,
+    pipeline_ops,
+    relational,
+    zappy_ops,
+)
 
 QUERIES = {
     **zappy_ops.QUERIES,
     **relational.QUERIES,
     **events_ops.QUERIES,
     **llm_ops.QUERIES,
+    **pipeline_ops.QUERIES,
 }
 
 ORACLE = {
@@ -22,6 +29,7 @@ ORACLE = {
     **relational.ORACLE,
     **events_ops.ORACLE,
     **llm_ops.ORACLE,
+    **pipeline_ops.ORACLE,
 }
 
 __all__ = ["QUERIES", "ORACLE"]
