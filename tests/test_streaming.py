@@ -1,0 +1,171 @@
+"""Streaming equivalence harness (SURVEY §5.2 item 5): replay the
+events table through a file-source stream and assert the drained
+streaming state equals the batch result; plus watermark late-drop
+and custom-stateful behavior that no batch oracle can express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE_DIR
+from zappy_spark.session import load_table
+from zappy_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay"))
+    jobs.replay_events_dir(spark, SF_SMOKE_DIR, d, n_files=4)
+    return d
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, replay_dir):
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(jobs.tumbling_counts(stream), "t_tumble")
+    batch = jobs.tumbling_counts(spark.read.parquet(replay_dir))
+    assert _rows(got, "w", "event_type", "c", "s") == _rows(
+        batch, "w", "event_type", "c", "s"
+    )
+
+
+def test_session_stream_equals_batch(spark, replay_dir):
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.session_counts(stream).select(
+            "user_id", F.col("session_window.start").alias("st"), "n"
+        ),
+        "t_sess",
+    )
+    batch = jobs.session_counts(spark.read.parquet(replay_dir)).select(
+        "user_id", F.col("session_window.start").alias("st"), "n"
+    )
+    assert _rows(got, "user_id", "st", "n") == _rows(batch, "user_id", "st", "n")
+
+
+def test_dedup_stream_keeps_first(spark, replay_dir):
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.dedup_first(stream).select("user_id", "event_type", "event_id"),
+        "t_dedup",
+        output_mode="append",
+    )
+    # key set and cardinality must match the batch row_number()=1 form
+    batch_keys = _rows(
+        spark.read.parquet(replay_dir)
+        .select("user_id", "event_type")
+        .distinct(),
+        "user_id",
+        "event_type",
+    )
+    assert _rows(got.select("user_id", "event_type"), "user_id", "event_type") == batch_keys
+
+
+def test_exact_first_arrival_on_controlled_stream(spark, tmp_path):
+    """Hand-built 3-file stream where arrival order is fully known —
+    asserts dropDuplicates keeps exactly the first-arriving row."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    files = [
+        [(1, base, 7, "click", 1.0, "{}")],
+        [(2, base + dt.timedelta(minutes=5), 7, "click", 2.0, "{}")],
+        [(3, base + dt.timedelta(minutes=9), 7, "view", 3.0, "{}")],
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d = str(tmp_path / "ctrl")
+    spark.createDataFrame(files[0], cols).coalesce(1).write.mode("append").parquet(d)
+    q = (
+        jobs.dedup_first(jobs.stream_events(spark, d))
+        .writeStream.format("memory")
+        .queryName("t_ctrl")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    for rows in files[1:]:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    q.stop()
+    kept = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in spark.table("t_ctrl").collect()
+    }
+    assert kept == {(7, "click"): 1, (7, "view"): 3}
+
+
+def test_stream_static_join_equals_batch(spark, replay_dir):
+    nation = load_table(spark, SF_SMOKE_DIR, "nation")
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.enrich_with_static(stream, nation), "t_enrich"
+    )
+    batch = jobs.enrich_with_static(spark.read.parquet(replay_dir), nation)
+    assert _rows(got, "n_name", "c", "s") == _rows(batch, "n_name", "c", "s")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Out-of-order replay: a row arriving after the watermark passed
+    its window end must be dropped (append mode)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    files = [
+        # f1: on-time rows; max ts 11:30 → watermark 10:30 after batch
+        [
+            (1, base + dt.timedelta(hours=10, minutes=5), 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(hours=10, minutes=10), 1, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(hours=11, minutes=30), 1, "click", 1.0, "{}"),
+        ],
+        # f2: 09:00 event — window [09:00,10:00) ends before the
+        # 10:30 watermark → dropped
+        [(4, base + dt.timedelta(hours=9), 1, "click", 1.0, "{}")],
+        # f3: advance watermark to 12:30 so [10,11) and [11,12) close
+        [(5, base + dt.timedelta(hours=13, minutes=30), 1, "click", 1.0, "{}")],
+    ]
+    d = str(tmp_path / "late")
+    # write the first file, start the stream, then drip-feed the rest
+    # with processAllAvailable() between — batch order is then exactly
+    # file order (mod-time order of concurrent writes is not reliable).
+    spark.createDataFrame(files[0], cols).coalesce(1).write.mode("append").parquet(d)
+    q = (
+        jobs.tumbling_with_watermark(jobs.stream_events(spark, d))
+        .writeStream.format("memory")
+        .queryName("t_wm")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    for rows in files[1:]:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    q.stop()
+    emitted = {(r["w"].hour, r["c"]) for r in spark.table("t_wm").collect()}
+    assert (10, 2) in emitted, f"on-time window missing: {emitted}"
+    assert (11, 1) in emitted, f"on-time window missing: {emitted}"
+    assert not any(h == 9 for h, _ in emitted), f"late row not dropped: {emitted}"
+
+
+def test_stateful_running_count(spark, replay_dir):
+    """applyInPandasWithState running count: the last update per user
+    equals the batch per-user count."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.running_count_stateful(stream), "t_state", output_mode="update"
+    )
+    final = (
+        got.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    )
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(replay_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["user_id"]: r["n"] for r in final} == batch

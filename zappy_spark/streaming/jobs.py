@@ -1,0 +1,177 @@
+"""Structured Streaming jobs over the ``events`` stream (SURVEY §2.4).
+
+The reference is batch-only (zappy has no streaming surface); this is
+the beyond-reference streaming tier. Design rule: every streaming
+transformation here is the SAME logical plan as its batch twin in
+``zappy_spark.queries.events_ops`` — Structured Streaming's
+incrementalization guarantees the complete-mode result converges to
+the batch result once the stream is drained, and
+tests/test_streaming.py asserts exactly that equivalence.
+
+At scale: sources become Kafka/file-drop directories; state stores
+(RocksDB provider) hold window/session/dedup state keyed by group;
+watermarks bound state size — without one, an unbounded-key agg
+grows state forever (that is the 100 TB failure mode, and why
+``tumbling_with_watermark`` is the production form of
+``tumbling_counts``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from zappy_spark.session import load_table
+
+
+def replay_events_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Materialize ``events`` as ``n_files`` time-ordered parquet
+    files so a file-source stream replays them in event-time order
+    (file source triggers by modification time; we write
+    sequentially). The nanos→micros repair happens here, so the
+    replay dir holds clean timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    total = ranked.count()
+    per = (total + n_files - 1) // n_files
+    for i in range(n_files):
+        lo, hi = i * per + 1, (i + 1) * per
+        (
+            ranked.filter(F.col("_rn").between(lo, hi))
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+
+def stream_events(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Open the replay directory as a file-source stream, one file
+    per micro-batch."""
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+# -- transformations (same plans as the batch S-series) -------------------
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """S1 twin: tumbling 1h window agg (complete mode, no watermark —
+    test-only; production uses tumbling_with_watermark)."""
+    return (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("window.start").alias("w"), "event_type", "c", "s")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """S3 twin: session windows per user (requires a watermark in
+    append mode; complete mode used for the equivalence test)."""
+    return stream.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n")
+    )
+
+
+def dedup_first(stream: DataFrame) -> DataFrame:
+    """S4 twin: streaming dropDuplicates keeps the first arrival per
+    key; the replay writes files in (ts, event_id) order so arrival
+    order == event-time order."""
+    return stream.dropDuplicates(["user_id", "event_type"])
+
+
+def enrich_with_static(stream: DataFrame, nation: DataFrame) -> DataFrame:
+    """S5 twin: stream ⋈ broadcast static dimension."""
+    return (
+        stream.join(
+            F.broadcast(nation),
+            (F.col("user_id") % 25).cast("int") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+    )
+
+
+def tumbling_with_watermark(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Production tumbling agg: watermark bounds state and drops
+    late rows (append mode emits a window only once it finalizes)."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "event_type", "c")
+    )
+
+
+# -- custom stateful operator (applyInPandasWithState) ---------------------
+
+_RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_RUNNING_STATE = StructType([StructField("n", LongType())])
+
+
+def _running_count_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def running_count_stateful(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState (PySpark's
+    mapGroupsWithState surface): running per-user event count,
+    emitting the updated total each micro-batch. The zappy-analog
+    escape hatch for streaming: arbitrary pandas per group + explicit
+    state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=_RUNNING_OUT,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> "DataFrame":
+    """Drain a streaming frame into an in-memory sink and return the
+    result table (test harness helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)
