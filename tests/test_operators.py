@@ -182,3 +182,45 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_asof_join_semantics(spark):
+    """Edge cases vs hand-computed expectations: backward/forward,
+    inclusive bounds, unmatched-dropped, column suffixing."""
+    import datetime as dt
+
+    from zappy_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, at(0), "a"), (1, at(10), "b"), (2, at(5), "c"), (3, at(1), "d")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, at(0), 100.0), (1, at(7), 200.0), (2, at(6), 300.0)],
+        ["k", "ts", "price"],
+    )
+    back = {
+        (r["k"], r["tag"]): (r["ts_right"], r["price"])
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    # inclusive: left(1,0) matches right(1,0); left(1,10) → right(1,7)
+    assert back == {
+        (1, "a"): (at(0), 100.0),
+        (1, "b"): (at(7), 200.0),
+        # k=2: right at 6 > left at 5 → unmatched, dropped; k=3: no right
+    }
+    fwd = {
+        (r["k"], r["tag"]): (r["ts_right"], r["price"])
+        for r in asof_join(
+            left, right, on="ts", by=["k"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {
+        (1, "a"): (at(0), 100.0),   # inclusive ≥
+        (2, "c"): (at(6), 300.0),
+    }

@@ -435,6 +435,52 @@ def r29(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r26(spark: SparkSession, d: str) -> DataFrame:
+    """RANGE window frame (value-based, peers included) — verified
+    interpolation-free parity with DuckDB this session."""
+    w = Window.orderBy("o_totalprice").rangeBetween(-10000, Window.currentRow)
+    return (
+        t(spark, d, "orders")
+        .select(
+            "o_orderkey",
+            F.count("*").over(w).alias("nw"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("sw"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def r30(spark: SparkSession, d: str) -> DataFrame:
+    """Two-table as-of join: each event matched to the user's most
+    recent purchase at-or-before it; DuckDB's native ASOF JOIN is the
+    oracle for our union+last-non-null emulation (operators/joins.py).
+    """
+    from zappy_spark.operators.joins import asof_join
+
+    ev = t(spark, d, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    j = asof_join(
+        ev.select("user_id", "ts"), purchases, on="ts", by=["user_id"]
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(
+                    F.unix_timestamp("ts") - F.unix_timestamp("ts_right")
+                ),
+                3,
+            ).alias("g"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -496,8 +542,10 @@ QUERIES = {
     "r24_math_funcs": r24,
     "r25_analytic_window": r25,
     "r27_ranking_suite": r27,
+    "r26_range_frame": r26,
     "r28_pivot_conditional": r28,
     "r29_explode_reagg": r29,
+    "r30_asof_join": r30,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -646,6 +694,23 @@ ORACLE = {
         "NTILE(4) OVER w nt, ROUND(PERCENT_RANK() OVER w,6) pr "
         "FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey) "
         "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r26_range_frame": (
+        "SELECT o_orderkey, COUNT(*) OVER "
+        "(ORDER BY o_totalprice RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) nw, "
+        "ROUND(SUM(o_totalprice) OVER "
+        "(ORDER BY o_totalprice RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW),2) sw "
+        "FROM orders ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r30_asof_join": (
+        "SELECT user_id, COUNT(*) n, "
+        "ROUND(AVG(CAST(FLOOR(epoch(ts)) AS BIGINT)"
+        "-CAST(FLOOR(epoch(pts)) AS BIGINT)),3) g "
+        "FROM (SELECT a.user_id, a.ts, b.ts pts "
+        "FROM events a ASOF JOIN "
+        "(SELECT user_id u2, ts FROM events WHERE event_type='purchase') b "
+        "ON a.user_id=b.u2 AND b.ts <= a.ts) t "
+        "GROUP BY user_id ORDER BY user_id LIMIT 50"
     ),
     "r28_pivot_conditional": (
         "SELECT o_custkey, SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) o, "

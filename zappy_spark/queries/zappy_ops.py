@@ -236,6 +236,19 @@ def z19(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z20(spark: SparkSession, d: str) -> DataFrame:
+    """median / percentile (zappy gathers the vector and calls
+    np.median — scanpy normalize_per_cell; we use the exact
+    distributed percentile with linear interpolation, verified to
+    match DuckDB quantile_cont; at 100 TB swap approx_percentile)."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("m"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("l_discount", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -255,9 +268,15 @@ QUERIES = {
     "z17_row_normalize": z17,
     "z18_any_all": z18,
     "z19_mean_axis1": z19,
+    "z20_median_percentile": z20,
 }
 
 ORACLE = {
+    "z20_median_percentile": (
+        "SELECT ROUND(quantile_cont(l_quantity,0.5),6) m, "
+        "ROUND(quantile_cont(l_extendedprice,0.25),6) q1, "
+        "ROUND(quantile_cont(l_discount,0.9),6) p90 FROM lineitem"
+    ),
     "z01_sum_axis0": (
         "SELECT ROUND(SUM(l_quantity),2) a, ROUND(SUM(l_extendedprice),2) b FROM lineitem"
     ),
