@@ -1,0 +1,139 @@
+"""Property-style tests (SURVEY §5.2 items 4/6): mapInPandas parity
+with native plans (the zappy escape hatch), approx aggregates vs
+exact, map-type round-trips, canonicalizer robustness."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zappy_spark.canon import canon_rows
+
+
+def _hash_df(df):
+    import hashlib
+
+    return hashlib.sha256(
+        canon_rows([tuple(r) for r in df.collect()]).encode()
+    ).hexdigest()[:12]
+
+
+def test_mapinpandas_matches_native_sum(spark):
+    """Z1 re-implemented as arbitrary-pandas-per-partition (zappy's
+    per-chunk numpy pattern) must hash-match the native agg."""
+    from zappy_spark.queries.zappy_ops import z1
+
+    native = z1(spark, SF_DIR)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    def partial(batches):
+        q = e = 0.0
+        for pdf in batches:
+            q += pdf["l_quantity"].sum()
+            e += pdf["l_extendedprice"].sum()
+        yield pd.DataFrame({"q": [q], "e": [e]})
+
+    via_udf = (
+        li.select("l_quantity", "l_extendedprice")
+        .mapInPandas(partial, schema="q double, e double")
+        .agg(
+            F.round(F.sum("q"), 2).alias("a"),
+            F.round(F.sum("e"), 2).alias("b"),
+        )
+    )
+    assert _hash_df(via_udf) == _hash_df(native)
+
+
+def test_mapinpandas_matches_native_rowsum(spark):
+    """Z5 (axis=1 reduce) via mapInPandas vs the lambda-expression
+    plan."""
+    from zappy_spark.queries.zappy_ops import z5
+
+    native = z5(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def rowsum(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "s": pdf["embedding"].map(
+                        lambda v: round(float(sum(float(x) for x in v)), 4)
+                    ),
+                }
+            )
+
+    via_udf = (
+        emb.mapInPandas(rowsum, schema="vec_id long, s double")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+    assert _hash_df(via_udf) == _hash_df(native)
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_approx_percentile_close_to_exact(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx"
+        ),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_map_type_round_trip(spark):
+    """props JSON → map<string,int> → keys/values (engine-side map
+    support; cross-engine map ordering differs, hence no SQL oracle)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    m = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,int>").alias("m"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_direct"),
+    )
+    row = m.filter(F.col("k_direct").isNotNull()).first()
+    assert row["m"]["k"] == row["k_direct"]
+    bad = m.filter(
+        F.element_at("m", "k") != F.col("k_direct")
+    ).count()
+    assert bad == 0
+
+
+def test_canon_cell_robustness():
+    from zappy_spark.canon import canon_cell
+
+    assert canon_cell(True) == "true"
+    assert canon_cell(None) == "NULL"
+    assert canon_cell(1.0) == "1"
+    assert canon_cell(0.30000000000000004) == "0.3"
+    assert canon_cell(-0.0) == "-0"
+    assert canon_cell(float("inf")) == "inf"
+    import datetime
+
+    assert canon_cell(datetime.datetime(2024, 1, 2, 3, 4, 5, 999999)) == (
+        "2024-01-02T03:04:05"
+    )
+
+
+@pytest.mark.parametrize("x", [0.5, 1.5, 2.5, 123456.789, 1e-7, 9.999999e5])
+def test_canon_float_6g_stability(x):
+    """f'{v:.6g}' must be identical for values that round-trip
+    through Spark doubles and DuckDB doubles (same IEEE754 value)."""
+    from zappy_spark.canon import canon_cell
+
+    assert canon_cell(x) == canon_cell(float(f"{x!r}"))
+    assert not math.isnan(float(f"{x:.6g}"))

@@ -1,0 +1,56 @@
+"""zarr-lite store round-trip (SURVEY T-RT): chunked write via
+executors + Python DataSource read, one partition per chunk —
+zappy's from_zarr/to_zarr semantics."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from zappy_spark.frame import ZappyFrame
+from zappy_spark.sources.zarrlite import read_zarrlite
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(103, 7))  # deliberately not divisible by chunk
+    path = str(tmp_path_factory.mktemp("zl") / "store")
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=5)
+    zf.to_zarrlite(path, chunk_rows=25)
+    return X, path
+
+
+def test_round_trip(spark, store):
+    X, path = store
+    back = ZappyFrame.from_zarrlite(spark, path)
+    assert back.shape == X.shape
+    assert np.allclose(back.asndarray(), X)
+
+
+def test_one_partition_per_chunk(spark, store):
+    X, path = store
+    meta = json.load(open(f"{path}/meta.json"))
+    assert meta["n_chunks"] == 5  # ceil(103/25)
+    df = read_zarrlite(spark, path)
+    assert df.rdd.getNumPartitions() == meta["n_chunks"]
+    # chunk-aligned row ranges: partition i holds rows [25i, 25(i+1))
+    counts = (
+        df.selectExpr("floor(row_id/25) c")
+        .groupBy("c")
+        .count()
+        .orderBy("c")
+        .collect()
+    )
+    assert [r["count"] for r in counts] == [25, 25, 25, 25, 3]
+
+
+def test_store_is_operable(spark, store):
+    """Ops compose on a store-backed frame exactly as on ingested."""
+    X, path = store
+    zf = ZappyFrame.from_zarrlite(spark, path)
+    got = (zf.abs() + 1.0).log().sum(axis=0)
+    ref = np.log(np.abs(X) + 1.0).sum(axis=0)
+    assert np.allclose(got, ref)

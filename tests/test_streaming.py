@@ -169,3 +169,20 @@ def test_stateful_running_count(spark, replay_dir):
         .collect()
     }
     assert {r["user_id"]: r["n"] for r in final} == batch
+
+
+def test_sliding_window_stream_equals_batch(spark, replay_dir):
+    """S2 twin: 2h/1h sliding windows over the drained stream."""
+
+    def sliding(df):
+        return (
+            df.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("window.start").alias("w"), "event_type", "c")
+        )
+
+    got = jobs.run_to_memory(
+        sliding(jobs.stream_events(spark, replay_dir)), "t_slide"
+    )
+    batch = sliding(spark.read.parquet(replay_dir))
+    assert _rows(got, "w", "event_type", "c") == _rows(batch, "w", "event_type", "c")

@@ -486,3 +486,25 @@ class ZappyFrame:
 
     def repartition(self, n: int) -> "ZappyFrame":
         return ZappyFrame(self.df.repartitionByRange(n, "row_id"), self.ncols)
+
+    # -- zarr-analog chunked store (sources/zarrlite.py) -------------------
+
+    def to_zarrlite(self, path: str, chunk_rows: int) -> None:
+        """zappy ``to_zarr``: uniform rechunk + parallel aligned chunk
+        writes by executors, store metadata by the driver."""
+        from zappy_spark.sources.zarrlite import write_zarrlite
+
+        write_zarrlite(self.df, path, chunk_rows, self.ncols)
+
+    @classmethod
+    def from_zarrlite(cls, spark: SparkSession, path: str) -> "ZappyFrame":
+        """zappy ``from_zarr``: one Spark input partition per stored
+        chunk via the Python DataSource API."""
+        import json
+        import os
+
+        from zappy_spark.sources.zarrlite import read_zarrlite
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(read_zarrlite(spark, path), meta["shape"][1])

@@ -421,6 +421,25 @@ def r28(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r28b(spark: SparkSession, d: str) -> DataFrame:
+    """Native df.pivot form of R28 — same oracle; the pivot column
+    values are enumerated, so Spark skips the extra distinct-scan."""
+    o = t(spark, d, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_custkey",
+            F.coalesce("O", F.lit(0)).alias("o"),
+            F.coalesce("F", F.lit(0)).alias("f"),
+            F.coalesce("P", F.lit(0)).alias("p"),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
 def r29(spark: SparkSession, d: str) -> DataFrame:
     emb = t(spark, d, "embeddings")
     return (
@@ -544,6 +563,7 @@ QUERIES = {
     "r27_ranking_suite": r27,
     "r26_range_frame": r26,
     "r28_pivot_conditional": r28,
+    "r28b_pivot_native": r28b,
     "r29_explode_reagg": r29,
     "r30_asof_join": r30,
     "b04_global_topk": b4,
@@ -713,6 +733,12 @@ ORACLE = {
         "GROUP BY user_id ORDER BY user_id LIMIT 50"
     ),
     "r28_pivot_conditional": (
+        "SELECT o_custkey, SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) o, "
+        "SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) f, "
+        "SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) p "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100"
+    ),
+    "r28b_pivot_native": (
         "SELECT o_custkey, SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) o, "
         "SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) f, "
         "SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) p "

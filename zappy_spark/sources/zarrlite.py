@@ -1,0 +1,162 @@
+"""zarr-lite: a chunked dense-matrix store + Spark Python DataSource.
+
+The reference's primary I/O is a Zarr store: an N-d array split into
+fixed-size chunks, each task reading one chunk
+(``zappy/zarr_util.py::get_chunk_indices`` / ``read_zarr_chunk``,
+``zappy/base.py::ZappyArray.to_zarr`` — reconstructed, see SURVEY §0).
+The ``zarr`` library is not installed in this container, so this
+module implements the same layout semantics as a minimal on-disk
+format and wires it into Spark 4's **Python DataSource API**:
+
+    store/
+      meta.json            {"shape": [n, m], "chunk_rows": r,
+                            "dtype": "float64", "n_chunks": k}
+      chunk-00000.npy      rows [0, r)
+      chunk-00001.npy      rows [r, 2r)
+      ...
+
+Read side: ``spark.read.format("zarrlite")`` after
+``register_zarrlite(spark)`` — one ``InputPartition`` per chunk
+(zappy's chunk→task mapping), each served as Arrow batches.
+
+Write side: executors write aligned chunks in parallel via
+``mapInPandas`` over a range-repartitioned frame; the driver writes
+``meta.json`` last — the same split zappy uses (workers write chunks,
+driver writes store metadata). Swapping this for real zarr is a
+storage-layer change only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("row_id", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+    ]
+)
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, index: int, start_row: int, path: str):
+        self.index = index
+        self.start_row = start_row
+        self.path = path
+
+
+class ZarrLiteReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.store = options["path"]
+        with open(os.path.join(self.store, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    def partitions(self):
+        r = self.meta["chunk_rows"]
+        return [
+            _ChunkPartition(
+                i, i * r, os.path.join(self.store, f"chunk-{i:05d}.npy")
+            )
+            for i in range(self.meta["n_chunks"])
+        ]
+
+    def read(self, partition: _ChunkPartition):
+        arr = np.load(partition.path).astype(np.float64, copy=False)
+        n = arr.shape[0]
+        row_ids = pa.array(
+            np.arange(partition.start_row, partition.start_row + n),
+            type=pa.int64(),
+        )
+        vecs = pa.array(list(arr), type=pa.list_(pa.float64()))
+        yield pa.RecordBatch.from_arrays([row_ids, vecs], ["row_id", "vec"])
+
+
+class ZarrLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "zarrlite"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> ZarrLiteReader:
+        return ZarrLiteReader(self.options)
+
+
+def register_zarrlite(spark: SparkSession) -> None:
+    spark.dataSource.register(ZarrLiteDataSource)
+
+
+def read_zarrlite(spark: SparkSession, path: str) -> DataFrame:
+    register_zarrlite(spark)
+    return spark.read.format("zarrlite").option("path", path).load()
+
+
+def write_zarrlite(
+    df: DataFrame, path: str, chunk_rows: int, ncols: int
+) -> None:
+    """Rechunk to uniform ``chunk_rows`` and write aligned chunks in
+    parallel (zappy ``to_zarr``: the one mandatory shuffle — rows are
+    range-partitioned onto their target chunk, executors write chunk
+    files, the driver writes metadata).
+
+    ``df`` must have (row_id BIGINT, vec ARRAY<numeric>) with
+    contiguous row_ids starting at 0.
+    """
+    os.makedirs(path, exist_ok=True)
+    n_rows = df.count()
+    n_chunks = max(1, (n_rows + chunk_rows - 1) // chunk_rows)
+
+    chunked = df.select(
+        (F.col("row_id") / chunk_rows).cast("int").alias("_chunk"),
+        "row_id",
+        "vec",
+    ).repartitionByRange(n_chunks, "_chunk")
+
+    def write_partition(batches):
+        import pandas as pd
+
+        # accumulate the whole partition first: one chunk may span
+        # several Arrow batches, and each chunk must be written once
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs)
+        for chunk_id, grp in whole.groupby("_chunk"):
+            grp = grp.sort_values("row_id")
+            arr = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+            np.save(os.path.join(path, f"chunk-{int(chunk_id):05d}.npy"), arr)
+            yield pd.DataFrame(
+                {"chunk": [int(chunk_id)], "rows": [len(grp)]}
+            )
+
+    manifest = chunked.mapInPandas(
+        write_partition, schema="chunk int, rows int"
+    ).collect()
+    written = {m["chunk"]: m["rows"] for m in manifest}
+    assert sum(written.values()) == n_rows, (written, n_rows)
+
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "shape": [n_rows, ncols],
+                "chunk_rows": chunk_rows,
+                "dtype": "float64",
+                "n_chunks": n_chunks,
+            },
+            f,
+        )
