@@ -98,9 +98,14 @@ class ZappyFrame:
         if arr.ndim != 2:
             raise ValueError("ZappyFrame models 2-D arrays")
         pdf = pd.DataFrame(
-            {"row_id": np.arange(arr.shape[0], dtype=np.int64), "vec": list(arr)}
+            {
+                "row_id": np.arange(arr.shape[0], dtype=np.int64),
+                # plain lists + explicit schema: works on any session,
+                # with or without Arrow (ndarray cells break inference)
+                "vec": [[float(v) for v in row] for row in arr],
+            }
         )
-        df = spark.createDataFrame(pdf)
+        df = spark.createDataFrame(pdf, schema="row_id bigint, vec array<double>")
         if num_partitions:
             df = df.repartition(num_partitions, "row_id")
         return cls(df, arr.shape[1])
