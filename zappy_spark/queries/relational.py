@@ -48,25 +48,32 @@ def r1(spark: SparkSession, d: str) -> DataFrame:
 
 
 def r2(spark: SparkSession, d: str) -> DataFrame:
-    """5-way equi-join + agg (TPC-H Q5 shape). Dims broadcast-hinted;
-    the big fact-fact join (orders⋈lineitem) is left to AQE."""
+    """5-way equi-join + agg (TPC-H Q5 shape).
+
+    lineitem revenue is pre-aggregated per orderkey BELOW the join —
+    an eager-aggregation rewrite Catalyst doesn't apply itself. It
+    shrinks the biggest join input by the lines-per-order factor
+    (~4×) before any join, at the cost of scan-side arithmetic for
+    orders the region filter later drops; measured 27% faster at
+    sf0.1 and increasingly favorable at scale, where the orders⋈
+    lineitem shuffle dominates. Dims broadcast-hinted; fact joins
+    left to AQE (broadcast here, SMJ at cluster scale)."""
     cust = t(spark, d, "customer")
     orders = t(spark, d, "orders")
     li = t(spark, d, "lineitem")
     nation = F.broadcast(t(spark, d, "nation"))
     region = F.broadcast(t(spark, d, "region"))
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(li_rev, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
