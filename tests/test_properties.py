@@ -137,3 +137,85 @@ def test_canon_float_6g_stability(x):
 
     assert canon_cell(x) == canon_cell(float(f"{x!r}"))
     assert not math.isnan(float(f"{x:.6g}"))
+
+
+def test_grouped_agg_pandas_udaf_matches_native(spark):
+    """The documented Python-UDAF surface (SURVEY §4.3): grouped-agg
+    pandas_udf must match the native aggregate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def my_avg(v: pd.Series) -> float:
+        return float(v.mean())
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    native = orders.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("a")
+    )
+    udaf = orders.groupBy("o_orderstatus").agg(
+        F.round(my_avg("o_totalprice"), 4).alias("a")
+    )
+    assert _hash_df(native.orderBy("o_orderstatus")) == _hash_df(
+        udaf.orderBy("o_orderstatus")
+    )
+
+
+def test_wide_tall_encoding_round_trip(spark):
+    """SURVEY §1.2 wide encoding: named numeric columns ↔ vec array."""
+    import numpy as np
+
+    from zappy_spark.frame import ZappyFrame
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(500)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    zf = ZappyFrame.from_columns(li, cols)
+    assert zf.ncols == 4
+    # axis-0 means must equal the native column means
+    native = li.agg(*[F.avg(c).alias(c) for c in cols]).first()
+    assert np.allclose(zf.mean(axis=0), [native[c] for c in cols])
+    wide = zf.to_columns(cols)
+    assert wide.columns == ["row_id"] + cols
+    back = wide.agg(*[F.avg(c).alias(c) for c in cols]).first()
+    assert np.allclose([back[c] for c in cols], [native[c] for c in cols])
+
+
+def test_canon_hypothesis_floats():
+    """hypothesis: canonical float form is total and stable under
+    IEEE round-trip (the property the cross-engine hash relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.canon import canon_cell
+
+    @given(st.floats(allow_nan=False))
+    @settings(max_examples=300, deadline=None)
+    def check(x):
+        c = canon_cell(x)
+        assert isinstance(c, str) and len(c) > 0
+        assert canon_cell(float(repr(x))) == c  # repr round-trip stable
+
+    check()
+
+
+def test_canon_hypothesis_rows():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.canon import hash_rows
+
+    cell = st.one_of(
+        st.integers(-10**12, 10**12),
+        st.floats(allow_nan=False),
+        st.text(max_size=20),
+        st.booleans(),
+        st.none(),
+    )
+
+    @given(st.lists(st.tuples(cell, cell), max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def check(rows):
+        h = hash_rows(rows)
+        assert h == hash_rows(list(rows))  # deterministic
+        assert len(h) == 12
+
+    check()

@@ -111,6 +111,44 @@ class ZappyFrame:
         return cls(df, arr.shape[1])
 
     @classmethod
+    def from_columns(
+        cls, df: DataFrame, cols: list[str], row_id_col: str | None = None
+    ) -> "ZappyFrame":
+        """Wide → tall: named numeric columns become the vec array
+        (SURVEY §1.2's wide encoding — fine up to low-thousands of
+        columns; lineitem's numeric columns are this shape). Without
+        an id column, a deterministic row_id is derived via
+        zipWithIndex-free row_number over the natural column order —
+        pass row_id_col whenever the source has a real key."""
+        if row_id_col is None:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*[F.col(c) for c in cols])
+            df = df.withColumn("_rid", F.row_number().over(w) - 1)
+            row_id_col = "_rid"
+        vec = F.array(*[F.col(c).cast(_D) for c in cols])
+        return cls(
+            df.select(
+                F.col(row_id_col).cast("bigint").alias("row_id"),
+                vec.alias("vec"),
+            ),
+            len(cols),
+        )
+
+    def to_columns(self, names: list[str] | None = None) -> DataFrame:
+        """Tall → wide: explode the vec back to named columns."""
+        names = names or [f"c{i}" for i in range(self.ncols)]
+        if len(names) != self.ncols:
+            raise ValueError(f"need {self.ncols} names, got {len(names)}")
+        return self.df.select(
+            "row_id",
+            *[
+                F.element_at("vec", i + 1).alias(n)
+                for i, n in enumerate(names)
+            ],
+        )
+
+    @classmethod
     def from_parquet(
         cls, spark: SparkSession, path: str, vec_col: str, row_id_col: str
     ) -> "ZappyFrame":
