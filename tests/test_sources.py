@@ -54,3 +54,33 @@ def test_store_is_operable(spark, store):
     got = (zf.abs() + 1.0).log().sum(axis=0)
     ref = np.log(np.abs(X) + 1.0).sum(axis=0)
     assert np.allclose(got, ref)
+
+
+def test_datasource_writer_round_trip(spark, tmp_path):
+    """df.write.format('zarrlite'): task-per-chunk write + driver
+    commit, including uneven (post-filter) chunk row counts."""
+    import numpy as np
+
+    from zappy_spark.sources.zarrlite import register_zarrlite
+
+    register_zarrlite(spark)
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(50, 4))
+    zf = ZappyFrame.from_ndarray(spark, X)
+    # boolean filter → uneven chunks, zappy's partition_row_counts case
+    kept = zf[zf.sum(axis=1) > 0, :]
+    ref = X[X.sum(axis=1) > 0, :]
+
+    path = str(tmp_path / "uneven")
+    (
+        kept.df.repartitionByRange(3, "row_id")
+        .write.format("zarrlite")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    meta = json.load(open(f"{path}/meta.json"))
+    assert sum(meta["chunk_row_counts"]) == ref.shape[0]
+    back = ZappyFrame.from_zarrlite(spark, path)
+    # row ids re-densified; row ORDER preserved by range partitioning
+    assert np.allclose(back.asndarray(), ref)

@@ -35,7 +35,13 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -66,10 +72,17 @@ class ZarrLiteReader(DataSourceReader):
             self.meta = json.load(f)
 
     def partitions(self):
-        r = self.meta["chunk_rows"]
+        # uneven chunks (zappy's partition_row_counts, e.g. after a
+        # boolean filter) carry explicit per-chunk counts; uniform
+        # stores just record chunk_rows.
+        counts = self.meta.get("chunk_row_counts")
+        if counts is None:
+            r = self.meta["chunk_rows"]
+            counts = [r] * self.meta["n_chunks"]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         return [
             _ChunkPartition(
-                i, i * r, os.path.join(self.store, f"chunk-{i:05d}.npy")
+                i, int(starts[i]), os.path.join(self.store, f"chunk-{i:05d}.npy")
             )
             for i in range(self.meta["n_chunks"])
         ]
@@ -85,6 +98,71 @@ class ZarrLiteReader(DataSourceReader):
         yield pa.RecordBatch.from_arrays([row_ids, vecs], ["row_id", "vec"])
 
 
+class _ChunkCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, rows: int, min_row_id: int):
+        self.tmp_name = tmp_name
+        self.rows = rows
+        self.min_row_id = min_row_id
+
+
+class ZarrLiteWriter(DataSourceWriter):
+    """``df.write.format("zarrlite")``: each task writes its partition
+    as one chunk (executor-side), the driver's ``commit`` orders the
+    chunks by row range and writes store metadata — zappy's
+    worker-chunks/driver-metadata split, with per-chunk row counts
+    (the reference's ``partition_row_counts``) so uneven, post-filter
+    chunking round-trips. Row ids are re-densified on read (filtering
+    produces a new array with fresh positions, as in the reference).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = sorted(iterator, key=lambda r: r["row_id"])
+        tmp = f"_tmp-chunk-{pid:05d}.npy"
+        if rows:
+            arr = np.array([r["vec"] for r in rows], dtype=np.float64)
+            np.save(os.path.join(self.path, tmp), arr)
+            return _ChunkCommit(tmp, len(rows), int(rows[0]["row_id"]))
+        return _ChunkCommit("", 0, -1)
+
+    def commit(self, messages):
+        chunks = sorted(
+            (m for m in messages if m.rows > 0), key=lambda m: m.min_row_id
+        )
+        counts = []
+        ncols = 0
+        for i, m in enumerate(chunks):
+            final = os.path.join(self.path, f"chunk-{i:05d}.npy")
+            os.replace(os.path.join(self.path, m.tmp_name), final)
+            counts.append(m.rows)
+        if chunks:
+            ncols = int(np.load(os.path.join(self.path, "chunk-00000.npy")).shape[1])
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "shape": [sum(counts), ncols],
+                    "chunk_row_counts": counts,
+                    "dtype": "float64",
+                    "n_chunks": len(counts),
+                },
+                f,
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.tmp_name:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+
 class ZarrLiteDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -95,6 +173,9 @@ class ZarrLiteDataSource(DataSource):
 
     def reader(self, schema) -> ZarrLiteReader:
         return ZarrLiteReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> ZarrLiteWriter:
+        return ZarrLiteWriter(self.options)
 
 
 def register_zarrlite(spark: SparkSession) -> None:
