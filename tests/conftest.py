@@ -13,10 +13,16 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from zappy_spark.session import get_session
 
-    spark = get_session(app_name="zappy-spark-tests", cpus=8, shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_session(
+        app_name="zappy-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
     spark.stop()
 

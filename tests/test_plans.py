@@ -1,0 +1,132 @@
+"""Physical-plan quality gates: the properties SCALE.md claims are
+asserted here so perf regressions fail loudly, not silently.
+
+These don't measure time — they pin the plan *shape*: filters reach
+the parquet scan, projections prune columns, top-k compiles to
+TakeOrderedAndProject, dims broadcast, residual-range joins stay
+equi-keyed, bucketed layouts kill the join shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zappy_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(QUERIES["z10_bool_mask"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # the printed filter list truncates; the leading filters suffice
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    assert "(l_discount#" in plan  # DataFilters carries the full set
+
+
+def test_column_pruning(spark):
+    plan = _plan(QUERIES["r01_pricing_summary"](spark, SF_DIR))
+    # R1 needs 6 of lineitem's 11 columns; the scan schema must not
+    # contain the unused ones
+    assert "l_partkey" not in plan.split("ReadSchema")[1]
+    assert "l_comment" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(
+        QUERIES["b04_global_topk"](spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in _plan(
+        QUERIES["z03_log1p"](spark, SF_DIR)
+    )
+
+
+def test_dims_broadcast_in_join5(spark):
+    plan = _plan(QUERIES["r02_join5_agg"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_keyed_not_cartesian(spark):
+    plan = _plan(QUERIES["r10_range_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # residual stays attached to the hash join
+    assert "l_shipdate" in plan.split("Join")[1][:400]
+
+
+def test_partial_aggregation_present(spark):
+    plan = _plan(QUERIES["r01_pricing_summary"](spark, SF_DIR))
+    assert "partial_sum" in plan  # map-side combine before shuffle
+
+
+def test_semi_anti_join_planned(spark):
+    assert "LeftSemi" in _plan(QUERIES["r05_semi_join"](spark, SF_DIR))
+    assert "LeftAnti" in _plan(QUERIES["r06_anti_join"](spark, SF_DIR))
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = QUERIES["r01_pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    # '*(n)' prefixes mark codegen stages in the compact plan string
+    assert "*(1)" in _plan(df)
+    codegen = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen subtrees" in codegen
+
+
+def test_no_python_udfs_in_declared_corpus(spark):
+    """Every declared query must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages (v02 excepted: its query vector is fetched
+    driver-side by design; the scan itself is still JVM)."""
+    for name, q in QUERIES.items():
+        if name == "v02_rp_lsh_ann":
+            continue
+        plan = _plan(q(spark, SF_DIR))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_bucketed_layout_eliminates_join_shuffle(spark, tmp_path):
+    """SCALE.md's bucketing claim, demonstrated: orders⋈lineitem on
+    orderkey with both sides bucketed by the join key has no shuffle
+    exchange on either side."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    # AQE would broadcast at this size and mask the point; pin SMJ.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        n = j.count()
+        assert n == li.count()  # every lineitem row has its order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -41,6 +41,7 @@ def get_session(
     app_name: str = "zappy-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build a local session shaped like a production cluster config.
 
@@ -63,6 +64,8 @@ def get_session(
         # Arrow for toPandas / pandas_udf (the zappy escape hatch).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark
 
