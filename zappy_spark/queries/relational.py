@@ -507,6 +507,51 @@ def r30(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r31(spark: SparkSession, d: str) -> DataFrame:
+    """Per-group exact percentiles (interpolation parity verified)."""
+    li = t(spark, d, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("m"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def r32(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list is unordered by
+    contract, so sort_array fixes the order before joining — the
+    portable LISTAGG."""
+    s = t(spark, d, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "names"
+            )
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def r33(spark: SparkSession, d: str) -> DataFrame:
+    """Interval arithmetic + week truncation."""
+    o = t(spark, d, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias(
+                "d30"
+            ),
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -573,6 +618,9 @@ QUERIES = {
     "r28b_pivot_native": r28b,
     "r29_explode_reagg": r29,
     "r30_asof_join": r30,
+    "r31_group_percentile": r31,
+    "r32_sorted_listagg": r32,
+    "r33_interval_arith": r33,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -755,6 +803,20 @@ ORACLE = {
         "SELECT vec_id, COUNT(*) n, ROUND(SUM(e*e),4) ss "
         "FROM (SELECT vec_id, UNNEST(embedding) e FROM embeddings) t "
         "GROUP BY vec_id ORDER BY vec_id LIMIT 100"
+    ),
+    "r31_group_percentile": (
+        "SELECT l_returnflag, ROUND(quantile_cont(l_quantity,0.5),6) m, "
+        "ROUND(quantile_cont(l_extendedprice,0.9),4) p90 "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    "r32_sorted_listagg": (
+        "SELECT s_nationkey, array_to_string(list_sort(list(s_name)), ',') "
+        "AS names FROM supplier GROUP BY 1 ORDER BY 1"
+    ),
+    "r33_interval_arith": (
+        "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS DATE) d30, "
+        "CAST(date_trunc('week', o_orderdate) AS DATE) wk "
+        "FROM orders ORDER BY o_orderkey LIMIT 50"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "

@@ -249,6 +249,37 @@ def z20(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z21(spark: SparkSession, d: str) -> DataFrame:
+    """Bivariate stats: corr / covar (beyond-reference numpy-parity
+    surface — np.corrcoef/np.cov analogs as single-pass aggregates)."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("c"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cs"),
+    )
+
+
+def z22(spark: SparkSession, d: str) -> DataFrame:
+    """Higher moments (4dp: Spark and DuckDB use different numeric
+    paths; verified to agree at this precision)."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.round(F.skewness("l_quantity"), 4).alias("sk"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("ku"),
+    )
+
+
+def z23(spark: SparkSession, d: str) -> DataFrame:
+    """Linear-regression aggregates (regr_* family)."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("sl"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("ic"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -269,9 +300,26 @@ QUERIES = {
     "z18_any_all": z18,
     "z19_mean_axis1": z19,
     "z20_median_percentile": z20,
+    "z21_corr_covar": z21,
+    "z22_skew_kurt": z22,
+    "z23_regr": z23,
 }
 
 ORACLE = {
+    "z21_corr_covar": (
+        "SELECT ROUND(corr(l_quantity,l_extendedprice),8) c, "
+        "ROUND(covar_pop(l_quantity,l_extendedprice),4) cp, "
+        "ROUND(covar_samp(l_quantity,l_extendedprice),4) cs FROM lineitem"
+    ),
+    "z22_skew_kurt": (
+        "SELECT ROUND(skewness(l_quantity),4) sk, "
+        "ROUND(kurtosis(l_quantity),4) ku FROM lineitem"
+    ),
+    "z23_regr": (
+        "SELECT ROUND(regr_slope(l_extendedprice,l_quantity),6) sl, "
+        "ROUND(regr_intercept(l_extendedprice,l_quantity),4) ic, "
+        "regr_count(l_extendedprice,l_quantity) n FROM lineitem"
+    ),
     "z20_median_percentile": (
         "SELECT ROUND(quantile_cont(l_quantity,0.5),6) m, "
         "ROUND(quantile_cont(l_extendedprice,0.25),6) q1, "
