@@ -130,3 +130,37 @@ def test_bucketed_layout_eliminates_join_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
+    """The persisted LSH index: probing must prune to the signature
+    partitions — PartitionFilters non-empty, partition count read
+    << total partitions."""
+    from zappy_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(emb, "embedding", "vec_id", path, num_planes=4)
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = query_ann_index(
+        spark, path, qvec, k=10, num_planes=4, probe_radius=2
+    )
+    plan = _plan(out)
+    scan = plan.split("PartitionFilters:")[1]
+    assert "sig" in scan[:200], f"no partition filter: {scan[:200]}"
+    rows = out.collect()
+    assert len(rows) == 10
+    # probed result must agree with inline rp_lsh at same params
+    exact = [
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, 10
+        ).collect()
+    ]
+    got = [r["vec_id"] for r in rows if r["vec_id"] != 0]
+    assert len(set(got) & set(exact)) >= 5  # measured 0.8 recall inline

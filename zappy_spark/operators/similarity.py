@@ -124,6 +124,54 @@ def rp_lsh_topk(
     )
 
 
+def build_ann_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Materialize the LSH index on disk: the table written
+    partitioned by signature bucket. At 100 TB this is the point of
+    the design — each probe is a partition-PRUNED scan (verified in
+    tests via ``PartitionFilters`` in the plan), touching only
+    matching bucket directories, ~(1+R·planes)/2^planes of files."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    planes = make_planes(dim, num_planes, seed)
+    (
+        df.withColumn("sig", rp_signature(vec_col, planes))
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def query_ann_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a built index: bucket filter (→ partition pruning on the
+    sig directories) + exact cosine re-rank inside the probed buckets."""
+    planes = make_planes(len(query_vec), num_planes, seed)
+    qsig = "".join(
+        "1" if float(np.dot(p, np.asarray(query_vec, dtype=float))) >= 0 else "0"
+        for p in planes
+    )
+    probes = _probe_sigs(qsig, probe_radius)
+    idx = spark.read.parquet(path).filter(F.col("sig").isin(probes))
+    return cosine_topk(idx, vec_col, id_col, query_vec, k)
+
+
 def similarity_join(
     df: DataFrame,
     vec_col: str,
