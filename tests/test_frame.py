@@ -114,3 +114,25 @@ def test_parquet_round_trip(xz, tmp_path):
     )
     assert np.allclose(back.asndarray(), X)
     assert back.shape == X.shape
+
+
+def test_scanpy_scale_standardize(xz):
+    """scanpy `scale`: (X - mean) / std per column — axis-0 stats
+    broadcast back as a row vector (the reference's target pipeline)."""
+    X, zf = xz
+    mu = zf.mean(axis=0)       # local ndarray (zappy semantics)
+    sd = zf.std(axis=0)
+    out = (zf - mu) / sd       # row-vector broadcasts
+    ref = (X - X.mean(axis=0)) / X.std(axis=0)
+    assert np.allclose(out.asndarray(), ref)
+
+
+def test_vector_arithmetic(xz):
+    """ZappyVector scalar arithmetic: X / (rowsum + 1) etc."""
+    X, zf = xz
+    out = zf / (zf.sum(axis=1) + 1.0)
+    ref = X / (X.sum(axis=1) + 1.0)[:, None]
+    assert np.allclose(out.asndarray(), ref)
+    v = zf.sum(axis=1)
+    assert np.allclose((2.0 * v - 1.0).asndarray(), 2.0 * X.sum(axis=1) - 1.0)
+    assert np.allclose((1.0 / v).asndarray(), 1.0 / X.sum(axis=1))

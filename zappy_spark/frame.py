@@ -62,6 +62,33 @@ class ZappyVector:
         }[op]
         return ZappyVector(self.df.select("row_id", expr.alias("value")))
 
+    def _arith(self, fn) -> "ZappyVector":
+        return ZappyVector(
+            self.df.select("row_id", fn(F.col("value")).alias("value"))
+        )
+
+    def __add__(self, other: float) -> "ZappyVector":
+        return self._arith(lambda v: v + float(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other: float) -> "ZappyVector":
+        return self._arith(lambda v: v - float(other))
+
+    def __rsub__(self, other: float) -> "ZappyVector":
+        return self._arith(lambda v: float(other) - v)
+
+    def __mul__(self, other: float) -> "ZappyVector":
+        return self._arith(lambda v: v * float(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other: float) -> "ZappyVector":
+        return self._arith(lambda v: v / float(other))
+
+    def __rtruediv__(self, other: float) -> "ZappyVector":
+        return self._arith(lambda v: float(other) / v)
+
     def __gt__(self, other):
         return self._cmp(">", other)
 
