@@ -143,6 +143,26 @@ def t04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t05(spark: SparkSession, d: str) -> DataFrame:
+    """Edit distance between consecutive docs (capped prefix — the
+    classic fuzzy-match verify primitive; full-text edit distance is
+    O(len²) per pair, so production use is on bounded fields)."""
+    docs = t(spark, d, "documents")
+    a = docs.select(F.col("doc_id").alias("i"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("j"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("j") == F.col("i") + 1)
+        .select(
+            "i",
+            F.levenshtein(
+                F.substring("ta", 1, 40), F.substring("tb", 1, 40)
+            ).alias("d"),
+        )
+        .orderBy("i")
+        .limit(100)
+    )
+
+
 # -------------------------------------------------------- similarity
 
 
@@ -193,6 +213,7 @@ QUERIES = {
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
     "t04_lang_id": t04,
+    "t05_levenshtein": t05,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
 }
@@ -278,6 +299,11 @@ ORACLE = {
         "FROM (SELECT doc_id, text, "
         "unnest(generate_series(1, greatest(length(text)-7,1))) i "
         "FROM documents) x GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    "t05_levenshtein": (
+        "SELECT a.doc_id i, levenshtein(substr(a.text,1,40), substr(b.text,1,40)) d "
+        "FROM documents a JOIN documents b ON b.doc_id=a.doc_id+1 "
+        "ORDER BY i LIMIT 100"
     ),
     "v01_ivf_label_topk": (
         "WITH q AS (SELECT embedding qv, label ql FROM embeddings WHERE vec_id=0) "

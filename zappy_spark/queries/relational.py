@@ -552,6 +552,34 @@ def r33(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r34(spark: SparkSession, d: str) -> DataFrame:
+    """Window extras: cume_dist + nth_value with explicit frame."""
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t(spark, d, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("o_orderkey", 3).over(w_rows).alias("nv"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def r35(spark: SparkSession, d: str) -> DataFrame:
+    """Explicit GROUPING SETS (not expressible in the DataFrame API —
+    rollup/cube are; the engine's SQL front end covers the rest)."""
+    t(spark, d, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        "SELECT COALESCE(l_returnflag,'ALL') rf, "
+        "COALESCE(l_linestatus,'ALL') ls, COUNT(*) c FROM _li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) "
+        "ORDER BY rf, ls"
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -621,6 +649,8 @@ QUERIES = {
     "r31_group_percentile": r31,
     "r32_sorted_listagg": r32,
     "r33_interval_arith": r33,
+    "r34_window_extras": r34,
+    "r35_grouping_sets": r35,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -817,6 +847,18 @@ ORACLE = {
         "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS DATE) d30, "
         "CAST(date_trunc('week', o_orderdate) AS DATE) wk "
         "FROM orders ORDER BY o_orderkey LIMIT 50"
+    ),
+    "r34_window_extras": (
+        "SELECT o_orderkey, ROUND(CUME_DIST() OVER w,6) cd, "
+        "NTH_VALUE(o_orderkey,3) OVER (ORDER BY o_totalprice DESC, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) nv "
+        "FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey) "
+        "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r35_grouping_sets": (
+        "SELECT COALESCE(l_returnflag,'ALL') rf, COALESCE(l_linestatus,'ALL') ls, "
+        "COUNT(*) c FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) ORDER BY rf, ls"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
