@@ -580,6 +580,38 @@ def r35(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r36(spark: SparkSession, d: str) -> DataFrame:
+    """Unpivot / melt (wide→long) via the DataFrame unpivot API."""
+    li = t(spark, d, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_discount", "l_tax"],
+            "name",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "name",
+            F.round("value", 4).alias("v"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "name", "v")
+        .limit(100)
+    )
+
+
+def r37(spark: SparkSession, d: str) -> DataFrame:
+    """Bitwise aggregates."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.bit_and(F.col("l_quantity").cast("bigint")).alias("ba"),
+        F.bit_or(F.col("l_quantity").cast("bigint")).alias("bo"),
+        F.bit_xor(F.col("l_linenumber").cast("bigint")).alias("bx"),
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -651,6 +683,8 @@ QUERIES = {
     "r33_interval_arith": r33,
     "r34_window_extras": r34,
     "r35_grouping_sets": r35,
+    "r36_unpivot": r36,
+    "r37_bit_aggs": r37,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -859,6 +893,17 @@ ORACLE = {
         "SELECT COALESCE(l_returnflag,'ALL') rf, COALESCE(l_linestatus,'ALL') ls, "
         "COUNT(*) c FROM lineitem "
         "GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) ORDER BY rf, ls"
+    ),
+    "r36_unpivot": (
+        "SELECT l_orderkey, l_linenumber, name, ROUND(value,4) v FROM "
+        "(SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem) "
+        "UNPIVOT (value FOR name IN (l_discount, l_tax)) "
+        "ORDER BY l_orderkey, l_linenumber, name, v LIMIT 100"
+    ),
+    "r37_bit_aggs": (
+        "SELECT bit_and(CAST(l_quantity AS BIGINT)) ba, "
+        "bit_or(CAST(l_quantity AS BIGINT)) bo, "
+        "bit_xor(CAST(l_linenumber AS BIGINT)) bx FROM lineitem"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
