@@ -186,3 +186,33 @@ def test_sliding_window_stream_equals_batch(spark, replay_dir):
     )
     batch = sliding(spark.read.parquet(replay_dir))
     assert _rows(got, "w", "event_type", "c") == _rows(batch, "w", "event_type", "c")
+
+
+def test_rocksdb_state_store_provider(spark, replay_dir):
+    """The production state-store config (SCALE.md): the watermarked
+    tumbling agg must run and converge identically on the RocksDB
+    provider."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = jobs.run_to_memory(
+            jobs.tumbling_counts(jobs.stream_events(spark, replay_dir)),
+            "t_rocks",
+        )
+        batch = jobs.tumbling_counts(spark.read.parquet(replay_dir))
+        assert _rows(got, "w", "event_type", "c", "s") == _rows(
+            batch, "w", "event_type", "c", "s"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
