@@ -81,9 +81,11 @@ def d05(spark: SparkSession, d: str) -> DataFrame:
 
 
 def d06(spark: SparkSession, d: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline end-to-end (rows-only check:
-    banded candidate generation isn't portably SQL-expressible;
-    recall is property-tested with planted duplicates)."""
+    """MinHash-LSH near-dup pipeline end-to-end — signatures, banded
+    bucket join, exact-Jaccard verify. Fully oracle-checked: every
+    hash is portable md5, so DuckDB replays the identical pipeline
+    (signature → band → candidate → verify) and must produce the
+    same pair set."""
     pairs = dedup.near_dup_pairs(
         t(spark, d, "documents"), "text", "doc_id", threshold=0.5
     )
@@ -236,6 +238,37 @@ def _simhash_oracle(bits: int = 16) -> str:
     )
 
 
+def _lsh_pipeline_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of near_dup_pairs(num_hashes=16, bands=4,
+    threshold=0.5): same md5 hash family, same band keys."""
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"MIN(md5(concat('{i}|',g))) s{i}" for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat('%d','|',%s))"
+        % (b, ",'|',".join(f"s{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
+        "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        f"band AS (SELECT doc_id, unnest([{band_exprs}]) bucket FROM sig), "
+        "cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM band a "
+        "JOIN band b ON a.bucket=b.bucket AND a.doc_id<b.doc_id), "
+        "grams AS (SELECT doc_id, list(g) gs FROM sh GROUP BY doc_id), "
+        "pairs AS (SELECT i, j, "
+        "len(list_intersect(list_distinct(ga.gs), list_distinct(gb.gs)))*1.0"
+        "/len(list_distinct(list_concat(ga.gs, gb.gs))) jac "
+        "FROM cand JOIN grams ga ON ga.doc_id=i JOIN grams gb ON gb.doc_id=j) "
+        "SELECT i, j, ROUND(jac,6) jac FROM pairs WHERE jac>=0.5 ORDER BY i, j"
+    )
+
+
 _SHINGLE_CTE = (
     "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
     "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',ws[CAST(i AS INT)+1],"
@@ -300,6 +333,7 @@ ORACLE = {
         "unnest(generate_series(1, greatest(length(text)-7,1))) i "
         "FROM documents) x GROUP BY doc_id ORDER BY doc_id LIMIT 100"
     ),
+    "d06_lsh_neardup_pipeline": _lsh_pipeline_oracle(16, 4),
     "t05_levenshtein": (
         "SELECT a.doc_id i, levenshtein(substr(a.text,1,40), substr(b.text,1,40)) d "
         "FROM documents a JOIN documents b ON b.doc_id=a.doc_id+1 "
@@ -312,5 +346,5 @@ ORACLE = {
         "FROM embeddings, q WHERE vec_id<>0 AND label=ql "
         "ORDER BY sim DESC, vec_id LIMIT 10"
     ),
-    # d06, t04, v02: rows-only (see docstrings) — no oracle entries.
+    # t04, v02: rows-only (see docstrings) — no oracle entries.
 }
