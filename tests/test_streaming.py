@@ -216,3 +216,25 @@ def test_rocksdb_state_store_provider(spark, replay_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, replay_dir):
+    """Stream-stream join (clicks ⋈ purchases within 1h, both sides
+    watermarked) must converge to the batch interval join."""
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(jobs.stream_events(spark, replay_dir))
+    got = jobs.run_to_memory(
+        jobs.interval_stream_join(s_clicks, s_purch),
+        "t_ssj",
+        output_mode="append",
+    )
+    b_clicks, b_purch = split(spark.read.parquet(replay_dir))
+    batch = jobs.interval_stream_join(b_clicks, b_purch)
+    assert _rows(got, "c_id", "p_id") == _rows(batch, "c_id", "p_id")
+    assert got.count() > 0  # non-vacuous: the window does match pairs

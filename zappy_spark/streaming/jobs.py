@@ -161,6 +161,39 @@ def running_count_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+# NOTE: transformWithStateInPandas (the Spark 4 successor stateful
+# API) was evaluated and crashes in this environment even on a
+# minimal example ("TransformWithStateInPySpark driver worker exited
+# unexpectedly") — applyInPandasWithState above is the supported
+# custom-state surface here.
+
+
+def interval_stream_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to purchases
+    by the same user within ``within`` AFTER the click. Both sides
+    watermarked so the join state is bounded — the canonical
+    stream-stream pattern (state eviction driven by the interval
+    condition + watermarks)."""
+    c = clicks.withWatermark("ts", within).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> "DataFrame":
