@@ -224,3 +224,56 @@ def test_asof_join_semantics(spark):
         (1, "a"): (at(0), 100.0),   # inclusive ≥
         (2, "c"): (at(6), 300.0),
     }
+
+
+def test_prepare_corpus_pipeline(spark, planted_docs):
+    """End-to-end prep: planted exact and near dups must be gone,
+    survivors keep the smaller id, quality floor enforced."""
+    from zappy_spark.operators.pipeline import (
+        corpus_stats,
+        prepare_corpus,
+        remove_near_dups,
+    )
+
+    df, planted = planted_docs
+    # 4 of 40 tokens mutated → shingle Jaccard can be as low as ~0.52;
+    # threshold 0.45 + rows=1 banding makes removal deterministic.
+    out = prepare_corpus(
+        df, min_chars=10, near_dup_threshold=0.45, bands=16
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # exact dups (2000+k) all dropped, base kept
+    assert not any(i >= 2000 for i in ids)
+    # near-dup losers (planted j side, higher id) dropped, bases kept
+    for a, b in planted:
+        assert a in ids and b not in ids, (a, b)
+    row = out.first()
+    assert row["n_tokens"] == 40
+    stats = corpus_stats(df).first()
+    assert stats["docs"] == df.count()
+    assert stats["distinct_texts"] == df.count() - 3
+    # idempotent: running removal again drops nothing
+    again = remove_near_dups(out, "text", "doc_id", threshold=0.45, bands=16)
+    assert again.count() == out.count()
+
+
+def test_write_dataset_layout(spark, tmp_path):
+    from zappy_spark.operators.pipeline import write_dataset
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = str(tmp_path / "laid_out")
+    write_dataset(docs, p, partition_by=["lang"], target_rows_per_file=100)
+    back = spark.read.parquet(p)
+    assert back.count() == docs.count()
+    # hive layout on the pruning key
+    import os
+
+    assert any(x.startswith("lang=") for x in os.listdir(p))
+    # partition pruning active on the filter
+    plan = (
+        back.filter(F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan

@@ -1,0 +1,102 @@
+"""End-to-end training-data preparation: the composition the
+individual operators exist for.
+
+    raw documents
+      → quality filter      (scan-side expressions)
+      → exact dedup         (one shuffle on md5)
+      → near-dup removal    (MinHash-LSH generate + Jaccard verify)
+      → stats               (one aggregation)
+
+Each stage is a DataFrame→DataFrame function from this package, so
+the whole pipeline is one lazy Catalyst plan per action; nothing
+materializes until the caller writes or counts. At 100 TB each stage
+is scan- or single-shuffle-bound (see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zappy_spark.operators.dedup import drop_exact_dups, near_dup_pairs
+from zappy_spark.operators.text import quality_filter, token_count_ws
+
+
+def remove_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Drop the higher-id member of every verified near-dup pair
+    (keep-first policy, matching exact dedup's min-id choice).
+
+    bands=8/rows=2 by default: band-hit probability is j^rows per
+    band, so for j≈0.7 candidates the miss rate is (1-j²)^8 ≈ 0.5% —
+    recall belongs to the generate stage, precision to the exact-
+    Jaccard verify, so generous banding costs only candidate checks."""
+    pairs = near_dup_pairs(
+        df, text_col, id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands,
+    )
+    losers = pairs.select(F.col("j").alias("_loser")).distinct()
+    return df.join(
+        losers, F.col(id_col) == F.col("_loser"), "left_anti"
+    )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 50,
+    near_dup_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Full prep pipeline; returns the cleaned corpus with a
+    token-count column appended. Lower ``bands``→``rows`` ratio for
+    stricter candidate generation; bands=num_hashes (rows=1) for
+    max recall near the threshold."""
+    cleaned = quality_filter(df, text_col, min_chars=min_chars)
+    cleaned = drop_exact_dups(cleaned, text_col, id_col)
+    cleaned = remove_near_dups(
+        cleaned,
+        text_col,
+        id_col,
+        threshold=near_dup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return cleaned.withColumn("n_tokens", token_count_ws(text_col))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass corpus summary (row for dashboards / data cards)."""
+    return df.agg(
+        F.count("*").alias("docs"),
+        F.sum(token_count_ws(text_col)).alias("tokens"),
+        F.round(F.avg(F.length(text_col)), 2).alias("avg_chars"),
+        F.countDistinct(F.md5(text_col)).alias("distinct_texts"),
+    )
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Scale-aware parquet layout: optional hive partitioning on the
+    pruning key(s) + bounded file sizes via maxRecordsPerFile (the
+    two knobs that decide whether a 100 TB table scans well — see
+    SCALE.md). Files stay splittable parquet; partition columns
+    should be low-cardinality pruning keys (date, lang, source)."""
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
