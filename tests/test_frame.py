@@ -136,3 +136,32 @@ def test_vector_arithmetic(xz):
     v = zf.sum(axis=1)
     assert np.allclose((2.0 * v - 1.0).asndarray(), 2.0 * X.sum(axis=1) - 1.0)
     assert np.allclose((1.0 / v).asndarray(), 1.0 / X.sum(axis=1))
+
+
+def test_row_slice_step_and_negative(xz):
+    """Review regression: slices with step / negative bounds must
+    match numpy exactly (previously silently wrong)."""
+    X, zf = xz
+    assert np.allclose(zf[0:10:2].asndarray(), X[0:10:2])
+    assert np.allclose(zf[-5:].asndarray(), X[-5:])
+    assert np.allclose(zf[:-2].asndarray(), X[:-2])
+    assert np.allclose(zf[3:30:7].asndarray(), X[3:30:7])
+
+
+def test_eq_ne_masks(xz):
+    """Review regression: == / != must build masks, not Python bools."""
+    X, zf = xz
+    v = zf.sum(axis=1)
+    mask = v != 0.0
+    assert not isinstance(mask, bool)
+    assert zf[mask, :].asndarray().shape == X.shape
+    eq_mask = v == -1.0  # no row sums to -1
+    assert zf[eq_mask, :].asndarray().shape == (0, X.shape[1])
+
+
+def test_from_parquet_empty_raises(spark, tmp_path, xz):
+    X, zf = xz
+    p = str(tmp_path / "empty.parquet")
+    zf.df.filter("row_id < 0").write.parquet(p)
+    with pytest.raises(ValueError, match="empty dataset"):
+        ZappyFrame.from_parquet(spark, p, vec_col="vec", row_id_col="row_id")

@@ -277,3 +277,34 @@ def test_write_dataset_layout(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_near_dup_pairs_validates_banding(spark, planted_docs):
+    from zappy_spark.operators.dedup import near_dup_pairs
+
+    df, _ = planted_docs
+    with pytest.raises(ValueError, match="must divide"):
+        near_dup_pairs(df, "text", "doc_id", num_hashes=16, bands=5)
+    with pytest.raises(ValueError):
+        # rows would be 0 → degenerate all-pairs cross join
+        near_dup_pairs(df, "text", "doc_id", num_hashes=8, bands=16)
+
+
+def test_frame_sample_skips_empty_videos(spark):
+    from zappy_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        (1, "video", b"x", (None, None, None, 0, "video/mp4")),
+        (2, "video", b"y", (None, None, None, 25, "video/mp4")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["media_id"], r["frame_idx"]) for r in frame_sample_plan(df, 10).collect()}
+    assert got == {(2, 0), (2, 10), (2, 20)}
+
+
+def test_prepare_corpus_output_schema(spark, planted_docs):
+    from zappy_spark.operators.pipeline import prepare_corpus
+
+    df, _ = planted_docs
+    out = prepare_corpus(df, min_chars=10, near_dup_threshold=0.45, bands=16)
+    assert out.columns == df.columns + ["n_tokens"]

@@ -219,3 +219,37 @@ def test_canon_hypothesis_rows():
         assert len(h) == 12
 
     check()
+
+
+def test_nanos_repair_integer_division(spark, tmp_path):
+    """Review regression: non-microsecond-aligned nanos must floor
+    exactly (double division shifted ~5% of values by 1us)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1704067200_000_000_000  # 2024-01-01 in ns
+    offsets = [0, 896, 999, 1000, 1023, 1999, 501_000_000_000]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(offsets)), pa.int64()),
+            "ts": pa.array([base + o for o in offsets], pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(offsets), pa.int64()),
+            "event_type": pa.array(["x"] * len(offsets)),
+            "value": pa.array([0.0] * len(offsets)),
+            "props": pa.array(["{}"] * len(offsets)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    from zappy_spark.session import load_table
+
+    got = {
+        r["event_id"]: r["us"]
+        for r in load_table(spark, str(d), "events")
+        .selectExpr("event_id", "unix_micros(ts) us")
+        .collect()
+    }
+    for i, o in enumerate(offsets):
+        assert got[i] == (base + o) // 1000, (i, o, got[i])

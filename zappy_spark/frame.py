@@ -101,6 +101,15 @@ class ZappyVector:
     def __le__(self, other):
         return self._cmp("<=", other)
 
+    def __eq__(self, other):  # noqa: D105 — mask semantics, like numpy
+        return self._cmp("==", other)
+
+    def __ne__(self, other):
+        return self._cmp("!=", other)
+
+    # __eq__ overridden for mask semantics; keep identity hashing
+    __hash__ = object.__hash__
+
 
 class ZappyFrame:
     """Distributed dense 2-D float matrix over a Spark DataFrame."""
@@ -186,8 +195,13 @@ class ZappyFrame:
             F.col(row_id_col).cast("bigint").alias("row_id"),
             F.transform(F.col(vec_col), lambda x: x.cast(_D)).alias("vec"),
         )
-        ncols = df.select(F.size("vec")).first()[0]
-        return cls(df, ncols)
+        first = df.select(F.size("vec")).first()
+        if first is None:
+            raise ValueError(
+                f"empty dataset at {path}: column width is unknowable; "
+                "construct via ZappyFrame(df, ncols) directly"
+            )
+        return cls(df, first[0])
 
     # -- internals ---------------------------------------------------------
 
@@ -292,8 +306,11 @@ class ZappyFrame:
             "float64": "double", "float32": "float",
             "int64": "bigint", "int32": "int", "bool": "boolean",
         }.get(str(dtype), str(dtype))
-        # vec stays ARRAY<DOUBLE> internally; astype is observable at
-        # asndarray time, like zappy's per-chunk numpy astype.
+        # vec stays ARRAY<DOUBLE> internally (values floored/clamped by
+        # the round-trip cast); the numpy dtype tag applies when THIS
+        # frame materializes. Further ops return untagged (float64)
+        # frames — unlike numpy's dtype propagation; re-cast at the
+        # end or pass asndarray(dtype=...) explicitly.
         out = self._map(lambda x: x.cast(spark_t).cast(_D))
         out._np_dtype = np.dtype(dtype)  # type: ignore[attr-defined]
         return out
@@ -504,11 +521,24 @@ class ZappyFrame:
                 zf.ncols,
             )
         elif isinstance(rows, slice):
-            if not (rows.start is None and rows.stop is None):
-                lo = rows.start or 0
+            if not (
+                rows.start is None and rows.stop is None and rows.step is None
+            ):
+                if (
+                    (rows.start or 0) < 0
+                    or (rows.stop is not None and rows.stop < 0)
+                    or (rows.step or 1) < 0
+                ):
+                    # negative bounds need nrows — an action; resolve
+                    # to exact numpy semantics via slice.indices
+                    lo, hi, step = rows.indices(zf.count_rows())
+                else:
+                    lo, hi, step = rows.start or 0, rows.stop, rows.step or 1
                 cond = F.col("row_id") >= lo
-                if rows.stop is not None:
-                    cond = cond & (F.col("row_id") < rows.stop)
+                if hi is not None:
+                    cond = cond & (F.col("row_id") < hi)
+                if step != 1:
+                    cond = cond & ((F.col("row_id") - lo) % step == 0)
                 zf = ZappyFrame(zf.df.filter(cond), zf.ncols)
         else:
             raise TypeError(f"unsupported row selector: {type(rows)}")
@@ -534,13 +564,14 @@ class ZappyFrame:
 
     # -- materialization ----------------------------------------------------
 
-    def asndarray(self) -> np.ndarray:
-        """Collect to the driver (zappy ``asndarray``); Arrow-batched."""
+    def asndarray(self, dtype=None) -> np.ndarray:
+        """Collect to the driver (zappy ``asndarray``); Arrow-batched.
+        ``dtype`` overrides the frame's astype tag if given."""
         pdf = self.df.orderBy("row_id").toPandas()
         out = np.stack(pdf["vec"].to_numpy()) if len(pdf) else np.empty(
             (0, self.ncols)
         )
-        dtype = getattr(self, "_np_dtype", None)
+        dtype = dtype if dtype is not None else getattr(self, "_np_dtype", None)
         return out.astype(dtype) if dtype is not None else out
 
     def to_parquet(self, path: str, num_chunks: int | None = None) -> None:

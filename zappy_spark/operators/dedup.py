@@ -98,6 +98,8 @@ def lsh_candidate_pairs(
     The band key is md5(band_id || joined rows) — high-cardinality,
     so the shuffle is balanced; identical pairs found via multiple
     bands are deduplicated."""
+    if rows < 1:
+        raise ValueError(f"rows per band must be >= 1, got {rows}")
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -151,17 +153,43 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    cache: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded bucket
     join → exact-Jaccard verification ≥ threshold. Returns (i, j, jac).
-    """
+
+    The shingle expansion is defined ONCE (``grams``) and both the
+    signature aggregation and the verify join derive from it; pass
+    ``cache=True`` to persist the shingle table so the corpus is
+    scanned once instead of per consumer (at real scale, checkpoint
+    it instead)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "otherwise trailing hashes are silently unused"
+        )
     rows = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, k)
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
     grams = df.select(
         F.col(id_col).alias("_gid"),
         word_shingles(F.col(text_col), k).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    if cache:
+        grams = grams.persist()
+    exploded = grams.select(
+        F.col("_gid").alias(id_col), F.explode("grams").alias("g")
     )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig")
+        )
+    )
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
     ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
     return (

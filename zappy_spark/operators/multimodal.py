@@ -113,13 +113,16 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: expand (media_id, n_frames) to
     one row per sampled frame index — pure Spark (sequence+explode);
     the actual frame decode would slot into extract_features."""
-    return df.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
-                F.lit(every_n),
-            )
-        ).alias("frame_idx"),
+    return (
+        df.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.n_frames") - 1,
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
     )

@@ -60,7 +60,11 @@ def prepare_corpus(
     token-count column appended. Lower ``bands``→``rows`` ratio for
     stricter candidate generation; bands=num_hashes (rows=1) for
     max recall near the threshold."""
-    cleaned = quality_filter(df, text_col, min_chars=min_chars)
+    # quality_filter appends its q_* feature columns; keep the output
+    # contract clean by selecting the caller's schema back
+    cleaned = quality_filter(df, text_col, min_chars=min_chars).select(
+        *df.columns
+    )
     cleaned = drop_exact_dups(cleaned, text_col, id_col)
     cleaned = remove_near_dups(
         cleaned,

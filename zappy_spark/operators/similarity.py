@@ -141,8 +141,13 @@ def build_ann_index(
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     planes = make_planes(dim, num_planes, seed)
+    # 's' prefix: an all-digit partition value would be re-inferred
+    # as int on read (partition column type inference), breaking
+    # string comparisons against rp_signature output
     (
-        df.withColumn("sig", rp_signature(vec_col, planes))
+        df.withColumn(
+            "sig", F.concat(F.lit("s"), rp_signature(vec_col, planes))
+        )
         .write.mode("overwrite")
         .partitionBy("sig")
         .parquet(path)
@@ -167,7 +172,7 @@ def query_ann_index(
         "1" if float(np.dot(p, np.asarray(query_vec, dtype=float))) >= 0 else "0"
         for p in planes
     )
-    probes = _probe_sigs(qsig, probe_radius)
+    probes = ["s" + p for p in _probe_sigs(qsig, probe_radius)]
     idx = spark.read.parquet(path).filter(F.col("sig").isin(probes))
     return cosine_topk(idx, vec_col, id_col, query_vec, k)
 

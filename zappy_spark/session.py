@@ -90,10 +90,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # ts arrives as LongType nanos (see module docstring); convert
         # to a real timestamp (micros) once, here, so no query ever
-        # sees the raw long. Verified equal to DuckDB's native read.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # sees the raw long. Integer `div`, NOT `/1000` + cast: double
+        # division loses ulps at 1.7e18 and shifts ~5% of
+        # non-microsecond-aligned nanos by 1us. Verified equal to
+        # DuckDB's native read.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
