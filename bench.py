@@ -42,7 +42,10 @@ RUNS = 3
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown layout; still run and report timings
 
     spark = get_session(app_name="zappy-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")

@@ -165,3 +165,31 @@ def test_from_parquet_empty_raises(spark, tmp_path, xz):
     zf.df.filter("row_id < 0").write.parquet(p)
     with pytest.raises(ValueError, match="empty dataset"):
         ZappyFrame.from_parquet(spark, p, vec_col="vec", row_id_col="row_id")
+
+
+def test_chained_slices_are_positional(xz):
+    """Review regression: slices act on positions of the CURRENT
+    frame, not raw row_ids — chained/derived frames must match numpy."""
+    X, zf = xz
+    assert np.allclose(zf[10:20][-5:].asndarray(), X[10:20][-5:])
+    assert np.allclose(zf[0:20:2][::2].asndarray(), X[0:20:2][::2])
+    mask = zf.sum(axis=1) > 7.5
+    ref = X[X.sum(axis=1) > 7.5, :]
+    assert np.allclose(zf[mask, :][2:5].asndarray(), ref[2:5])
+
+
+def test_slice_step_errors(xz):
+    X, zf = xz
+    with pytest.raises(ValueError, match="step cannot be zero"):
+        zf[0:10:0]
+    with pytest.raises(NotImplementedError, match="negative slice steps"):
+        zf[::-1]
+
+
+def test_frame_eq_ne_masks(xz):
+    """Frame-level == / != build 0/1 masks (numpy semantics)."""
+    X, zf = xz
+    m = (zf == X[0, 0]).asndarray()
+    assert np.array_equal(m.astype(bool), X == X[0, 0])
+    n = (zf != 0.0).asndarray()
+    assert np.array_equal(n.astype(bool), X != 0.0)

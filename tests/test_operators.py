@@ -282,12 +282,17 @@ def test_write_dataset_layout(spark, tmp_path):
 def test_near_dup_pairs_validates_banding(spark, planted_docs):
     from zappy_spark.operators.dedup import near_dup_pairs
 
+    from zappy_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
     df, _ = planted_docs
     with pytest.raises(ValueError, match="must divide"):
         near_dup_pairs(df, "text", "doc_id", num_hashes=16, bands=5)
-    with pytest.raises(ValueError):
-        # rows would be 0 → degenerate all-pairs cross join
-        near_dup_pairs(df, "text", "doc_id", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="bands must be"):
+        near_dup_pairs(df, "text", "doc_id", bands=0)
+    # rows<1 guard on the band join itself (degenerate cross join)
+    sig = minhash_signature(df.limit(5), "text", "doc_id", num_hashes=4)
+    with pytest.raises(ValueError, match="rows per band"):
+        lsh_candidate_pairs(sig, "doc_id", bands=4, rows=0)
 
 
 def test_frame_sample_skips_empty_videos(spark):

@@ -253,3 +253,35 @@ def test_nanos_repair_integer_division(spark, tmp_path):
     }
     for i, o in enumerate(offsets):
         assert got[i] == (base + o) // 1000, (i, o, got[i])
+
+
+def test_nanos_repair_floors_pre_epoch(spark, tmp_path):
+    """`div` truncates toward zero; the repair must FLOOR, including
+    pre-epoch (negative) nanos."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offsets = [-500, -1000, -1999, 0, 500, 1500]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(offsets)), pa.int64()),
+            "ts": pa.array(offsets, pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(offsets), pa.int64()),
+            "event_type": pa.array(["x"] * len(offsets)),
+            "value": pa.array([0.0] * len(offsets)),
+            "props": pa.array(["{}"] * len(offsets)),
+        }
+    )
+    d = tmp_path / "sfneg"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    from zappy_spark.session import load_table
+
+    got = {
+        r["event_id"]: r["us"]
+        for r in load_table(spark, str(d), "events")
+        .selectExpr("event_id", "unix_micros(ts) us")
+        .collect()
+    }
+    for i, o in enumerate(offsets):
+        assert got[i] == o // 1000, (o, got[i], o // 1000)  # Python floors

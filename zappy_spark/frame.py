@@ -406,6 +406,12 @@ class ZappyFrame:
     def ne(self, other):
         return self._compare(other, lambda x, y: x != y)
 
+    # ==/!= build masks like the other comparisons (numpy semantics);
+    # identity hashing retained explicitly
+    __eq__ = eq
+    __ne__ = ne
+    __hash__ = object.__hash__
+
     # -- aggregations ------------------------------------------------------
 
     def _row_reduce(self, col_fn) -> ZappyVector:
@@ -524,22 +530,38 @@ class ZappyFrame:
             if not (
                 rows.start is None and rows.stop is None and rows.step is None
             ):
-                if (
-                    (rows.start or 0) < 0
-                    or (rows.stop is not None and rows.stop < 0)
-                    or (rows.step or 1) < 0
+                if rows.step == 0:
+                    raise ValueError("slice step cannot be zero")
+                if (rows.step or 1) < 0:
+                    raise NotImplementedError(
+                        "negative slice steps (row reversal) are not "
+                        "supported: results materialize in row_id order"
+                    )
+                # slices are POSITIONAL over the current frame (numpy
+                # semantics) — row_ids of a derived frame (after a
+                # mask or prior slice) are not dense, so positions are
+                # derived with a row_number window. Global window:
+                # same single-ordering cost as zappy's positional
+                # model; selected rows KEEP their row_ids (consistent
+                # with boolean masking).
+                from pyspark.sql import Window
+
+                pos = F.row_number().over(Window.orderBy("row_id")) - 1
+                with_pos = zf.df.withColumn("_pos", pos)
+                if (rows.start or 0) < 0 or (
+                    rows.stop is not None and rows.stop < 0
                 ):
-                    # negative bounds need nrows — an action; resolve
-                    # to exact numpy semantics via slice.indices
                     lo, hi, step = rows.indices(zf.count_rows())
                 else:
                     lo, hi, step = rows.start or 0, rows.stop, rows.step or 1
-                cond = F.col("row_id") >= lo
+                cond = F.col("_pos") >= lo
                 if hi is not None:
-                    cond = cond & (F.col("row_id") < hi)
+                    cond = cond & (F.col("_pos") < hi)
                 if step != 1:
-                    cond = cond & ((F.col("row_id") - lo) % step == 0)
-                zf = ZappyFrame(zf.df.filter(cond), zf.ncols)
+                    cond = cond & ((F.col("_pos") - lo) % step == 0)
+                zf = ZappyFrame(
+                    with_pos.filter(cond).drop("_pos"), zf.ncols
+                )
         else:
             raise TypeError(f"unsupported row selector: {type(rows)}")
         # column selector

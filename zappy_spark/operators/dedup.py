@@ -62,22 +62,17 @@ def word_shingles(text_col: str | Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+def minhash_signature_from_grams(
+    grams: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
-    """MinHash signature per document.
-
-    Hash family h_i(g) = md5(i || '|' || g) compared lexicographically
-    — md5 output is uniform, so the min over a keyed-salt family is a
-    valid permutation-min approximation, and it is portable: any
-    engine with md5 reproduces it bit-for-bit.
-
-    Output: (id_col, sig ARRAY<STRING>[num_hashes]).
-    Single scan-side pass: shingle expansion and all mins happen in
-    one groupBy(id) after an explode — the shuffle key is the doc id.
-    """
-    g = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    """MinHash signatures from a precomputed (id, grams ARRAY<STRING>)
+    frame — THE single definition of the hash family:
+    h_i(g) = md5(i || '|' || g), compared lexicographically. md5 is
+    uniform, so the min over a keyed-salt family is a valid
+    permutation-min approximation, and portable: any engine with md5
+    reproduces it bit-for-bit (the DuckDB oracle replays it)."""
+    g = grams.select(
+        F.col(id_col), F.explode("grams").alias("g")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"_s{i}")
@@ -87,6 +82,21 @@ def minhash_signature(
     return sig.select(
         id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig")
     )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature per document (shingles computed inline).
+
+    Output: (id_col, sig ARRAY<STRING>[num_hashes]).
+    Single scan-side pass: shingle expansion and all mins happen in
+    one groupBy(id) after an explode — the shuffle key is the doc id.
+    """
+    grams = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("grams")
+    )
+    return minhash_signature_from_grams(grams, id_col, num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -153,16 +163,16 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
-    cache: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded bucket
     join → exact-Jaccard verification ≥ threshold. Returns (i, j, jac).
 
     The shingle expansion is defined ONCE (``grams``) and both the
-    signature aggregation and the verify join derive from it; pass
-    ``cache=True`` to persist the shingle table so the corpus is
-    scanned once instead of per consumer (at real scale, checkpoint
-    it instead)."""
+    signature aggregation and the verify join derive from it (one
+    expression definition; lineage may still rescan — at real scale,
+    checkpoint/persist the grams frame at the call site)."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); "
@@ -173,21 +183,8 @@ def near_dup_pairs(
         F.col(id_col).alias("_gid"),
         word_shingles(F.col(text_col), k).alias("grams"),
     ).filter(F.size("grams") > 0)
-    if cache:
-        grams = grams.persist()
-    exploded = grams.select(
-        F.col("_gid").alias(id_col), F.explode("grams").alias("g")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"_s{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig")
-        )
+    sig = minhash_signature_from_grams(
+        grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
     cand = lsh_candidate_pairs(sig, id_col, bands, rows)
     ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))

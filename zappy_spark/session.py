@@ -90,11 +90,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # ts arrives as LongType nanos (see module docstring); convert
         # to a real timestamp (micros) once, here, so no query ever
-        # sees the raw long. Integer `div`, NOT `/1000` + cast: double
-        # division loses ulps at 1.7e18 and shifts ~5% of
-        # non-microsecond-aligned nanos by 1us. Verified equal to
-        # DuckDB's native read.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # sees the raw long. Integer arithmetic, NOT `/1000` + cast
+        # (double division loses ulps at 1.7e18, shifting ~5% of
+        # non-aligned nanos by 1us), and FLOOR semantics: `div`
+        # truncates toward zero, so pre-epoch nanos need the
+        # remainder correction. Verified equal to DuckDB's native read.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros((ts div 1000) + "
+                "(CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END))"
+            ),
+        )
     return df
 
 
