@@ -612,6 +612,53 @@ def r37(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r38(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → group →
+    top-k by aggregate. The mktsegment filter pushes into the
+    customer scan and prunes before the joins."""
+    cust = t(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, d, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, d, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+        .select(
+            "o_orderkey", "rev", F.col("o_orderdate").cast("date").alias("od")
+        )
+        .orderBy(F.desc("rev"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def r39(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery → left-semi
+    join against the aggregated keys."""
+    orders = t(spark, d, "orders")
+    big = (
+        t(spark, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("tp"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -685,6 +732,8 @@ QUERIES = {
     "r35_grouping_sets": r35,
     "r36_unpivot": r36,
     "r37_bit_aggs": r37,
+    "r38_q3_shape": r38,
+    "r39_q18_shape": r39,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -904,6 +953,21 @@ ORACLE = {
         "SELECT bit_and(CAST(l_quantity AS BIGINT)) ba, "
         "bit_or(CAST(l_quantity AS BIGINT)) bo, "
         "bit_xor(CAST(l_linenumber AS BIGINT)) bx FROM lineitem"
+    ),
+    "r38_q3_shape": (
+        "SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) rev, "
+        "CAST(o_orderdate AS DATE) od "
+        "FROM customer JOIN orders ON c_custkey=o_custkey "
+        "JOIN lineitem ON l_orderkey=o_orderkey "
+        "WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' "
+        "AND l_shipdate > TIMESTAMP '1995-03-15' "
+        "GROUP BY o_orderkey, o_orderdate ORDER BY rev DESC, o_orderkey LIMIT 10"
+    ),
+    "r39_q18_shape": (
+        "SELECT o_orderkey, ROUND(o_totalprice,2) tp FROM orders "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 180) "
+        "ORDER BY o_orderkey LIMIT 100"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
