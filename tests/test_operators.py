@@ -313,3 +313,49 @@ def test_prepare_corpus_output_schema(spark, planted_docs):
     df, _ = planted_docs
     out = prepare_corpus(df, min_chars=10, near_dup_threshold=0.45, bands=16)
     assert out.columns == df.columns + ["n_tokens"]
+
+
+def test_connected_components_shapes(spark):
+    from zappy_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["i", "j"],
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from zappy_spark.operators.graph import connected_components
+
+    n = 40  # diameter 40 > default rounds via doubling? propagation is
+    # 1 hop/round — use max_iter=n to cover the worst case
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["i", "j"]
+    )
+    comps = connected_components(edges, max_iter=n + 1)
+    assert comps.select(F.countDistinct("component")).first()[0] == 1
+    assert comps.filter(F.col("component") != 0).count() == 0
+
+
+def test_drop_cluster_dups_transitive(spark, planted_docs):
+    """Transitive case pairwise removal can't express: docs a~b, b~c
+    with no (a,c) pair must still collapse to one survivor."""
+    from zappy_spark.operators.graph import drop_cluster_dups
+
+    df, _ = planted_docs
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["i", "j"])
+    kept = drop_cluster_dups(df, pairs, "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids  # one per chain
+    assert 5 in ids and 6 not in ids
+    assert 7 in ids  # untouched docs survive

@@ -36,15 +36,19 @@ def remove_near_dups(
     bands=8/rows=2 by default: band-hit probability is j^rows per
     band, so for j≈0.7 candidates the miss rate is (1-j²)^8 ≈ 0.5% —
     recall belongs to the generate stage, precision to the exact-
-    Jaccard verify, so generous banding costs only candidate checks."""
+    Jaccard verify, so generous banding costs only candidate checks.
+
+    Survivors are chosen per CONNECTED COMPONENT of the pair graph
+    (operators/graph.py), not per pair: a~b and b~c collapse to one
+    representative even when (a,c) was never generated — the
+    transitive case pairwise removal gets wrong."""
+    from zappy_spark.operators.graph import drop_cluster_dups
+
     pairs = near_dup_pairs(
         df, text_col, id_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands,
     )
-    losers = pairs.select(F.col("j").alias("_loser")).distinct()
-    return df.join(
-        losers, F.col(id_col) == F.col("_loser"), "left_anti"
-    )
+    return drop_cluster_dups(df, pairs, id_col)
 
 
 def prepare_corpus(
