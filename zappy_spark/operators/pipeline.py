@@ -91,6 +91,27 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def content_split(
+    df: DataFrame,
+    text_col: str = "text",
+    train_hex_max: str = "c",
+) -> DataFrame:
+    """Deterministic content-hash train/val split.
+
+    The split key is md5(text), NOT a random number or the row id: a
+    document (and all its exact duplicates, across snapshots and
+    re-crawls) always lands in the same split, which is what prevents
+    train/val contamination in a dataset that gets rebuilt. First hex
+    digit < ``train_hex_max`` → train (default 'c' = 12/16 = 75%).
+    Portable (md5), so the assignment is oracle-checkable."""
+    return df.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(text_col), 1, 1) < train_hex_max, "train"
+        ).otherwise("val"),
+    )
+
+
 def write_dataset(
     df: DataFrame,
     path: str,

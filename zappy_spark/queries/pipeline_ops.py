@@ -165,6 +165,18 @@ def t05(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t06(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic content-hash train/val split distribution."""
+    from zappy_spark.operators.pipeline import content_split
+
+    docs = content_split(t(spark, d, "documents"), "text")
+    return (
+        docs.groupBy("split")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("mn"))
+        .orderBy("split")
+    )
+
+
 # -------------------------------------------------------- similarity
 
 
@@ -216,6 +228,7 @@ QUERIES = {
     "t03_fingerprint": t03,
     "t04_lang_id": t04,
     "t05_levenshtein": t05,
+    "t06_content_split": t06,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
 }
@@ -338,6 +351,11 @@ ORACLE = {
         "SELECT a.doc_id i, levenshtein(substr(a.text,1,40), substr(b.text,1,40)) d "
         "FROM documents a JOIN documents b ON b.doc_id=a.doc_id+1 "
         "ORDER BY i LIMIT 100"
+    ),
+    "t06_content_split": (
+        "SELECT CASE WHEN substr(md5(text),1,1) < 'c' THEN 'train' ELSE 'val' "
+        "END split, COUNT(*) c, MIN(doc_id) mn "
+        "FROM documents GROUP BY 1 ORDER BY 1"
     ),
     "v01_ivf_label_topk": (
         "WITH q AS (SELECT embedding qv, label ql FROM embeddings WHERE vec_id=0) "
