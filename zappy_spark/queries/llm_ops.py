@@ -37,15 +37,24 @@ def l1(spark: SparkSession, d: str) -> DataFrame:
 
 
 def l2(spark: SparkSession, d: str) -> DataFrame:
+    from zappy_spark.queries._util import dot, norm
+
     emb = t(spark, d, "embeddings")
+    # query norm computed once on the broadcast side, not per row —
+    # halves the per-row lambda work vs a naive cosine(embedding, qv)
     q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), norm("embedding").alias("qn")
+        )
     )
     return (
         emb.crossJoin(q)
         .filter(F.col("vec_id") != 0)
         .select(
-            "vec_id", F.round(cosine("embedding", "qv"), 4).alias("sim")
+            "vec_id",
+            F.round(
+                dot("embedding", "qv") / (norm("embedding") * F.col("qn")), 4
+            ).alias("sim"),
         )
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
