@@ -36,7 +36,9 @@ BENCH = {
     "q10": "l01_json_extract",
 }
 
-RUNS = 3
+# median of 5 (baseline protocol used 3 for Spark; more samples make
+# the median robust to transient machine-load spikes without bias)
+RUNS = 5
 
 
 def main() -> None:
