@@ -35,9 +35,11 @@ def duck():
     from zappy_spark.session import TABLES
 
     for name in TABLES:
+        p = f"{SF_DIR}/{name}.parquet"
+        # Spark-written tables are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')"
         )
     yield con
     con.close()
