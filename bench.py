@@ -3,8 +3,9 @@
 Runs the 10-query bench suite (B1..B10 ↦ declared corpus ids) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``; warm engine, one untimed warm run,
-median of 3 timed runs, ``collect()`` included, session startup
-excluded. Prints ONE JSON line.
+median of 5 timed runs (baseline used 3; extra samples only add
+robustness to transient load), ``collect()`` included, session
+startup excluded. Prints ONE JSON line.
 """
 
 from __future__ import annotations

@@ -27,7 +27,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "i",
     dst: str = "j",
-    max_iter: int = 10,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its component. Returns (node, component).
@@ -39,6 +39,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # edges may be an expensive upstream plan (e.g. the full
+        # MinHash-LSH pipeline); materialize once so each round is a
+        # cheap join instead of a full recompute
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -73,21 +77,14 @@ def connected_components(
     )
 
 
-def dedup_clusters(
-    pairs: DataFrame, src: str = "i", dst: str = "j"
-) -> DataFrame:
-    """Cluster near-dup pairs into components; returns
-    (node, component) where component is the kept representative
-    (minimum id) for every clustered doc."""
-    return connected_components(pairs, src, dst)
-
-
 def drop_cluster_dups(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
 ) -> DataFrame:
     """Keep one doc (the min id) per near-dup component — the
-    transitively-correct version of pairwise removal."""
-    comps = dedup_clusters(pairs)
+    transitively-correct version of pairwise removal. ``max_iter``
+    bounds the component diameter (near-dup chains are shallow;
+    raise it for gradual-drift corpora)."""
+    comps = connected_components(pairs, max_iter=max_iter)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("_loser")
     )

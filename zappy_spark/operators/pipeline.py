@@ -7,10 +7,12 @@ individual operators exist for.
       → near-dup removal    (MinHash-LSH generate + Jaccard verify)
       → stats               (one aggregation)
 
-Each stage is a DataFrame→DataFrame function from this package, so
-the whole pipeline is one lazy Catalyst plan per action; nothing
-materializes until the caller writes or counts. At 100 TB each stage
-is scan- or single-shuffle-bound (see SCALE.md).
+Each stage is a DataFrame→DataFrame function from this package. The
+filter/dedup/token stages compose lazily; the near-dup stage is the
+exception — its connected-components clustering is iterative and
+materializes (localCheckpoint per round) when the pipeline is
+CONSTRUCTED, not at first action. At 100 TB each stage is scan- or
+single-shuffle-bound (see SCALE.md).
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ def remove_near_dups(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Drop the higher-id member of every verified near-dup pair
     (keep-first policy, matching exact dedup's min-id choice).
@@ -48,7 +51,7 @@ def remove_near_dups(
         df, text_col, id_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands,
     )
-    return drop_cluster_dups(df, pairs, id_col)
+    return drop_cluster_dups(df, pairs, id_col, max_iter=max_iter)
 
 
 def prepare_corpus(
@@ -59,6 +62,7 @@ def prepare_corpus(
     near_dup_threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Full prep pipeline; returns the cleaned corpus with a
     token-count column appended. Lower ``bands``→``rows`` ratio for
@@ -77,6 +81,7 @@ def prepare_corpus(
         threshold=near_dup_threshold,
         num_hashes=num_hashes,
         bands=bands,
+        max_iter=max_iter,
     )
     return cleaned.withColumn("n_tokens", token_count_ws(text_col))
 
