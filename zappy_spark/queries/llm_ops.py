@@ -164,12 +164,21 @@ ORACLE = {
         "FROM events GROUP BY 1 ORDER BY 1"
     ),
     "l02_cosine_topk": (
-        "WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id=0) "
-        "SELECT vec_id, ROUND(list_cosine_similarity(embedding,qv),4) sim "
+        # DOUBLE[] casts: Spark computes the lambda reduce in double, so
+        # the oracle must too — FLOAT[] cosine returns float32, which
+        # both computes and materializes differently (dtype parity,
+        # tests/test_dtypes.py).
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings "
+        "WHERE vec_id=0) "
+        "SELECT vec_id, "
+        "ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),qv),4) sim "
         "FROM embeddings, q WHERE vec_id<>0 ORDER BY sim DESC, vec_id LIMIT 10"
     ),
     "l03_word_counts": (
-        "SELECT lang, SUM(length(text)-length(replace(text,' ',''))+1) words "
+        # CAST AS BIGINT: DuckDB SUM(int) is HUGEINT (float64 in pandas);
+        # Spark SUM(int) is LONG — align to int64 (dtype parity).
+        "SELECT lang, "
+        "CAST(SUM(length(text)-length(replace(text,' ',''))+1) AS BIGINT) words "
         "FROM documents GROUP BY lang ORDER BY lang"
     ),
     "l04_exact_dedup_hash": (

@@ -102,8 +102,10 @@ def t01(spark: SparkSession, d: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            text.token_count_ws("text").alias("n_ws"),
-            text.token_count_re("text").alias("n_re"),
+            # bigint: Spark size()→INT vs DuckDB len()→BIGINT — width
+            # alignment for dtype parity (tests/test_dtypes.py)
+            text.token_count_ws("text").cast("bigint").alias("n_ws"),
+            text.token_count_re("text").cast("bigint").alias("n_re"),
         )
         .orderBy("doc_id")
         .limit(100)
@@ -115,7 +117,7 @@ def t02(spark: SparkSession, d: str) -> DataFrame:
     return (
         feat.select(
             "doc_id",
-            "q_words",
+            F.col("q_words").cast("bigint").alias("q_words"),
             "q_mean_word_len",
             "q_punct_ratio",
             "q_alpha_ratio",
@@ -158,7 +160,7 @@ def t05(spark: SparkSession, d: str) -> DataFrame:
             "i",
             F.levenshtein(
                 F.substring("ta", 1, 40), F.substring("tb", 1, 40)
-            ).alias("d"),
+            ).cast("bigint").alias("d"),
         )
         .orderBy("i")
         .limit(100)

@@ -85,7 +85,13 @@ def r3(spark: SparkSession, d: str) -> DataFrame:
     )
     return (
         t(spark, d, "orders")
-        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            # bigint: window ranks are INT in Spark, BIGINT in DuckDB —
+            # align widths for dtype parity (tests/test_dtypes.py)
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
         .filter(F.col("rnk") <= 2)
         .orderBy("o_custkey", "rnk")
         .limit(100)
@@ -191,8 +197,8 @@ def r11(spark: SparkSession, d: str) -> DataFrame:
         t(spark, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").alias("g1"),
-            F.grouping("l_linestatus").alias("g2"),
+            F.grouping("l_returnflag").cast("bigint").alias("g1"),
+            F.grouping("l_linestatus").cast("bigint").alias("g2"),
             F.count("*").alias("c"),
             F.round(F.sum("l_quantity"), 2).alias("s"),
         )
@@ -312,7 +318,7 @@ def r22(spark: SparkSession, d: str) -> DataFrame:
             F.upper("p_brand").alias("u"),
             F.lower("p_type").alias("l"),
             F.substring("p_name", 1, 8).alias("s"),
-            F.length("p_name").alias("n"),
+            F.length("p_name").cast("bigint").alias("n"),
             F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("c"),
             F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("r"),
             F.trim("p_name").alias("t"),
@@ -343,13 +349,13 @@ def r23(spark: SparkSession, d: str) -> DataFrame:
     return (
         o.select(
             "o_orderkey",
-            F.year("o_orderdate").alias("y"),
-            F.month("o_orderdate").alias("m"),
-            F.dayofmonth("o_orderdate").alias("d"),
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mt"),
             F.datediff(
                 F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
-            ).alias("dd"),
+            ).cast("bigint").alias("dd"),
         )
         .orderBy("o_orderkey")
         .limit(100)
@@ -402,9 +408,9 @@ def r27(spark: SparkSession, d: str) -> DataFrame:
         t(spark, d, "orders")
         .select(
             "o_orderkey",
-            F.rank().over(w).alias("r"),
-            F.dense_rank().over(w).alias("dr"),
-            F.ntile(4).over(w).alias("nt"),
+            F.rank().over(w).cast("bigint").alias("r"),
+            F.dense_rank().over(w).cast("bigint").alias("dr"),
+            F.ntile(4).over(w).cast("bigint").alias("nt"),
             F.round(F.percent_rank().over(w), 6).alias("pr"),
         )
         .orderBy("o_orderkey")
@@ -900,16 +906,21 @@ ORACLE = {
         "ON a.user_id=b.u2 AND b.ts <= a.ts) t "
         "GROUP BY user_id ORDER BY user_id LIMIT 50"
     ),
+    # CAST(SUM(..) AS BIGINT): DuckDB SUM(int)→HUGEINT materializes as
+    # float64 in pandas while Spark SUM→LONG; values identical, dtype
+    # diverged (r1 driver hash fail). tests/test_dtypes.py pins parity.
     "r28_pivot_conditional": (
-        "SELECT o_custkey, SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) o, "
-        "SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) f, "
-        "SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) p "
+        "SELECT o_custkey, "
+        "CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) o, "
+        "CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) f, "
+        "CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) p "
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100"
     ),
     "r28b_pivot_native": (
-        "SELECT o_custkey, SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) o, "
-        "SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) f, "
-        "SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) p "
+        "SELECT o_custkey, "
+        "CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) o, "
+        "CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) f, "
+        "CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) p "
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100"
     ),
     "r29_explode_reagg": (
@@ -979,7 +990,7 @@ ORACLE = {
     ),
     "b07_string_filter_agg": (
         "SELECT lang, COUNT(*) c, "
-        "SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) j "
+        "CAST(SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS BIGINT) j "
         "FROM documents GROUP BY lang ORDER BY lang"
     ),
     "b09_intersect": (

@@ -318,7 +318,7 @@ ORACLE = {
     "z23_regr": (
         "SELECT ROUND(regr_slope(l_extendedprice,l_quantity),6) sl, "
         "ROUND(regr_intercept(l_extendedprice,l_quantity),4) ic, "
-        "regr_count(l_extendedprice,l_quantity) n FROM lineitem"
+        "CAST(regr_count(l_extendedprice,l_quantity) AS BIGINT) n FROM lineitem"
     ),
     "z20_median_percentile": (
         "SELECT ROUND(quantile_cont(l_quantity,0.5),6) m, "
@@ -344,10 +344,17 @@ ORACLE = {
         "SELECT vec_id, ROUND(list_aggregate(embedding,'sum'),4) s FROM embeddings "
         "ORDER BY vec_id LIMIT 100"
     ),
+    # Type-parity CASTs below (r1 driver hash fails, VERDICT §wrong-1):
+    # Spark signum→DOUBLE vs DuckDB SIGN→TINYINT; Spark floor/ceil→LONG
+    # vs DuckDB→DOUBLE; Spark SUM(int)→LONG vs DuckDB→HUGEINT(→float64
+    # in pandas). Values are identical — only the materialized dtype
+    # diverged. Enforced corpus-wide by tests/test_dtypes.py.
     "z06_unary_suite": (
         "SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_quantity),6) sq, "
         "ROUND(l_discount*l_discount,6) p2, ABS(l_quantity-25) ab, -l_tax neg, "
-        "SIGN(l_quantity-25.0) sg, FLOOR(l_extendedprice/1000) fl, CEIL(l_tax*100) ce "
+        "CAST(SIGN(l_quantity-25.0) AS DOUBLE) sg, "
+        "CAST(FLOOR(l_extendedprice/1000) AS BIGINT) fl, "
+        "CAST(CEIL(l_tax*100) AS BIGINT) ce "
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, p2, ab, neg, sg, fl, ce "
         "LIMIT 100"
     ),
@@ -356,8 +363,10 @@ ORACLE = {
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, v LIMIT 100"
     ),
     "z09_comparisons": (
-        "SELECT SUM(CASE WHEN l_quantity > l_discount*100 THEN 1 ELSE 0 END) c, "
-        "SUM(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END) d FROM lineitem"
+        "SELECT CAST(SUM(CASE WHEN l_quantity > l_discount*100 THEN 1 ELSE 0 END)"
+        " AS BIGINT) c, "
+        "CAST(SUM(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END) AS BIGINT) d "
+        "FROM lineitem"
     ),
     "z10_bool_mask": (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
@@ -383,11 +392,12 @@ ORACLE = {
         "FROM embeddings ORDER BY vec_id LIMIT 100"
     ),
     "z15_astype_cast": (
-        "SELECT SUM(CAST(l_quantity AS BIGINT)) a, "
-        "SUM(CAST(l_discount*100 AS BIGINT)) b FROM lineitem"
+        "SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) a, "
+        "CAST(SUM(CAST(l_discount*100 AS BIGINT)) AS BIGINT) b FROM lineitem"
     ),
     "z16_count_nonzero": (
-        "SELECT SUM(CASE WHEN l_discount<>0 THEN 1 ELSE 0 END) nz FROM lineitem"
+        "SELECT CAST(SUM(CASE WHEN l_discount<>0 THEN 1 ELSE 0 END) AS BIGINT) nz "
+        "FROM lineitem"
     ),
     "z17_row_normalize": (
         "SELECT vec_id, "
