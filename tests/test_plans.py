@@ -164,3 +164,25 @@ def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
     ]
     got = [r["vec_id"] for r in rows if r["vec_id"] != 0]
     assert len(set(got) & set(exact)) >= 5  # measured 0.8 recall inline
+
+
+def test_near_dup_pairs_persists_grams(spark, tmp_path):
+    """The shingle frame feeds three consumers (signature agg + both
+    verify-join sides); the plan must read the persisted grams, not
+    rescan the corpus three times (VERDICT r1 next-5)."""
+    from zappy_spark.operators.dedup import near_dup_pairs
+    from zappy_spark.queries._util import t
+
+    docs = t(spark, SF_DIR, "documents")
+    out = near_dup_pairs(docs, "text", "doc_id", bands=4, num_hashes=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    # and the lazy form stays cache-free (clear first: the cache
+    # manager would otherwise substitute the matching cached subplan)
+    spark.catalog.clearCache()
+    out2 = near_dup_pairs(
+        docs, "text", "doc_id", bands=4, num_hashes=16, persist=False
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan2
+    spark.catalog.clearCache()

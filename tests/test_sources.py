@@ -84,3 +84,22 @@ def test_datasource_writer_round_trip(spark, tmp_path):
     back = ZappyFrame.from_zarrlite(spark, path)
     # row ids re-densified; row ORDER preserved by range partitioning
     assert np.allclose(back.asndarray(), ref)
+
+
+def test_chunk_id_expr_integer_precision(spark):
+    """Chunk assignment must hold beyond int32 and near 2^53, where
+    float division starts rounding (VERDICT r1 §wrong-3)."""
+    from zappy_spark.sources.zarrlite import chunk_id_expr
+
+    big = 2**31 + 7
+    huge = 2**53 - 1  # largest exactly-representable double; div must
+    # still assign exactly, float division of huge+odd would round
+    rows = [(0,), (big,), (big + 1,), (huge,), (huge - 1,)]
+    df = spark.createDataFrame(rows, "row_id bigint")
+    got = {
+        r["row_id"]: r["c"]
+        for r in df.select(
+            "row_id", chunk_id_expr(1000).alias("c")
+        ).collect()
+    }
+    assert got == {k: k // 1000 for k, in rows}

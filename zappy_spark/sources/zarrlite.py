@@ -33,7 +33,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
@@ -187,6 +187,15 @@ def read_zarrlite(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("zarrlite").option("path", path).load()
 
 
+def chunk_id_expr(chunk_rows: int) -> Column:
+    """row_id → target chunk id, in integer arithmetic.
+
+    ``div`` (not ``/`` + cast): float division rounds near 2^53 and a
+    32-bit cast caps chunk ids at 2^31 — same precision rule as the
+    nanos handling in session.py."""
+    return F.expr(f"row_id div {int(chunk_rows)}")
+
+
 def write_zarrlite(
     df: DataFrame, path: str, chunk_rows: int, ncols: int
 ) -> None:
@@ -203,7 +212,7 @@ def write_zarrlite(
     n_chunks = max(1, (n_rows + chunk_rows - 1) // chunk_rows)
 
     chunked = df.select(
-        (F.col("row_id") / chunk_rows).cast("int").alias("_chunk"),
+        chunk_id_expr(chunk_rows).alias("_chunk"),
         "row_id",
         "vec",
     ).repartitionByRange(n_chunks, "_chunk")
@@ -226,7 +235,7 @@ def write_zarrlite(
             )
 
     manifest = chunked.mapInPandas(
-        write_partition, schema="chunk int, rows int"
+        write_partition, schema="chunk bigint, rows bigint"
     ).collect()
     written = {m["chunk"]: m["rows"] for m in manifest}
     assert sum(written.values()) == n_rows, (written, n_rows)
