@@ -186,3 +186,33 @@ def test_near_dup_pairs_persists_grams(spark, tmp_path):
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in plan2
     spark.catalog.clearCache()
+
+
+# Declared naive-window oracle forms whose scale twin is r40 (the
+# range-bucketed two-pass operator, operators/ranking.py).
+_GLOBAL_WINDOW_WHITELIST = {
+    "r26_range_frame",
+    "r27_ranking_suite",
+    "r34_window_extras",
+}
+
+
+def test_no_unpartitioned_windows_outside_whitelist(spark):
+    """A Window.orderBy with no partitionBy is a single-partition sort
+    — the one plan shape that cannot survive 100 TB. Ban it corpus-wide
+    except the three declared oracle forms (VERDICT r1 next-4).
+
+    Unpartitioned Window nodes print as `Window [exprs], [order]`
+    (one `], [` separator); partitioned ones carry a partition-spec
+    group (two separators)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            ln.strip()
+            for ln in plan.splitlines()
+            if "Window [" in ln and ln.count("], [") == 1
+        ]
+        if bad and name not in _GLOBAL_WINDOW_WHITELIST:
+            offenders[name] = bad[0][:120]
+    assert not offenders, offenders

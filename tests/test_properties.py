@@ -285,3 +285,53 @@ def test_nanos_repair_floors_pre_epoch(spark, tmp_path):
     }
     for i, o in enumerate(offsets):
         assert got[i] == o // 1000, (o, got[i], o // 1000)  # Python floors
+
+
+def test_bucketed_ranks_match_naive_window_with_ties(spark):
+    """with_global_ranks == Window.orderBy on data engineered so tied
+    values straddle bucket-boundary candidates (the failure mode a
+    bucketed ranker must not have)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.ranking import with_global_ranks
+
+    rng = random.Random(42)
+    # few distinct values + many rows => ties everywhere, including at
+    # every quantile edge; id makes row_number deterministic
+    rows = [(i, float(rng.choice([1, 2, 2, 3, 5, 5, 5, 8]))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+
+    got = with_global_ranks(
+        df,
+        "v",
+        ascending=False,
+        tiebreak=["id"],
+        buckets=7,  # deliberately not a divisor of anything
+        rank_col="r",
+        dense_rank_col="dr",
+        row_number_col="rn",
+        percent_rank_col="pr",
+        cume_dist_col="cd",
+        ntile=(3, "nt"),
+    )
+
+    w = Window.orderBy(F.desc("v"), "id")
+    want = df.select(
+        "id",
+        F.rank().over(w).cast("bigint").alias("r"),
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(3).over(w).cast("bigint").alias("nt"),
+    )
+    g = {r["id"]: r for r in got.collect()}
+    for exp in want.collect():
+        act = g[exp["id"]]
+        for c in ("r", "dr", "rn", "nt"):
+            assert act[c] == exp[c], (exp["id"], c, act[c], exp[c])
+        for c in ("pr", "cd"):
+            assert abs(act[c] - exp[c]) < 1e-12, (exp["id"], c, act[c], exp[c])

@@ -13,8 +13,9 @@ round 1), so the dict is ordered to maximize verified breadth:
    dedup, text, ANN, advanced-relational, bench shapes) — so even a
    small window spans every family.
 2. Then the rest of the 50 entries that carried no CORRECTNESS row in
-   round 1, plus the six round-1 hash-failures (z06 z09 z15 z16 r28
-   r28b, fixed via dtype parity this round) for re-verification.
+   round 1, plus the round-1 hash-failures (z06 z09 z15 z16 r28,
+   fixed via dtype parity this round) for re-verification. r28b
+   shares r28's oracle, so its slot goes to the new r40 instead.
 3. The 44 entries the round-1 driver already verified green last —
    cumulatively every corpus entry then has an external green row.
 """
@@ -55,6 +56,7 @@ _REPRESENTATIVES = [
     "r29_explode_reagg",
     "z06_unary_suite",
     "r28_pivot_conditional",
+    "r40_bucketed_ranking",
 ]
 
 # Tier 2: everything else with no round-1 CORRECTNESS row, plus the
@@ -63,7 +65,6 @@ _UNSEEN_R1 = [
     "z09_comparisons",
     "z15_astype_cast",
     "z16_count_nonzero",
-    "r28b_pivot_native",
     "r32_sorted_listagg",
     "r33_interval_arith",
     "r34_window_extras",

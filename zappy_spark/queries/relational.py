@@ -665,6 +665,41 @@ def r39(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r40(spark: SparkSession, d: str) -> DataFrame:
+    """Global ranking suite via the range-bucketed two-pass operator
+    (operators/ranking.py) — identical semantics to r27's naive
+    ``Window.orderBy`` spelling (same oracle family), with no
+    single-partition sort anywhere in the plan. This is the 100 TB
+    entry; r27/r34 remain the declared oracle forms."""
+    from zappy_spark.operators.ranking import with_global_ranks
+
+    o = t(spark, d, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_ranks(
+        o,
+        "o_totalprice",
+        ascending=False,
+        tiebreak=["o_orderkey"],
+        buckets=16,
+        rank_col="r",
+        dense_rank_col="dr",
+        percent_rank_col="_pr",
+        cume_dist_col="_cd",
+        ntile=(4, "nt"),
+    )
+    return (
+        ranked.select(
+            "o_orderkey",
+            "r",
+            "dr",
+            "nt",
+            F.round("_pr", 6).alias("pr"),
+            F.round("_cd", 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -740,6 +775,7 @@ QUERIES = {
     "r37_bit_aggs": r37,
     "r38_q3_shape": r38,
     "r39_q18_shape": r39,
+    "r40_bucketed_ranking": r40,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -886,6 +922,15 @@ ORACLE = {
     "r27_ranking_suite": (
         "SELECT o_orderkey, RANK() OVER w r, DENSE_RANK() OVER w dr, "
         "NTILE(4) OVER w nt, ROUND(PERCENT_RANK() OVER w,6) pr "
+        "FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey) "
+        "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r40_bucketed_ranking": (
+        # the oracle is the NAIVE global-window spelling — r40's
+        # bucketed two-pass plan must reproduce it exactly
+        "SELECT o_orderkey, RANK() OVER w r, DENSE_RANK() OVER w dr, "
+        "NTILE(4) OVER w nt, ROUND(PERCENT_RANK() OVER w,6) pr, "
+        "ROUND(CUME_DIST() OVER w,6) cd "
         "FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey) "
         "ORDER BY o_orderkey LIMIT 100"
     ),
