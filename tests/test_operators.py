@@ -359,3 +359,121 @@ def test_drop_cluster_dups_transitive(spark, planted_docs):
     assert 0 in ids and 1 not in ids and 2 not in ids  # one per chain
     assert 5 in ids and 6 not in ids
     assert 7 in ids  # untouched docs survive
+
+
+def test_hash_sample_deterministic_and_append_stable(spark):
+    from zappy_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    assert a == b  # deterministic
+    assert 0.2 < len(a) / 2000 < 0.4  # ~fraction
+    # append-stability: sampling a superset keeps the original verdicts
+    big = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    sup = {r["doc_id"] for r in hash_sample(big, "doc_id", 0.3).collect()}
+    assert a == {x for x in sup if x < 2000}
+    # nesting: a smaller fraction is a subset of a larger one
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert small <= a
+
+
+def test_stratified_sample_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 10 else "small") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    out = stratified_sample_exact(df, "doc_id", "lang", k=7)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 7, "small": 7}
+    # k larger than a stratum: whole stratum kept
+    tiny = stratified_sample_exact(df, "doc_id", "lang", k=50)
+    c2 = {
+        r["lang"]: r["n"]
+        for r in tiny.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert c2 == {"big": 50, "small": 10}
+
+
+def test_redact_pii_planted(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import redact_pii
+
+    rows = [
+        ("reach me at a.b+c@sub.example.org today", "reach me at <EMAIL> today"),
+        ("see https://x.io/a?b=1 and http://y.z/p", "see <URL> and <URL>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "t string, want string")
+    bad = df.filter(redact_pii(F.col("t")) != F.col("want")).count()
+    assert bad == 0
+
+
+def test_tfidf_matches_manual(spark):
+    import math
+
+    from zappy_spark.operators.text import tf_idf
+
+    docs = [(0, "a b a"), (1, "a c"), (2, "d d d")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tf_idf(df, "text", "doc_id").collect()
+    }
+    n = 3
+
+    def idf(dfreq):
+        return math.log((n + 1) / (dfreq + 1)) + 1
+
+    assert got[(0, "a")] == (2, 2, 2 * idf(2))
+    assert got[(1, "c")] == (1, 1, 1 * idf(1))
+    assert got[(2, "d")] == (3, 1, 3 * idf(1))
+    assert len(got) == 5  # (0,a),(0,b),(1,a),(1,c),(2,d)
+
+
+def test_quantize_dequantize_round_trip(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.similarity import (
+        dequantize_int8,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    prepped = df.select(
+        "vec_id",
+        "embedding",
+        quantize_int8("embedding").alias("q"),
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v))
+        ).alias("mx"),
+    )
+    back = prepped.select(
+        "vec_id", "embedding", dequantize_int8("q", "mx").alias("deq"), "mx"
+    )
+    for r in back.collect():
+        err = max(
+            abs(a - b) for a, b in zip(r["embedding"], r["deq"])
+        )
+        assert err <= r["mx"] / 254 + 1e-12, (r["vec_id"], err)
+    # unit norm after normalization
+    nrm = df.select(
+        F.aggregate(
+            F.transform(l2_normalize("embedding"), lambda v: v * v),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s")
+    ).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in nrm)

@@ -1,0 +1,89 @@
+"""Deterministic sampling for training-data pipelines.
+
+Every operator here is hash-deterministic (md5 over the row id), so
+samples are reproducible across runs, engines, and cluster sizes —
+the property that matters for dataset versioning — and every one is
+replayable in ANSI SQL for oracle checking. ``df.sample()`` is
+intentionally NOT used: its output depends on partitioning and seed
+plumbing, which makes lineage audits impossible.
+
+Scale notes (100 TB):
+- ``hash_sample`` is a scan-side filter — no shuffle at all; it
+  composes with predicate pushdown (the md5 filter evaluates after
+  the pushed scan filters).
+- ``stratified_sample_exact`` is one window per stratum (hash shuffle
+  on the stratum key); skewed strata are bounded by k, so the sort
+  inside each stratum is the only per-key cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^8 hex prefixes, uniform under md5
+_PREFIX_LEN = 8
+_SPACE = 16 ** _PREFIX_LEN
+
+
+def _hash_key(id_col: str | Column) -> Column:
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, _PREFIX_LEN)
+
+
+def sample_threshold(fraction: float) -> str:
+    """Hex-prefix threshold t such that md5-prefix < t keeps ~fraction
+    of rows (granularity 16^-8 ≈ 4e-10). Exposed so oracles can embed
+    the identical literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by id hash.
+
+    Same id → same verdict everywhere, forever: re-running on a grown
+    corpus keeps the previously-sampled rows (append-stable), which
+    random sampling cannot promise."""
+    return df.filter(_hash_key(id_col) < sample_threshold(fraction))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, fraction: float
+) -> DataFrame:
+    """~``fraction`` per stratum. With a uniform hash the per-stratum
+    rate equals the global rate, so this is ``hash_sample`` with the
+    stratum documented: no shuffle, exactness only in expectation."""
+    del strata_col  # per-row hash is already uniform within strata
+    return hash_sample(df, id_col, fraction)
+
+
+def stratified_sample_exact(
+    df: DataFrame, id_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum: rank rows inside
+    each stratum by id hash (deterministic, uniform) and keep the
+    first k — the distributed, reproducible analog of per-group
+    reservoir sampling."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(_hash_key(id_col), id_col)
+    return (
+        df.withColumn("_zs_rn", F.row_number().over(w))
+        .filter(F.col("_zs_rn") <= k)
+        .drop("_zs_rn")
+    )
+
+
+def train_val_split(
+    df: DataFrame, id_col: str, val_fraction: float
+) -> DataFrame:
+    """Append a deterministic 'split' column ('train'/'val') keyed on
+    the id hash — the id-keyed sibling of pipeline.content_split
+    (which keys on content to make near-identical texts co-split)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _hash_key(id_col) < sample_threshold(val_fraction), "val"
+        ).otherwise("train"),
+    )

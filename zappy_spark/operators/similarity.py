@@ -209,3 +209,38 @@ def similarity_join(
     return pairs.select(
         "i", "j", cosine("va", "vb").alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+def l2_normalize(vec: str | Column) -> Column:
+    """Unit-normalize an embedding (all-zero vectors pass through
+    unchanged rather than dividing by zero). Pure array-lambda
+    expression — scan-side, no Python."""
+    from zappy_spark.queries._util import norm
+
+    n = norm(vec)
+    return F.when(
+        n > 0,
+        F.transform(vec, lambda v: v.cast("double") / n),
+    ).otherwise(F.transform(vec, lambda v: v.cast("double")))
+
+
+def quantize_int8(vec: str | Column) -> Column:
+    """Symmetric int8 quantization: q_i = round(v_i * 127 / max|v|)
+    (all-zero vectors map to all-zero). Returns array<tinyint> —
+    a 4× (float32) / 8× (float64) storage cut for ANN candidate
+    tiers; pair with ``dequantize_int8`` to recover within 1/254
+    of max|v| per component."""
+    mx = F.array_max(F.transform(vec, lambda v: F.abs(v.cast("double"))))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    return F.transform(
+        vec, lambda v: F.round(v.cast("double") * scale).cast("tinyint")
+    )
+
+
+def dequantize_int8(qvec: str | Column, max_abs: str | Column) -> Column:
+    """Inverse of ``quantize_int8`` given the stored per-vector
+    max|v| (keep it alongside the quantized column)."""
+    mx = F.col(max_abs) if isinstance(max_abs, str) else max_abs
+    return F.transform(
+        qvec, lambda q: q.cast("double") * mx / F.lit(127.0)
+    )

@@ -158,3 +158,56 @@ def fingerprint(
     grams = char_kgrams(F.col(text_col), k)
     fp = F.array_min(F.transform(grams, F.md5))
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+# PII patterns: conservative on purpose (precision over recall) and
+# spelled in the regex subset Java (Spark) and RE2 (DuckDB) agree on,
+# so oracles replay the exact redaction.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace emails and URLs with typed placeholder tokens — the
+    standard pre-training scrub pass. Pure regexp_replace chain:
+    scan-side, codegen'd, one pass over the corpus."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, URL_RE, "<URL>")
+
+
+def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf, df, tfidf) with smooth idf
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's convention).
+
+    Shape at scale: one explode + two balanced shuffles — (id, term)
+    for tf, term for document frequency — plus a broadcast of the
+    scalar N. The doc-frequency side aggregates partial before its
+    shuffle, so the term table is term-cardinality-sized."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = df.select(F.count("*").alias("_n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )

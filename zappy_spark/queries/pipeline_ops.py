@@ -179,6 +179,70 @@ def t06(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d07(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic hash sampling — scan-side filter, no shuffle,
+    append-stable (same id keeps its verdict as the corpus grows)."""
+    from zappy_spark.operators.sampling import hash_sample
+
+    return (
+        hash_sample(t(spark, d, "documents"), "doc_id", 0.25)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def d08(spark: SparkSession, d: str) -> DataFrame:
+    """Exact per-stratum sampling: precisely min(k, |stratum|) rows
+    per lang, ranked by id hash — reproducible reservoir-k."""
+    from zappy_spark.operators.sampling import stratified_sample_exact
+
+    out = stratified_sample_exact(
+        t(spark, d, "documents"), "doc_id", "lang", k=5
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+def t07(spark: SparkSession, d: str) -> DataFrame:
+    """TF-IDF top terms (smooth idf, sklearn convention)."""
+    from zappy_spark.operators.text import tf_idf
+
+    out = tf_idf(t(spark, d, "documents"), "text", "doc_id")
+    return (
+        out.select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("ti"),
+        )
+        .orderBy(F.desc("ti"), "term", "doc_id")
+        .limit(50)
+    )
+
+
+def t08(spark: SparkSession, d: str) -> DataFrame:
+    """PII redaction parity: plant a synthetic email+URL derived from
+    the doc id (testdata has no organic PII), scrub, verify both
+    regexes replace identically across engines."""
+    from zappy_spark.operators.text import redact_pii
+
+    docs = t(spark, d, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" mail user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" end"),
+    )
+    return (
+        docs.select("doc_id", redact_pii(planted).alias("clean"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 # -------------------------------------------------------- similarity
 
 
@@ -218,6 +282,44 @@ def v02(spark: SparkSession, d: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def v03(spark: SparkSession, d: str) -> DataFrame:
+    """L2 normalization of embeddings (array-lambda, scan-side)."""
+    from zappy_spark.operators.similarity import l2_normalize
+
+    from zappy_spark.queries._util import sq_norm
+
+    emb = t(spark, d, "embeddings")
+    nv = l2_normalize("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.element_at(nv, 1), 6).alias("n1"),
+            F.round(F.element_at(nv, 2), 6).alias("n2"),
+            F.round(F.sqrt(sq_norm(nv)), 6).alias("nrm"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def v04(spark: SparkSession, d: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings."""
+    from zappy_spark.operators.similarity import quantize_int8
+
+    emb = t(spark, d, "embeddings")
+    qv = quantize_int8("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.element_at(qv, 1).alias("q1"),
+            F.element_at(qv, 2).alias("q2"),
+            F.element_at(qv, 3).alias("q3"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -225,14 +327,20 @@ QUERIES = {
     "d04_ngram_jaccard": d04,
     "d05_embedding_neardup": d05,
     "d06_lsh_neardup_pipeline": d06,
+    "d07_hash_sample": d07,
+    "d08_stratified_sample": d08,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
     "t04_lang_id": t04,
     "t05_levenshtein": t05,
     "t06_content_split": t06,
+    "t07_tfidf": t07,
+    "t08_pii_redaction": t08,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
+    "v03_l2_normalize": v03,
+    "v04_quantize_int8": v04,
 }
 
 
@@ -365,6 +473,58 @@ ORACLE = {
         "CAST(qv AS DOUBLE[])),4) sim "
         "FROM embeddings, q WHERE vec_id<>0 AND label=ql "
         "ORDER BY sim DESC, vec_id LIMIT 10"
+    ),
+    "d07_hash_sample": (
+        # '40000000' == sampling.sample_threshold(0.25); the oracle
+        # embeds the identical literal so DuckDB replays the filter
+        "SELECT doc_id FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000' "
+        "ORDER BY doc_id LIMIT 100"
+    ),
+    "d08_stratified_sample": (
+        "SELECT lang, doc_id FROM documents "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)),1,8), doc_id) <= 5 "
+        "ORDER BY lang, doc_id"
+    ),
+    "t07_tfidf": (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text,' '), x -> x<>'')) term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) tf FROM toks GROUP BY 1,2), "
+        "dfq AS (SELECT term, COUNT(DISTINCT doc_id) df FROM toks GROUP BY 1), "
+        "n AS (SELECT COUNT(*) _n FROM documents) "
+        "SELECT doc_id, term, tf, df, "
+        "ROUND(tf * (LN((_n+1.0)/(df+1.0)) + 1.0), 6) ti "
+        "FROM tf JOIN dfq USING (term), n "
+        "ORDER BY ti DESC, term, doc_id LIMIT 50"
+    ),
+    "t08_pii_redaction": (
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace("
+        "substr(text,1,40) || ' mail user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or https://ex.com/u/' || CAST(doc_id AS VARCHAR) || ' end', "
+        r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'https?://[^\\s]+', '<URL>', 'g') clean "
+        "FROM documents ORDER BY doc_id LIMIT 100"
+    ),
+    "v03_l2_normalize": (
+        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings), "
+        "n AS (SELECT vec_id, e, "
+        "sqrt(list_aggregate(list_transform(e, x -> x*x),'sum')) nm FROM b) "
+        "SELECT vec_id, ROUND(e[1]/nm, 6) n1, ROUND(e[2]/nm, 6) n2, "
+        "ROUND(sqrt(list_aggregate(list_transform("
+        "list_transform(e, x -> x/nm), x -> x*x),'sum')), 6) nrm "
+        "FROM n ORDER BY vec_id LIMIT 100"
+    ),
+    "v04_quantize_int8": (
+        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings), "
+        "s AS (SELECT vec_id, e, "
+        "127.0 / list_aggregate(list_transform(e, x -> abs(x)),'max') sc FROM b) "
+        "SELECT vec_id, CAST(ROUND(e[1]*sc) AS TINYINT) q1, "
+        "CAST(ROUND(e[2]*sc) AS TINYINT) q2, "
+        "CAST(ROUND(e[3]*sc) AS TINYINT) q3 "
+        "FROM s ORDER BY vec_id LIMIT 100"
     ),
     # t04, v02: rows-only (see docstrings) — no oracle entries.
 }
