@@ -477,3 +477,64 @@ def test_quantize_dequantize_round_trip(spark):
         ).alias("s")
     ).collect()
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in nrm)
+
+
+def test_moments_and_pca_match_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.linalg import moments, pca_fit, pca_transform
+
+    rng = np.random.default_rng(7)
+    # correlated data so PCA has a meaningful answer
+    base = rng.normal(size=(300, 3))
+    X = np.column_stack(
+        [base[:, 0], base[:, 0] * 2 + base[:, 1] * 0.1, base[:, 2]]
+    )
+    rows = [(i, [float(v) for v in X[i]]) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(5)  # partial-combine across several partitions
+
+    n, mu, cov = moments(df, "embedding")
+    assert n == 300
+    assert np.allclose(mu, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X, rowvar=False, ddof=1), atol=1e-9)
+
+    comps, ev, mean = pca_fit(df, "embedding", k=2)
+    w, v = np.linalg.eigh(np.cov(X, rowvar=False, ddof=1))
+    order = np.argsort(w)[::-1][:2]
+    want = v[:, order].T
+    sg = np.sign(want[np.arange(2), np.abs(want).argmax(axis=1)])
+    want = want * sg[:, None]
+    assert np.allclose(ev, w[order], atol=1e-9)
+    assert np.allclose(comps, want, atol=1e-7)
+
+    got = (
+        pca_transform(df, "embedding", "vec_id", k=2)
+        .orderBy("vec_id")
+        .collect()
+    )
+    scores = (X - X.mean(axis=0)) @ want.T
+    for r in got:
+        i = r["vec_id"]
+        assert abs(r["pc0"] - scores[i, 0]) < 1e-7
+        assert abs(r["pc1"] - scores[i, 1]) < 1e-7
+    # projection pass is pure JVM: no Python eval in its plan
+    plan = (
+        pca_transform(df, "embedding", "vec_id", k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_moments_empty_frame_raises(spark):
+    import pytest as _pytest
+
+    from zappy_spark.operators.linalg import moments
+
+    df = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError):
+        moments(df, "embedding")

@@ -320,6 +320,45 @@ def v04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v05(spark: SparkSession, d: str) -> DataFrame:
+    """Distributed covariance (the PCA moments pass): selected matrix
+    entries, checked against DuckDB covar_samp on the same elements.
+    The Spark job is operators/linalg.moments — partition-local
+    numpy partials over Arrow batches, driver combine (two numbers
+    per (i,j), no shuffle)."""
+    from zappy_spark.operators.linalg import moments
+
+    emb = t(spark, d, "embeddings")
+    _, _, cov = moments(emb.select(F.col("embedding")), "embedding")
+    return spark.createDataFrame(
+        [(
+            round(float(cov[0, 0]), 6),
+            round(float(cov[0, 1]), 6),
+            round(float(cov[1, 1]), 6),
+            round(float(cov[2, 5]), 6),
+        )],
+        "c11 double, c12 double, c22 double, c36 double",
+    )
+
+
+def v06(spark: SparkSession, d: str) -> DataFrame:
+    """PCA scores (rows-only: eigendecomposition is engine code, not
+    SQL; fit is property-tested against numpy in test_operators)."""
+    from zappy_spark.operators.linalg import pca_transform
+
+    emb = t(spark, d, "embeddings")
+    out = pca_transform(emb, "embedding", "vec_id", k=2)
+    return (
+        out.select(
+            "vec_id",
+            F.round("pc0", 4).alias("p0"),
+            F.round("pc1", 4).alias("p1"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -341,6 +380,8 @@ QUERIES = {
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
     "v04_quantize_int8": v04,
+    "v05_covariance": v05,
+    "v06_pca_scores": v06,
 }
 
 
@@ -526,5 +567,12 @@ ORACLE = {
         "CAST(ROUND(e[3]*sc) AS TINYINT) q3 "
         "FROM s ORDER BY vec_id LIMIT 100"
     ),
-    # t04, v02: rows-only (see docstrings) — no oracle entries.
+    "v05_covariance": (
+        "WITH b AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings) "
+        "SELECT ROUND(covar_samp(e[1],e[1]),6) c11, "
+        "ROUND(covar_samp(e[1],e[2]),6) c12, "
+        "ROUND(covar_samp(e[2],e[2]),6) c22, "
+        "ROUND(covar_samp(e[3],e[6]),6) c36 FROM b"
+    ),
+    # t04, v02, v06: rows-only (see docstrings) — no oracle entries.
 }
