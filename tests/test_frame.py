@@ -193,3 +193,18 @@ def test_frame_eq_ne_masks(xz):
     assert np.array_equal(m.astype(bool), X == X[0, 0])
     n = (zf != 0.0).asndarray()
     assert np.array_equal(n.astype(bool), X != 0.0)
+
+
+def test_var_std_axis1_match_numpy(spark):
+    import numpy as np
+
+    from zappy_spark.frame import ZappyFrame
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(loc=3.0, size=(40, 6))
+    zf = ZappyFrame.from_ndarray(spark, X)
+    for ddof in (0, 1):
+        got_v = np.asarray(zf.var(axis=1, ddof=ddof).asndarray())
+        got_s = np.asarray(zf.std(axis=1, ddof=ddof).asndarray())
+        assert np.allclose(got_v, X.var(axis=1, ddof=ddof), atol=1e-10)
+        assert np.allclose(got_s, X.std(axis=1, ddof=ddof), atol=1e-10)

@@ -453,16 +453,42 @@ class ZappyFrame:
             return self._col_agg(F.avg)
         return self.sum() / (self.count_rows() * self.ncols)
 
-    def var(self, axis: int | None = 0, ddof: int = 0) -> np.ndarray:
+    def _row_var(self, ddof: int):
+        """Per-row variance of the array column: E[x²] − mean², with
+        the ddof correction applied n/(n−ddof) — one array-lambda
+        expression, fully distributed."""
+        def expr(v):
+            n = F.size(v).cast("double")
+            m = (
+                F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double"))
+                / n
+            )
+            # centered sum of squares, not E[x²]−mean² (cancellation)
+            ssd = F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda a, x: a + (x.cast("double") - m) * (x.cast("double") - m),
+            )
+            # numpy returns nan for n <= ddof; 0/0 reproduces that
+            return ssd / (n - F.lit(float(ddof)))
+
+        return expr
+
+    def var(self, axis: int | None = 0, ddof: int = 0):
+        if axis == 1:
+            return self._row_reduce(self._row_var(ddof))
         fn = F.var_samp if ddof == 1 else F.var_pop
         if axis != 0:
-            raise NotImplementedError("var: axis=0 only (scanpy scale path)")
+            raise NotImplementedError("var: axis in (0, 1) only")
         return self._col_agg(fn)
 
-    def std(self, axis: int | None = 0, ddof: int = 0) -> np.ndarray:
+    def std(self, axis: int | None = 0, ddof: int = 0):
+        if axis == 1:
+            inner = self._row_var(ddof)
+            return self._row_reduce(lambda v: F.sqrt(inner(v)))
         fn = F.stddev_samp if ddof == 1 else F.stddev_pop
         if axis != 0:
-            raise NotImplementedError("std: axis=0 only (scanpy scale path)")
+            raise NotImplementedError("std: axis in (0, 1) only")
         return self._col_agg(fn)
 
     def min(self, axis: int | None = None):

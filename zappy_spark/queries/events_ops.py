@@ -90,6 +90,36 @@ def s5(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s6(spark: SparkSession, d: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/jobs.py::interval_stream_join): clicks matched to the
+    same user's purchases within 1 hour AFTER the click. The streaming
+    form adds watermarks for state eviction; the result set over a
+    replayed table is identical — which is exactly what this oracle
+    pins. Aggregated per user to keep the declared output bounded."""
+    ev = t(spark, d, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        j.groupBy(F.col("cu").alias("user_id"))
+        .agg(F.count("*").alias("pairs"))
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
 def s7(spark: SparkSession, d: str) -> DataFrame:
     """Prev-event gap analytics (as-of self-join via lag).
 
@@ -118,6 +148,7 @@ QUERIES = {
     "s3_session_window": s3,
     "s4_dedup_keep_first": s4,
     "s5_stream_static_join": s5,
+    "s6_interval_join": s6,
     "s7_prev_event_gap": s7,
 }
 
@@ -155,6 +186,14 @@ ORACLE = {
         "SELECT n_name, COUNT(*) c, ROUND(SUM(value),2) s FROM events "
         "JOIN nation ON CAST(user_id%25 AS INT)=n_nationkey "
         "GROUP BY n_name ORDER BY n_name"
+    ),
+    "s6_interval_join": (
+        "SELECT c.user_id, COUNT(*) pairs "
+        "FROM (SELECT user_id, ts FROM events WHERE event_type='click') c "
+        "JOIN (SELECT user_id, ts FROM events WHERE event_type='purchase') p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 1 HOUR "
+        "GROUP BY c.user_id ORDER BY c.user_id LIMIT 100"
     ),
     "s7_prev_event_gap": (
         "SELECT user_id, ROUND(AVG(CAST(FLOOR(epoch(ts)) AS BIGINT) - "

@@ -280,6 +280,29 @@ def z23(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z24(spark: SparkSession, d: str) -> DataFrame:
+    """var/std axis=1 (per-row, over the array column) — centered
+    sum-of-squares form, same expression ZappyFrame.var(axis=1) uses."""
+    emb = t(spark, d, "embeddings")
+    v = F.col("embedding")
+    n = F.size(v).cast("double")
+    m = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+    ssd = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda a, x: a + (x.cast("double") - m) * (x.cast("double") - m),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(ssd / n, 6).alias("vp"),
+            F.round(F.sqrt(ssd / (n - 1)), 6).alias("ss"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -303,6 +326,7 @@ QUERIES = {
     "z21_corr_covar": z21,
     "z22_skew_kurt": z22,
     "z23_regr": z23,
+    "z24_var_axis1": z24,
 }
 
 ORACLE = {
@@ -412,5 +436,15 @@ ORACLE = {
     "z19_mean_axis1": (
         "SELECT vec_id, ROUND(list_aggregate(embedding,'sum')/len(embedding),6) m "
         "FROM embeddings ORDER BY vec_id LIMIT 100"
+    ),
+    "z24_var_axis1": (
+        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings), "
+        "m AS (SELECT vec_id, e, list_aggregate(e,'sum')/len(e) mu FROM b) "
+        "SELECT vec_id, "
+        "ROUND(list_aggregate(list_transform(e, x -> (x-mu)*(x-mu)),'sum')"
+        "/len(e),6) vp, "
+        "ROUND(sqrt(list_aggregate(list_transform(e, x -> (x-mu)*(x-mu)),'sum')"
+        "/(len(e)-1)),6) ss "
+        "FROM m ORDER BY vec_id LIMIT 100"
     ),
 }
