@@ -538,3 +538,26 @@ def test_moments_empty_frame_raises(spark):
     df = spark.createDataFrame([], "embedding array<double>")
     with _pytest.raises(ValueError):
         moments(df, "embedding")
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.joins import salted_join
+
+    # 90% of left rows share one key — the straggler shape
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i % 7 + 1, i) for i in range(2000)],
+        "k bigint, payload bigint",
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(8)], "k bigint, name string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(left, right, "k", salt=8, how=how)
+        want = left.join(right, "k", how)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    # the salted plan spreads the hot key: join key includes the salt
+    plan = salted_join(left, right, "k", salt=8)._jdf.queryExecution()
+    assert "_zs_salt" in plan.optimizedPlan().toString()

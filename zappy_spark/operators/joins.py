@@ -82,3 +82,46 @@ def asof_join(
         matched.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
         .select(*out_cols)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's skewed keys spread over ``salt``
+    shuffle partitions: left rows get a deterministic salt from an
+    unrelated hash of the whole row position-free tuple, the right
+    side is replicated ``salt`` times, and the join key becomes
+    (key, salt). Result is EXACTLY the plain join (verified by test).
+
+    Use when one key dominates (power-law key → one straggler task).
+    Spark's AQE skew-join splits oversized *sort-merge* partitions
+    automatically; explicit salting still wins when the skew is known
+    ahead of time, when the join must be shuffled-hash, or when a
+    single key exceeds what one task can sort. The replication factor
+    multiplies the (smaller) right side only — pick salt ≈ the skew
+    ratio, not larger.
+    """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l_salted = left.withColumn(
+        "_zs_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+        ).cast("int"),
+    )
+    r_salted = right.withColumn(
+        "_zs_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt)])),
+    )
+    out = l_salted.join(
+        r_salted,
+        [key, "_zs_salt"],
+        how,
+    )
+    return out.drop("_zs_salt")

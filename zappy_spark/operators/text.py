@@ -175,24 +175,28 @@ def redact_pii(text: str | Column) -> Column:
     return F.regexp_replace(out, URL_RE, "<URL>")
 
 
-def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def tf_idf(
+    df: DataFrame, text_col: str, id_col: str, persist: bool = True
+) -> DataFrame:
     """(id, term, tf, df, tfidf) with smooth idf
     ``ln((N+1)/(df+1)) + 1`` (sklearn's convention).
 
-    Shape at scale: one explode + two balanced shuffles — (id, term)
-    for tf, term for document frequency — plus a broadcast of the
-    scalar N. The doc-frequency side aggregates partial before its
-    shuffle, so the term table is term-cardinality-sized."""
+    Shape at scale: ONE explode scan feeding a (doc, term) partial
+    aggregation; document frequency then derives from the tf table
+    itself (its rows are already distinct (doc, term) pairs), so the
+    corpus is never tokenized twice and there is no separate
+    ``distinct()`` shuffle. tf is persisted by default — it feeds the
+    df aggregation and the final join — and N broadcasts as a 1-row
+    frame from a column-pruned count."""
     toks = df.select(
         F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = (
-        toks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    if persist:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("_n"))
     return (
         tf.join(dfreq, "term")
