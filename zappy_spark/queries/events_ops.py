@@ -166,12 +166,20 @@ ORACLE = {
         "AS TIMESTAMP) w, event_type FROM events) t "
         "GROUP BY w, event_type ORDER BY w, event_type LIMIT 100"
     ),
+    # event_id tiebreak in BOTH window orders: with duplicate (user,
+    # ts) rows, "ORDER BY ts" alone lets the LAG pass and the
+    # cumulative-SUM pass disagree on tie order, migrating tied rows
+    # across session ids (caught by the 10x-replicated synth-sf1
+    # fixture, where every timestamp is duplicated). Spark's
+    # session_window groups by time values only and has no such
+    # sensitivity.
     "s3_session_window": (
-        "WITH g AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes' "
-        "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN ts - LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes' "
+        "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
         "THEN 1 ELSE 0 END ns FROM events), "
-        "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts "
+        "s AS (SELECT user_id, ts, SUM(ns) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM g) "
         "SELECT user_id, COUNT(DISTINCT sid) sessions, COUNT(*) events "
         "FROM s GROUP BY user_id ORDER BY user_id"

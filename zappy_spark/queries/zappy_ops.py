@@ -11,7 +11,7 @@ expressions:
                             per-chunk-then-reduce done by the engine)
                             (Z1 Z2 Z12 Z13 Z15 Z16 Z18)
 - axis=1 aggregation      → array lambda reduce, one row at a time,
-                            fully distributed (Z5 Z14 Z17 Z19)
+                            fully distributed (Z5 Z14 Z17 Z19 Z24)
 - boolean mask / fancy
   index (``__getitem__``) → filter / select (Z10 Z11)
 

@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -87,7 +88,12 @@ def configure(spark: SparkSession) -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, applying per-table ingest repairs."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    # Only the driver-generated store carries nanos-as-long; an events
+    # table that round-tripped through Spark already has a real
+    # timestamp column and must load untouched.
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, LongType
+    ):
         # ts arrives as LongType nanos (see module docstring); convert
         # to a real timestamp (micros) once, here, so no query ever
         # sees the raw long. Integer arithmetic, NOT `/1000` + cast
