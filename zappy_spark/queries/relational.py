@@ -700,6 +700,43 @@ def r40(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r41(spark: SparkSession, d: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate a monthly
+    date spine by recursion, then left-join monthly order aggregates
+    onto it so empty months still appear.
+
+    The recursion is driver-cheap (24 iterations over a 1-row-per-
+    level spine); the joined side is the full distributed orders
+    scan, aggregated per month BEFORE the join so the spine join is a
+    24-row broadcast. This is the scale shape: recursion generates
+    the small dimension, never iterates over the fact table."""
+    orders = t(spark, d, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(mon) AS (
+          SELECT DATE'1994-01-01'
+          UNION ALL
+          SELECT add_months(mon, 1) FROM spine
+          WHERE mon < DATE'1995-12-01'
+        )
+        SELECT s.mon, COALESCE(m.n_orders, 0) AS n_orders,
+               COALESCE(m.rev, CAST(0 AS DOUBLE)) AS rev
+        FROM spine s LEFT JOIN {monthly} m ON m.mon = s.mon
+        ORDER BY s.mon
+        """,
+        monthly=monthly,
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -776,6 +813,7 @@ QUERIES = {
     "r38_q3_shape": r38,
     "r39_q18_shape": r39,
     "r40_bucketed_ranking": r40,
+    "r41_recursive_cte": r41,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1024,6 +1062,18 @@ ORACLE = {
         "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
         "GROUP BY l_orderkey HAVING SUM(l_quantity) > 180) "
         "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r41_recursive_cte": (
+        "WITH RECURSIVE spine(mon) AS ("
+        "SELECT DATE '1994-01-01' UNION ALL "
+        "SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine "
+        "WHERE mon < DATE '1995-12-01'), "
+        "m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) mon, "
+        "COUNT(o_orderkey) n_orders, ROUND(SUM(o_totalprice),2) rev "
+        "FROM orders GROUP BY 1) "
+        "SELECT s.mon, COALESCE(m.n_orders, 0) AS n_orders, "
+        "COALESCE(m.rev, 0.0) AS rev "
+        "FROM spine s LEFT JOIN m ON m.mon = s.mon ORDER BY s.mon"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
