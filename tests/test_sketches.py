@@ -1,0 +1,87 @@
+"""Mergeable-sketch properties (operators/sketches.py).
+
+Sketch estimates are engine-specific, so there is no DuckDB oracle;
+instead these tests pin the two contracts that make sketches usable
+at scale: the error envelope, and the merge identity (rolling up
+partial sketches must equal the single-pass sketch — the property
+that lets a 100 TB pipeline persist daily sketches and never rescan).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zappy_spark.operators.sketches import (
+    DEFAULT_LGK,
+    cms_build,
+    cms_frequencies,
+    hll_build,
+    hll_rollup,
+)
+from zappy_spark.session import load_table
+
+RSE = 1.04 / math.sqrt(2**DEFAULT_LGK)
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    ev = _events(spark)
+    exact = ev.select("user_id").distinct().count()
+    est = (
+        hll_rollup(hll_build(ev, ["day"], "user_id"), [])
+        .collect()[0]["approx_distinct"]
+    )
+    assert abs(est - exact) <= max(3 * RSE * exact, 1)
+
+
+def test_hll_merge_identity(spark):
+    """Union of per-day sketches == one global sketch (same lgK)."""
+    ev = _events(spark)
+    merged = (
+        hll_rollup(hll_build(ev, ["day"], "user_id"), [])
+        .collect()[0]["approx_distinct"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", DEFAULT_LGK)).alias(
+            "e"
+        )
+    ).collect()[0]["e"]
+    assert merged == direct
+
+
+def test_hll_per_group_matches_grouped_exact(spark):
+    ev = _events(spark)
+    exact = {
+        r["day"]: r["c"]
+        for r in ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .collect()
+    }
+    est = hll_rollup(hll_build(ev, ["day"], "user_id"), ["day"]).collect()
+    assert len(est) == len(exact)
+    for r in est:
+        e, x = r["approx_distinct"], exact[r["day"]]
+        assert abs(e - x) <= max(3 * RSE * x, 1)
+
+
+def test_cms_frequency_bounds(spark):
+    """CMS guarantees: true <= est <= true + eps*N (w.h.p.)."""
+    ev = _events(spark)
+    eps = 0.001
+    total = ev.count()
+    truth = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    sketch = cms_build(ev, "event_type", eps=eps)
+    est = cms_frequencies(spark, sketch, list(truth))
+    for item, true_c in truth.items():
+        assert true_c <= est[item] <= true_c + eps * total + 1

@@ -359,6 +359,25 @@ def v06(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v07(spark: SparkSession, d: str) -> DataFrame:
+    """Mergeable HLL distinct-user rollup (rows-only: estimates are
+    deterministic but engine-specific, so no DuckDB oracle; the
+    ±3·RSE error envelope and the merge identity — union of daily
+    sketches == single-pass sketch — are pinned in
+    tests/test_sketches.py). One fact-table pass builds per-day
+    sketches; the weekly rollup merges sketch binaries only, which
+    is the shape that avoids any fact-table rescan at 100 TB."""
+    from zappy_spark.operators.sketches import hll_build, hll_rollup
+
+    ev = t(spark, d, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_build(ev, ["day"], "user_id")
+    weekly = hll_rollup(
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date")),
+        ["week"],
+    )
+    return weekly.orderBy("week")
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -382,6 +401,7 @@ QUERIES = {
     "v04_quantize_int8": v04,
     "v05_covariance": v05,
     "v06_pca_scores": v06,
+    "v07_hll_rollup": v07,
 }
 
 
