@@ -177,6 +177,33 @@ def test_multimodal_feature_extraction(spark):
     assert idx == list(range(0, 95, 10))
 
 
+def test_multimodal_resize_contract(spark):
+    from zappy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        RESIZED_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"\x00\x01\x02\x03" * 64, (8, 8, None, None, "image/png")),
+        (2, "audio", b"\xff\xfe" * 300, (None, None, 16000, None, "audio/wav")),
+        (3, "image", b"\x10\x20\x30" * 100, (64, 48, None, None, "image/png")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, height=4, width=6, channels=3)
+    assert out.schema == RESIZED_SCHEMA
+    got = {r["media_id"]: r for r in out.collect()}
+    # non-image rows filtered before the Arrow boundary
+    assert set(got) == {1, 3}
+    for r in got.values():
+        assert len(bytes(r["payload"])) == 4 * 6 * 3
+        assert (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+    # deterministic kernel: same payload → same buffer
+    again = {r["media_id"]: r for r in
+             resize_images(df, height=4, width=6).collect()}
+    assert bytes(got[1]["payload"]) == bytes(again[1]["payload"])
+
+
 def test_decode_stub_raises(spark):
     from zappy_spark.operators.multimodal import decode_image
 

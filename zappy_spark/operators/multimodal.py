@@ -109,6 +109,63 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, h: int, w: int, channels: int) -> bytes:
+    """Deterministic fake resize kernel: an h*w*channels pixel buffer
+    derived from md5(payload) — stands in for decode→resize→encode so
+    the batch shape and output contract (exact buffer length, typed
+    dims) are testable without a codec library."""
+    import hashlib
+
+    seed = hashlib.md5(payload).digest()
+    need = h * w * channels
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def resize_images(
+    df: DataFrame, height: int, width: int, channels: int = 3
+) -> DataFrame:
+    """binary image payload → fixed-size pixel buffer via mapInPandas.
+
+    The kind filter runs BEFORE the Python stage, so non-image rows
+    never cross the Arrow boundary; output carries the new dims as
+    typed columns (the downstream contract for training loaders: every
+    payload is exactly height*width*channels bytes). The kernel is the
+    deterministic fake (_fake_resize) — swap in decode_image + a real
+    resampler when a codec library is available."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(
+                        lambda p: _fake_resize(bytes(p), height, width, channels)
+                    ),
+                    "width": pd.Series([width] * n, dtype="int32"),
+                    "height": pd.Series([height] * n, dtype="int32"),
+                    "channels": pd.Series([channels] * n, dtype="int32"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: expand (media_id, n_frames) to
     one row per sampled frame index — pure Spark (sequence+explode);
