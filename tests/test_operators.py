@@ -334,6 +334,64 @@ def test_frame_sample_skips_empty_videos(spark):
     assert got == {(2, 0), (2, 10), (2, 20)}
 
 
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Z-ordered files must have tight min-max boxes on EVERY
+    clustered dimension — the property parquet skipping prunes on.
+    A plain sort by x would leave per-file y ranges at full width."""
+    import glob
+
+    from zappy_spark.operators.layout import with_zvalue, zorder_write
+
+    df = spark.range(256 * 64).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("bigint").alias("y")
+    )
+    path = str(tmp_path / "zordered")
+    # per-column widths matched to actual cardinality (256 x 64)
+    zorder_write(df, path, ["x", "y"], bits=[8, 6], num_files=16)
+    # baseline: same write path clustered on x alone
+    base = str(tmp_path / "xsorted")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+
+    def avg_widths(p):
+        wx, wy = [], []
+        for f in glob.glob(f"{p}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                (F.max("x") - F.min("x")).alias("wx"),
+                (F.max("y") - F.min("y")).alias("wy"),
+            ).collect()[0]
+            wx.append(r["wx"])
+            wy.append(r["wy"])
+        assert len(wx) > 4
+        return sum(wx) / len(wx), sum(wy) / len(wy)
+
+    zx, zy = avg_widths(path)
+    bx, by = avg_widths(base)
+    # x-sort leaves y at full width per file; z-order must keep BOTH
+    # dims clustered (range-sampling boundaries make cuts approximate,
+    # so compare against the baseline, not the bit-exact ideal)
+    assert by > 62  # baseline really is unclustered on y
+    assert zy < 0.7 * by
+    assert zx < 0.3 * 255  # and x stays tightly clustered too
+
+    # kernel sanity: z-value of (0,0) is 0, interleave is monotone in
+    # each dim when the other is fixed
+    zv = {  # x, y -> zv
+        (r["x"], r["y"]): r["zv"]
+        for r in with_zvalue(
+            spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"),
+            ["x", "y"],
+        ).collect()
+    }
+    assert zv[(0, 0)] == 0 and zv[(1, 0)] == 1 and zv[(0, 1)] == 2
+    # (3,5) = x bits 11, y bits 101 -> interleaved y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1
+    assert zv[(3, 5)] == 0b100111
+
+
 def test_prepare_corpus_output_schema(spark, planted_docs):
     from zappy_spark.operators.pipeline import prepare_corpus
 

@@ -1,0 +1,79 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+Parquet skipping is driven by per-file / per-row-group min-max stats,
+which only help on the sort column. Z-ordering interleaves the bits
+of several columns into one clustering key, so a range-partitioned +
+sorted write produces files whose min-max boxes are tight on EVERY
+participating dimension — filters on any of them prune files.
+
+At 100 TB this is a write-amplification-vs-read tradeoff: one
+repartitionByRange shuffle at layout time buys file-level pruning on
+all clustered columns forever after. The z-value itself is a pure
+integer expression (shifts + masks), generated as SQL text that both
+Spark and DuckDB parse identically — which is how the corpus entry
+(r42) oracle replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 8
+
+
+def zvalue_sql(cols: list[str], bits: int | list[int] = DEFAULT_BITS) -> str:
+    """Morton-interleave SQL for ``cols``.
+
+    ``bits`` is the significant bit width per column (one int applies
+    to all). Widths SHOULD match each column's actual cardinality:
+    interleaving phantom high bits of a narrow column misaligns the
+    range-partition cut points and widens per-file boxes on that
+    dimension (measured in tests). Columns exhaust round-robin; wider
+    columns keep their high bits at the top.
+
+    Plain shifts/masks/adds — valid and identical in Spark SQL and
+    DuckDB, so oracles can embed the same text. Inputs must already
+    be non-negative integers in [0, 2^bits)."""
+    widths = [bits] * len(cols) if isinstance(bits, int) else list(bits)
+    if len(widths) != len(cols):
+        raise ValueError(f"got {len(widths)} widths for {len(cols)} cols")
+    terms, pos = [], 0
+    for i in range(max(widths)):
+        for c, w in zip(cols, widths):
+            if i < w:
+                terms.append(f"((({c} >> {i}) & 1) << {pos})")
+                pos += 1
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def with_zvalue(
+    df: DataFrame,
+    cols: list[str],
+    bits: int | list[int] = DEFAULT_BITS,
+    out_col: str = "zv",
+) -> DataFrame:
+    return df.withColumn(out_col, F.expr(zvalue_sql(cols, bits)))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int | list[int] = DEFAULT_BITS,
+    num_files: int = 32,
+) -> None:
+    """Cluster ``df`` by the z-value of ``cols`` and write parquet.
+
+    repartitionByRange gives contiguous z-ranges per file (AQE may
+    coalesce small ones); sortWithinPartitions tightens row-group
+    stats inside each file. The z column itself is dropped — it is
+    layout, not data."""
+    zdf = with_zvalue(df, cols, bits, "_zv")
+    (
+        zdf.repartitionByRange(num_files, "_zv")
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

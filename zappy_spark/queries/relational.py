@@ -737,6 +737,27 @@ def r41(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r42(spark: SparkSession, d: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.py): Morton-interleave
+    of (p_partkey % 256, p_size) — the key zorder_write range-
+    partitions on. The oracle embeds the IDENTICAL generated SQL text
+    (zvalue_sql emits engine-portable shifts/masks), so the layout
+    kernel itself is hash-verified, not just its effects."""
+    from zappy_spark.operators.layout import with_zvalue
+
+    p = (
+        t(spark, d, "part")
+        .withColumn("x", (F.col("p_partkey") % 256).cast("bigint"))
+        .withColumn("y", F.col("p_size").cast("bigint"))
+    )
+    return (
+        with_zvalue(p, ["x", "y"], bits=[8, 6])  # p_size <= 50 -> 6 bits
+        .select("p_partkey", "zv")
+        .orderBy("zv", "p_partkey")
+        .limit(100)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -814,6 +835,7 @@ QUERIES = {
     "r39_q18_shape": r39,
     "r40_bucketed_ranking": r40,
     "r41_recursive_cte": r41,
+    "r42_zorder_key": r42,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1075,6 +1097,11 @@ ORACLE = {
         "COALESCE(m.rev, 0.0) AS rev "
         "FROM spine s LEFT JOIN m ON m.mon = s.mon ORDER BY s.mon"
     ),
+    "r42_zorder_key": (
+        "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
+        "CAST(p_partkey % 256 AS BIGINT) x, CAST(p_size AS BIGINT) y "
+        "FROM part) ORDER BY zv, p_partkey LIMIT 100"
+    ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "ORDER BY l_extendedprice DESC, l_orderkey, l_extendedprice LIMIT 10"
@@ -1093,3 +1120,11 @@ ORACLE = {
         "INTERSECT SELECT p_partkey FROM part) t ORDER BY c LIMIT 5"
     ),
 }
+
+# r42's oracle replays the exact generated z-value expression the
+# Spark builder uses — one source of truth for the Morton kernel.
+from zappy_spark.operators.layout import zvalue_sql as _zvalue_sql  # noqa: E402
+
+ORACLE["r42_zorder_key"] = ORACLE["r42_zorder_key"].format(
+    zv=_zvalue_sql(["x", "y"], bits=[8, 6])
+)
