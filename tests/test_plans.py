@@ -45,6 +45,23 @@ def test_topk_is_take_ordered(spark):
     )
 
 
+def test_recursive_spine_join_is_broadcast(spark):
+    """r41: the 24-row recursive spine must broadcast against the
+    monthly aggregate — a shuffle join keyed on 24 months would be
+    all skew at scale."""
+    plan = _plan(QUERIES["r41_recursive_cte"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_is_expression_only(spark):
+    """r42: the Morton key must compile to pure expressions + top-k —
+    no Python stage, no exchange beyond TakeOrdered's."""
+    plan = _plan(QUERIES["r42_zorder_key"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
 def test_dims_broadcast_in_join5(spark):
     plan = _plan(QUERIES["r02_join5_agg"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
