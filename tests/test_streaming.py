@@ -238,3 +238,29 @@ def test_stream_stream_interval_join_equals_batch(spark, replay_dir):
     batch = jobs.interval_stream_join(b_clicks, b_purch)
     assert _rows(got, "c_id", "p_id") == _rows(batch, "c_id", "p_id")
     assert got.count() > 0  # non-vacuous: the window does match pairs
+
+
+def test_incremental_hll_equals_batch_sketch(spark, replay_dir, tmp_path):
+    """Drained incremental sketch state must EQUAL the one-pass batch
+    sketch per day — the merge identity that makes the streaming
+    pattern trustworthy (not just approximately right)."""
+    state = str(tmp_path / "hll_state")
+    stream = jobs.stream_events(spark, replay_dir)
+    q = jobs.incremental_hll(stream, state, lgk=12)
+    q.processAllAvailable()
+    q.stop()
+
+    got = _rows(jobs.hll_state_estimates(spark, state), "day", "approx_distinct")
+    batch = _rows(
+        spark.read.parquet(replay_dir)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias(
+                "approx_distinct"
+            )
+        ),
+        "day",
+        "approx_distinct",
+    )
+    assert got == batch and len(got) > 1

@@ -194,6 +194,66 @@ def interval_stream_join(
     )
 
 
+def incremental_hll(
+    stream: DataFrame, state_path: str, lgk: int = 12
+) -> "Any":
+    """Incremental distinct-user sketches via ``foreachBatch``: each
+    micro-batch builds per-day partial HLL sketches (distributed JVM
+    aggregate over just the batch) and unions them into a persisted
+    state table of (day, sketch binary).
+
+    This is the streaming twin of ``operators.sketches.hll_build`` —
+    and the reason sketches matter in a pipeline: merge cost is
+    proportional to the state table (days × ~KB), independent of
+    history size, so the nightly "distinct users ever" query never
+    rescans the stream. The state swap materializes the (tiny) merged
+    table before overwriting, so the read-then-overwrite is safe; at
+    scale the same pattern targets a keyed state store or a
+    transactional table format instead of a parquet swap.
+
+    Returns the started StreamingQuery; the caller drains/stops it.
+    """
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.withColumn("day", F.to_date("ts"))
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id", lgk).alias("hll"))
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("day")
+                .agg(F.hll_union_agg("hll").alias("hll"))
+            )
+        except Exception:  # first batch: no state yet
+            merged = part
+        rows = merged.collect()  # days × KB — driver-safe by design
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .outputMode("update")
+        .start()
+    )
+
+
+def hll_state_estimates(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the persisted sketch state and estimate per-day + return
+    frame (day, approx_distinct) — the query side never touches the
+    original stream."""
+    return (
+        spark.read.parquet(state_path)
+        .select(
+            "day", F.hll_sketch_estimate("hll").alias("approx_distinct")
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> "DataFrame":
