@@ -1,6 +1,10 @@
-"""Generate a synthetic ~sf1 from sf0.1: lineitem/orders/events
-replicated REPL× with consistently shifted keys (orderkeys shift
-together so joins stay valid; part/supplier/customer dims unchanged).
+"""Generate a synthetic ~sf1 from sf0.1: fact tables replicated REPL×
+with consistently shifted keys (orderkeys shift together so joins stay
+valid; part/supplier/customer dims unchanged). documents/embeddings
+replicas are additionally CONTENT-perturbed (text suffix / first
+embedding component offset) so dedup queries see 10× corpus size, not
+10 verbatim clones of every row — clone floods would trivially explode
+every near-dup bucket instead of stressing the realistic shape.
 
 Usage:
     python scripts/synth_scale.py /root/testdata/sf0.1 /tmp/synth_sf1
@@ -8,7 +12,9 @@ Usage:
 
 This is the SCALE.md 10× verification fixture: the oracle corpus must
 hash-match DuckDB on a key distribution the queries were never
-authored against.
+authored against. (The two deliberately-quadratic oracle twins,
+l06/d05, are skipped at this scale — tests/conftest.py
+QUADRATIC_ORACLES — their production paths d06/v01/v02 run in full.)
 """
 
 from __future__ import annotations
@@ -26,7 +32,26 @@ SHIFTED = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
+
+
+def perturb(name: str, df, i: int):
+    """Content-perturb replica i (identity for i == 0)."""
+    if i == 0:
+        return df
+    if name == "documents":
+        return df.withColumn("text", F.concat("text", F.lit(f" r{i}")))
+    if name == "embeddings":
+        return df.withColumn(
+            "embedding",
+            F.expr(
+                f"transform(embedding, (x, k) -> CAST(CASE WHEN k = 0 "
+                f"THEN x + {i} * 0.001 ELSE x END AS FLOAT))"
+            ),
+        )
+    return df
 
 
 def main(src: str, dst: str) -> None:
@@ -38,7 +63,7 @@ def main(src: str, dst: str) -> None:
             span = df.agg(*[F.max(k) for k in keys]).first()[0] + 1
             parts = []
             for i in range(REPL):
-                p = df
+                p = perturb(name, df, i)
                 for k in keys:
                     p = p.withColumn(k, F.col(k) + F.lit(i * span))
                 parts.append(p)

@@ -11,6 +11,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = os.environ.get("ZS_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# Deliberately-quadratic oracle twins of the LSH-blocked production
+# paths (similarity.py): exact O(n²) self-joins, declared only so the
+# scalable forms have a verified reference. On the 10× synthetic
+# fixture they'd be billions of pairs, so the per-query oracle tests
+# skip them there; d06 / v01 / v02 (the production paths) still run.
+QUADRATIC_ORACLES = {"l06_similarity_self_join", "d05_embedding_neardup"}
+
+
+def skip_quadratic_at_scale(name: str) -> None:
+    if "ZS_TEST_SF_DIR" in os.environ and name in QUADRATIC_ORACLES:
+        pytest.skip(f"{name}: O(n²) oracle twin, skipped on big fixture")
+
 
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):

@@ -45,6 +45,9 @@ def _dtype_sig(pdf):
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_output_dtypes_match_oracle(spark, duck, name):
+    from tests.conftest import skip_quadratic_at_scale
+
+    skip_quadratic_at_scale(name)
     sp = QUERIES[name](spark, SF_DIR).toPandas()
     du = duck.execute(ORACLE[name]).df()
     s_sig, d_sig = _dtype_sig(sp), _dtype_sig(du)

@@ -646,3 +646,30 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
     # the salted plan spreads the hot key: join key includes the salt
     plan = salted_join(left, right, "k", salt=8)._jdf.queryExecution()
     assert "_zs_salt" in plan.optimizedPlan().toString()
+
+
+def test_skew_diagnostics(spark):
+    from zappy_spark.operators.diagnostics import (
+        key_skew_report,
+        partition_sizes,
+        shuffle_balance,
+    )
+
+    # planted skew: key 0 carries half the rows
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 5_000, 0).otherwise(F.col("id")).alias("k")
+    )
+    rep = key_skew_report(df, "k", top=3)
+    assert rep["rows"] == 10_000
+    assert rep["distinct_keys"] == 5_001
+    assert rep["max_key_rows"] == 5_000
+    assert rep["top_keys"][0] == (0, 5_000)
+    assert rep["skew_ratio"] > 1_000
+
+    ps = partition_sizes(df)
+    assert ps.agg(F.sum("rows")).collect()[0][0] == 10_000
+
+    sb = shuffle_balance(df, ["k"], 8).collect()
+    assert sum(r["rows"] for r in sb) == 10_000
+    # the hot key lands whole in one bucket: max bucket >= 5000
+    assert max(r["rows"] for r in sb) >= 5_000

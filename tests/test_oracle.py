@@ -29,6 +29,9 @@ def _canon_unordered(cols: list[str], rows: list[tuple]) -> tuple[int, list[str]
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, duck, name):
+    from tests.conftest import skip_quadratic_at_scale
+
+    skip_quadratic_at_scale(name)
     df = QUERIES[name](spark, SF_DIR)
     s_rows = [tuple(r) for r in df.collect()]
     s = _canon_unordered(df.columns, s_rows)

@@ -1,0 +1,74 @@
+"""Skew and balance diagnostics — the measurements that decide which
+scale strategy (broadcast, salt, AQE skew-join) a 100 TB job needs.
+
+Every report here is itself a distributed aggregate (group-count +
+top-k / stats), so diagnosing a skewed 100 TB table costs one shuffle
+of (key, count) pairs, not a collect of data. Use before committing
+to a join strategy: ``key_skew_report`` tells you whether the hot key
+needs salting (operators/joins.py::salted_join); ``shuffle_balance``
+predicts the post-shuffle partition histogram for a key set WITHOUT
+running the shuffle, using the same hash family Spark's
+HashPartitioner applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_sizes(df: DataFrame) -> DataFrame:
+    """Rows per CURRENT partition (post-scan or post-shuffle) —
+    (partition_id, rows), one row per non-empty partition."""
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("rows"))
+        .orderBy("partition_id")
+    )
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 20) -> dict:
+    """Key distribution stats + the ``top`` heaviest keys.
+
+    Returns {rows, distinct_keys, max_key_rows, mean_key_rows,
+    skew_ratio, top_keys}; ``skew_ratio`` = max/mean key frequency —
+    the multiplier by which the hottest reducer exceeds the average
+    (>~4 with large absolute counts usually means salt or skew-join).
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("rows"),
+        F.count("*").alias("distinct_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.avg("n").alias("mean_key_rows"),
+    ).collect()[0]
+    top_rows = counts.orderBy(F.desc("n"), key).limit(top).collect()
+    return {
+        "rows": stats["rows"],
+        "distinct_keys": stats["distinct_keys"],
+        "max_key_rows": stats["max_key_rows"],
+        "mean_key_rows": float(stats["mean_key_rows"]),
+        "skew_ratio": stats["max_key_rows"] / float(stats["mean_key_rows"]),
+        "top_keys": [(r[key], r["n"]) for r in top_rows],
+    }
+
+
+def shuffle_balance(
+    df: DataFrame, keys: list[str], num_partitions: int
+) -> DataFrame:
+    """Predicted rows per reducer for a hash shuffle on ``keys`` —
+    (bucket, rows) using Spark's own hash family (murmur3 via
+    ``F.hash``), so a planned ``groupBy``/``join`` can be sized
+    before paying for it. A bucket holding >> rows/num_partitions
+    predicts a straggler."""
+    return (
+        df.select(
+            F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_partitions)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rows"))
+        .orderBy("bucket")
+    )
