@@ -33,6 +33,21 @@ def test_numpy_ufunc_interop(xz):
     assert np.allclose((2.0 - zf).asndarray(), 2.0 - X)
 
 
+def test_extended_unary_ufuncs(xz):
+    X, zf = xz
+    assert np.allclose(zf.log2().asndarray(), np.log2(X))
+    assert np.allclose(zf.log10().asndarray(), np.log10(X))
+    assert np.allclose(zf.tanh().asndarray(), np.tanh(X))
+    assert np.allclose(zf.rint().asndarray(), np.rint(X))
+    assert np.allclose(zf.clip(0.5, 2.0).asndarray(), np.clip(X, 0.5, 2.0))
+    assert np.allclose(zf.clip(hi=1.0).asndarray(), np.clip(X, None, 1.0))
+    # ufunc dispatch forms
+    assert np.allclose(np.tanh(zf).asndarray(), np.tanh(X))
+    assert np.allclose(np.clip(zf, 0.5, 2.0).asndarray(), np.clip(X, 0.5, 2.0))
+    with pytest.raises(ValueError):
+        zf.clip()
+
+
 def test_broadcast_shapes(xz):
     X, zf = xz
     # scalar

@@ -673,3 +673,27 @@ def test_skew_diagnostics(spark):
     assert sum(r["rows"] for r in sb) == 10_000
     # the hot key lands whole in one bucket: max bucket >= 5000
     assert max(r["rows"] for r in sb) >= 5_000
+
+
+def test_compact_files(spark, tmp_path):
+    import glob
+
+    from zappy_spark.operators.layout import compact_files, dataset_bytes
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    total = dataset_bytes(spark, src)
+    target = max(total // 4, 1)
+    n = compact_files(spark, src, dst, target_bytes=target, sort_cols=["id"])
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n <= 8
+    # data survives byte-identical as a set
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b

@@ -301,6 +301,45 @@ class ZappyFrame:
     def negative(self):
         return self._map(lambda x: -x)
 
+    def log2(self):
+        return self._map(lambda x: F.log2(x))
+
+    def log10(self):
+        return self._map(lambda x: F.log10(x))
+
+    def tanh(self):
+        return self._map(F.tanh)
+
+    def rint(self):
+        # numpy rint = banker's rounding; Spark bround matches
+        return self._map(lambda x: F.bround(x, 0))
+
+    def clip(
+        self,
+        lo: float | None = None,
+        hi: float | None = None,
+        out=None,
+        **_np_kwargs,
+    ):
+        """numpy clip (scanpy's post-log1p standard step).
+
+        Signature accepts numpy's method-dispatch extras (``np.clip``
+        forwards ``out=None`` positionally-after-bounds; rejecting it
+        makes numpy silently fall back to returning the input)."""
+        if out is not None:
+            raise ValueError("out= is not supported on a distributed frame")
+        if lo is None and hi is None:
+            raise ValueError("clip needs at least one bound")
+
+        def k(x):
+            if lo is not None:
+                x = F.greatest(x, F.lit(float(lo)))
+            if hi is not None:
+                x = F.least(x, F.lit(float(hi)))
+            return x
+
+        return self._map(k)
+
     def astype(self, dtype: str):
         spark_t = {
             "float64": "double", "float32": "float",
@@ -326,9 +365,13 @@ class ZappyFrame:
             "expm1": self.expm1, "sqrt": self.sqrt, "square": self.square,
             "absolute": self.abs, "sign": self.sign, "floor": self.floor,
             "ceil": self.ceil, "negative": self.negative,
+            "log2": self.log2, "log10": self.log10, "tanh": self.tanh,
+            "rint": self.rint,
         }
         if len(inputs) == 1 and name in unary:
             return unary[name]()
+        if name == "clip" and len(inputs) == 3 and inputs[0] is self:
+            return self.clip(inputs[1], inputs[2])
         binary = {
             "add": "__add__", "subtract": "__sub__", "multiply": "__mul__",
             "true_divide": "__truediv__", "divide": "__truediv__",

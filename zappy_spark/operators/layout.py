@@ -56,6 +56,49 @@ def with_zvalue(
     return df.withColumn(out_col, F.expr(zvalue_sql(cols, bits)))
 
 
+def dataset_bytes(spark, path: str) -> int:
+    """On-disk size of a dataset via the Hadoop FileSystem API — works
+    for any supported scheme (local, HDFS, object stores), not just
+    local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_files(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_bytes`` files — the
+    small-files repair every long-running ingest needs (a 100 TB table
+    accreted from streaming micro-batches ends up as millions of tiny
+    files whose open/footer cost dominates scans).
+
+    File count is sized from the dataset's actual on-disk bytes.
+    With ``sort_cols`` the rewrite re-establishes clustering
+    (range-partition + sort, preserving skip-friendly min-max stats);
+    without, a plain repartition balances bytes. Writes to ``dst``
+    (never in place — readers of ``src`` stay consistent; swap paths
+    atomically at the catalog/manifest layer). Returns the file count.
+    """
+    import math
+
+    n = max(1, math.ceil(dataset_bytes(spark, src) / target_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
