@@ -737,6 +737,27 @@ def r41(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r43(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — rows below 20%
+    of their group's average. Spelled as the explicit decorrelation
+    (per-key aggregate + equi-join) rather than SQL's correlated
+    form: same result Catalyst's DecorrelateInnerQuery produces, but
+    the join is visible for broadcast/AQE decisions at scale (the
+    aggregate side is |distinct keys|, usually broadcastable)."""
+    li = t(spark, d, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qlim")
+    )
+    return (
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def r42(spark: SparkSession, d: str) -> DataFrame:
     """Z-order clustering key (operators/layout.py): Morton-interleave
     of (p_partkey % 256, p_size) — the key zorder_write range-
@@ -836,6 +857,7 @@ QUERIES = {
     "r40_bucketed_ranking": r40,
     "r41_recursive_cte": r41,
     "r42_zorder_key": r42,
+    "r43_correlated_subquery": r43,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1096,6 +1118,14 @@ ORACLE = {
         "SELECT s.mon, COALESCE(m.n_orders, 0) AS n_orders, "
         "COALESCE(m.rev, 0.0) AS rev "
         "FROM spine s LEFT JOIN m ON m.mon = s.mon ORDER BY s.mon"
+    ),
+    # correlated form on the oracle side — proves the explicit
+    # decorrelation in the builder is semantics-identical
+    "r43_correlated_subquery": (
+        "SELECT ROUND(SUM(l_extendedprice)/7.0, 2) avg_yearly, COUNT(*) n "
+        "FROM lineitem l1 WHERE l_quantity < ("
+        "SELECT 0.2*AVG(l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = l1.l_partkey)"
     ),
     "r42_zorder_key": (
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
