@@ -697,3 +697,43 @@ def test_compact_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_grouped_pandas_udaf(spark):
+    """Grouped-agg pandas UDAFs vs numpy on the same groups."""
+    import numpy as np
+    import pandas as pd
+
+    from zappy_spark.operators.udaf import (
+        median_abs_deviation,
+        trimmed_mean_10,
+        winsorized_mean,
+    )
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"g": np.repeat([0, 1, 2], 40), "x": rng.normal(10, 3, 120)}
+    )
+    # plant outliers that only robust stats shrug off
+    pdf.loc[0, "x"] = 1e6
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            trimmed_mean_10("x").alias("tm"),
+            median_abs_deviation("x").alias("mad"),
+            winsorized_mean(0.05, 0.95)("x").alias("wm"),
+        )
+        .collect()
+    }
+    for g, grp in pdf.groupby("g"):
+        a = np.sort(grp["x"].to_numpy())
+        k = int(0.1 * len(a))
+        assert abs(got[g]["tm"] - np.mean(a[k : len(a) - k])) < 1e-9
+        med = np.median(a)
+        assert abs(got[g]["mad"] - np.median(np.abs(a - med))) < 1e-9
+        lo, hi = np.quantile(a, [0.05, 0.95])
+        assert abs(got[g]["wm"] - np.mean(np.clip(a, lo, hi))) < 1e-9
+    # robustness: the planted 1e6 outlier must not drag group 0
+    assert got[0]["tm"] < 100
