@@ -737,3 +737,30 @@ def test_grouped_pandas_udaf(spark):
         assert abs(got[g]["wm"] - np.mean(np.clip(a, lo, hi))) < 1e-9
     # robustness: the planted 1e6 outlier must not drag group 0
     assert got[0]["tm"] < 100
+
+
+def test_pack_sequences(spark):
+    from zappy_spark.operators.pipeline import pack_sequences
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    weights = rng.integers(10, 900, size=500)
+    df = spark.createDataFrame(
+        [(int(i), int(w)) for i, w in enumerate(weights)], "id long, w long"
+    ).repartition(4)
+    out = pack_sequences(df, "id", "w", budget=1000).collect()
+
+    # every item packed exactly once
+    packed = [i for r in out for i in r["ids"]]
+    assert sorted(packed) == list(range(500))
+    by_id = {int(i): int(w) for i, w in enumerate(weights)}
+    for r in out:
+        assert r["total_tokens"] == sum(by_id[i] for i in r["ids"]) <= 1000
+    # FFD should waste little: utilization well above naive one-per-bin
+    util = sum(r["total_tokens"] for r in out) / (1000 * len(out))
+    assert util > 0.7, f"utilization {util}"
+    # oversize item refuses
+    bad = spark.createDataFrame([(1, 2000)], "id long, w long")
+    with pytest.raises(ValueError):
+        pack_sequences(bad, "id", "w", budget=1000)

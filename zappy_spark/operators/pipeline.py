@@ -134,3 +134,72 @@ def write_dataset(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy first-fit-decreasing packing of token sequences into
+    fixed-budget bins — the chunk→context-window packing step of a
+    training pipeline (minimizes padding waste).
+
+    Packing is PER PARTITION by design: bins never cross partitions,
+    so the operator is embarrassingly parallel and deterministic for
+    a fixed partitioning (sortWithinPartitions makes the fill order
+    canonical). Global optimality is not the goal — first-fit-
+    decreasing within a partition is the standard practice and is
+    within 11/9 OPT per partition; repartition count trades bin
+    fragmentation (one partial bin per partition) against
+    parallelism. Items above ``budget`` raise rather than silently
+    overflow. Output: (bin_id, ids, total_tokens, n_items) with
+    bin_id unique across partitions (partition_id * 2^40 + local)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    over = df.filter(F.col(n_tokens_col) > budget).count()
+    if over:
+        raise ValueError(f"{over} items exceed budget {budget}")
+
+    src = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("_id"),
+            F.col(n_tokens_col).cast("bigint").alias("_w"),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(F.desc("_w"), "_id")
+    )
+
+    def packer(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # state spans batches: the iterator covers one whole partition
+        bins: list[tuple[int, list[int], int]] = []  # (free, ids, total)
+        pid = None
+        for pdf in it:
+            if len(pdf) and pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            for _id, w in zip(pdf["_id"], pdf["_w"]):
+                for i, (free, ids, tot) in enumerate(bins):
+                    if w <= free:
+                        bins[i] = (free - w, ids + [int(_id)], tot + int(w))
+                        break
+                else:
+                    bins.append((budget - int(w), [int(_id)], int(w)))
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            {
+                "bin_id": [(pid << 40) + i for i in range(len(bins))],
+                "ids": [ids for _, ids, _ in bins],
+                "total_tokens": [tot for _, _, tot in bins],
+                "n_items": [len(ids) for _, ids, _ in bins],
+            }
+        )
+
+    return src.mapInPandas(
+        packer,
+        schema="bin_id bigint, ids array<bigint>, total_tokens bigint, "
+        "n_items int",
+    )

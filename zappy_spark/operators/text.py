@@ -215,3 +215,50 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping context windows — the
+    tokenize→chunk step every LLM training pipeline runs before
+    packing. Chunk i covers tokens [i*stride, i*stride + max_tokens)
+    with stride = max_tokens - overlap; every token belongs to at
+    least one chunk and consecutive chunks share ``overlap`` tokens.
+
+    Pure JVM expressions (split → sequence → explode → slice), so
+    chunking is scan-side work that scales with input bytes; the
+    explode multiplies rows by ~len/stride, which the shuffle-free
+    plan absorbs (no aggregation until the caller adds one).
+    Output: (id, chunk_id, chunk_text, n_tokens)."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - overlap, F.lit(1)) / F.lit(float(stride))
+    ).cast("int")
+    return (
+        df.select(
+            id_col,
+            toks.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    F.col("_t"), F.col("chunk_id") * stride + 1, max_tokens
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.size("_t") - F.col("chunk_id") * stride, F.lit(max_tokens)
+            ).alias("n_tokens"),
+        )
+    )

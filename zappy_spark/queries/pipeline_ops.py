@@ -243,6 +243,22 @@ def t08(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t09(spark: SparkSession, d: str) -> DataFrame:
+    """Context-window chunking (operators/text.py::chunk_tokens):
+    max 30 tokens per chunk, 6-token overlap — every token covered,
+    consecutive chunks share the overlap. Scan-side explode; the
+    oracle replays the identical slice arithmetic on DuckDB lists."""
+    from zappy_spark.operators.text import chunk_tokens
+
+    return (
+        chunk_tokens(
+            t(spark, d, "documents"), "text", "doc_id", max_tokens=30, overlap=6
+        )
+        .orderBy("doc_id", "chunk_id")
+        .limit(200)
+    )
+
+
 # -------------------------------------------------------- similarity
 
 
@@ -395,6 +411,7 @@ QUERIES = {
     "t06_content_split": t06,
     "t07_tfidf": t07,
     "t08_pii_redaction": t08,
+    "t09_chunking": t09,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -568,6 +585,16 @@ ORACLE = {
         r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
         "'https?://[^\\s]+', '<URL>', 'g') clean "
         "FROM documents ORDER BY doc_id LIMIT 100"
+    ),
+    "t09_chunking": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') tks FROM documents), "
+        "n AS (SELECT doc_id, tks, "
+        "unnest(generate_series(0, CAST(CEIL(GREATEST(len(tks) - 6, 1) / 24.0) "
+        "AS INT) - 1)) chunk_id FROM tok) "
+        "SELECT doc_id, CAST(chunk_id AS INT) chunk_id, "
+        "array_to_string(tks[chunk_id*24+1 : chunk_id*24+30], ' ') chunk_text, "
+        "CAST(LEAST(len(tks) - chunk_id*24, 30) AS INT) n_tokens "
+        "FROM n ORDER BY doc_id, chunk_id LIMIT 200"
     ),
     "v03_l2_normalize": (
         "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings), "
