@@ -764,3 +764,40 @@ def test_pack_sequences(spark):
     bad = spark.createDataFrame([(1, 2000)], "id long, w long")
     with pytest.raises(ValueError):
         pack_sequences(bad, "id", "w", budget=1000)
+
+
+def test_chunk_tokens_invariants(spark):
+    """Every token covered in order; consecutive chunks share exactly
+    `overlap` tokens; only the last chunk may be short."""
+    import numpy as np
+
+    from zappy_spark.operators.text import chunk_tokens
+
+    rng = np.random.default_rng(13)
+    max_tokens, overlap = 16, 4
+    stride = max_tokens - overlap
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(rng.integers(1, 60, size=25))
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_tokens(df, "text", "doc_id", max_tokens, overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        chunks = [v for _, v in sorted(by_doc[doc_id].items())]
+        # reconstruction: chunk i starts at i*stride
+        seen = []
+        for i, c in enumerate(chunks):
+            ct = c["chunk_text"].split(" ")
+            assert ct == toks[i * stride : i * stride + max_tokens]
+            assert c["n_tokens"] == len(ct)
+            if i + 1 < len(chunks):
+                nxt = chunks[i + 1]["chunk_text"].split(" ")
+                assert ct[-overlap:] == nxt[: len(ct[-overlap:])] or len(ct) == max_tokens
+            seen.extend(ct[: stride] if i + 1 < len(chunks) else ct)
+        assert seen == toks, f"doc {doc_id} not fully covered"
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "text", "doc_id", 16, 16)
