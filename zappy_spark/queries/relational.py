@@ -779,6 +779,107 @@ def r42(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r44(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order — the classic EXISTS + NOT EXISTS pair over
+    the same fact table. (This testdata has no receipt/commit dates,
+    so "late" := shipped >60 days after the order date.)
+
+    Spelled as left_semi + left_anti self-joins rather than correlated
+    subqueries: identical semantics, but both probes are plain
+    equi-joins on l_orderkey with a residual suppkey/date predicate —
+    shuffle-partitioned on the same key, so at scale the three scans
+    co-partition and AQE can pick shuffled-hash. The supplier dim is
+    broadcast."""
+    li = t(spark, d, "lineitem")
+    o = t(spark, d, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    sole_late = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        # l3 rides the same order as l1, so its lateness reuses l1's
+        # o_orderdate — no second orders join needed.
+        & (F.col("sd3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    sup = t(spark, d, "supplier")
+    return (
+        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def r45(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders — uncorrelated scalar AVG subquery + NOT EXISTS, grouped by
+    nation. The scalar aggregate is a 1-row broadcast cross join (no
+    shuffle); the NOT EXISTS is a left_anti against the pre-filtered
+    urgent-orders side, which the o_orderpriority filter shrinks ~5×
+    before the shuffle."""
+    c = t(spark, d, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    urgent = (
+        t(spark, d, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, F.col("c_custkey") == F.col("k"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("tot"),
+        )
+        .orderBy("nk")
+    )
+
+
+def r46(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — left outer
+    join (customers with zero orders must survive), COUNT per key,
+    then a second aggregation over the counts. The first groupBy
+    shuffles on c_custkey (same key as the join, so AQE reuses the
+    exchange); the second input is |distinct counts| rows — tiny at
+    any scale."""
+    c = t(spark, d, "customer").select("c_custkey")
+    o = (
+        t(spark, d, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -858,6 +959,9 @@ QUERIES = {
     "r41_recursive_cte": r41,
     "r42_zorder_key": r42,
     "r43_correlated_subquery": r43,
+    "r44_q21_sole_late": r44,
+    "r45_q22_no_urgent": r45,
+    "r46_q13_custdist": r46,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1126,6 +1230,38 @@ ORACLE = {
         "FROM lineitem l1 WHERE l_quantity < ("
         "SELECT 0.2*AVG(l_quantity) FROM lineitem l2 "
         "WHERE l2.l_partkey = l1.l_partkey)"
+    ),
+    # correlated EXISTS/NOT EXISTS on the oracle side vs explicit
+    # semi/anti joins in the builder — same decorrelation-identity
+    # check as r43
+    "r44_q21_sole_late": (
+        "SELECT s_name, COUNT(*) numwait "
+        "FROM lineitem l1 JOIN orders o ON l1.l_orderkey=o.o_orderkey "
+        "JOIN supplier ON l1.l_suppkey=s_suppkey "
+        "WHERE o.o_orderstatus='F' "
+        "AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey=l1.l_orderkey "
+        "AND l2.l_suppkey<>l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey=l1.l_orderkey "
+        "AND l3.l_suppkey<>l1.l_suppkey "
+        "AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+    ),
+    "r45_q22_no_urgent": (
+        "SELECT c_nationkey nk, COUNT(*) numcust, ROUND(SUM(c_acctbal),2) tot "
+        "FROM customer c "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+        "WHERE c_acctbal > 0.0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey "
+        "AND o.o_orderpriority='1-URGENT') "
+        "GROUP BY nk ORDER BY nk"
+    ),
+    "r46_q13_custdist": (
+        "SELECT c_count, COUNT(*) custdist FROM ("
+        "SELECT c_custkey, COUNT(o_orderkey) c_count FROM customer "
+        "LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o "
+        "ON c_custkey=o_custkey GROUP BY c_custkey) t "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
     ),
     "r42_zorder_key": (
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
