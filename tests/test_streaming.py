@@ -264,3 +264,34 @@ def test_incremental_hll_equals_batch_sketch(spark, replay_dir, tmp_path):
         "approx_distinct",
     )
     assert got == batch and len(got) > 1
+
+
+def test_windowed_topk_stream_equals_batch(spark, replay_dir, tmp_path):
+    """Drained foreachBatch top-k state must equal the batch s8
+    ranking — the pattern for non-incrementalizable ops (window
+    functions) over an incrementally-maintained aggregate."""
+    out = str(tmp_path / "topk_state")
+    stream = jobs.stream_events(spark, replay_dir)
+    q = jobs.windowed_topk(stream, out, k=2)
+    q.processAllAvailable()
+    q.stop()
+
+    from pyspark.sql import Window
+
+    got = _rows(spark.read.parquet(out), "w", "event_type", "c", "rn")
+    counts = (
+        spark.read.parquet(replay_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "event_type", "c")
+    )
+    rank_w = Window.partitionBy("w").orderBy(F.desc("c"), "event_type")
+    batch = _rows(
+        counts.withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rn") <= 2),
+        "w",
+        "event_type",
+        "c",
+        "rn",
+    )
+    assert got == batch and len(got) > 1

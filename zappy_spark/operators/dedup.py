@@ -45,6 +45,34 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, F.col(id_col) == F.col("_keep_id"), "left_semi")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Quality-aware exact dedup: within each identical-content group
+    keep the HIGHEST-quality member (ties → smallest id), not the
+    arbitrary min-id one — the canonical-document selection step of a
+    corpus pipeline, where near-identical crawls differ in boilerplate
+    quality.
+
+    Returns one row per group: (h, n, keep) — content hash, group
+    size, kept id. Spelled as ONE hash aggregate with ``max_by`` over
+    a (quality, -id) struct rather than a window: partial aggregation
+    runs map-side before the md5-keyed shuffle, so only one row per
+    (partition, hash) moves — strictly cheaper than the
+    window-function spelling at 100 TB. The struct makes the argmax
+    key unique, so the result is deterministic."""
+    keep_key = F.struct(
+        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("negid")
+    )
+    return df.groupBy(F.md5(text_col).alias("h")).agg(
+        F.count("*").alias("n"),
+        F.max_by(F.col(id_col), keep_key).alias("keep"),
+    )
+
+
 def word_shingles(text_col: str | Column, k: int = 3) -> Column:
     """Word k-gram shingle array (documents with < k words yield
     an empty array — callers filter, because NULL-in-concat semantics

@@ -46,6 +46,47 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    candidates: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Batch kNN join: exact cosine top-k for EVERY query vector in
+    ``queries`` (the realistic retrieval shape — a batch of queries,
+    not one literal vector).
+
+    Scale shape: the query side is broadcast (a query batch is small
+    by definition), so the candidate scan stays embarrassingly
+    parallel — one pass over candidates scoring all queries, then a
+    per-query window top-k. The window partitions by query id, so the
+    only shuffle is |candidates|×|queries| scored pairs hashed over
+    query ids; with B queries that is B×n rows, never a global sort.
+    For huge candidate sets, pre-filter with ``rp_lsh_topk``-style
+    bucketing per query before the exact re-rank.
+
+    Ranking uses the rounded similarity (plus id tiebreak) so results
+    are reproducible across engines/architectures at the same digits.
+    """
+    from pyspark.sql import Window
+
+    sim = cosine(F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = candidates.join(F.broadcast(queries)).select(
+        F.col(query_id_col), F.col(id_col), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

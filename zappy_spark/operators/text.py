@@ -175,6 +175,18 @@ def redact_pii(text: str | Column) -> Column:
     return F.regexp_replace(out, URL_RE, "<URL>")
 
 
+def normalize_text(text: str | Column) -> Column:
+    """Canonical text normalization for dedup/matching keys:
+    lowercase, non-alphanumerics → space, whitespace collapsed,
+    trimmed. The regexes stay in the Java∩RE2 subset (same rationale
+    as the PII patterns) so engines replay them identically. Pure
+    expression chain — scan-side, codegen'd, no Python."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
 def tf_idf(
     df: DataFrame, text_col: str, id_col: str, persist: bool = True
 ) -> DataFrame:

@@ -142,6 +142,29 @@ def s7(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s8(spark: SparkSession, d: str) -> DataFrame:
+    """Windowed top-k: the 2 most frequent event types per tumbling
+    hour (ties → event_type order). Streaming form: window functions
+    aren't allowed on streams, so the job runs the same aggregation
+    with ``foreachBatch`` applying this ranking per micro-batch
+    (streaming/jobs.py::windowed_topk) — this batch result is what it
+    converges to. Ranking is on exact integer counts, so cross-engine
+    order is deterministic without float ties."""
+    ev = t(spark, d, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "event_type", "c")
+    )
+    rank_w = Window.partitionBy("w").orderBy(F.desc("c"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+        .orderBy("w", "rn")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -150,6 +173,7 @@ QUERIES = {
     "s5_stream_static_join": s5,
     "s6_interval_join": s6,
     "s7_prev_event_gap": s7,
+    "s8_windowed_topk": s8,
 }
 
 ORACLE = {
@@ -209,5 +233,12 @@ ORACLE = {
         "FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id) prev_ts FROM events) t "
         "WHERE prev_ts IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+    "s8_windowed_topk": (
+        "WITH b AS (SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) w, "
+        "event_type, COUNT(*) c FROM events GROUP BY 1,2), "
+        "r AS (SELECT w, event_type, c, ROW_NUMBER() OVER "
+        "(PARTITION BY w ORDER BY c DESC, event_type) rn FROM b) "
+        "SELECT w, event_type, c, rn FROM r WHERE rn<=2 ORDER BY w, rn LIMIT 100"
     ),
 }

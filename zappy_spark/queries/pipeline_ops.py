@@ -394,6 +394,63 @@ def v07(spark: SparkSession, d: str) -> DataFrame:
     return weekly.orderBy("week")
 
 
+def d09(spark: SparkSession, d: str) -> DataFrame:
+    """Quality-aware dedup (operators/dedup.py::dedup_keep_best):
+    within each duplicate group keep the longest member (tie → lowest
+    doc_id). Grouping key is the 40-char prefix (boilerplate-prefix
+    canonicalization — this testdata has no full-content dups, and a
+    vacuous 0-row query would verify nothing); the oracle replays the
+    identical argmax as a window."""
+    docs = t(spark, d, "documents").withColumn(
+        "pfx", F.substring("text", 1, 40)
+    )
+    return (
+        dedup.dedup_keep_best(docs, "pfx", "doc_id", "n_chars")
+        .filter(F.col("n") > 1)
+        .select("h", "n", F.col("keep").alias("keep_id"))
+        .orderBy("h")
+        .limit(100)
+    )
+
+
+def t10(spark: SparkSession, d: str) -> DataFrame:
+    """Text normalization (operators/text.py::normalize_text) —
+    output is hashed so the oracle verifies the full normalized
+    string, not a prefix."""
+    docs = t(spark, d, "documents")
+    nt = text.normalize_text(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(nt).alias("nh"),
+            # bigint: Spark length()->INT vs DuckDB length()->BIGINT
+            F.length(nt).cast("bigint").alias("ln"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def v08(spark: SparkSession, d: str) -> DataFrame:
+    """Batch kNN join (operators/similarity.py::knn_join): top-3
+    cosine neighbors for each of 5 query vectors in one candidate
+    scan — the realistic retrieval shape vs l02's single query."""
+    emb = t(spark, d, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = similarity.knn_join(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        vec_col="embedding",
+        id_col="vec_id",
+        query_vec_col="qv",
+        query_id_col="qid",
+        k=3,
+    )
+    return out.select("qid", "vec_id", "sim", "rn").orderBy("qid", "rn")
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -403,6 +460,7 @@ QUERIES = {
     "d06_lsh_neardup_pipeline": d06,
     "d07_hash_sample": d07,
     "d08_stratified_sample": d08,
+    "d09_dedup_keep_best": d09,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -412,6 +470,7 @@ QUERIES = {
     "t07_tfidf": t07,
     "t08_pii_redaction": t08,
     "t09_chunking": t09,
+    "t10_normalize_text": t10,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -419,6 +478,7 @@ QUERIES = {
     "v05_covariance": v05,
     "v06_pca_scores": v06,
     "v07_hll_rollup": v07,
+    "v08_knn_join": v08,
 }
 
 
@@ -620,6 +680,35 @@ ORACLE = {
         "ROUND(covar_samp(e[1],e[2]),6) c12, "
         "ROUND(covar_samp(e[2],e[2]),6) c22, "
         "ROUND(covar_samp(e[3],e[6]),6) c36 FROM b"
+    ),
+    "d09_dedup_keep_best": (
+        "WITH g AS (SELECT md5(substr(text,1,40)) h, doc_id, n_chars "
+        "FROM documents), "
+        "r AS (SELECT h, doc_id, "
+        "ROW_NUMBER() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) rn, "
+        "COUNT(*) OVER (PARTITION BY h) n FROM g) "
+        "SELECT h, n, doc_id keep_id FROM r WHERE rn=1 AND n>1 "
+        "ORDER BY h LIMIT 100"
+    ),
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark's is always global — the flag keeps them identical.
+    "t10_normalize_text": (
+        "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+        "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) nt "
+        "FROM documents) "
+        "SELECT doc_id, md5(nt) nh, length(nt) ln FROM n "
+        "ORDER BY doc_id LIMIT 100"
+    ),
+    "v08_knn_join": (
+        "WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv "
+        "FROM embeddings WHERE vec_id<5), "
+        "s AS (SELECT qid, vec_id, "
+        "ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv),4) sim "
+        "FROM embeddings, q WHERE vec_id>=5), "
+        "r AS (SELECT qid, vec_id, sim, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn "
+        "FROM s) "
+        "SELECT qid, vec_id, sim, rn FROM r WHERE rn<=3 ORDER BY qid, rn"
     ),
     # t04, v02, v06: rows-only (see docstrings) — no oracle entries.
 }

@@ -242,6 +242,42 @@ def incremental_hll(
     )
 
 
+def windowed_topk(stream: DataFrame, out_path: str, k: int = 2) -> "Any":
+    """S8 twin: top-k event types per tumbling hour. Window functions
+    are not allowed on streaming frames, so the ranking runs inside
+    ``foreachBatch``: the streaming side maintains only the tumbling
+    counts aggregate (incremental state, same plan as S1), and each
+    trigger re-ranks the updated counts — a |windows|×|types|-row
+    input, tiny regardless of stream volume — and swaps the result
+    table. The heavy, unbounded part stays incremental; the
+    non-incrementalizable ranking runs only over the aggregate.
+
+    Returns the started StreamingQuery; the caller drains/stops it.
+    """
+    counts = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "event_type", "c")
+    )
+
+    def rank_and_swap(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("w").orderBy(F.desc("c"), "event_type")
+        (
+            batch_df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= k)
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+
+    return (
+        counts.writeStream.foreachBatch(rank_and_swap)
+        .outputMode("complete")
+        .start()
+    )
+
+
 def hll_state_estimates(spark: SparkSession, state_path: str) -> DataFrame:
     """Read the persisted sketch state and estimate per-day + return
     frame (day, approx_distinct) — the query side never touches the
