@@ -801,3 +801,100 @@ def test_chunk_tokens_invariants(spark):
         assert seen == toks, f"doc {doc_id} not fully covered"
     with pytest.raises(ValueError):
         chunk_tokens(df, "text", "doc_id", 16, 16)
+
+
+def test_decontaminate_removes_exactly_overlapping(spark):
+    from zappy_spark.operators.dedup import contaminated_ids, decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "zz alpha beta gamma yy"),      # shares 3-gram -> dropped
+            (2, "alpha beta zz gamma delta"),   # no shared 3-gram -> kept
+            (3, "beta gamma delta"),            # shares 3-gram -> dropped
+            (4, "totally unrelated words here"),
+            (5, "xy"),                          # < 3 words -> kept
+        ],
+        "doc_id long, text string",
+    )
+    bad = {
+        r["doc_id"]
+        for r in contaminated_ids(docs, bench, "text", "doc_id", k=3).collect()
+    }
+    assert bad == {1, 3}
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, "text", "doc_id", k=3).collect()
+    }
+    assert kept == {2, 4, 5}
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    from zappy_spark.operators.sampling import hash_sample, mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_sample(df, "id", "grp", {"a": 0.5}, default=0.05)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        F.count("*").alias("n")).collect()}
+    assert abs(counts["a"] - 1000) < 120      # ~0.5 of 2000
+    assert abs(counts.get("b", 0) - 100) < 50  # ~0.05 of 2000
+    # nesting: every row kept at rate 0.2 is kept at rate 0.5
+    low = {r["id"] for r in mixture_sample(
+        df, "id", "grp", {"a": 0.2}, default=0.0).collect()}
+    high = {r["id"] for r in mixture_sample(
+        df, "id", "grp", {"a": 0.5}, default=0.0).collect()}
+    assert low <= high
+    # group rate == hash_sample rate on the same ids (same hash key)
+    ha = {r["id"] for r in hash_sample(
+        df.filter(F.col("grp") == "a"), "id", 0.5).collect()}
+    assert {r["id"] for r in out.filter(F.col("grp") == "a").collect()} == ha
+
+
+def test_repetition_features_crafted(spark):
+    from zappy_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # all same word
+            (2, "w x y z"),            # all distinct
+            (3, "p q p q p q"),        # repeated bigram pattern
+            (4, ""),                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df, "text").collect()}
+    assert out[1]["rep_dup_word_frac"] == 0.75       # 4 words, 1 distinct
+    assert out[1]["rep_top_word_frac"] == 1.0
+    assert out[1]["rep_dup_3gram_frac"] == 0.5       # 2 grams, 1 distinct
+    assert out[2]["rep_dup_word_frac"] == 0.0
+    assert out[2]["rep_top_word_frac"] == 0.25
+    assert out[2]["rep_dup_3gram_frac"] == 0.0       # 2 distinct grams
+    assert out[3]["rep_dup_word_frac"] == round(4 / 6, 6)
+    assert out[3]["rep_top_word_frac"] == 0.5
+    assert out[4]["rep_dup_word_frac"] == 0.0
+    assert out[4]["rep_top_word_frac"] == 0.0
+
+
+def test_domain_distribution_counts(spark):
+    from zappy_spark.operators.text import domain_distribution, url_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.com/x and https://a.com/y"),   # a twice
+            (2, "go http://b.org/z then https://a.com/w ok"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = df.select(url_domains("text").alias("d")).collect()
+    assert [r["d"] for r in doms] == [
+        ["a.com", "a.com"], ["b.org", "a.com"], []
+    ]
+    out = {r["domain"]: r for r in domain_distribution(df, "text").collect()}
+    assert out["a.com"]["n_docs"] == 2
+    assert out["a.com"]["n_mentions"] == 3
+    assert out["b.org"]["n_docs"] == 1
+    assert out["b.org"]["n_mentions"] == 1

@@ -263,3 +263,55 @@ def simhash_bits(
         ]
     )
     return agg.select(id_col, sh.alias("sh"))
+
+
+def contaminated_ids(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Ids of documents sharing any word ``k``-gram with the benchmark
+    set — the detection half of benchmark decontamination (the
+    standard pre-training hygiene pass that removes training documents
+    overlapping an eval set).
+
+    Shape at scale: the benchmark is small by definition (eval sets
+    are thousands of rows, the corpus is billions), so its distinct
+    gram set is built once and BROADCAST; the corpus side is one
+    scan + explode feeding a broadcast left-semi join (no corpus-side
+    shuffle for the match) and a distinct on the doc id (map-side
+    partial). The corpus is never joined to itself.
+
+    Output: one column ``id_col``, distinct.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Drop documents sharing any word k-gram with ``benchmark``
+    (GPT-3-style n-gram decontamination; pick ``k`` per tokenizer —
+    13-gram in the original recipe, smaller for word-level grams).
+    Anti-join against the broadcast-detected contaminated-id set."""
+    bad = contaminated_ids(df, benchmark, text_col, id_col, k)
+    return df.join(bad, id_col, "left_anti")

@@ -87,3 +87,30 @@ def train_val_split(
             _hash_key(id_col) < sample_threshold(val_fraction), "val"
         ).otherwise("train"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-group sampling rates in one scan — the domain-mixture
+    knob of a pre-training pipeline ("60% of en, 30% of de, 10% of
+    everything else"). Deterministic and append-stable like
+    ``hash_sample``; nested across rates (a row kept at 0.3 is also
+    kept at 0.6), so mixtures can be tightened without resampling.
+
+    A CASE chain over literal thresholds — scan-side filter, no
+    shuffle, no join. The per-group thresholds are plain literals,
+    so predicate pushdown and codegen both apply; the group column
+    stays an ordinary column (no broadcast table needed below
+    thousands of groups — above that, join a broadcast rate table
+    instead)."""
+    thr: Column = F.lit(sample_threshold(default))
+    for g, frac in fractions.items():
+        thr = F.when(
+            F.col(group_col) == g, F.lit(sample_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(_hash_key(id_col) < thr)

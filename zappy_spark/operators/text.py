@@ -274,3 +274,83 @@ def chunk_tokens(
             ).alias("n_tokens"),
         )
     )
+
+
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append Gopher-style within-document repetition signals — the
+    quality filters that catch boilerplate/spam the length and
+    punctuation ratios miss:
+
+    - ``rep_dup_word_frac``:   1 - distinct words / total words
+    - ``rep_dup_3gram_frac``:  1 - distinct 3-grams / total 3-grams
+    - ``rep_top_word_frac``:   occurrences of the most frequent word
+                               / total words
+
+    All pure array-lambda expressions — scan-side, codegen'd, no
+    shuffle and no Python. The top-word count is O(distinct·total)
+    per row, bounded by document length (documents are capped by the
+    chunking stage upstream); this beats the explode+groupBy spelling
+    at scale because the token stream never leaves the row.
+    """
+    from zappy_spark.operators.dedup import word_shingles
+
+    text = F.col(text_col)
+    toks = tokens_ws(text)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    grams = word_shingles(text, 3)
+    ng = F.size(grams)
+    ngd = F.size(F.array_distinct(grams))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    one = F.greatest(n, F.lit(1)).cast("double")
+    return (
+        df.withColumn(
+            "rep_dup_word_frac", F.round((n - nd) / one, 6)
+        )
+        .withColumn(
+            "rep_dup_3gram_frac",
+            F.round(
+                (ng - ngd) / F.greatest(ng, F.lit(1)).cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "rep_top_word_frac",
+            F.round(F.coalesce(top, F.lit(0)) / one, 6),
+        )
+    )
+
+
+# Capture group 1 = registrable host; the pattern stays in the
+# Java∩RE2 subset so DuckDB replays it (Spark's parse_url would be
+# JVM-only and has no DuckDB analog).
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+
+
+def url_domains(text: str | Column) -> Column:
+    """All URL host names mentioned in the text, as an array —
+    feeds source-distribution audits and domain block/allow lists."""
+    return F.regexp_extract_all(text, F.lit(URL_DOMAIN_RE), 1)
+
+
+def domain_distribution(
+    df: DataFrame, text_col: str
+) -> DataFrame:
+    """(domain, n_docs, n_mentions): corpus-level domain audit.
+    One scan + explode; ``n_docs`` counts each document once per
+    domain via scan-side array_distinct BEFORE the explode, so the
+    aggregate never double-counts without a count-distinct shuffle.
+    """
+    per_doc = df.select(
+        F.explode(F.array_distinct(url_domains(F.col(text_col)))).alias(
+            "domain"
+        )
+    ).groupBy("domain").agg(F.count("*").alias("n_docs"))
+    mentions = df.select(
+        F.explode(url_domains(F.col(text_col))).alias("domain")
+    ).groupBy("domain").agg(F.count("*").alias("n_mentions"))
+    return per_doc.join(mentions, "domain")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zappy_spark.operators import dedup, similarity, text
+from zappy_spark.operators.sampling import sample_threshold as _sample_threshold
 from zappy_spark.queries._util import cosine, t
 
 # ---------------------------------------------------------------- dedup
@@ -451,6 +452,78 @@ def v08(spark: SparkSession, d: str) -> DataFrame:
     return out.select("qid", "vec_id", "sim", "rn").orderBy("qid", "rn")
 
 
+def d10(spark: SparkSession, d: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::decontaminate):
+    docs sharing any word 3-gram with the benchmark subset
+    (doc_id % 100 == 7) are dropped; survivors returned. At sf0.01
+    this keeps 300/495 — a real split, not a vacuous pass."""
+    docs = t(spark, d, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    corpus = docs.filter(F.col("doc_id") % 100 != 7)
+    kept = dedup.decontaminate(corpus, bench, "text", "doc_id", k=3)
+    return kept.select("doc_id").orderBy("doc_id").limit(100)
+
+
+def d11(spark: SparkSession, d: str) -> DataFrame:
+    """Domain-mixture sampling (operators/sampling.py::mixture_sample):
+    per-lang rates in one scan-side CASE filter; per-lang counts
+    verify each group got its own rate."""
+    from zappy_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(
+        t(spark, d, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.6, "de": 0.3},
+        default=0.1,
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("mn"))
+        .orderBy("lang")
+    )
+
+
+def t11(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher-style repetition signals
+    (operators/text.py::repetition_features) — dup-word, dup-3gram,
+    and top-word fractions, all scan-side array lambdas."""
+    out = text.repetition_features(t(spark, d, "documents"), "text")
+    return (
+        out.select(
+            "doc_id",
+            "rep_dup_word_frac",
+            "rep_dup_3gram_frac",
+            "rep_top_word_frac",
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def t12(spark: SparkSession, d: str) -> DataFrame:
+    """Domain-distribution audit (operators/text.py::
+    domain_distribution) over planted URLs (testdata has no organic
+    URLs): two URLs per doc, domains keyed by doc_id mod 7 / mod 3,
+    so n_docs < n_mentions exactly when both URLs share a domain —
+    the dedup-before-explode path is what's verified."""
+    docs = t(spark, d, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" https://s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and https://s"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.org/q ok"),
+    )
+    out = text.domain_distribution(
+        docs.select("doc_id", planted.alias("ptext")), "ptext"
+    )
+    return out.orderBy("domain")
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -461,6 +534,8 @@ QUERIES = {
     "d07_hash_sample": d07,
     "d08_stratified_sample": d08,
     "d09_dedup_keep_best": d09,
+    "d10_decontaminate": d10,
+    "d11_mixture_sample": d11,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -471,6 +546,8 @@ QUERIES = {
     "t08_pii_redaction": t08,
     "t09_chunking": t09,
     "t10_normalize_text": t10,
+    "t11_repetition": t11,
+    "t12_domain_distribution": t12,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -709,6 +786,65 @@ ORACLE = {
         "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn "
         "FROM s) "
         "SELECT qid, vec_id, sim, rn FROM r WHERE rn<=3 ORDER BY qid, rn"
+    ),
+    "d10_decontaminate": (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
+        "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        "bad AS (SELECT DISTINCT a.doc_id FROM sh a "
+        "JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 7) b USING (g) "
+        "WHERE a.doc_id % 100 <> 7) "
+        "SELECT doc_id FROM documents WHERE doc_id % 100 <> 7 "
+        "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id LIMIT 100"
+    ),
+    "d11_mixture_sample": (
+        # thresholds are the engine's own literals (sample_threshold),
+        # embedded below so DuckDB replays the identical CASE filter
+        "SELECT lang, COUNT(*) c, MIN(doc_id) mn FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < "
+        "CASE WHEN lang='de' THEN '{de}' WHEN lang='en' THEN '{en}' "
+        "ELSE '{other}' END "
+        "GROUP BY lang ORDER BY lang"
+    ).format(
+        en=_sample_threshold(0.6),
+        de=_sample_threshold(0.3),
+        other=_sample_threshold(0.1),
+    ),
+    "t11_repetition": (
+        "WITH b AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') toks, "
+        "string_split(text,' ') ws FROM documents), "
+        "g AS (SELECT doc_id, toks, CASE WHEN len(ws)>=3 THEN "
+        "list_transform(generate_series(1, len(ws)-2), "
+        "i -> concat(ws[CAST(i AS INT)],' ',ws[CAST(i AS INT)+1],' ',"
+        "ws[CAST(i AS INT)+2])) ELSE [] END grams FROM b) "
+        "SELECT doc_id, "
+        "ROUND((len(toks)-len(list_distinct(toks)))*1.0"
+        "/greatest(len(toks),1),6) rep_dup_word_frac, "
+        "ROUND((len(grams)-len(list_distinct(grams)))*1.0"
+        "/greatest(len(grams),1),6) rep_dup_3gram_frac, "
+        "ROUND(COALESCE(list_max(list_transform(list_distinct(toks), "
+        "w -> len(list_filter(toks, t -> t = w)))),0)*1.0"
+        "/greatest(len(toks),1),6) rep_top_word_frac "
+        "FROM g ORDER BY doc_id LIMIT 100"
+    ),
+    "t12_domain_distribution": (
+        "WITH p AS (SELECT doc_id, substr(text,1,20) || ' https://s' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || "
+        "CAST(doc_id AS VARCHAR) || ' and https://s' || "
+        "CAST(doc_id % 3 AS VARCHAR) || '.example.org/q ok' ptext "
+        "FROM documents), "
+        r"d AS (SELECT doc_id, regexp_extract_all(ptext, "
+        r"'https?://([A-Za-z0-9.-]+)[^\s]*', 1) doms FROM p), "
+        # "domain" is a DuckDB reserved word — quoted alias throughout
+        'dc AS (SELECT "domain", COUNT(*) n_docs FROM '
+        '(SELECT unnest(list_distinct(doms)) "domain" FROM d) GROUP BY 1), '
+        'mc AS (SELECT "domain", COUNT(*) n_mentions FROM '
+        '(SELECT unnest(doms) "domain" FROM d) GROUP BY 1) '
+        'SELECT "domain", n_docs, n_mentions FROM dc JOIN mc USING ("domain") '
+        'ORDER BY "domain"'
     ),
     # t04, v02, v06: rows-only (see docstrings) — no oracle entries.
 }
