@@ -898,3 +898,22 @@ def test_domain_distribution_counts(spark):
     assert out["a.com"]["n_mentions"] == 3
     assert out["b.org"]["n_docs"] == 1
     assert out["b.org"]["n_mentions"] == 1
+
+
+def test_upsert_snapshot_merge_semantics(spark):
+    from zappy_spark.operators.pipeline import upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "k long, val string, v int",
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 2), (2, "b3", 3)],  # 2 updated twice
+        "k long, val string, v int",
+    )
+    out = {r["k"]: r for r in upsert_snapshot(base, upd, ["k"], "v").collect()}
+    assert len(out) == 4
+    assert out[1]["val"] == "a" and out[1]["v"] == 1     # untouched
+    assert out[2]["val"] == "b3" and out[2]["v"] == 3    # highest version wins
+    assert out[3]["val"] == "c"
+    assert out[4]["val"] == "d" and out[4]["v"] == 2     # insert

@@ -295,3 +295,28 @@ def test_windowed_topk_stream_equals_batch(spark, replay_dir, tmp_path):
         "rn",
     )
     assert got == batch and len(got) > 1
+
+
+def test_dedup_within_watermark_stream_equals_batch(spark, replay_dir):
+    """The dropDuplicatesWithinWatermark job keeps exactly the batch
+    twin's kept set (replay files arrive in (ts, event_id) order, so
+    first arrival == first by event time)."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.dedup_bucket_first(stream).select(
+            "user_id", "event_type", "bucket", "event_id"
+        ),
+        "t_wm_dedup",
+        output_mode="append",
+    )
+    batch = (
+        spark.read.parquet(replay_dir)
+        .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id")
+        )
+    )
+    assert _rows(got, "user_id", "event_type", "bucket", "event_id") == _rows(
+        batch, "user_id", "event_type", "bucket", "event_id"
+    )

@@ -203,3 +203,35 @@ def pack_sequences(
         schema="bin_id bigint, ids array<bigint>, total_tokens bigint, "
         "n_items int",
     )
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Merge a changelog into a snapshot: for every key keep the row
+    with the highest ``version_col`` across base ∪ updates — the
+    MERGE/upsert primitive (SCD type 1) for maintaining a mutable
+    table on an append-only lake without a table format.
+
+    ONE hash aggregate over the union: ``max_by`` of the payload
+    struct keyed on the version. Partial aggregation runs map-side,
+    so per (partition, key) only one row enters the shuffle — at
+    snapshot scale this beats the window-function spelling
+    (row_number over key ORDER BY version DESC) which must shuffle
+    every row. Versions must be unique per key (monotone commit ids);
+    ties would be broken arbitrarily.
+
+    Columns of ``updates`` must match ``base`` (unionByName).
+    """
+    payload_cols = [c for c in base.columns if c not in keys]
+    merged = base.unionByName(updates)
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    agg = merged.groupBy(*keys).agg(
+        F.max_by(payload, F.col(version_col)).alias("_p")
+    )
+    return agg.select(
+        *keys, *[F.col("_p")[c].alias(c) for c in payload_cols]
+    )

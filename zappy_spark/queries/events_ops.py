@@ -165,6 +165,31 @@ def s8(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s9(spark: SparkSession, d: str) -> DataFrame:
+    """Watermark-bounded dedup, batch twin: keep the FIRST event per
+    (user_id, event_type) within each 1-hour bucket, plus the bucket's
+    duplicate count. The streaming form is
+    ``dropDuplicatesWithinWatermark`` on the bucketed key
+    (streaming/jobs.py::dedup_bucket_first) — bucketing makes the
+    dedup horizon deterministic (event time, not arrival chains), so
+    batch and stream converge to the same kept set.
+
+    ONE min_by hash aggregate (partials map-side) rather than a
+    row_number window — the losers of each bucket never shuffle."""
+    ev = t(spark, d, "events")
+    return (
+        ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
+            F.count("*").alias("dups"),
+        )
+        .select("user_id", "event_type", "bucket", "event_id", "dups")
+        .orderBy("user_id", "event_type", "bucket")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -174,6 +199,7 @@ QUERIES = {
     "s6_interval_join": s6,
     "s7_prev_event_gap": s7,
     "s8_windowed_topk": s8,
+    "s9_bucket_dedup": s9,
 }
 
 ORACLE = {
@@ -240,5 +266,17 @@ ORACLE = {
         "r AS (SELECT w, event_type, c, ROW_NUMBER() OVER "
         "(PARTITION BY w ORDER BY c DESC, event_type) rn FROM b) "
         "SELECT w, event_type, c, rn FROM r WHERE rn<=2 ORDER BY w, rn LIMIT 100"
+    ),
+    # the oracle spells keep-first as a window; the engine's min_by
+    # aggregate must select the identical rows
+    "s9_bucket_dedup": (
+        "WITH r AS (SELECT user_id, event_type, "
+        "date_trunc('hour', ts) bucket, event_id, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, event_type, "
+        "date_trunc('hour', ts) ORDER BY ts, event_id) rn, "
+        "COUNT(*) OVER (PARTITION BY user_id, event_type, "
+        "date_trunc('hour', ts)) dups FROM events) "
+        "SELECT user_id, event_type, bucket, event_id, dups FROM r "
+        "WHERE rn=1 ORDER BY user_id, event_type, bucket LIMIT 100"
     ),
 }

@@ -880,6 +880,85 @@ def r46(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r47(spark: SparkSession, d: str) -> DataFrame:
+    """Snapshot upsert (operators/pipeline.py::upsert_snapshot): a
+    synthesized changelog — price corrections for keys ≡3 (mod 10),
+    brand-new keys shifted by 10^8 — merged into the orders snapshot;
+    highest version wins per key. One max_by hash aggregate, partials
+    map-side (no window, no full-row shuffle of the loser rows)."""
+    from zappy_spark.operators.pipeline import upsert_snapshot
+
+    o = t(spark, d, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = o.withColumn("v", F.lit(1))
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("v", F.lit(2))
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 10 == 4)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("v", F.lit(2))
+    )
+    merged = upsert_snapshot(
+        base, upd.unionByName(new), ["o_orderkey"], "v"
+    )
+    return (
+        merged.filter(
+            (F.col("o_orderkey") % 10).isin(3, 4)
+            | (F.col("o_orderkey") < 100)
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def r48(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q11 shape: keep groups whose total exceeds a fraction of
+    the GLOBAL total. The global scalar is a separate partial-agg pass
+    collapsing to one row, broadcast into the filter — the per-group
+    aggregate shuffles once on o_custkey and nothing else moves."""
+    o = t(spark, d, "orders")
+    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("tot"))
+    thr = o.agg((F.sum("o_totalprice") * 0.001).alias("thr"))
+    return (
+        per.join(F.broadcast(thr))
+        .filter(F.col("tot") > F.col("thr"))
+        .select("o_custkey", F.round("tot", 2).alias("tot"))
+        .orderBy(F.desc("tot"), "o_custkey")
+        .limit(100)
+    )
+
+
+def r49(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q15 shape: the argmax group — supplier(s) with max
+    quarterly revenue. Revenue aggregates once (shuffle on suppkey);
+    the max is a 1-row broadcast; supplier dim broadcast. Equality is
+    on the 2dp-rounded revenue, identical on both engines."""
+    li = t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mr"))
+    sup = t(spark, d, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mr"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -962,6 +1041,9 @@ QUERIES = {
     "r44_q21_sole_late": r44,
     "r45_q22_no_urgent": r45,
     "r46_q13_custdist": r46,
+    "r47_upsert_snapshot": r47,
+    "r48_q11_shape": r48,
+    "r49_q15_shape": r49,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1262,6 +1344,36 @@ ORACLE = {
         "LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o "
         "ON c_custkey=o_custkey GROUP BY c_custkey) t "
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "r47_upsert_snapshot": (
+        "WITH b AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 v "
+        "FROM orders), "
+        "u AS (SELECT o_orderkey, ROUND(o_totalprice*1.1,2) o_totalprice, "
+        "'U' o_orderstatus, 2 v FROM orders WHERE o_orderkey%10=3 "
+        "UNION ALL SELECT o_orderkey+100000000, o_totalprice, 'N', 2 "
+        "FROM orders WHERE o_orderkey%10=4), "
+        "m AS (SELECT * FROM b UNION ALL SELECT * FROM u), "
+        "r AS (SELECT o_orderkey, arg_max(o_totalprice, v) o_totalprice, "
+        "arg_max(o_orderstatus, v) o_orderstatus, MAX(v) v "
+        "FROM m GROUP BY o_orderkey) "
+        "SELECT o_orderkey, o_totalprice, o_orderstatus, v FROM r "
+        "WHERE o_orderkey%10 IN (3,4) OR o_orderkey<100 "
+        "ORDER BY o_orderkey LIMIT 100"
+    ),
+    "r48_q11_shape": (
+        "SELECT o_custkey, ROUND(SUM(o_totalprice),2) tot FROM orders "
+        "GROUP BY o_custkey "
+        "HAVING SUM(o_totalprice) > (SELECT SUM(o_totalprice)*0.001 FROM orders) "
+        "ORDER BY tot DESC, o_custkey LIMIT 100"
+    ),
+    "r49_q15_shape": (
+        "WITH rev AS (SELECT l_suppkey, "
+        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) total_rev FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_rev FROM rev "
+        "JOIN supplier ON l_suppkey=s_suppkey "
+        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) ORDER BY s_suppkey"
     ),
     "r42_zorder_key": (
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "

@@ -100,6 +100,21 @@ def dedup_first(stream: DataFrame) -> DataFrame:
     return stream.dropDuplicates(["user_id", "event_type"])
 
 
+def dedup_bucket_first(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """S9 twin: keep-first per (user_id, event_type, hour-bucket) via
+    ``dropDuplicatesWithinWatermark`` — unlike plain dropDuplicates,
+    the state for a bucket's key is EVICTED once the watermark passes
+    it, so state size is bounded by keys × active buckets, not keys ×
+    stream lifetime. Bucketing by event time (not arrival chains)
+    makes the kept set deterministic and equal to the batch twin when
+    files replay in (ts, event_id) order."""
+    return (
+        stream.withWatermark("ts", delay)
+        .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "bucket"])
+    )
+
+
 def enrich_with_static(stream: DataFrame, nation: DataFrame) -> DataFrame:
     """S5 twin: stream ⋈ broadcast static dimension."""
     return (
