@@ -233,3 +233,31 @@ def test_no_unpartitioned_windows_outside_whitelist(spark):
         if bad and name not in _GLOBAL_WINDOW_WHITELIST:
             offenders[name] = bad[0][:120]
     assert not offenders, offenders
+
+
+def test_decontaminate_gram_probe_is_broadcast_semi(spark):
+    """d10: the benchmark gram set must broadcast into a left-semi
+    probe — a shuffled semi join here would move the full corpus
+    gram explode at scale."""
+    plan = _plan(QUERIES["d10_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsert_and_bucket_dedup_have_no_window(spark):
+    """r47/s9: the merge/keep-first must be max_by/min_by hash
+    aggregates with map-side partials — the row_number window
+    spelling would shuffle every loser row."""
+    for name in ("r47_upsert_snapshot", "s9_bucket_dedup"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "Window" not in plan, f"{name} uses a window"
+        assert "partial_" in plan, f"{name} lost map-side partials"
+
+
+def test_scalar_threshold_queries_broadcast(spark):
+    """r48/r49: the 1-row global scalar joins by broadcast; no
+    cartesian product, no shuffle of the per-group side against it."""
+    for name in ("r48_q11_shape", "r49_q15_shape"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "Broadcast" in plan, name
