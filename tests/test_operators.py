@@ -917,3 +917,40 @@ def test_upsert_snapshot_merge_semantics(spark):
     assert out[2]["val"] == "b3" and out[2]["v"] == 3    # highest version wins
     assert out[3]["val"] == "c"
     assert out[4]["val"] == "d" and out[4]["v"] == 2     # insert
+
+
+def test_boilerplate_fraction_crafted(spark):
+    from zappy_spark.operators.text import (
+        boilerplate_fraction,
+        frequent_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common header text plus body one"),
+            (2, "common header text plus body two"),
+            (3, "common header text here"),
+            (4, "entirely different words again ok"),
+            (5, "xy"),  # <3 words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    freq = {
+        r["g"]: r["n_docs"]
+        for r in frequent_ngrams(df, "text", "doc_id", 3, 2).collect()
+    }
+    assert freq["common header text"] == 3
+    assert freq["header text plus"] == 2
+    assert "entirely different words" not in freq
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_fraction(
+            df, "text", "doc_id", 3, 2, persist=False
+        ).collect()
+    }
+    # doc 1: grams = [common header text, header text plus,
+    #   text plus body, plus body one] -> 3 frequent (shared w/ doc 2)
+    assert out[1]["n_grams"] == 4 and out[1]["n_freq"] == 3
+    assert out[1]["boilerplate_frac"] == 0.75
+    assert out[4]["n_freq"] == 0 and out[4]["boilerplate_frac"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["boilerplate_frac"] == 0.0

@@ -261,3 +261,13 @@ def test_scalar_threshold_queries_broadcast(spark):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "Broadcast" in plan, name
+
+
+def test_boilerplate_persists_gram_frame(spark):
+    """t13: the exploded (doc, gram) frame feeds the frequency agg AND
+    the hit join — the plan must read the persisted frame twice, not
+    re-explode the corpus."""
+    spark.catalog.clearCache()
+    plan = _plan(QUERIES["t13_boilerplate"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    spark.catalog.clearCache()

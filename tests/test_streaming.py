@@ -320,3 +320,57 @@ def test_dedup_within_watermark_stream_equals_batch(spark, replay_dir):
     assert _rows(got, "user_id", "event_type", "bucket", "event_id") == _rows(
         batch, "user_id", "event_type", "bucket", "event_id"
     )
+
+
+def test_outer_interval_join_stream_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched clicks only
+    emit once the watermark passes their interval, so the replay gets
+    a far-future sentinel event as its LAST file to push the final
+    watermark beyond every real click. Matched and unmatched pair
+    sets must then equal the batch left join exactly."""
+    import datetime as dt
+
+    d = str(tmp_path / "outer_replay")
+    jobs.replay_events_dir(spark, SF_SMOKE_DIR, d, n_files=3)
+    sentinel_ts = dt.datetime(2030, 1, 1)
+    sentinel = spark.createDataFrame(
+        [(999_999, sentinel_ts, 999_999, "click", 0.0, "{}")],
+        spark.read.parquet(d).schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(jobs.stream_events(spark, d))
+    got = jobs.run_to_memory(
+        jobs.interval_stream_join_outer(sc, sp),
+        "t_outer_ij",
+        output_mode="append",
+    ).filter(F.col("c_user") != 999_999)
+
+    bc, bp = split(spark.read.parquet(d))
+    # batch twin: plain left join, same projections/condition
+    c = bc.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    p = bp.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).filter(F.col("c_user") != 999_999)
+    assert _rows(got, "c_user", "c_id", "p_id") == _rows(
+        batch, "c_user", "c_id", "p_id"
+    )

@@ -354,3 +354,98 @@ def domain_distribution(
         F.explode(url_domains(F.col(text_col))).alias("domain")
     ).groupBy("domain").agg(F.count("*").alias("n_mentions"))
     return per_doc.join(mentions, "domain")
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequent word k-grams: grams appearing in at least
+    ``min_docs`` DISTINCT documents — the detection pass of C4-style
+    boilerplate removal (navigation text, license headers, cookie
+    banners repeat verbatim across unrelated pages).
+
+    ``array_distinct`` runs scan-side BEFORE the explode, so each
+    (doc, gram) pair is emitted once and the aggregate is a plain
+    COUNT — no count-distinct shuffle. Output: (g, n_docs)."""
+    from zappy_spark.operators.dedup import word_shingles
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("g"),
+    )
+    return (
+        per_doc.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_docs: int = 2,
+    persist: bool = True,
+) -> DataFrame:
+    """Per-document boilerplate score: the fraction of a doc's
+    distinct k-grams that are corpus-frequent (``frequent_ngrams``).
+    High fractions mark template/boilerplate documents for the
+    quality filter.
+
+    The exploded (doc, gram) frame feeds BOTH the frequency aggregate
+    and the per-doc hit join, so it is persisted by default — at
+    corpus scale the rescan would double the dominant stage. The
+    frequent-gram side joins on the high-cardinality gram key (an
+    equi-shuffle, balanced by construction); no broadcast is assumed
+    since the frequent set grows with the corpus.
+
+    Output: (id_col, n_grams, n_freq, boilerplate_frac)."""
+    from zappy_spark.operators.dedup import word_shingles
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("g"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = (
+        per_doc.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    hits = (
+        per_doc.join(freq, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_freq"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).cast("bigint").alias("n_grams"),
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_freq"), F.lit(0)).alias("n_freq"),
+            F.round(
+                F.coalesce(F.col("n_freq"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+    )

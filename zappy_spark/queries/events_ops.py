@@ -165,6 +165,42 @@ def s8(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s10(spark: SparkSession, d: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (streaming/jobs.py::interval_stream_join_outer): every click
+    emits — matched to same-user purchases within 1 hour after it,
+    or with nulls if none — aggregated to per-user click/unmatched
+    counts so the declared output stays bounded."""
+    ev = t(spark, d, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        j.groupBy(F.col("cu").alias("user_id"))
+        .agg(
+            F.countDistinct("c_id").alias("clicks"),
+            F.countDistinct(
+                F.when(F.col("p_ts").isNull(), F.col("c_id"))
+            ).alias("unmatched"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
 def s9(spark: SparkSession, d: str) -> DataFrame:
     """Watermark-bounded dedup, batch twin: keep the FIRST event per
     (user_id, event_type) within each 1-hour bucket, plus the bucket's
@@ -200,6 +236,7 @@ QUERIES = {
     "s7_prev_event_gap": s7,
     "s8_windowed_topk": s8,
     "s9_bucket_dedup": s9,
+    "s10_outer_interval_join": s10,
 }
 
 ORACLE = {
@@ -278,5 +315,17 @@ ORACLE = {
         "date_trunc('hour', ts)) dups FROM events) "
         "SELECT user_id, event_type, bucket, event_id, dups FROM r "
         "WHERE rn=1 ORDER BY user_id, event_type, bucket LIMIT 100"
+    ),
+    "s10_outer_interval_join": (
+        "SELECT cu user_id, COUNT(DISTINCT c_id) clicks, "
+        "COUNT(DISTINCT CASE WHEN p_ts IS NULL THEN c_id END) unmatched "
+        "FROM (SELECT c.user_id cu, c.event_id c_id, p.ts p_ts "
+        "FROM (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type='click') c "
+        "LEFT JOIN (SELECT user_id, ts FROM events "
+        "WHERE event_type='purchase') p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 1 HOUR) t "
+        "GROUP BY cu ORDER BY cu LIMIT 100"
     ),
 }

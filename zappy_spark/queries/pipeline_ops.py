@@ -524,6 +524,21 @@ def t12(spark: SparkSession, d: str) -> DataFrame:
     return out.orderBy("domain")
 
 
+def t13(spark: SparkSession, d: str) -> DataFrame:
+    """C4-style boilerplate scoring (operators/text.py::
+    boilerplate_fraction): fraction of each doc's distinct 3-grams
+    shared by ≥3 documents. The word-salad corpus shares grams
+    heavily, so the score distribution is non-degenerate."""
+    out = text.boilerplate_fraction(
+        t(spark, d, "documents"), "text", "doc_id", k=3, min_docs=3
+    )
+    return (
+        out.select("doc_id", "n_grams", "n_freq", "boilerplate_frac")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -548,6 +563,7 @@ QUERIES = {
     "t10_normalize_text": t10,
     "t11_repetition": t11,
     "t12_domain_distribution": t12,
+    "t13_boilerplate": t13,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -845,6 +861,23 @@ ORACLE = {
         '(SELECT unnest(doms) "domain" FROM d) GROUP BY 1) '
         'SELECT "domain", n_docs, n_mentions FROM dc JOIN mc USING ("domain") '
         'ORDER BY "domain"'
+    ),
+    "t13_boilerplate": (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        "freq AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 3), "
+        "hits AS (SELECT doc_id, COUNT(*) n_freq FROM sh "
+        "WHERE g IN (SELECT g FROM freq) GROUP BY doc_id), "
+        "base AS (SELECT doc_id, COUNT(*) n_grams FROM sh GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(b.n_grams,0) n_grams, "
+        "COALESCE(h.n_freq,0) n_freq, "
+        "ROUND(COALESCE(h.n_freq,0)*1.0/GREATEST(COALESCE(b.n_grams,0),1),6) "
+        "boilerplate_frac "
+        "FROM documents d LEFT JOIN base b USING (doc_id) "
+        "LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id LIMIT 100"
     ),
     # t04, v02, v06: rows-only (see docstrings) — no oracle entries.
 }

@@ -209,6 +209,35 @@ def interval_stream_join(
     )
 
 
+def interval_stream_join_outer(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """S10 twin: LEFT OUTER stream-stream interval join — clicks that
+    never see a purchase within the interval still emit, with nulls,
+    once the watermark passes ``c_ts + within`` (the null row cannot
+    be decided earlier: a matching purchase might still arrive).
+    State stays bounded exactly as in the inner form; the outer
+    semantics only change WHEN unmatched rows emit, which is why a
+    drain-to-end test needs a watermark-advancing sentinel event."""
+    c = clicks.withWatermark("ts", within).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )
+
+
 def incremental_hll(
     stream: DataFrame, state_path: str, lgk: int = 12
 ) -> "Any":
