@@ -954,3 +954,29 @@ def test_boilerplate_fraction_crafted(spark):
     assert out[1]["boilerplate_frac"] == 0.75
     assert out[4]["n_freq"] == 0 and out[4]["boilerplate_frac"] == 0.0
     assert out[5]["n_grams"] == 0 and out[5]["boilerplate_frac"] == 0.0
+
+
+def test_quantile_buckets_balanced_and_ordered(spark):
+    from zappy_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, x double"
+    )
+    out = quantile_buckets(df, "x", 4)
+    counts = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= n <= 30 for n in counts.values())
+    # buckets are value-ordered: max of bucket b < min of bucket b+1
+    rng = {
+        r["bucket"]: (r["mn"], r["mx"])
+        for r in out.groupBy("bucket")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    for b in range(3):
+        assert rng[b][1] < rng[b + 1][0]
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "x", 1)

@@ -374,3 +374,40 @@ def test_outer_interval_join_stream_equals_batch(spark, tmp_path):
     assert _rows(got, "c_user", "c_id", "p_id") == _rows(
         batch, "c_user", "c_id", "p_id"
     )
+
+
+def test_incremental_upsert_snapshot_equals_batch(spark, replay_dir, tmp_path):
+    """Drained CDC-apply snapshot == one-shot batch upsert over the
+    whole changelog: per (user_id, event_type) the highest-event_id
+    row wins, across all micro-batches."""
+    snap = str(tmp_path / "snapshot")
+    stream = jobs.stream_events(spark, replay_dir).select(
+        "user_id", "event_type", "value", "event_id"
+    )
+    q = jobs.incremental_upsert(
+        stream, snap, ["user_id", "event_type"], "event_id"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = jobs.latest_snapshot(spark, snap)
+    assert got is not None
+    batch = (
+        spark.read.parquet(replay_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("value", "event_id"), F.col("event_id")
+            ).alias("_p")
+        )
+        .select(
+            "user_id", "event_type", F.col("_p.value").alias("value"),
+            F.col("_p.event_id").alias("event_id"),
+        )
+    )
+    assert _rows(got, "user_id", "event_type", "value", "event_id") == _rows(
+        batch, "user_id", "event_type", "value", "event_id"
+    )
+    # revisions retained: one per micro-batch (4 replay files)
+    import os
+    revs = [p for p in os.listdir(snap) if p.startswith("rev=")]
+    assert len(revs) >= 2

@@ -524,6 +524,25 @@ def t12(spark: SparkSession, d: str) -> DataFrame:
     return out.orderBy("domain")
 
 
+def d12(spark: SparkSession, d: str) -> DataFrame:
+    """Quantile-bucket curriculum binning (operators/sampling.py::
+    quantile_buckets): quartiles of lineitem price; per-bucket count
+    and range verify the exact edge computation AND the scan-side
+    assignment against DuckDB's quantile_cont."""
+    from zappy_spark.operators.sampling import quantile_buckets
+
+    out = quantile_buckets(t(spark, d, "lineitem"), "l_extendedprice", 4)
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.min("l_extendedprice"), 2).alias("mn"),
+            F.round(F.max("l_extendedprice"), 2).alias("mx"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def t13(spark: SparkSession, d: str) -> DataFrame:
     """C4-style boilerplate scoring (operators/text.py::
     boilerplate_fraction): fraction of each doc's distinct 3-grams
@@ -551,6 +570,7 @@ QUERIES = {
     "d09_dedup_keep_best": d09,
     "d10_decontaminate": d10,
     "d11_mixture_sample": d11,
+    "d12_quantile_buckets": d12,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -861,6 +881,17 @@ ORACLE = {
         '(SELECT unnest(doms) "domain" FROM d) GROUP BY 1) '
         'SELECT "domain", n_docs, n_mentions FROM dc JOIN mc USING ("domain") '
         'ORDER BY "domain"'
+    ),
+    "d12_quantile_buckets": (
+        "WITH e AS (SELECT list_transform("
+        "quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), "
+        "x -> ROUND(x, 6)) ed FROM lineitem), "
+        "b AS (SELECT l_extendedprice, "
+        "len(list_filter(ed, x -> x < l_extendedprice)) bucket "
+        "FROM lineitem, e) "
+        "SELECT bucket, COUNT(*) c, ROUND(MIN(l_extendedprice),2) mn, "
+        "ROUND(MAX(l_extendedprice),2) mx "
+        "FROM b GROUP BY bucket ORDER BY bucket"
     ),
     "t13_boilerplate": (
         "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "

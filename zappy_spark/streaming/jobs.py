@@ -286,6 +286,63 @@ def incremental_hll(
     )
 
 
+def incremental_upsert(
+    stream: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    version_col: str,
+) -> "Any":
+    """CDC-apply: maintain a mutable snapshot from an append-only
+    changelog stream. Each micro-batch merges into the current
+    snapshot via ``operators.pipeline.upsert_snapshot`` (highest
+    version per key wins) and writes a NEW revision directory
+    ``rev=<batch_id>``, then atomically swaps a pointer file — the
+    snapshot is never overwritten in place, so concurrent readers
+    always see a complete revision (MVCC-lite; a transactional table
+    format plays this role on object stores).
+
+    Idempotent on batch replay: re-merging the same changelog rows
+    picks the same winners, and the rewritten revision replaces
+    itself. Old revisions are retained (cheap time travel; clean up
+    out-of-band). Returns the started StreamingQuery."""
+    import os
+
+    from zappy_spark.operators.pipeline import upsert_snapshot
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = latest_snapshot(spark, snapshot_path)
+        base = cur if cur is not None else batch_df.limit(0)
+        merged = upsert_snapshot(base, batch_df, keys, version_col)
+        rev_dir = os.path.join(snapshot_path, f"rev={batch_id}")
+        merged.write.mode("overwrite").parquet(rev_dir)
+        tmp = os.path.join(snapshot_path, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(snapshot_path, "_LATEST"))
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .start()
+    )
+
+
+def latest_snapshot(
+    spark: SparkSession, snapshot_path: str
+) -> "DataFrame | None":
+    """Read the current revision of an ``incremental_upsert``
+    snapshot (None before the first batch commits)."""
+    import os
+
+    ptr = os.path.join(snapshot_path, "_LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        rev = f.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_path, f"rev={rev}"))
+
+
 def windowed_topk(stream: DataFrame, out_path: str, k: int = 2) -> "Any":
     """S8 twin: top-k event types per tumbling hour. Window functions
     are not allowed on streaming frames, so the ranking runs inside
