@@ -285,3 +285,141 @@ def dequantize_int8(qvec: str | Column, max_abs: str | Column) -> Column:
     return F.transform(
         qvec, lambda q: q.cast("double") * mx / F.lit(127.0)
     )
+
+
+def kmeans_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Append ``cluster`` = index of the nearest centroid (squared
+    L2). Centroids ship as literal arrays (broadcast by value);
+    assignment is a scan-side JVM argmin — k lambda-expression
+    distances, array_min + array_position (ties → lowest index,
+    deterministic). No shuffle, no Python."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(c)) for c in cent]),
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        for cent in centroids
+    ]
+    darr = F.array(*dists)
+    cluster = F.array_position(darr, F.array_min(darr)) - 1
+    return df.withColumn("cluster", cluster.cast("int"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means — trains the coarse quantizer for
+    a REAL IVF index (``build_ivf_index``), replacing the pre-labeled
+    coarse key ``ivf_topk`` assumes.
+
+    Deterministic: seeds are the k vectors with the smallest
+    md5(id) (uniform, reproducible across runs/cluster sizes). Per
+    iteration: assignment is the scan-side argmin of
+    ``kmeans_assign``; the update is ONE hash aggregate of ``dim``
+    per-dimension averages — map-side partials mean only
+    k × dim numbers reach the driver, never rows. Driver state is
+    k × dim floats; stops at ``max_iter`` or when the max centroid
+    shift ≤ ``tol``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seeds = (
+        df.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} rows, got {len(seeds)}")
+    cents = np.array([list(r["_v"]) for r in seeds], dtype=np.float64)
+    dim = cents.shape[1]
+    for _ in range(max_iter):
+        assigned = kmeans_assign(df, vec_col, cents)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their centroid
+        for r in rows:
+            nxt[r["cluster"]] = [r[f"c{i}"] for i in range(dim)]
+        shift = float(np.sqrt(((nxt - cents) ** 2).sum(axis=1)).max())
+        cents = nxt
+        if shift <= tol:
+            break
+    return cents
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    k: int = 8,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train k-means centroids, assign every vector, and persist the
+    table ``partitionBy("cluster")`` — probing then PRUNES to the
+    probed clusters' files, scanning ~n_probe/k of the data (same
+    layout contract as the RP-LSH index, but with data-adaptive
+    cells). Centroids persist next to the data. Returns them."""
+    cents = kmeans_fit(df, vec_col, id_col, k, max_iter)
+    assigned = kmeans_assign(df, vec_col, cents)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    return cents
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the IVF index: rank centroids driver-side (a k×dim numpy
+    op), read ONLY the ``n_probe`` nearest clusters (partition
+    pruning — verified in the plan test), exact cosine re-rank
+    inside. Raising n_probe trades scan cost for recall."""
+    cent_rows = spark.read.parquet(path + "_centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cluster"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:n_probe]]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    qc = _qcol(query_vec)
+    return (
+        idx.select(
+            id_col, F.round(cosine(F.col(vec_col), qc), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

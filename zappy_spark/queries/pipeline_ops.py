@@ -558,6 +558,22 @@ def t13(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v09(spark: SparkSession, d: str) -> DataFrame:
+    """IVF coarse-quantizer training (operators/similarity.py::
+    kmeans_fit + kmeans_assign): distributed Lloyd's k-means, then
+    per-cluster sizes. Rows-only: the fit is iterative driver-loop
+    engine code, not SQL; blob-recovery and index-recall properties
+    are pinned in test_operators."""
+    emb = t(spark, d, "embeddings")
+    cents = similarity.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=3)
+    return (
+        similarity.kmeans_assign(emb, "embedding", cents)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -592,6 +608,7 @@ QUERIES = {
     "v06_pca_scores": v06,
     "v07_hll_rollup": v07,
     "v08_knn_join": v08,
+    "v09_ivf_kmeans": v09,
 }
 
 
@@ -910,5 +927,5 @@ ORACLE = {
         "FROM documents d LEFT JOIN base b USING (doc_id) "
         "LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id LIMIT 100"
     ),
-    # t04, v02, v06: rows-only (see docstrings) — no oracle entries.
+    # t04, v02, v06, v09: rows-only (see docstrings) — no oracle entries.
 }
