@@ -1031,3 +1031,53 @@ def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     got = [r["vec_id"] for r in out.collect() if r["vec_id"] != 0]
     # measured 0.8 at n_probe=4/8 on this (deterministic) fixture
     assert len(set(got) & set(exact)) >= 7
+
+
+def test_containment_catches_embedded_copy(spark):
+    """A short doc quoted verbatim inside a long one: containment 1.0
+    even though Jaccard is low."""
+    from zappy_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard,
+        word_shingles,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "intro words here " + short + " plus much more trailing content words"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated text body here")],
+        "doc_id long, text string",
+    )
+    # bands=num_hashes (1 row/band): the high-recall banding a
+    # containment target needs — a contained doc's Jaccard is low,
+    # so multi-row bands would rarely collide (the documented caveat)
+    pairs = {
+        (r["i"], r["j"]): r["cont"]
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.9,
+            num_hashes=16, bands=16, persist=False,
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # the same pair's Jaccard is well below the containment score
+    g = df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("grams")
+    )
+    a = g.filter(F.col("doc_id") == 1).select(F.col("grams").alias("ga"))
+    b = g.filter(F.col("doc_id") == 2).select(F.col("grams").alias("gb"))
+    jac = a.join(b).select(ngram_jaccard("ga", "gb").alias("j")).first()["j"]
+    assert jac < 0.5
+
+
+def test_standardize_matches_numpy(spark):
+    from zappy_spark.operators.linalg import standardize
+
+    rng = np.random.default_rng(11)
+    mat = rng.random((50, 6)) * np.array([1, 10, 100, 0.1, 5, 2])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = standardize(df, "vec", dim=6).orderBy("id").collect()
+    expect = (mat - mat.mean(axis=0)) / mat.std(axis=0, ddof=1)
+    got = np.array([r["std_vec"] for r in out])
+    assert np.allclose(got, expect, atol=1e-9)
+    assert list(out[0].asDict())[:2] == ["id", "vec"]  # original cols kept

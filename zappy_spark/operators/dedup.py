@@ -315,3 +315,67 @@ def decontaminate(
     Anti-join against the broadcast-detected contaminated-id set."""
     bad = contaminated_ids(df, benchmark, text_col, id_col, k)
     return df.join(bad, id_col, "left_anti")
+
+
+def ngram_containment(
+    grams_a: str | Column, grams_b: str | Column
+) -> Column:
+    """Containment score |A∩B| / min(|A|,|B|) over distinct grams —
+    unlike Jaccard, a short document fully quoted inside a long one
+    scores 1.0 (Jaccard dilutes by the union). The right verify
+    metric for copy/quote detection."""
+    da = F.array_distinct(F.col(grams_a) if isinstance(grams_a, str) else grams_a)
+    db = F.array_distinct(F.col(grams_b) if isinstance(grams_b, str) else grams_b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    return inter / F.least(F.size(da), F.size(db)).cast("double")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: same generate-and-verify shape as
+    ``near_dup_pairs`` (MinHash signatures → banded LSH candidates),
+    but verified with ``ngram_containment`` — catches documents
+    embedded in other documents (quotes, concatenated crawls,
+    boilerplate-wrapped copies) that Jaccard misses when lengths
+    differ. Returns (i, j, cont).
+
+    Caveat (honest recall bound): MinHash banding approximates
+    JACCARD, so a tiny doc inside a huge one may never share a band;
+    at scale, containment-targeted candidates would come from a
+    partial-signature join (hash a bounded prefix of each doc's gram
+    set). The verify stage is exact for every candidate produced."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    rows = num_hashes // bands
+    grams = df.select(
+        F.col(id_col).alias("_gid"),
+        word_shingles(F.col(text_col), k).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    if persist:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature_from_grams(
+        grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
+    )
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
+    return (
+        cand.join(ga, "i")
+        .join(gb, "j")
+        .select("i", "j", ngram_containment("ga", "gb").alias("cont"))
+        .filter(F.col("cont") >= threshold)
+    )

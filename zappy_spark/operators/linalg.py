@@ -113,3 +113,38 @@ def pca_transform(
         F.col(id_col),
         *[s.alias(f"pc{j}") for j, s in enumerate(scores)],
     )
+
+
+def standardize(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling pass before distance-based ops (k-means, kNN)
+    when dimensions have heterogeneous scales.
+
+    ONE aggregate computes all ``dim`` means and sample stds
+    (map-side partials; 2×dim numbers total), broadcast as a 1-row
+    frame; the transform is then scan-side JVM arithmetic. Two scans
+    of the column, zero data shuffles — same shape as the PCA
+    moments pass. Appends ``std_vec`` (array<double>)."""
+    stats = df.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_m{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.stddev_samp(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    out = df.join(F.broadcast(stats))
+    std_vec = F.array(
+        *[
+            (
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                - F.col(f"_m{i}")
+            )
+            / F.col(f"_s{i}")
+            for i in range(dim)
+        ]
+    )
+    keep = [c for c in df.columns]
+    return out.select(*keep, std_vec.alias("std_vec"))

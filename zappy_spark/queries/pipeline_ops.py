@@ -558,6 +558,53 @@ def t13(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d13(spark: SparkSession, d: str) -> DataFrame:
+    """Near-containment dedup (operators/dedup.py::containment_pairs):
+    LSH candidates verified by |A∩B|/min(|A|,|B|) — catches embedded
+    copies that Jaccard's union denominator dilutes. Same portable
+    md5 hash family as d06, so DuckDB replays the whole pipeline."""
+    pairs = dedup.containment_pairs(
+        t(spark, d, "documents"), "text", "doc_id", threshold=0.5
+    )
+    return pairs.select(
+        "i", "j", F.round("cont", 6).alias("cont")
+    ).orderBy("i", "j")
+
+
+def t14(spark: SparkSession, d: str) -> DataFrame:
+    """Sequence-length histogram: fixed-width (20-token) bins of
+    per-doc whitespace token counts — the corpus-audit view packing
+    and chunking decisions are made from. One scan, one tiny agg."""
+    docs = t(spark, d, "documents")
+    n = text.token_count_ws("text").cast("bigint")
+    return (
+        docs.groupBy((F.floor(n / 20) * 20).alias("bin"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("bin")
+    )
+
+
+def v10(spark: SparkSession, d: str) -> DataFrame:
+    """Per-dimension z-score standardization (operators/linalg.py::
+    standardize): one 2×dim-number aggregate broadcast into a
+    scan-side transform; dims 1-2 verified against DuckDB's
+    avg/stddev_samp."""
+    from zappy_spark.operators.linalg import standardize
+
+    emb = t(spark, d, "embeddings")
+    out = standardize(emb, "embedding", dim=64)
+    return (
+        out.select(
+            "vec_id",
+            F.round(F.element_at("std_vec", 1), 6).alias("s1"),
+            F.round(F.element_at("std_vec", 2), 6).alias("s2"),
+            F.round(F.element_at("std_vec", 64), 6).alias("s64"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
 def v09(spark: SparkSession, d: str) -> DataFrame:
     """IVF coarse-quantizer training (operators/similarity.py::
     kmeans_fit + kmeans_assign): distributed Lloyd's k-means, then
@@ -587,6 +634,7 @@ QUERIES = {
     "d10_decontaminate": d10,
     "d11_mixture_sample": d11,
     "d12_quantile_buckets": d12,
+    "d13_containment_pairs": d13,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -600,6 +648,7 @@ QUERIES = {
     "t11_repetition": t11,
     "t12_domain_distribution": t12,
     "t13_boilerplate": t13,
+    "t14_length_histogram": t14,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -609,6 +658,7 @@ QUERIES = {
     "v07_hll_rollup": v07,
     "v08_knn_join": v08,
     "v09_ivf_kmeans": v09,
+    "v10_standardize": v10,
 }
 
 
@@ -657,6 +707,39 @@ def _lsh_pipeline_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         "/len(list_distinct(list_concat(ga.gs, gb.gs))) jac "
         "FROM cand JOIN grams ga ON ga.doc_id=i JOIN grams gb ON gb.doc_id=j) "
         "SELECT i, j, ROUND(jac,6) jac FROM pairs WHERE jac>=0.5 ORDER BY i, j"
+    )
+
+
+def _containment_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of containment_pairs(num_hashes=16, bands=4,
+    threshold=0.5): d06's pipeline with the containment verify
+    |A∩B| / min(|A|,|B|) instead of Jaccard."""
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"MIN(md5(concat('{i}|',g))) s{i}" for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat('%d','|',%s))"
+        % (b, ",'|',".join(f"s{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
+        "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        f"band AS (SELECT doc_id, unnest([{band_exprs}]) bucket FROM sig), "
+        "cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM band a "
+        "JOIN band b ON a.bucket=b.bucket AND a.doc_id<b.doc_id), "
+        "grams AS (SELECT doc_id, list(g) gs FROM sh GROUP BY doc_id), "
+        "pairs AS (SELECT i, j, "
+        "len(list_intersect(list_distinct(ga.gs), list_distinct(gb.gs)))*1.0"
+        "/least(len(list_distinct(ga.gs)), len(list_distinct(gb.gs))) cont "
+        "FROM cand JOIN grams ga ON ga.doc_id=i JOIN grams gb ON gb.doc_id=j) "
+        "SELECT i, j, ROUND(cont,6) cont FROM pairs WHERE cont>=0.5 "
+        "ORDER BY i, j"
     )
 
 
@@ -898,6 +981,22 @@ ORACLE = {
         '(SELECT unnest(doms) "domain" FROM d) GROUP BY 1) '
         'SELECT "domain", n_docs, n_mentions FROM dc JOIN mc USING ("domain") '
         'ORDER BY "domain"'
+    ),
+    "d13_containment_pairs": _containment_oracle(16, 4),
+    "t14_length_histogram": (
+        "SELECT CAST(FLOOR(len(list_filter(string_split(text,' '), "
+        "x -> x<>''))/20) AS BIGINT)*20 bin, COUNT(*) c "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "v10_standardize": (
+        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e "
+        "FROM embeddings), "
+        "s AS (SELECT AVG(e[1]) m1, STDDEV_SAMP(e[1]) d1, "
+        "AVG(e[2]) m2, STDDEV_SAMP(e[2]) d2, "
+        "AVG(e[64]) m64, STDDEV_SAMP(e[64]) d64 FROM b) "
+        "SELECT vec_id, ROUND((e[1]-m1)/d1,6) s1, ROUND((e[2]-m2)/d2,6) s2, "
+        "ROUND((e[64]-m64)/d64,6) s64 "
+        "FROM b, s ORDER BY vec_id LIMIT 100"
     ),
     "d12_quantile_buckets": (
         "WITH e AS (SELECT list_transform("
