@@ -18,6 +18,12 @@ round 1), so the dict is ordered to maximize verified breadth:
    shares r28's oracle, so its slot goes to the new r40 instead.
 3. The 44 entries the round-1 driver already verified green last —
    cumulatively every corpus entry then has an external green row.
+
+Round-3 rotation plan: after the round-2 CORRECTNESS lands, move its
+green entries to the tail and promote everything still unverified —
+in particular the batch-2 additions (d10–d13, t11–t14, s9–s10,
+r47–r49, v09–v10) — into the window, keeping one representative per
+family near the front as a regression canary.
 """
 
 from __future__ import annotations
