@@ -1081,3 +1081,21 @@ def test_standardize_matches_numpy(spark):
     got = np.array([r["std_vec"] for r in out])
     assert np.allclose(got, expect, atol=1e-9)
     assert list(out[0].asDict())[:2] == ["id", "vec"]  # original cols kept
+
+
+def test_dataset_diff_classes(spark):
+    from zappy_spark.operators.pipeline import dataset_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)],
+        "id long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 2.0), (3, "z", 9.0), (4, "w", 4.0)],
+        "id long, s string, v double",
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in dataset_diff(a, b, "id", ["s", "v"]).collect()
+    }
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

@@ -17,7 +17,7 @@ single-shuffle-bound (see SCALE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from zappy_spark.operators.dedup import drop_exact_dups, near_dup_pairs
@@ -234,4 +234,45 @@ def upsert_snapshot(
     )
     return agg.select(
         *keys, *[F.col("_p")[c].alias(c) for c in payload_cols]
+    )
+
+
+def dataset_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Diff two dataset snapshots by id: classify every id as
+    'added' (only in b), 'removed' (only in a), 'changed' (content
+    hash differs) or 'unchanged' — the audit step between dataset
+    versions (what did this re-crawl/refilter actually change?).
+
+    ONE full-outer equi-join on the id (both sides hash-partition on
+    the same key — co-partitioned, no other shuffle); content equality
+    compares a single md5 over the selected columns, so wide rows
+    never move twice. Output: (id_col, status)."""
+    def h(df: DataFrame) -> Column:
+        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+
+    ha = a.select(F.col(id_col), h(a).alias("_ha"))
+    hb = b.select(F.col(id_col), h(b).alias("_hb"))
+    j = ha.join(hb, id_col, "full")
+    status = (
+        F.when(F.col("_ha").isNull(), "added")
+        .when(F.col("_hb").isNull(), "removed")
+        .when(F.col("_ha") != F.col("_hb"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(id_col, status.alias("status"))
+
+
+def dataset_diff_summary(
+    a: DataFrame, b: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """(status, n) rollup of ``dataset_diff`` — 4 rows out."""
+    return (
+        dataset_diff(a, b, id_col, content_cols)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
     )

@@ -959,6 +959,38 @@ def r49(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r50(spark: SparkSession, d: str) -> DataFrame:
+    """Dataset snapshot diff (operators/pipeline.py::dataset_diff):
+    orders vs a synthesized next version (prices bumped for keys ≡0
+    mod 7, keys ≡0 mod 11 dropped, new shifted keys added) — per-id
+    added/removed/changed/unchanged classification via ONE
+    co-partitioned full-outer join; summary counts verify all four
+    classes are exercised."""
+    from zappy_spark.operators.pipeline import dataset_diff_summary
+
+    o = t(spark, d, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    nxt = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.round(F.col("o_totalprice") + 1.0, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100_000_000
+            )
+        )
+    )
+    return dataset_diff_summary(
+        o, nxt, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    ).orderBy("status")
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1044,6 +1076,7 @@ QUERIES = {
     "r47_upsert_snapshot": r47,
     "r48_q11_shape": r48,
     "r49_q15_shape": r49,
+    "r50_dataset_diff": r50,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1374,6 +1407,26 @@ ORACLE = {
         "SELECT s_suppkey, s_name, total_rev FROM rev "
         "JOIN supplier ON l_suppkey=s_suppkey "
         "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) ORDER BY s_suppkey"
+    ),
+    # the Spark side classifies via per-engine md5 content hashes;
+    # the oracle compares columns directly — equivalent, since only
+    # same-engine hash (in)equality matters, never the hash value
+    "r50_dataset_diff": (
+        "WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM orders), "
+        "n AS (SELECT o_orderkey, CASE WHEN o_orderkey%7=0 "
+        "THEN ROUND(o_totalprice+1.0,2) ELSE o_totalprice END o_totalprice, "
+        "o_orderstatus FROM o WHERE o_orderkey%11<>0 "
+        "UNION ALL SELECT o_orderkey+100000000, o_totalprice, o_orderstatus "
+        "FROM o WHERE o_orderkey%13=0), "
+        "j AS (SELECT a.o_orderkey ak, b.o_orderkey bk, "
+        "a.o_totalprice ap, b.o_totalprice bp, "
+        "a.o_orderstatus s1, b.o_orderstatus s2 "
+        "FROM o a FULL JOIN n b ON a.o_orderkey=b.o_orderkey) "
+        "SELECT CASE WHEN ak IS NULL THEN 'added' "
+        "WHEN bk IS NULL THEN 'removed' "
+        "WHEN ap<>bp OR s1<>s2 THEN 'changed' ELSE 'unchanged' END status, "
+        "COUNT(*) n FROM j GROUP BY 1 ORDER BY 1"
     ),
     "r42_zorder_key": (
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
