@@ -7,23 +7,18 @@ oracle (non-SQL-expressible ops) appear only in QUERIES.
 
 Ordering contract (VERDICT r1 §wrong-2): the external correctness
 gate consumes entries in insertion order with a bounded window (50 in
-round 1), so the dict is ordered to maximize verified breadth:
+round 1 and round 2), so the dict is ordered to maximize verified
+breadth. Rotation state after round 2: rounds 1+2 cumulatively
+verified 94 distinct entries green (CORRECTNESS_r01 44/50 +
+CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 
-1. One representative per operator family first (streaming, LLM,
-   dedup, text, ANN, advanced-relational, bench shapes) — so even a
-   small window spans every family.
-2. Then the rest of the 50 entries that carried no CORRECTNESS row in
-   round 1, plus the round-1 hash-failures (z06 z09 z15 z16 r28,
-   fixed via dtype parity this round) for re-verification. r28b
-   shares r28's oracle, so its slot goes to the new r40 instead.
-3. The 44 entries the round-1 driver already verified green last —
-   cumulatively every corpus entry then has an external green row.
-
-Round-3 rotation plan: after the round-2 CORRECTNESS lands, move its
-green entries to the tail and promote everything still unverified —
-in particular the batch-2 additions (d10–d13, t11–t14, s9–s10,
-r47–r49, v09–v10) — into the window, keeping one representative per
-family near the front as a regression canary.
+Round-3 ordering (this file): the 39 entries that have never carried
+a driver CORRECTNESS row — the round-2 batch additions (r41–r50,
+s6/s8–s10, d07–d13, t07–t14, v03–v10) plus z24 and r28b — go first,
+followed by family canaries (one previously-green representative per
+family, guarding against regressions from this round's changes),
+then the remaining green tail. New batch-3 entries are appended to
+the *front* block as they are added so they land inside the window.
 """
 
 from __future__ import annotations
@@ -44,66 +39,69 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 1: family representatives (judge-suggested set, VERDICT r1 next-2).
-_REPRESENTATIVES = [
+# Tier 1: every entry with no driver CORRECTNESS row after rounds
+# 1+2 (the round-2 batch additions, plus z24 / r28b which sat past
+# both windows). New batch-3 entries are appended here as added.
+_UNSEEN_R3 = [
+    "z24_var_axis1",
+    "r28b_pivot_native",
+    "r41_recursive_cte",
+    "r42_zorder_key",
+    "r43_correlated_subquery",
+    "r44_q21_sole_late",
+    "r45_q22_no_urgent",
+    "r46_q13_custdist",
+    "r47_upsert_snapshot",
+    "r48_q11_shape",
+    "r49_q15_shape",
+    "r50_dataset_diff",
+    "s6_interval_join",
+    "s8_windowed_topk",
+    "s9_bucket_dedup",
+    "s10_outer_interval_join",
+    "d07_hash_sample",
+    "d08_stratified_sample",
+    "d09_dedup_keep_best",
+    "d10_decontaminate",
+    "d11_mixture_sample",
+    "d12_quantile_buckets",
+    "d13_containment_pairs",
+    "t07_tfidf",
+    "t08_pii_redaction",
+    "t09_chunking",
+    "t10_normalize_text",
+    "t11_repetition",
+    "t12_domain_distribution",
+    "t13_boilerplate",
+    "t14_length_histogram",
+    "v03_l2_normalize",
+    "v04_quantize_int8",
+    "v05_covariance",
+    "v06_pca_scores",
+    "v07_hll_rollup",
+    "v08_knn_join",
+    "v09_ivf_kmeans",
+    "v10_standardize",
+]
+
+# Tier 2: previously-green family canaries — one representative per
+# family, re-checked each round to catch regressions from this
+# round's code changes (notably the events-ts LTZ normalization).
+_CANARIES = [
     "s1_tumbling_window",
     "l02_cosine_topk",
-    "l04_exact_dedup_hash",
     "d06_lsh_neardup_pipeline",
     "t02_quality_features",
     "v01_ivf_label_topk",
     "r30_asof_join",
-    "r31_group_percentile",
-    "r35_grouping_sets",
-    "r36_unpivot",
+    "r01_pricing_summary",
+    "r02_join5_agg",
     "b04_global_topk",
-    "b05_distinct_counts",
-    "b09_intersect",
-    "r29_explode_reagg",
     "z06_unary_suite",
-    "r28_pivot_conditional",
-    "r40_bucketed_ranking",
-]
-
-# Tier 2: everything else with no round-1 CORRECTNESS row, plus the
-# remaining round-1 hash-failures.
-_UNSEEN_R1 = [
-    "z09_comparisons",
-    "z15_astype_cast",
-    "z16_count_nonzero",
-    "r32_sorted_listagg",
     "r33_interval_arith",
-    "r34_window_extras",
-    "r37_bit_aggs",
-    "r38_q3_shape",
-    "r39_q18_shape",
-    "b07_string_filter_agg",
-    "s2_sliding_window",
-    "s3_session_window",
-    "s4_dedup_keep_first",
-    "s5_stream_static_join",
-    "s7_prev_event_gap",
-    "l01_json_extract",
-    "l03_word_counts",
-    "l05_doc_stats",
-    "l06_similarity_self_join",
-    "l07_quality_filter",
-    "l08_euclidean_topk",
-    "l10_term_frequency",
-    "d01_exact_dedup_groups",
-    "d02_minhash_signature",
-    "d03_simhash",
-    "d04_ngram_jaccard",
-    "d05_embedding_neardup",
-    "t01_token_counts",
-    "t03_fingerprint",
-    "t04_lang_id",
-    "t05_levenshtein",
-    "t06_content_split",
-    "v02_rp_lsh_ann",
 ]
 
-_PRIORITY = _REPRESENTATIVES + _UNSEEN_R1
+_PRIORITY = _UNSEEN_R3 + _CANARIES
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}
 QUERIES.update({k: v for k, v in _ALL_QUERIES.items() if k not in QUERIES})

@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -108,6 +108,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "(CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END))"
             ),
         )
+    elif name == "events" and isinstance(
+        df.schema["ts"].dataType, TimestampNTZType
+    ):
+        # Newer testdata vintage stores ts as parquet timestamp[us]
+        # with isAdjustedToUTC=false, which Spark 4 reads as
+        # TIMESTAMP_NTZ. Watermarks/event-time ops require
+        # TIMESTAMP_LTZ; under the pinned UTC session timezone the
+        # cast reinterprets the same wall clock as the same instant,
+        # so batch/oracle parity is unchanged (both engines
+        # materialize naive-UTC in pandas).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
