@@ -223,3 +223,42 @@ def test_var_std_axis1_match_numpy(spark):
         got_s = np.asarray(zf.std(axis=1, ddof=ddof).asndarray())
         assert np.allclose(got_v, X.var(axis=1, ddof=ddof), atol=1e-10)
         assert np.allclose(got_s, X.std(axis=1, ddof=ddof), atol=1e-10)
+
+
+def test_from_columns_keyless_ids_contiguous_stable_no_window(spark):
+    """Keyless from_columns (VERDICT r3 wrong-1): partition-offset row
+    ids must be contiguous 0..n-1, identical across two builds of the
+    same source, and the plan must contain NO Window node (the old
+    spelling was a single-partition global sort)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from zappy_spark.frame import ZappyFrame
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice")
+        .repartition(7)  # multi-partition on purpose
+        .cache()
+    )
+    n = li.count()
+    cols = ["l_quantity", "l_extendedprice"]
+    zf = ZappyFrame.from_columns(li, cols)
+    ids = zf.df.select("row_id")
+    stats = ids.agg(
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+        F.countDistinct("row_id").alias("nd"),
+        F.count("*").alias("cnt"),
+    ).first()
+    assert (stats["lo"], stats["hi"]) == (0, n - 1)
+    assert stats["nd"] == stats["cnt"] == n
+    # stable: same source partitioning → same (id, vec) assignment
+    h1 = zf.df.agg(F.sum(F.hash("row_id", "vec"))).first()[0]
+    h2 = ZappyFrame.from_columns(li, cols).df.agg(
+        F.sum(F.hash("row_id", "vec"))
+    ).first()[0]
+    assert h1 == h2
+    plan = zf.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "keyless ingest still uses a window"
+    li.unpersist()

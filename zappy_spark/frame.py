@@ -153,14 +153,31 @@ class ZappyFrame:
         """Wide → tall: named numeric columns become the vec array
         (SURVEY §1.2's wide encoding — fine up to low-thousands of
         columns; lineitem's numeric columns are this shape). Without
-        an id column, a deterministic row_id is derived via
-        zipWithIndex-free row_number over the natural column order —
-        pass row_id_col whenever the source has a real key."""
+        an id column, row ids are derived zipWithIndex-style with NO
+        global sort: ``monotonically_increasing_id`` encodes
+        ``(partition_id << 33) + local_index``; a per-partition count
+        aggregate (one tiny job, ≤ num_partitions rows to the driver)
+        yields cumulative offsets that are broadcast back as a map
+        literal. Contiguous 0..n-1 ids, zero data shuffles — stable
+        whenever the source partitioning is (files, cached frames).
+        Pass row_id_col whenever the source has a real key."""
         if row_id_col is None:
-            from pyspark.sql import Window
-
-            w = Window.orderBy(*[F.col(c) for c in cols])
-            df = df.withColumn("_rid", F.row_number().over(w) - 1)
+            df = df.withColumn("_mid", F.monotonically_increasing_id())
+            pid = F.shiftright(F.col("_mid"), 33)
+            local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            parts = sorted(
+                (r["_pid"], r["count"])
+                for r in df.groupBy(pid.alias("_pid")).count().collect()
+            )
+            offsets, acc = [], 0
+            for p, n in parts:
+                offsets += [F.lit(int(p)).cast("bigint"), F.lit(acc)]
+                acc += n
+            off_map = F.create_map(*offsets) if offsets else F.lit(None)
+            df = df.withColumn(
+                "_rid",
+                (F.element_at(off_map, pid) + local).cast("bigint"),
+            )
             row_id_col = "_rid"
         vec = F.array(*[F.col(c).cast(_D) for c in cols])
         return cls(
