@@ -339,6 +339,8 @@ def containment_pairs(
     bands: int = 4,
     k: int = 3,
     persist: bool = True,
+    anchors: int | None = None,
+    anchor_max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-CONTAINMENT pairs: same generate-and-verify shape as
     ``near_dup_pairs`` (MinHash signatures → banded LSH candidates),
@@ -347,11 +349,16 @@ def containment_pairs(
     boilerplate-wrapped copies) that Jaccard misses when lengths
     differ. Returns (i, j, cont).
 
-    Caveat (honest recall bound): MinHash banding approximates
-    JACCARD, so a tiny doc inside a huge one may never share a band;
-    at scale, containment-targeted candidates would come from a
-    partial-signature join (hash a bounded prefix of each doc's gram
-    set). The verify stage is exact for every candidate produced."""
+    Recall bound: MinHash banding approximates JACCARD, so a tiny
+    doc inside a huge one may never share a band (Jaccard ≈
+    |A|/|B| → 0 while containment = 1). Pass ``anchors=q`` to union
+    in the bounded gram-prefix candidate path
+    (``containment_anchor_candidates``): each doc probes the gram
+    inverted index with its q smallest gram hashes, so an embedded
+    doc with containment ≥ t is missed with probability ≤ (1−t)^q
+    regardless of the size ratio. The default keeps the pure banded
+    pipeline (d13's oracle replays that form exactly). The verify
+    stage is exact for every candidate produced either way."""
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
     if num_hashes % bands != 0:
@@ -371,6 +378,13 @@ def containment_pairs(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
     cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    if anchors:
+        cand = (
+            cand.unionByName(
+                containment_anchor_candidates(grams, anchors, anchor_max_df)
+            )
+            .distinct()
+        )
     ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
     return (
@@ -378,4 +392,63 @@ def containment_pairs(
         .join(gb, "j")
         .select("i", "j", ngram_containment("ga", "gb").alias("cont"))
         .filter(F.col("cont") >= threshold)
+    )
+
+
+def containment_anchor_candidates(
+    grams: DataFrame, q: int = 8, max_df: int | None = 1000
+) -> DataFrame:
+    """Bounded gram-prefix (bottom-q MinHash) candidate pairs for
+    containment — the scale path banding cannot provide (VERDICT r3
+    next-8).
+
+    Every doc computes its q smallest md5(gram) values SCAN-SIDE
+    (array_sort + slice over the distinct gram array — no shuffle,
+    output bounded at q rows/doc) and probes the (gram-hash → doc)
+    inverted index with them. If containment(A,B) ≥ t, each anchor
+    of the smaller doc lands in A∩B with probability ≥ t, so the
+    pair is missed with probability ≤ (1−t)^q — independent of the
+    |B|/|A| size ratio that defeats Jaccard banding.
+
+    ``max_df`` drops grams appearing in more than that many docs
+    from the index (stopword-like shingles), bounding the join
+    fan-out to q·max_df candidates per doc worst-case; the df filter
+    and the candidate join shuffle on the same key, so AQE
+    co-partitions them. Input is the persisted ``grams`` frame
+    (``_gid``, ``grams``) the caller already materializes — no extra
+    corpus scan. Output: (i, j) with i < j, distinct."""
+    if q < 1:
+        raise ValueError(f"anchor count must be >= 1, got {q}")
+    anchor = grams.select(
+        F.col("_gid").alias("_ai"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(F.array_distinct("grams"), F.md5)
+                ),
+                1,
+                q,
+            )
+        ).alias("h"),
+    )
+    index = grams.select(
+        F.col("_gid").alias("_bj"),
+        F.explode(F.array_distinct("grams")).alias("g"),
+    ).select("_bj", F.md5("g").alias("h"))
+    if max_df:
+        df_ok = (
+            index.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h")
+        )
+        index = index.join(df_ok, "h")
+    return (
+        anchor.join(index, "h")
+        .filter(F.col("_ai") != F.col("_bj"))
+        .select(
+            F.least("_ai", "_bj").alias("i"),
+            F.greatest("_ai", "_bj").alias("j"),
+        )
+        .distinct()
     )
