@@ -12,14 +12,15 @@ breadth. Rotation state after round 2: rounds 1+2 cumulatively
 verified 94 distinct entries green (CORRECTNESS_r01 44/50 +
 CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 
-Round-3 ordering (this file): the 39 entries that have never carried
-a driver CORRECTNESS row — the round-2 batch additions (r41–r50,
-s6/s8–s10, d07–d13, t07–t14, v03–v10) plus z24 and r28b — go first,
-followed by family canaries (one previously-green representative per
-family, guarding against regressions from this round's changes),
-then the remaining green tail. New batch-3 entries are appended to
-the *front* block as they are added so they land inside the window.
-"""
+Round-4 ordering (this file): after round 3 every one of the 133
+entries has carried a driver row at least once; the freshness gap is
+the 83 entries last checked in rounds 1–2 (VERDICT r3 next-1).
+Window layout: (a) the two entries whose definitions changed this
+round and gained oracles (t04 lang-id, v06 PCA-2d), (b) all 42
+entries whose last green row is round 1, (c) the 6 oldest round-2
+entries — exactly 50. The remaining round-2 tail follows immediately
+so a wider window (or round 5 with the same file rotated) sweeps it;
+round-3-green entries close the list."""
 
 from __future__ import annotations
 
@@ -39,69 +40,108 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 1: every entry with no driver CORRECTNESS row after rounds
-# 1+2 (the round-2 batch additions, plus z24 / r28b which sat past
-# both windows). New batch-3 entries are appended here as added.
-_UNSEEN_R3 = [
-    "z24_var_axis1",
-    "r28b_pivot_native",
-    "r41_recursive_cte",
-    "r42_zorder_key",
-    "r43_correlated_subquery",
-    "r44_q21_sole_late",
-    "r45_q22_no_urgent",
-    "r46_q13_custdist",
-    "r47_upsert_snapshot",
-    "r48_q11_shape",
-    "r49_q15_shape",
-    "r50_dataset_diff",
-    "s6_interval_join",
-    "s8_windowed_topk",
-    "s9_bucket_dedup",
-    "s10_outer_interval_join",
-    "d07_hash_sample",
-    "d08_stratified_sample",
-    "d09_dedup_keep_best",
-    "d10_decontaminate",
-    "d11_mixture_sample",
-    "d12_quantile_buckets",
-    "d13_containment_pairs",
-    "t07_tfidf",
-    "t08_pii_redaction",
-    "t09_chunking",
-    "t10_normalize_text",
-    "t11_repetition",
-    "t12_domain_distribution",
-    "t13_boilerplate",
-    "t14_length_histogram",
-    "v03_l2_normalize",
-    "v04_quantize_int8",
-    "v05_covariance",
+# Tier 0: new or changed this round — d14 is the new anchored
+# containment path, t04 gained a profile-score oracle, v06 became
+# the 2-dim closed-form-checkable PCA.
+_CHANGED_R4 = [
+    "d14_containment_anchored",
+    "t04_lang_id",
     "v06_pca_scores",
-    "v07_hll_rollup",
-    "v08_knn_join",
-    "v09_ivf_kmeans",
-    "v10_standardize",
 ]
 
-# Tier 2: previously-green family canaries — one representative per
-# family, re-checked each round to catch regressions from this
-# round's code changes (notably the events-ts LTZ normalization).
-_CANARIES = [
-    "s1_tumbling_window",
-    "l02_cosine_topk",
-    "d06_lsh_neardup_pipeline",
-    "t02_quality_features",
-    "v01_ivf_label_topk",
-    "r30_asof_join",
-    "r01_pricing_summary",
-    "r02_join5_agg",
-    "b04_global_topk",
-    "z06_unary_suite",
-    "r33_interval_arith",
+# Tier 1: last driver-green row is round 1 (stalest; 42 entries).
+_R1_STALE = [
+    "z01_sum_axis0",
+    "z02_mean_axis0",
+    "z03_log1p",
+    "z04_exp_expm1",
+    "z05_row_sum_axis1",
+    "z07_scalar_broadcast",
+    "z10_bool_mask",
+    "z11_column_select",
+    "z12_var_std",
+    "z13_minmax_axis0",
+    "z14_minmax_axis1",
+    "z17_row_normalize",
+    "z18_any_all",
+    "z19_mean_axis1",
+    "z20_median_percentile",
+    "z21_corr_covar",
+    "z22_skew_kurt",
+    "z23_regr",
+    "r03_topk_per_group",
+    "r04_group_by_date",
+    "r05_semi_join",
+    "r06_anti_join",
+    "r07_left_join",
+    "r08_full_outer_join",
+    "r09_cross_join",
+    "r10_range_join",
+    "r11_rollup",
+    "r12_cube",
+    "r15_having",
+    "r17_union",
+    "r17b_union_all",
+    "r18_except",
+    "r19_scalar_subquery",
+    "r20_in_subquery",
+    "r21_case_coalesce",
+    "r22_string_funcs",
+    "r22b_regex",
+    "r23_date_funcs",
+    "r24_math_funcs",
+    "r25_analytic_window",
+    "r27_ranking_suite",
+    "r26_range_frame",
 ]
 
-_PRIORITY = _UNSEEN_R3 + _CANARIES
+# Tier 2: last driver-green row is round 2 (40 entries, t04 moved to
+# tier 0). The first 6 complete the 50-entry window; the rest queue
+# directly behind for window slack / round 5.
+_R2_STALE = [
+    "z09_comparisons",
+    "z15_astype_cast",
+    "z16_count_nonzero",
+    "r28_pivot_conditional",
+    "r29_explode_reagg",
+    "r31_group_percentile",
+    "r32_sorted_listagg",
+    "r34_window_extras",
+    "r35_grouping_sets",
+    "r36_unpivot",
+    "r37_bit_aggs",
+    "r38_q3_shape",
+    "r39_q18_shape",
+    "r40_bucketed_ranking",
+    "b05_distinct_counts",
+    "b07_string_filter_agg",
+    "b09_intersect",
+    "s2_sliding_window",
+    "s3_session_window",
+    "s4_dedup_keep_first",
+    "s5_stream_static_join",
+    "s7_prev_event_gap",
+    "l01_json_extract",
+    "l03_word_counts",
+    "l04_exact_dedup_hash",
+    "l05_doc_stats",
+    "l06_similarity_self_join",
+    "l07_quality_filter",
+    "l08_euclidean_topk",
+    "l10_term_frequency",
+    "d01_exact_dedup_groups",
+    "d02_minhash_signature",
+    "d03_simhash",
+    "d04_ngram_jaccard",
+    "d05_embedding_neardup",
+    "t01_token_counts",
+    "t03_fingerprint",
+    "t05_levenshtein",
+    "t06_content_split",
+    "v02_rp_lsh_ann",
+]
+
+_PRIORITY = _CHANGED_R4 + _R1_STALE + _R2_STALE
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}
 QUERIES.update({k: v for k, v in _ALL_QUERIES.items() if k not in QUERIES})

@@ -98,6 +98,28 @@ def d06(spark: SparkSession, d: str) -> DataFrame:
 # ----------------------------------------------------------- text ops
 
 
+def d14(spark: SparkSession, d: str) -> DataFrame:
+    """Anchored containment dedup (round 4): the banded pipeline plus
+    the bounded gram-prefix (bottom-q MinHash) candidate path — the
+    scale-correct recall fix for tiny-in-huge embeddings that Jaccard
+    banding provably misses (dedup.containment_anchor_candidates).
+    The DuckDB twin replays anchors, df-capped inverted index, and
+    the exact containment verify."""
+    return (
+        dedup.containment_pairs(
+            t(spark, d, "documents"),
+            "text",
+            "doc_id",
+            threshold=0.5,
+            num_hashes=16,
+            bands=4,
+            anchors=4,
+        )
+        .select("i", "j", F.round("cont", 6).alias("cont"))
+        .orderBy("i", "j")
+    )
+
+
 def t01(spark: SparkSession, d: str) -> DataFrame:
     docs = t(spark, d, "documents")
     return (
@@ -138,8 +160,12 @@ def t03(spark: SparkSession, d: str) -> DataFrame:
 
 
 def t04(spark: SparkSession, d: str) -> DataFrame:
-    """Language-ID heuristic (rows-only: profile tables are engine
-    code, not SQL; accuracy is unit-tested on real-language samples)."""
+    """Language-ID heuristic. Oracle-bearing since round 4 (VERDICT
+    r3 next-5): the profile weights are literals, so the per-language
+    stopword-ratio scores and the (score DESC, lang ASC) argmax are
+    SQL-expressible — the DuckDB twin replays them from the same
+    LANG_PROFILES constants. Accuracy on real-language samples stays
+    unit-tested in test_operators."""
     pred = text.lang_id(t(spark, d, "documents"), "text")
     return (
         pred.select("doc_id", "lang_pred", "lang_conf")
@@ -359,17 +385,26 @@ def v05(spark: SparkSession, d: str) -> DataFrame:
 
 
 def v06(spark: SparkSession, d: str) -> DataFrame:
-    """PCA scores (rows-only: eigendecomposition is engine code, not
-    SQL; fit is property-tested against numpy in test_operators)."""
+    """PCA scores, oracle-bearing since round 4 (VERDICT r3 next-5):
+    runs the full distributed pipeline — Arrow moments partials →
+    driver ``eigh`` with the max-|coord|-positive sign convention →
+    JVM literal projection — on the leading 2 embedding dims, a
+    width whose eigensolution has a closed form DuckDB can replay
+    (2×2 symmetric: λ = tr/2 ± √((Δ/2)² + c₁₂²), v ∝ (c₁₂, λ−c₁₁)).
+    Full-width PCA is the same code path, numpy-parity-tested in
+    test_operators; rounding at 3 decimals absorbs the ~1e-12
+    moments-vs-covar_samp accumulation difference."""
     from zappy_spark.operators.linalg import pca_transform
 
-    emb = t(spark, d, "embeddings")
-    out = pca_transform(emb, "embedding", "vec_id", k=2)
+    emb = t(spark, d, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 2).alias("e2")
+    )
+    out = pca_transform(emb, "e2", "vec_id", k=2)
     return (
         out.select(
             "vec_id",
-            F.round("pc0", 4).alias("p0"),
-            F.round("pc1", 4).alias("p1"),
+            (F.round("pc0", 3) + F.lit(0.0)).alias("p0"),
+            (F.round("pc1", 3) + F.lit(0.0)).alias("p1"),
         )
         .orderBy("vec_id")
         .limit(100)
@@ -635,6 +670,7 @@ QUERIES = {
     "d11_mixture_sample": d11,
     "d12_quantile_buckets": d12,
     "d13_containment_pairs": d13,
+    "d14_containment_anchored": d14,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -710,6 +746,57 @@ def _lsh_pipeline_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     )
 
 
+def _anchored_containment_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    q: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> str:
+    """DuckDB replica of containment_pairs(..., anchors=q): banded
+    candidates UNION bottom-q gram-hash anchor probes against the
+    df-capped inverted index, then the exact containment verify."""
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"MIN(md5(concat('{i}|',g))) s{i}" for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat('%d','|',%s))"
+        % (b, ",'|',".join(f"s{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
+        "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        f"band AS (SELECT doc_id, unnest([{band_exprs}]) bucket FROM sig), "
+        "bcand AS (SELECT DISTINCT least(a.doc_id,b.doc_id) i, "
+        "greatest(a.doc_id,b.doc_id) j FROM band a "
+        "JOIN band b ON a.bucket=b.bucket AND a.doc_id<b.doc_id), "
+        "grams AS (SELECT doc_id, list_distinct(list(g)) gs FROM sh "
+        "GROUP BY doc_id), "
+        "anch AS (SELECT doc_id, unnest(list_sort(list_transform(gs, "
+        f"g -> md5(g)))[1:{q}]) h FROM grams), "
+        "idx0 AS (SELECT doc_id, md5(g2) h FROM "
+        "(SELECT doc_id, unnest(gs) g2 FROM grams) z), "
+        f"dfok AS (SELECT h FROM idx0 GROUP BY h HAVING count(*) <= {max_df}), "
+        "idx AS (SELECT idx0.doc_id, idx0.h FROM idx0 JOIN dfok USING (h)), "
+        "acand AS (SELECT DISTINCT least(a.doc_id,b.doc_id) i, "
+        "greatest(a.doc_id,b.doc_id) j FROM anch a "
+        "JOIN idx b ON a.h=b.h AND a.doc_id<>b.doc_id), "
+        "cand AS (SELECT i, j FROM bcand UNION SELECT i, j FROM acand), "
+        "pairs AS (SELECT i, j, "
+        "len(list_intersect(ga.gs, gb.gs))*1.0"
+        "/least(len(ga.gs), len(gb.gs)) cont "
+        "FROM cand JOIN grams ga ON ga.doc_id=i JOIN grams gb ON gb.doc_id=j) "
+        f"SELECT i, j, ROUND(cont,6) cont FROM pairs WHERE cont>={threshold} "
+        "ORDER BY i, j"
+    )
+
+
 def _containment_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     """DuckDB replica of containment_pairs(num_hashes=16, bands=4,
     threshold=0.5): d06's pipeline with the containment verify
@@ -741,6 +828,59 @@ def _containment_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         "SELECT i, j, ROUND(cont,6) cont FROM pairs WHERE cont>=0.5 "
         "ORDER BY i, j"
     )
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB replica of text.lang_id: per-language stopword-hit
+    ratio from the SAME ``LANG_PROFILES`` constants, argmax by
+    (score DESC, lang ASC), 'und' when every profile scores 0."""
+    arms = " UNION ALL ".join(
+        "SELECT doc_id, '%s' lang, len(list_filter(tk, x -> x IN (%s)))*1.0"
+        "/greatest(len(tk),1) score FROM tok"
+        % (lang, ",".join(f"'{w}'" for w in words))
+        for lang, words in text.LANG_PROFILES.items()
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tk FROM documents), "
+        f"s AS ({arms}), "
+        "best AS (SELECT doc_id, lang, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, lang) rn FROM s) "
+        "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END "
+        "lang_pred, ROUND(score,6) lang_conf "
+        "FROM best WHERE rn=1 ORDER BY doc_id LIMIT 100"
+    )
+
+
+# Closed-form 2×2 symmetric eigensolution replaying pca_fit's sign
+# convention (max-|coord| positive, first index on ties) — the v06
+# oracle. Assumes c12 != 0 (holds for real-valued embeddings).
+_PCA2_ORACLE = (
+    "WITH base AS (SELECT vec_id, embedding[1]::DOUBLE x1, "
+    "embedding[2]::DOUBLE x2 FROM embeddings), "
+    "st AS (SELECT avg(x1) m1, avg(x2) m2, covar_samp(x1,x1) c11, "
+    "covar_samp(x1,x2) c12, covar_samp(x2,x2) c22 FROM base), "
+    "eig AS (SELECT *, (c11+c22)/2 + sqrt(((c11-c22)/2)*((c11-c22)/2)"
+    " + c12*c12) l1, (c11+c22)/2 - sqrt(((c11-c22)/2)*((c11-c22)/2)"
+    " + c12*c12) l2 FROM st), "
+    "raw AS (SELECT m1, m2, "
+    "c12/sqrt(c12*c12 + (l1-c11)*(l1-c11)) a1, "
+    "(l1-c11)/sqrt(c12*c12 + (l1-c11)*(l1-c11)) b1, "
+    "c12/sqrt(c12*c12 + (l2-c11)*(l2-c11)) a2, "
+    "(l2-c11)/sqrt(c12*c12 + (l2-c11)*(l2-c11)) b2 FROM eig), "
+    "v AS (SELECT m1, m2, "
+    "CASE WHEN (CASE WHEN abs(a1)>=abs(b1) THEN a1 ELSE b1 END) < 0 "
+    "THEN -a1 ELSE a1 END v11, "
+    "CASE WHEN (CASE WHEN abs(a1)>=abs(b1) THEN a1 ELSE b1 END) < 0 "
+    "THEN -b1 ELSE b1 END v12, "
+    "CASE WHEN (CASE WHEN abs(a2)>=abs(b2) THEN a2 ELSE b2 END) < 0 "
+    "THEN -a2 ELSE a2 END v21, "
+    "CASE WHEN (CASE WHEN abs(a2)>=abs(b2) THEN a2 ELSE b2 END) < 0 "
+    "THEN -b2 ELSE b2 END v22 FROM raw) "
+    "SELECT vec_id, ROUND((x1-m1)*v11 + (x2-m2)*v12, 3) + 0.0 p0, "
+    "ROUND((x1-m1)*v21 + (x2-m2)*v22, 3) + 0.0 p1 "
+    "FROM base, v ORDER BY vec_id LIMIT 100"
+)
 
 
 _SHINGLE_CTE = (
@@ -808,6 +948,9 @@ ORACLE = {
         "FROM documents) x GROUP BY doc_id ORDER BY doc_id LIMIT 100"
     ),
     "d06_lsh_neardup_pipeline": _lsh_pipeline_oracle(16, 4),
+    "d14_containment_anchored": _anchored_containment_oracle(16, 4, 4, 0.5, 1000),
+    "t04_lang_id": _lang_id_oracle(),
+    "v06_pca_scores": _PCA2_ORACLE,
     "t05_levenshtein": (
         "SELECT a.doc_id i, levenshtein(substr(a.text,1,40), substr(b.text,1,40)) d "
         "FROM documents a JOIN documents b ON b.doc_id=a.doc_id+1 "
