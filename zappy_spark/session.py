@@ -6,12 +6,25 @@ so the analog is one session factory that pins the semantics every
 query in the corpus was verified under (SURVEY.md Appendix A):
 
 - ``spark.sql.session.timeZone=UTC`` — cross-engine timestamp parity.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is
-  parquet TIMESTAMP(NANOS), which Spark 4 otherwise refuses
-  (PARQUET_TYPE_ILLEGAL). The registry repairs the long back to a
-  micros timestamp so queries never see the raw long.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — needed when the
+  testdata vintage stores ``events.ts`` as parquet TIMESTAMP(NANOS),
+  which Spark 4 otherwise refuses (PARQUET_TYPE_ILLEGAL). The
+  registry repairs the long back to a micros timestamp so queries
+  never see the raw long. The newer vintage stores timestamp[us]
+  with isAdjustedToUTC=false (read as TIMESTAMP_NTZ); ``load_table``
+  handles both — see its docstring for the per-vintage repairs.
 - AQE on — runtime coalesce / broadcast conversion / skew-join split;
   this is the 100 TB story for shuffle sizing, not hand-tuning.
+
+Timestamp normalization policy: only ``events.ts`` is cast to
+TIMESTAMP_LTZ, because event-time operators (watermarks, windows,
+stream joins) require LTZ input. ``lineitem.l_shipdate`` /
+``orders.o_orderdate`` stay as loaded (NTZ in the newer vintage):
+they are calendar dates used in comparisons and date arithmetic,
+where NTZ semantics equal DuckDB's naive reads with no cast at all.
+``load_table`` pins the UTC session timezone itself (ADVICE r3), so
+the LTZ cast reinterprets rather than shifts instants even on an
+externally-created session.
 """
 
 from __future__ import annotations
@@ -86,7 +99,15 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, applying per-table ingest repairs."""
+    """Load one testdata table, applying per-table ingest repairs.
+
+    Self-defending (ADVICE r3): pins the corpus confs first, so a
+    caller that skipped ``configure()`` on a foreign session cannot
+    silently shift ``events.ts`` through the NTZ→LTZ cast below —
+    that cast preserves instants only under the UTC session
+    timezone, and the nanos vintage needs ``nanosAsLong`` set before
+    the scan is planned."""
+    configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Only the driver-generated store carries nanos-as-long; an events
     # table that round-tripped through Spark already has a real
