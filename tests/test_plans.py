@@ -271,3 +271,78 @@ def test_boilerplate_persists_gram_frame(spark):
     plan = _plan(QUERIES["t13_boilerplate"](spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
     spark.catalog.clearCache()
+
+
+def test_bucketed_layout_runs_r02_r10_shapes_shuffle_free(spark):
+    """VERDICT r3 next-4: SCALE.md claims bucketing orders/lineitem by
+    orderkey kills the fact-fact shuffle in the r02 (pre-agg below
+    join) and r10 (equi + range residual) shapes. Demonstrate it:
+    with both facts bucketed on the join key,
+      - the lineitem revenue pre-agg needs NO Exchange (bucketed scan
+        already satisfies the groupBy distribution), and
+      - the orders⋈lineitem join needs NO Exchange on either side.
+    """
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    spark.sql("DROP TABLE IF EXISTS bf_orders")
+    spark.sql("DROP TABLE IF EXISTS bf_lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bf_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bf_lineitem")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("bf_orders")
+        bl = spark.table("bf_lineitem")
+        # r02 core: revenue pre-agg below the fact-fact join
+        li_rev = bl.groupBy("l_orderkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+        q2 = bo.join(li_rev, F.col("l_orderkey") == F.col("o_orderkey"))
+        p2 = _plan(q2)
+        assert "SortMergeJoin" in p2
+        assert "Exchange" not in p2, f"r02 shape still shuffles:\n{p2[:1500]}"
+        # the agg must also be partial->final without its own exchange
+        assert "partial_sum" in p2
+        # r10 shape: equi key + range residual on the bucketed sides
+        q10 = bo.join(
+            bl,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        p10 = _plan(q10)
+        assert "SortMergeJoin" in p10
+        assert "Exchange" not in p10, f"r10 shape still shuffles:\n{p10[:1500]}"
+        assert "CartesianProduct" not in p10
+        # and the results are right: same revenue total as unbucketed
+        got = q2.agg(F.round(F.sum("_rev"), 2).alias("s")).first()["s"]
+        want = (
+            li.groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("_rev")
+            )
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(F.round(F.sum("_rev"), 2).alias("s"))
+            .first()["s"]
+        )
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bf_orders")
+        spark.sql("DROP TABLE IF EXISTS bf_lineitem")
