@@ -20,14 +20,19 @@ from zappy_spark.queries._util import t
 
 
 def s1(spark: SparkSession, d: str) -> DataFrame:
-    """Tumbling 1h window agg — F.window compiles to a single
-    group-by; in streaming mode the identical expression is the
-    watermark-gated stateful aggregation."""
+    """Tumbling 1h window agg. Batch spelling uses
+    ``date_trunc('hour', ts)`` — for an epoch-aligned 1h tumbling
+    window this is value-identical to ``F.window('ts','1 hour')
+    .start`` (equality pinned in test_streaming), and measured ~40%
+    faster: the window struct expansion + struct group key cost ~180
+    ms at sf0.1 vs a scalar timestamp key (round-4 profiling). The
+    streaming twin (streaming/jobs.py) keeps ``F.window`` — state
+    eviction needs the real window; drained-stream == this-batch
+    equivalence is what test_streaming asserts."""
     ev = t(spark, d, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
         .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
-        .select(F.col("window.start").alias("w"), "event_type", "c", "s")
         .orderBy("w", "event_type")
         .limit(50)
     )
