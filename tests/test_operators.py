@@ -1163,3 +1163,54 @@ def test_containment_anchor_path_finds_tiny_in_huge(spark):
     hits = {(r["i"], r["j"]): r["cont"] for r in anchored}
     assert (1, 2) in hits, hits
     assert hits[(1, 2)] == 1.0
+
+
+def test_standardize_plan_is_dim_independent(spark):
+    """standardize's stats pass must stay ONE narrow (pos) aggregate
+    at dim=256 — the old 2×dim-column aggregate spelling strained
+    codegen at embedding widths (same class as the kmeans-update
+    fix). The transform itself must stay JVM-side."""
+    from zappy_spark.operators.linalg import standardize
+
+    rng = np.random.default_rng(5)
+    dim = 256
+    X = rng.normal(size=(40, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = standardize(df, "vec", dim=dim)
+    got = np.array([r["std_vec"] for r in out.orderBy("id").collect()])
+    want = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    assert np.allclose(got, want, atol=1e-9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # plan width constant in dim: no _m{i}/_s{i} column farm
+    assert "_m0" not in plan and "_s0" not in plan
+
+
+def test_weighted_sample_exact_biases_and_bounds(spark):
+    """A-ES weighted sampling: exact k, deterministic, and weight-
+    proportional — a 1e9-weight row is effectively certain to be
+    drawn (its race key is ~1e9 smaller than any unit-weight key),
+    and with half the ids at weight 10 vs weight 1 the heavy half
+    must dominate the sample. Zero/negative weights are excluded."""
+    from zappy_spark.operators.sampling import weighted_sample_exact
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    rows.append((99999, 1e9))
+    rows.append((99998, 0.0))
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_exact(df, "id", "w", 201).collect()
+    assert len(out) == 201
+    ids = [r["id"] for r in out]
+    assert len(set(ids)) == 201  # without replacement
+    assert 99999 in ids
+    assert 99998 not in ids
+    heavy = sum(1 for i in ids if i != 99999 and i % 2 == 0)
+    light = sum(1 for i in ids if i != 99999 and i % 2 == 1)
+    # E[heavy share] ~ 10/11; allow wide slack, fail only on broken bias
+    assert heavy > 3 * light, (heavy, light)
+    # deterministic: second run identical
+    again = [r["id"] for r in weighted_sample_exact(df, "id", "w", 201).collect()]
+    assert ids == again
+    with pytest.raises(ValueError):
+        weighted_sample_exact(df, "id", "w", 0)

@@ -145,3 +145,42 @@ def quantile_buckets(
         )
         .drop("_e")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame, id_col: str, weight_col: str | Column, k: int
+) -> DataFrame:
+    """EXACTLY k rows, weighted without replacement, deterministic —
+    the Efraimidis–Spirakis A-ES scheme: each row draws
+    ``key = -ln(u)/w`` with ``u`` uniform from its id hash, and the
+    k SMALLEST keys are a weighted sample (inclusion probability
+    proportional to weight, sequentially without replacement).
+
+    Same determinism contract as ``hash_sample``: u comes from
+    md5(id), so the sample is reproducible across runs, engines and
+    cluster sizes, and any SQL engine replays it (hex-prefix →
+    integer → the same ln/divide). The global k-smallest compiles to
+    TakeOrderedAndProject — per-partition heaps and a k-row driver
+    merge, never a global sort. Keys are rounded to 9 dp with the id
+    as tie-break so cross-engine libm ulp differences cannot reorder
+    the boundary. Rows with weight <= 0 are excluded (a zero weight
+    means "never sample"; negative weights are undefined).
+
+    Appends ``aes_key`` (the rounded race key) for auditability."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        F.col(weight_col).cast("double")
+        if isinstance(weight_col, str)
+        else weight_col.cast("double")
+    )
+    u = (F.conv(_hash_key(id_col), 16, 10).cast("double") + 1) / float(
+        _SPACE + 1
+    )
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("aes_key", key)
+        .orderBy("aes_key", id_col)
+        .limit(k)
+    )

@@ -45,6 +45,9 @@ _ALL_QUERIES = {
 # the 2-dim closed-form-checkable PCA.
 _CHANGED_R4 = [
     "d14_containment_anchored",
+    "d15_weighted_sample",
+    "r51_q20_dominant_supplier",
+    "s11_session_spans",
     "t04_lang_id",
     "v06_pca_scores",
 ]

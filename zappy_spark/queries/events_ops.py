@@ -231,6 +231,33 @@ def s9(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s11(spark: SparkSession, d: str) -> DataFrame:
+    """Per-session spans (round 4): session_window (30-min gap) with
+    the session's event count and active span max(ts)−min(ts) in
+    milliseconds — the session-duration facts a funnel/engagement
+    rollup needs. Spark's session_window start IS min(ts) and its
+    end is max(ts)+gap, so the span is computed from the aggregated
+    max(ts) directly; the DuckDB twin is the classic gaps-and-
+    islands (LAG > gap → new island). One shuffle on user_id; state
+    merges sessions incrementally in the streaming form."""
+    ev = t(spark, d, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.max("ts").alias("_mx"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            (
+                F.unix_millis("_mx")
+                - F.unix_millis(F.col("session_window.start"))
+            ).alias("dur_ms"),
+            "n",
+        )
+        .orderBy("user_id", "s")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -242,9 +269,22 @@ QUERIES = {
     "s8_windowed_topk": s8,
     "s9_bucket_dedup": s9,
     "s10_outer_interval_join": s10,
+    "s11_session_spans": s11,
 }
 
 ORACLE = {
+    "s11_session_spans": (
+        "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN ts - LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes' "
+        "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "THEN 1 ELSE 0 END ns FROM events), "
+        "s AS (SELECT user_id, ts, SUM(ns) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM g) "
+        "SELECT user_id, MIN(ts) s, "
+        "date_diff('millisecond', MIN(ts), MAX(ts)) dur_ms, COUNT(*) n "
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, s LIMIT 100"
+    ),
     "s1_tumbling_window": (
         "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) w, "
         "event_type, COUNT(*) c, ROUND(SUM(value),2) s "

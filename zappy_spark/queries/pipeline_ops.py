@@ -120,6 +120,29 @@ def d14(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d15(spark: SparkSession, d: str) -> DataFrame:
+    """Weighted sampling without replacement (round 4;
+    operators/sampling.py::weighted_sample_exact): Efraimidis–
+    Spirakis race keyed on md5(doc_id), weight = document length —
+    the "sample long documents preferentially" knob of a data
+    mixture. Global k-smallest compiles to TakeOrderedAndProject;
+    the DuckDB twin replays hash → uniform → -ln(u)/w exactly."""
+    from zappy_spark.operators.sampling import weighted_sample_exact
+
+    docs = t(spark, d, "documents").withColumn(
+        "wt", F.length("text").cast("double")
+    )
+    return (
+        weighted_sample_exact(docs, "doc_id", "wt", 25)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("n_chars"),
+            "aes_key",
+        )
+        .orderBy("aes_key", "doc_id")
+    )
+
+
 def t01(spark: SparkSession, d: str) -> DataFrame:
     docs = t(spark, d, "documents")
     return (
@@ -621,8 +644,9 @@ def t14(spark: SparkSession, d: str) -> DataFrame:
 
 def v10(spark: SparkSession, d: str) -> DataFrame:
     """Per-dimension z-score standardization (operators/linalg.py::
-    standardize): one 2×dim-number aggregate broadcast into a
-    scan-side transform; dims 1-2 verified against DuckDB's
+    standardize): one narrow posexplode→(pos) aggregate (plan width
+    constant in dim), stats shipped back as array literals into a
+    scan-side zip_with transform; dims 1-2 verified against DuckDB's
     avg/stddev_samp."""
     from zappy_spark.operators.linalg import standardize
 
@@ -671,6 +695,7 @@ QUERIES = {
     "d12_quantile_buckets": d12,
     "d13_containment_pairs": d13,
     "d14_containment_anchored": d14,
+    "d15_weighted_sample": d15,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -949,6 +974,13 @@ ORACLE = {
     ),
     "d06_lsh_neardup_pipeline": _lsh_pipeline_oracle(16, 4),
     "d14_containment_anchored": _anchored_containment_oracle(16, 4, 4, 0.5, 1000),
+    "d15_weighted_sample": (
+        "WITH w AS (SELECT doc_id, length(text)::DOUBLE wt, "
+        "((('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT + 1) "
+        "/ 4294967297.0) u FROM documents) "
+        "SELECT doc_id, wt::BIGINT n_chars, ROUND(-ln(u)/wt, 9) aes_key "
+        "FROM w WHERE wt > 0 ORDER BY aes_key, doc_id LIMIT 25"
+    ),
     "t04_lang_id": _lang_id_oracle(),
     "v06_pca_scores": _PCA2_ORACLE,
     "t05_levenshtein": (

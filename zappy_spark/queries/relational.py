@@ -991,6 +991,41 @@ def r50(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("status")
 
 
+def r51(spark: SparkSession, d: str) -> DataFrame:
+    """Dominant-supplier-per-part (TPC-H Q20's nested-aggregate-
+    threshold shape reshaped to this schema, round 4): for each part,
+    the supplier with the largest shipped quantity, kept when its
+    share exceeds 2× the part's average supplier share (a relative
+    threshold — scale-stable where an absolute share cutoff empties
+    out as supplier counts grow with SF). Decorrelated to ONE
+    lineitem pass: the per-(part, supplier) aggregate feeds a single
+    narrow re-aggregation that computes the part total, the supplier
+    count AND the argmax — via lexicographic max(struct(sq,
+    suppkey)), deterministic on ties — so no second fact scan and no
+    window. The threshold expression is written identically in both
+    engines ((2.0*tq)/ns), keeping the strict-> comparison
+    IEEE-exact across them."""
+    li = t(spark, d, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"),
+        F.count("*").alias("ns"),
+        F.max(F.struct("sq", "l_suppkey")).alias("m"),
+    )
+    return (
+        pt.filter(F.col("m.sq") > 2.0 * F.col("tq") / F.col("ns"))
+        .select(
+            "l_partkey",
+            F.col("m.l_suppkey").alias("s_suppkey"),
+            F.round(F.col("m.sq") / F.col("tq"), 6).alias("share"),
+        )
+        .orderBy(F.desc("share"), "l_partkey")
+        .limit(100)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1082,6 +1117,7 @@ QUERIES = {
     "r48_q11_shape": r48,
     "r49_q15_shape": r49,
     "r50_dataset_diff": r50,
+    "r51_q20_dominant_supplier": r51,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1432,6 +1468,16 @@ ORACLE = {
         "WHEN bk IS NULL THEN 'removed' "
         "WHEN ap<>bp OR s1<>s2 THEN 'changed' ELSE 'unchanged' END status, "
         "COUNT(*) n FROM j GROUP BY 1 ORDER BY 1"
+    ),
+    "r51_q20_dominant_supplier": (
+        "WITH ps AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) sq "
+        "FROM lineitem GROUP BY 1, 2), "
+        "pt AS (SELECT l_partkey, SUM(sq) tq, COUNT(*) ns, "
+        "MAX({'sq': sq, 'sk': l_suppkey}) m FROM ps GROUP BY 1) "
+        "SELECT l_partkey, struct_extract(m,'sk') s_suppkey, "
+        'ROUND(struct_extract(m,\'sq\')/tq, 6) AS "share" '
+        "FROM pt WHERE struct_extract(m,'sq') > 2.0*tq/ns "
+        'ORDER BY "share" DESC, l_partkey LIMIT 100'
     ),
     "r42_zorder_key": (
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
