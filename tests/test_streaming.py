@@ -411,3 +411,23 @@ def test_incremental_upsert_snapshot_equals_batch(spark, replay_dir, tmp_path):
     import os
     revs = [p for p in os.listdir(snap) if p.startswith("rev=")]
     assert len(revs) >= 2
+
+
+def test_session_spans_stream_equals_batch(spark, replay_dir):
+    """S11: the streaming session-span job, fully drained, must equal
+    the batch twin — span = max(ts) - session start per (user,
+    session)."""
+    stream = jobs.stream_events(spark, replay_dir)
+    cols = lambda df: df.select(  # noqa: E731
+        "user_id",
+        F.col("session_window.start").alias("st"),
+        (F.unix_millis("mx") - F.unix_millis("session_window.start")).alias(
+            "dur_ms"
+        ),
+        "n",
+    )
+    got = jobs.run_to_memory(cols(jobs.session_spans(stream)), "t_spans")
+    batch = cols(jobs.session_spans(spark.read.parquet(replay_dir)))
+    assert _rows(got, "user_id", "st", "dur_ms", "n") == _rows(
+        batch, "user_id", "st", "dur_ms", "n"
+    )

@@ -93,6 +93,17 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def session_spans(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """S11 twin: per-session span facts — event count and max(ts)
+    (the active-span end; session_window.start is min(ts)). The
+    session-merge state machine is Spark's session_window; complete
+    mode for the equivalence test, watermarked append in
+    production."""
+    return stream.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n"), F.max("ts").alias("mx")
+    )
+
+
 def dedup_first(stream: DataFrame) -> DataFrame:
     """S4 twin: streaming dropDuplicates keeps the first arrival per
     key; the replay writes files in (ts, event_id) order so arrival
