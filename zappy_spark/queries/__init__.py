@@ -15,12 +15,12 @@ CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 Round-4 ordering (this file): after round 3 every one of the 133
 entries has carried a driver row at least once; the freshness gap is
 the 83 entries last checked in rounds 1–2 (VERDICT r3 next-1).
-Window layout: (a) the two entries whose definitions changed this
-round and gained oracles (t04 lang-id, v06 PCA-2d), (b) all 42
-entries whose last green row is round 1, (c) the 6 oldest round-2
-entries — exactly 50. The remaining round-2 tail follows immediately
-so a wider window (or round 5 with the same file rotated) sweeps it;
-round-3-green entries close the list."""
+Window layout: (a) the 8 entries new or changed this round (d14,
+d15, r51, s11 added; t04/v02/v06 gained oracles; v06 redefined),
+(b) all 42 entries whose last green row is round 1 — exactly 50.
+The round-2-stale tail follows immediately so a wider window (or
+round 5 with the same file rotated) sweeps it; round-3-green
+entries close the list."""
 
 from __future__ import annotations
 
@@ -49,6 +49,7 @@ _CHANGED_R4 = [
     "r51_q20_dominant_supplier",
     "s11_session_spans",
     "t04_lang_id",
+    "v02_rp_lsh_ann",
     "v06_pca_scores",
 ]
 
@@ -141,7 +142,6 @@ _R2_STALE = [
     "t03_fingerprint",
     "t05_levenshtein",
     "t06_content_split",
-    "v02_rp_lsh_ann",
 ]
 
 _PRIORITY = _CHANGED_R4 + _R1_STALE + _R2_STALE

@@ -332,8 +332,12 @@ def v01(spark: SparkSession, d: str) -> DataFrame:
 
 
 def v02(spark: SparkSession, d: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (rows-only: the seeded planes are
-    engine literals; recall vs exact top-k is property-tested)."""
+    """Random-hyperplane LSH ANN. Oracle-bearing since round 4: the
+    seeded planes are deterministic literals (rng(42)), and the
+    multi-probe set {sig : hamming(sig, qsig) <= radius} is exactly
+    the predicate the DuckDB twin evaluates per row — so signature,
+    probe and exact re-rank all replay in SQL with the same plane
+    literals. Recall vs exact top-k stays property-tested."""
     emb = t(spark, d, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = similarity.rp_lsh_topk(
@@ -855,6 +859,49 @@ def _containment_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     )
 
 
+def _rp_lsh_oracle(
+    num_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    radius: int = 2,
+    k: int = 10,
+) -> str:
+    """DuckDB replica of v02 (rp_lsh_topk): the seeded hyperplanes
+    ship as double literals (exact repr round-trip); bucket probing
+    is the hamming-distance predicate; re-rank is exact cosine on
+    the raw doubles with the same (sim DESC, vec_id) order."""
+    from zappy_spark.operators.similarity import make_planes
+
+    planes = make_planes(dim, num_planes, seed)
+
+    def sig(col: str) -> str:
+        bits = []
+        for p in planes:
+            arr = "[" + ",".join(repr(float(x)) for x in p) + "]"
+            bits.append(
+                f"CASE WHEN list_inner_product(CAST({col} AS DOUBLE[]), "
+                f"{arr}) >= 0 THEN '1' ELSE '0' END"
+            )
+        return "concat(" + ",".join(bits) + ")"
+
+    ham = "+".join(
+        f"(substr(s.sig,{i + 1},1)<>substr(q.qsig,{i + 1},1))::INT"
+        for i in range(num_planes)
+    )
+    return (
+        f"WITH s AS (SELECT vec_id, embedding, {sig('embedding')} sig "
+        "FROM embeddings), "
+        "q AS (SELECT embedding qv, sig qsig FROM s WHERE vec_id=0), "
+        "cand AS (SELECT s.vec_id, "
+        "list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), "
+        "CAST(q.qv AS DOUBLE[])) sim "
+        f"FROM s, q WHERE s.vec_id<>0 AND ({ham}) <= {radius}) "
+        f"SELECT vec_id, ROUND(sim,4) sim FROM "
+        f"(SELECT * FROM cand ORDER BY sim DESC, vec_id LIMIT {k}) z "
+        "ORDER BY sim DESC, vec_id"
+    )
+
+
 def _lang_id_oracle() -> str:
     """DuckDB replica of text.lang_id: per-language stopword-hit
     ratio from the SAME ``LANG_PROFILES`` constants, argmax by
@@ -982,6 +1029,7 @@ ORACLE = {
         "FROM w WHERE wt > 0 ORDER BY aes_key, doc_id LIMIT 25"
     ),
     "t04_lang_id": _lang_id_oracle(),
+    "v02_rp_lsh_ann": _rp_lsh_oracle(4, 42, 64, 2, 10),
     "v06_pca_scores": _PCA2_ORACLE,
     "t05_levenshtein": (
         "SELECT a.doc_id i, levenshtein(substr(a.text,1,40), substr(b.text,1,40)) d "
