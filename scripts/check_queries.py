@@ -1,0 +1,68 @@
+"""Spot-check named queries against their DuckDB oracles at sf0.01.
+
+Usage: python scripts/check_queries.py [name ...]
+With no names, checks every entry in ORACLE (the full driver sweep).
+Mirrors tests/test_oracle.py's canonical compare (order-insensitive,
+column-name-sorted, canon_cell-normalized hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+from zappy_spark.canon import canon_cell
+from zappy_spark.queries import ORACLE, QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    names = sys.argv[1:] or sorted(ORACLE)
+    from zappy_spark.session import get_session
+
+    spark = get_session(app_name="check_queries")
+    duck = duckdb.connect()
+    for tbl in TABLES:
+        duck.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_DIR}/{tbl}.parquet'"
+        )
+    failed = []
+    for name in names:
+        if name not in ORACLE:
+            print(f"{name}: NO ORACLE (rows-only)")
+            df = QUERIES[name](spark, SF_DIR)
+            print(f"  spark rows={df.count()}")
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        s = _canon(df.columns, [tuple(r) for r in df.collect()])
+        res = duck.execute(ORACLE[name])
+        o = _canon([c[0] for c in res.description], res.fetchall())
+        ok = s == o
+        print(f"{name}: {'OK' if ok else 'FAIL'} rows={s[0]}/{o[0]}")
+        if not ok:
+            failed.append(name)
+            if s[1] != o[1]:
+                print(f"  cols: spark={s[1]} oracle={o[1]}")
+            elif s[0] == o[0]:
+                print(f"  hash: spark={s[2]} oracle={o[2]}")
+    if failed:
+        print("FAILED:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1026,6 +1026,395 @@ def r51(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r52(spark: SparkSession, d: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): the canonical
+    scan-only query. Every predicate (shipdate range, discount band,
+    quantity cap) is scan-pushable, so the plan is parquet scan with
+    PushedFilters → one partial→final agg over a 3-column
+    ReadSchema — zero shuffles of data rows, one 1-row exchange. At
+    100 TB this is the query shape that proves predicate pushdown +
+    column pruning carry the whole plan."""
+    li = t(spark, d, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue")
+    )
+
+
+def r53(spark: SparkSession, d: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape, commitdate predicate
+    adapted to l_quantity>45 — this vintage has no commit/receipt
+    columns). EXISTS decorrelates to a LEFT SEMI join: the probe side
+    is lineitem pre-filtered AND pre-projected to the single join
+    key, so the shuffle carries one bigint column; the orders date
+    filter is scan-pushed. Same decorrelation Catalyst applies to the
+    SQL spelling — written directly as the semi join here."""
+    o = t(spark, d, "orders")
+    li = t(spark, d, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(heavy, o["o_orderkey"] == heavy["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def r54(spark: SparkSession, d: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape). The
+    2-of-25 nation filter is applied by broadcasting the PRE-FILTERED
+    nation dim against supplier, then that ~8%-selectivity reduction
+    reaches lineitem BEFORE the lineitem⋈orders fact-fact shuffle —
+    at scale the shuffle shrinks by the nation selectivity, which
+    dominates the plan. Customer side mirrors it. Year extraction is
+    scan-side; the final agg is narrow (2×2 nations × years)."""
+    li = t(spark, d, "lineitem")
+    s = t(spark, d, "supplier")
+    o = t(spark, d, "orders")
+    c = t(spark, d, "customer")
+    n = t(spark, d, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def r55(spark: SparkSession, d: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): NATION_3's share of
+    PROMO-part volume sold into ASIA, by order year. The two
+    conditional sums ride ONE aggregation — share is a post-agg
+    projection, not a self-join. part (filtered to PROMO) and the
+    nation⋈region market dim broadcast; supplier-nation name is a
+    second broadcast of the same dim under a different alias."""
+    li = t(spark, d, "lineitem")
+    p = t(spark, d, "part")
+    s = t(spark, d, "supplier")
+    o = t(spark, d, "orders")
+    c = t(spark, d, "customer")
+    n = t(spark, d, "nation")
+    r = t(spark, d, "region")
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    mkt = (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("m_nk"))
+    )
+    sn = s.join(
+        n.select(F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")),
+        F.col("s_nationkey") == F.col("sn_nk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(mkt), F.col("c_nationkey") == F.col("m_nk"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def r56(spark: SparkSession, d: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; supplycost has no column
+    in this vintage, so margin uses p_retailprice·qty/100 as the
+    deterministic cost proxy — spelled identically in the oracle).
+    part is filtered on p_name BEFORE broadcast, so the name LIKE
+    lands scan-side on the small table; nation broadcasts onto
+    supplier; lineitem⋈orders stays the one fact-fact shuffle."""
+    li = t(spark, d, "lineitem")
+    p = t(spark, d, "part")
+    s = t(spark, d, "supplier")
+    o = t(spark, d, "orders")
+    n = t(spark, d, "nation")
+    red = p.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = s.join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("sn_nk"), "n_name")
+        ),
+        F.col("s_nationkey") == F.col("sn_nk"),
+    ).select("s_suppkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") / F.lit(100.0)
+    return (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def r57(spark: SparkSession, d: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top 20 customers by
+    revenue lost to returns in one quarter. Revenue is aggregated per
+    customer BEFORE attaching name/acctbal/nation (eager agg, same
+    rewrite as r02) so the wide customer columns never enter the
+    shuffle; final top-20 compiles to TakeOrderedAndProject."""
+    li = t(spark, d, "lineitem")
+    o = t(spark, d, "orders")
+    c = t(spark, d, "customer")
+    n = t(spark, d, "nation")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("nk"), "n_name")),
+            F.col("c_nationkey") == F.col("nk"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def r58(spark: SparkSession, d: str) -> DataFrame:
+    """Promotion-effect (TPC-H Q14 shape): promo share of one ship
+    month as a percentage. Single conditional-sum aggregation over
+    lineitem⋈broadcast(part) — the division happens after the agg,
+    so the plan is scan → broadcast hash join → 1-row agg."""
+    li = t(spark, d, "lineitem")
+    p = t(spark, d, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+                )
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def r59(spark: SparkSession, d: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems
+    below 20% of their part's average quantity, for one brand. The
+    brand filter broadcasts FIRST, shrinking lineitem to ~1/25th
+    before the per-part average; the avg-per-part aggregate and the
+    join back to lines share the l_partkey partitioning, so AQE
+    reuses one exchange instead of shuffling twice."""
+    li = t(spark, d, "lineitem")
+    p = t(spark, d, "part")
+    brand = p.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    lib = li.join(
+        F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    lim = lib.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        lib.join(lim, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def r60(spark: SparkSession, d: str) -> DataFrame:
+    """Discounted revenue under disjunctive predicates (TPC-H Q19
+    shape): three OR'd (brand, size-band, quantity-band) branches.
+    The disjunction can't push below the join, but the part columns
+    it needs (brand, size) ride a broadcast, and a derived
+    l_quantity range (the union of the three bands, 1–30) IS pushed
+    to the lineitem scan — the standard Q19 trick of extracting a
+    scan-eligible envelope from a disjunction."""
+    li = t(spark, d, "lineitem")
+    p = t(spark, d, "part")
+    j = li.filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def r61(spark: SparkSession, d: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape; no partsupp
+    table in this vintage, so the part↔supplier cost relation is
+    derived from lineitem as avg unit price per (part, supplier)).
+    The argmin is a window partitioned by partkey over the ALREADY
+    per-(part,supplier)-aggregated frame — cardinality parts×
+    suppliers-per-part, not lines — and cost is rounded BEFORE
+    ranking so the order (then the suppkey tie-break) is
+    IEEE-identical in both engines. Supplier/nation attach by
+    broadcast after the argmin."""
+    li = t(spark, d, "lineitem")
+    p = t(spark, d, "part")
+    s = t(spark, d, "supplier")
+    n = t(spark, d, "nation")
+    small = p.filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    cost = (
+        li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(
+            F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("nk"), "n_name")),
+            F.col("s_nationkey") == F.col("nk"),
+        )
+        .select("l_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("unit_cost", "l_partkey")
+        .limit(50)
+    )
+
+
+def r62(spark: SparkSession, d: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape; no l_shipmode
+    column, so the mode axis is l_linestatus). Conditional counts by
+    line status for one ship year — orders joins in only its
+    priority column, and the fact-fact join carries a 2-column
+    projection on each side."""
+    li = t(spark, d, "lineitem")
+    o = t(spark, d, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(
+            o.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1118,6 +1507,17 @@ QUERIES = {
     "r49_q15_shape": r49,
     "r50_dataset_diff": r50,
     "r51_q20_dominant_supplier": r51,
+    "r52_q6_scan_only": r52,
+    "r53_q4_priority_exists": r53,
+    "r54_q7_volume_shipping": r54,
+    "r55_q8_market_share": r55,
+    "r56_q9_profit": r56,
+    "r57_q10_returned_items": r57,
+    "r58_q14_promo_effect": r58,
+    "r59_q17_small_quantity": r59,
+    "r60_q19_disjunctive": r60,
+    "r61_q2_min_cost_supplier": r61,
+    "r62_q12_priority_split": r62,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1478,6 +1878,125 @@ ORACLE = {
         'ROUND(struct_extract(m,\'sq\')/tq, 6) AS "share" '
         "FROM pt WHERE struct_extract(m,'sq') > 2.0*tq/ns "
         'ORDER BY "share" DESC, l_partkey LIMIT 100'
+    ),
+    "r52_q6_scan_only": (
+        "SELECT ROUND(SUM(l_extendedprice*l_discount),2) revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    ),
+    "r53_q4_priority_exists": (
+        "SELECT o_orderpriority, COUNT(*) order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey=o_orderkey AND l_quantity>45) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "r54_q7_volume_shipping": (
+        "SELECT n1.n_name supp_nation, n2.n_name cust_nation, "
+        "CAST(YEAR(l_shipdate) AS INT) l_year, "
+        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue "
+        "FROM lineitem JOIN supplier ON s_suppkey=l_suppkey "
+        "JOIN orders ON o_orderkey=l_orderkey "
+        "JOIN customer ON c_custkey=o_custkey "
+        "JOIN nation n1 ON s_nationkey=n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey=n2.n_nationkey "
+        "WHERE n1.n_name IN ('NATION_1','NATION_2') "
+        "AND n2.n_name IN ('NATION_1','NATION_2') "
+        "AND n1.n_name <> n2.n_name "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1,2,3 ORDER BY 1,2,3"
+    ),
+    "r55_q8_market_share": (
+        "SELECT CAST(YEAR(o_orderdate) AS INT) o_year, "
+        "ROUND(SUM(CASE WHEN sn.n_name='NATION_3' "
+        "THEN l_extendedprice*(1-l_discount) ELSE 0 END)"
+        "/SUM(l_extendedprice*(1-l_discount)), 6) mkt_share "
+        "FROM lineitem JOIN part ON p_partkey=l_partkey "
+        "JOIN supplier ON s_suppkey=l_suppkey "
+        "JOIN nation sn ON s_nationkey=sn.n_nationkey "
+        "JOIN orders ON o_orderkey=l_orderkey "
+        "JOIN customer ON c_custkey=o_custkey "
+        "JOIN nation cn ON c_nationkey=cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey=r_regionkey "
+        "WHERE p_type='PROMO' AND r_name='ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "r56_q9_profit": (
+        "SELECT n_name nation, CAST(YEAR(o_orderdate) AS INT) o_year, "
+        "ROUND(SUM(l_extendedprice*(1-l_discount) "
+        "- p_retailprice*l_quantity/100.0), 2) sum_profit "
+        "FROM lineitem JOIN part ON p_partkey=l_partkey "
+        "JOIN supplier ON s_suppkey=l_suppkey "
+        "JOIN nation ON s_nationkey=n_nationkey "
+        "JOIN orders ON o_orderkey=l_orderkey "
+        "WHERE p_name LIKE '%red%' "
+        "GROUP BY 1,2 ORDER BY nation, o_year DESC"
+    ),
+    "r57_q10_returned_items": (
+        "SELECT c_custkey, c_name, "
+        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue, "
+        "c_acctbal, n_name "
+        "FROM customer JOIN orders ON o_custkey=c_custkey "
+        "JOIN lineitem ON l_orderkey=o_orderkey "
+        "JOIN nation ON c_nationkey=n_nationkey "
+        "WHERE l_returnflag='R' "
+        "AND o_orderdate >= TIMESTAMP '1996-07-01' "
+        "AND o_orderdate < TIMESTAMP '1996-10-01' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    "r58_q14_promo_effect": (
+        "SELECT ROUND(100.0*SUM(CASE WHEN p_type='PROMO' "
+        "THEN l_extendedprice*(1-l_discount) ELSE 0 END)"
+        "/SUM(l_extendedprice*(1-l_discount)), 4) promo_revenue "
+        "FROM lineitem JOIN part ON p_partkey=l_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+        "AND l_shipdate < TIMESTAMP '1996-10-01'"
+    ),
+    "r59_q17_small_quantity": (
+        "SELECT ROUND(SUM(l_extendedprice)/7.0, 2) avg_yearly "
+        "FROM lineitem JOIN part ON p_partkey=l_partkey "
+        "WHERE p_brand='Brand#3' AND l_quantity < "
+        "(SELECT 0.2*AVG(l2.l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey=p_partkey)"
+    ),
+    "r60_q19_disjunctive": (
+        "SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue "
+        "FROM lineitem JOIN part ON p_partkey=l_partkey WHERE "
+        "(p_brand='Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand='Brand#2' AND p_size BETWEEN 10 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand='Brand#3' AND p_size BETWEEN 20 AND 40 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "r61_q2_min_cost_supplier": (
+        "WITH cost AS (SELECT l_partkey, p_name, l_suppkey, "
+        "ROUND(AVG(l_extendedprice/l_quantity),4) unit_cost "
+        "FROM lineitem JOIN part ON p_partkey=l_partkey "
+        "WHERE p_size=10 AND p_type='SMALL' GROUP BY 1,2,3), "
+        "best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey "
+        "ORDER BY unit_cost, l_suppkey) rn FROM cost) "
+        "SELECT l_partkey, p_name, s_name, n_name, unit_cost "
+        "FROM best JOIN supplier ON s_suppkey=l_suppkey "
+        "JOIN nation ON s_nationkey=n_nationkey "
+        "WHERE rn=1 ORDER BY unit_cost, l_partkey LIMIT 50"
+    ),
+    "r62_q12_priority_split": (
+        "SELECT l_linestatus, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) high_line_count, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END) low_line_count "
+        "FROM lineitem JOIN orders ON o_orderkey=l_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
     ),
     "r42_zorder_key": (
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
