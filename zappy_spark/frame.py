@@ -490,6 +490,27 @@ class ZappyFrame:
         ).collect()
         return np.array([r["v"] for r in rows], dtype=np.float64)
 
+    def dot(self, w: Sequence[float]) -> ZappyVector:
+        """zappy ``X @ w`` (matrix–vector product with a local weight
+        vector): the weights ship as an array literal and the per-row
+        dot is one scan-side ``zip_with``+``aggregate`` lambda — fully
+        distributed, zero shuffles, no Python in the loop. The
+        matrix–matrix analog is the PCA projection in
+        operators/linalg.py (same literal-broadcast pattern, one
+        column per output dim)."""
+        arr = [float(v) for v in w]
+        if len(arr) != self.ncols:
+            raise ValueError(f"weight length {len(arr)} != ncols {self.ncols}")
+        return self._row_reduce(
+            lambda v: F.aggregate(
+                F.zip_with(v, _lit_vec(arr), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    __matmul__ = dot
+
     def sum(self, axis: int | None = None):
         if axis == 1:
             return self._row_reduce(

@@ -452,3 +452,105 @@ def containment_anchor_candidates(
         )
         .distinct()
     )
+
+
+def semantic_dup_flags(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup flags.
+
+    A row is flagged duplicate iff some LOWER-id row in the SAME
+    cluster has cosine similarity above ``threshold`` — an
+    order-independent keep-first rule that needs no transitive
+    closure (unlike pair-graph dedup, every decision depends only on
+    the row's own neighbors).
+
+    Scale design: the pairwise stage is confined to each cluster —
+    the SemDeDup trick. At 100 TB the cluster column comes from
+    ``similarity.kmeans_fit``/``kmeans_assign`` with k sized so
+    n/k rows fit a partition; the self-join hash-partitions on the
+    cluster key, so total work is Σ|cluster|², never corpus-wide
+    all-pairs, and no driver collect anywhere. Similarity is rounded
+    before the threshold compare so the cut is engine-exact.
+    """
+    from zappy_spark.queries._util import cosine
+
+    a = df.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("_ia"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("_ib"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+    dup_of = (
+        a.join(b, "_c")
+        .filter(F.col("_ib") < F.col("_ia"))
+        .filter(sim > F.lit(threshold))
+        .select(F.col("_ia").alias("_dup_id"))
+        .distinct()
+    )
+    return df.join(
+        dup_of, F.col(id_col) == F.col("_dup_id"), "left"
+    ).select(df["*"], F.col("_dup_id").isNotNull().alias("is_semantic_dup"))
+
+
+def span_stats(
+    df: DataFrame, text_col: str, id_col: str, span: int = 3
+) -> DataFrame:
+    """Span-level corpus dedup stats (C4/CCNet line-dedup analog).
+
+    Splits each document into NON-overlapping ``span``-token spans
+    and reports, per document, how many of its spans appear verbatim
+    in at least one OTHER document (within-doc repetition never
+    counts — the frequency is over distinct docs).
+
+    Scale design: one explode to n_tokens/span rows per doc; global
+    span frequency is ONE hash aggregation on md5(span) with
+    map-side partials; the join back to per-doc spans is
+    co-partitioned on the same key (AQE reuses the exchange). Two
+    shuffles total, both carrying (hash, count) pairs — corpus text
+    never re-shuffles. The dedup-REWRITE twin drops flagged spans
+    with the same frame before re-concatenation.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tks"))
+    n_spans = F.ceil(
+        F.greatest(F.size("_tks"), F.lit(1)) / F.lit(float(span))
+    ).cast("int")
+    spans = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_tks"), i * span + 1, span)
+                ),
+            )
+        ).alias("_span"),
+    ).select("_id", F.md5(F.col("_span")).alias("_h"))
+    freq = spans.groupBy("_h").agg(F.countDistinct("_id").alias("_docs"))
+    return (
+        spans.join(freq, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_spans",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_spans"), 4).alias(
+                "shared_ratio"
+            ),
+        )
+    )

@@ -426,3 +426,104 @@ def query_ivf_index(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def centroid_cohesion(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cluster-quality metric: per group, the mean cosine of members
+    to the group centroid (intra-cluster cohesion — the cheap health
+    check after ``kmeans_fit`` or for a labeled embedding corpus).
+
+    Scale design: the vector column is posexploded ONCE into
+    (group, id, pos, x); centroids are a (group, pos) hash agg over
+    it; the member↔centroid cosine needs only (group, pos)-joined
+    products re-aggregated per id. Every stage is a narrow hash agg
+    or a co-partitioned equi-join — the plan's width is constant in
+    ``dim`` (same discipline as ``kmeans_fit``'s update step) and no
+    k×dim array is ever built driver-side.
+    """
+    x = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_p", "_x"),
+    ).withColumn("_x", F.col("_x").cast("double"))
+    c = x.groupBy("_g", "_p").agg(F.avg("_x").alias("_m"))
+    dots = (
+        x.join(c, ["_g", "_p"])
+        .groupBy("_g", "_id")
+        .agg(
+            F.sum(F.col("_x") * F.col("_m")).alias("_dot"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_nv"),
+            F.sum(F.col("_m") * F.col("_m")).alias("_nc"),
+        )
+    )
+    return (
+        dots.groupBy("_g")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.col("_dot") / F.sqrt(F.col("_nv") * F.col("_nc"))),
+                round_digits,
+            ).alias("cohesion"),
+        )
+        .select(F.col("_g").alias(group_col), "n", "cohesion")
+    )
+
+
+def knn_classify(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Distributed kNN majority-vote classifier over an embedding
+    column — label propagation for weakly-labeled corpora.
+
+    Scale design: identical join shape to ``knn_join`` (broadcast
+    query batch × one candidate scan, per-query-id window) plus two
+    narrow aggregations for the vote. Every tie is broken
+    deterministically — similarity rounds before ranking with an id
+    tie-break, votes break on (count desc, label asc) — so the
+    prediction is engine- and partitioning-stable.
+    """
+    from pyspark.sql import Window
+
+    from zappy_spark.queries._util import cosine
+
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_digits)
+    scored = (
+        df.join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    votes = top.groupBy(query_id_col, label_col).agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy(query_id_col).orderBy(F.desc("votes"), label_col)
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(
+            query_id_col, F.col(label_col).alias("predicted"), "votes"
+        )
+    )

@@ -449,3 +449,65 @@ def boilerplate_fraction(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram Shannon entropy in nats — the standard
+    "word-soup vs natural text" quality signal (uniform random token
+    streams max it out; boilerplate/repetition collapses it).
+
+    Uses H = ln(n) − Σc·ln(c)/n so the per-token explode feeds ONE
+    (id, token) hash agg with map-side partials and then a narrow
+    per-id agg — both shuffles carry counts only, never text. At
+    100 TB this is the same two-shuffle shape as word-count.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_ws(F.col(text_col))).alias("_t")
+    )
+    cnt = ex.groupBy("_id", "_t").agg(F.count("*").alias("_c"))
+    return (
+        cnt.groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(
+                F.log(F.sum("_c"))
+                - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c"),
+                4,
+            ).alias("entropy"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "n_distinct", "entropy")
+    )
+
+
+def lexical_diversity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Type-token ratio + hapax stats per document — the classic
+    lexical-richness filters (low TTR ⇒ template/spam; hapax ratio
+    separates natural text from keyword stuffing).
+
+    Same two-shuffle count shape as ``token_entropy``; the two
+    share a plan prefix and fuse into one pass when selected
+    together.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_ws(F.col(text_col))).alias("_t")
+    )
+    cnt = ex.groupBy("_id", "_t").agg(F.count("*").alias("_c"))
+    return (
+        cnt.groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum((F.col("_c") == 1).cast("bigint")).alias("n_hapax"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            "n_hapax",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_distinct"), 4).alias(
+                "hapax_ratio"
+            ),
+        )
+    )

@@ -258,6 +258,45 @@ def s11(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s12(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling z-score anomaly detection (round 4): per event_type,
+    each event scored against the trailing 1-hour value
+    distribution; |z| > 2 with ≥8 peers flags it.
+
+    The RANGE frame orders by ``unix_micros(ts)`` — events carry
+    microsecond timestamps, so a seconds-floored order key would
+    disagree with the oracle's INTERVAL arithmetic on boundary rows
+    (same precision trap as SURVEY Appendix A's epoch-floor note).
+    Scale: one shuffle on event_type; the frame is evaluated with a
+    sliding aggregate per partition, no self-join. The streaming
+    twin of this shape is jobs.py's stateful per-key running stats
+    (applyInPandasWithState); batch spelling stays window-based."""
+    ev = t(spark, d, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count("*").over(w).alias("n_win"),
+        F.avg("value").over(w).alias("_avg"),
+        F.stddev_samp("value").over(w).alias("_std"),
+    )
+    return (
+        scored.filter((F.col("n_win") >= 8) & (F.col("_std") > 0))
+        .withColumn(
+            "z", F.round((F.col("value") - F.col("_avg")) / F.col("_std"), 3)
+        )
+        .filter(F.abs("z") > 2)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "n_win", "z")
+        .orderBy("event_type", "event_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -270,9 +309,21 @@ QUERIES = {
     "s9_bucket_dedup": s9,
     "s10_outer_interval_join": s10,
     "s11_session_spans": s11,
+    "s12_rolling_anomaly": s12,
 }
 
 ORACLE = {
+    "s12_rolling_anomaly": (
+        "WITH s AS (SELECT event_id, event_type, value, "
+        "COUNT(*) OVER w n_win, AVG(value) OVER w a, "
+        "STDDEV_SAMP(value) OVER w sd FROM events "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)) "
+        'SELECT event_id, event_type, ROUND(value,2) AS "value", n_win, '
+        "ROUND((value-a)/sd, 3) z FROM s "
+        "WHERE n_win >= 8 AND sd > 0 AND ABS(ROUND((value-a)/sd, 3)) > 2 "
+        "ORDER BY event_type, event_id LIMIT 100"
+    ),
     "s11_session_spans": (
         "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN ts - LAG(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes' "

@@ -143,6 +143,41 @@ def d15(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d16(spark: SparkSession, d: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (round 4;
+    operators/dedup.py::semantic_dup_flags): cluster-bounded cosine
+    keep-first flags — pairwise work confined to each cluster. The
+    cluster column here is the corpus ``label`` (deterministic, so
+    DuckDB replays it); the 100 TB path swaps in
+    ``kmeans_assign``'s learned clusters with identical plan shape.
+    Output is the per-cluster dedup ledger."""
+    emb = t(spark, d, "embeddings")
+    flags = dedup.semantic_dup_flags(
+        emb, "embedding", "vec_id", "label", threshold=0.9
+    )
+    return (
+        flags.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_semantic_dup").cast("bigint")).alias("n_dup"),
+        )
+        .orderBy("label")
+    )
+
+
+def d17(spark: SparkSession, d: str) -> DataFrame:
+    """Span-level corpus dedup stats (round 4;
+    operators/dedup.py::span_stats): C4-style line dedup reshaped to
+    3-token non-overlapping spans; per-doc counts of spans shared
+    verbatim with other docs. Two narrow shuffles (span-hash agg +
+    co-partitioned join back)."""
+    return (
+        dedup.span_stats(t(spark, d, "documents"), "text", "doc_id", span=3)
+        .orderBy(F.desc("shared_ratio"), "doc_id")
+        .limit(100)
+    )
+
+
 def t01(spark: SparkSession, d: str) -> DataFrame:
     docs = t(spark, d, "documents")
     return (
@@ -310,6 +345,28 @@ def t09(spark: SparkSession, d: str) -> DataFrame:
 
 
 # -------------------------------------------------------- similarity
+
+
+def t16(spark: SparkSession, d: str) -> DataFrame:
+    """Unigram entropy per document (round 4;
+    operators/text.py::token_entropy): word-soup detector — two
+    count-only shuffles, text never re-shuffles."""
+    return (
+        text.token_entropy(t(spark, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def t17(spark: SparkSession, d: str) -> DataFrame:
+    """Type-token ratio + hapax stats (round 4;
+    operators/text.py::lexical_diversity): lexical-richness quality
+    filter, same two-shuffle count shape as t16."""
+    return (
+        text.lexical_diversity(t(spark, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
 
 
 def v01(spark: SparkSession, d: str) -> DataFrame:
@@ -684,6 +741,39 @@ def v09(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v11(spark: SparkSession, d: str) -> DataFrame:
+    """Cluster cohesion per label (round 4;
+    operators/similarity.py::centroid_cohesion): mean member↔
+    centroid cosine via one posexplode + narrow (group,pos) aggs —
+    plan width constant in dim."""
+    return similarity.centroid_cohesion(
+        t(spark, d, "embeddings"), "embedding", "vec_id", "label"
+    ).orderBy("label")
+
+
+def v12(spark: SparkSession, d: str) -> DataFrame:
+    """kNN majority-vote label prediction (round 4;
+    operators/similarity.py::knn_classify): broadcast query batch ×
+    one candidate scan, deterministic similarity and vote
+    tie-breaks; joined back to the true label for an accuracy-style
+    readout."""
+    emb = t(spark, d, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pred = similarity.knn_classify(
+        emb, "embedding", "vec_id", "label", q, "qv", "qid", k=5
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "qid")
+        .select("qid", "true_label", "predicted", "votes")
+        .orderBy("qid")
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -700,6 +790,8 @@ QUERIES = {
     "d13_containment_pairs": d13,
     "d14_containment_anchored": d14,
     "d15_weighted_sample": d15,
+    "d16_semantic_dedup": d16,
+    "d17_span_dedup": d17,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -714,6 +806,8 @@ QUERIES = {
     "t12_domain_distribution": t12,
     "t13_boilerplate": t13,
     "t14_length_histogram": t14,
+    "t16_token_entropy": t16,
+    "t17_lexical_diversity": t17,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -724,6 +818,8 @@ QUERIES = {
     "v08_knn_join": v08,
     "v09_ivf_kmeans": v09,
     "v10_standardize": v10,
+    "v11_centroid_cohesion": v11,
+    "v12_knn_classify": v12,
 }
 
 
@@ -1027,6 +1123,81 @@ ORACLE = {
         "/ 4294967297.0) u FROM documents) "
         "SELECT doc_id, wt::BIGINT n_chars, ROUND(-ln(u)/wt, 9) aes_key "
         "FROM w WHERE wt > 0 ORDER BY aes_key, doc_id LIMIT 25"
+    ),
+    "d16_semantic_dedup": (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v "
+        "FROM embeddings), "
+        "dup AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b "
+        "ON a.label=b.label AND b.vec_id < a.vec_id "
+        "WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) > 0.9) "
+        "SELECT label, COUNT(*) n, "
+        "SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_dup "
+        "FROM e LEFT JOIN dup ON e.vec_id=dup.vec_id "
+        "GROUP BY label ORDER BY label"
+    ),
+    "d17_span_dedup": (
+        "WITH tok AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tks FROM documents), "
+        "n AS (SELECT doc_id, tks, unnest(generate_series(0, "
+        "CAST(CEIL(GREATEST(len(tks),1)/3.0) AS INT) - 1)) i FROM tok), "
+        "sp AS (SELECT doc_id, "
+        "md5(array_to_string(tks[i*3+1 : i*3+3],' ')) h FROM n), "
+        "freq AS (SELECT h, COUNT(DISTINCT doc_id) docs FROM sp GROUP BY h), "
+        "agg AS (SELECT doc_id, COUNT(*) n_spans, "
+        "SUM(CASE WHEN docs>=2 THEN 1 ELSE 0 END) n_shared "
+        "FROM sp JOIN freq USING (h) GROUP BY doc_id) "
+        "SELECT doc_id, n_spans, n_shared, "
+        "ROUND(n_shared/CAST(n_spans AS DOUBLE), 4) shared_ratio "
+        "FROM agg ORDER BY shared_ratio DESC, doc_id LIMIT 100"
+    ),
+    "t16_token_entropy": (
+        "WITH ex AS (SELECT doc_id, unnest(list_filter("
+        "string_split(text,' '), x -> x<>'')) tk FROM documents), "
+        "cnt AS (SELECT doc_id, tk, COUNT(*) c FROM ex GROUP BY 1,2) "
+        "SELECT doc_id, SUM(c) n_tokens, COUNT(*) n_distinct, "
+        "ROUND(LN(SUM(c)) - SUM(c*LN(c))/SUM(c), 4) entropy "
+        "FROM cnt GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    "t17_lexical_diversity": (
+        "WITH ex AS (SELECT doc_id, unnest(list_filter("
+        "string_split(text,' '), x -> x<>'')) tk FROM documents), "
+        "cnt AS (SELECT doc_id, tk, COUNT(*) c FROM ex GROUP BY 1,2) "
+        "SELECT doc_id, SUM(c) n_tokens, COUNT(*) n_distinct, "
+        "SUM(CASE WHEN c=1 THEN 1 ELSE 0 END) n_hapax, "
+        "ROUND(COUNT(*)/CAST(SUM(c) AS DOUBLE), 4) ttr, "
+        "ROUND(SUM(CASE WHEN c=1 THEN 1 ELSE 0 END)"
+        "/CAST(COUNT(*) AS DOUBLE), 4) hapax_ratio "
+        "FROM cnt GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    "v11_centroid_cohesion": (
+        "WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) v "
+        "FROM embeddings), "
+        "x AS (SELECT label, vec_id, unnest(v) x, "
+        "generate_subscripts(v, 1) p FROM e), "
+        "c AS (SELECT label, p, AVG(x) m FROM x GROUP BY 1,2), "
+        "dots AS (SELECT x.label, x.vec_id, SUM(x.x*c.m) dot, "
+        "SUM(x.x*x.x) nv, SUM(c.m*c.m) nc "
+        "FROM x JOIN c ON x.label=c.label AND x.p=c.p GROUP BY 1,2) "
+        "SELECT label, COUNT(*) n, "
+        "ROUND(AVG(dot/SQRT(nv*nc)), 4) cohesion "
+        "FROM dots GROUP BY label ORDER BY label"
+    ),
+    "v12_knn_classify": (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id qid, label true_label, v qv FROM e "
+        "WHERE vec_id % 50 = 0), "
+        "scored AS (SELECT qid, true_label, e.vec_id, e.label, "
+        "ROUND(list_cosine_similarity(e.v, qv), 4) sim, "
+        "ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY ROUND(list_cosine_similarity(e.v, qv), 4) DESC, e.vec_id) rn "
+        "FROM e JOIN q ON e.vec_id <> qid), "
+        "votes AS (SELECT qid, true_label, label, COUNT(*) votes, "
+        "ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY COUNT(*) DESC, label) vr "
+        "FROM scored WHERE rn <= 5 GROUP BY 1,2,3) "
+        "SELECT qid, true_label, label predicted, votes "
+        "FROM votes WHERE vr=1 ORDER BY qid"
     ),
     "t04_lang_id": _lang_id_oracle(),
     "v02_rp_lsh_ann": _rp_lsh_oracle(4, 42, 64, 2, 10),

@@ -303,6 +303,32 @@ def z24(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z25(spark: SparkSession, d: str) -> DataFrame:
+    """Matrix–vector product (zappy ``X @ w``; round 4 —
+    ZappyFrame.dot uses the identical expression): weights derived
+    from the 0-based index so both engines build the same literal-
+    free weight function; one scan-side transform+aggregate lambda,
+    zero shuffles — the distributed matvec that underlies every
+    projection (PCA scores, linear probes) at 100 TB."""
+    emb = t(spark, d, "embeddings")
+    weighted = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * ((i % 7).cast("double") + 1.0),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(
+                F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("xw"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -327,9 +353,18 @@ QUERIES = {
     "z22_skew_kurt": z22,
     "z23_regr": z23,
     "z24_var_axis1": z24,
+    "z25_matvec": z25,
 }
 
 ORACLE = {
+    "z25_matvec": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v "
+        "FROM embeddings), "
+        "x AS (SELECT vec_id, unnest(v) x, generate_subscripts(v,1) p FROM e) "
+        "SELECT vec_id, ROUND(SUM(x * (CASE WHEN (p-1)%2=0 THEN 1.0 "
+        "ELSE -1.0 END) * ((p-1)%7 + 1)), 4) xw "
+        "FROM x GROUP BY vec_id ORDER BY vec_id LIMIT 100"
+    ),
     "z21_corr_covar": (
         "SELECT ROUND(corr(l_quantity,l_extendedprice),8) c, "
         "ROUND(covar_pop(l_quantity,l_extendedprice),4) cp, "
