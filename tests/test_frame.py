@@ -262,3 +262,21 @@ def test_from_columns_keyless_ids_contiguous_stable_no_window(spark):
     plan = zf.df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, "keyless ingest still uses a window"
     li.unpersist()
+
+
+def test_dot_matches_numpy(spark):
+    import numpy as np
+
+    from zappy_spark.frame import ZappyFrame
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(25, 5))
+    w = rng.normal(size=5)
+    zf = ZappyFrame.from_ndarray(spark, a, num_partitions=3)
+    assert np.allclose((zf @ w).asndarray(), a @ w)
+    assert np.allclose(zf.dot(w).asndarray(), a @ w)
+    try:
+        zf.dot([1.0, 2.0])
+        raise AssertionError("length mismatch must raise")
+    except ValueError:
+        pass

@@ -1214,3 +1214,103 @@ def test_weighted_sample_exact_biases_and_bounds(spark):
     assert ids == again
     with pytest.raises(ValueError):
         weighted_sample_exact(df, "id", "w", 0)
+
+
+def test_semantic_dup_flags_planted(spark):
+    """Planted near-identical pair inside one cluster and an
+    identical pair ACROSS clusters: only the within-cluster lower-id
+    neighbor flags a dup (the cluster bound is semantic, not just a
+    perf trick)."""
+    from zappy_spark.operators.dedup import semantic_dup_flags
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.999, 0.01, 0.0]),   # near-dup of 1, same cluster
+        (3, 0, [0.0, 1.0, 0.0]),      # distinct
+        (4, 1, [1.0, 0.0, 0.0]),      # identical to 1, OTHER cluster
+        (5, 1, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, c int, v array<double>")
+    out = {
+        r["id"]: r["is_semantic_dup"]
+        for r in semantic_dup_flags(df, "v", "id", "c", threshold=0.95).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_span_stats_planted(spark):
+    """One 3-token span shared verbatim across two docs; within-doc
+    repetition of a span must NOT count as shared."""
+    from zappy_spark.operators.dedup import span_stats
+
+    docs = [
+        (1, "a b c x y z"),          # spans: "a b c", "x y z"
+        (2, "a b c q r s"),          # shares "a b c" with doc 1
+        (3, "m n o m n o"),          # repeats its own span only
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"])
+        for r in span_stats(df, "text", "doc_id", span=3).collect()
+    }
+    assert out == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
+
+
+def test_token_entropy_bounds(spark):
+    """Single repeated token → H=0; all-distinct tokens → H=ln(n)."""
+    import math
+
+    from zappy_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["entropy"] for r in token_entropy(df, "text", "doc_id").collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - round(math.log(4), 4)) < 1e-9
+
+
+def test_lexical_diversity_counts(spark):
+    from zappy_spark.operators.text import lexical_diversity
+
+    df = spark.createDataFrame([(1, "a a b c")], "doc_id bigint, text string")
+    r = lexical_diversity(df, "text", "doc_id").collect()[0]
+    assert (r["n_tokens"], r["n_distinct"], r["n_hapax"]) == (4, 3, 2)
+    assert r["ttr"] == 0.75
+    assert abs(r["hapax_ratio"] - 0.6667) < 1e-9
+
+
+def test_centroid_cohesion_identical_members(spark):
+    """A group of identical vectors has cohesion exactly 1; an
+    antipodal pair averages to cosine 0 against a degenerate centroid
+    only if the centroid is nonzero — use orthogonal instead."""
+    from zappy_spark.operators.similarity import centroid_cohesion
+
+    rows = [
+        (1, 0, [2.0, 0.0]),
+        (2, 0, [2.0, 0.0]),
+        (3, 1, [1.0, 0.0]),
+        (4, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g int, v array<double>")
+    out = {r["g"]: r["cohesion"] for r in centroid_cohesion(df, "v", "id", "g").collect()}
+    assert out[0] == 1.0
+    # centroid (0.5,0.5); cos(member, centroid) = 1/sqrt(2) for both
+    assert abs(out[1] - 0.7071) < 1e-4
+
+
+def test_knn_classify_separable(spark):
+    """Two well-separated label groups: every query votes its own
+    group's label unanimously."""
+    from zappy_spark.operators.similarity import knn_classify
+
+    rows = [(i, 0, [1.0, float(i) * 0.01]) for i in range(6)] + [
+        (10 + i, 1, [-1.0, float(i) * 0.01]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, label int, v array<double>")
+    q = df.selectExpr("id as qid", "v as qv").where("id in (0, 10)")
+    out = {
+        r["qid"]: (r["predicted"], r["votes"])
+        for r in knn_classify(df, "v", "id", "label", q, "qv", "qid", k=5).collect()
+    }
+    assert out == {0: (0, 5), 10: (1, 5)}

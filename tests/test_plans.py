@@ -346,3 +346,66 @@ def test_bucketed_layout_runs_r02_r10_shapes_shuffle_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bf_orders")
         spark.sql("DROP TABLE IF EXISTS bf_lineitem")
+
+
+def test_q6_scan_only_shape(spark):
+    """r52: every predicate reaches the parquet scan and the schema
+    prunes to the 4 referenced columns — the shape that proves
+    pushdown+pruning carry a scan-only query at 100 TB."""
+    plan = _plan(QUERIES["r52_q6_scan_only"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    # the printed PushedFilters list truncates; DataFilters carries
+    # the full predicate set
+    assert "(l_quantity#" in plan
+    sch = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_partkey" not in sch and "l_orderkey" not in sch
+    assert plan.count("Exchange ") == 1  # only the 1-row final agg
+
+
+def test_q19_quantity_envelope_is_pushed(spark):
+    """r60: the scan-eligible envelope extracted from the disjunction
+    must reach the lineitem scan as a pushed range."""
+    plan = _plan(QUERIES["r60_q19_disjunctive"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_q7_dims_broadcast_no_cartesian(spark):
+    """r54: nation/supplier filters ride broadcasts; the only
+    non-broadcast join allowed is the lineitem⋈orders fact join."""
+    plan = _plan(QUERIES["r54_q7_volume_shipping"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark):
+    """d16: the pairwise stage must join on the cluster equi-key —
+    a cartesian/BNLJ here is the corpus-wide all-pairs explosion the
+    SemDeDup design exists to avoid."""
+    plan = _plan(QUERIES["d16_semantic_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_classify_broadcasts_queries(spark):
+    """v12: the query batch must broadcast (BNLJ on the small side);
+    the candidate scan itself must not shuffle before scoring."""
+    plan = _plan(QUERIES["v12_knn_classify"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffle_budget(spark):
+    """d17: span frequency + join-back + per-doc agg + top-k — the
+    whole pipeline fits in 4 exchanges, independent of span width."""
+    plan = _plan(QUERIES["d17_span_dedup"](spark, SF_DIR))
+    assert plan.count("Exchange ") <= 4
+
+
+def test_rolling_anomaly_single_shuffle(spark):
+    """s12: one hash partition on event_type feeds the sliding
+    frame; no self-join, no second exchange."""
+    plan = _plan(QUERIES["s12_rolling_anomaly"](spark, SF_DIR))
+    assert plan.count("Exchange ") == 1
+    assert "Join" not in plan

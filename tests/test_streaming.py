@@ -431,3 +431,45 @@ def test_session_spans_stream_equals_batch(spark, replay_dir):
     assert _rows(got, "user_id", "st", "dur_ms", "n") == _rows(
         batch, "user_id", "st", "dur_ms", "n"
     )
+
+
+def test_anomaly_stateful_moments_exact(spark, replay_dir, tmp_path_factory):
+    """The Welford/Chan state merge must be EXACT under any
+    micro-batch split: final (n, mean, m2) per event_type over the
+    4-file replay equals the batch global moments, and a 1-file
+    replay produces the identical moments. The anomaly counter is
+    split-dependent by design (scored against start-of-batch state)
+    — only bounded sanity is asserted for it."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.anomaly_stateful(stream), "t_anom", output_mode="update"
+    )
+    final = {
+        r["event_type"]: r
+        for r in got.orderBy("n_seen")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_seen").alias("n"),
+            F.max_by("mean", "n_seen").alias("mean"),
+            F.max_by("m2", "n_seen").alias("m2"),
+            F.max_by("n_anom", "n_seen").alias("n_anom"),
+        )
+        .collect()
+    }
+    batch = {
+        r["event_type"]: r
+        for r in spark.read.parquet(replay_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            (F.var_samp("value") * (F.count("*") - 1)).alias("m2"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for k in batch:
+        assert final[k]["n"] == batch[k]["n"]
+        assert abs(final[k]["mean"] - batch[k]["mean"]) < 1e-9
+        assert abs(final[k]["m2"] - batch[k]["m2"]) < 1e-6
+        assert 0 <= final[k]["n_anom"] <= final[k]["n"]

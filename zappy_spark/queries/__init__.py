@@ -12,15 +12,17 @@ breadth. Rotation state after round 2: rounds 1+2 cumulatively
 verified 94 distinct entries green (CORRECTNESS_r01 44/50 +
 CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 
-Round-4 ordering (this file): after round 3 every one of the 133
-entries has carried a driver row at least once; the freshness gap is
-the 83 entries last checked in rounds 1–2 (VERDICT r3 next-1).
-Window layout: (a) the 8 entries new or changed this round (d14,
-d15, r51, s11 added; t04/v02/v06 gained oracles; v06 redefined),
-(b) all 42 entries whose last green row is round 1 — exactly 50.
-The round-2-stale tail follows immediately so a wider window (or
-round 5 with the same file rotated) sweeps it; round-3-green
-entries close the list."""
+Round-4 ordering (this file): never-checked beats stale-checked
+(the round-2 lesson). Tier 0 is the 26 entries with NO driver row
+in their current form: the 19 queries added in round 4
+(r52–r62, d16, d17, t16, t17, v11, v12, s12, z25), the 4 added
+after the round-3 driver ran (d14, d15, r51, s11), and the 3 whose
+oracles were declared after it (t04, v02, v06). Tier 1 fills the
+50-entry window with the stalest round-1-checked entries; the
+remaining round-1/round-2-stale tail queues directly behind for
+round 5 (all are canary-guarded per family meanwhile). Every entry
+passes tests/test_oracle.py locally at sf0.01 regardless of window
+position."""
 
 from __future__ import annotations
 
@@ -40,10 +42,30 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 0: new or changed this round — d14 is the new anchored
-# containment path, t04 gained a profile-score oracle, v06 became
-# the 2-dim closed-form-checkable PCA.
+# Tier 0: no driver row in current form. First the 19 round-4
+# additions, then the 4 post-r3-driver additions, then the 3 whose
+# oracles were declared post-r3 (t04 profile-score argmax, v02
+# plane-literal probe, v06 2-dim closed-form PCA).
 _CHANGED_R4 = [
+    "r52_q6_scan_only",
+    "r53_q4_priority_exists",
+    "r54_q7_volume_shipping",
+    "r55_q8_market_share",
+    "r56_q9_profit",
+    "r57_q10_returned_items",
+    "r58_q14_promo_effect",
+    "r59_q17_small_quantity",
+    "r60_q19_disjunctive",
+    "r61_q2_min_cost_supplier",
+    "r62_q12_priority_split",
+    "d16_semantic_dedup",
+    "d17_span_dedup",
+    "t16_token_entropy",
+    "t17_lexical_diversity",
+    "v11_centroid_cohesion",
+    "v12_knn_classify",
+    "s12_rolling_anomaly",
+    "z25_matvec",
     "d14_containment_anchored",
     "d15_weighted_sample",
     "r51_q20_dominant_supplier",

@@ -1280,8 +1280,9 @@ def r59(spark: SparkSession, d: str) -> DataFrame:
     below 20% of their part's average quantity, for one brand. The
     brand filter broadcasts FIRST, shrinking lineitem to ~1/25th
     before the per-part average; the avg-per-part aggregate and the
-    join back to lines share the l_partkey partitioning, so AQE
-    reuses one exchange instead of shuffling twice."""
+    join back to lines both hash on l_partkey, so the sort-merge
+    join is co-partitioned — two narrow exchanges (one carries
+    partial averages, one the trimmed lines), no third for the join."""
     li = t(spark, d, "lineitem")
     p = t(spark, d, "part")
     brand = p.filter(F.col("p_brand") == "Brand#3").select("p_partkey")

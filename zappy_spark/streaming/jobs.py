@@ -25,7 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -182,6 +184,84 @@ def running_count_stateful(stream: DataFrame) -> DataFrame:
         _running_count_fn,
         outputStructType=_RUNNING_OUT,
         stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ANOM_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("n_anom", LongType()),
+    ]
+)
+_ANOM_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("n_anom", LongType()),
+    ]
+)
+
+
+def _anomaly_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Welford/Chan merge of per-batch moments into state. Events are
+    scored against the state as of the START of the micro-batch
+    (|v-mean| > 2σ with ≥8 priors), so within-batch row order never
+    matters; the moment merge itself is exact regardless of how the
+    stream is split into batches (pinned by the replay test)."""
+    import numpy as np
+
+    n, mean, m2, n_anom = (
+        tuple(state.get) if state.exists else (0, 0.0, 0.0, 0)
+    )
+    for pdf in pdfs:
+        v = pdf["value"].to_numpy(dtype=float)
+        bn = len(v)
+        if bn == 0:
+            continue
+        if n >= 8 and m2 > 0:
+            std = (m2 / (n - 1)) ** 0.5
+            n_anom += int((np.abs(v - mean) > 2 * std).sum())
+        bmean = float(v.mean())
+        bm2 = float(((v - bmean) ** 2).sum())
+        delta = bmean - mean
+        tot = n + bn
+        mean = mean + delta * bn / tot
+        m2 = m2 + bm2 + delta * delta * n * bn / tot
+        n = tot
+    state.update((n, mean, m2, n_anom))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "mean": [mean],
+            "m2": [m2],
+            "n_anom": [n_anom],
+        }
+    )
+
+
+def anomaly_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the s12 rolling-anomaly shape: per
+    event_type running moments + anomaly counter via
+    applyInPandasWithState. The batch query scores against a
+    trailing 1-hour window; the streaming form scores against
+    all-history state (the production variant would reset state on a
+    timer via GroupStateTimeout) — what the replay test pins is the
+    part that must be exact: the distributed moment merge."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _anomaly_fn,
+        outputStructType=_ANOM_OUT,
+        stateStructType=_ANOM_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
