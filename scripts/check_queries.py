@@ -1,14 +1,17 @@
-"""Spot-check named queries against their DuckDB oracles at sf0.01.
+"""Spot-check named queries against their DuckDB oracles.
 
-Usage: python scripts/check_queries.py [name ...]
-With no names, checks every entry in ORACLE (the full driver sweep).
-Mirrors tests/test_oracle.py's canonical compare (order-insensitive,
-column-name-sorted, canon_cell-normalized hash).
+Usage: [CHECK_SF_DIR=/root/testdata/sf0.1] \
+       python scripts/check_queries.py [name ...]
+With no names, checks every entry in ORACLE (the full driver sweep)
+at $CHECK_SF_DIR (default sf0.01). Mirrors tests/test_oracle.py's
+canonical compare (order-insensitive, column-name-sorted,
+canon_cell-normalized hash).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -16,7 +19,7 @@ import duckdb
 from zappy_spark.canon import canon_cell
 from zappy_spark.queries import ORACLE, QUERIES
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"

@@ -42,15 +42,19 @@ def l2(spark: SparkSession, d: str) -> DataFrame:
     from zappy_spark.queries._util import dot, norm
 
     emb = t(spark, d, "embeddings")
-    # The query vector is ONE row: fetch it at build time (pushed
-    # vec_id filter, ~ms) and ship it as an array literal + scalar
-    # norm. Measured ~100 ms faster at sf0.1 than the broadcast
-    # 1-row crossJoin spelling, which paid a broadcast-exchange
-    # build job per execution (round-4 profiling). Same pattern as
-    # similarity.cosine_topk; at cluster scale the literal rides the
-    # task closure — no exchange, no extra job.
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = [float(x) for x in row[0]]
+    # The query vector is ONE row: fetch it at build time and ship it
+    # as an array literal + scalar norm — no exchange, no extra job;
+    # the literal rides the task closure (same pattern as
+    # similarity.cosine_topk). The fetch itself reads the single row
+    # driver-side via pyarrow (~5 ms) instead of a Spark job
+    # (~150 ms for schedule+scan, round-4 profiling) — reading one
+    # query row from the store never needs the cluster.
+    import pyarrow.dataset as ds
+
+    tab = ds.dataset(f"{d}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == 0, columns=["embedding"]
+    )
+    qv = [float(x) for x in tab.column(0)[0].as_py()]
     qn = math.sqrt(sum(x * x for x in qv))
     qc = F.array(*[F.lit(x) for x in qv])
     return (

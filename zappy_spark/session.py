@@ -98,6 +98,16 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# (session-id, sf_dir, table) → repaired DataFrame. A DataFrame is an
+# immutable logical plan, so reuse across queries is safe; rebuilding
+# it per call re-pays file listing + parquet footer/schema resolution
+# (~100 ms — the dominant fixed cost of every small query, round-4
+# profiling). The testdata store is immutable; on a live cluster the
+# metastore/catalog provides exactly this plan cache. Keyed on the
+# Spark applicationId so a restarted session never sees a stale plan.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, applying per-table ingest repairs.
 
@@ -108,6 +118,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timezone, and the nanos vintage needs ``nanosAsLong`` set before
     the scan is planned."""
     configure(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Only the driver-generated store carries nanos-as-long; an events
     # table that round-tripped through Spark already has a real
@@ -140,6 +154,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so batch/oracle parity is unchanged (both engines
         # materialize naive-UTC in pandas).
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
