@@ -1314,3 +1314,44 @@ def test_knn_classify_separable(spark):
         for r in knn_classify(df, "v", "id", "label", q, "qv", "qid", k=5).collect()
     }
     assert out == {0: (0, 5), 10: (1, 5)}
+
+
+def test_binned_range_join_equals_nested_loop(spark):
+    """The bin rewrite must be EXACT: same pairs as the plain theta
+    join on testdata, across bin widths that do and don't divide the
+    interval length."""
+    from zappy_spark.operators.joins import binned_range_join
+    from zappy_spark.queries._util import t
+    from tests.conftest import SF_SMOKE_DIR
+
+    li = t(spark, SF_SMOKE_DIR, "lineitem").select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("p")
+    )
+    o = (
+        t(spark, SF_SMOKE_DIR, "orders")
+        .select(F.unix_date(F.col("o_orderdate").cast("date")).alias("lo"))
+        .withColumn("hi", F.col("lo") + 10)
+    )
+    plain = li.join(
+        o, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    ).count()
+    assert plain > 0
+    for w in (3, 10, 16):
+        assert binned_range_join(li, o, "p", "lo", "hi", w).count() == plain
+
+
+def test_binned_range_join_boundaries(spark):
+    """Half-open [lo, hi): p==lo matches, p==hi doesn't; zero-length
+    intervals match nothing; bin-edge-aligned intervals don't
+    duplicate pairs."""
+    from zappy_spark.operators.joins import binned_range_join
+
+    pts = spark.createDataFrame([(0,), (5,), (10,), (15,)], "p bigint")
+    iv = spark.createDataFrame(
+        [(0, 10, "a"), (10, 10, "z"), (10, 20, "b")], "lo bigint, hi bigint, tag string"
+    )
+    got = sorted(
+        (r["p"], r["tag"])
+        for r in binned_range_join(pts, iv, "p", "lo", "hi", 5).collect()
+    )
+    assert got == [(0, "a"), (5, "a"), (10, "b"), (15, "b")]

@@ -409,3 +409,12 @@ def test_rolling_anomaly_single_shuffle(spark):
     plan = _plan(QUERIES["s12_rolling_anomaly"](spark, SF_DIR))
     assert plan.count("Exchange ") == 1
     assert "Join" not in plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark):
+    """r63: the whole point of the bin rewrite — the join must be a
+    hash/sort-merge EQUI join on the bin id, never BNLJ/cartesian."""
+    plan = _plan(QUERIES["r63_binned_range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

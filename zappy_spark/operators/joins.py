@@ -1,4 +1,4 @@
-"""Join operators Spark lacks as built-ins. Currently: as-of join.
+"""Join operators Spark lacks as built-ins: as-of, salted, binned-range.
 
 As-of (the time-series "most recent value at or before t" join) has
 no Spark primitive. The classic emulations:
@@ -125,3 +125,54 @@ def salted_join(
         how,
     )
     return out.drop("_zs_salt")
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key — the shape Spark
+    plans as BroadcastNestedLoop/Cartesian (O(n·m) predicate evals).
+
+    The bucketing trick (Databricks' range-join hint, DuckDB's
+    IEJoin solve this engine-side; this is the DataFrame-level
+    equivalent): each interval explodes to the bins it covers, each
+    point maps to its one bin, the join becomes an EQUI join on the
+    bin id plus the exact residual ``lo <= p < hi``. Work drops from
+    |points|·|intervals| to Σ_bin |points_b|·|intervals_b| — with
+    ``bin_width`` at the typical interval length, intervals cover
+    O(1) bins and the join is hash-partitioned, AQE/skew-eligible,
+    never nested-loop (plan-pinned in test_plans).
+
+    Pairs cannot duplicate: a point lives in exactly one bin, so each
+    (point, interval) pair meets at most once. Choose ``bin_width``
+    ≈ the 95th-percentile interval length; much smaller multiplies
+    the interval explode, much larger piles points into few buckets.
+    Columns must be numeric (cast timestamps to ``unix_micros``
+    first). Interval semantics are half-open ``[lo, hi)``.
+    """
+    w = float(bin_width)
+    p_binned = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(w)).cast("bigint")
+    )
+    i_binned = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("bigint"),
+                F.floor(F.col(hi_col) / F.lit(w)).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p_binned.join(i_binned, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )

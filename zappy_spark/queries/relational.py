@@ -1416,6 +1416,37 @@ def r62(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r63(spark: SparkSession, d: str) -> DataFrame:
+    """Pure interval join via bin bucketing (round 4;
+    operators/joins.py::binned_range_join): lineitems shipped within
+    7 days of ANY order's date, counted per order priority — no equi
+    key anywhere, the shape Spark otherwise plans as a
+    BroadcastNestedLoop over |points|·|intervals| pairs. The binned
+    form is an equi join on the 7-day bin id plus the exact
+    residual; the oracle is DuckDB's native inequality join (IEJoin)
+    over the same day arithmetic, so the rewrite's exactness — not
+    just its plan — is hash-checked."""
+    from zappy_spark.operators.joins import binned_range_join
+
+    li = t(spark, d, "lineitem").select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("p")
+    )
+    o = (
+        t(spark, d, "orders")
+        .select(
+            "o_orderpriority",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 7)
+    )
+    return (
+        binned_range_join(li, o, "p", "lo", "hi", bin_width=7)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("pairs"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1519,6 +1550,7 @@ QUERIES = {
     "r60_q19_disjunctive": r60,
     "r61_q2_min_cost_supplier": r61,
     "r62_q12_priority_split": r62,
+    "r63_binned_range_join": r63,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -1987,6 +2019,14 @@ ORACLE = {
         "FROM best JOIN supplier ON s_suppkey=l_suppkey "
         "JOIN nation ON s_nationkey=n_nationkey "
         "WHERE rn=1 ORDER BY unit_cost, l_partkey LIMIT 50"
+    ),
+    "r63_binned_range_join": (
+        "SELECT o_orderpriority, COUNT(*) pairs FROM lineitem, orders "
+        "WHERE (CAST(l_shipdate AS DATE) - DATE '1970-01-01') "
+        ">= (CAST(o_orderdate AS DATE) - DATE '1970-01-01') "
+        "AND (CAST(l_shipdate AS DATE) - DATE '1970-01-01') "
+        "< (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 7 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "r62_q12_priority_split": (
         "SELECT l_linestatus, "
