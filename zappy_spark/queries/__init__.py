@@ -13,9 +13,9 @@ verified 94 distinct entries green (CORRECTNESS_r01 44/50 +
 CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 
 Round-4 ordering (this file): never-checked beats stale-checked
-(the round-2 lesson). Tier 0 is the 26 entries with NO driver row
-in their current form: the 19 queries added in round 4
-(r52–r62, d16, d17, t16, t17, v11, v12, s12, z25), the 4 added
+(the round-2 lesson). Tier 0 is the 27 entries with NO driver row
+in their current form: the 20 queries added in round 4
+(r52–r63, d16, d17, t16, t17, v11, v12, s12, z25), the 4 added
 after the round-3 driver ran (d14, d15, r51, s11), and the 3 whose
 oracles were declared after it (t04, v02, v06). Tier 1 fills the
 50-entry window with the stalest round-1-checked entries; the
@@ -42,7 +42,7 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 0: no driver row in current form. First the 19 round-4
+# Tier 0: no driver row in current form. First the 20 round-4
 # additions, then the 4 post-r3-driver additions, then the 3 whose
 # oracles were declared post-r3 (t04 profile-score argmax, v02
 # plane-literal probe, v06 2-dim closed-form PCA).
@@ -58,6 +58,7 @@ _CHANGED_R4 = [
     "r60_q19_disjunctive",
     "r61_q2_min_cost_supplier",
     "r62_q12_priority_split",
+    "r63_binned_range_join",
     "d16_semantic_dedup",
     "d17_span_dedup",
     "t16_token_entropy",
