@@ -335,3 +335,46 @@ def test_bucketed_ranks_match_naive_window_with_ties(spark):
             assert act[c] == exp[c], (exp["id"], c, act[c], exp[c])
         for c in ("pr", "cd"):
             assert abs(act[c] - exp[c]) < 1e-12, (exp["id"], c, act[c], exp[c])
+
+
+def test_binned_range_join_hypothesis(spark):
+    """hypothesis: for random integer points/intervals and any bin
+    width, the binned rewrite returns exactly the nested-loop pair
+    set (computed in plain Python)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.joins import binned_range_join
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        pts=st.lists(st.integers(-50, 50), min_size=0, max_size=12),
+        ivs=st.lists(
+            st.tuples(st.integers(-50, 50), st.integers(0, 25)),
+            min_size=0,
+            max_size=8,
+        ),
+        w=st.sampled_from([1, 3, 7, 100]),
+    )
+    def check(pts, ivs, w):
+        want = sorted(
+            (p, i)
+            for p in pts
+            for i, (lo, ln) in enumerate(ivs)
+            if lo <= p < lo + ln
+        )
+        pdf = spark.createDataFrame(
+            [(p,) for p in pts] or [(None,)], "p bigint"
+        ).dropna()
+        idf = spark.createDataFrame(
+            [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivs)]
+            or [(None, None, None)],
+            "i bigint, lo bigint, hi bigint",
+        ).dropna()
+        got = sorted(
+            (r["p"], r["i"])
+            for r in binned_range_join(pdf, idf, "p", "lo", "hi", w).collect()
+        )
+        assert got == want
+
+    check()
