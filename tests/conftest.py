@@ -11,12 +11,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = os.environ.get("ZS_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Deliberately-quadratic oracle twins of the LSH-blocked production
-# paths (similarity.py): exact O(n²) self-joins, declared only so the
-# scalable forms have a verified reference. On the 10× synthetic
-# fixture they'd be billions of pairs, so the per-query oracle tests
-# skip them there; d06 / v01 / v02 (the production paths) still run.
-QUADRATIC_ORACLES = {"l06_similarity_self_join", "d05_embedding_neardup"}
+# Oracle twins whose pair cardinality explodes on the 10× synthetic
+# fixture, declared only so the scalable forms have a verified
+# reference: l06/d05 are exact O(n²) self-joins; d16's within-cluster
+# pairs and v12's query×corpus scoring grow with the square/product of
+# the fixture; r63's matched-pair set is ~44× the point count before
+# aggregation. The per-query oracle tests skip these there; the
+# production paths (d06 LSH, v01/v02 ANN, the binned join's plan
+# shape) still run in full.
+QUADRATIC_ORACLES = {
+    "l06_similarity_self_join",
+    "d05_embedding_neardup",
+    "d16_semantic_dedup",
+    "v12_knn_classify",
+    "r63_binned_range_join",
+}
 
 
 def skip_quadratic_at_scale(name: str) -> None:
