@@ -1344,12 +1344,18 @@ def r60(spark: SparkSession, d: str) -> DataFrame:
 def r61(spark: SparkSession, d: str) -> DataFrame:
     """Minimum-cost supplier per part (TPC-H Q2 shape; no partsupp
     table in this vintage, so the part↔supplier cost relation is
-    derived from lineitem as avg unit price per (part, supplier)).
-    The argmin is a window partitioned by partkey over the ALREADY
-    per-(part,supplier)-aggregated frame — cardinality parts×
-    suppliers-per-part, not lines — and cost is rounded BEFORE
-    ranking so the order (then the suppkey tie-break) is
-    IEEE-identical in both engines. Supplier/nation attach by
+    derived from lineitem as the MINIMUM per-row unit price per
+    (part, supplier)). The argmin is a window partitioned by partkey
+    over the ALREADY per-(part,supplier)-aggregated frame —
+    cardinality parts×suppliers-per-part, not lines. The cost metric
+    is min(floor(price/qty·10⁴))/10⁴: 2-decimal prices over integer
+    quantities land on .00005 ROUND boundaries constantly, where
+    Spark (BigDecimal half-up on the shortest decimal) and DuckDB
+    (double arithmetic) disagree on the SAME double — measured at
+    sf0.1 (89.11625 → 89.1163 vs 89.1162). FLOOR of the scaled
+    value is exact on the identical IEEE double in both engines, and
+    MIN is accumulation-order-insensitive — the Appendix-A
+    float-determinism discipline. Supplier/nation attach by
     broadcast after the argmin."""
     li = t(spark, d, "lineitem")
     p = t(spark, d, "part")
@@ -1362,8 +1368,15 @@ def r61(spark: SparkSession, d: str) -> DataFrame:
         li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "p_name", "l_suppkey")
         .agg(
-            F.round(
-                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            (
+                F.min(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        / F.col("l_quantity")
+                        * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0
             ).alias("unit_cost")
         )
     )
@@ -2010,7 +2023,7 @@ ORACLE = {
     ),
     "r61_q2_min_cost_supplier": (
         "WITH cost AS (SELECT l_partkey, p_name, l_suppkey, "
-        "ROUND(AVG(l_extendedprice/l_quantity),4) unit_cost "
+        "MIN(CAST(FLOOR(l_extendedprice/l_quantity*10000) AS BIGINT))/10000.0 unit_cost "
         "FROM lineitem JOIN part ON p_partkey=l_partkey "
         "WHERE p_size=10 AND p_type='SMALL' GROUP BY 1,2,3), "
         "best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey "
