@@ -2023,7 +2023,8 @@ ORACLE = {
     ),
     "r61_q2_min_cost_supplier": (
         "WITH cost AS (SELECT l_partkey, p_name, l_suppkey, "
-        "MIN(CAST(FLOOR(l_extendedprice/l_quantity*10000) AS BIGINT))/10000.0 unit_cost "
+        "MIN(CAST(FLOOR(l_extendedprice/l_quantity*10000) AS BIGINT))"
+        "/CAST(10000.0 AS DOUBLE) unit_cost "
         "FROM lineitem JOIN part ON p_partkey=l_partkey "
         "WHERE p_size=10 AND p_type='SMALL' GROUP BY 1,2,3), "
         "best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey "
