@@ -511,3 +511,109 @@ def lexical_diversity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 relevance for a literal query-term set — the
+    retrieval scorer a training-data pipeline uses to mine documents
+    related to a target task (Okapi BM25, Robertson's +1 idf so
+    scores stay positive at any df).
+
+    Scale shape: tokens are filtered to the query terms BEFORE the
+    (id, term) shuffle, so the tf aggregate carries ≤|terms| rows per
+    doc regardless of document length. Corpus stats (N, avgdl) are a
+    1-row aggregate crossJoined (broadcast); per-term df is a
+    ≤|terms|-row broadcast join. One tokenize pass feeds both dl and
+    tf via a shared plan prefix.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens_ws(F.col(text_col)).alias("_tks")
+    )
+    doc = toks.select("_id", F.size("_tks").cast("bigint").alias("_dl"))
+    stats = doc.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        toks.select("_id", F.size("_tks").cast("bigint").alias("_dl"),
+                    F.explode("_tks").alias("_tk"))
+        .filter(F.col("_tk").isin(*terms))
+        .groupBy("_id", "_dl", "_tk")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    df_t = tf.groupBy("_tk").agg(F.count("*").cast("double").alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("_tf") * (k1 + 1.0)
+        / (
+            F.col("_tf")
+            + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "_tk")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .select(F.col("_id").alias(id_col), "bm25")
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to", "in"),
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1
+    reconstruction): word-count bounds, mean-word-length band
+    [3, 10], ≥80% words containing an alphabetic character, and ≥2
+    distinct stopwords present. Emits the per-rule signals plus the
+    combined keep flag, so downstream mixtures can re-weight rules
+    instead of re-scanning text.
+
+    Everything is array-lambda expression work over one tokenize —
+    scan-side, zero shuffles at any corpus size.
+    """
+    tks = tokens_ws(F.col(text_col))
+    n = F.size(tks).cast("bigint")
+    mwl = F.round(
+        F.aggregate(
+            F.transform(tks, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n,
+        4,
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(tks, lambda x: x.rlike("[a-zA-Z]"))) / n, 4
+    )
+    stop_hits = sum(
+        F.array_contains(tks, w).cast("int") for w in stopwords
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        stop_hits.alias("stop_hits"),
+    ).filter(F.col("n_words") > 0)
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    ).cast("int")
+    return out.withColumn("keep", keep)

@@ -369,6 +369,38 @@ def t17(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t18(spark: SparkSession, d: str) -> DataFrame:
+    """BM25 retrieval scoring (round 4;
+    operators/text.py::bm25_scores) for a literal query-term set —
+    the mine-documents-for-a-task scorer. Tokens are filtered to the
+    query terms before the tf shuffle; df and corpus stats broadcast.
+    Ordering is on the 4dp-rounded score with doc_id tiebreak, so
+    cross-engine top-50 is deterministic."""
+    return (
+        text.bm25_scores(
+            t(spark, d, "documents"),
+            "text",
+            "doc_id",
+            terms=("data", "table", "scan"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+
+
+def t19(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher-style quality rules (round 4;
+    operators/text.py::gopher_quality): word-count bounds, mean-word-
+    length band, alpha-word fraction, distinct-stopword floor, and
+    the combined keep flag — all scan-side array lambdas, zero
+    shuffles."""
+    return (
+        text.gopher_quality(t(spark, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 def v01(spark: SparkSession, d: str) -> DataFrame:
     """IVF-style ANN probe: exact top-k restricted to the query's
     coarse partition (label); on a partitioned table this is file
@@ -808,6 +840,8 @@ QUERIES = {
     "t14_length_histogram": t14,
     "t16_token_entropy": t16,
     "t17_lexical_diversity": t17,
+    "t18_bm25": t18,
+    "t19_gopher_rules": t19,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -1131,7 +1165,8 @@ ORACLE = {
         "ON a.label=b.label AND b.vec_id < a.vec_id "
         "WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) > 0.9) "
         "SELECT label, COUNT(*) n, "
-        "SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_dup "
+        "CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_dup "
         "FROM e LEFT JOIN dup ON e.vec_id=dup.vec_id "
         "GROUP BY label ORDER BY label"
     ),
@@ -1144,7 +1179,7 @@ ORACLE = {
         "md5(array_to_string(tks[i*3+1 : i*3+3],' ')) h FROM n), "
         "freq AS (SELECT h, COUNT(DISTINCT doc_id) docs FROM sp GROUP BY h), "
         "agg AS (SELECT doc_id, COUNT(*) n_spans, "
-        "SUM(CASE WHEN docs>=2 THEN 1 ELSE 0 END) n_shared "
+        "CAST(SUM(CASE WHEN docs>=2 THEN 1 ELSE 0 END) AS BIGINT) n_shared "
         "FROM sp JOIN freq USING (h) GROUP BY doc_id) "
         "SELECT doc_id, n_spans, n_shared, "
         "ROUND(n_shared/CAST(n_spans AS DOUBLE), 4) shared_ratio "
@@ -1154,7 +1189,8 @@ ORACLE = {
         "WITH ex AS (SELECT doc_id, unnest(list_filter("
         "string_split(text,' '), x -> x<>'')) tk FROM documents), "
         "cnt AS (SELECT doc_id, tk, COUNT(*) c FROM ex GROUP BY 1,2) "
-        "SELECT doc_id, SUM(c) n_tokens, COUNT(*) n_distinct, "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens, "
+        "COUNT(*) n_distinct, "
         "ROUND(LN(SUM(c)) - SUM(c*LN(c))/SUM(c), 4) entropy "
         "FROM cnt GROUP BY doc_id ORDER BY doc_id LIMIT 100"
     ),
@@ -1162,12 +1198,48 @@ ORACLE = {
         "WITH ex AS (SELECT doc_id, unnest(list_filter("
         "string_split(text,' '), x -> x<>'')) tk FROM documents), "
         "cnt AS (SELECT doc_id, tk, COUNT(*) c FROM ex GROUP BY 1,2) "
-        "SELECT doc_id, SUM(c) n_tokens, COUNT(*) n_distinct, "
-        "SUM(CASE WHEN c=1 THEN 1 ELSE 0 END) n_hapax, "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens, COUNT(*) n_distinct, "
+        "CAST(SUM(CASE WHEN c=1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax, "
         "ROUND(COUNT(*)/CAST(SUM(c) AS DOUBLE), 4) ttr, "
         "ROUND(SUM(CASE WHEN c=1 THEN 1 ELSE 0 END)"
         "/CAST(COUNT(*) AS DOUBLE), 4) hapax_ratio "
         "FROM cnt GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    "t18_bm25": (
+        "WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), "
+        "x -> x<>'') tks FROM documents), "
+        "doc AS (SELECT doc_id, len(tks) dl FROM tok), "
+        "stats AS (SELECT COUNT(*) n, AVG(dl) avgdl FROM doc), "
+        "ex AS (SELECT doc_id, unnest(tks) tk FROM tok), "
+        "tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) tf FROM ex "
+        "WHERE tk IN ('data','table','scan') GROUP BY doc_id, tk), "
+        "dft AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) df FROM tf GROUP BY tk) "
+        "SELECT doc_id, ROUND(SUM(ln(1 + (n - df + 0.5)/(df + 0.5)) "
+        "* tf*(1.2+1)/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) bm25 "
+        "FROM tf JOIN dft USING (tk) JOIN doc USING (doc_id) "
+        "CROSS JOIN stats "
+        "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50"
+    ),
+    "t19_gopher_rules": (
+        "WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), "
+        "x -> x<>'') tks FROM documents), "
+        "f AS (SELECT doc_id, len(tks) n_words, "
+        "ROUND(list_sum(list_transform(tks, x -> CAST(length(x) AS DOUBLE)))"
+        "/len(tks), 4) mean_word_len, "
+        "ROUND(len(list_filter(tks, x -> regexp_matches(x, '[a-zA-Z]')))"
+        "/CAST(len(tks) AS DOUBLE), 4) frac_alpha, "
+        "CAST(list_contains(tks,'the') AS INT)"
+        "+CAST(list_contains(tks,'a') AS INT)"
+        "+CAST(list_contains(tks,'and') AS INT)"
+        "+CAST(list_contains(tks,'of') AS INT)"
+        "+CAST(list_contains(tks,'to') AS INT)"
+        "+CAST(list_contains(tks,'in') AS INT) stop_hits "
+        "FROM tok WHERE len(tks) > 0) "
+        "SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits, "
+        "CAST(n_words BETWEEN 50 AND 100000 "
+        "AND mean_word_len BETWEEN 3.0 AND 10.0 "
+        "AND frac_alpha >= 0.8 AND stop_hits >= 2 AS INT) keep "
+        "FROM f ORDER BY doc_id LIMIT 100"
     ),
     "v11_centroid_cohesion": (
         "WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) v "

@@ -1460,6 +1460,125 @@ def r63(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r64(spark: SparkSession, d: str) -> DataFrame:
+    """Gap-fill + forward fill (LOCF), the hypertable resample shape
+    (round 4): per-user hourly grid over the user's own [first, last]
+    event hours, each slot carrying the last-observed ``value``.
+
+    The spine is ``sequence()``+explode off a per-user bounds
+    aggregate — generated executor-side, never a driver loop; the
+    fill is ``last(ignorenulls=True)`` over a per-user window. One
+    shuffle on user_id shared by the bounds agg, the hourly agg, and
+    the fill window. The hourly "last value" is ``max_by`` over
+    (ts, event_id) — one hash aggregate, no intra-hour window. Grid
+    density scales with each user's own span, not the global span,
+    so sparse users don't inflate the spine at 100 TB."""
+    ev = t(spark, d, "events").filter(
+        (F.col("user_id") < 5)
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id")), 2
+        ).alias("v")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("v", ignorenulls=True).over(w).alias("v_fill"),
+        )
+        .orderBy("user_id", "h")
+        .limit(100)
+    )
+
+
+def r65(spark: SparkSession, d: str) -> DataFrame:
+    """Time-weighted average (round 4): each event's value weighted
+    by how long it stayed current (microseconds to the next event of
+    the same user) — the TWA every metrics/billing rollup needs when
+    samples are irregular. lead() over one user_id shuffle; weights
+    are integer micros (``unix_micros``) so both engines compute the
+    identical dt, and the double ratio is rounded at 4dp."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        t(spark, d, "events")
+        .select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.lead(F.unix_micros("ts")).over(w).alias("nus"),
+        )
+        .filter(F.col("nus").isNotNull())
+        .withColumn("dt", F.col("nus") - F.col("us"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_seg"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def r66(spark: SparkSession, d: str) -> DataFrame:
+    """Conversion funnel (round 4): signup → first click within 24h
+    → first purchase within 24h of that click; one row of per-stage
+    user counts. Each stage is a min-aggregate on user_id then an
+    equi-join back on the same key — one partitioning reused across
+    all three stages (exchange reuse), no window, no per-user
+    collect. The stage counts are 1-row aggregates crossJoined
+    (broadcast nested loop over single rows), the same scale-safe
+    pattern as the scalar-subquery query (r19)."""
+    ev = t(spark, d, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count("*").alias("stage_signup"))
+        .crossJoin(c.agg(F.count("*").alias("stage_click")))
+        .crossJoin(p.agg(F.count("*").alias("stage_purchase")))
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1564,6 +1683,9 @@ QUERIES = {
     "r61_q2_min_cost_supplier": r61,
     "r62_q12_priority_split": r62,
     "r63_binned_range_join": r63,
+    "r64_gap_fill": r64,
+    "r65_time_weighted_avg": r65,
+    "r66_funnel": r66,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2044,10 +2166,10 @@ ORACLE = {
     ),
     "r62_q12_priority_split": (
         "SELECT l_linestatus, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-        "THEN 1 ELSE 0 END) high_line_count, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-        "THEN 0 ELSE 1 END) low_line_count "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) low_line_count "
         "FROM lineitem JOIN orders ON o_orderkey=l_orderkey "
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
@@ -2057,6 +2179,48 @@ ORACLE = {
         "SELECT p_partkey, {zv} AS zv FROM (SELECT p_partkey, "
         "CAST(p_partkey % 256 AS BIGINT) x, CAST(p_size AS BIGINT) y "
         "FROM part) ORDER BY zv, p_partkey LIMIT 100"
+    ),
+    "r64_gap_fill": (
+        "WITH ev AS (SELECT * FROM events WHERE user_id < 5 "
+        "AND ts < TIMESTAMP '2024-01-02'), "
+        "hourly AS (SELECT user_id, h, ROUND(v, 2) v FROM ("
+        "SELECT user_id, date_trunc('hour', ts) h, value v, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+        "ORDER BY ts DESC, event_id DESC) rn FROM ev) WHERE rn = 1), "
+        "bounds AS (SELECT user_id, date_trunc('hour', MIN(ts)) h0, "
+        "date_trunc('hour', MAX(ts)) h1 FROM ev GROUP BY user_id), "
+        "spine AS (SELECT user_id, unnest(generate_series(h0, h1, "
+        "INTERVAL 1 HOUR)) h FROM bounds), "
+        "j AS (SELECT s.user_id, s.h, hourly.v FROM spine s "
+        "LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h) "
+        "SELECT user_id, h, LAST_VALUE(v IGNORE NULLS) OVER "
+        "(PARTITION BY user_id ORDER BY h "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v_fill "
+        "FROM j ORDER BY user_id, h LIMIT 100"
+    ),
+    "r65_time_weighted_avg": (
+        "WITH x AS (SELECT user_id, value, epoch_us(ts) us, "
+        "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) nus FROM events) "
+        "SELECT user_id, COUNT(*) n_seg, "
+        "ROUND(SUM(value*(nus-us))/SUM(nus-us), 4) twa "
+        "FROM x WHERE nus IS NOT NULL "
+        "GROUP BY user_id ORDER BY user_id"
+    ),
+    "r66_funnel": (
+        "WITH s AS (SELECT user_id, MIN(ts) t1 FROM events "
+        "WHERE event_type='signup' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e "
+        "JOIN s ON e.user_id = s.user_id "
+        "WHERE e.event_type='click' AND e.ts > s.t1 "
+        "AND e.ts <= s.t1 + INTERVAL 24 HOURS GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, MIN(e.ts) t3 FROM events e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type='purchase' AND e.ts > c.t2 "
+        "AND e.ts <= c.t2 + INTERVAL 24 HOURS GROUP BY e.user_id) "
+        "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
+        "(SELECT COUNT(*) FROM c) stage_click, "
+        "(SELECT COUNT(*) FROM p) stage_purchase"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
