@@ -1355,3 +1355,120 @@ def test_binned_range_join_boundaries(spark):
         for r in binned_range_join(pts, iv, "p", "lo", "hi", 5).collect()
     )
     assert got == [(0, "a"), (5, "a"), (10, "b"), (15, "b")]
+
+
+def test_span_edges_df_cap_bounds_fanout(spark):
+    """A span shared by MORE than max_df docs must produce no edges
+    (boilerplate guard); distinct-span counting must ignore within-
+    doc repetition."""
+    from zappy_spark.operators.dedup import span_edges
+
+    boiler = "x y z " * 5  # same 3-token span repeated within doc
+    rows = [(i, boiler + f"u{i} v{i} w{i}") for i in range(12)]
+    # two docs genuinely sharing 3 distinct spans
+    rows += [(100, "a b c d e f g h i"), (101, "a b c d e f g h i")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    edges = span_edges(
+        df, "text", "doc_id", span=3, min_shared=3, max_df=8
+    ).collect()
+    pairs = {(r.i, r.j) for r in edges}
+    assert pairs == {(100, 101)}, pairs
+
+
+def test_cc_closure_chains_transitively(spark):
+    """(a,b) + (b,c) edges must land a, b, c in ONE component even
+    though (a,c) never appears."""
+    from zappy_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["i", "j"]
+    )
+    comps = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_fingerprint_dedup_collapses_reorderings(spark):
+    from zappy_spark.operators.dedup import fingerprint_dup_groups
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "gamma  alpha beta beta"),  # reorder + repeat + spacing
+            (2, "alpha beta delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = fingerprint_dup_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].keep_id == 0
+
+
+def test_pq_codes_recover_planted_centroids(spark):
+    """Vectors generated AT a codebook centroid (plus tiny noise)
+    must be assigned that centroid's code in every subspace."""
+    from zappy_spark.operators.similarity import pq_codebook, pq_codes
+
+    cb = pq_codebook()
+    m, k, sub_dim = cb.shape
+    rng = np.random.default_rng(3)
+    rows = []
+    want = []
+    for i in range(20):
+        codes = rng.integers(0, k, size=m)
+        vec = np.concatenate(
+            [cb[s, codes[s]] + rng.normal(0, 1e-3, sub_dim) for s in range(m)]
+        )
+        rows.append((i, [float(x) for x in vec]))
+        want.append(tuple(int(c) for c in codes))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (r.c0, r.c1, r.c2, r.c3)
+        for r in pq_codes(df, "embedding", "vec_id", cb).collect()
+    }
+    assert [got[i] for i in range(20)] == want
+
+
+def test_pq_argmin_ties_take_smaller_index(spark):
+    from zappy_spark.operators.similarity import _argmin_chain
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    picked = df.select(
+        _argmin_chain([F.lit(2.0), F.lit(1.0), F.lit(1.0)]).alias("c")
+    ).collect()[0].c
+    assert picked == 1
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    from zappy_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "data data data filler filler"),
+            (1, "data filler filler filler filler"),
+            (2, "filler filler filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(df, "text", "doc_id", ("data",)).collect()
+    }
+    assert 2 not in scores  # no query term -> no row
+    assert scores[0] > scores[1] > 0
+
+
+def test_gopher_rules_flags(spark):
+    from zappy_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog " * 6  # 54 words
+    short = "the a of"
+    symbols = " ".join(["$$$"] * 60)
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_quality(df, "text", "doc_id").collect()}
+    assert out[0].keep == 1
+    assert out[1].keep == 0  # too few words
+    assert out[2].keep == 0 and out[2].frac_alpha == 0.0

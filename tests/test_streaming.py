@@ -473,3 +473,36 @@ def test_anomaly_stateful_moments_exact(spark, replay_dir, tmp_path_factory):
         assert abs(final[k]["mean"] - batch[k]["mean"]) < 1e-9
         assert abs(final[k]["m2"] - batch[k]["m2"]) < 1e-6
         assert 0 <= final[k]["n_anom"] <= final[k]["n"]
+
+
+def test_windowed_distinct_stream_equals_batch(spark, tmp_path):
+    """Chained stateful ops (dedup -> windowed count) give EXACT
+    distinct users incrementally. Append mode only emits windows the
+    watermark has closed, so the replay ends with a far-future
+    sentinel to finalize every real window."""
+    import datetime as dt
+
+    d = str(tmp_path / "distinct_replay")
+    jobs.replay_events_dir(spark, SF_SMOKE_DIR, d, n_files=3)
+    sentinel_ts = dt.datetime(2030, 1, 1)
+    sentinel = spark.createDataFrame(
+        [(999_999, sentinel_ts, 999_999, "view", 0.0, "{}")],
+        spark.read.parquet(d).schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+
+    got = jobs.run_to_memory(
+        jobs.windowed_distinct_users(jobs.stream_events(spark, d)),
+        "t_wdu",
+        output_mode="append",
+    ).filter(F.col("w") < "2029-01-01")
+
+    batch = (
+        spark.read.parquet(d)
+        .filter(F.col("user_id") != 999_999)
+        .groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("du"))
+    )
+    assert _rows(got, "w", "event_type", "du") == _rows(
+        batch, "w", "event_type", "du"
+    )

@@ -478,7 +478,7 @@ def semantic_dup_flags(
     all-pairs, and no driver collect anywhere. Similarity is rounded
     before the threshold compare so the cut is engine-exact.
     """
-    from zappy_spark.queries._util import cosine
+    from zappy_spark.operators.vecmath import cosine
 
     a = df.select(
         F.col(cluster_col).alias("_c"),
@@ -553,4 +553,90 @@ def span_stats(
                 "shared_ratio"
             ),
         )
+    )
+
+
+def span_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span: int = 3,
+    min_shared: int = 3,
+    max_df: int = 8,
+) -> DataFrame:
+    """Near-dup candidate EDGES from shared verbatim spans: (i, j,
+    shared) for doc pairs sharing >= ``min_shared`` distinct
+    non-overlapping ``span``-token spans. The edge set feeds
+    ``graph.connected_components`` — the transitively-correct dedup
+    clustering.
+
+    Scale design: per-doc spans are DISTINCT before any shuffle;
+    spans appearing in more than ``max_df`` docs are dropped (the
+    same df-cap as the containment anchor index), so one span fans
+    out to at most C(max_df, 2) pairs — popular boilerplate can
+    never produce a quadratic bucket. Two hash shuffles on the span
+    hash, then one (i, j) aggregate.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tks"))
+    n_spans = F.ceil(
+        F.greatest(F.size("_tks"), F.lit(1)) / F.lit(float(span))
+    ).cast("int")
+    spans = (
+        base.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_tks"), i * span + 1, span)
+                    ),
+                )
+            ).alias("_span"),
+        )
+        .select("_id", F.md5(F.col("_span")).alias("_h"))
+        .distinct()
+    )
+    capped = spans.join(
+        spans.groupBy("_h")
+        .agg(F.count("*").alias("_docs"))
+        .filter((F.col("_docs") >= 2) & (F.col("_docs") <= max_df))
+        .select("_h"),
+        "_h",
+    )
+    a = capped.select("_h", F.col("_id").alias("i"))
+    b = capped.select("_h", F.col("_id").alias("j"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def fingerprint_dup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Token-set fingerprint dedup (the OpenRefine "fingerprint
+    method", the normalized-exact tier between byte-exact and fuzzy
+    dedup): key = md5 of the sorted distinct token set, so documents
+    differing only in word order, repetition, or extra whitespace
+    collapse to one group. Returns groups with >= 2 members:
+    (fp, n_docs, keep_id = min id).
+
+    ONE hash aggregate on the 16-byte fingerprint — same scale shape
+    as exact dedup; the canonicalization is pure scan-side array
+    work.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col).alias("_id"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )

@@ -25,7 +25,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zappy_spark.queries._util import cosine, dot
+from zappy_spark.operators.vecmath import cosine, dot
 
 
 def _qcol(query_vec) -> Column:
@@ -256,7 +256,7 @@ def l2_normalize(vec: str | Column) -> Column:
     """Unit-normalize an embedding (all-zero vectors pass through
     unchanged rather than dividing by zero). Pure array-lambda
     expression — scan-side, no Python."""
-    from zappy_spark.queries._util import norm
+    from zappy_spark.operators.vecmath import norm
 
     n = norm(vec)
     return F.when(
@@ -498,7 +498,7 @@ def knn_classify(
     """
     from pyspark.sql import Window
 
-    from zappy_spark.queries._util import cosine
+    from zappy_spark.operators.vecmath import cosine
 
     sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_digits)
     scored = (
@@ -527,3 +527,63 @@ def knn_classify(
             query_id_col, F.col(label_col).alias("predicted"), "votes"
         )
     )
+
+
+def pq_codebook(
+    m: int = 4, k: int = 4, sub_dim: int = 16, seed: int = 7,
+    scale: float = 0.12,
+) -> np.ndarray:
+    """Deterministic product-quantization codebook: m subquantizers
+    x k centroids x sub_dim values, rounded to 4dp so the literals
+    embed exactly in both Spark Column expressions and oracle SQL
+    (the same literal-determinism trick as the RP-LSH planes). A
+    production codebook comes from per-subspace kmeans_fit; the
+    assignment expression below is identical either way."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.normal(0.0, scale, (m, k, sub_dim)), 4)
+
+
+def _pq_sq_dist(sub: Column, centroid: np.ndarray) -> Column:
+    cent = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_chain(dists: list[Column]) -> Column:
+    """Index of the minimum (ties -> smallest index) as a CASE
+    chain — k is small, so this stays one codegen'd expression."""
+    out = None
+    for c in range(len(dists) - 1):
+        cond = None
+        for other in range(c + 1, len(dists)):
+            leq = dists[c] <= dists[other]
+            cond = leq if cond is None else (cond & leq)
+        out = F.when(cond, c) if out is None else out.when(cond, c)
+    return out.otherwise(len(dists) - 1)
+
+
+def pq_codes(
+    df: DataFrame, vec_col: str, id_col: str, codebook: np.ndarray
+) -> DataFrame:
+    """Product-quantization codes: split each vector into m
+    contiguous subvectors and assign each to its nearest codebook
+    centroid (squared L2, ties to the smaller index). Output
+    (id, c0..c{m-1}) — the 100 TB ANN compression step: m bytes per
+    vector instead of dim floats, scanned JVM-side with zero
+    shuffles; a probe re-ranks top candidates against the exact
+    vectors afterwards.
+
+    Accumulation order of the squared distance is the list order on
+    both engines, so argmin comparisons are bit-exact cross-engine.
+    """
+    m, k, sub_dim = codebook.shape
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    for s in range(m):
+        sub = F.slice(v, s * sub_dim + 1, sub_dim)
+        dists = [_pq_sq_dist(sub, codebook[s, c]) for c in range(k)]
+        cols.append(_argmin_chain(dists).alias(f"c{s}"))
+    return df.select(*cols)

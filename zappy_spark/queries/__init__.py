@@ -42,11 +42,21 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 0: no driver row in current form. First the 20 round-4
-# additions, then the 4 post-r3-driver additions, then the 3 whose
-# oracles were declared post-r3 (t04 profile-score argmax, v02
-# plane-literal probe, v06 2-dim closed-form PCA).
+# Tier 0: no driver row in current form. First the 9 round-4b
+# additions (this session), then the 20 round-4a additions, then the
+# 4 post-r3-driver additions, then the 3 whose oracles were declared
+# post-r3 (t04 profile-score argmax, v02 plane-literal probe, v06
+# 2-dim closed-form PCA).
 _CHANGED_R4 = [
+    "r64_gap_fill",
+    "r65_time_weighted_avg",
+    "r66_funnel",
+    "t18_bm25",
+    "t19_gopher_rules",
+    "d18_fingerprint_dedup",
+    "d19_cc_closure",
+    "v13_pq_codes",
+    "s13_window_distinct",
     "r52_q6_scan_only",
     "r53_q4_priority_exists",
     "r54_q7_volume_shipping",

@@ -14,48 +14,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# -- vector math over array<float> columns --------------------------------
-# All vector arithmetic is forced to DOUBLE: float32 accumulation
-# diverges across engines (SURVEY Appendix A, the L8 incident). These
-# compile to Catalyst HigherOrderFunctions (JVM-side, codegen'd) — the
-# scale path for 100 TB embedding columns; no Python in the loop.
-
-
-def vsum(v: Column | str) -> Column:
-    return F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double"))
-
-
-def dot(a: Column | str, b: Column | str) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def sq_norm(v: Column | str) -> Column:
-    return F.aggregate(
-        F.transform(v, lambda x: x.cast("double") * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def norm(v: Column | str) -> Column:
-    return F.sqrt(sq_norm(v))
-
-
-def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
-
-
-def euclidean(a: Column | str, b: Column | str) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+# Vector math lives in operators/vecmath.py (below both layers, so
+# operators modules can import it without a queries->operators->
+# queries cycle); re-exported here for the query builders.
+from zappy_spark.operators.vecmath import (  # noqa: F401,E402
+    cosine,
+    dot,
+    euclidean,
+    norm,
+    sq_norm,
+    vsum,
+)

@@ -297,6 +297,24 @@ def s12(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s13(spark: SparkSession, d: str) -> DataFrame:
+    """Windowed distinct cardinality (round 4): exact distinct users
+    per tumbling hour × event_type — the unique-visitors rollup.
+    Batch spelling is a plain COUNT(DISTINCT); the streaming twin
+    (streaming/jobs.py::windowed_distinct_users) gets the same
+    EXACT answer incrementally by chaining two stateful operators —
+    watermarked dropDuplicates on (user, type, hour) followed by the
+    windowed count — so per-window state is one row per distinct
+    key, evicted at watermark passage, never a full user set."""
+    ev = t(spark, d, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("du"))
+        .orderBy("w", "event_type")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -310,6 +328,7 @@ QUERIES = {
     "s10_outer_interval_join": s10,
     "s11_session_spans": s11,
     "s12_rolling_anomaly": s12,
+    "s13_window_distinct": s13,
 }
 
 ORACLE = {
@@ -335,6 +354,11 @@ ORACLE = {
         "SELECT user_id, MIN(ts) s, "
         "date_diff('millisecond', MIN(ts), MAX(ts)) dur_ms, COUNT(*) n "
         "FROM s GROUP BY user_id, sid ORDER BY user_id, s LIMIT 100"
+    ),
+    "s13_window_distinct": (
+        "SELECT date_trunc('hour', ts) w, event_type, "
+        "COUNT(DISTINCT user_id) du FROM events "
+        "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"
     ),
     "s1_tumbling_window": (
         "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) w, "

@@ -369,6 +369,48 @@ def t17(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d18(spark: SparkSession, d: str) -> DataFrame:
+    """Token-set fingerprint dedup groups (round 4;
+    operators/dedup.py::fingerprint_dup_groups): the normalized-
+    exact tier — word order / repetition / whitespace variants
+    collapse to one md5 key, ONE hash aggregate at any scale."""
+    return (
+        dedup.fingerprint_dup_groups(
+            t(spark, d, "documents"), "text", "doc_id"
+        )
+        .orderBy("keep_id")
+        .limit(100)
+    )
+
+
+def d19(spark: SparkSession, d: str) -> DataFrame:
+    """Connected-components dedup closure (round 4;
+    operators/graph.py::connected_components over
+    dedup.span_edges): the transitive-closure step pair-based dedup
+    gets wrong — (a,b) and (b,c) near-dups put a,b,c in ONE cluster.
+    First driver-oracled iterative algorithm in the corpus: Spark
+    runs min-label propagation (join+agg per round, localCheckpoint
+    lineage cuts); the DuckDB twin computes the same closure with a
+    recursive CTE. Edges are df-capped shared-span pairs, so bucket
+    fan-out is bounded at C(max_df, 2) per span."""
+    from zappy_spark.operators.graph import connected_components
+
+    edges = dedup.span_edges(
+        t(spark, d, "documents"),
+        "text",
+        "doc_id",
+        span=3,
+        min_shared=3,
+        max_df=8,
+    )
+    return (
+        connected_components(edges, "i", "j")
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -806,6 +848,26 @@ def v12(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v13(spark: SparkSession, d: str) -> DataFrame:
+    """Product-quantization codes (round 4;
+    operators/similarity.py::pq_codes): each 64-dim vector
+    compressed to 4 sub-codes via nearest literal centroid (squared
+    L2, ties to smaller index) — the ANN compression tier between
+    int8 quantization (v04) and the IVF index (v09). Scan-side
+    codegen, zero shuffles; the oracle replays the identical
+    left-folded distance arithmetic so argmin is bit-exact."""
+    return (
+        similarity.pq_codes(
+            t(spark, d, "embeddings"),
+            "embedding",
+            "vec_id",
+            similarity.pq_codebook(),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -824,6 +886,8 @@ QUERIES = {
     "d15_weighted_sample": d15,
     "d16_semantic_dedup": d16,
     "d17_span_dedup": d17,
+    "d18_fingerprint_dedup": d18,
+    "d19_cc_closure": d19,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -854,6 +918,7 @@ QUERIES = {
     "v10_standardize": v10,
     "v11_centroid_cohesion": v11,
     "v12_knn_classify": v12,
+    "v13_pq_codes": v13,
 }
 
 
@@ -1032,6 +1097,42 @@ def _rp_lsh_oracle(
     )
 
 
+def _pq_oracle(limit: int = 200) -> str:
+    """DuckDB replica of pq_codes(pq_codebook()): identical literal
+    centroids, identical left-folded squared-distance accumulation
+    (so the argmin CASE compares bit-identical doubles), identical
+    ties-to-smaller-index CASE chain."""
+    from zappy_spark.operators.similarity import pq_codebook
+
+    cb = pq_codebook()
+    m, k, sub_dim = cb.shape
+    dist_cols, code_cols = [], []
+    for s in range(m):
+        for c in range(k):
+            terms = " + ".join(
+                f"(v[{s * sub_dim + i + 1}]-({cb[s, c, i]!r}))"
+                f"*(v[{s * sub_dim + i + 1}]-({cb[s, c, i]!r}))"
+                for i in range(sub_dim)
+            )
+            dist_cols.append(f"{terms} d{s}_{c}")
+        whens = " ".join(
+            "WHEN "
+            + " AND ".join(
+                f"d{s}_{c} <= d{s}_{o}" for o in range(c + 1, k)
+            )
+            + f" THEN {c}"
+            for c in range(k - 1)
+        )
+        code_cols.append(f"CASE {whens} ELSE {k - 1} END c{s}")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v "
+        "FROM embeddings), "
+        f"dd AS (SELECT vec_id, {', '.join(dist_cols)} FROM e) "
+        f"SELECT vec_id, {', '.join(code_cols)} FROM dd "
+        f"ORDER BY vec_id LIMIT {limit}"
+    )
+
+
 def _lang_id_oracle() -> str:
     """DuckDB replica of text.lang_id: per-language stopword-hit
     ratio from the SAME ``LANG_PROFILES`` constants, argmax by
@@ -1204,6 +1305,32 @@ ORACLE = {
         "ROUND(SUM(CASE WHEN c=1 THEN 1 ELSE 0 END)"
         "/CAST(COUNT(*) AS DOUBLE), 4) hapax_ratio "
         "FROM cnt GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    "d18_fingerprint_dedup": (
+        "WITH f AS (SELECT doc_id, md5(array_to_string(list_sort("
+        "list_distinct(list_filter(string_split(text,' '), "
+        "x -> x<>''))),' ')) fp FROM documents) "
+        "SELECT fp, COUNT(*) n_docs, MIN(doc_id) keep_id FROM f "
+        "GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY keep_id LIMIT 100"
+    ),
+    "d19_cc_closure": (
+        "WITH RECURSIVE tok AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tks "
+        "FROM documents), "
+        "n AS (SELECT doc_id, tks, unnest(generate_series(0, "
+        "CAST(CEIL(GREATEST(len(tks),1)/3.0) AS INT) - 1)) i FROM tok), "
+        "sp AS (SELECT DISTINCT doc_id, "
+        "md5(array_to_string(tks[i*3+1 : i*3+3],' ')) h FROM n), "
+        "cap AS (SELECT h FROM (SELECT h, COUNT(*) c FROM sp GROUP BY h) "
+        "WHERE c BETWEEN 2 AND 8), "
+        "p AS (SELECT a.doc_id i, b.doc_id j FROM sp a JOIN cap USING (h) "
+        "JOIN sp b USING (h) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+        "e AS (SELECT i a, j b FROM p UNION SELECT j, i FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM e "
+        "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) "
+        "SELECT a doc_id, LEAST(a, MIN(b)) component FROM reach "
+        "GROUP BY a ORDER BY doc_id LIMIT 200"
     ),
     "t18_bm25": (
         "WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), "
@@ -1493,4 +1620,5 @@ ORACLE = {
         "LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id LIMIT 100"
     ),
     # t04, v02, v06, v09: rows-only (see docstrings) — no oracle entries.
+    "v13_pq_codes": _pq_oracle(),
 }

@@ -128,6 +128,28 @@ def dedup_bucket_first(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
     )
 
 
+def windowed_distinct_users(
+    stream: DataFrame, delay: str = "1 hour"
+) -> DataFrame:
+    """S13 twin: EXACT distinct users per tumbling hour × type,
+    incrementally. COUNT(DISTINCT) is not an incremental aggregate,
+    so the streaming spelling chains two stateful operators (Spark
+    ≥3.4 multi-stateful support): watermarked ``dropDuplicates`` on
+    (user, type, hour-bucket) — one state row per distinct key,
+    evicted when the watermark passes its bucket — feeding a
+    windowed COUNT(*). State is |distinct keys per live window|,
+    never a per-window user set; the unbounded-cardinality fallback
+    is ``incremental_hll``. Append mode: windows emit once final."""
+    return (
+        stream.withWatermark("ts", delay)
+        .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicates(["user_id", "event_type", "bucket"])
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("du"))
+        .select(F.col("window.start").alias("w"), "event_type", "du")
+    )
+
+
 def enrich_with_static(stream: DataFrame, nation: DataFrame) -> DataFrame:
     """S5 twin: stream ⋈ broadcast static dimension."""
     return (
