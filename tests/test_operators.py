@@ -1472,3 +1472,67 @@ def test_gopher_rules_flags(spark):
     assert out[0].keep == 1
     assert out[1].keep == 0  # too few words
     assert out[2].keep == 0 and out[2].frac_alpha == 0.0
+
+
+def test_unigram_ppl_uniform_vs_repetitive(spark):
+    """Uniform-random token docs sit near vocab-size perplexity;
+    single-token docs sit at the token's inverse frequency — the
+    repetitive doc must score far lower."""
+    from zappy_spark.operators.text import unigram_perplexity
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),   # all distinct
+            (1, "a a a a a a a a"),   # degenerate repetition
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.ppl for r in unigram_perplexity(df, "text", "doc_id").collect()}
+    # corpus: a appears 9/16, b..h 1/16 each
+    assert out[1] < out[0]
+    assert abs(out[1] - 16 / 9) < 1e-3  # ppl of constant-'a' doc = 1/p(a)
+
+
+def test_adc_approximates_exact_distance(spark):
+    """ADC distance (LUT over PQ codes) must correlate with the true
+    squared distance: the ADC-nearest of a planted near-query vector
+    must beat a far vector."""
+    from zappy_spark.operators.similarity import (
+        adc_scores,
+        pq_codebook,
+    )
+
+    cb = pq_codebook()
+    q = np.round(np.random.default_rng(5).normal(0.0, 0.12, 64), 4)
+    near = [float(x) for x in q + 0.001]
+    far = [float(x) for x in -q]
+    df = spark.createDataFrame(
+        [(0, near), (1, far)], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r.adist for r in adc_scores(df, "embedding", "vec_id", cb, q).collect()}
+    assert out[0] < out[1]
+
+
+def test_incremental_dedup_tiers(spark):
+    from zappy_spark.operators.dedup import incremental_new_docs
+
+    old = spark.createDataFrame(
+        [(0, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),        # exact dup
+            (11, "beta gamma alpha alpha"),  # fingerprint dup only
+            (12, "delta epsilon zeta"),      # novel
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r.doc_id for r in incremental_new_docs(new, old, "text", "doc_id").collect()}
+    fp = {
+        r.doc_id
+        for r in incremental_new_docs(
+            new, old, "text", "doc_id", tier="fingerprint"
+        ).collect()
+    }
+    assert exact == {11, 12}
+    assert fp == {12}

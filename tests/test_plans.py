@@ -418,3 +418,121 @@ def test_binned_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_pq_codes_zero_shuffles(spark):
+    """v13: code assignment is pure scan-side expression work — the
+    only allowed exchange is the final orderBy/limit's single
+    partition for presentation (which compiles to TakeOrdered)."""
+    plan = _plan(QUERIES["v13_pq_codes"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange ") == 0
+    assert "Join" not in plan
+
+
+def test_fingerprint_dedup_single_aggregate(spark):
+    """d18: ONE hash aggregate on the 16-byte fingerprint — same
+    scale budget as exact dedup."""
+    plan = _plan(QUERIES["d18_fingerprint_dedup"](spark, SF_DIR))
+    assert plan.count("Exchange ") == 1
+    assert "Join" not in plan
+
+
+def test_bm25_joins_are_broadcast(spark):
+    """t18: per-term df and the 1-row corpus stats must broadcast —
+    a shuffled join here would repartition the tf frame twice."""
+    plan = _plan(QUERIES["t18_bm25"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # query-term filter sits below the tf aggregate's exchange
+    assert "Filter" in plan
+
+
+def test_gap_fill_spine_is_generated_not_joined(spark):
+    """r64: the time spine comes from sequence()+explode off the
+    per-user bounds — no cartesian against a driver-built calendar."""
+    plan = _plan(QUERIES["r64_gap_fill"](spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twa_single_user_partitioning(spark):
+    """r65: lead() window and the TWA aggregate share the user_id
+    hash partitioning — one data shuffle total."""
+    plan = _plan(QUERIES["r65_time_weighted_avg"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_window_distinct_is_two_phase(spark):
+    """s13: COUNT(DISTINCT) plans as the two-phase expand/partial
+    aggregate — never a per-group set collection."""
+    plan = _plan(QUERIES["s13_window_distinct"](spark, SF_DIR))
+    assert "Expand" in plan or plan.count("HashAggregate") >= 3
+    assert "collect_set" not in plan
+
+
+def test_span_edges_no_cartesian(spark):
+    """d19 edge generation: the pair join is keyed on the span hash
+    with the df-cap applied BEFORE the self-join."""
+    from zappy_spark.operators.dedup import span_edges
+    from zappy_spark.session import load_table
+
+    edges = span_edges(
+        load_table(spark, SF_DIR, "documents"), "text", "doc_id"
+    )
+    plan = _plan(edges)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mode_is_aggregate_not_window(spark):
+    """r67: the argmax runs as max(struct) over the count frame —
+    no window; two hash exchanges (count key, group key) plus only
+    the presentation sort's range exchange."""
+    plan = _plan(QUERIES["r67_mode"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_clip_where_is_scan_only(spark):
+    """z26: elementwise clip/where is one projection over the scan."""
+    plan = _plan(QUERIES["z26_clip_where"](spark, SF_DIR))
+    assert plan.count("Exchange ") == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_adc_scoring_zero_shuffles(spark):
+    """v14: LUT decode over PQ codes is scan-side expression work."""
+    plan = _plan(QUERIES["v14_adc_scoring"](spark, SF_DIR))
+    assert plan.count("Exchange ") == 0
+    assert "Join" not in plan
+
+
+def test_incremental_dedup_degrades_to_shuffled_anti_join(spark):
+    """d20: the probe is a LeftAnti join with NO broadcast hint — at
+    sf0.01 Catalyst's stats legitimately broadcast the tiny old
+    side, but with the size threshold disabled (simulating the
+    100 TB accumulated corpus) the same plan must degrade to a
+    hash-partitioned sort-merge anti join, proving nothing pins the
+    old side driver-side."""
+    from zappy_spark.operators.dedup import incremental_new_docs
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = incremental_new_docs(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        "text",
+        "doc_id",
+        tier="fingerprint",
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = kept._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "LeftAnti" in plan
+    assert "Broadcast" not in plan
+    assert "SortMergeJoin" in plan

@@ -640,3 +640,47 @@ def fingerprint_dup_groups(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def content_key(text_col: str | Column, tier: str = "exact") -> Column:
+    """16-byte dedup key for a text column: ``exact`` = md5 of the
+    raw bytes; ``fingerprint`` = md5 of the sorted distinct token
+    set (word order / repetition / spacing insensitive)."""
+    if tier == "exact":
+        return F.md5(F.col(text_col) if isinstance(text_col, str) else text_col)
+    if tier == "fingerprint":
+        toks = F.filter(
+            F.split(text_col, " "), lambda x: x != ""
+        )
+        return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    raise ValueError(f"unknown dedup tier: {tier}")
+
+
+def incremental_new_docs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tier: str = "exact",
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only rows of ``new_df`` whose
+    content key (``tier``: exact md5 or token-set fingerprint) is
+    absent from the accumulated corpus ``old_df`` — the
+    every-snapshot front door of a training-data pipeline (new crawl
+    vs everything already ingested).
+
+    Scale shape: the probe is a left-anti join on the 16-byte key —
+    the old side reduces to DISTINCT keys (one hash agg with
+    map-side partials), and the join hash-partitions both sides on
+    the digest; nothing is broadcast because the accumulated corpus
+    is the BIG side. Compose with near_dup_pairs downstream for the
+    fuzzy tier.
+    """
+    old_h = old_df.select(
+        content_key(text_col, tier).alias("_h")
+    ).distinct()
+    return new_df.join(
+        old_h,
+        content_key(new_df[text_col], tier) == old_h["_h"],
+        "left_anti",
+    )

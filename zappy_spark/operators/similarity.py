@@ -587,3 +587,45 @@ def pq_codes(
         dists = [_pq_sq_dist(sub, codebook[s, c]) for c in range(k)]
         cols.append(_argmin_chain(dists).alias(f"c{s}"))
     return df.select(*cols)
+
+
+def adc_scores(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebook: np.ndarray,
+    query_vec,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) — the PQ search step:
+    approximate ||q - x||² as Σ_s LUT[s][code_s(x)], where the LUT
+    holds the query's exact squared distance to every codebook
+    centroid. The LUT is computed driver-side (m×k numbers) and
+    ships as literals, so scoring a vector is m table lookups over
+    its byte codes — no float vector is touched at query time. This
+    is what makes 100 TB ANN scans cheap: the scan reads m small int
+    columns instead of dim floats, and the exact re-rank only runs
+    on the top candidates.
+
+    LUT entries are rounded to 6dp so both engines decode identical
+    doubles; the m-term sum is left-associative on both sides.
+    """
+    m, k, sub_dim = codebook.shape
+    q = np.asarray(query_vec, dtype=float)
+    lut = np.round(
+        np.array(
+            [
+                [float(((q[s * sub_dim:(s + 1) * sub_dim] - codebook[s, c]) ** 2).sum()) for c in range(k)]
+                for s in range(m)
+            ]
+        ),
+        6,
+    )
+    codes = pq_codes(df, vec_col, id_col, codebook)
+    adist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]),
+            F.col(f"c{s}") + 1,
+        )
+        adist = term if adist is None else adist + term
+    return codes.select(F.col(id_col), F.round(adist, 6).alias("adist"))

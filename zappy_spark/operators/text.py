@@ -617,3 +617,44 @@ def gopher_quality(
         & (F.col("stop_hits") >= 2)
     ).cast("int")
     return out.withColumn("keep", keep)
+
+
+def unigram_perplexity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document perplexity under a corpus-wide unigram LM — the
+    classic cheap importance / quality signal (high ppl = rare-token
+    soup, very low ppl = repetitive boilerplate). p(t) = corpus
+    count / corpus total; ppl = exp(-(Σ c_t·ln p_t)/n).
+
+    Scale shape: per-(doc, token) counts aggregate FIRST (so the ln
+    sum runs over distinct tokens, like token_entropy), the vocab
+    frequency table is the second hash agg on the same token key
+    (exchange reuse), and the corpus total is a 1-row broadcast.
+    Three count-only shuffles at any corpus size; text never
+    re-shuffles.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_ws(F.col(text_col))).alias("_t"),
+    )
+    cnt = ex.groupBy("_id", "_t").agg(F.count("*").alias("_c"))
+    vocab = cnt.groupBy("_t").agg(F.sum("_c").alias("_vc"))
+    total = vocab.agg(F.sum("_vc").cast("double").alias("_tot"))
+    return (
+        cnt.join(vocab, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -F.sum(
+                        F.col("_c")
+                        * F.log(F.col("_vc") / F.col("_tot"))
+                    )
+                    / F.sum("_c")
+                ),
+                4,
+            ).alias("ppl"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "ppl")
+    )

@@ -42,12 +42,17 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 0: no driver row in current form. First the 9 round-4b
+# Tier 0: no driver row in current form. First the 14 round-4b
 # additions (this session), then the 20 round-4a additions, then the
 # 4 post-r3-driver additions, then the 3 whose oracles were declared
 # post-r3 (t04 profile-score argmax, v02 plane-literal probe, v06
 # 2-dim closed-form PCA).
 _CHANGED_R4 = [
+    "z26_clip_where",
+    "r67_mode",
+    "d20_incremental_dedup",
+    "t20_unigram_ppl",
+    "v14_adc_scoring",
     "r64_gap_fill",
     "r65_time_weighted_avg",
     "r66_funnel",

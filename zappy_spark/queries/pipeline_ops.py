@@ -848,6 +848,70 @@ def v12(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d20(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental-ingest dedup (round 4b;
+    operators/dedup.py::incremental_new_docs): the new snapshot
+    (doc_id % 3 == 0) anti-joined on the token-set fingerprint
+    against the accumulated corpus; per-source ingest ledger. The
+    16-byte-key anti join hash-partitions both sides — the old
+    corpus is the big side, so nothing broadcasts by design."""
+    docs = t(spark, d, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    kept = dedup.incremental_new_docs(
+        new, old, "text", "doc_id", tier="fingerprint"
+    )
+    n_new = new.groupBy("source").agg(F.count("*").alias("n_new"))
+    n_kept = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        n_new.join(n_kept, "source", "left")
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def t20(spark: SparkSession, d: str) -> DataFrame:
+    """Unigram-LM perplexity per document (round 4b;
+    operators/text.py::unigram_perplexity): the cheap quality /
+    importance signal. Three count-only shuffles; ln-sum runs over
+    per-doc distinct-token counts so term order is a rounded-4dp
+    non-issue."""
+    return (
+        text.unigram_perplexity(t(spark, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def v14(spark: SparkSession, d: str) -> DataFrame:
+    """PQ asymmetric-distance scoring (round 4b;
+    operators/similarity.py::adc_scores): the query's distance to
+    every codebook centroid ships as an m×k literal LUT; scoring a
+    vector is m lookups over its PQ codes — the scan that reads m
+    bytes per vector instead of dim floats. Top-20 nearest by
+    approximate distance, deterministic 6dp + id tiebreak."""
+    import numpy as np
+
+    qv = np.round(
+        np.random.default_rng(11).normal(0.0, 0.12, 64), 4
+    )
+    return (
+        similarity.adc_scores(
+            t(spark, d, "embeddings"),
+            "embedding",
+            "vec_id",
+            similarity.pq_codebook(),
+            qv,
+        )
+        .orderBy("adist", "vec_id")
+        .limit(20)
+    )
+
+
 def v13(spark: SparkSession, d: str) -> DataFrame:
     """Product-quantization codes (round 4;
     operators/similarity.py::pq_codes): each 64-dim vector
@@ -888,6 +952,7 @@ QUERIES = {
     "d17_span_dedup": d17,
     "d18_fingerprint_dedup": d18,
     "d19_cc_closure": d19,
+    "d20_incremental_dedup": d20,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -906,6 +971,7 @@ QUERIES = {
     "t17_lexical_diversity": t17,
     "t18_bm25": t18,
     "t19_gopher_rules": t19,
+    "t20_unigram_ppl": t20,
     "v01_ivf_label_topk": v01,
     "v02_rp_lsh_ann": v02,
     "v03_l2_normalize": v03,
@@ -919,6 +985,7 @@ QUERIES = {
     "v11_centroid_cohesion": v11,
     "v12_knn_classify": v12,
     "v13_pq_codes": v13,
+    "v14_adc_scoring": v14,
 }
 
 
@@ -1094,6 +1161,70 @@ def _rp_lsh_oracle(
         f"SELECT vec_id, ROUND(sim,4) sim FROM "
         f"(SELECT * FROM cand ORDER BY sim DESC, vec_id LIMIT {k}) z "
         "ORDER BY sim DESC, vec_id"
+    )
+
+
+def _adc_oracle(limit: int = 20) -> str:
+    """DuckDB replica of v14 (adc_scores): the same dd/codes CTEs as
+    the PQ oracle, then the literal-LUT decode summed left-assoc."""
+    import numpy as np
+
+    from zappy_spark.operators.similarity import pq_codebook
+
+    cb = pq_codebook()
+    m, k, sub_dim = cb.shape
+    q = np.round(np.random.default_rng(11).normal(0.0, 0.12, 64), 4)
+    lut = np.round(
+        np.array(
+            [
+                [
+                    float(
+                        (
+                            (q[s * sub_dim:(s + 1) * sub_dim] - cb[s, c])
+                            ** 2
+                        ).sum()
+                    )
+                    for c in range(k)
+                ]
+                for s in range(m)
+            ]
+        ),
+        6,
+    )
+    dist_cols, code_cols = [], []
+    for s in range(m):
+        for c in range(k):
+            terms = " + ".join(
+                f"(v[{s * sub_dim + i + 1}]-({cb[s, c, i]!r}))"
+                f"*(v[{s * sub_dim + i + 1}]-({cb[s, c, i]!r}))"
+                for i in range(sub_dim)
+            )
+            dist_cols.append(f"{terms} d{s}_{c}")
+        whens = " ".join(
+            "WHEN "
+            + " AND ".join(f"d{s}_{c} <= d{s}_{o}" for o in range(c + 1, k))
+            + f" THEN {c}"
+            for c in range(k - 1)
+        )
+        code_cols.append(f"CASE {whens} ELSE {k - 1} END c{s}")
+    decode = " + ".join(
+        "(CASE c%d %s END)"
+        % (
+            s,
+            " ".join(
+                f"WHEN {c} THEN CAST({lut[s, c]!r} AS DOUBLE)"
+                for c in range(k)
+            ),
+        )
+        for s in range(m)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v "
+        "FROM embeddings), "
+        f"dd AS (SELECT vec_id, {', '.join(dist_cols)} FROM e), "
+        f"cc AS (SELECT vec_id, {', '.join(code_cols)} FROM dd) "
+        f"SELECT vec_id, ROUND({decode}, 6) adist FROM cc "
+        f"ORDER BY adist, vec_id LIMIT {limit}"
     )
 
 
@@ -1621,4 +1752,27 @@ ORACLE = {
     ),
     # t04, v02, v06, v09: rows-only (see docstrings) — no oracle entries.
     "v13_pq_codes": _pq_oracle(),
+    "v14_adc_scoring": _adc_oracle(),
+    "d20_incremental_dedup": (
+        "WITH f AS (SELECT doc_id, source, md5(array_to_string("
+        "list_sort(list_distinct(list_filter(string_split(text,' '), "
+        "x -> x<>''))),' ')) fp FROM documents), "
+        "new AS (SELECT * FROM f WHERE doc_id % 3 = 0), "
+        "old AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0) "
+        "SELECT source, COUNT(*) n_new, "
+        "CAST(SUM(CASE WHEN fp IN (SELECT fp FROM old) THEN 0 ELSE 1 "
+        "END) AS BIGINT) n_kept "
+        "FROM new GROUP BY source ORDER BY source"
+    ),
+    "t20_unigram_ppl": (
+        "WITH ex AS (SELECT doc_id, unnest(list_filter("
+        "string_split(text,' '), x -> x<>'')) tk FROM documents), "
+        "cnt AS (SELECT doc_id, tk, COUNT(*) c FROM ex GROUP BY 1, 2), "
+        "vocab AS (SELECT tk, SUM(c) vc FROM cnt GROUP BY tk), "
+        "tot AS (SELECT CAST(SUM(vc) AS DOUBLE) t FROM vocab) "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens, "
+        "ROUND(EXP(-SUM(c * LN(vc / t)) / SUM(c)), 4) ppl "
+        "FROM cnt JOIN vocab USING (tk) CROSS JOIN tot "
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
 }

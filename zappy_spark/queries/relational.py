@@ -1579,6 +1579,30 @@ def r66(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r67(spark: SparkSession, d: str) -> DataFrame:
+    """Mode aggregate (round 4b): most frequent l_quantity per
+    returnflag with a deterministic smallest-value tiebreak —
+    spelled count + one max(struct) argmax, never a window over the
+    shuffled group (losers of each group never leave the partial
+    aggregate). Engines' native mode() has nondeterministic ties, so
+    the tiebreak is part of the declared semantics."""
+    li = t(spark, d, "lineitem")
+    cnt = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    best = F.max(F.struct(F.col("c"), (-F.col("l_quantity")).alias("nq")))
+    return (
+        cnt.groupBy("l_returnflag")
+        .agg(best.alias("_b"))
+        .select(
+            "l_returnflag",
+            (-F.col("_b.nq")).alias("mode_qty"),
+            F.col("_b.c").alias("freq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1686,6 +1710,7 @@ QUERIES = {
     "r64_gap_fill": r64,
     "r65_time_weighted_avg": r65,
     "r66_funnel": r66,
+    "r67_mode": r67,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2221,6 +2246,15 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r67_mode": (
+        "WITH cnt AS (SELECT l_returnflag, l_quantity, COUNT(*) c "
+        "FROM lineitem GROUP BY 1, 2), "
+        "r AS (SELECT l_returnflag, l_quantity, c, ROW_NUMBER() OVER "
+        "(PARTITION BY l_returnflag ORDER BY c DESC, l_quantity) rn "
+        "FROM cnt) "
+        "SELECT l_returnflag, l_quantity mode_qty, c freq FROM r "
+        "WHERE rn = 1 ORDER BY l_returnflag"
     ),
     "b04_global_topk": (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "

@@ -329,6 +329,37 @@ def z25(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z26(spark: SparkSession, d: str) -> DataFrame:
+    """np.clip / np.where elementwise (round 4b; zappy's
+    ``_unary_ufunc`` clip dispatch and the where ternary —
+    ZappyFrame.clip uses the identical least/greatest expression):
+    both constant-fold into one codegen'd projection, zero
+    shuffles."""
+    li = t(spark, d, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.least(
+                    F.greatest(F.col("l_quantity"), F.lit(10.0)),
+                    F.lit(40.0),
+                ),
+                2,
+            ).alias("clipped"),
+            F.round(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.col("l_extendedprice") * 0.9,
+                ).otherwise(F.col("l_extendedprice")),
+                2,
+            ).alias("wh"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "clipped", "wh")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -354,9 +385,18 @@ QUERIES = {
     "z23_regr": z23,
     "z24_var_axis1": z24,
     "z25_matvec": z25,
+    "z26_clip_where": z26,
 }
 
 ORACLE = {
+    "z26_clip_where": (
+        "SELECT l_orderkey, l_linenumber, "
+        "ROUND(LEAST(GREATEST(l_quantity, 10.0), 40.0), 2) clipped, "
+        "ROUND(CASE WHEN l_discount > 0.05 THEN l_extendedprice*0.9 "
+        "ELSE l_extendedprice END, 2) wh "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, clipped, wh "
+        "LIMIT 100"
+    ),
     "z25_matvec": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v "
         "FROM embeddings), "
