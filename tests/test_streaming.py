@@ -506,3 +506,50 @@ def test_windowed_distinct_stream_equals_batch(spark, tmp_path):
     assert _rows(got, "w", "event_type", "du") == _rows(
         batch, "w", "event_type", "du"
     )
+
+
+def test_funnel_stateful_equals_batch_funnel(spark, replay_dir):
+    """Drained per-user funnel stages == the r66 batch funnel's
+    nested-min memberships (signup -> click <=24h -> purchase <=24h).
+    Stage is monotone, so the max emitted per user is the final
+    state."""
+    got = (
+        jobs.run_to_memory(
+            jobs.funnel_stateful(jobs.stream_events(spark, replay_dir)),
+            "t_funnel",
+            output_mode="update",
+        )
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+    )
+    stream_stages = {r.user_id: r.stage for r in got.collect()}
+
+    ev = spark.read.parquet(replay_dir)
+    day = F.expr("INTERVAL 24 HOURS")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s1 = {r.user_id for r in s.collect()}
+    s2 = {r.user_id for r in c.collect()}
+    s3 = {r.user_id for r in p.collect()}
+    batch_stages = {
+        u: (3 if u in s3 else 2 if u in s2 else 1 if u in s1 else 0)
+        for u in {r.user_id for r in ev.select("user_id").distinct().collect()}
+    }
+    assert stream_stages == batch_stages

@@ -50,6 +50,7 @@ _ALL_QUERIES = {
 _CHANGED_R4 = [
     "z26_clip_where",
     "r67_mode",
+    "r68_q16_supplier_cnt",
     "d20_incremental_dedup",
     "t20_unigram_ppl",
     "v14_adc_scoring",

@@ -1603,6 +1603,46 @@ def r67(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r68(spark: SparkSession, d: str) -> DataFrame:
+    """Parts/supplier relationship count (TPC-H Q16 shape, adapted:
+    supplier-part pairs come from lineitem since this vintage has no
+    partsupp; "customer complaints" → negative acctbal). Completes
+    the 22/22 adapted TPC-H shape coverage (round 4b).
+
+    Scale shape: the excluded-supplier set is a broadcast anti join
+    (bounded dim); part is broadcast into the pair scan; the
+    COUNT(DISTINCT suppkey) runs as the two-phase distinct aggregate
+    over (brand, type, size, suppkey) — partials dedup map-side, so
+    the shuffle carries pair keys, never lineitem rows."""
+    li = t(spark, d, "lineitem")
+    part = F.broadcast(
+        t(spark, d, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    bad_supp = F.broadcast(
+        t(spark, d, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            bad_supp,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1711,6 +1751,7 @@ QUERIES = {
     "r65_time_weighted_avg": r65,
     "r66_funnel": r66,
     "r67_mode": r67,
+    "r68_q16_supplier_cnt": r68,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2246,6 +2287,17 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r68_q16_supplier_cnt": (
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) supplier_cnt "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' "
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"
     ),
     "r67_mode": (
         "WITH cnt AS (SELECT l_returnflag, l_quantity, COUNT(*) c "

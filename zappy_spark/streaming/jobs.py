@@ -289,6 +289,76 @@ def anomaly_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine (signup → click ≤24h → purchase
+    ≤24h): timestamps as integer micros, 0 = stage not reached.
+    Under event-time-ordered replay the first qualifying event IS
+    the batch twin's MIN, so the drained machine equals r66's nested
+    min-aggregates exactly."""
+    t1, t2, t3 = tuple(state.get) if state.exists else (0, 0, 0)
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000
+        for t, et in zip(ts_us, rows["event_type"]):
+            t = int(t)
+            if et == "signup" and t1 == 0:
+                t1 = t
+            elif (
+                et == "click"
+                and t1 != 0
+                and t2 == 0
+                and t1 < t <= t1 + _DAY_US
+            ):
+                t2 = t
+            elif (
+                et == "purchase"
+                and t2 != 0
+                and t3 == 0
+                and t2 < t <= t2 + _DAY_US
+            ):
+                t3 = t
+    state.update((t1, t2, t3))
+    stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+    yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+
+def funnel_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the r66 conversion funnel: per-user stage
+    machine via applyInPandasWithState. State is three integers per
+    user (bounded by user cardinality, not stream length); each
+    micro-batch emits the user's current stage, which is monotone —
+    the drained maximum per user equals the batch funnel
+    memberships."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # NOTE: transformWithStateInPandas (the Spark 4 successor stateful
 # API) was evaluated and crashes in this environment even on a
 # minimal example ("TransformWithStateInPySpark driver worker exited
