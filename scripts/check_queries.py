@@ -40,8 +40,11 @@ def main() -> int:
     spark = get_session(app_name="check_queries")
     duck = duckdb.connect()
     for tbl in TABLES:
+        p = f"{SF_DIR}/{tbl}.parquet"
+        # Spark-written tables are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         duck.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_DIR}/{tbl}.parquet'"
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')"
         )
     failed = []
     for name in names:
