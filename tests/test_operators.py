@@ -1536,3 +1536,53 @@ def test_incremental_dedup_tiers(spark):
     }
     assert exact == {11, 12}
     assert fp == {12}
+
+
+def test_audio_chunk_plan_covers_exactly(spark):
+    """Chunk plan: offsets tile [0, n_samples) exactly — last chunk
+    truncated, sum of chunk lengths == total."""
+    from zappy_spark.operators.multimodal import audio_chunk_plan
+
+    rows = [
+        (1, "audio", None, {"width": None, "height": None,
+                            "sample_rate": 16000, "n_frames": 40000,
+                            "mime": "audio/wav"}),
+        (2, "audio", None, {"width": None, "height": None,
+                            "sample_rate": 8000, "n_frames": 8000,
+                            "mime": "audio/wav"}),
+        (3, "video", None, {"width": None, "height": None,
+                            "sample_rate": 0, "n_frames": 100,
+                            "mime": "video/mp4"}),
+    ]
+    from zappy_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_chunk_plan(df, chunk_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    # media 1: 16000 samples/chunk over 40000 -> 3 chunks (16k,16k,8k)
+    c1 = sorted(by_id[1], key=lambda r: r.chunk_idx)
+    assert [r.n_samples for r in c1] == [16000, 16000, 8000]
+    assert [r.start_sample for r in c1] == [0, 16000, 32000]
+    # media 2: exactly one full chunk
+    assert [(r.start_sample, r.n_samples) for r in by_id[2]] == [(0, 8000)]
+    # video rows never appear
+    assert 3 not in by_id
+
+
+def test_uri_payload_fetch_runs_on_executors(spark):
+    """load_uri_payloads: payloads are deterministic functions of the
+    URI and materialize through mapInPandas (a Python stage in the
+    plan), never via a driver-side loop."""
+    from zappy_spark.operators.multimodal import _fake_fetch, load_uri_payloads
+
+    df = spark.createDataFrame(
+        [(1, "s3://bucket/a"), (2, "s3://bucket/b")], ["media_id", "uri"]
+    )
+    out = load_uri_payloads(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" in plan or "MapInPandas" in plan
+    got = {r.media_id: bytes(r.payload) for r in out.collect()}
+    assert got == {1: _fake_fetch("s3://bucket/a"), 2: _fake_fetch("s3://bucket/b")}
+    assert len(got[1]) == 128

@@ -378,3 +378,144 @@ def test_binned_range_join_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_gap_fill_matches_pandas_ffill(spark):
+    """Random sparse per-key hourly series: the r64 spine+LOCF
+    pattern must equal pandas resample('h').ffill() within each
+    key's own [first, last] span."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(9)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for key in range(6):
+        ts = sorted(
+            rng.choice(72 * 3600, size=rng.integers(3, 25), replace=False)
+        )
+        for t in ts:
+            rows.append(
+                (key, base + dt.timedelta(seconds=int(t)), float(rng.integers(0, 100)))
+            )
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    hourly = df.groupBy(
+        "k", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max_by("v", F.col("ts")).alias("v"))
+    bounds = df.groupBy("k").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "k", F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    w = Window.partitionBy("k").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = {
+        (r.k, r.h): r.vf
+        for r in spine.join(hourly, ["k", "h"], "left")
+        .select("k", "h", F.last("v", ignorenulls=True).over(w).alias("vf"))
+        .collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    for key, g in pdf.groupby("k"):
+        # last value per hour, reindexed to the full hourly range, ffilled
+        s = (
+            g.set_index("ts")
+            .sort_index()["v"]
+            .resample("h")
+            .last()
+            .ffill()
+        )
+        for h, v in s.items():
+            assert got[(key, h.to_pydatetime())] == v, (key, h)
+
+
+def test_twa_matches_numpy(spark):
+    """r65's TWA must equal the numpy trapezoid-free step-function
+    average on random irregular series."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(13)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for key in range(5):
+        ts = np.sort(rng.choice(10**6, size=20, replace=False))
+        vals = rng.normal(50, 10, size=20)
+        for t, v in zip(ts, vals):
+            rows.append((key, base + dt.timedelta(microseconds=int(t)), float(v)))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    w = Window.partitionBy("k").orderBy("ts")
+    seg = (
+        df.select(
+            "k",
+            "v",
+            F.unix_micros("ts").alias("us"),
+            F.lead(F.unix_micros("ts")).over(w).alias("nus"),
+        )
+        .filter(F.col("nus").isNotNull())
+        .withColumn("dt", F.col("nus") - F.col("us"))
+    )
+    got = {
+        r.k: r.twa
+        for r in seg.groupBy("k")
+        .agg((F.sum(F.col("v") * F.col("dt")) / F.sum("dt")).alias("twa"))
+        .collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    for key, g in pdf.groupby("k"):
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64").to_numpy() // 1000
+        v = g["v"].to_numpy()
+        dt_ = np.diff(us)
+        want = float((v[:-1] * dt_).sum() / dt_.sum())
+        assert abs(got[key] - want) < 1e-9
+
+
+def test_bm25_matches_numpy_reference(spark):
+    """bm25_scores against a direct numpy Okapi BM25 (+1 idf) on a
+    random corpus."""
+    import numpy as np
+
+    from zappy_spark.operators.text import bm25_scores
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(5, 40)).tolist()))
+        for i in range(40)
+    ]
+    terms = ("w1", "w2", "w3")
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(df, "text", "doc_id", terms).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    for i, tk in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if score > 0:
+            assert abs(got[i] - round(score, 4)) <= 1e-4, i
+        else:
+            assert i not in got

@@ -103,3 +103,41 @@ def test_chunk_id_expr_integer_precision(spark):
         ).collect()
     }
     assert got == {k: k // 1000 for k, in rows}
+
+
+def test_jsonl_round_trip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL corpus: documents round-trip value-identical; a planted
+    malformed line lands in quarantine with its raw text, and clean
+    rows are unaffected (PERMISSIVE + retained corrupt column)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from zappy_spark.session import load_table
+    from zappy_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, d)
+
+    # plant a shard containing a corrupt line (a fresh file — editing
+    # an existing shard trips Hadoop's .crc sidecar checksums)
+    assert glob.glob(d + "/part-*.json")
+    with open(d + "/part-99999-planted.json", "w") as f:
+        f.write('{"doc_id": 7, "text": BROKEN\n')
+
+    back = read_jsonl_corpus(spark, d, docs.schema)
+    clean, quarantine = split_corrupt(back)
+
+    q = quarantine.collect()
+    assert len(q) == 1 and "BROKEN" in q[0].raw_line
+
+    want = sorted(tuple(r) for r in docs.collect())
+    got = sorted(
+        tuple(r) for r in clean.select(*docs.columns).collect()
+    )
+    assert got == want

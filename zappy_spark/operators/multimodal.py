@@ -183,3 +183,85 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Audio chunking plumbing: expand (media_id, sample_rate,
+    n_frames≡n_samples) into one row per fixed-duration chunk with
+    exact sample offsets — pure Spark (sequence+explode), the
+    payload is never touched. The decode of each chunk slots into a
+    mapInPandas kernel exactly like resize_images; the plan keeps
+    chunk boundaries deterministic so re-runs resume mid-file.
+
+    The last chunk is truncated to the real sample count (the
+    training-loader contract: Σ n_samples == total samples)."""
+    spc = (F.col("meta.sample_rate").cast("bigint") * chunk_ms / 1000).cast(
+        "bigint"
+    )  # samples per chunk
+    total = F.col("meta.n_frames").cast("bigint")
+    n_chunks = F.ceil(total / spc).cast("int")
+    base = df.filter(
+        (F.col("kind") == "audio")
+        & (F.col("meta.sample_rate") > 0)
+        & (F.col("meta.n_frames") > 0)
+    ).select(
+        "media_id",
+        spc.alias("_spc"),
+        total.alias("_total"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx").cast("bigint") * F.col("_spc")
+    return base.select(
+        "media_id",
+        "chunk_idx",
+        start.alias("start_sample"),
+        F.least(F.col("_spc"), F.col("_total") - start).alias("n_samples"),
+    )
+
+
+def _fake_fetch(uri: str) -> bytes:
+    """Deterministic fake object-store fetch: payload bytes derived
+    from md5(uri). Stands in for an S3/GCS ranged GET so the
+    executor-side fetch contract (bytes materialize in the Python
+    worker, never on the driver) is testable offline."""
+    import hashlib
+
+    seed = hashlib.md5(uri.encode()).digest()
+    return (seed * 8)[:128]
+
+
+def load_uri_payloads(df: DataFrame, uri_col: str = "uri") -> DataFrame:
+    """URI-reference decode path for blobs too large to inline
+    (> ~100 MB): the table carries object-store URIs; payloads are
+    fetched INSIDE mapInPandas on the executors, so blob bytes flow
+    straight from the store to the worker that processes them — the
+    driver only ever sees the URI strings. Batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch like every other
+    multimodal kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf[uri_col].map(_fake_fetch),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return df.mapInPandas(batches, schema=schema)
