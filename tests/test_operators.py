@@ -1586,3 +1586,41 @@ def test_uri_payload_fetch_runs_on_executors(spark):
     got = {r.media_id: bytes(r.payload) for r in out.collect()}
     assert got == {1: _fake_fetch("s3://bucket/a"), 2: _fake_fetch("s3://bucket/b")}
     assert len(got[1]) == 128
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m)) for m in (10, 100)],
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, base, "r0")], ["k", "ts"]
+    ).withColumnRenamed("_2", "ts")
+    right = spark.createDataFrame([(1, base, "r0")], ["k", "ts", "tag"])
+
+    no_tol = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert len(no_tol) == 2  # both clicks match the single prior row
+
+    tol = asof_join(
+        left, right, on="ts", by=["k"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).collect()
+    assert len(tol) == 1  # the 100-minute-later row is stale
+    assert tol[0].ts.minute == 10
+
+    fwd = asof_join(
+        right.select("k", "ts"),
+        left.withColumn("tag", F.lit("l")),
+        on="ts",
+        by=["k"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).collect()
+    assert len(fwd) == 1 and fwd[0].ts_right.minute == 10

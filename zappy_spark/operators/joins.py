@@ -25,11 +25,19 @@ def asof_join(
     by: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the right row with the largest
     ``on`` ≤ left.on (backward) / smallest ``on`` ≥ left.on (forward),
     matching on the ``by`` equi-keys. Inner semantics: unmatched left
     rows are dropped (DuckDB ASOF JOIN parity).
+
+    ``tolerance`` (pandas merge_asof parity): a Column bounding the
+    match distance — e.g. ``F.expr("INTERVAL 30 MINUTES")`` for
+    timestamp keys or a numeric delta for numeric keys. A matched
+    right row farther than the tolerance is treated as no match
+    (the row drops under inner semantics). Applied as a post-filter
+    on the single window pass — no extra shuffle.
 
     Implementation: tag both sides, union, and take the last
     non-null right payload over a (by)-partitioned window ordered by
@@ -78,10 +86,15 @@ def asof_join(
     }
     out_cols += [F.col(f"_m.{on}{suffix}").alias(f"{on}{suffix}")]
     out_cols += [F.col(f"_m.{c}").alias(rename[c]) for c in rcols]
-    return (
-        matched.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
-        .select(*out_cols)
-    )
+    keep = (F.col("_side") == 1) & F.col("_m").isNotNull()
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - F.col(f"_m.{on}{suffix}")
+            if direction == "backward"
+            else F.col(f"_m.{on}{suffix}") - F.col("_t")
+        )
+        keep = keep & (gap <= tolerance)
+    return matched.filter(keep).select(*out_cols)
 
 
 def salted_join(

@@ -51,6 +51,8 @@ _CHANGED_R4 = [
     "z26_clip_where",
     "r67_mode",
     "r68_q16_supplier_cnt",
+    "r69_asof_tolerance",
+    "v15_rank_normalize",
     "d20_incremental_dedup",
     "t20_unigram_ppl",
     "v14_adc_scoring",

@@ -11,7 +11,7 @@ rows-only here and property-tested in tests/test_operators.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zappy_spark.operators import dedup, similarity, text
@@ -932,6 +932,40 @@ def v13(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v15(spark: SparkSession, d: str) -> DataFrame:
+    """Per-dimension rank (quantile) normalization (round 4b): each
+    embedding component replaced by its corpus-wide percent_rank
+    within that dimension — the distribution-free normalizer for
+    heavy-tailed feature dims (rank transform / quantile
+    uniformization). percent_rank orders by VALUE only, so ties
+    share a rank and the output is a pure function of the data —
+    engine-portable with no tiebreak hazard.
+
+    Scale shape: posexplode once, then ONE shuffle partitioned by
+    dimension index — every dimension ranks in parallel, window
+    length = corpus size per dim, never corpus×dim. Emitted as
+    (vec_id, pos, r) rows; the array re-assembly (collect_list over
+    vec_id) is the optional second shuffle a consumer pays only if
+    it needs arrays back."""
+    emb = t(spark, d, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).filter(F.col("pos") < 4)
+    w = Window.partitionBy("pos").orderBy("x")
+    return (
+        ex.select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(F.percent_rank().over(w), 6).alias("r"),
+        )
+        .orderBy("vec_id", "pos")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -986,6 +1020,7 @@ QUERIES = {
     "v12_knn_classify": v12,
     "v13_pq_codes": v13,
     "v14_adc_scoring": v14,
+    "v15_rank_normalize": v15,
 }
 
 
@@ -1763,6 +1798,15 @@ ORACLE = {
         "CAST(SUM(CASE WHEN fp IN (SELECT fp FROM old) THEN 0 ELSE 1 "
         "END) AS BIGINT) n_kept "
         "FROM new GROUP BY source ORDER BY source"
+    ),
+    "v15_rank_normalize": (
+        "WITH ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 p, "
+        "unnest(v) x FROM (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) v FROM embeddings)) "
+        "SELECT vec_id, p pos, "
+        "ROUND(PERCENT_RANK() OVER (PARTITION BY p ORDER BY x), 6) r "
+        "FROM ex WHERE p < 4 "
+        "ORDER BY vec_id, pos LIMIT 200"
     ),
     "t20_unigram_ppl": (
         "WITH ex AS (SELECT doc_id, unnest(list_filter("

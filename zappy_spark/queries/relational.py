@@ -1643,6 +1643,46 @@ def r68(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r69(spark: SparkSession, d: str) -> DataFrame:
+    """As-of join with TOLERANCE (round 4b; pandas merge_asof
+    parity knob on operators/joins.py::asof_join): each click
+    matched to the user's most recent error within 30 minutes —
+    stale matches beyond the horizon drop. Same single
+    union+window pass as the unbounded as-of; the tolerance is a
+    post-filter, no extra shuffle. The DuckDB twin spells the bound
+    inside a correlated MAX subquery."""
+    from zappy_spark.operators.joins import asof_join
+
+    ev = t(spark, d, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    j = asof_join(
+        clicks,
+        errors,
+        on="ts",
+        by=["user_id"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(
+                F.avg(
+                    F.unix_timestamp("ts") - F.unix_timestamp("ts_right")
+                ),
+                3,
+            ).alias("avg_gap"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1752,6 +1792,7 @@ QUERIES = {
     "r66_funnel": r66,
     "r67_mode": r67,
     "r68_q16_supplier_cnt": r68,
+    "r69_asof_tolerance": r69,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2287,6 +2328,20 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r69_asof_tolerance": (
+        "WITH c AS (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type='click'), "
+        "e AS (SELECT user_id, ts FROM events WHERE event_type='error'), "
+        "m AS (SELECT c.user_id, c.ts, "
+        "(SELECT MAX(e.ts) FROM e WHERE e.user_id = c.user_id "
+        "AND e.ts <= c.ts "
+        "AND e.ts >= c.ts - INTERVAL 30 MINUTES) m_ts FROM c) "
+        "SELECT user_id, COUNT(*) n_matched, "
+        "ROUND(AVG(CAST(FLOOR(epoch(ts)) AS BIGINT) "
+        "- CAST(FLOOR(epoch(m_ts)) AS BIGINT)), 3) avg_gap "
+        "FROM m WHERE m_ts IS NOT NULL "
+        "GROUP BY user_id ORDER BY user_id LIMIT 100"
     ),
     "r68_q16_supplier_cnt": (
         "SELECT p_brand, p_type, p_size, "
