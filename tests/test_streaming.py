@@ -553,3 +553,34 @@ def test_funnel_stateful_equals_batch_funnel(spark, replay_dir):
         for u in {r.user_id for r in ev.select("user_id").distinct().collect()}
     }
     assert stream_stages == batch_stages
+
+
+def test_snapshot_time_travel(spark, replay_dir, tmp_path):
+    """read_snapshot(rev=N): each retained revision is a complete,
+    immutable point-in-time state — earlier revisions have no later
+    event_ids, and the newest revision equals the pointer read."""
+    snap = str(tmp_path / "tt_snapshot")
+    stream = jobs.stream_events(spark, replay_dir).select(
+        "user_id", "event_type", "value", "event_id"
+    )
+    q = jobs.incremental_upsert(
+        stream, snap, ["user_id", "event_type"], "event_id"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    revs = jobs.list_revisions(snap)
+    assert len(revs) >= 2
+    first = jobs.read_snapshot(spark, snap, revs[0])
+    last = jobs.read_snapshot(spark, snap, revs[-1])
+    latest = jobs.read_snapshot(spark, snap)
+    assert _rows(latest, "user_id", "event_type", "event_id") == _rows(
+        last, "user_id", "event_type", "event_id"
+    )
+    max_first = first.agg(F.max("event_id")).collect()[0][0]
+    max_last = last.agg(F.max("event_id")).collect()[0][0]
+    assert max_first < max_last  # earlier rev stops earlier in time
+    # old revision is a valid complete snapshot: keys unique
+    n = first.count()
+    nk = first.select("user_id", "event_type").distinct().count()
+    assert n == nk

@@ -13,16 +13,22 @@ verified 94 distinct entries green (CORRECTNESS_r01 44/50 +
 CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 
 Round-4 ordering (this file): never-checked beats stale-checked
-(the round-2 lesson). Tier 0 is the 27 entries with NO driver row
-in their current form: the 20 queries added in round 4
-(r52–r63, d16, d17, t16, t17, v11, v12, s12, z25), the 4 added
-after the round-3 driver ran (d14, d15, r51, s11), and the 3 whose
-oracles were declared after it (t04, v02, v06). Tier 1 fills the
-50-entry window with the stalest round-1-checked entries; the
-remaining round-1/round-2-stale tail queues directly behind for
-round 5 (all are canary-guarded per family meanwhile). Every entry
-passes tests/test_oracle.py locally at sf0.01 regardless of window
-position."""
+(the round-2 lesson). Tier 0 is the 48 entries with NO driver row
+in their current form: 21 added in the round-4b session (z26, r64–
+r69, t18–t20, d18–d20, v13–v15, s13 + the 5 dtype-fix re-spellings
+are covered by their original keys), 20 added in round 4a (r52–r63,
+d16, d17, t16, t17, v11, v12, s12, z25), 4 added after the round-3
+driver ran (d14, d15, r51, s11), and 3 whose oracles were declared
+after it (t04, v02, v06). The window's remaining slots take the
+stalest round-1-checked entries; the r1/r2-stale tail queues
+directly behind and is canary-guarded per family meanwhile.
+
+ROUND-5 ROTATION PLAN (for the next session): after the round-4
+driver covers tier 0, promote _R1_STALE then _R2_STALE to the front
+of the window so every corpus entry regains a fresh driver row;
+keep any round-5 additions ahead of both. Every entry passes
+tests/test_oracle.py locally at sf0.01 (and the 10x synth fixture)
+regardless of window position."""
 
 from __future__ import annotations
 
@@ -52,6 +58,7 @@ _CHANGED_R4 = [
     "r67_mode",
     "r68_q16_supplier_cnt",
     "r69_asof_tolerance",
+    "r70_percentile_disc",
     "v15_rank_normalize",
     "d20_incremental_dedup",
     "t20_unigram_ppl",

@@ -1683,6 +1683,51 @@ def r69(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r70(spark: SparkSession, d: str) -> DataFrame:
+    """percentile_disc vs percentile_cont per group (round 4b).
+    Spark has no percentile_disc; the spelling here is the
+    scale-correct one — "smallest value whose cumulative count
+    reaches p·n" over the per-(group, value) COUNT aggregate, so the
+    window sorts |distinct values| rows per group, never raw rows,
+    and the raw data is scanned once. p ∈ {0.5, 0.75} are exact
+    binary fractions, so the boundary compare is engine-exact.
+    cont comes from the native interpolating percentile (z20-parity
+    with DuckDB's percentile_cont)."""
+    li = t(spark, d, "lineitem")
+    cnt = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("c")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = cnt.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tot).alias("n"),
+    )
+    disc = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") >= 0.5 * F.col("n"), F.col("l_extendedprice"))
+        ).alias("disc50"),
+        F.min(
+            F.when(F.col("cum") >= 0.75 * F.col("n"), F.col("l_extendedprice"))
+        ).alias("disc75"),
+    )
+    cont = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("cont50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("cont75"),
+    )
+    return (
+        disc.join(cont, "l_returnflag")
+        .select("l_returnflag", "disc50", "disc75", "cont50", "cont75")
+        .orderBy("l_returnflag")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1793,6 +1838,7 @@ QUERIES = {
     "r67_mode": r67,
     "r68_q16_supplier_cnt": r68,
     "r69_asof_tolerance": r69,
+    "r70_percentile_disc": r70,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2328,6 +2374,18 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r70_percentile_disc": (
+        "SELECT l_returnflag, "
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) "
+        "disc50, "
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) "
+        "disc75, "
+        "ROUND(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY l_extendedprice), 4) cont50, "
+        "ROUND(percentile_cont(0.75) WITHIN GROUP "
+        "(ORDER BY l_extendedprice), 4) cont75 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "r69_asof_tolerance": (
         "WITH c AS (SELECT user_id, ts, event_id FROM events "

@@ -526,6 +526,36 @@ def latest_snapshot(
     return spark.read.parquet(os.path.join(snapshot_path, f"rev={rev}"))
 
 
+def list_revisions(snapshot_path: str) -> list[int]:
+    """All committed revision ids of an ``incremental_upsert``
+    snapshot, oldest first (each ``rev=<n>`` directory is immutable
+    once the pointer moves past it — cheap time travel)."""
+    import os
+
+    if not os.path.isdir(snapshot_path):
+        return []
+    revs = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(snapshot_path)
+        if name.startswith("rev=")
+    ]
+    return sorted(revs)
+
+
+def read_snapshot(
+    spark: SparkSession, snapshot_path: str, rev: int | None = None
+) -> "DataFrame | None":
+    """Time-travel read: the snapshot as of revision ``rev``
+    (default: the current pointer). Readers never see partial
+    writes — a revision directory is complete before the pointer
+    swap, and old revisions are retained until vacuumed."""
+    import os
+
+    if rev is None:
+        return latest_snapshot(spark, snapshot_path)
+    return spark.read.parquet(os.path.join(snapshot_path, f"rev={rev}"))
+
+
 def windowed_topk(stream: DataFrame, out_path: str, k: int = 2) -> "Any":
     """S8 twin: top-k event types per tumbling hour. Window functions
     are not allowed on streaming frames, so the ranking runs inside
