@@ -72,3 +72,49 @@ def shuffle_balance(
         .agg(F.count("*").alias("rows"))
         .orderBy("bucket")
     )
+
+
+def dq_audit(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    not_null_cols: list[str],
+) -> DataFrame:
+    """Data-quality audit for a fact→dim relationship: one row of
+    counts — total rows, orphan fact rows (FK with no dim match),
+    duplicate dim keys, and per-column null counts. The pre-training
+    sanity gate every ingest should run before a 12-hour job reads
+    bad joins.
+
+    Scale shape: the orphan probe is a left-anti join on the FK (the
+    dim side reduces to DISTINCT keys); dup-key and null counts are
+    single hash aggregates; the three 1-row results crossJoin
+    (broadcast). No collects, no full-table sort.
+    """
+    total = fact.agg(F.count("*").alias("n_rows"))
+    orphans = (
+        fact.join(
+            dim.select(F.col(dim_key).alias("_k")).distinct(),
+            fact[fact_key] == F.col("_k"),
+            "left_anti",
+        ).agg(F.count("*").alias("n_orphans"))
+    )
+    dup_keys = (
+        dim.groupBy(dim_key)
+        .agg(F.count("*").alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1)), F.lit(0)
+            ).cast("bigint").alias("n_dup_dim_keys")
+        )
+    )
+    nulls = fact.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}")
+            for c in not_null_cols
+        ]
+    )
+    return (
+        total.crossJoin(orphans).crossJoin(dup_keys).crossJoin(nulls)
+    )

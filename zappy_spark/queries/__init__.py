@@ -59,6 +59,8 @@ _CHANGED_R4 = [
     "r68_q16_supplier_cnt",
     "r69_asof_tolerance",
     "r70_percentile_disc",
+    "r71_dq_audit",
+    "d21_degree_dist",
     "v15_rank_normalize",
     "d20_incremental_dedup",
     "t20_unigram_ppl",

@@ -411,6 +411,33 @@ def d19(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d21(spark: SparkSession, d: str) -> DataFrame:
+    """Dup-graph degree distribution (round 4b): how many documents
+    share spans with how many others — the triage readout before
+    running the CC closure (a heavy-tailed degree histogram means
+    boilerplate is slipping past the df-cap). Two count-only
+    aggregates over the d19 edge set."""
+    edges = dedup.span_edges(
+        t(spark, d, "documents"),
+        "text",
+        "doc_id",
+        span=3,
+        min_shared=3,
+        max_df=8,
+    )
+    deg = (
+        edges.select(F.col("i").alias("node"))
+        .unionAll(edges.select(F.col("j").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -987,6 +1014,7 @@ QUERIES = {
     "d18_fingerprint_dedup": d18,
     "d19_cc_closure": d19,
     "d20_incremental_dedup": d20,
+    "d21_degree_dist": d21,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1497,6 +1525,25 @@ ORACLE = {
         "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) "
         "SELECT a doc_id, LEAST(a, MIN(b)) component FROM reach "
         "GROUP BY a ORDER BY doc_id LIMIT 200"
+    ),
+    "d21_degree_dist": (
+        "WITH tok AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tks "
+        "FROM documents), "
+        "n AS (SELECT doc_id, tks, unnest(generate_series(0, "
+        "CAST(CEIL(GREATEST(len(tks),1)/3.0) AS INT) - 1)) i FROM tok), "
+        "sp AS (SELECT DISTINCT doc_id, "
+        "md5(array_to_string(tks[i*3+1 : i*3+3],' ')) h FROM n), "
+        "cap AS (SELECT h FROM (SELECT h, COUNT(*) c FROM sp GROUP BY h) "
+        "WHERE c BETWEEN 2 AND 8), "
+        "p AS (SELECT a.doc_id i, b.doc_id j FROM sp a JOIN cap USING (h) "
+        "JOIN sp b USING (h) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+        "deg AS (SELECT node, COUNT(*) degree FROM "
+        "(SELECT i node FROM p UNION ALL SELECT j FROM p) "
+        "GROUP BY node) "
+        "SELECT degree, COUNT(*) n_nodes FROM deg "
+        "GROUP BY degree ORDER BY degree"
     ),
     "t18_bm25": (
         "WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), "

@@ -1728,6 +1728,23 @@ def r70(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r71(spark: SparkSession, d: str) -> DataFrame:
+    """Data-quality audit (round 4b;
+    operators/diagnostics.py::dq_audit): referential-integrity and
+    null-count gate over lineitem→orders — orphan FKs via a
+    DISTINCT-keyed anti join, duplicate-key and null counts as
+    single hash aggregates, all 1-row results crossJoined."""
+    from zappy_spark.operators.diagnostics import dq_audit
+
+    return dq_audit(
+        t(spark, d, "lineitem"),
+        "l_orderkey",
+        t(spark, d, "orders"),
+        "o_orderkey",
+        ["l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1839,6 +1856,7 @@ QUERIES = {
     "r68_q16_supplier_cnt": r68,
     "r69_asof_tolerance": r69,
     "r70_percentile_disc": r70,
+    "r71_dq_audit": r71,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2374,6 +2392,20 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r71_dq_audit": (
+        "SELECT (SELECT COUNT(*) FROM lineitem) n_rows, "
+        "(SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN "
+        "(SELECT o_orderkey FROM orders)) n_orphans, "
+        "(SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM "
+        "(SELECT COUNT(*) c FROM orders GROUP BY o_orderkey) "
+        "WHERE c > 1) n_dup_dim_keys, "
+        "(SELECT CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 "
+        "END) AS BIGINT) FROM lineitem) nulls_l_shipdate, "
+        "(SELECT CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 "
+        "END) AS BIGINT) FROM lineitem) nulls_l_quantity, "
+        "(SELECT CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 "
+        "ELSE 0 END) AS BIGINT) FROM lineitem) nulls_l_extendedprice"
     ),
     "r70_percentile_disc": (
         "SELECT l_returnflag, "
