@@ -536,3 +536,22 @@ def test_incremental_dedup_degrades_to_shuffled_anti_join(spark):
     assert "LeftAnti" in plan
     assert "Broadcast" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_join5_degrades_without_broadcast(spark):
+    """r02's fact joins carry no mandatory broadcast: with the size
+    threshold disabled (stand-in for 100 TB stats) the plan must
+    fall back to shuffled joins — explicit F.broadcast hints remain
+    only on the bounded dims (nation/region), and nothing becomes a
+    nested-loop/cartesian."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(QUERIES["r02_join5_agg"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the two dim hints survive; the fact joins don't broadcast
+    assert plan.count("BroadcastHashJoin") <= 2
