@@ -584,3 +584,70 @@ def test_snapshot_time_travel(spark, replay_dir, tmp_path):
     n = first.count()
     nk = first.select("user_id", "event_type").distinct().count()
     assert n == nk
+
+
+def test_gap_fill_stateful_equals_batch_locf(spark, tmp_path):
+    """Drained streaming LOCF == the r64 batch spine+fill, compared
+    on each user's own [first, last] hour span. Slots only emit when
+    their hour closes, so a per-user far-future sentinel finalizes
+    every real hour; stream rows beyond a user's batch span are the
+    live-dashboard forward-fill and are filtered for the compare."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    d = str(tmp_path / "locf_replay")
+    jobs.replay_events_dir(spark, SF_SMOKE_DIR, d, n_files=3)
+    users = [r.user_id for r in spark.read.parquet(d).select("user_id").distinct().collect()]
+    sentinel_ts = dt.datetime(2030, 1, 1)
+    schema = spark.read.parquet(d).schema
+    sentinel = spark.createDataFrame(
+        [(10**9 + u, sentinel_ts, u, "view", 0.0, "{}") for u in users],
+        schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+
+    got = jobs.run_to_memory(
+        jobs.gap_fill_stateful(jobs.stream_events(spark, d)),
+        "t_locf",
+        output_mode="append",
+    )
+
+    ev = spark.read.parquet(d).filter(F.col("event_id") < 10**9)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.max_by("value", F.struct("ts", "event_id")), 2).alias("v"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    batch = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        F.unix_micros("h").alias("h_us"),
+        F.last("v", ignorenulls=True).over(w).alias("v_fill"),
+    )
+    span = {
+        r.user_id: (r.h0, r.h1)
+        for r in bounds.select(
+            "user_id",
+            F.unix_micros("h0").alias("h0"),
+            F.unix_micros("h1").alias("h1"),
+        ).collect()
+    }
+    got_rows = {
+        (r.user_id, r.h_us): r.v_fill
+        for r in got.collect()
+        if r.user_id in span
+        and span[r.user_id][0] <= r.h_us <= span[r.user_id][1]
+    }
+    batch_rows = {
+        (r.user_id, r.h_us): r.v_fill for r in batch.collect()
+    }
+    assert got_rows == batch_rows

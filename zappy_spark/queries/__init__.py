@@ -60,6 +60,7 @@ _CHANGED_R4 = [
     "r69_asof_tolerance",
     "r70_percentile_disc",
     "r71_dq_audit",
+    "r72_histogram",
     "d21_degree_dist",
     "v15_rank_normalize",
     "d20_incremental_dedup",

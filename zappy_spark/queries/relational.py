@@ -1745,6 +1745,29 @@ def r71(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r72(spark: SparkSession, d: str) -> DataFrame:
+    """Equi-width numeric histogram (round 4b): 20 fixed buckets
+    over l_extendedprice, each with count + observed min/max — the
+    profiling readout feeding skew diagnostics and d12's quantile
+    buckets. Bucket id is pure floor arithmetic (identical doubles
+    both engines; DuckDB lacks width_bucket so the portable spelling
+    IS the declared one). ONE hash aggregate on a 20-value key —
+    scan-side bucketing, map-side partials carry ≤20 rows."""
+    li = t(spark, d, "lineitem")
+    bucket = F.least(
+        F.lit(19), F.floor(F.col("l_extendedprice") / 5000).cast("int")
+    ).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1857,6 +1880,7 @@ QUERIES = {
     "r69_asof_tolerance": r69,
     "r70_percentile_disc": r70,
     "r71_dq_audit": r71,
+    "r72_histogram": r72,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2392,6 +2416,13 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r72_histogram": (
+        "SELECT CAST(LEAST(19, CAST(FLOOR(l_extendedprice/5000) AS INT)) "
+        "AS BIGINT) bucket, COUNT(*) n, "
+        "ROUND(MIN(l_extendedprice), 2) lo, "
+        "ROUND(MAX(l_extendedprice), 2) hi "
+        "FROM lineitem GROUP BY 1 ORDER BY bucket"
     ),
     "r71_dq_audit": (
         "SELECT (SELECT COUNT(*) FROM lineitem) n_rows, "

@@ -359,6 +359,71 @@ def funnel_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+_LOCF_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("h_us", LongType()),
+        StructField("v_fill", DoubleType()),
+    ]
+)
+_LOCF_STATE = StructType(
+    [
+        StructField("cur_hour_us", LongType()),
+        StructField("cur_val", DoubleType()),
+    ]
+)
+_HOUR_US = 3600 * 1_000_000
+
+
+def _locf_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-key LOCF grid emitter. A slot emits only when its hour
+    CLOSES (an event lands in a later hour) — never before, so a
+    later same-hour event in a future micro-batch can't invalidate
+    an emitted row. Closing hour H emits the last value seen ≤ end
+    of H; skipped hours between events emit the carried value (the
+    r64 LOCF semantics, incrementally). State is two numbers per
+    key: (open hour, last value)."""
+    cur_h, cur_v = (
+        tuple(state.get) if state.exists else (-1, 0.0)
+    )
+    out_h: list[int] = []
+    out_v: list[float] = []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000
+        for t, v in zip(ts_us, rows["value"]):
+            h = (int(t) // _HOUR_US) * _HOUR_US
+            if cur_h < 0:
+                cur_h = h
+            while cur_h < h:
+                out_h.append(cur_h)
+                out_v.append(cur_v)
+                cur_h += _HOUR_US
+            cur_v = round(float(v), 2)
+    state.update((cur_h, cur_v))
+    yield pd.DataFrame({"user_id": key[0], "h_us": out_h, "v_fill": out_v})
+
+
+def gap_fill_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the r64 gap-fill: hourly LOCF slots emitted
+    incrementally per user via applyInPandasWithState. Drained over
+    an ordered replay it equals the batch spine+fill exactly (the
+    equivalence test); state per key is (current grid hour, last
+    value) — two numbers, independent of history length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _locf_fn,
+        outputStructType=_LOCF_OUT,
+        stateStructType=_LOCF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # NOTE: transformWithStateInPandas (the Spark 4 successor stateful
 # API) was evaluated and crashes in this environment even on a
 # minimal example ("TransformWithStateInPySpark driver worker exited
