@@ -62,6 +62,7 @@ _CHANGED_R4 = [
     "r71_dq_audit",
     "r72_histogram",
     "d21_degree_dist",
+    "d22_e2e_corpus_prep",
     "v15_rank_normalize",
     "d20_incremental_dedup",
     "t20_unigram_ppl",

@@ -438,6 +438,47 @@ def d21(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d22(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end declarative corpus prep (round 4b): Gopher quality
+    gate → token-set fingerprint dedup (keep min id) → deterministic
+    50% hash sample → per-source ledger with token totals. The whole
+    training-data front door as ONE Catalyst plan — every stage is
+    the already-oracled operator (t19, d18, d07 spellings), so the
+    composition is replayed end-to-end in SQL and hash-checked.
+    Scale: quality+sample are scan-side filters; dedup is the one
+    16-byte hash aggregate; the ledger is a 20-key aggregate."""
+    from zappy_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    docs = t(spark, d, "documents")
+    kept = (
+        text.gopher_quality(docs, "text", "doc_id")
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    quality = docs.join(kept, "doc_id")
+    fp = dedup.content_key("text", "fingerprint")
+    keep_min = (
+        quality.select(fp.alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    survivors = quality.withColumn("fp", fp).join(keep_min, "fp").filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    sampled = hash_sample(survivors, "doc_id", 0.5)
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1015,6 +1056,7 @@ QUERIES = {
     "d19_cc_closure": d19,
     "d20_incremental_dedup": d20,
     "d21_degree_dist": d21,
+    "d22_e2e_corpus_prep": d22,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1525,6 +1567,35 @@ ORACLE = {
         "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) "
         "SELECT a doc_id, LEAST(a, MIN(b)) component FROM reach "
         "GROUP BY a ORDER BY doc_id LIMIT 200"
+    ),
+    "d22_e2e_corpus_prep": (
+        # '80000000' == sampling.sample_threshold(0.5)
+        "WITH tok AS (SELECT doc_id, source, "
+        "list_filter(string_split(text,' '), x -> x<>'') tks "
+        "FROM documents), "
+        "f AS (SELECT doc_id, source, tks, len(tks) n_words, "
+        "ROUND(list_sum(list_transform(tks, x -> CAST(length(x) AS "
+        "DOUBLE)))/len(tks), 4) mwl, "
+        "ROUND(len(list_filter(tks, x -> regexp_matches(x, "
+        "'[a-zA-Z]')))/CAST(len(tks) AS DOUBLE), 4) fa, "
+        "CAST(list_contains(tks,'the') AS INT)"
+        "+CAST(list_contains(tks,'a') AS INT)"
+        "+CAST(list_contains(tks,'and') AS INT)"
+        "+CAST(list_contains(tks,'of') AS INT)"
+        "+CAST(list_contains(tks,'to') AS INT)"
+        "+CAST(list_contains(tks,'in') AS INT) sh "
+        "FROM tok WHERE len(tks) > 0), "
+        "q AS (SELECT doc_id, source, tks, "
+        "md5(array_to_string(list_sort(list_distinct(tks)),' ')) fp "
+        "FROM f WHERE n_words BETWEEN 50 AND 100000 "
+        "AND mwl BETWEEN 3.0 AND 10.0 AND fa >= 0.8 AND sh >= 2), "
+        "k AS (SELECT fp, MIN(doc_id) keep_id FROM q GROUP BY fp), "
+        "s AS (SELECT q.* FROM q JOIN k ON q.fp = k.fp "
+        "AND q.doc_id = k.keep_id "
+        "WHERE substr(md5(CAST(q.doc_id AS VARCHAR)),1,8) < '80000000') "
+        "SELECT source, COUNT(*) n_docs, "
+        "CAST(SUM(len(tks)) AS BIGINT) n_tokens "
+        "FROM s GROUP BY source ORDER BY source"
     ),
     "d21_degree_dist": (
         "WITH tok AS (SELECT doc_id, "
