@@ -280,3 +280,43 @@ def test_dot_matches_numpy(spark):
         raise AssertionError("length mismatch must raise")
     except ValueError:
         pass
+
+
+def test_where_scalar_and_frame(spark):
+    """np.where parity: mask from a comparison, scalar and frame
+    'other' operands."""
+    rng = np.random.default_rng(21)
+    m = rng.normal(size=(15, 6))
+    o = rng.normal(size=(15, 6))
+    zf = ZappyFrame.from_ndarray(spark, m, num_partitions=3)
+    zo = ZappyFrame.from_ndarray(spark, o, num_partitions=2)
+
+    got_scalar = zf.where(zf > 0, -1.0).asndarray()
+    assert np.allclose(got_scalar, np.where(m > 0, m, -1.0))
+
+    got_frame = zf.where(zf > 0, zo).asndarray()
+    assert np.allclose(got_frame, np.where(m > 0, m, o))
+
+
+def test_cumsum_axis1_matches_numpy(spark):
+    rng = np.random.default_rng(22)
+    m = rng.normal(size=(10, 7))
+    zf = ZappyFrame.from_ndarray(spark, m, num_partitions=3)
+    assert np.allclose(zf.cumsum(axis=1).asndarray(), m.cumsum(axis=1))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        zf.cumsum(axis=0)
+
+
+def test_matmul_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(23)
+    m = rng.normal(size=(12, 5))
+    w = rng.normal(size=(5, 3))
+    zf = ZappyFrame.from_ndarray(spark, m, num_partitions=2)
+    out = zf @ w
+    assert out.ncols == 3
+    assert np.allclose(out.asndarray(), m @ w)
+    # vector path unchanged
+    v = rng.normal(size=5)
+    assert np.allclose(np.asarray((zf @ v).asndarray()), m @ v)

@@ -472,6 +472,70 @@ class ZappyFrame:
     __ne__ = ne
     __hash__ = object.__hash__
 
+    def where(self, cond: "ZappyFrame", other) -> "ZappyFrame":
+        """numpy ``np.where(cond, self, other)`` elementwise: keep
+        this frame's value where ``cond`` is truthy (a 0/1 mask frame
+        from the comparison operators), else ``other`` (scalar or
+        same-shape frame). One row_id equi-join per operand frame +
+        a single ``arrays_zip``+``transform`` projection — scan-side,
+        no Python."""
+        if isinstance(other, ZappyFrame):
+            c = cond.df.select(
+                F.col("row_id").alias("_rc"), F.col("vec").alias("_vc")
+            )
+            o = other.df.select(
+                F.col("row_id").alias("_ro"), F.col("vec").alias("_vo")
+            )
+            j = (
+                self.df.join(c, F.col("row_id") == F.col("_rc"))
+                .join(o, F.col("row_id") == F.col("_ro"))
+            )
+            zipped = F.arrays_zip(
+                F.col("vec").alias("a"),
+                F.col("_vc").alias("c"),
+                F.col("_vo").alias("o"),
+            )
+            out = F.transform(
+                zipped,
+                lambda s: F.when(s["c"] != 0.0, s["a"]).otherwise(s["o"]),
+            )
+            return ZappyFrame(
+                j.select("row_id", out.alias("vec")), self.ncols
+            )
+        val = float(other)
+        return self._zip_other(
+            cond,
+            lambda x, c: F.when(c != 0.0, x).otherwise(F.lit(val)),
+        )
+
+    def cumsum(self, axis: int = 1) -> "ZappyFrame":
+        """numpy ``cumsum`` along rows (axis=1): per-row prefix sums
+        via one array-accumulator ``aggregate`` lambda — scan-side at
+        any nrows. axis=0 (a running sum DOWN the rows) is a global
+        ordered window — single-partition by semantics; use the
+        bucketed two-pass ranking pattern (operators/ranking.py) for
+        that shape instead."""
+        if axis != 1:
+            raise NotImplementedError(
+                "cumsum(axis=0) is a global ordered window; see "
+                "operators/ranking.py for the scale-safe two-pass form"
+            )
+        prefix = lambda v: F.aggregate(  # noqa: E731
+            v,
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0))
+                    + x.cast("double")
+                ),
+            ),
+        )
+        return ZappyFrame(
+            self.df.select("row_id", prefix(F.col("vec")).alias("vec")),
+            self.ncols,
+        )
+
     # -- aggregations ------------------------------------------------------
 
     def _row_reduce(self, col_fn) -> ZappyVector:
@@ -490,23 +554,54 @@ class ZappyFrame:
         ).collect()
         return np.array([r["v"] for r in rows], dtype=np.float64)
 
-    def dot(self, w: Sequence[float]) -> ZappyVector:
-        """zappy ``X @ w`` (matrix–vector product with a local weight
-        vector): the weights ship as an array literal and the per-row
-        dot is one scan-side ``zip_with``+``aggregate`` lambda — fully
-        distributed, zero shuffles, no Python in the loop. The
-        matrix–matrix analog is the PCA projection in
-        operators/linalg.py (same literal-broadcast pattern, one
-        column per output dim)."""
-        arr = [float(v) for v in w]
-        if len(arr) != self.ncols:
-            raise ValueError(f"weight length {len(arr)} != ncols {self.ncols}")
-        return self._row_reduce(
-            lambda v: F.aggregate(
-                F.zip_with(v, _lit_vec(arr), lambda x, y: x.cast("double") * y),
+    def dot(self, w):
+        """zappy ``X @ w``: matrix–vector (1-D ``w`` → ZappyVector)
+        or matrix–matrix against a LOCAL weight matrix (2-D ``w``,
+        ncols×m → ZappyFrame with m columns). Weights ship as array
+        literals; every output value is a scan-side
+        ``zip_with``+``aggregate`` lambda — fully distributed, zero
+        shuffles, no Python in the loop (the PCA projection in
+        operators/linalg.py is this same literal-broadcast pattern).
+        A distributed-right-operand matmul is out of scope by design:
+        at 100 TB you broadcast the small side or you don't matmul."""
+        w_arr = np.asarray(w, dtype=np.float64)
+        if w_arr.ndim == 1:
+            arr = [float(v) for v in w_arr]
+            if len(arr) != self.ncols:
+                raise ValueError(
+                    f"weight length {len(arr)} != ncols {self.ncols}"
+                )
+            return self._row_reduce(
+                lambda v: F.aggregate(
+                    F.zip_with(
+                        v, _lit_vec(arr), lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            )
+        if w_arr.ndim != 2 or w_arr.shape[0] != self.ncols:
+            raise ValueError(
+                f"weight shape {w_arr.shape} incompatible with ncols "
+                f"{self.ncols}"
+            )
+
+        def col_dot(v, col):
+            return F.aggregate(
+                F.zip_with(
+                    v,
+                    _lit_vec([float(x) for x in col]),
+                    lambda x, y: x.cast("double") * y,
+                ),
                 F.lit(0.0),
                 lambda a, x: a + x,
             )
+
+        out = F.array(
+            *[col_dot(F.col("vec"), w_arr[:, j]) for j in range(w_arr.shape[1])]
+        )
+        return ZappyFrame(
+            self.df.select("row_id", out.alias("vec")), int(w_arr.shape[1])
         )
 
     __matmul__ = dot
