@@ -13,16 +13,17 @@ verified 94 distinct entries green (CORRECTNESS_r01 44/50 +
 CORRECTNESS_r02 50/50 counting the two by-design no-oracle rows).
 
 Round-4 ordering (this file): never-checked beats stale-checked
-(the round-2 lesson). Tier 0 is the 49 entries with NO driver row
-in their current form: 22 added in the round-4b session (z26,
-r64–r72, t18–t20, d18–d22, v13–v15, s13; the 5 dtype-fix
+(the round-2 lesson). Tier 0 is the 51 entries with NO driver row
+in their current form: 24 added in the round-4b session (z26,
+r64–r72, t15, t18–t20, d18–d22, v13–v15, s13, l09; the 5 dtype-fix
 re-spellings are covered by their original keys), 20 added in
 round 4a (r52–r63, d16, d17, t16, t17, v11, v12, s12, z25), 4
 added after the round-3 driver ran (d14, d15, r51, s11), and 3
-whose oracles were declared after it (t04, v02, v06). The window's
-remaining slot takes the stalest round-1-checked entry; the
-r1/r2-stale tail queues directly behind and is canary-guarded per
-family meanwhile.
+whose oracles were declared after it (t04, v02, v06). Tier 0
+exceeds the window by one: v06 — the only tier-0 entry with prior
+(rows-only) driver rows — is deliberately last and yields its slot;
+it leads the round-5 window. The r1/r2-stale tail queues directly
+behind and is canary-guarded per family meanwhile.
 
 ROUND-5 ROTATION PLAN (for the next session): after the round-4
 driver covers tier 0, promote _R1_STALE then _R2_STALE to the front
@@ -64,6 +65,8 @@ _CHANGED_R4 = [
     "r72_histogram",
     "d21_degree_dist",
     "d22_e2e_corpus_prep",
+    "l09_mips_topk",
+    "t15_corpus_vocab",
     "v15_rank_normalize",
     "d20_incremental_dedup",
     "t20_unigram_ppl",

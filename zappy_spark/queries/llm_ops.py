@@ -142,6 +142,28 @@ def l8(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def l9(spark: SparkSession, d: str) -> DataFrame:
+    """Max-inner-product search top-k (round 4b): the retrieval
+    metric for UNNORMALIZED embeddings (recommendation scores,
+    learned rerankers) — distinct from cosine (l02) and euclidean
+    (l08) because magnitude matters. Same scale shape as both: 1-row
+    broadcast query, embarrassingly-parallel scan,
+    TakeOrderedAndProject."""
+    from zappy_spark.queries._util import dot
+
+    emb = t(spark, d, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot("embedding", "qv"), 4).alias("ip"))
+        .orderBy(F.desc("ip"), "vec_id")
+        .limit(10)
+    )
+
+
 def l10(spark: SparkSession, d: str) -> DataFrame:
     docs = t(spark, d, "documents")
     return (
@@ -163,6 +185,7 @@ QUERIES = {
     "l06_similarity_self_join": l6,
     "l07_quality_filter": l7,
     "l08_euclidean_topk": l8,
+    "l09_mips_topk": l9,
     "l10_term_frequency": l10,
 }
 
@@ -214,6 +237,14 @@ ORACLE = {
         "WHERE vec_id=0) "
         "SELECT vec_id, ROUND(list_distance(CAST(embedding AS DOUBLE[]),qv),4) d "
         "FROM embeddings, q WHERE vec_id<>0 ORDER BY d, vec_id LIMIT 10"
+    ),
+    "l09_mips_topk": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings "
+        "WHERE vec_id=0) "
+        "SELECT vec_id, ROUND(list_inner_product("
+        "CAST(embedding AS DOUBLE[]), qv), 4) ip "
+        "FROM embeddings, q WHERE vec_id<>0 "
+        "ORDER BY ip DESC, vec_id LIMIT 10"
     ),
     "l10_term_frequency": (
         "SELECT tok, COUNT(*) c FROM "

@@ -347,6 +347,43 @@ def t09(spark: SparkSession, d: str) -> DataFrame:
 # -------------------------------------------------------- similarity
 
 
+def t15(spark: SparkSession, d: str) -> DataFrame:
+    """Corpus-level vocabulary profile (round 4b): vocab size, total
+    token count, and the coverage of the top-10 tokens — the
+    corpus-health readout (a collapsing vocabulary or a top-10 that
+    covers 90% of tokens means scrape rot). ONE (token) hash
+    aggregate with map-side partials; the top-10 and the totals are
+    both derived from it, so the token stream shuffles once."""
+    docs = t(spark, d, "documents")
+    cnt = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("tk")
+        )
+        .groupBy("tk")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = cnt.agg(
+        F.count("*").alias("vocab"),
+        F.sum("c").alias("total"),
+    )
+    top10 = cnt.orderBy(F.desc("c"), "tk").limit(10).agg(
+        F.sum("c").alias("top10_tokens")
+    )
+    return (
+        totals.crossJoin(top10)
+        .select(
+            "vocab",
+            "total",
+            "top10_tokens",
+            F.round(F.col("top10_tokens") / F.col("total"), 4).alias(
+                "top10_coverage"
+            ),
+        )
+    )
+
+
 def t16(spark: SparkSession, d: str) -> DataFrame:
     """Unigram entropy per document (round 4;
     operators/text.py::token_entropy): word-soup detector — two
@@ -1071,6 +1108,7 @@ QUERIES = {
     "t12_domain_distribution": t12,
     "t13_boilerplate": t13,
     "t14_length_histogram": t14,
+    "t15_corpus_vocab": t15,
     "t16_token_entropy": t16,
     "t17_lexical_diversity": t17,
     "t18_bm25": t18,
@@ -1521,6 +1559,18 @@ ORACLE = {
         "SELECT doc_id, n_spans, n_shared, "
         "ROUND(n_shared/CAST(n_spans AS DOUBLE), 4) shared_ratio "
         "FROM agg ORDER BY shared_ratio DESC, doc_id LIMIT 100"
+    ),
+    "t15_corpus_vocab": (
+        "WITH cnt AS (SELECT tk, COUNT(*) c FROM "
+        "(SELECT unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) tk FROM documents) GROUP BY tk), "
+        "tot AS (SELECT COUNT(*) vocab, CAST(SUM(c) AS BIGINT) total "
+        "FROM cnt), "
+        "top AS (SELECT CAST(SUM(c) AS BIGINT) top10_tokens FROM "
+        "(SELECT c FROM cnt ORDER BY c DESC, tk LIMIT 10)) "
+        "SELECT vocab, total, top10_tokens, "
+        "ROUND(top10_tokens/CAST(total AS DOUBLE), 4) top10_coverage "
+        "FROM tot CROSS JOIN top"
     ),
     "t16_token_entropy": (
         "WITH ex AS (SELECT doc_id, unnest(list_filter("
