@@ -1624,3 +1624,28 @@ def test_asof_tolerance_drops_stale_matches(spark):
         tolerance=F.expr("INTERVAL 30 MINUTES"),
     ).collect()
     assert len(fwd) == 1 and fwd[0].ts_right.minute == 10
+
+
+def test_lsh_max_bucket_guards_mass_duplication(spark):
+    """A 30-clone family floods its LSH buckets; with max_bucket the
+    flood generates no candidate pairs while a genuine fuzzy pair
+    elsewhere still surfaces."""
+    from zappy_spark.operators.dedup import near_dup_pairs
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, base) for i in range(30)]  # mass-duplicated family
+    fuzzy = " ".join((["x0"] + [f"x{i}" for i in range(1, 25)]))
+    fuzzy2 = " ".join((["y0"] + [f"x{i}" for i in range(1, 25)]))
+    rows += [(100, fuzzy), (101, fuzzy2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    unguarded = near_dup_pairs(
+        df, "text", "doc_id", threshold=0.5, persist=False
+    ).collect()
+    assert sum(1 for r in unguarded if r.i < 30) == 30 * 29 / 2
+
+    guarded = near_dup_pairs(
+        df, "text", "doc_id", threshold=0.5, persist=False, max_bucket=10
+    ).collect()
+    assert all(r.i >= 100 for r in guarded), guarded
+    assert {(r.i, r.j) for r in guarded} == {(100, 101)}

@@ -128,14 +128,29 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on all
     ``rows`` hashes of any band become a candidate pair (i < j).
 
     The band key is md5(band_id || joined rows) — high-cardinality,
     so the shuffle is balanced; identical pairs found via multiple
-    bands are deduplicated."""
+    bands are deduplicated.
+
+    ``max_bucket`` (production knob; None preserves exact oracle
+    semantics): buckets with more members are dropped BEFORE the
+    self-join. A mass-duplicated family (boilerplate, mirrored
+    sites, replicated shards) floods its buckets and makes the
+    verify stage quadratic in the family size — the round-4b 100×
+    fixture demonstrated this live. Such families are exact or
+    near-exact clones; route them through md5/fingerprint dedup
+    first, and let LSH spend its verify budget on genuine fuzzy
+    pairs. Same df-cap philosophy as ``span_edges``/the anchor
+    index."""
     if rows < 1:
         raise ValueError(f"rows per band must be >= 1, got {rows}")
     banded = sig_df.select(
@@ -158,6 +173,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        banded = banded.join(small, "bucket")
     other = banded.select(
         F.col("_id").alias("_id2"), F.col("bucket").alias("bucket2")
     )
@@ -192,9 +215,12 @@ def near_dup_pairs(
     bands: int = 4,
     k: int = 3,
     persist: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded bucket
     join → exact-Jaccard verification ≥ threshold. Returns (i, j, jac).
+    ``max_bucket`` forwards to ``lsh_candidate_pairs`` — the flood
+    guard for mass-duplicated families (see there).
 
     The shingle expansion (``grams``) feeds three consumers — the
     signature aggregation and both sides of the verify join — so it is
@@ -222,7 +248,7 @@ def near_dup_pairs(
     sig = minhash_signature_from_grams(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows, max_bucket)
     ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
     return (
@@ -377,7 +403,7 @@ def containment_pairs(
     sig = minhash_signature_from_grams(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows, max_bucket)
     if anchors:
         cand = (
             cand.unionByName(
