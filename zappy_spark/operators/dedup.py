@@ -367,6 +367,7 @@ def containment_pairs(
     persist: bool = True,
     anchors: int | None = None,
     anchor_max_df: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-CONTAINMENT pairs: same generate-and-verify shape as
     ``near_dup_pairs`` (MinHash signatures → banded LSH candidates),
@@ -384,7 +385,9 @@ def containment_pairs(
     doc with containment ≥ t is missed with probability ≤ (1−t)^q
     regardless of the size ratio. The default keeps the pure banded
     pipeline (d13's oracle replays that form exactly). The verify
-    stage is exact for every candidate produced either way."""
+    stage is exact for every candidate produced either way.
+    ``max_bucket`` forwards to ``lsh_candidate_pairs`` (flood guard;
+    None preserves the exact oracle form)."""
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
     if num_hashes % bands != 0:
