@@ -1649,3 +1649,39 @@ def test_lsh_max_bucket_guards_mass_duplication(spark):
     ).collect()
     assert all(r.i >= 100 for r in guarded), guarded
     assert {(r.i, r.j) for r in guarded} == {(100, 101)}
+
+
+def test_variant_typed_extraction_semantics(spark):
+    """VARIANT (Spark 4) surface: parse_json once, typed variant_get
+    extractions equal the string-path get_json_object casts; absent
+    paths yield NULL (not an error); try_parse_json survives
+    malformed payloads where parse_json would raise."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, '{"k": 7, "tag": "a"}'), (1, '{"k": 9}'), (2, "{broken")],
+        ["id", "js"],
+    )
+    good = df.filter(F.col("id") < 2).select(
+        "id", F.parse_json("js").alias("v"), "js"
+    )
+    got = good.select(
+        "id",
+        F.variant_get("v", "$.k", "int").alias("k_var"),
+        F.get_json_object("js", "$.k").cast("int").alias("k_str"),
+        F.variant_get("v", "$.tag", "string").alias("tag"),
+        F.variant_get("v", "$.missing", "int").alias("absent"),
+    ).collect()
+    for r in got:
+        assert r.k_var == r.k_str
+        assert r.absent is None
+    assert {r.tag for r in got} == {"a", None}
+
+    tried = df.select(
+        "id", F.try_parse_json("js").alias("v")
+    ).collect()
+    assert [r.v is None for r in sorted(tried, key=lambda r: r.id)] == [
+        False,
+        False,
+        True,
+    ]

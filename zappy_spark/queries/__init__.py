@@ -104,6 +104,10 @@ _CHANGED_R4 = [
     "d15_weighted_sample",
     "r51_q20_dominant_supplier",
     "s11_session_spans",
+    # round-4c additions (this session): brand new, zero driver rows.
+    # Placed ahead of the t04/v02/v06 trio, which carry prior
+    # rows-only driver rows and so yield window slots first.
+    "l11_variant_pipeline",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

