@@ -320,3 +320,32 @@ def test_matmul_matrix_matches_numpy(spark):
     # vector path unchanged
     v = rng.normal(size=5)
     assert np.allclose(np.asarray((zf @ v).asndarray()), m @ v)
+
+
+def test_scrna_recipe_frame_matches_query_and_numpy(spark):
+    """The z27 declarative recipe, its ZappyFrame-API spelling, and
+    plain numpy all agree: filter_cells (row-sum > 6.4) →
+    normalize_total(target=100) → log1p → per-gene mean/var_pop."""
+    from tests.conftest import SF_DIR
+    from zappy_spark.queries.zappy_ops import z27
+
+    zf = ZappyFrame.from_parquet(
+        spark, f"{SF_DIR}/embeddings.parquet", "embedding", "vec_id"
+    )
+    a = zf.abs()
+    tot = a.sum(axis=1)
+    kept = a[tot > 6.4]
+    norm = (kept / kept.sum(axis=1)) * 100.0
+    lg = norm.log1p()
+    mu, s2 = lg.mean(axis=0), lg.var(axis=0, ddof=0)
+
+    q = z27(spark, SF_DIR).collect()
+    assert len(q) == zf.ncols
+    assert np.allclose(mu, [r.mu for r in q], atol=2e-6)
+    assert np.allclose(s2, [r.s2 for r in q], atol=2e-6)
+
+    m = np.abs(zf.asndarray())
+    keep = m.sum(axis=1) > 6.4
+    ref = np.log1p(m[keep] / m[keep].sum(axis=1, keepdims=True) * 100.0)
+    assert np.allclose(mu, ref.mean(axis=0))
+    assert np.allclose(s2, ref.var(axis=0))

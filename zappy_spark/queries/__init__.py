@@ -108,6 +108,7 @@ _CHANGED_R4 = [
     # Placed ahead of the t04/v02/v06 trio, which carry prior
     # rows-only driver rows and so yield window slots first.
     "l11_variant_pipeline",
+    "z27_scrna_recipe",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

@@ -360,6 +360,42 @@ def z26(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z27(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end scanpy preprocessing recipe (round 4c) — the
+    reference's real workload, chained as ONE declarative pipeline:
+    filter_cells (row-sum threshold) → normalize_total
+    (target_sum=100) → log1p → per-gene scale stats (mean, var_pop).
+    zappy runs this as four materialized ndarray passes; here it is
+    a single logical plan — one scan, the row stages fuse into one
+    codegen'd projection (transform/aggregate lambdas, zero
+    shuffles), and only the final per-dim stats shuffle ~64 groups of
+    partial aggregates. |x| stands in for counts on the synthetic
+    embeddings. The ZappyFrame-API spelling of the same chain is
+    pinned equal in test_frame.py."""
+    emb = t(spark, d, "embeddings")
+    c = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    cells = (
+        emb.select("vec_id", c.alias("c"))
+        .withColumn("tot", F.aggregate("c", F.lit(0.0), lambda a, x: a + x))
+        .filter(F.col("tot") > 6.4)
+        .withColumn(
+            "n",
+            F.transform(
+                "c", lambda x: F.log1p(x / F.col("tot") * F.lit(100.0))
+            ),
+        )
+    )
+    return (
+        cells.select(F.posexplode("n").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.var_pop("x"), 6).alias("s2"),
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -386,9 +422,22 @@ QUERIES = {
     "z24_var_axis1": z24,
     "z25_matvec": z25,
     "z26_clip_where": z26,
+    "z27_scrna_recipe": z27,
 }
 
 ORACLE = {
+    "z27_scrna_recipe": (
+        "WITH c AS (SELECT vec_id, "
+        "list_transform(embedding, x -> abs(CAST(x AS DOUBLE))) c "
+        "FROM embeddings), "
+        "tt AS (SELECT vec_id, c, list_sum(c) tot FROM c), "
+        "f AS (SELECT * FROM tt WHERE tot > 6.4), "
+        "e AS (SELECT CAST(generate_subscripts(c,1)-1 AS INT) pos, "
+        "unnest(c) x, tot FROM f) "
+        "SELECT pos, ROUND(AVG(LN(1 + x/tot*100)),6) mu, "
+        "ROUND(var_pop(LN(1 + x/tot*100)),6) s2 "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
     "z26_clip_where": (
         "SELECT l_orderkey, l_linenumber, "
         "ROUND(LEAST(GREATEST(l_quantity, 10.0), 40.0), 2) clipped, "
