@@ -141,3 +141,57 @@ def test_jsonl_round_trip_and_corrupt_quarantine(spark, tmp_path):
         tuple(r) for r in clean.select(*docs.columns).collect()
     )
     assert got == want
+
+
+def test_zarrlite_stream_tail_exactly_once(spark, tmp_path):
+    """Streaming tail of an append-only zarrlite store: each
+    availableNow drain serves exactly the chunks appended since the
+    checkpointed offset — no replays, no gaps, even when the initial
+    store ends in a short (non-uniform) last chunk."""
+    import numpy as np
+
+    from zappy_spark.frame import ZappyFrame
+    from zappy_spark.sources.zarrlite import (
+        append_zarrlite,
+        read_zarrlite,
+        read_zarrlite_stream,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # 8 rows at chunk_rows=3 -> chunks of 3/3/2: the short last chunk
+    # is the regression shape (uniform meta must not assume full).
+    a = np.arange(24, dtype=float).reshape(8, 3)
+    ZappyFrame.from_ndarray(spark, a).to_zarrlite(store, chunk_rows=3)
+
+    def drain():
+        q = (
+            read_zarrlite_stream(spark, store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 8
+
+    append_zarrlite(store, np.full((4, 3), 99.0))
+    append_zarrlite(store, np.full((2, 3), 7.0))
+    drain()
+    rows = spark.read.parquet(out).orderBy("row_id").collect()
+    assert [r.row_id for r in rows] == list(range(14))
+    assert rows[8].vec == [99.0] * 3 and rows[13].vec == [7.0] * 3
+
+    # batch reader agrees with the drained stream
+    m = read_zarrlite(spark, store).orderBy("row_id").collect()
+    assert [tuple(r) for r in m] == [tuple(r) for r in rows]
+
+    # appending a wrong width is refused before touching the store
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        append_zarrlite(store, np.ones((2, 5)))

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -74,12 +75,9 @@ class ZarrLiteReader(DataSourceReader):
     def partitions(self):
         # uneven chunks (zappy's partition_row_counts, e.g. after a
         # boolean filter) carry explicit per-chunk counts; uniform
-        # stores just record chunk_rows.
-        counts = self.meta.get("chunk_row_counts")
-        if counts is None:
-            r = self.meta["chunk_rows"]
-            counts = [r] * self.meta["n_chunks"]
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
+        # stores just record chunk_rows (short last chunk derived
+        # from shape — see _chunk_counts).
+        starts = _chunk_starts(self.meta)
         return [
             _ChunkPartition(
                 i, int(starts[i]), os.path.join(self.store, f"chunk-{i:05d}.npy")
@@ -88,14 +86,7 @@ class ZarrLiteReader(DataSourceReader):
         ]
 
     def read(self, partition: _ChunkPartition):
-        arr = np.load(partition.path).astype(np.float64, copy=False)
-        n = arr.shape[0]
-        row_ids = pa.array(
-            np.arange(partition.start_row, partition.start_row + n),
-            type=pa.int64(),
-        )
-        vecs = pa.array(list(arr), type=pa.list_(pa.float64()))
-        yield pa.RecordBatch.from_arrays([row_ids, vecs], ["row_id", "vec"])
+        return _read_chunk(partition)
 
 
 class _ChunkCommit(WriterCommitMessage):
@@ -177,6 +168,9 @@ class ZarrLiteDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> ZarrLiteWriter:
         return ZarrLiteWriter(self.options)
 
+    def streamReader(self, schema) -> "ZarrLiteStreamReader":
+        return ZarrLiteStreamReader(self.options)
+
 
 def register_zarrlite(spark: SparkSession) -> None:
     spark.dataSource.register(ZarrLiteDataSource)
@@ -250,3 +244,111 @@ def write_zarrlite(
             },
             f,
         )
+
+
+# -- streaming read side (Spark 4 Python DataSourceStreamReader) -----------
+
+
+def _load_meta(store: str) -> dict:
+    with open(os.path.join(store, "meta.json")) as f:
+        return json.load(f)
+
+
+def _chunk_counts(meta: dict) -> list[int]:
+    """Per-chunk row counts. Uniform stores record only chunk_rows;
+    their LAST chunk may be short (n_rows % chunk_rows), so derive
+    the tail count from shape — assuming chunk_rows for it would
+    mis-place every row appended after it."""
+    counts = meta.get("chunk_row_counts")
+    if counts is None:
+        r, n, k = meta["chunk_rows"], meta["shape"][0], meta["n_chunks"]
+        counts = [r] * (k - 1) + [n - r * (k - 1)] if k else []
+    return list(counts)
+
+
+def _chunk_starts(meta: dict) -> list[int]:
+    counts = _chunk_counts(meta)
+    return np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
+
+
+def _read_chunk(partition: "_ChunkPartition"):
+    arr = np.load(partition.path).astype(np.float64, copy=False)
+    n = arr.shape[0]
+    row_ids = pa.array(
+        np.arange(partition.start_row, partition.start_row + n),
+        type=pa.int64(),
+    )
+    vecs = pa.array(list(arr), type=pa.list_(pa.float64()))
+    yield pa.RecordBatch.from_arrays([row_ids, vecs], ["row_id", "vec"])
+
+
+class ZarrLiteStreamReader(DataSourceStreamReader):
+    """Micro-batch tail of an APPEND-ONLY zarrlite store: the offset
+    is the chunk count, every micro-batch serves the chunks appended
+    since the last committed offset, one InputPartition per chunk
+    (executor-side reads, same distribution as the batch reader).
+    ``append_zarrlite`` is the matching producer: chunk files land
+    first, ``meta.json`` is replaced atomically last, so a reader
+    polling ``latestOffset`` never sees a chunk that is not fully on
+    disk. Exactly-once follows from Spark's offset checkpointing —
+    a restarted query resumes from the committed chunk count (pinned
+    in test_sources round-trip-across-restart)."""
+
+    def __init__(self, options: dict):
+        self.store = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"chunk": 0}
+
+    def latestOffset(self) -> dict:
+        return {"chunk": _load_meta(self.store)["n_chunks"]}
+
+    def partitions(self, start: dict, end: dict):
+        meta = _load_meta(self.store)
+        starts = _chunk_starts(meta)
+        return [
+            _ChunkPartition(
+                i,
+                int(starts[i]),
+                os.path.join(self.store, f"chunk-{i:05d}.npy"),
+            )
+            for i in range(start["chunk"], end["chunk"])
+        ]
+
+    def read(self, partition: _ChunkPartition):
+        return _read_chunk(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def append_zarrlite(path: str, arr: "np.ndarray") -> None:
+    """Append rows to an existing store as one new chunk (producer
+    side of the streaming reader). Chunk file first, then an atomic
+    ``meta.json`` replace (tmp + rename) — a concurrent reader sees
+    either the old or the new store, never a half-written one."""
+    meta = _load_meta(path)
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim != 2 or arr.shape[1] != meta["shape"][1]:
+        raise ValueError(
+            f"appended rows must be (n, {meta['shape'][1]}), got {arr.shape}"
+        )
+    counts = _chunk_counts(meta)
+    i = meta["n_chunks"]
+    np.save(os.path.join(path, f"chunk-{i:05d}.npy"), arr)
+    new_meta = {
+        "shape": [meta["shape"][0] + arr.shape[0], meta["shape"][1]],
+        "chunk_row_counts": counts + [int(arr.shape[0])],
+        "dtype": "float64",
+        "n_chunks": i + 1,
+    }
+    tmp = os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def read_zarrlite_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.readStream`` over a zarrlite store (append-only tail)."""
+    register_zarrlite(spark)
+    return spark.readStream.format("zarrlite").option("path", path).load()
