@@ -1685,3 +1685,32 @@ def test_variant_typed_extraction_semantics(spark):
         False,
         True,
     ]
+
+
+def test_multi_split_disjoint_append_stable(spark):
+    """multi_split partitions every id into exactly one split, hits
+    the requested proportions in expectation, and never migrates an
+    id when the corpus grows (append-stability)."""
+    from zappy_spark.operators.sampling import multi_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    out = multi_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    assert 0.06 < counts["val"] / 4000 < 0.14
+    assert 0.06 < counts["test"] / 4000 < 0.14
+
+    grown = multi_split(
+        spark.range(0, 8000).withColumnRenamed("id", "k"),
+        "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    small = {r.k: r.split for r in out.collect()}
+    big = {r.k: r.split for r in grown.filter(F.col("k") < 4000).collect()}
+    assert small == big
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multi_split(df, "k", {"a": 0.5, "b": 0.4})

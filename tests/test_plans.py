@@ -560,3 +560,27 @@ def test_join5_degrades_without_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the two dim hints survive; the fact joins don't broadcast
     assert plan.count("BroadcastHashJoin") <= 2
+
+
+def test_variant_pipeline_scan_prunes_and_parses_jvm_side(spark):
+    """l11/l01: the VARIANT spelling must stay a 2-column pruned scan
+    with the parse inside the JVM aggregate — no Python stage, no
+    extra exchange beyond partial→final agg + the tiny sort."""
+    for name in ("l11_variant_pipeline", "l01_json_extract"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        rs = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "props" in rs and "event_type" in rs
+        assert "user_id" not in rs and "value" not in rs, (name, rs)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("Exchange") <= 2, (name, plan.count("Exchange"))
+
+
+def test_scrna_recipe_is_one_narrow_aggregate(spark):
+    """z27: filter_cells → normalize_total → log1p must fuse into the
+    scan-side projection; only the per-dim stats aggregate (and its
+    ordering) may shuffle. Generate-side work is row-local."""
+    plan = _plan(QUERIES["z27_scrna_recipe"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial→final agg exchange + the orderBy range exchange, max
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "Generate" in plan  # posexplode feeds the aggregate

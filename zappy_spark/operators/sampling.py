@@ -89,6 +89,32 @@ def train_val_split(
     )
 
 
+def multi_split(
+    df: DataFrame, id_col: str, splits: dict[str, float]
+) -> DataFrame:
+    """Append an n-way deterministic ``split`` column (train/val/test
+    and friends): cumulative hex thresholds over the id hash, one
+    scan-side CASE chain — no shuffle, append-stable, and disjoint by
+    construction (each id lands in exactly one range). Fractions must
+    sum to 1. The generalization of ``train_val_split``; thresholds
+    come from ``sample_threshold`` so any SQL engine replays the
+    identical assignment."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = list(splits)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    # build the CASE from the last threshold inward
+    pairs = []
+    for name, frac in splits.items():
+        cum += frac
+        pairs.append((name, sample_threshold(cum)))
+    for name, thr in reversed(pairs[:-1]):
+        expr = F.when(_hash_key(id_col) < thr, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

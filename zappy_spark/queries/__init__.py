@@ -109,6 +109,7 @@ _CHANGED_R4 = [
     # rows-only driver rows and so yield window slots first.
     "l11_variant_pipeline",
     "z27_scrna_recipe",
+    "d23_train_val_test",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

@@ -516,6 +516,29 @@ def d22(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d23(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic train/val/test split (round 4c;
+    operators/sampling.py::multi_split): 80/10/10 by id-hash
+    cumulative thresholds — one scan-side CASE, no shuffle before
+    the per-(split, lang) ledger aggregate; disjoint and
+    append-stable, so a grown corpus never migrates an id between
+    splits (the property that keeps eval sets honest across dataset
+    versions). Oracle embeds the identical 'cccccccc'/'e6666666'
+    thresholds (= sample_threshold(0.8/0.9))."""
+    from zappy_spark.operators.sampling import multi_split
+
+    docs = multi_split(
+        t(spark, d, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        docs.groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1094,6 +1117,7 @@ QUERIES = {
     "d20_incremental_dedup": d20,
     "d21_degree_dist": d21,
     "d22_e2e_corpus_prep": d22,
+    "d23_train_val_test": d23,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1617,6 +1641,15 @@ ORACLE = {
         "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) "
         "SELECT a doc_id, LEAST(a, MIN(b)) component FROM reach "
         "GROUP BY a ORDER BY doc_id LIMIT 200"
+    ),
+    "d23_train_val_test": (
+        "WITH s AS (SELECT lang, CASE "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' "
+        "THEN 'train' "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' "
+        "THEN 'val' ELSE 'test' END AS split FROM documents) "
+        "SELECT split, lang, COUNT(*) n FROM s "
+        "GROUP BY split, lang ORDER BY split, lang"
     ),
     "d22_e2e_corpus_prep": (
         # '80000000' == sampling.sample_threshold(0.5)
