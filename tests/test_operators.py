@@ -1714,3 +1714,41 @@ def test_multi_split_disjoint_append_stable(spark):
 
     with _pytest.raises(ValueError):
         multi_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_contamination_fraction_graded_gate(spark):
+    """Planted corpus: a verbatim benchmark copy scores 1.0, a doc
+    quoting one benchmark trigram scores its exact fraction, a clean
+    doc scores 0.0; decontaminate_frac drops only above the
+    threshold and keeps too-short docs."""
+    from zappy_spark.operators.dedup import (
+        contamination_fraction,
+        decontaminate_frac,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # full copy -> 1.0
+            (2, "x alpha beta gamma y z w q"),      # 1 of 6 grams
+            (3, "p q r s t u v"),                   # clean -> 0.0
+            (4, "too short"),                       # no 3-gram -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    fr = {
+        r.doc_id: r.frac
+        for r in contamination_fraction(
+            corpus, bench, "text", "doc_id", k=3
+        ).collect()
+    }
+    assert fr[1] == 1.0 and fr[3] == 0.0
+    assert abs(fr[2] - 1 / 6) < 1e-12
+    assert 4 not in fr  # no grams -> no row
+
+    kept = decontaminate_frac(
+        corpus, bench, "text", "doc_id", k=3, max_frac=0.5
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]

@@ -651,3 +651,14 @@ def test_gap_fill_stateful_equals_batch_locf(spark, tmp_path):
         (r.user_id, r.h_us): r.v_fill for r in batch.collect()
     }
     assert got_rows == batch_rows
+
+
+def test_variant_window_stream_equals_batch(spark, replay_dir):
+    """VARIANT parse/extract inside a streaming stateful aggregate:
+    drained stream equals the batch spelling of the same plan."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(jobs.variant_window_stats(stream), "t_variant")
+    batch = jobs.variant_window_stats(spark.read.parquet(replay_dir))
+    assert _rows(got, "w", "event_type", "avg_k", "max_k") == _rows(
+        batch, "w", "event_type", "avg_k", "max_k"
+    )

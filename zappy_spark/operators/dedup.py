@@ -343,6 +343,69 @@ def decontaminate(
     return df.join(bad, id_col, "left_anti")
 
 
+def contamination_fraction(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """(id, frac): the fraction of a document's DISTINCT word
+    k-grams that appear anywhere in ``benchmark``. The graded
+    sibling of ``contaminated_ids`` — any-overlap is too blunt for
+    short grams (stopword runs contaminate everything), so real
+    recipes drop on an overlap *fraction*. Scale shape is identical
+    to ``decontaminate``: benchmark gram set broadcast, corpus
+    explodes once, one per-doc count aggregate; the corpus never
+    self-joins."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_g"),
+    ).filter(F.size("_g") > 0)
+    bench_g = benchmark.select(
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("g")
+    ).distinct()
+    hits = (
+        grams.select(F.col(id_col), F.explode("_g").alias("g"))
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        grams.select(F.col(id_col), F.size("_g").alias("_n"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(F.col("_hits"), F.lit(0)).cast("double")
+                / F.col("_n")
+            ).alias("frac"),
+        )
+    )
+
+
+def decontaminate_frac(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_frac: float = 0.2,
+) -> DataFrame:
+    """Drop documents whose benchmark k-gram overlap fraction exceeds
+    ``max_frac`` (anti-join against the offender id set). Documents
+    too short to have any k-gram are kept — they cannot leak a
+    k-gram."""
+    bad = (
+        contamination_fraction(df, benchmark, text_col, id_col, k)
+        .filter(F.col("frac") > max_frac)
+        .select(id_col)
+    )
+    return df.join(bad, id_col, "left_anti")
+
+
 def ngram_containment(
     grams_a: str | Column, grams_b: str | Column
 ) -> Column:

@@ -110,6 +110,8 @@ _CHANGED_R4 = [
     "l11_variant_pipeline",
     "z27_scrna_recipe",
     "d23_train_val_test",
+    "d24_decontaminate_frac",
+    "s14_variant_window",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

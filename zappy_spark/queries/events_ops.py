@@ -315,6 +315,26 @@ def s13(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s14(spark: SparkSession, d: str) -> DataFrame:
+    """Windowed VARIANT extraction (round 4c): tumbling 1h stats of a
+    parse_json/variant_get typed field per event_type — the batch
+    spelling of streaming/jobs.py::variant_window_stats (drained
+    equality pinned in test_streaming). The semi-structured rollup
+    every event pipeline runs: parse once per arriving payload,
+    aggregate typed values under window state."""
+    ev = t(spark, d, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(
+            F.round(F.avg(k), 3).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("w", "event_type")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -329,9 +349,16 @@ QUERIES = {
     "s11_session_spans": s11,
     "s12_rolling_anomaly": s12,
     "s13_window_distinct": s13,
+    "s14_variant_window": s14,
 }
 
 ORACLE = {
+    "s14_variant_window": (
+        "SELECT date_trunc('hour', ts) w, event_type, "
+        "ROUND(AVG(CAST(json_extract_string(props,'$.k') AS INT)),3) avg_k, "
+        "MAX(CAST(json_extract_string(props,'$.k') AS INT)) max_k "
+        "FROM events GROUP BY 1, 2 ORDER BY w, event_type LIMIT 100"
+    ),
     "s12_rolling_anomaly": (
         "WITH s AS (SELECT event_id, event_type, value, "
         "COUNT(*) OVER w n_win, AVG(value) OVER w a, "

@@ -539,6 +539,30 @@ def d23(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d24(spark: SparkSession, d: str) -> DataFrame:
+    """Fractional benchmark decontamination (round 4c;
+    operators/dedup.py::decontaminate_frac): where d10 drops on ANY
+    shared 3-gram, this drops only when > 2% of a doc's distinct
+    grams hit the benchmark set (threshold picked off the corpus
+    frac distribution — p75 is 1.6%, p99 7.7% — so the gate splits
+    ~20% off instead of firing vacuously) — the graded recipe real pipelines
+    use, since any-overlap over-fires on stopword runs. Same scale
+    shape: broadcast benchmark gram set, one corpus explode, one
+    per-doc count aggregate, anti-join; the corpus never self-joins.
+    Returns the per-source survivor ledger."""
+    docs = t(spark, d, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    corpus = docs.filter(F.col("doc_id") % 100 != 7)
+    kept = dedup.decontaminate_frac(
+        corpus, bench, "text", "doc_id", k=3, max_frac=0.02
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1118,6 +1142,7 @@ QUERIES = {
     "d21_degree_dist": d21,
     "d22_e2e_corpus_prep": d22,
     "d23_train_val_test": d23,
+    "d24_decontaminate_frac": d24,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1650,6 +1675,25 @@ ORACLE = {
         "THEN 'val' ELSE 'test' END AS split FROM documents) "
         "SELECT split, lang, COUNT(*) n FROM s "
         "GROUP BY split, lang ORDER BY split, lang"
+    ),
+    "d24_decontaminate_frac": (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        "b AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 7), "
+        "n AS (SELECT doc_id, COUNT(*) n FROM sh WHERE doc_id % 100 <> 7 "
+        "GROUP BY doc_id), "
+        "h AS (SELECT sh.doc_id, COUNT(*) h FROM sh JOIN b USING (g) "
+        "WHERE sh.doc_id % 100 <> 7 GROUP BY sh.doc_id), "
+        "bad AS (SELECT n.doc_id FROM n JOIN h USING (doc_id) "
+        "WHERE CAST(h AS DOUBLE)/n > 0.02) "
+        "SELECT source, COUNT(*) n FROM documents "
+        "WHERE doc_id % 100 <> 7 "
+        "AND doc_id NOT IN (SELECT doc_id FROM bad) "
+        "GROUP BY source ORDER BY source"
     ),
     "d22_e2e_corpus_prep": (
         # '80000000' == sampling.sample_threshold(0.5)

@@ -87,6 +87,23 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def variant_window_stats(stream: DataFrame) -> DataFrame:
+    """S14 twin: tumbling 1h window stats over a VARIANT-extracted
+    typed field — ``parse_json``/``variant_get`` run inside the
+    streaming stateful aggregate (parse-once semantics per arriving
+    row, state keyed on the window). Complete mode for the
+    equivalence test; watermarked append in production."""
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.avg(k), 3).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .select(F.col("window.start").alias("w"), "event_type", "avg_k", "max_k")
+    )
+
+
 def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """S3 twin: session windows per user (requires a watermark in
     append mode; complete mode used for the equivalence test)."""
