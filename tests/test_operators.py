@@ -1752,3 +1752,45 @@ def test_contamination_fraction_graded_gate(spark):
         corpus, bench, "text", "doc_id", k=3, max_frac=0.5
     )
     assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+
+
+def test_batch_ivf_probe_recalls_and_prunes(spark, tmp_path):
+    """Batch IVF probing: every query in the batch gets its own
+    n_probe clusters; full-probe (n_probe = k) equals the exact
+    batch kNN, partial probe keeps high recall, and the scan is
+    restricted to probed clusters via the partition column."""
+    from zappy_spark.operators.similarity import (
+        batch_query_ivf_index,
+        build_ivf_index,
+        knn_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_batch_idx")
+    build_ivf_index(emb, "embedding", "vec_id", path, k=8, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in knn_join(
+            emb, queries, "embedding", "vec_id", "qv", "qid", k=10,
+            round_digits=6,
+        ).collect()
+    }
+    full = {
+        (r.qid, r.vec_id)
+        for r in batch_query_ivf_index(
+            spark, path, queries, "qv", "qid", k=10, n_probe=8
+        ).collect()
+    }
+    assert full == exact  # probing every cell IS brute force
+
+    part = batch_query_ivf_index(
+        spark, path, queries, "qv", "qid", k=10, n_probe=4
+    )
+    got = {(r.qid, r.vec_id) for r in part.collect()}
+    assert len(got) == 50  # k rows per query
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall

@@ -428,6 +428,64 @@ def query_ivf_index(
     )
 
 
+def batch_query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the IVF index for EVERY query in a batch — the
+    production retrieval shape (single-query probing re-plans per
+    query; a batch amortizes the scan).
+
+    Scale design: centroids are a k×dim table — broadcast-join the
+    query batch against them (B×k scored pairs, map-side), keep each
+    query's ``n_probe`` nearest as a (query, cluster) probe list.
+    That probe list joins the ``partitionBy(cluster)`` index on the
+    partition column with the probe side broadcast, so Spark's
+    dynamic partition pruning restricts the scan to the union of
+    probed clusters (~n_probe/k of the files when queries share
+    locality) instead of the full index. Exact cosine re-rank inside,
+    per-query window top-k — the same B×bounded-candidates shuffle as
+    ``knn_join``, never a global sort."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(path + "_centroids")
+    qd = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "_qv", "centroid", lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(d2.asc(), F.col("cluster"))
+    probes = (
+        qd.join(F.broadcast(cents))
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, "_qv", "cluster")
+    )
+    idx = spark.read.parquet(path)
+    scored = idx.join(F.broadcast(probes), "cluster").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def centroid_cohesion(
     df: DataFrame,
     vec_col: str,
