@@ -1794,3 +1794,42 @@ def test_batch_ivf_probe_recalls_and_prunes(spark, tmp_path):
     assert len(got) == 50  # k rows per query
     recall = len(got & exact) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_ivfpq_index_probe_recall_and_layout(spark, tmp_path):
+    """IVF-PQ: the probe reads only probed cells (partition filter),
+    scores by stored byte codes, and the shortlist re-rank recovers
+    most of the exact top-10; with every cell probed and a full
+    shortlist it equals the exact answer."""
+    from zappy_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        pq_codebook,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_codebook()
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, "embedding", "vec_id", path, k=8, max_iter=5,
+                      codebook=cb)
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = [
+        r.vec_id
+        for r in cosine_topk(emb, "embedding", "vec_id", qvec, 10).collect()
+    ]
+
+    n = emb.count()
+    full = query_ivfpq_index(
+        spark, path, qvec, codebook=cb, k=10, n_probe=8, rerank=n
+    )
+    assert [r.vec_id for r in full.collect()] == exact
+
+    out = query_ivfpq_index(
+        spark, path, qvec, codebook=cb, k=10, n_probe=4, rerank=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan.split("PartitionFilters:")[1][:150]
+    got = [r.vec_id for r in out.collect()]
+    assert len(set(got) & set(exact)) >= 6, got

@@ -679,11 +679,126 @@ def adc_scores(
         6,
     )
     codes = pq_codes(df, vec_col, id_col, codebook)
+    return codes.select(
+        F.col(id_col), F.round(_adc_sum(lut), 6).alias("adist")
+    )
+
+
+def _adc_sum(lut: np.ndarray) -> Column:
+    """Σ_s LUT[s][c_s] over stored code columns c0..c{m-1} — the ADC
+    lookup expression shared by the inline scorer and the IVF-PQ
+    index probe."""
     adist = None
-    for s in range(m):
+    for s in range(lut.shape[0]):
         term = F.element_at(
             F.array(*[F.lit(float(x)) for x in lut[s]]),
             F.col(f"c{s}") + 1,
         )
         adist = term if adist is None else adist + term
-    return codes.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+    return adist
+
+
+def _query_lut(codebook: np.ndarray, query_vec) -> np.ndarray:
+    m, k, sub_dim = codebook.shape
+    q = np.asarray(query_vec, dtype=float)
+    return np.round(
+        np.array(
+            [
+                [
+                    float(
+                        (
+                            (q[s * sub_dim : (s + 1) * sub_dim] - codebook[s, c])
+                            ** 2
+                        ).sum()
+                    )
+                    for c in range(k)
+                ]
+                for s in range(m)
+            ]
+        ),
+        6,
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    k: int = 8,
+    max_iter: int = 10,
+    codebook: np.ndarray | None = None,
+) -> np.ndarray:
+    """IVF-PQ: coarse k-means cells AND per-vector PQ byte codes,
+    persisted ``partitionBy(cluster)`` — the FAISS IVFPQ layout
+    (global codebook, by_residual=False, so ADC LUTs are shared
+    across cells). A probe then (a) partition-prunes to n_probe
+    cells and (b) scores candidates by reading ONLY the m small int
+    code columns; the exact float vectors are touched just for the
+    final re-rank of the shortlist. That column split — codes for
+    the scan, vectors for the top-r — is what makes a 100 TB ANN
+    probe read megabytes, not terabytes. Returns the centroids."""
+    if codebook is None:
+        codebook = pq_codebook()
+    cents = kmeans_fit(df, vec_col, id_col, k, max_iter)
+    assigned = kmeans_assign(df, vec_col, cents)
+    codes = pq_codes(assigned, vec_col, id_col, codebook)
+    full = assigned.join(codes, id_col).select(
+        id_col,
+        *[f"c{s}" for s in range(codebook.shape[0])],
+        F.col(vec_col),
+        "cluster",
+    )
+    full.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    return cents
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    query_vec,
+    codebook: np.ndarray | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: rank cells driver-side (k×dim numpy), read only
+    ``n_probe`` cells (partition pruning), score every member by ADC
+    over its STORED byte codes (scan reads id + m ints), shortlist
+    the ``rerank`` best, then exact-cosine re-rank just the
+    shortlist against the float vectors. Raising n_probe buys
+    recall with scan cost; raising rerank buys recall with re-rank
+    cost — the two standard IVF-PQ knobs."""
+    if codebook is None:
+        codebook = pq_codebook()
+    cent_rows = spark.read.parquet(path + "_centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cluster"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:n_probe]]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    lut = _query_lut(codebook, query_vec)
+    shortlist = (
+        idx.select(id_col, F.round(_adc_sum(lut), 6).alias("adist"))
+        .orderBy("adist", F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    qc = _qcol(query_vec)
+    return (
+        idx.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(
+            id_col, F.round(cosine(F.col(vec_col), qc), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
