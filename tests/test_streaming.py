@@ -662,3 +662,83 @@ def test_variant_window_stream_equals_batch(spark, replay_dir):
     assert _rows(got, "w", "event_type", "avg_k", "max_k") == _rows(
         batch, "w", "event_type", "avg_k", "max_k"
     )
+
+
+def test_streaming_corpus_prep_dedups_and_is_idempotent(
+    spark, tmp_path
+):
+    """End-to-end streaming corpus front door: quality gate →
+    fingerprint dedup (in-batch + against landed data) → hash
+    sample → append. Single-batch drain equals the batch
+    composition; incremental drains never land a duplicate
+    fingerprint; re-draining a finished stream adds nothing."""
+    import glob
+
+    from zappy_spark.operators import dedup as _dedup
+    from zappy_spark.operators import text as _text
+    from zappy_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    replay = str(tmp_path / "docs_replay")
+    # 3 id-ordered shards (ingest order follows id order)
+    docs.repartitionByRange(3, "doc_id").write.parquet(replay)
+
+    def batch_expected():
+        kept = (
+            _text.gopher_quality(docs, "text", "doc_id")
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        quality = docs.join(kept, "doc_id")
+        fp = _dedup.content_key("text", "fingerprint")
+        keep_min = (
+            quality.select(fp.alias("fp"), F.col("doc_id"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("k"))
+        )
+        surv = (
+            quality.withColumn("fp", fp)
+            .join(keep_min, "fp")
+            .filter(F.col("doc_id") == F.col("k"))
+            .drop("k")
+        )
+        return hash_sample(surv, "doc_id", 0.5)
+
+    want = sorted(r.doc_id for r in batch_expected().collect())
+
+    # one-batch drain == batch composition
+    schema = spark.read.parquet(replay).schema
+    ds1 = str(tmp_path / "ds_all")
+    q = jobs.streaming_corpus_prep(
+        spark.readStream.schema(schema).parquet(replay), ds1
+    )
+    q.processAllAvailable(); q.stop()
+    got = sorted(r.doc_id for r in spark.read.parquet(ds1).collect())
+    assert got == want
+
+    # incremental drain (1 shard per micro-batch): no duplicate fp,
+    # and ids are a subset of quality-passing sampled candidates
+    ds2 = str(tmp_path / "ds_inc")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    q = jobs.streaming_corpus_prep(stream, ds2)
+    q.processAllAvailable(); q.stop()
+    landed = spark.read.parquet(ds2)
+    fps = [r.fp for r in landed.select("fp").collect()]
+    assert len(fps) == len(set(fps)), "duplicate fingerprint landed"
+    n_before = landed.count()
+    assert n_before > 0
+
+    # re-drain a finished stream: nothing new lands
+    q = jobs.streaming_corpus_prep(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay),
+        ds2,
+    )
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(ds2).count() == n_before
+    assert len(glob.glob(ds2 + "/batch=*")) >= 3

@@ -593,6 +593,77 @@ def incremental_upsert(
     )
 
 
+def streaming_corpus_prep(
+    stream: DataFrame,
+    dataset_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_frac: float = 0.5,
+) -> "Any":
+    """Streaming twin of the d22 corpus front door: every arriving
+    micro-batch of documents runs quality gate → fingerprint dedup
+    (within the batch AND against everything already landed) →
+    deterministic hash sample → append to the dataset. The dataset
+    is the accumulated corpus a trainer reads directly.
+
+    Exactly-once: each batch writes (mode=overwrite) its own
+    ``batch=<id>`` partition directory, so a replayed batch replaces
+    itself instead of double-appending — same MVCC-lite idempotence
+    trick as ``incremental_upsert``. Cross-batch dedup anti-joins
+    the new batch's fingerprints against the landed dataset's
+    fingerprint column (a 16-byte key scan of prior batches; on a
+    real deployment that column is the dataset's primary index).
+    First-arrival wins across batches — the streaming analog of
+    keep-min, which it equals whenever ingest order follows id
+    order (pinned in test_streaming single-batch equivalence)."""
+    import glob
+    import os
+
+    from zappy_spark.operators import dedup as _dedup
+    from zappy_spark.operators import text as _text
+    from zappy_spark.operators.sampling import hash_sample
+
+    spark = stream.sparkSession
+    fp = _dedup.content_key(text_col, "fingerprint")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept_ids = (
+            _text.gopher_quality(batch_df, text_col, id_col)
+            .filter(F.col("keep") == 1)
+            .select(id_col)
+        )
+        quality = batch_df.join(kept_ids, id_col)
+        keep_min = (
+            quality.select(fp.alias("fp"), F.col(id_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("_keep_id"))
+        )
+        survivors = (
+            quality.withColumn("fp", fp)
+            .join(keep_min, "fp")
+            .filter(F.col(id_col) == F.col("_keep_id"))
+            .drop("_keep_id")
+        )
+        prior = [
+            p
+            for p in glob.glob(os.path.join(dataset_path, "batch=*"))
+            if int(p.rsplit("=", 1)[1]) != batch_id
+        ]
+        if prior:
+            old_fp = spark.read.parquet(*prior).select("fp").distinct()
+            survivors = survivors.join(old_fp, "fp", "left_anti")
+        sampled = hash_sample(survivors, id_col, sample_frac)
+        sampled.write.mode("overwrite").parquet(
+            os.path.join(dataset_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", dataset_path + "_ckpt")
+        .start()
+    )
+
+
 def latest_snapshot(
     spark: SparkSession, snapshot_path: str
 ) -> "DataFrame | None":
