@@ -25,12 +25,14 @@ exceeds the window by one: v06 — the only tier-0 entry with prior
 it leads the round-5 window. The r1/r2-stale tail queues directly
 behind and is canary-guarded per family meanwhile.
 
-ROUND-5 ROTATION PLAN (for the next session): after the round-4
-driver covers tier 0, promote _R1_STALE then _R2_STALE to the front
-of the window so every corpus entry regains a fresh driver row;
-keep any round-5 additions ahead of both. Every entry passes
-tests/test_oracle.py locally at sf0.01 (and the 10x synth fixture)
-regardless of window position."""
+ROUND-5 ROTATION PLAN (for the next session): tier 0 now holds 56
+entries (round-4c added l11/z27/d23/d24/s14 ahead of the yielding
+t04/v02/v06 trio), so a 50-entry round-4 window leaves the last six
+(d24, s14, t04, v02, v06 and one neighbor) unchecked — put those
+six FIRST in round 5, then promote _R1_STALE and _R2_STALE so every
+corpus entry regains a fresh driver row; keep any round-5 additions
+ahead of both. Every entry passes tests/test_oracle.py locally at
+sf0.01 (and the 10x synth fixture) regardless of window position."""
 
 from __future__ import annotations
 
@@ -112,6 +114,7 @@ _CHANGED_R4 = [
     "d23_train_val_test",
     "d24_decontaminate_frac",
     "s14_variant_window",
+    "m01_binary_chunk_plan",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

@@ -563,6 +563,38 @@ def d24(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m01(spark: SparkSession, d: str) -> DataFrame:
+    """Multimodal chunk-plan ledger (round 4c): treat each document's
+    bytes as an opaque binary payload (the multimodal column
+    contract — operators/multimodal.py) and expand it into fixed
+    256-byte chunk rows via sequence+explode, exactly like
+    audio_chunk_plan; the per-source ledger proves the training-
+    loader contract Σ chunk_bytes == Σ payload_bytes (the last chunk
+    truncates). Pure JVM expression work — the payload itself is
+    never opened, which is the point: chunk planning at 100 TB reads
+    metadata, not media."""
+    docs = t(spark, d, "documents")
+    nb = F.length(F.col("text").cast("binary")).cast("bigint")
+    n_chunks = F.ceil(nb / F.lit(256.0)).cast("int")
+    base = docs.select(
+        "source",
+        nb.alias("_nb"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    chunk_bytes = F.least(
+        F.lit(256).cast("bigint"), F.col("_nb") - F.col("i") * 256
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(chunk_bytes).alias("bytes"),
+            F.max(F.col("i").cast("bigint")).alias("mx"),
+        )
+        .orderBy("source")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1143,6 +1175,7 @@ QUERIES = {
     "d22_e2e_corpus_prep": d22,
     "d23_train_val_test": d23,
     "d24_decontaminate_frac": d24,
+    "m01_binary_chunk_plan": m01,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1675,6 +1708,18 @@ ORACLE = {
         "THEN 'val' ELSE 'test' END AS split FROM documents) "
         "SELECT split, lang, COUNT(*) n FROM s "
         "GROUP BY split, lang ORDER BY split, lang"
+    ),
+    "m01_binary_chunk_plan": (
+        # CAST(SUM AS BIGINT): DuckDB SUM(int) yields HUGEINT (the
+        # round-1 dtype-drift lesson)
+        "WITH p AS (SELECT source, "
+        "octet_length(CAST(text AS BLOB)) nb FROM documents), "
+        "c AS (SELECT source, nb, "
+        "unnest(generate_series(0, CAST(ceil(nb/256.0) AS INT)-1)) i "
+        "FROM p) "
+        "SELECT source, COUNT(*) n_chunks, "
+        "CAST(SUM(LEAST(256, nb - i*256)) AS BIGINT) bytes, "
+        "MAX(i) mx FROM c GROUP BY source ORDER BY source"
     ),
     "d24_decontaminate_frac": (
         "WITH t AS (SELECT doc_id, string_split(text,' ') ws "
