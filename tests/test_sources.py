@@ -195,3 +195,33 @@ def test_zarrlite_stream_tail_exactly_once(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         append_zarrlite(store, np.ones((2, 5)))
+
+
+def test_variant_column_persists_to_parquet(spark, tmp_path):
+    """The parse-once-at-ingest contract l11 documents: a VARIANT
+    column writes to parquet and reads back with typed extraction
+    intact, so downstream queries never re-parse the raw string."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_variant.parquet")
+    (
+        ev.select(
+            "event_id", "event_type", F.parse_json("props").alias("v")
+        ).write.parquet(path)
+    )
+    back = spark.read.parquet(path)
+    assert back.schema["v"].dataType.typeName() == "variant"
+    got = (
+        back.select(F.variant_get("v", "$.k", "int").alias("k"))
+        .agg(F.sum("k").alias("s"))
+        .first()["s"]
+    )
+    want = (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .agg(F.sum("k").alias("s"))
+        .first()["s"]
+    )
+    assert got == want

@@ -115,6 +115,7 @@ _CHANGED_R4 = [
     "d24_decontaminate_frac",
     "s14_variant_window",
     "m01_binary_chunk_plan",
+    "r74_salted_join",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

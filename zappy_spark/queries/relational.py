@@ -1768,6 +1768,33 @@ def r72(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r74(spark: SparkSession, d: str) -> DataFrame:
+    """Skew-salted join under the correctness gate (round 4c;
+    operators/joins.py::salted_join): lineitem's orderkeys spread
+    over 8 salt partitions, orders replicated 8×, join on
+    (key, salt) — result is EXACTLY the plain equi-join, which is
+    what the DuckDB oracle replays. The production tool for a known
+    power-law key that AQE's sort-merge skew split can't help
+    (shuffled-hash, or one key > one task's sort budget)."""
+    from zappy_spark.operators.joins import salted_join
+
+    li = t(spark, d, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    od = t(spark, d, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, od, "k", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1881,6 +1908,7 @@ QUERIES = {
     "r70_percentile_disc": r70,
     "r71_dq_audit": r71,
     "r72_histogram": r72,
+    "r74_salted_join": r74,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2416,6 +2444,12 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r74_salted_join": (
+        "SELECT o_orderpriority, ROUND(SUM(l_quantity),2) qty, "
+        "COUNT(*) n FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "r72_histogram": (
         "SELECT CAST(LEAST(19, CAST(FLOOR(l_extendedprice/5000) AS INT)) "
