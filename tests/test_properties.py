@@ -519,3 +519,41 @@ def test_bm25_matches_numpy_reference(spark):
             assert abs(got[i] - round(score, 4)) <= 1e-4, i
         else:
             assert i not in got
+
+
+def test_mapinarrow_matches_native_rowsum(spark):
+    """Z5 via mapInArrow — the zero-copy sibling of the mapInPandas
+    escape hatch (no pandas materialization; compute directly on
+    Arrow buffers). Must hash-match the native lambda plan, like the
+    pandas variant above."""
+    import pyarrow as pa
+
+    from zappy_spark.queries.zappy_ops import z5
+
+    native = z5(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def rowsum(batches):
+        import numpy as np
+
+        for b in batches:
+            la = b.column("embedding").cast(pa.list_(pa.float64()))
+            flat = np.asarray(la.values)
+            offs = np.asarray(la.offsets)
+            # reduceat over list offsets: vectorized per-row sums
+            # straight off the Arrow buffers (rows here are never
+            # empty; an empty row would need masking)
+            sums = np.round(np.add.reduceat(flat, offs[:-1]), 4)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(sums, pa.float64())],
+                ["vec_id", "s"],
+            )
+
+    via_arrow = (
+        emb.mapInArrow(rowsum, schema="vec_id long, s double")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+    assert _hash_df(via_arrow) == _hash_df(native)

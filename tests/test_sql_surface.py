@@ -77,3 +77,26 @@ def test_oracle_sql_runs_verbatim_on_spark(sql_views, name):
     s = _h(got.columns, [tuple(r) for r in got.collect()])
     o = _h(want.columns, [tuple(r) for r in want.collect()])
     assert s == o, f"{name}: SQL surface diverged from builder"
+
+
+def test_pipe_syntax_matches_builder(sql_views):
+    """Spark 4's SQL pipe syntax (|>) is part of the SQL surface: the
+    piped spelling of the r01 pricing summary hash-matches the
+    DataFrame builder."""
+    spark = sql_views
+    got = spark.sql(
+        "FROM lineitem "
+        "|> WHERE l_shipdate <= DATE '1998-09-02' "
+        "|> AGGREGATE "
+        "ROUND(SUM(l_quantity), 2) AS sq, "
+        "ROUND(SUM(l_extendedprice), 2) AS sb, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sd, "
+        "ROUND(AVG(l_quantity), 4) AS aq, "
+        "COUNT(*) AS c "
+        "GROUP BY l_returnflag, l_linestatus "
+        "|> ORDER BY l_returnflag, l_linestatus"
+    )
+    want = QUERIES["r01_pricing_summary"](spark, SF_DIR)
+    assert _h(got.columns, [tuple(r) for r in got.collect()]) == _h(
+        want.columns, [tuple(r) for r in want.collect()]
+    )
