@@ -349,3 +349,19 @@ def test_scrna_recipe_frame_matches_query_and_numpy(spark):
     ref = np.log1p(m[keep] / m[keep].sum(axis=1, keepdims=True) * 100.0)
     assert np.allclose(mu, ref.mean(axis=0))
     assert np.allclose(s2, ref.var(axis=0))
+
+
+def test_row_median_matches_numpy(spark):
+    """median(axis=1) for odd and even widths; axis=0 refused with
+    guidance to the aggregate form."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    for shape in [(9, 7), (8, 6)]:
+        m = rng.normal(size=shape)
+        zf = ZappyFrame.from_ndarray(spark, m, num_partitions=2)
+        assert np.allclose(
+            zf.median(axis=1).asndarray(), np.median(m, axis=1)
+        )
+    with _pytest.raises(NotImplementedError):
+        ZappyFrame.from_ndarray(spark, rng.normal(size=(3, 3))).median(axis=0)

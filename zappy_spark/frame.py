@@ -508,6 +508,30 @@ class ZappyFrame:
             lambda x, c: F.when(c != 0.0, x).otherwise(F.lit(val)),
         )
 
+    def median(self, axis: int = 1) -> "ZappyVector":
+        """Per-row median (np.median(axis=1) — scanpy's
+        normalize_per_cell gather, SURVEY §2.1 MED row): sort the
+        row's array once and interpolate the middle, all JVM-side
+        (array_sort + element_at), one scan, zero shuffles. axis=0
+        (per-column median over all rows) is the z20 aggregate form —
+        use percentile on to_columns output for that."""
+        if axis != 1:
+            raise NotImplementedError(
+                "median(axis=0) is an aggregate — use the z20 form "
+                "(F.percentile on to_columns output)"
+            )
+        n = self.ncols
+        srt = F.array_sort(F.transform("vec", lambda x: x.cast(_D)))
+        if n % 2 == 1:
+            med = F.element_at(srt, n // 2 + 1)
+        else:
+            med = (
+                F.element_at(srt, n // 2) + F.element_at(srt, n // 2 + 1)
+            ) / 2.0
+        return ZappyVector(
+            self.df.select("row_id", med.alias("value"))
+        )
+
     def cumsum(self, axis: int = 1) -> "ZappyFrame":
         """numpy ``cumsum`` along rows (axis=1): per-row prefix sums
         via one array-accumulator ``aggregate`` lambda — scan-side at

@@ -116,6 +116,7 @@ _CHANGED_R4 = [
     "s14_variant_window",
     "m01_binary_chunk_plan",
     "r74_salted_join",
+    "z28_row_median",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

@@ -396,6 +396,24 @@ def z27(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z28(spark: SparkSession, d: str) -> DataFrame:
+    """Per-row median (round 4c; np.median(axis=1), the scanpy
+    normalize_per_cell gather — ZappyFrame.median uses the identical
+    expression): array_sort once per row, interpolate the middle two
+    of the 64-wide embedding, all JVM-side in one scan. The oracle
+    replays the same sort+interpolate in DuckDB list functions."""
+    emb = t(spark, d, "embeddings")
+    srt = F.array_sort(
+        F.transform("embedding", lambda x: x.cast("double"))
+    )
+    med = (F.element_at(srt, 32) + F.element_at(srt, 33)) / 2.0
+    return (
+        emb.select("vec_id", F.round(med, 6).alias("m"))
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -423,9 +441,17 @@ QUERIES = {
     "z25_matvec": z25,
     "z26_clip_where": z26,
     "z27_scrna_recipe": z27,
+    "z28_row_median": z28,
 }
 
 ORACLE = {
+    "z28_row_median": (
+        "WITH e AS (SELECT vec_id, "
+        "list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE))) s "
+        "FROM embeddings) "
+        "SELECT vec_id, ROUND((s[32]+s[33])/2.0, 6) m "
+        "FROM e ORDER BY vec_id LIMIT 100"
+    ),
     "z27_scrna_recipe": (
         "WITH c AS (SELECT vec_id, "
         "list_transform(embedding, x -> abs(CAST(x AS DOUBLE))) c "
