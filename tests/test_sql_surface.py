@@ -38,6 +38,7 @@ PORTABLE = [
     "r40_bucketed_ranking", "r41_recursive_cte", "r42_zorder_key",
     "r43_correlated_subquery", "r44_q21_sole_late", "r45_q22_no_urgent",
     "r46_q13_custdist", "r48_q11_shape", "r49_q15_shape",
+    "r74_salted_join", "r75_filtered_aggs",
     "r50_dataset_diff", "r52_q6_scan_only", "r53_q4_priority_exists",
     "r54_q7_volume_shipping", "r55_q8_market_share", "r56_q9_profit",
     "r57_q10_returned_items", "r58_q14_promo_effect",

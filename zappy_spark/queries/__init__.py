@@ -117,6 +117,7 @@ _CHANGED_R4 = [
     "m01_binary_chunk_plan",
     "r74_salted_join",
     "z28_row_median",
+    "r75_filtered_aggs",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

@@ -1795,6 +1795,31 @@ def r74(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r75(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI aggregate FILTER clause (round 4c): per-group conditional
+    aggregates spelled with FILTER (WHERE ...) — same plan as the
+    CASE spelling (r21), but the declarative ANSI surface a SQL user
+    ports unchanged; runs verbatim on both engines (portable set,
+    test_sql_surface). Still one partial→final hash aggregate."""
+    li = t(spark, d, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "COUNT(*) FILTER (WHERE l_quantity > 25)"
+            ).alias("big"),
+            F.expr(
+                "ROUND(SUM(l_extendedprice) "
+                "FILTER (WHERE l_discount > 0.05), 2)"
+            ).alias("disc_rev"),
+            F.expr(
+                "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0.0), 4)"
+            ).alias("notax_q"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1909,6 +1934,7 @@ QUERIES = {
     "r71_dq_audit": r71,
     "r72_histogram": r72,
     "r74_salted_join": r74,
+    "r75_filtered_aggs": r75,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2444,6 +2470,14 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r75_filtered_aggs": (
+        "SELECT l_returnflag, "
+        "COUNT(*) FILTER (WHERE l_quantity > 25) big, "
+        "ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) "
+        "disc_rev, "
+        "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0.0), 4) notax_q "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "r74_salted_join": (
         "SELECT o_orderpriority, ROUND(SUM(l_quantity),2) qty, "
