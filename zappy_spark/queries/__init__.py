@@ -25,14 +25,15 @@ exceeds the window by one: v06 — the only tier-0 entry with prior
 it leads the round-5 window. The r1/r2-stale tail queues directly
 behind and is canary-guarded per family meanwhile.
 
-ROUND-5 ROTATION PLAN (for the next session): tier 0 now holds 56
-entries (round-4c added l11/z27/d23/d24/s14 ahead of the yielding
-t04/v02/v06 trio), so a 50-entry round-4 window leaves the last six
-(d24, s14, t04, v02, v06 and one neighbor) unchecked — put those
-six FIRST in round 5, then promote _R1_STALE and _R2_STALE so every
-corpus entry regains a fresh driver row; keep any round-5 additions
-ahead of both. Every entry passes tests/test_oracle.py locally at
-sf0.01 (and the 10x synth fixture) regardless of window position."""
+ROUND-5 ROTATION PLAN (for the next session): tier 0 now holds 60
+entries (round-4c added l11, z27, d23, d24, s14, m01, r74, z28,
+r75 ahead of the yielding t04/v02/v06 trio), so a 50-entry round-4
+window leaves the last ten (s14 through v06) unchecked — put those
+ten FIRST in round 5, then promote _R1_STALE and _R2_STALE so
+every corpus entry regains a fresh driver row; keep any round-5
+additions ahead of both. Every entry passes tests/test_oracle.py
+locally at sf0.001/sf0.01/sf0.1 AND the 10x synth fixture (4c
+entries also at 100x) regardless of window position."""
 
 from __future__ import annotations
 
