@@ -1833,3 +1833,31 @@ def test_ivfpq_index_probe_recall_and_layout(spark, tmp_path):
     assert "cluster" in plan.split("PartitionFilters:")[1][:150]
     got = [r.vec_id for r in out.collect()]
     assert len(set(got) & set(exact)) >= 6, got
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """diagnostics.observed: metrics arrive with the action itself —
+    no second scan — and report the same numbers a separate
+    aggregate would."""
+    from zappy_spark.operators.diagnostics import observed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    flt = li.filter(F.col("l_quantity") > 25)
+    obs_df, obs = observed(
+        flt,
+        "gate",
+        {
+            "rows": F.count(F.lit(1)),
+            "qty": F.round(F.sum("l_quantity"), 2),
+            "null_disc": F.count(F.when(F.col("l_discount").isNull(), 1)),
+        },
+    )
+    n_action = obs_df.count()  # the one and only pass
+    got = obs.get
+    want = flt.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    ).first()
+    assert got["rows"] == n_action == want["rows"]
+    assert got["qty"] == want["qty"]
+    assert got["null_disc"] == 0

@@ -1820,6 +1820,31 @@ def r75(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r76(spark: SparkSession, d: str) -> DataFrame:
+    """Error-safe arithmetic (round 4c): ``try_divide`` turns
+    division-by-zero into NULL instead of an ANSI error, ``try_cast``
+    parses the parseable and nulls the rest — the data-quality
+    contract for raw-corpus arithmetic, where one dirty row must not
+    kill a 12-hour job (same philosophy as the JSONL PERMISSIVE
+    quarantine). The oracle replays NULL-on-zero and TRY_CAST in
+    DuckDB. One hash aggregate; everything scan-side."""
+    li = t(spark, d, "lineitem")
+    ratio = F.try_divide("l_extendedprice", "l_discount")
+    stringy = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.col("l_quantity").cast("string"),
+    ).otherwise(F.col("l_returnflag"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(ratio.isNull(), 1)).alias("zero_disc"),
+            F.round(F.sum(ratio), 2).alias("ratio_sum"),
+            F.count(stringy.try_cast("double")).alias("parsed"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1935,6 +1960,7 @@ QUERIES = {
     "r72_histogram": r72,
     "r74_salted_join": r74,
     "r75_filtered_aggs": r75,
+    "r76_try_arithmetic": r76,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2470,6 +2496,16 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r76_try_arithmetic": (
+        "SELECT l_returnflag, "
+        "COUNT(CASE WHEN l_discount = 0 THEN 1 END) zero_disc, "
+        "ROUND(SUM(CASE WHEN l_discount <> 0 "
+        "THEN l_extendedprice / l_discount END), 2) ratio_sum, "
+        "COUNT(TRY_CAST(CASE WHEN l_linenumber % 2 = 0 "
+        "THEN CAST(l_quantity AS VARCHAR) ELSE l_returnflag END "
+        "AS DOUBLE)) parsed "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "r75_filtered_aggs": (
         "SELECT l_returnflag, "
