@@ -742,3 +742,44 @@ def test_streaming_corpus_prep_dedups_and_is_idempotent(
     q.processAllAvailable(); q.stop()
     assert spark.read.parquet(ds2).count() == n_before
     assert len(glob.glob(ds2 + "/batch=*")) >= 3
+
+
+def test_incremental_moments_equal_batch_exactly(spark, tmp_path):
+    """Streamed moment partials merge to EXACT batch moments (the
+    partials are additive integers/sums, so equality is to float
+    addition-order tolerance), and a re-drained stream changes
+    nothing."""
+    import numpy as np
+
+    from zappy_spark.operators.linalg import moments
+
+    emb = spark.read.parquet(f"{SF_SMOKE_DIR}/embeddings.parquet")
+    replay = str(tmp_path / "emb_replay")
+    emb.repartitionByRange(3, "vec_id").write.parquet(replay)
+
+    schema = spark.read.parquet(replay).schema
+    state = str(tmp_path / "mom_state")
+    q = jobs.incremental_moments(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay),
+        "embedding",
+        state,
+    )
+    q.processAllAvailable(); q.stop()
+
+    n_b, mu_b, cov_b = moments(emb, "embedding")
+    n_s, mu_s, cov_s = jobs.merged_moments(spark, state)
+    assert n_s == n_b
+    assert np.allclose(mu_s, mu_b) and np.allclose(cov_s, cov_b)
+
+    q = jobs.incremental_moments(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay),
+        "embedding",
+        state,
+    )
+    q.processAllAvailable(); q.stop()
+    n_s2, mu_s2, cov_s2 = jobs.merged_moments(spark, state)
+    assert n_s2 == n_b and np.allclose(cov_s2, cov_b)

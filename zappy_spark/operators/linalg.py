@@ -32,11 +32,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
-    """(n, mean[d], cov[d,d]) of an array column, one distributed pass.
-
-    Covariance is the sample covariance (ddof=1, numpy.cov parity).
-    """
+def moment_partials(
+    df: DataFrame, vec_col: str
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Additive moment partials (n, Σx[d], ΣxxT[d*d] flat) of an
+    array column in one distributed pass — Arrow-batched per-partition
+    numpy, then a driver sum of ≤ num_partitions tiny rows. Additive
+    means mergeable: partials from disjoint row sets sum to the whole
+    — the property the incremental/streaming moments job builds on."""
     def partials(batches):
         import pandas as pd
 
@@ -59,14 +62,31 @@ def moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
         .collect()
     )
     if not rows:
-        raise ValueError("moments() of an empty frame")
+        raise ValueError("moment_partials() of an empty frame")
     n = sum(r["n"] for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     g = np.sum([np.asarray(r["g"]) for r in rows], axis=0)
+    return n, s, g
+
+
+def moments_from_partials(
+    n: int, s: np.ndarray, g: np.ndarray
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, cov) from additive partials (ddof=1, numpy.cov
+    parity) — the single definition both the batch and the streaming
+    moments paths finish with."""
     d = s.shape[0]
     mu = s / n
     cov = (g.reshape(d, d) - n * np.outer(mu, mu)) / max(n - 1, 1)
     return n, mu, cov
+
+
+def moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean[d], cov[d,d]) of an array column, one distributed pass.
+
+    Covariance is the sample covariance (ddof=1, numpy.cov parity).
+    """
+    return moments_from_partials(*moment_partials(df, vec_col))
 
 
 def pca_fit(

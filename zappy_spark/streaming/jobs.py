@@ -664,6 +664,61 @@ def streaming_corpus_prep(
     )
 
 
+def incremental_moments(
+    stream: DataFrame, vec_col: str, state_path: str
+) -> "Any":
+    """Streaming covariance/PCA state (the streaming sibling of
+    operators/linalg.py::moments): each micro-batch computes its
+    ADDITIVE moment partials (n, Σx, ΣxxT — a single 1-row write per
+    batch, d + d² doubles) into its own ``batch=<id>`` directory;
+    ``merged_moments`` sums them into exact whole-stream moments at
+    any time. A PCA over an endless embedding stream therefore never
+    revisits old data and carries no per-row state — the 100 TB way
+    to keep second-order statistics fresh. Idempotent on replay: a
+    re-run batch overwrites its own directory with identical
+    partials."""
+    import os
+
+    from zappy_spark.operators.linalg import moment_partials
+
+    spark = stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n, s, g = moment_partials(batch_df, vec_col)
+        spark.createDataFrame(
+            [(int(n), [float(x) for x in s], [float(x) for x in g])],
+            "n bigint, s array<double>, g array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def merged_moments(
+    spark: SparkSession, state_path: str
+) -> "tuple[int, Any, Any]":
+    """(n, mean, cov) from the accumulated partial directories —
+    a read of a few tiny rows, not of the stream's data."""
+    import numpy as np
+
+    from zappy_spark.operators.linalg import moments_from_partials
+
+    rows = spark.read.parquet(state_path).collect()
+    if not rows:
+        raise ValueError(f"no moment state at {state_path}")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in rows], axis=0)
+    return moments_from_partials(n, s, g)
+
+
 def latest_snapshot(
     spark: SparkSession, snapshot_path: str
 ) -> "DataFrame | None":
