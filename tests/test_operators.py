@@ -1861,3 +1861,30 @@ def test_observed_metrics_ride_the_action(spark):
     assert got["rows"] == n_action == want["rows"]
     assert got["qty"] == want["qty"]
     assert got["null_disc"] == 0
+
+
+def test_psi_report_detects_planted_drift(spark):
+    """Identical distributions → PSI ~0; a shifted distribution →
+    PSI over the 0.25 drift rule of thumb."""
+    from zappy_spark.operators.diagnostics import psi_report
+
+    base = spark.range(0, 4000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    same = psi_report(base, base, "v", 0.0, 10.0, 10).agg(
+        F.sum("term").alias("psi")
+    ).first()["psi"]
+    assert abs(same) < 1e-9
+
+    shifted = spark.range(0, 4000).select(
+        (((F.col("id") % 100) * 0.4) + 55.0).alias("v")
+    )
+    psi = psi_report(base, shifted, "v", 0.0, 10.0, 10).agg(
+        F.sum("term").alias("psi")
+    ).first()["psi"]
+    assert psi > 0.25, psi
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_report(base, base, "v", 0.0, 0.0, 10)

@@ -134,3 +134,51 @@ def observed(df: DataFrame, name: str, metrics: dict[str, "F.Column"]):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Population Stability Index report between a reference and a
+    current dataset over fixed equal-width buckets: per bucket,
+    (bucket, pr, pc, term) with term = (pr − pc)·ln(pr/pc); the PSI
+    is the sum of terms (rule of thumb: < 0.1 stable, > 0.25 drifted).
+    The training-data drift alarm — run it between yesterday's and
+    today's corpus before a model sees either.
+
+    Fixed literal edges (not quantiles) so the report is replayable
+    in any engine and comparable across runs; empty buckets would
+    need Laplace smoothing — callers pick ranges that cover both
+    sides. Scale shape: one scan + one ≤n_buckets-key aggregate per
+    side, then a broadcast-sized join of two tiny frames."""
+    if n_buckets < 2 or width <= 0:
+        raise ValueError("need n_buckets >= 2 and width > 0")
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("bigint"),
+        F.floor((F.col(value_col) - lo) / width).cast("bigint"),
+    ).alias("bucket")
+
+    def dist(df: DataFrame, out: str) -> DataFrame:
+        counts = df.select(bucket).groupBy("bucket").count()
+        total = df.count()
+        return counts.select(
+            "bucket", (F.col("count") / F.lit(float(total))).alias(out)
+        )
+
+    pr, pc = dist(ref, "pr"), dist(cur, "pc")
+    term = (F.col("pr") - F.col("pc")) * F.log(F.col("pr") / F.col("pc"))
+    return (
+        pr.join(pc, "bucket")
+        .select(
+            "bucket",
+            F.round("pr", 6).alias("pr"),
+            F.round("pc", 6).alias("pc"),
+            F.round(term, 6).alias("term"),
+        )
+        .orderBy("bucket")
+    )

@@ -595,6 +595,23 @@ def m01(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d25(spark: SparkSession, d: str) -> DataFrame:
+    """Dataset drift report (round 4c;
+    operators/diagnostics.py::psi_report): Population Stability
+    Index terms between two dataset halves (even/odd orderkey) over
+    10 fixed price buckets — the drift alarm a training pipeline
+    runs between corpus versions before retraining. Per-side
+    distributions are one ≤10-key aggregate each; the join of two
+    10-row frames is noise. Fixed literal edges keep the report
+    engine-replayable (the oracle) and comparable across runs."""
+    from zappy_spark.operators.diagnostics import psi_report
+
+    li = t(spark, d, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 != 0)
+    return psi_report(ref, cur, "l_extendedprice", 0.0, 10000.0, 10)
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1176,6 +1193,7 @@ QUERIES = {
     "d23_train_val_test": d23,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
+    "d25_psi_drift": d25,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1708,6 +1726,19 @@ ORACLE = {
         "THEN 'val' ELSE 'test' END AS split FROM documents) "
         "SELECT split, lang, COUNT(*) n FROM s "
         "GROUP BY split, lang ORDER BY split, lang"
+    ),
+    "d25_psi_drift": (
+        "WITH b AS (SELECT LEAST(9, CAST(floor(l_extendedprice/10000) "
+        "AS BIGINT)) bucket, (l_orderkey % 2 = 0) AS is_ref FROM lineitem), "
+        "pr AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) / "
+        "(SELECT COUNT(*) FROM b WHERE is_ref) p FROM b WHERE is_ref "
+        "GROUP BY bucket), "
+        "pc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) / "
+        "(SELECT COUNT(*) FROM b WHERE NOT is_ref) p FROM b "
+        "WHERE NOT is_ref GROUP BY bucket) "
+        "SELECT pr.bucket, ROUND(pr.p, 6) pr, ROUND(pc.p, 6) pc, "
+        "ROUND((pr.p - pc.p) * LN(pr.p / pc.p), 6) term "
+        "FROM pr JOIN pc USING (bucket) ORDER BY bucket"
     ),
     "m01_binary_chunk_plan": (
         # CAST(SUM AS BIGINT): DuckDB SUM(int) yields HUGEINT (the
