@@ -783,3 +783,44 @@ def test_incremental_moments_equal_batch_exactly(spark, tmp_path):
     q.processAllAvailable(); q.stop()
     n_s2, mu_s2, cov_s2 = jobs.merged_moments(spark, state)
     assert n_s2 == n_b and np.allclose(cov_s2, cov_b)
+
+
+def test_streaming_ivf_index_matches_batch_probe(spark, tmp_path):
+    """An IVF index built by streaming appends answers probes
+    identically to the batch-built index (same fixed quantizer),
+    and the nested batch=/cluster= layout still partition-prunes."""
+    from zappy_spark.operators.similarity import (
+        build_ivf_index,
+        kmeans_fit,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE_DIR}/embeddings.parquet")
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=4)
+
+    batch_path = str(tmp_path / "ivf_batch")
+    build_ivf_index(emb, "embedding", "vec_id", batch_path, k=4, max_iter=4)
+
+    replay = str(tmp_path / "emb_replay")
+    emb.repartitionByRange(3, "vec_id").write.parquet(replay)
+    schema = spark.read.parquet(replay).schema
+    stream_path = str(tmp_path / "ivf_stream")
+    q = jobs.streaming_index_append(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay),
+        cents,
+        stream_path,
+    )
+    q.processAllAvailable(); q.stop()
+    jobs.write_centroids(spark, cents, stream_path)
+
+    assert spark.read.parquet(stream_path).count() == emb.count()
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    got = query_ivf_index(spark, stream_path, qvec, k=10, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan.split("PartitionFilters:")[1][:200]
+    want = query_ivf_index(spark, batch_path, qvec, k=10, n_probe=2)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]

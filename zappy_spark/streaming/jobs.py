@@ -701,6 +701,51 @@ def incremental_moments(
     )
 
 
+def streaming_index_append(
+    stream: DataFrame,
+    centroids: "Any",
+    index_path: str,
+    vec_col: str = "embedding",
+) -> "Any":
+    """Online IVF index ingestion: new embeddings stream in, each
+    micro-batch is assigned to the FIXED coarse centroids (literal
+    expressions — the standard serving split: retrain the quantizer
+    offline, assign online) and appended under
+    ``batch=<id>/cluster=<c>`` — idempotent per batch, and the
+    nested layout keeps ``cluster`` a partition column, so probes
+    partition-prune exactly as on a batch-built index. Write the
+    centroids once with ``write_centroids`` so probe helpers find
+    them."""
+    import os
+
+    from zappy_spark.operators.similarity import kmeans_assign
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = kmeans_assign(batch_df, vec_col, centroids)
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", index_path + "_ckpt")
+        .start()
+    )
+
+
+def write_centroids(spark: SparkSession, centroids: "Any", index_path: str) -> None:
+    """Persist the coarse quantizer next to a (streamed or batch)
+    index, in the layout the probe helpers read."""
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(index_path + "_centroids")
+
+
 def merged_moments(
     spark: SparkSession, state_path: str
 ) -> "tuple[int, Any, Any]":
