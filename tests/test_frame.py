@@ -365,3 +365,16 @@ def test_row_median_matches_numpy(spark):
         )
     with _pytest.raises(NotImplementedError):
         ZappyFrame.from_ndarray(spark, rng.normal(size=(3, 3))).median(axis=0)
+
+
+def test_argmax_argmin_match_numpy(spark):
+    rng = np.random.default_rng(17)
+    m = rng.normal(size=(12, 9))
+    m[3, 2] = m[3, 7] = m[3].max() + 1.0  # planted tie -> first wins
+    zf = ZappyFrame.from_ndarray(spark, m, num_partitions=3)
+    assert np.array_equal(
+        zf.argmax(axis=1).asndarray().astype(int), np.argmax(m, axis=1)
+    )
+    assert np.array_equal(
+        zf.argmin(axis=1).asndarray().astype(int), np.argmin(m, axis=1)
+    )

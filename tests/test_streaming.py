@@ -824,3 +824,35 @@ def test_streaming_ivf_index_matches_batch_probe(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_observed_metrics_in_streaming_progress(spark, replay_dir):
+    """df.observe on a stream: per-batch metrics surface in the
+    StreamingQuery progress events — pipeline health without a
+    second pass, the streaming face of diagnostics.observed."""
+    from pyspark.sql import Observation
+
+    stream = jobs.stream_events(spark, replay_dir)
+    observed = stream.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_vals"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option(
+            "checkpointLocation", replay_dir + "_obs_ckpt"
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p.observedMetrics]
+    q.stop()
+    rows = sum(
+        p.observedMetrics["ingest"]["rows"] for p in progresses
+    )
+    batch = spark.read.parquet(replay_dir)
+    assert rows == batch.count()
+    assert all(
+        p.observedMetrics["ingest"]["null_vals"] == 0 for p in progresses
+    )

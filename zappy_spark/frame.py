@@ -508,6 +508,26 @@ class ZappyFrame:
             lambda x, c: F.when(c != 0.0, x).otherwise(F.lit(val)),
         )
 
+    def argmax(self, axis: int = 1) -> "ZappyVector":
+        """Per-row index of the max (np.argmax(axis=1), 0-based,
+        first occurrence on ties — numpy semantics): one
+        array_position over the row, JVM-side, zero shuffles."""
+        return self._arg_extreme(axis, F.array_max)
+
+    def argmin(self, axis: int = 1) -> "ZappyVector":
+        """Per-row index of the min (np.argmin(axis=1))."""
+        return self._arg_extreme(axis, F.array_min)
+
+    def _arg_extreme(self, axis: int, extreme_fn) -> "ZappyVector":
+        if axis != 1:
+            raise NotImplementedError(
+                "argmax/argmin(axis=0) is an aggregate — use max_by "
+                "over to_columns output"
+            )
+        v = F.transform("vec", lambda x: x.cast(_D))
+        idx = (F.array_position(v, extreme_fn(v)) - 1).cast("double")
+        return ZappyVector(self.df.select("row_id", idx.alias("value")))
+
     def median(self, axis: int = 1) -> "ZappyVector":
         """Per-row median (np.median(axis=1) — scanpy's
         normalize_per_cell gather, SURVEY §2.1 MED row): sort the
