@@ -1845,6 +1845,35 @@ def r76(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r77(spark: SparkSession, d: str) -> DataFrame:
+    """Cohort retention (round 4c): users grouped by first-seen day
+    (their cohort), counted on each later active day as a day
+    offset — the product-analytics staple. Three narrow shuffles
+    regardless of event volume: per-user min(ts), a distinct on
+    (user, day), and the (cohort, offset) count-distinct; the
+    per-user frames are |users|-sized, not |events|-sized, which is
+    what keeps the shape viable when events are 10^12 rows."""
+    ev = t(spark, d, "events")
+    # to_date, not date_trunc: the oracle's calendar type is DATE,
+    # and a midnight TIMESTAMP hashes differently (dtype parity)
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff("day", "cohort").cast("bigint").alias("offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("cohort", "offset")
+        .limit(100)
+    )
+
+
 def b4(spark: SparkSession, d: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     return (
@@ -1961,6 +1990,7 @@ QUERIES = {
     "r74_salted_join": r74,
     "r75_filtered_aggs": r75,
     "r76_try_arithmetic": r76,
+    "r77_cohort_retention": r77,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2496,6 +2526,17 @@ ORACLE = {
         "SELECT (SELECT COUNT(*) FROM s) stage_signup, "
         "(SELECT COUNT(*) FROM c) stage_click, "
         "(SELECT COUNT(*) FROM p) stage_purchase"
+    ),
+    "r77_cohort_retention": (
+        "WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) cohort "
+        "FROM events GROUP BY user_id), "
+        "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d "
+        "FROM events) "
+        "SELECT cohort, date_diff('day', cohort, d) \"offset\", "
+        "COUNT(DISTINCT user_id) users "
+        "FROM a JOIN f USING (user_id) "
+        "GROUP BY cohort, \"offset\" ORDER BY cohort, \"offset\" "
+        "LIMIT 100"
     ),
     "r76_try_arithmetic": (
         "SELECT l_returnflag, "
