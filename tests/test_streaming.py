@@ -856,3 +856,40 @@ def test_observed_metrics_in_streaming_progress(spark, replay_dir):
     assert all(
         p.observedMetrics["ingest"]["null_vals"] == 0 for p in progresses
     )
+
+
+def test_zarrlite_stream_feeds_incremental_moments(spark, tmp_path):
+    """Integration: the zarrlite streaming tail drives the
+    incremental-moments job — appended matrix chunks update the
+    covariance state to exactly the batch moments of the grown
+    store."""
+    import numpy as np
+
+    from zappy_spark.frame import ZappyFrame
+    from zappy_spark.operators.linalg import moments
+    from zappy_spark.sources.zarrlite import (
+        append_zarrlite,
+        read_zarrlite,
+        read_zarrlite_stream,
+    )
+
+    store = str(tmp_path / "store")
+    state = str(tmp_path / "mstate")
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(20, 6))
+    ZappyFrame.from_ndarray(spark, a).to_zarrlite(store, chunk_rows=7)
+
+    def drain():
+        q = jobs.incremental_moments(
+            read_zarrlite_stream(spark, store), "vec", state
+        )
+        q.processAllAvailable(); q.stop()
+
+    drain()
+    append_zarrlite(store, rng.normal(size=(8, 6)))
+    drain()
+
+    n_s, mu_s, cov_s = jobs.merged_moments(spark, state)
+    n_b, mu_b, cov_b = moments(read_zarrlite(spark, store), "vec")
+    assert n_s == n_b == 28
+    assert np.allclose(mu_s, mu_b) and np.allclose(cov_s, cov_b)

@@ -335,6 +335,27 @@ def s14(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s15(spark: SparkSession, d: str) -> DataFrame:
+    """Event-transition matrix (round 4c): per-user lag(event_type)
+    over event time, counted into (prev, cur) transition pairs — the
+    Markov-chain readout behind sessionized behavior models. Batch
+    spelling of the prev-event state machine (s7's stateful twin
+    keeps one last-event row per user in streaming). One window
+    shuffle on user_id, then a ≤|types|² aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, d, "events")
+        .select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev", "cur")
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -350,9 +371,18 @@ QUERIES = {
     "s12_rolling_anomaly": s12,
     "s13_window_distinct": s13,
     "s14_variant_window": s14,
+    "s15_transition_matrix": s15,
 }
 
 ORACLE = {
+    "s15_transition_matrix": (
+        "WITH x AS (SELECT user_id, event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) prev FROM events) "
+        "SELECT prev, event_type cur, COUNT(*) n FROM x "
+        "WHERE prev IS NOT NULL GROUP BY prev, cur "
+        "ORDER BY prev, cur"
+    ),
     "s14_variant_window": (
         "SELECT date_trunc('hour', ts) w, event_type, "
         "ROUND(AVG(CAST(json_extract_string(props,'$.k') AS INT)),3) avg_k, "
