@@ -356,6 +356,35 @@ def s15(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s16(spark: SparkSession, d: str) -> DataFrame:
+    """Per-user EWMA (round 4c): a sequential recurrence
+    (acc = 0.7·acc + 0.3·x over event-time order) expressed as ONE
+    Catalyst array fold — array_sort(collect_list(struct)) then
+    ``aggregate``, no UDF, no iterative driver loop. The per-user
+    array is bounded by events-per-user (state the same size the
+    streaming stateful twin would keep), so the shuffle is one
+    user-keyed aggregate; at 10^12 events the per-user bound, not
+    the event count, sizes memory. DuckDB replays it with
+    list(ORDER BY)+list_reduce."""
+    ev = t(spark, d, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vs = F.transform("evs", lambda e: e["value"])
+    ewma = F.aggregate(
+        F.slice(vs, 2, 2_000_000_000),
+        F.element_at(vs, 1),
+        lambda acc, x: acc * 0.7 + x * 0.3,
+    )
+    return (
+        ordered.select("user_id", F.round(ewma, 6).alias("ewma"))
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -372,9 +401,18 @@ QUERIES = {
     "s13_window_distinct": s13,
     "s14_variant_window": s14,
     "s15_transition_matrix": s15,
+    "s16_user_ewma": s16,
 }
 
 ORACLE = {
+    "s16_user_ewma": (
+        "WITH u AS (SELECT user_id, "
+        "list(value ORDER BY ts, event_id) vs FROM events "
+        "GROUP BY user_id) "
+        "SELECT user_id, "
+        "ROUND(list_reduce(vs, (acc, x) -> acc*0.7 + x*0.3), 6) ewma "
+        "FROM u ORDER BY user_id LIMIT 100"
+    ),
     "s15_transition_matrix": (
         "WITH x AS (SELECT user_id, event_type, "
         "LAG(event_type) OVER (PARTITION BY user_id "
