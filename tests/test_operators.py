@@ -1888,3 +1888,41 @@ def test_psi_report_detects_planted_drift(spark):
 
     with _pytest.raises(ValueError):
         psi_report(base, base, "v", 0.0, 0.0, 10)
+
+
+def test_scd2_apply_accrues_history_across_batches(spark):
+    """Two successive change batches: version chains stay contiguous
+    (each close matches the next open), exactly one current version
+    per key, and prior closed history is never touched."""
+    import datetime
+
+    from zappy_spark.operators.pipeline import scd2_apply
+
+    d0 = datetime.date(2024, 1, 1)
+    hist = spark.createDataFrame(
+        [(1, "a", d0, None), (2, "b", d0, None)],
+        "k int, attr string, valid_from date, valid_to date",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a2", datetime.date(2024, 2, 1))], "k int, attr string, ts date"
+    )
+    h1 = scd2_apply(hist, b1, ["k"], "ts")
+    b2 = spark.createDataFrame(
+        [(1, "a3", datetime.date(2024, 3, 1)),
+         (2, "b2", datetime.date(2024, 3, 1))],
+        "k int, attr string, ts date",
+    )
+    h2 = scd2_apply(h1, b2, ["k"], "ts")
+
+    rows = sorted(
+        ((r.k, r.attr, r.valid_from, r.valid_to) for r in h2.collect())
+    )
+    assert rows == [
+        (1, "a", d0, datetime.date(2024, 2, 1)),
+        (1, "a2", datetime.date(2024, 2, 1), datetime.date(2024, 3, 1)),
+        (1, "a3", datetime.date(2024, 3, 1), None),
+        (2, "b", d0, datetime.date(2024, 3, 1)),
+        (2, "b2", datetime.date(2024, 3, 1), None),
+    ]
+    cur = [r for r in rows if r[3] is None]
+    assert len(cur) == 2

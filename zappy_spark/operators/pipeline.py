@@ -237,6 +237,61 @@ def upsert_snapshot(
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension apply: keep FULL history.
+    ``history`` rows carry (keys, attrs, valid_from, valid_to) with
+    valid_to NULL marking the current version; ``changes`` carries
+    (keys, attrs, ts_col) — one new version per key per batch. The
+    current version of each changed key is CLOSED (valid_to := the
+    change timestamp) and the change appended as the new open
+    version; prior closed history passes through untouched. This is
+    the MERGE-less SCD-2 the guide's CDC pattern calls for — the
+    audit-trail sibling of ``upsert_snapshot`` (SCD-1).
+
+    Scale shape: one key-hashed join of current-versions against the
+    (small) change batch plus a unionByName — no window over
+    history, so cost scales with |current| + |changes|, not with
+    |history|. Assumes ≤1 change per key per batch (pre-aggregate
+    with ``upsert_snapshot`` semantics if batches can carry more).
+    """
+    attr_cols = [
+        c
+        for c in history.columns
+        if c not in keys and c not in ("valid_from", "valid_to")
+    ]
+    closed_hist = history.filter(F.col("valid_to").isNotNull())
+    cur = history.filter(F.col("valid_to").isNull())
+    chg = changes.select(
+        *keys,
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("_chg_ts"),
+    )
+    chg_keys = chg.select(*keys, "_chg_ts")
+    closed_now = cur.join(chg_keys, keys).select(
+        *keys,
+        *attr_cols,
+        "valid_from",
+        F.col("_chg_ts").alias("valid_to"),
+    )
+    untouched = cur.join(chg_keys.select(*keys), keys, "left_anti")
+    new_rows = chg.select(
+        *keys,
+        *attr_cols,
+        F.col("_chg_ts").alias("valid_from"),
+        F.lit(None).cast(cur.schema["valid_to"].dataType).alias("valid_to"),
+    )
+    return (
+        closed_hist.unionByName(untouched)
+        .unionByName(closed_now)
+        .unionByName(new_rows)
+    )
+
+
 def dataset_diff(
     a: DataFrame,
     b: DataFrame,

@@ -612,6 +612,45 @@ def d25(spark: SparkSession, d: str) -> DataFrame:
     return psi_report(ref, cur, "l_extendedprice", 0.0, 10000.0, 10)
 
 
+def r78(spark: SparkSession, d: str) -> DataFrame:
+    """SCD-2 history apply (round 4c;
+    operators/pipeline.py::scd2_apply): orders as the dimension
+    (valid_from = order date, open-ended), a change batch touching
+    every 7th key 30 days later — changed keys' current versions are
+    CLOSED and the new versions appended; the ledger counts versions
+    and value by (status, currency of the version). The audit-trail
+    sibling of r47's SCD-1 upsert; cost scales with
+    |current|+|changes|, never |history| (no window over history).
+    """
+    from zappy_spark.operators.pipeline import scd2_apply
+
+    od = t(spark, d, "orders")
+    hist = od.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("p"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    chg = od.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("st"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("p"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("ts"),
+    )
+    out = scd2_apply(hist, chg, ["k"], "ts")
+    return (
+        out.groupBy(
+            "st", F.col("valid_to").isNull().alias("is_current")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("p"), 2).alias("tot"),
+        )
+        .orderBy("st", "is_current")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1194,6 +1233,7 @@ QUERIES = {
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "d25_psi_drift": d25,
+    "r78_scd2_history": r78,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1726,6 +1766,21 @@ ORACLE = {
         "THEN 'val' ELSE 'test' END AS split FROM documents) "
         "SELECT split, lang, COUNT(*) n FROM s "
         "GROUP BY split, lang ORDER BY split, lang"
+    ),
+    "r78_scd2_history": (
+        "WITH chgk AS (SELECT o_orderkey k, "
+        "CAST(o_orderdate AS DATE) + 30 ts FROM orders "
+        "WHERE o_orderkey % 7 = 0), "
+        "closed AS (SELECT o.o_orderstatus st, o.o_totalprice p, "
+        "FALSE cur FROM orders o JOIN chgk ON o.o_orderkey = chgk.k), "
+        "untouched AS (SELECT o_orderstatus st, o_totalprice p, "
+        "TRUE cur FROM orders WHERE o_orderkey % 7 <> 0), "
+        "newv AS (SELECT 'X' st, ROUND(o_totalprice*1.1, 2) p, "
+        "TRUE cur FROM orders WHERE o_orderkey % 7 = 0), "
+        "allv AS (SELECT * FROM closed UNION ALL "
+        "SELECT * FROM untouched UNION ALL SELECT * FROM newv) "
+        "SELECT st, cur is_current, COUNT(*) n, ROUND(SUM(p), 2) tot "
+        "FROM allv GROUP BY st, cur ORDER BY st, is_current"
     ),
     "d25_psi_drift": (
         "WITH b AS (SELECT LEAST(9, CAST(floor(l_extendedprice/10000) "
