@@ -651,6 +651,44 @@ def r78(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r79(spark: SparkSession, d: str) -> DataFrame:
+    """Point-in-time dimension lookup (round 4c): reconstruct the
+    r78 SCD-2 history, then answer "what did every order's dimension
+    row look like AS OF 1995-06-01" — the read side that justifies
+    keeping history: filter valid_from <= X < coalesce(valid_to,
+    open) and the history collapses back to a one-row-per-key
+    snapshot, joinable like any dimension. The filter is scan-side;
+    at 100 TB a valid_from-partitioned layout makes it partition
+    pruning."""
+    from zappy_spark.operators.pipeline import scd2_apply
+
+    od = t(spark, d, "orders")
+    hist = od.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("p"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    chg = od.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("st"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("p"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("ts"),
+    )
+    full = scd2_apply(hist, chg, ["k"], "ts")
+    asof = F.lit("1995-06-01").cast("date")
+    snap = full.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    )
+    return (
+        snap.groupBy("st")
+        .agg(F.count("*").alias("n"), F.round(F.sum("p"), 2).alias("tot"))
+        .orderBy("st")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1234,6 +1272,7 @@ QUERIES = {
     "m01_binary_chunk_plan": m01,
     "d25_psi_drift": d25,
     "r78_scd2_history": r78,
+    "r79_point_in_time": r79,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1766,6 +1805,24 @@ ORACLE = {
         "THEN 'val' ELSE 'test' END AS split FROM documents) "
         "SELECT split, lang, COUNT(*) n FROM s "
         "GROUP BY split, lang ORDER BY split, lang"
+    ),
+    "r79_point_in_time": (
+        # the history collapses to: changed keys whose change date
+        # <= asof show the new version; everything else ordered
+        # before asof shows its original row
+        "WITH hist AS ("
+        "SELECT o_orderkey k, o_orderstatus st, o_totalprice p, "
+        "CAST(o_orderdate AS DATE) vf, "
+        "CASE WHEN o_orderkey % 7 = 0 "
+        "THEN CAST(o_orderdate AS DATE) + 30 END vt FROM orders "
+        "UNION ALL "
+        "SELECT o_orderkey, 'X', ROUND(o_totalprice*1.1, 2), "
+        "CAST(o_orderdate AS DATE) + 30, NULL FROM orders "
+        "WHERE o_orderkey % 7 = 0), "
+        "snap AS (SELECT * FROM hist WHERE vf <= DATE '1995-06-01' "
+        "AND (vt IS NULL OR vt > DATE '1995-06-01')) "
+        "SELECT st, COUNT(*) n, ROUND(SUM(p), 2) tot "
+        "FROM snap GROUP BY st ORDER BY st"
     ),
     "r78_scd2_history": (
         "WITH chgk AS (SELECT o_orderkey k, "
