@@ -893,3 +893,67 @@ def test_zarrlite_stream_feeds_incremental_moments(spark, tmp_path):
     n_b, mu_b, cov_b = moments(read_zarrlite(spark, store), "vec")
     assert n_s == n_b == 28
     assert np.allclose(mu_s, mu_b) and np.allclose(cov_s, cov_b)
+
+
+def test_streaming_scd2_equals_batch_chain(spark, tmp_path):
+    """A change stream drained through streaming_scd2 produces the
+    same history the batch scd2_apply chain produces for the same
+    batches (shard order = time order here)."""
+    import datetime
+
+    from zappy_spark.operators.pipeline import scd2_apply
+
+    d1, d2 = datetime.date(2024, 2, 1), datetime.date(2024, 3, 1)
+    changes = spark.createDataFrame(
+        [(1, "a", datetime.date(2024, 1, 1)), (2, "b", datetime.date(2024, 1, 1)),
+         (1, "a2", d1),
+         (1, "a3", d2), (2, "b2", d2)],
+        "k int, attr string, ts date",
+    )
+    replay = str(tmp_path / "chg_replay")
+    # one explicit file per change-date, lexicographic name == time
+    # order, so each micro-batch carries exactly one date
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(replay)
+    for i, day in enumerate(
+        [datetime.date(2024, 1, 1), d1, d2]
+    ):
+        pdf = changes.filter(F.col("ts") == day).toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(replay, f"chg-{i}.parquet"),
+        )
+
+    hist_path = str(tmp_path / "scd2")
+    schema = spark.read.parquet(replay).schema
+    q = jobs.streaming_scd2(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay),
+        hist_path,
+        ["k"],
+        "ts",
+    )
+    q.processAllAvailable(); q.stop()
+    got = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in jobs.latest_snapshot(spark, hist_path).collect()
+    )
+
+    # batch chain over the same time-ordered batches
+    empty = spark.createDataFrame(
+        [], "k int, attr string, valid_from date, valid_to date"
+    )
+    h = empty
+    for day in [datetime.date(2024, 1, 1), d1, d2]:
+        b = changes.filter(F.col("ts") == day)
+        h = scd2_apply(h, b, ["k"], "ts")
+    want = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to) for r in h.collect()
+    )
+    assert got == want
+    assert sum(1 for r in got if r[3] is None) == 2  # one current per key

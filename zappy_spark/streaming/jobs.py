@@ -593,6 +593,61 @@ def incremental_upsert(
     )
 
 
+def streaming_scd2(
+    stream: DataFrame,
+    history_path: str,
+    keys: list[str],
+    ts_col: str,
+) -> "Any":
+    """Streaming SCD-2: maintain a FULL-history dimension from a
+    change stream. Each micro-batch is pre-collapsed to its latest
+    change per key (``upsert_snapshot`` semantics — scd2_apply
+    assumes one change per key per batch), applied with
+    ``scd2_apply``, and written as a new ``rev=<batch_id>``
+    directory with an atomic ``_LATEST`` pointer swap — identical
+    MVCC discipline to ``incremental_upsert`` (readers always see a
+    complete revision; replayed batches rewrite their own revision;
+    old revisions are time travel). The audit-trail streaming twin
+    of that SCD-1 job."""
+    import os
+
+    from zappy_spark.operators.pipeline import scd2_apply, upsert_snapshot
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest = upsert_snapshot(
+            batch_df.limit(0), batch_df, keys, ts_col
+        )
+        cur = latest_snapshot(spark, history_path)
+        if cur is None:
+            attr = [c for c in batch_df.columns if c not in keys]
+            base = batch_df.limit(0).select(
+                *keys,
+                *[c for c in attr if c != ts_col],
+                F.col(ts_col).alias("valid_from"),
+                F.col(ts_col).alias("valid_to"),
+            )
+            hist = base
+        else:
+            hist = cur
+        merged = scd2_apply(hist, latest, keys, ts_col)
+        rev_dir = os.path.join(history_path, f"rev={batch_id}")
+        merged.write.mode("overwrite").parquet(rev_dir)
+        tmp = os.path.join(history_path, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(history_path, "_LATEST"))
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", history_path + "_ckpt")
+        .start()
+    )
+
+
 def streaming_corpus_prep(
     stream: DataFrame,
     dataset_path: str,
