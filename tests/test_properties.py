@@ -557,3 +557,37 @@ def test_mapinarrow_matches_native_rowsum(spark):
         .limit(100)
     )
     assert _hash_df(via_arrow) == _hash_df(native)
+
+
+def test_udtf_chunk_plan_matches_expression_form(spark):
+    """Spark 4 Python UDTF surface (the table-function escape hatch,
+    LATERAL-joinable): a UDTF chunk planner must tile payloads
+    exactly like the m01 sequence+explode expression form — which
+    stays the production path (JVM-side); the UDTF is for logic a
+    Column expression can't say."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int, nb bigint")
+    class ChunkPlan:
+        def eval(self, doc_id: int, total: int, size: int):
+            k = 0
+            while k * size < total:
+                yield k, min(size, total - k * size)
+                k += 1
+
+    spark.udtf.register("zs_chunk_plan", ChunkPlan)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.selectExpr(
+        "doc_id", "source", "CAST(octet_length(CAST(text AS BINARY)) AS INT) nb"
+    ).createOrReplaceTempView("zs_docs")
+    via_udtf = spark.sql(
+        "SELECT d.source, COUNT(*) n_chunks, "
+        "CAST(SUM(c.nb) AS BIGINT) bytes, MAX(CAST(c.i AS BIGINT)) mx "
+        "FROM zs_docs d, LATERAL zs_chunk_plan(CAST(d.doc_id AS INT), "
+        "d.nb, 256) c "
+        "GROUP BY d.source ORDER BY d.source"
+    )
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    native = PQ["m01_binary_chunk_plan"](spark, SF_DIR)
+    assert _hash_df(via_udtf) == _hash_df(native)
