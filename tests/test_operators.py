@@ -1926,3 +1926,35 @@ def test_scd2_apply_accrues_history_across_batches(spark):
     ]
     cur = [r for r in rows if r[3] is None]
     assert len(cur) == 2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank on a small directed graph (with a dangling node)
+    equals the numpy power iteration on the same stochastic matrix;
+    ranks sum to 1."""
+    import numpy as np
+
+    from zappy_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2)]  # 4 has no edges
+    df = spark.createDataFrame(edges + [(4, 0)], ["i", "j"])
+    # node 5: dangling (incoming only)
+    df = df.union(spark.createDataFrame([(2, 5)], ["i", "j"]))
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, max_iter=100, tol=1e-10).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    n, d = 6, 0.85
+    M = np.zeros((n, n))
+    all_edges = edges + [(4, 0), (2, 5)]
+    deg = {s: sum(1 for a, _ in all_edges if a == s) for s, _ in all_edges}
+    for s, t in all_edges:
+        M[t, s] = 1.0 / deg[s]
+    r = np.full(n, 1 / n)
+    for _ in range(200):
+        dangling = r[[i for i in range(n) if i not in deg]].sum()
+        r = (1 - d) / n + d * (M @ r) + d * dangling / n
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])

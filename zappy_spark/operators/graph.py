@@ -89,3 +89,97 @@ def drop_cluster_dups(
         F.col("node").alias("_loser")
     )
     return df.join(losers, F.col(id_col) == F.col("_loser"), "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    exact_iters: int | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list — the importance score for
+    link/citation/reference graphs (which documents are canonical
+    sources, which pages anchor a crawl). Returns (node, rank),
+    ranks summing to 1.
+
+    Same iterative-DataFrame discipline as connected_components:
+    per round ONE join (ranks onto out-edges) + ONE aggregation
+    (sum of incoming contributions), both hash-partitioned on node
+    ids, lineage cut with localCheckpoint every round. Dangling-node
+    mass (nodes with no out-edges) is redistributed uniformly — the
+    standard stochastic-matrix completion — via one tiny scalar agg
+    per round. Convergence is checked on the L1 delta (one scalar
+    per round); raises RuntimeError if not converged, like CC.
+    ``exact_iters`` runs EXACTLY that many rounds, no early stop and
+    no convergence requirement — the deterministic mode a
+    fixed-iteration SQL oracle can replay.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank of an empty graph")
+    out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    rounds = exact_iters if exact_iters is not None else max_iter
+    for _ in range(rounds):
+        contrib = (
+            e.join(ranks, e["a"] == ranks["node"])
+            .join(out_deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["a"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if exact_iters is None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                return ranks
+        else:
+            ranks = new_ranks
+    if exact_iters is not None:
+        return ranks
+    raise RuntimeError(
+        f"pagerank did not converge within {max_iter} iterations"
+    )

@@ -1210,6 +1210,39 @@ def v13(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v16(spark: SparkSession, d: str) -> DataFrame:
+    """PageRank, oracle-checked (round 4c;
+    operators/graph.py::pagerank exact_iters mode): the
+    supplier↔customer trade graph (who traded with whom, symmetrized
+    so no node dangles), 10 fixed power-iteration rounds — the
+    second oracle-checked ITERATIVE algorithm after d19's CC
+    closure; DuckDB replays it as a recursive CTE with GROUP BY in
+    the recursive term. Customers offset by 1e6 to disambiguate key
+    spaces. Top-50 by rounded rank (round-then-sort so the
+    cross-engine cut is deterministic)."""
+    from zappy_spark.operators.graph import pagerank
+
+    li = t(spark, d, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, d, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1_000_000).alias("c"),
+        )
+        .distinct()
+    )
+    sym = e0.select(F.col("s").alias("i"), F.col("c").alias("j")).unionAll(
+        e0.select(F.col("c").alias("i"), F.col("s").alias("j"))
+    )
+    pr = pagerank(sym, exact_iters=10)
+    return (
+        pr.select("node", F.round("rank", 6).alias("r"))
+        .orderBy(F.desc("r"), "node")
+        .limit(50)
+    )
+
+
 def v15(spark: SparkSession, d: str) -> DataFrame:
     """Per-dimension rank (quantile) normalization (round 4b): each
     embedding component replaced by its corpus-wide percent_rank
@@ -1308,6 +1341,7 @@ QUERIES = {
     "v13_pq_codes": v13,
     "v14_adc_scoring": v14,
     "v15_rank_normalize": v15,
+    "v16_pagerank": v16,
 }
 
 
@@ -1823,6 +1857,24 @@ ORACLE = {
         "AND (vt IS NULL OR vt > DATE '1995-06-01')) "
         "SELECT st, COUNT(*) n, ROUND(SUM(p), 2) tot "
         "FROM snap GROUP BY st ORDER BY st"
+    ),
+    "v16_pagerank": (
+        "WITH e0 AS (SELECT DISTINCT l_suppkey s, o_custkey + 1000000 c "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "e AS (SELECT s a, c b FROM e0 UNION ALL SELECT c, s FROM e0), "
+        "dg AS (SELECT a, COUNT(*) deg FROM e GROUP BY a), "
+        "nodes AS (SELECT DISTINCT a AS node FROM e), "
+        "nn AS (SELECT COUNT(*) n FROM nodes), "
+        "pr AS (WITH RECURSIVE walk(it, node, rank) AS ("
+        "SELECT 0, node, 1.0/(SELECT n FROM nn) FROM nodes "
+        "UNION ALL "
+        "SELECT it+1, e.b, 0.15/(SELECT n FROM nn) "
+        "+ 0.85 * SUM(walk.rank / dg.deg) "
+        "FROM walk JOIN e ON e.a = walk.node JOIN dg ON dg.a = e.a "
+        "WHERE it < 10 GROUP BY it, e.b) "
+        "SELECT node, rank FROM walk WHERE it = 10) "
+        "SELECT node, ROUND(rank, 6) r FROM pr "
+        "ORDER BY r DESC, node LIMIT 50"
     ),
     "r78_scd2_history": (
         "WITH chgk AS (SELECT o_orderkey k, "
