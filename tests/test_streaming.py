@@ -957,3 +957,37 @@ def test_streaming_scd2_equals_batch_chain(spark, tmp_path):
     )
     assert got == want
     assert sum(1 for r in got if r[3] is None) == 2  # one current per key
+
+
+def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
+    """The streamed A-ES reservoir equals the batch weighted sample
+    over everything seen — merge-exactness that random reservoirs
+    cannot promise."""
+    from zappy_spark.operators.sampling import weighted_sample_exact
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents").withColumn(
+        "wt", F.length("text").cast("double")
+    )
+    replay = str(tmp_path / "docs_replay")
+    docs.repartitionByRange(3, "doc_id").write.parquet(replay)
+
+    state = str(tmp_path / "res_state")
+    schema = spark.read.parquet(replay).schema
+    q = jobs.streaming_weighted_sample(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay),
+        state,
+        "doc_id",
+        "wt",
+        15,
+    )
+    q.processAllAvailable(); q.stop()
+    got = sorted(
+        r.doc_id for r in jobs.latest_snapshot(spark, state).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in weighted_sample_exact(docs, "doc_id", "wt", 15).collect()
+    )
+    assert got == want and len(got) == 15

@@ -648,6 +648,52 @@ def streaming_scd2(
     )
 
 
+def streaming_weighted_sample(
+    stream: DataFrame,
+    state_path: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> "Any":
+    """Streaming weighted reservoir (A-ES over a stream): the k
+    smallest race keys of a union are the k smallest of the whole —
+    A-ES keys are per-row and deterministic (md5(id)-seeded), so the
+    reservoir MERGES: each micro-batch races its own rows, unions
+    the prior reservoir, keeps the global k smallest, and writes a
+    new ``rev=<batch_id>`` with the atomic pointer swap. Per batch
+    the state is k rows, the work is batch + k rows — a weighted
+    sample over an endless stream that equals the batch sample of
+    everything seen (pinned in test_streaming), which random
+    reservoirs cannot promise."""
+    import os
+
+    from zappy_spark.operators.sampling import weighted_sample_exact
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        raced = weighted_sample_exact(batch_df, id_col, weight_col, k)
+        prior = latest_snapshot(spark, state_path)
+        if prior is not None:
+            raced = raced.unionByName(prior).orderBy(
+                "aes_key", id_col
+            ).limit(k)
+        rev_dir = os.path.join(state_path, f"rev={batch_id}")
+        raced.write.mode("overwrite").parquet(rev_dir)
+        tmp = os.path.join(state_path, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
 def streaming_corpus_prep(
     stream: DataFrame,
     dataset_path: str,
