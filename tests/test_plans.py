@@ -584,3 +584,45 @@ def test_scrna_recipe_is_one_narrow_aggregate(spark):
     # partial→final agg exchange + the orderBy range exchange, max
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
     assert "Generate" in plan  # posexplode feeds the aggregate
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """layout.analyze_table: after ANALYZE, the catalog carries row
+    counts and column NDVs, and the optimizer's plan statistics stop
+    being file-size guesses — the CBO join-reordering prerequisite
+    SURVEY M6 calls for."""
+    from zappy_spark.operators.layout import analyze_table
+    from zappy_spark.session import load_table
+
+    spark.sql("DROP TABLE IF EXISTS zs_stats_t")
+    load_table(spark, "/root/testdata/sf0.001", "nation").write.mode(
+        "overwrite"
+    ).saveAsTable("zs_stats_t")
+    analyze_table(spark, "zs_stats_t", ["n_nationkey", "n_regionkey"])
+
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED zs_stats_t").collect()
+    }
+    assert "Statistics" in desc and "25 rows" in desc["Statistics"]
+
+    col = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESCRIBE EXTENDED zs_stats_t n_regionkey"
+        ).collect()
+    }
+    assert col["distinct_count"] == "5"
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (
+            spark.table("zs_stats_t")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().get() == 25
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS zs_stats_t")

@@ -120,3 +120,22 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def analyze_table(
+    spark, table: str, columns: list[str] | None = None
+) -> None:
+    """Collect catalog statistics for CBO (SURVEY §4 M6): table-level
+    row count/size, plus per-column NDV/min/max/null-counts when
+    ``columns`` is given. With ``spark.sql.cbo.enabled`` (and
+    ``cbo.joinReorder.enabled``) the optimizer uses these to reorder
+    multi-way joins and to size joins it cannot infer from files —
+    at 100 TB, stats collection after each major write is what keeps
+    12-way joins from picking a quadratic order. AQE still refines
+    at runtime; CBO fixes the initial shape."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
