@@ -1958,3 +1958,53 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = (1 - d) / n + d * (M @ r) + d * dangling / n
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+
+
+def test_batch_ivfpq_probe_full_equals_exact(spark, tmp_path):
+    """Batch IVF-PQ: with every cell probed and a full shortlist the
+    batch probe equals the exact batch kNN; half probes keep high
+    per-query recall."""
+    from zappy_spark.operators.similarity import (
+        batch_query_ivfpq_index,
+        build_ivfpq_index,
+        knn_join,
+        pq_codebook,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_codebook()
+    path = str(tmp_path / "ivfpq_b")
+    build_ivfpq_index(emb, "embedding", "vec_id", path, k=8, max_iter=5,
+                      codebook=cb)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.vec_id)
+        for r in knn_join(
+            emb, queries, "embedding", "vec_id", "qv", "qid", k=10,
+            round_digits=6,
+        ).collect()
+    }
+    n = emb.count()
+    full = {
+        (r.qid, r.vec_id)
+        for r in batch_query_ivfpq_index(
+            spark, path, queries, "qv", "qid", codebook=cb,
+            k=10, n_probe=8, rerank=n,
+        ).collect()
+    }
+    assert full == exact
+
+    part = {
+        (r.qid, r.vec_id)
+        for r in batch_query_ivfpq_index(
+            spark, path, queries, "qv", "qid", codebook=cb,
+            k=10, n_probe=4, rerank=200,
+        ).collect()
+    }
+    assert len(part) == 40
+    # near-random embeddings are the worst case for IVF cells; with
+    # half the cells probed and a 200-deep shortlist, measured
+    # recall on this deterministic fixture is 0.65
+    assert len(part & exact) / len(exact) >= 0.6

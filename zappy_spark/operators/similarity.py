@@ -486,6 +486,96 @@ def batch_query_ivf_index(
     )
 
 
+def batch_query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    codebook: np.ndarray | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch IVF-PQ probe — the full production retrieval shape:
+    every query in the batch gets its ``n_probe`` cells (broadcast
+    centroid join, as in ``batch_query_ivf_index``), candidates are
+    scored by ADC over their STORED byte codes, the per-query
+    ``rerank`` best re-rank exactly against the float vectors, and
+    the per-query top-k returns. ADC LUTs are per-query (m×k
+    doubles) computed pandas-side at plan build from the collected
+    query batch — a query batch is driver-small by definition — and
+    shipped as one broadcast frame, so the big-side scan still reads
+    only id + m ints + cluster."""
+    if codebook is None:
+        codebook = pq_codebook()
+    from pyspark.sql import Window
+
+    m = codebook.shape[0]
+    cents = spark.read.parquet(path + "_centroids")
+    qd = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(d2.asc(), F.col("cluster"))
+    probes = (
+        qd.join(F.broadcast(cents))
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, "_qv", "cluster")
+    )
+    # per-query ADC LUTs from the collected (driver-small) batch
+    q_rows = qd.collect()
+    lut_rows = [
+        (
+            r[query_id_col],
+            [float(x) for x in _query_lut(codebook, r["_qv"]).ravel()],
+        )
+        for r in q_rows
+    ]
+    luts = spark.createDataFrame(
+        lut_rows, f"{query_id_col} long, _lut array<double>"
+    )
+    probes = probes.join(F.broadcast(luts), query_id_col)
+    idx = spark.read.parquet(path)
+    kk = codebook.shape[1]
+    adist = None
+    for si in range(m):
+        term = F.element_at(
+            "_lut", si * kk + F.col(f"c{si}") + 1
+        )
+        adist = term if adist is None else adist + term
+    scored = idx.join(F.broadcast(probes), "cluster").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(adist, 6).alias("_adist"),
+        F.col(vec_col),
+        "_qv",
+    )
+    sw = Window.partitionBy(query_id_col).orderBy("_adist", F.col(id_col))
+    shortlist = scored.withColumn(
+        "_srn", F.row_number().over(sw)
+    ).filter(F.col("_srn") <= rerank)
+    rw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.col(id_col)
+    )
+    return (
+        shortlist.select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def centroid_cohesion(
     df: DataFrame,
     vec_col: str,
