@@ -591,3 +591,32 @@ def test_udtf_chunk_plan_matches_expression_form(spark):
 
     native = PQ["m01_binary_chunk_plan"](spark, SF_DIR)
     assert _hash_df(via_udtf) == _hash_df(native)
+
+
+def test_hash_sample_nesting_hypothesis(spark):
+    """hypothesis: for ANY pair of fractions f1 <= f2 the
+    hash-sampled id sets NEST (kept at f1 ⊆ kept at f2) — the
+    tighten-without-resampling property mixture_sample documents —
+    and observed rates stay near the requested fractions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.sampling import hash_sample
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "k")
+    ids.cache().count()
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        f1=st.floats(min_value=0.05, max_value=0.95),
+        f2=st.floats(min_value=0.05, max_value=0.95),
+    )
+    def check(f1, f2):
+        lo, hi = sorted([f1, f2])
+        kept_lo = {r.k for r in hash_sample(ids, "k", lo).collect()}
+        kept_hi = {r.k for r in hash_sample(ids, "k", hi).collect()}
+        assert kept_lo <= kept_hi
+        assert abs(len(kept_hi) / 2000 - hi) < 0.06
+
+    check()
+    ids.unpersist()
