@@ -85,3 +85,28 @@ def test_cms_frequency_bounds(spark):
     est = cms_frequencies(spark, sketch, list(truth))
     for item, true_c in truth.items():
         assert true_c <= est[item] <= true_c + eps * total + 1
+
+
+def test_native_hll_sketch_merges_and_bounds_error(spark):
+    """Spark 4's native DataSketches HLL (the JVM fast path next to
+    our portable md5 HLL): per-group sketches union-merge to a
+    global estimate within the sketch's error bound of the exact
+    count — the build-once-rollup-forever contract, natively."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    est = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).first()["e"]
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e")
+    ).first()["e"]
+    exact = li.select("l_partkey").distinct().count()
+    # union-of-partials and direct sketch may transition HLL modes
+    # differently, so they need not be bit-identical — both must sit
+    # inside the sketch's error bound of the truth
+    assert abs(est - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05

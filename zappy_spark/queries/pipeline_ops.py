@@ -1243,6 +1243,34 @@ def v16(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v17(spark: SparkSession, d: str) -> DataFrame:
+    """EXACT distinct counting via segmented bitmap aggregates
+    (round 4c; Spark 4 bitmap_construct_agg): each key sets one bit
+    in its 32768-bit segment (bitmap_bucket_number pairs with
+    bitmap_bit_position — the segment split is mandatory for
+    correctness on keys crossing segment bounds), per-segment
+    bitmaps OR-merge in the aggregate, counts sum across segments.
+    The mergeable-exact-distinct technique warehouse engines use for
+    incremental rollups: unlike countDistinct, partial results are
+    small fixed-size bitmaps that keep merging (rollup-forever,
+    like the HLL path, but exact); unlike HLL there is no error.
+    Oracle: plain COUNT(DISTINCT) equality."""
+    li = t(spark, d, "lineitem")
+    per_seg = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_partkey").alias("_bk"),
+    ).agg(
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey"))
+        ).alias("_c")
+    )
+    return (
+        per_seg.groupBy("l_returnflag")
+        .agg(F.sum("_c").alias("du"))
+        .orderBy("l_returnflag")
+    )
+
+
 def v15(spark: SparkSession, d: str) -> DataFrame:
     """Per-dimension rank (quantile) normalization (round 4b): each
     embedding component replaced by its corpus-wide percent_rank
@@ -1342,6 +1370,7 @@ QUERIES = {
     "v14_adc_scoring": v14,
     "v15_rank_normalize": v15,
     "v16_pagerank": v16,
+    "v17_bitmap_distinct": v17,
 }
 
 
@@ -1857,6 +1886,10 @@ ORACLE = {
         "AND (vt IS NULL OR vt > DATE '1995-06-01')) "
         "SELECT st, COUNT(*) n, ROUND(SUM(p), 2) tot "
         "FROM snap GROUP BY st ORDER BY st"
+    ),
+    "v17_bitmap_distinct": (
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) du "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "v16_pagerank": (
         "WITH e0 AS (SELECT DISTINCT l_suppkey s, o_custkey + 1000000 c "
