@@ -2008,3 +2008,34 @@ def test_batch_ivfpq_probe_full_equals_exact(spark, tmp_path):
     # half the cells probed and a 200-deep shortlist, measured
     # recall on this deterministic fixture is 0.65
     assert len(part & exact) / len(exact) >= 0.6
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    """restart=[seed]: mass concentrates on the seed's neighborhood
+    (seed ranked first, its direct successor above distant nodes),
+    ranks still sum to 1; restart over ALL nodes equals standard
+    PageRank."""
+    import numpy as np
+
+    from zappy_spark.operators.graph import pagerank
+
+    # chain 0->1->2->3->4 plus back edges making it irreducible
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    df = spark.createDataFrame(edges, ["i", "j"])
+    ppr = {
+        r.node: r.rank
+        for r in pagerank(
+            df, max_iter=200, tol=1e-12, restart=[0]
+        ).collect()
+    }
+    assert abs(sum(ppr.values()) - 1.0) < 1e-9
+    assert ppr[0] == max(ppr.values())
+    assert ppr[1] > ppr[3]  # closer to seed outranks farther
+
+    full = pagerank(df, max_iter=200, tol=1e-12)
+    std = {r.node: r.rank for r in full.collect()}
+    every = pagerank(
+        df, max_iter=200, tol=1e-12, restart=[0, 1, 2, 3, 4]
+    )
+    alt = {r.node: r.rank for r in every.collect()}
+    assert all(abs(std[k] - alt[k]) < 1e-9 for k in std)

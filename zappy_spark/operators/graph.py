@@ -99,6 +99,7 @@ def pagerank(
     max_iter: int = 20,
     tol: float = 1e-6,
     exact_iters: int | None = None,
+    restart: "list | None" = None,
 ) -> DataFrame:
     """PageRank over a directed edge list — the importance score for
     link/citation/reference graphs (which documents are canonical
@@ -116,9 +117,16 @@ def pagerank(
     ``exact_iters`` runs EXACTLY that many rounds, no early stop and
     no convergence requirement — the deterministic mode a
     fixed-iteration SQL oracle can replay.
+    ``restart`` personalizes: teleport mass (and dangling mass)
+    lands uniformly on the given SEED NODES instead of all nodes —
+    Personalized PageRank, the "importance relative to this seed
+    set" variant behind related-document ranking. Seeds absent from
+    the graph are ignored.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if restart is not None and not restart:
+        raise ValueError("restart set must be non-empty when given")
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .distinct()
@@ -154,13 +162,20 @@ def pagerank(
             .first()[0]
             or 0.0
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        if restart is None:
+            base_col = F.lit((1.0 - damping) / n + damping * dangling / n)
+        else:
+            seeds = [int(x) for x in restart]
+            per_seed = (1.0 - damping + damping * dangling) / len(seeds)
+            base_col = F.when(
+                F.col("node").isin(seeds), F.lit(per_seed)
+            ).otherwise(F.lit(0.0))
         new_ranks = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
