@@ -2039,3 +2039,44 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
     )
     alt = {r.node: r.rank for r in every.collect()}
     assert all(abs(std[k] - alt[k]) < 1e-9 for k in std)
+
+
+def test_publish_with_audit_gates_bad_data(spark, tmp_path):
+    """WAP: a passing audit promotes atomically; a failing audit
+    raises, leaves staging for inspection, and never touches the
+    published path."""
+    import os
+
+    from zappy_spark.operators.pipeline import publish_with_audit
+
+    good = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "ds")
+    out = publish_with_audit(
+        good,
+        path,
+        audits=[
+            lambda d: None if d.count() == 100 else "row count",
+            lambda d: None
+            if d.filter(F.col("v").isNull()).count() == 0
+            else "nulls in v",
+        ],
+    )
+    assert out["rows"] == 100
+    assert spark.read.parquet(path).count() == 100
+
+    bad = spark.range(0, 5).withColumn("v", F.lit(None).cast("long"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nulls in v"):
+        publish_with_audit(
+            bad,
+            path,
+            audits=[
+                lambda d: None
+                if d.filter(F.col("v").isNull()).count() == 0
+                else "nulls in v",
+            ],
+        )
+    # published data untouched; staging retained for inspection
+    assert spark.read.parquet(path).count() == 100
+    assert os.path.exists(path + "._staging")

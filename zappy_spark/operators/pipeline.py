@@ -237,6 +237,55 @@ def upsert_snapshot(
     )
 
 
+def publish_with_audit(
+    df: DataFrame,
+    path: str,
+    audits: "list",
+    partition_by: str | None = None,
+) -> dict:
+    """Write–Audit–Publish: materialize ``df`` into a staging
+    directory, run every audit callable against the STAGED data (a
+    DataFrame → error-string-or-None check: row counts, null rates,
+    PSI vs yesterday, schema expectations), and only then promote it
+    with an atomic rename. A failed audit leaves the staging dir for
+    inspection and raises — downstream readers NEVER see unaudited
+    data, which at 100 TB is the difference between a bad batch
+    wasting one write and poisoning a week of training runs. Returns
+    {"path", "rows"} on success.
+
+    The promote is ``os.replace`` of a directory pointer-style
+    rename (same filesystem); on object stores the same pattern is a
+    manifest/pointer swap, as in ``incremental_upsert``."""
+    import os
+    import shutil
+
+    staging = path + "._staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    failures = []
+    for audit in audits:
+        err = audit(staged)
+        if err:
+            failures.append(str(err))
+    if failures:
+        raise ValueError(
+            f"audit failed; staged data left at {staging}: "
+            + "; ".join(failures)
+        )
+    rows = staged.count()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)
+    return {"path": path, "rows": rows}
+
+
 def scd2_apply(
     history: DataFrame,
     changes: DataFrame,
