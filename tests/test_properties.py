@@ -620,3 +620,22 @@ def test_hash_sample_nesting_hypothesis(spark):
 
     check()
     ids.unpersist()
+
+
+def test_native_listagg_matches_portable_spelling(spark):
+    """Spark 4's native listagg(... ORDER BY ...) equals the r32
+    portable spelling (sort_array(collect_list) + array_join) —
+    users can take either path."""
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    # native listagg is unordered like collect_list; the WITHIN GROUP
+    # clause applies the same deterministic ordering contract
+    sup.createOrReplaceTempView("zs_sup")
+    native = spark.sql(
+        "SELECT s_nationkey, "
+        "listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) names "
+        "FROM zs_sup GROUP BY s_nationkey"
+    )
+    from zappy_spark.queries.relational import QUERIES as RQ
+
+    portable = RQ["r32_sorted_listagg"](spark, SF_DIR)
+    assert _hash_df(native.orderBy("s_nationkey")) == _hash_df(portable)
