@@ -1,4 +1,4 @@
-"""Iterative DataFrame algorithms: connected components.
+"""Iterative DataFrame algorithms: connected components, PageRank.
 
 Near-duplicate pairs form a graph; production dedup keeps one
 representative per CONNECTED COMPONENT (transitive closure), not per
