@@ -385,6 +385,38 @@ def s16(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s17(spark: SparkSession, d: str) -> DataFrame:
+    """Gaps-and-islands sessionization (round 4c): the classic
+    lag + running-cumsum spelling — a new session starts where the
+    gap to the previous event exceeds 30 minutes; the cumulative sum
+    of starts IS the session id. Same truth as s3's session_window
+    (engine-native) but expressed in plain windows any engine has,
+    plus per-session facts the struct form doesn't expose: longest
+    session and max duration. Two window passes + two aggregates,
+    all hashed on user_id."""
+    ev = t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    df = ev.select("user_id", "ts", "event_id").withColumn(
+        "ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    df = df.withColumn("sid", F.sum("ns").over(w))
+    per = df.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .alias("dur"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count("*").alias("sessions"),
+            F.max("n").alias("longest"),
+            F.max("dur").alias("max_dur"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -402,9 +434,26 @@ QUERIES = {
     "s14_variant_window": s14,
     "s15_transition_matrix": s15,
     "s16_user_ewma": s16,
+    "s17_gaps_islands": s17,
 }
 
 ORACLE = {
+    "s17_gaps_islands": (
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN ts - LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) "
+        "> INTERVAL '30 minutes' OR LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "THEN 1 ELSE 0 END ns FROM events), "
+        "s AS (SELECT user_id, ts, SUM(ns) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM g), "
+        "per AS (SELECT user_id, sid, COUNT(*) n, "
+        "CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) dur "
+        "FROM s GROUP BY user_id, sid) "
+        "SELECT user_id, COUNT(*) sessions, MAX(n) longest, "
+        "MAX(dur) max_dur FROM per GROUP BY user_id ORDER BY user_id"
+    ),
     "s16_user_ewma": (
         "WITH u AS (SELECT user_id, "
         "list(value ORDER BY ts, event_id) vs FROM events "
