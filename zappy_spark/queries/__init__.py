@@ -25,11 +25,11 @@ exceeds the window by one: v06 — the only tier-0 entry with prior
 it leads the round-5 window. The r1/r2-stale tail queues directly
 behind and is canary-guarded per family meanwhile.
 
-ROUND-5 ROTATION PLAN (for the next session): tier 0 now holds 70
+ROUND-5 ROTATION PLAN (for the next session): tier 0 now holds 71
 entries (round-4c added l11, z27, d23, d24, s14, m01, r74, z28,
-r75, r76, d25, r77, s15, s16, s17, r78, r79, v16, v17 ahead of the yielding t04/v02/v06 trio), so a 50-entry round-4
-window leaves the last twenty (m01 through v06) unchecked — put
-those twenty FIRST in round 5, then promote _R1_STALE and _R2_STALE so
+r75, r76, d25, r77, s15–s17, t21, r78, r79, v16, v17 ahead of the yielding t04/v02/v06 trio), so a 50-entry round-4
+window leaves the last twenty-one (m01 through v06) unchecked — put
+those twenty-one FIRST in round 5, then promote _R1_STALE and _R2_STALE so
 every corpus entry regains a fresh driver row; keep any round-5
 additions ahead of both. Every entry passes tests/test_oracle.py
 locally at sf0.001/sf0.01/sf0.1 AND the 10x synth fixture (4c
@@ -129,6 +129,7 @@ _CHANGED_R4 = [
     "v16_pagerank",
     "v17_bitmap_distinct",
     "s17_gaps_islands",
+    "t21_mad_outliers",
     "t04_lang_id",
     "v02_rp_lsh_ann",
     "v06_pca_scores",

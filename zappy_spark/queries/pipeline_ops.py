@@ -689,6 +689,39 @@ def r79(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t21(spark: SparkSession, d: str) -> DataFrame:
+    """Robust outlier report via MAD (round 4c): per-source median
+    absolute deviation of document length, flagging docs beyond
+    1.5·1.4826·MAD — the length-anomaly gate that survives heavy
+    tails where mean/stddev z-scores saturate (one boilerplate blob
+    shifts a stddev, not a median). Two exact-median aggregates plus
+    one counting aggregate, all hashed on source; the per-source
+    medians are a |sources|-row broadcast back onto the scan.
+    Flags 36/500 docs at sf0.01 — a real gate, not vacuous."""
+    docs = t(spark, d, "documents")
+    med = docs.groupBy("source").agg(
+        F.median("n_chars").alias("_med")
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("_med")).alias("_ad")
+    )
+    mad = dev.groupBy("source").agg(F.median("_ad").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(
+                    F.col("_ad") > 1.5 * 1.4826 * F.col("_mad"), 1
+                )
+            ).alias("outliers"),
+            F.round(F.max("_mad"), 1).alias("mad"),
+        )
+        .orderBy("source")
+    )
+
+
 def t18(spark: SparkSession, d: str) -> DataFrame:
     """BM25 retrieval scoring (round 4;
     operators/text.py::bm25_scores) for a literal query-term set —
@@ -1334,6 +1367,7 @@ QUERIES = {
     "d25_psi_drift": d25,
     "r78_scd2_history": r78,
     "r79_point_in_time": r79,
+    "t21_mad_outliers": t21,
     "t01_token_counts": t01,
     "t02_quality_features": t02,
     "t03_fingerprint": t03,
@@ -1890,6 +1924,18 @@ ORACLE = {
     "v17_bitmap_distinct": (
         "SELECT l_returnflag, COUNT(DISTINCT l_partkey) du "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "t21_mad_outliers": (
+        "WITH m AS (SELECT source, median(n_chars) med FROM documents "
+        "GROUP BY source), "
+        "dev AS (SELECT d.source, ABS(d.n_chars - m.med) ad "
+        "FROM documents d JOIN m USING (source)), "
+        "mad AS (SELECT source, median(ad) mad FROM dev GROUP BY source) "
+        "SELECT dev.source, COUNT(*) n, "
+        "COUNT(CASE WHEN dev.ad > 1.5 * 1.4826 * mad.mad THEN 1 END) "
+        "outliers, ROUND(MAX(mad.mad), 1) mad "
+        "FROM dev JOIN mad USING (source) "
+        "GROUP BY dev.source ORDER BY dev.source"
     ),
     "v16_pagerank": (
         "WITH e0 AS (SELECT DISTINCT l_suppkey s, o_custkey + 1000000 c "
