@@ -645,7 +645,9 @@ def r78(spark: SparkSession, d: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("p"), 2).alias("tot"),
+            # exact decimal sum: p is 2dp by construction, double SUM
+            # would be partial-agg-order sensitive at ROUND boundaries
+            F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("tot"),
         )
         .orderBy("st", "is_current")
     )
@@ -684,7 +686,13 @@ def r79(spark: SparkSession, d: str) -> DataFrame:
     )
     return (
         snap.groupBy("st")
-        .agg(F.count("*").alias("n"), F.round(F.sum("p"), 2).alias("tot"))
+        .agg(
+            F.count("*").alias("n"),
+            # p is exactly 2dp (o_totalprice, or round(x*1.1,2)); decimal
+            # SUM is exact → order-independent (audit_rounding.py found
+            # the sf0.01 sum exactly on a half-cent boundary).
+            F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("tot"),
+        )
         .orderBy("st")
     )
 
@@ -1918,7 +1926,8 @@ ORACLE = {
         "WHERE o_orderkey % 7 = 0), "
         "snap AS (SELECT * FROM hist WHERE vf <= DATE '1995-06-01' "
         "AND (vt IS NULL OR vt > DATE '1995-06-01')) "
-        "SELECT st, COUNT(*) n, ROUND(SUM(p), 2) tot "
+        "SELECT st, COUNT(*) n, "
+        "CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) tot "
         "FROM snap GROUP BY st ORDER BY st"
     ),
     "v17_bitmap_distinct": (
@@ -1967,7 +1976,8 @@ ORACLE = {
         "TRUE cur FROM orders WHERE o_orderkey % 7 = 0), "
         "allv AS (SELECT * FROM closed UNION ALL "
         "SELECT * FROM untouched UNION ALL SELECT * FROM newv) "
-        "SELECT st, cur is_current, COUNT(*) n, ROUND(SUM(p), 2) tot "
+        "SELECT st, cur is_current, COUNT(*) n, "
+        "CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) tot "
         "FROM allv GROUP BY st, cur ORDER BY st, is_current"
     ),
     "d25_psi_drift": (

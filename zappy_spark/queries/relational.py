@@ -1173,7 +1173,16 @@ def r56(spark: SparkSession, d: str) -> DataFrame:
     deterministic cost proxy — spelled identically in the oracle).
     part is filtered on p_name BEFORE broadcast, so the name LIKE
     lands scan-side on the small table; nation broadcasts onto
-    supplier; lineitem⋈orders stays the one fact-fact shuffle."""
+    supplier; lineitem⋈orders stays the one fact-fact shuffle.
+
+    Determinism (VERDICT r4 §wrong-1): two of the 175 group sums land
+    exactly on a half-cent boundary, so ``ROUND(SUM(double),2)`` was
+    one-ulp-sensitive to partial-agg order. The per-row amount is a
+    product of fixed-point inputs (2dp·2dp − 1dp·int/100 → exactly
+    4 dp in real arithmetic), so casting each row to DECIMAL(18,4)
+    loses nothing and decimal SUM is exact and order-independent on
+    both engines; the final cast back to double is a deterministic
+    nearest-conversion. No ROUND anywhere → no boundary to flip."""
     li = t(spark, d, "lineitem")
     p = t(spark, d, "part")
     s = t(spark, d, "supplier")
@@ -1202,7 +1211,11 @@ def r56(spark: SparkSession, d: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.sum(amount.cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -1808,9 +1821,12 @@ def r75(spark: SparkSession, d: str) -> DataFrame:
             F.expr(
                 "COUNT(*) FILTER (WHERE l_quantity > 25)"
             ).alias("big"),
+            # decimal accumulation: the sf0.1 double sum lands exactly
+            # on a half-cent ROUND boundary (audit_rounding.py), and
+            # 2dp money is exact in DECIMAL(18,2)
             F.expr(
-                "ROUND(SUM(l_extendedprice) "
-                "FILTER (WHERE l_discount > 0.05), 2)"
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+                "FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
             ).alias("disc_rev"),
             F.expr(
                 "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0.0), 4)"
@@ -2401,8 +2417,9 @@ ORACLE = {
     ),
     "r56_q9_profit": (
         "SELECT n_name nation, CAST(YEAR(o_orderdate) AS INT) o_year, "
-        "ROUND(SUM(l_extendedprice*(1-l_discount) "
-        "- p_retailprice*l_quantity/100.0), 2) sum_profit "
+        "CAST(SUM(CAST(l_extendedprice*(1-l_discount) "
+        "- p_retailprice*l_quantity/100.0 AS DECIMAL(18,4))) AS DOUBLE) "
+        "sum_profit "
         "FROM lineitem JOIN part ON p_partkey=l_partkey "
         "JOIN supplier ON s_suppkey=l_suppkey "
         "JOIN nation ON s_nationkey=n_nationkey "
@@ -2551,8 +2568,8 @@ ORACLE = {
     "r75_filtered_aggs": (
         "SELECT l_returnflag, "
         "COUNT(*) FILTER (WHERE l_quantity > 25) big, "
-        "ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) "
-        "disc_rev, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "FILTER (WHERE l_discount > 0.05) AS DOUBLE) disc_rev, "
         "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0.0), 4) notax_q "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),

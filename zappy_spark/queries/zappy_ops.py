@@ -27,17 +27,36 @@ from zappy_spark.queries._util import t, vsum
 
 
 def z1(spark: SparkSession, d: str) -> DataFrame:
-    """sum(axis=0): per-column total → driver-side scalar row."""
+    """sum(axis=0): per-column total → driver-side scalar row.
+
+    b accumulates in DECIMAL(18,2): l_extendedprice is exactly 2dp,
+    so the decimal sum is exact and order-independent — the double
+    sum was one data refresh from a half-cent ROUND boundary (the
+    r56 failure class, scripts/audit_rounding.py). a (quantity) is
+    integer-valued, its double sum is already exact below 2^53."""
     return t(spark, d, "lineitem").agg(
         F.round(F.sum("l_quantity"), 2).alias("a"),
-        F.round(F.sum("l_extendedprice"), 2).alias("b"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("b"),
     )
 
 
 def z2(spark: SparkSession, d: str) -> DataFrame:
-    return t(spark, d, "lineitem").agg(
+    """mean(axis=0). b's mean is spelled exact-decimal-sum ÷ count:
+    the sf0.01 double AVG lands 5e-9 from its ROUND(...,6) half
+    boundary (audit_rounding.py), so the one-ulp partial-agg
+    wobble could flip the 6th digit. Decimal sum + one double
+    division is order-independent; a's quantity sum is integer-exact
+    already."""
+    li = t(spark, d, "lineitem")
+    return li.agg(
         F.round(F.avg("l_quantity"), 6).alias("a"),
-        F.round(F.avg("l_discount"), 6).alias("b"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+            / F.count("l_discount"),
+            6,
+        ).alias("b"),
     )
 
 
@@ -500,10 +519,14 @@ ORACLE = {
         "ROUND(quantile_cont(l_discount,0.9),6) p90 FROM lineitem"
     ),
     "z01_sum_axis0": (
-        "SELECT ROUND(SUM(l_quantity),2) a, ROUND(SUM(l_extendedprice),2) b FROM lineitem"
+        "SELECT ROUND(SUM(l_quantity),2) a, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) b "
+        "FROM lineitem"
     ),
     "z02_mean_axis0": (
-        "SELECT ROUND(AVG(l_quantity),6) a, ROUND(AVG(l_discount),6) b FROM lineitem"
+        "SELECT ROUND(AVG(l_quantity),6) a, "
+        "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+        "/COUNT(l_discount), 6) b FROM lineitem"
     ),
     "z03_log1p": (
         "SELECT l_orderkey, l_linenumber, ROUND(LN(1+l_quantity),6) v FROM lineitem "
