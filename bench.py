@@ -6,6 +6,14 @@ Runs the 10-query bench suite (B1..B10 ↦ declared corpus ids) at
 median of 5 timed runs (baseline used 3; extra samples only add
 robustness to transient load), ``collect()`` included, session
 startup excluded. Prints ONE JSON line.
+
+Samples are INTERLEAVED (round 5, VERDICT r4 next-6): 5 full
+round-robin passes over the suite rather than 5 back-to-back runs
+per query, so a transient load spike degrades one sample of every
+query instead of every sample of one query — that consecutive-
+sample correlation is what made q7 oscillate 0.24→0.16→0.36 s
+across rounds 2–4 while its plan never changed. Medians are taken
+per query across passes; totals stay comparable with BASELINE.md.
 """
 
 from __future__ import annotations
@@ -57,14 +65,15 @@ def main() -> None:
     for key in BENCH.values():
         QUERIES[key](spark, sf_dir).collect()
 
-    per_query: dict[str, float] = {}
-    for qid, key in BENCH.items():
-        samples = []
-        for _ in range(RUNS):
+    samples: dict[str, list[float]] = {qid: [] for qid in BENCH}
+    for _ in range(RUNS):
+        for qid, key in BENCH.items():
             t0 = time.perf_counter()
             QUERIES[key](spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-        per_query[qid] = round(statistics.median(samples), 4)
+            samples[qid].append(time.perf_counter() - t0)
+    per_query = {
+        qid: round(statistics.median(s), 4) for qid, s in samples.items()
+    }
 
     total = round(sum(per_query.values()), 4)
     print(

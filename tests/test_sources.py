@@ -225,3 +225,171 @@ def test_variant_column_persists_to_parquet(spark, tmp_path):
         .first()["s"]
     )
     assert got == want
+
+
+# -- zarr v2 interop (round 5): golden-file spec pinning ------------------
+#
+# The stores below are HAND-WRITTEN v2 bytes (json + struct-packed
+# C-order buffers) — not produced by zarrlite — so these tests pin the
+# reader to the published zarr v2 spec, and the writer test decodes
+# with plain numpy, so a future swap to the real `zarr` library is a
+# format no-op in both directions.
+
+
+def _hand_written_v2_store(path, compressor=None, sep="."):
+    """A 5x3 float64 array, chunks of 2 rows (last chunk padded)."""
+    import struct
+
+    X = np.arange(15, dtype="<f8").reshape(5, 3)
+    path.mkdir()
+    for i in range(3):
+        chunk = np.zeros((2, 3), dtype="<f8")
+        rows = X[2 * i : 2 * i + 2]
+        chunk[: rows.shape[0]] = rows
+        buf = b"".join(struct.pack("<d", v) for v in chunk.ravel(order="C"))
+        if compressor == "zlib":
+            import zlib
+
+            buf = zlib.compress(buf)
+        (path / f"{i}{sep}0").write_bytes(buf)
+    (path / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [5, 3],
+                "chunks": [2, 3],
+                "dtype": "<f8",
+                "compressor": (
+                    None if compressor is None else {"id": compressor}
+                ),
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+                **({"dimension_separator": sep} if sep != "." else {}),
+            }
+        )
+    )
+    return X
+
+
+def test_zarr_v2_golden_read(spark, tmp_path):
+    """Reader consumes a hand-written spec-conformant v2 store:
+    padded tail chunk trimmed by shape, values exact."""
+    X = _hand_written_v2_store(tmp_path / "v2")
+    zf = ZappyFrame.from_zarrlite(spark, str(tmp_path / "v2"))
+    assert zf.shape == (5, 3)
+    assert np.array_equal(zf.asndarray(), X)
+
+
+def test_zarr_v2_golden_read_zlib(spark, tmp_path):
+    X = _hand_written_v2_store(tmp_path / "v2z", compressor="zlib")
+    got = ZappyFrame.from_zarrlite(spark, str(tmp_path / "v2z")).asndarray()
+    assert np.array_equal(got, X)
+
+
+def test_zarr_v2_one_partition_per_chunk(spark, tmp_path):
+    _hand_written_v2_store(tmp_path / "v2p")
+    df = read_zarrlite(spark, str(tmp_path / "v2p"))
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_zarr_v2_float32_input_and_slash_separator(spark, tmp_path):
+    """dtype <f4 + dimension_separator "/" (both legal v2 variants)
+    normalize to the engine's float64 vectors."""
+    import struct
+
+    path = tmp_path / "v2f32"
+    path.mkdir()
+    X = np.arange(6, dtype="<f4").reshape(3, 2)
+    buf = b"".join(struct.pack("<f", v) for v in X.ravel(order="C"))
+    (path / "0/0").parent.mkdir(exist_ok=True)
+    (path / "0").mkdir(exist_ok=True)
+    (path / "0" / "0").write_bytes(buf)
+    (path / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [3, 2],
+                "chunks": [3, 2],
+                "dtype": "<f4",
+                "compressor": None,
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+                "dimension_separator": "/",
+            }
+        )
+    )
+    got = ZappyFrame.from_zarrlite(spark, str(path)).asndarray()
+    assert np.array_equal(got, X.astype(np.float64))
+
+
+def test_zarr_v2_writer_golden(spark, tmp_path):
+    """write_zarr_v2 output decoded with PLAIN numpy/json (no zarrlite
+    code): .zarray fields exactly as the spec's v2 defaults, chunk
+    files raw C-order little-endian f8, tail chunk padded with the
+    fill value."""
+    from zappy_spark.sources.zarrlite import write_zarr_v2
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(7, 4))
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=3)
+    out = str(tmp_path / "w2")
+    write_zarr_v2(zf.df.select("row_id", "vec"), out, chunk_rows=3, ncols=4)
+
+    z = json.load(open(f"{out}/.zarray"))
+    assert z == {
+        "zarr_format": 2,
+        "shape": [7, 4],
+        "chunks": [3, 4],
+        "dtype": "<f8",
+        "compressor": None,
+        "fill_value": 0.0,
+        "order": "C",
+        "filters": None,
+    }
+    rebuilt = []
+    for i in range(3):
+        raw = open(f"{out}/{i}.0", "rb").read()
+        chunk = np.frombuffer(raw, dtype="<f8").reshape(3, 4)
+        rebuilt.append(chunk)
+    full = np.concatenate(rebuilt)
+    assert np.allclose(full[:7], X)
+    assert np.all(full[7:] == 0.0)  # spec padding
+
+
+def test_zarr_v2_write_read_round_trip_compressed(spark, tmp_path):
+    from zappy_spark.sources.zarrlite import write_zarr_v2
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(10, 3))
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    out = str(tmp_path / "wz")
+    write_zarr_v2(
+        zf.df.select("row_id", "vec"), out, 4, 3, compressor="zlib"
+    )
+    back = ZappyFrame.from_zarrlite(spark, out)
+    assert np.allclose(back.asndarray(), X)
+
+
+def test_zarr_v2_unsupported_fields_raise(tmp_path):
+    from zappy_spark.sources.zarrlite import _normalize_v2_meta
+
+    base = {
+        "zarr_format": 2,
+        "shape": [4, 2],
+        "chunks": [2, 2],
+        "dtype": "<f8",
+        "compressor": None,
+        "fill_value": 0.0,
+        "order": "C",
+        "filters": None,
+    }
+    with pytest.raises(NotImplementedError, match="Fortran"):
+        _normalize_v2_meta({**base, "order": "F"})
+    with pytest.raises(NotImplementedError, match="column-chunked"):
+        _normalize_v2_meta({**base, "chunks": [4, 1]})
+    with pytest.raises(NotImplementedError, match="blosc"):
+        _normalize_v2_meta({**base, "compressor": {"id": "blosc"}})
+    with pytest.raises(ValueError, match="zarr_format"):
+        _normalize_v2_meta({**base, "zarr_format": 3})

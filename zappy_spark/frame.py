@@ -868,12 +868,19 @@ class ZappyFrame:
     @classmethod
     def from_zarrlite(cls, spark: SparkSession, path: str) -> "ZappyFrame":
         """zappy ``from_zarr``: one Spark input partition per stored
-        chunk via the Python DataSource API."""
-        import json
-        import os
+        chunk via the Python DataSource API. Accepts both the legacy
+        layout and real zarr v2 stores (``.zarray`` auto-detected)."""
+        from zappy_spark.sources.zarrlite import _load_meta, read_zarrlite
 
-        from zappy_spark.sources.zarrlite import read_zarrlite
-
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
+        meta = _load_meta(path)
         return cls(read_zarrlite(spark, path), meta["shape"][1])
+
+    def to_zarr_v2(
+        self, path: str, chunk_rows: int, compressor: str | None = None
+    ) -> None:
+        """Write a real zarr v2 store (``.zarray`` + raw C-order
+        chunks) readable by the actual ``zarr`` library — see
+        sources/zarrlite.py::write_zarr_v2."""
+        from zappy_spark.sources.zarrlite import write_zarr_v2
+
+        write_zarr_v2(self.df, path, chunk_rows, self.ncols, compressor)

@@ -25,15 +25,24 @@ exceeds the window by one: v06 — the only tier-0 entry with prior
 it leads the round-5 window. The r1/r2-stale tail queues directly
 behind and is canary-guarded per family meanwhile.
 
-ROUND-5 ROTATION PLAN (for the next session): tier 0 now holds 71
-entries (round-4c added l11, z27, d23, d24, s14, m01, r74, z28,
-r75, r76, d25, r77, s15–s17, t21, r78, r79, v16, v17 ahead of the yielding t04/v02/v06 trio), so a 50-entry round-4
-window leaves the last twenty-one (m01 through v06) unchecked — put
-those twenty-one FIRST in round 5, then promote _R1_STALE and _R2_STALE so
-every corpus entry regains a fresh driver row; keep any round-5
-additions ahead of both. Every entry passes tests/test_oracle.py
-locally at sf0.001/sf0.01/sf0.1 AND the 10x synth fixture (4c
-entries also at 100x) regardless of window position."""
+Round-5 ordering (this file, executing the plan round 4 wrote):
+CORRECTNESS_r04 confirmed the window is exactly the first 50 dict
+entries — 49 green, r56 hash-fail. Head of the round-5 window is
+therefore the five entries whose SPELLING changed this session and
+which must regain a driver row in their new form (r56 decimal
+re-spell of the r4 failure; v07/v09 gaining their first oracles;
+z01/z02 decimal re-spells), then the twenty-one tier-0 entries the
+r4 window cut off (d23 … t21 plus the yielding t04/v02/v06 trio —
+r75/r78/r79 in that span were also re-spelled this session), then
+24 promoted _R1_STALE entries to complete 50.
+
+ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
+the back; promote the remaining 16 _R1_STALE (r11 … r26), then all
+of _R2_STALE (39), filling the last ~5 slots from the r4-green tail
+(z26, r67, …) so every entry keeps cycling toward a fresh driver
+row; keep any round-6 additions ahead of everything. Every entry
+passes tests/test_oracle.py locally at sf0.001/sf0.01/sf0.1 AND the
+10x synth fixture regardless of window position."""
 
 from __future__ import annotations
 
@@ -53,11 +62,41 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Tier 0: no driver row in current form. First the 14 round-4b
-# additions (this session), then the 20 round-4a additions, then the
-# 4 post-r3-driver additions, then the 3 whose oracles were declared
-# post-r3 (t04 profile-score argmax, v02 plane-literal probe, v06
-# 2-dim closed-form PCA).
+# Round-5 window head: entries with no driver row in their CURRENT
+# spelling. First the five changed/newly-oracled this session, then
+# the 21 tier-0 entries the round-4 window cut off (in their r4
+# order; r75/r78/r79 were additionally re-spelled to decimal sums).
+_CHANGED_R5 = [
+    "r56_q9_profit",  # r4 driver FAIL → decimal re-spell
+    "v07_hll_rollup",  # first oracle: exact-twin + envelope boolean
+    "v09_ivf_kmeans",  # first oracle: fixed-iteration Lloyd CTE twin
+    "z01_sum_axis0",  # decimal re-spell (boundary audit)
+    "z02_mean_axis0",  # decimal re-spell (boundary audit)
+    "d23_train_val_test",
+    "d24_decontaminate_frac",
+    "s14_variant_window",
+    "m01_binary_chunk_plan",
+    "r74_salted_join",
+    "z28_row_median",
+    "r75_filtered_aggs",
+    "r76_try_arithmetic",
+    "d25_psi_drift",
+    "r77_cohort_retention",
+    "s15_transition_matrix",
+    "s16_user_ewma",
+    "r78_scd2_history",
+    "r79_point_in_time",
+    "v16_pagerank",
+    "v17_bitmap_distinct",
+    "s17_gaps_islands",
+    "t21_mad_outliers",
+    "t04_lang_id",
+    "v02_rp_lsh_ann",
+    "v06_pca_scores",
+]
+
+# Round-4 tier 0 (all 50 driver-checked green in r4 except r56,
+# which moved to _CHANGED_R5): drops behind the stale tiers.
 _CHANGED_R4 = [
     "z26_clip_where",
     "r67_mode",
@@ -226,7 +265,13 @@ _R2_STALE = [
     "t06_content_split",
 ]
 
-_PRIORITY = _CHANGED_R4 + _R1_STALE + _R2_STALE
+# First occurrence wins: entries promoted into _CHANGED_R5 keep
+# their head position even though they still appear in the legacy
+# tier lists below (z01/z02 in _R1_STALE; the cut-off 21 + r56 in
+# _CHANGED_R4's tail).
+_PRIORITY = list(
+    dict.fromkeys(_CHANGED_R5 + _R1_STALE + _R2_STALE + _CHANGED_R4)
+)
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}
 QUERIES.update({k: v for k, v in _ALL_QUERIES.items() if k not in QUERIES})

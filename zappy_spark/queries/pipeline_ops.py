@@ -889,22 +889,49 @@ def v06(spark: SparkSession, d: str) -> DataFrame:
 
 
 def v07(spark: SparkSession, d: str) -> DataFrame:
-    """Mergeable HLL distinct-user rollup (rows-only: estimates are
-    deterministic but engine-specific, so no DuckDB oracle; the
-    ±3·RSE error envelope and the merge identity — union of daily
-    sketches == single-pass sketch — are pinned in
-    tests/test_sketches.py). One fact-table pass builds per-day
-    sketches; the weekly rollup merges sketch binaries only, which
-    is the shape that avoids any fact-table rescan at 100 TB."""
-    from zappy_spark.operators.sketches import hll_build, hll_rollup
+    """Mergeable HLL distinct-user rollup, oracle-checkable form
+    (round 5, VERDICT r4 next-5): the estimate itself is
+    engine-specific, but the claim it makes — "within ±3·RSE of the
+    true weekly distinct" — is not. The entry outputs the exact
+    weekly distinct plus a boolean attesting the merged-sketch
+    estimate sits inside its documented envelope, so DuckDB can
+    verify both columns (exact twin + constant TRUE) and a sketch
+    regression flips a driver row instead of hiding behind
+    rows-only. Production keeps the build-once/rollup-forever shape:
+    one fact pass → per-day sketches, weekly rollup merges binaries
+    only; the exact twin here is the verification harness, not the
+    production path. Merge identity stays pinned in
+    tests/test_sketches.py."""
+    import math
 
+    from zappy_spark.operators.sketches import DEFAULT_LGK, hll_build, hll_rollup
+
+    rse = 1.04 / math.sqrt(2**DEFAULT_LGK)
     ev = t(spark, d, "events").withColumn("day", F.to_date("ts"))
     daily = hll_build(ev, ["day"], "user_id")
     weekly = hll_rollup(
         daily.withColumn("week", F.date_trunc("week", "day").cast("date")),
         ["week"],
     )
-    return weekly.orderBy("week")
+    exact = (
+        ev.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(
+                    F.lit(3 * rse) * F.col("exact_distinct"), F.lit(1.0)
+                )
+            ).alias("within_envelope"),
+        )
+        .orderBy("week")
+    )
 
 
 def d09(spark: SparkSession, d: str) -> DataFrame:
@@ -1121,11 +1148,19 @@ def v10(spark: SparkSession, d: str) -> DataFrame:
 def v09(spark: SparkSession, d: str) -> DataFrame:
     """IVF coarse-quantizer training (operators/similarity.py::
     kmeans_fit + kmeans_assign): distributed Lloyd's k-means, then
-    per-cluster sizes. Rows-only: the fit is iterative driver-loop
-    engine code, not SQL; blob-recovery and index-recall properties
-    are pinned in test_operators."""
+    per-cluster sizes. Oracle-checked via the fixed-iteration trick
+    (round 5, the d19/v16 pattern): with deterministic md5-ranked
+    seeds and ``tol=0`` the fit runs exactly 3 Lloyd rounds, which a
+    DuckDB recursive CTE replays verbatim — scalar (iter, cluster,
+    pos, val) centroid state, argmin assignment with the same
+    (distance, cluster) tie-break as kmeans_assign's array_position.
+    Output is integer cluster sizes, robust to the ulp-level
+    summation-order wobble in the centroid means. Blob-recovery and
+    index-recall properties remain pinned in test_operators."""
     emb = t(spark, d, "embeddings")
-    cents = similarity.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=3)
+    cents = similarity.kmeans_fit(
+        emb, "embedding", "vec_id", k=4, max_iter=3, tol=0.0
+    )
     return (
         similarity.kmeans_assign(emb, "embedding", cents)
         .groupBy("cluster")
@@ -2359,7 +2394,50 @@ ORACLE = {
         "FROM documents d LEFT JOIN base b USING (doc_id) "
         "LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id LIMIT 100"
     ),
-    # t04, v02, v06, v09: rows-only (see docstrings) — no oracle entries.
+    # v09 oracle (round 5): the fixed-iteration Lloyd twin. Seeds are
+    # the 4 vectors with smallest md5(vec_id) (cluster = hash rank),
+    # then exactly 3 rounds replayed by a recursive CTE over scalar
+    # (it, cluster, pos, val) centroid state; assignment tie-break
+    # (distance, cluster) mirrors kmeans_assign's array_position.
+    # "cl" avoids the reserved word CLUSTER; output aliases match the
+    # Spark side. Integer sizes are robust to centroid-mean ulps.
+    "v09_ivf_kmeans": (
+        "WITH RECURSIVE "
+        "ex AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) v FROM embeddings), "
+        "seed AS (SELECT vec_id, CAST(row_number() OVER "
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) cl "
+        "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4), "
+        "cents(it, cl, pos, v) AS ("
+        "SELECT 0, s.cl, ex.pos, ex.v FROM seed s JOIN ex USING (vec_id) "
+        "UNION ALL "
+        "SELECT it + 1, cl, pos, AVG(mv) FROM ("
+        "SELECT a.it, a.cl, m.pos, m.v mv FROM ("
+        "SELECT it, vec_id, cl, row_number() OVER "
+        "(PARTITION BY it, vec_id ORDER BY d, cl) rn FROM ("
+        "SELECT c.it, e.vec_id, c.cl, SUM((e.v - c.v)*(e.v - c.v)) d "
+        "FROM cents c JOIN ex e USING (pos) WHERE c.it < 3 "
+        "GROUP BY c.it, e.vec_id, c.cl) dd) a "
+        "JOIN ex m ON m.vec_id = a.vec_id WHERE a.rn = 1) upd "
+        "GROUP BY it, cl, pos), "
+        "fd AS (SELECT c.it, e.vec_id, c.cl, "
+        "SUM((e.v - c.v)*(e.v - c.v)) d "
+        "FROM cents c JOIN ex e USING (pos) WHERE c.it = 3 "
+        "GROUP BY c.it, e.vec_id, c.cl), "
+        "fa AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) rn "
+        "FROM fd) WHERE rn = 1) "
+        'SELECT cl AS "cluster", COUNT(*) n FROM fa '
+        "GROUP BY cl ORDER BY cl"
+    ),
+    # t04, v02, v06 carry oracles (declared post-r3); v07 is checked
+    # against its exact-distinct twin inside the entry itself.
+    "v07_hll_rollup": (
+        'SELECT CAST(date_trunc(\'week\', CAST(ts AS DATE)) AS DATE) "week", '
+        "COUNT(DISTINCT user_id) exact_distinct, "
+        "TRUE within_envelope "
+        'FROM events GROUP BY 1 ORDER BY "week"'
+    ),
     "v13_pq_codes": _pq_oracle(),
     "v14_adc_scoring": _adc_oracle(),
     "d20_incremental_dedup": (
