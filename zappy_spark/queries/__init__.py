@@ -67,6 +67,7 @@ _ALL_QUERIES = {
 # the 21 tier-0 entries the round-4 window cut off (in their r4
 # order; r75/r78/r79 were additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
+    "z29_zarr_v2_roundtrip",  # NEW round 5: zarr v2 disk round-trip
     "r56_q9_profit",  # r4 driver FAIL → decimal re-spell
     "v07_hll_rollup",  # first oracle: exact-twin + envelope boolean
     "v09_ivf_kmeans",  # first oracle: fixed-iteration Lloyd CTE twin

@@ -433,6 +433,47 @@ def z28(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z29(spark: SparkSession, d: str) -> DataFrame:
+    """Zarr v2 interop, end-to-end as a driver row (round 5): the
+    first 500 embedding rows (dense ids in every fixture vintage)
+    are written as a REAL zarr v2 store — ``.zarray`` metadata,
+    zlib-compressed raw C-order chunks, padded tail — then read back
+    through the chunk-per-partition DataSource and reduced to
+    per-position (count, min, max). The oracle computes the same
+    stats straight from parquet, so any format defect (fill-value
+    padding leaking past the trim, dtype/endianness, chunk
+    mis-ordering) flips the row. min/max are order-independent, so
+    the check is immune to summation-order ulps; chunk_rows=97
+    forces an uneven tail chunk. The 500-row cap keeps the entry a
+    FORMAT check at any SF — the scale story (one input partition
+    per chunk, executor-side decode) is pinned in test_sources."""
+    import os
+    import tempfile
+
+    from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v2
+
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 500)
+    df = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"zs_z29_{os.path.basename(d.rstrip('/'))}"
+    )
+    write_zarr_v2(df, store, chunk_rows=97, ncols=64, compressor="zlib")
+    back = read_zarrlite(spark, store)
+    return (
+        back.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 6).alias("mn"),
+            F.round(F.max("x"), 6).alias("mx"),
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -461,9 +502,21 @@ QUERIES = {
     "z26_clip_where": z26,
     "z27_scrna_recipe": z27,
     "z28_row_median": z28,
+    "z29_zarr_v2_roundtrip": z29,
 }
 
 ORACLE = {
+    # z29: Spark reduces values that made a zarr-v2 disk round-trip;
+    # DuckDB reads the parquet originals — equality proves the v2
+    # write/read path is value-preserving, not just self-consistent.
+    "z29_zarr_v2_roundtrip": (
+        "WITH e AS (SELECT "
+        "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) x "
+        "FROM embeddings WHERE vec_id < 500) "
+        "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
     "z28_row_median": (
         "WITH e AS (SELECT vec_id, "
         "list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE))) s "
