@@ -105,9 +105,13 @@ def _strip_rounds(sql: str) -> tuple[str, list[int], list[str]]:
             expr, k = inner, 0
         else:
             expr, k = inner[:cut], int(inner[cut + 1 :].strip())
-        out.append(f"({expr})")
+        # recurse: nested ROUND(ROUND(x,2)…) must be stripped too
+        sub_sql, sub_ks, sub_exprs = _strip_rounds(expr)
+        out.append(f"({sub_sql})")
         ks.append(k)
+        ks.extend(sub_ks)
         exprs.append(expr)
+        exprs.extend(sub_exprs)
         i = j
     return "".join(out), ks, exprs
 

@@ -445,7 +445,8 @@ def gap_fill_stateful(stream: DataFrame) -> DataFrame:
 # API) was evaluated and crashes in this environment even on a
 # minimal example ("TransformWithStateInPySpark driver worker exited
 # unexpectedly") — applyInPandasWithState above is the supported
-# custom-state surface here.
+# custom-state surface here. Re-verified round 5: identical crash on
+# a minimal ValueState counter (RocksDB provider, memory sink).
 
 
 def interval_stream_join(
