@@ -2080,3 +2080,36 @@ def test_publish_with_audit_gates_bad_data(spark, tmp_path):
     # published data untouched; staging retained for inspection
     assert spark.read.parquet(path).count() == 100
     assert os.path.exists(path + "._staging")
+
+
+def test_leakage_free_split_keeps_duplicate_groups_together(spark):
+    """Planted word-order duplicates (same token-set fingerprint)
+    must land in ONE split, while id-hash splitting would scatter
+    them; every doc gets exactly one split (disjoint + total)."""
+    from zappy_spark.operators.sampling import leakage_free_split
+
+    rows = []
+    for g in range(40):  # 40 content groups, 3 order-variants each
+        toks = [f"w{g}a", f"w{g}b", f"w{g}c", f"w{g}d"]
+        variants = [
+            " ".join(toks),
+            " ".join(reversed(toks)),
+            " ".join(toks[2:] + toks[:2]) + " " + toks[0],  # repetition
+        ]
+        for i, text in enumerate(variants):
+            rows.append((g * 3 + i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_free_split(
+        df, "text", "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    got = out.select("doc_id", "fp", "split").collect()
+    assert len(got) == 120 and len({r["doc_id"] for r in got}) == 120
+    by_fp = {}
+    for r in got:
+        by_fp.setdefault(r["fp"], set()).add(r["split"])
+    assert len(by_fp) == 40  # variants collapsed to one group each
+    for fp, splits in by_fp.items():
+        assert len(splits) == 1, f"group {fp} leaked across {splits}"
+    # sanity: the split is not degenerate (both sides populated)
+    names = {r["split"] for r in got}
+    assert "train" in names and len(names) >= 2

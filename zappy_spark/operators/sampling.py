@@ -115,6 +115,33 @@ def multi_split(
     return df.withColumn("split", expr)
 
 
+def leakage_free_split(
+    df: DataFrame, text_col: str, id_col: str, splits: dict[str, float]
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-exact duplicates
+    across the boundary: the split hash is taken over the token-set
+    FINGERPRINT (md5 of the sorted distinct tokens — the d18 dedup
+    tier) instead of the document id, so word-order/repetition/
+    whitespace variants of one document always land in the SAME
+    split. Plain id-hash splitting puts ~f·(1−f) of every duplicate
+    pair across the train/eval boundary — the classic contamination
+    that inflates eval scores; keying the hash by content group
+    closes it by construction, no join against a dedup table needed.
+
+    Scale shape: identical to ``multi_split`` — the fingerprint and
+    the CASE are one scan-side projection, no shuffle, append-stable
+    (adding documents never migrates an existing group). Fuzzy
+    (MinHash-tier) leakage needs the cluster id from
+    ``connected_components`` as the key instead; this operator is
+    the exact-tier gate every pipeline should run first."""
+    from zappy_spark.operators.dedup import content_key
+
+    with_fp = df.withColumn(
+        "fp", content_key(F.col(text_col), "fingerprint")
+    )
+    return multi_split(with_fp, "fp", splits)
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

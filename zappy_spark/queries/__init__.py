@@ -68,6 +68,8 @@ _ALL_QUERIES = {
 # order; r75/r78/r79 were additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
     "z29_zarr_v2_roundtrip",  # NEW round 5: zarr v2 disk round-trip
+    "d26_leakage_free_split",  # NEW round 5: fingerprint-keyed split
+    "d27_shelf_packing",  # NEW round 5: SQL-replayable packing ledger
     "r56_q9_profit",  # r4 driver FAIL → decimal re-spell
     "v07_hll_rollup",  # first oracle: exact-twin + envelope boolean
     "v09_ivf_kmeans",  # first oracle: fixed-iteration Lloyd CTE twin

@@ -612,6 +612,75 @@ def d25(spark: SparkSession, d: str) -> DataFrame:
     return psi_report(ref, cur, "l_extendedprice", 0.0, 10000.0, 10)
 
 
+def d26(spark: SparkSession, d: str) -> DataFrame:
+    """Leakage-free train/val/test split (round 5;
+    operators/sampling.py::leakage_free_split): the split hash keys
+    on the token-set FINGERPRINT (d18's normalized-exact dedup
+    tier), so every word-order/whitespace variant of a document
+    lands in the same split — id-hash splitting would strand
+    ~2·f·(1−f) of each duplicate pair across the train/eval
+    boundary and inflate eval scores. Ledger = per split: docs,
+    distinct content groups, and docs-over-groups (the duplicates
+    the grouping kept together). Scan-side CASE, one aggregate;
+    append-stable at any corpus size."""
+    from zappy_spark.operators.sampling import leakage_free_split
+
+    docs = leakage_free_split(
+        t(spark, d, "documents"),
+        "text",
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        docs.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+def d27(spark: SparkSession, d: str) -> DataFrame:
+    """Context-window shelf packing, SQL-replayable tier (round 5):
+    docs sorted size-desc within each source, cumulative token count
+    opens a new shelf every `budget` tokens (shelf id =
+    floor(preceding-cumsum / budget)) — the deterministic
+    one-window-pass sibling of the FFD ``pack_sequences`` operator
+    (pipeline.py, property-tested): same ledger shape, weaker bound,
+    but exactly replayable by any engine, which makes it the
+    auditable packing contract. One window + one aggregate, both
+    partitioned by source — no global sort; at 100 TB the source
+    partitioning IS the parallelism (packing across sources never
+    needs cross-partition state)."""
+    budget = 64
+    docs = t(spark, d, "documents").select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tok"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shelf = F.floor(
+        (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(budget)
+    ).cast("int")
+    return (
+        docs.withColumn("shelf", shelf)
+        .groupBy("source", "shelf")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tok"),
+        )
+        .orderBy("source", "shelf")
+        .limit(100)
+    )
+
+
 def r78(spark: SparkSession, d: str) -> DataFrame:
     """SCD-2 history apply (round 4c;
     operators/pipeline.py::scd2_apply): orders as the dimension
@@ -1405,6 +1474,8 @@ QUERIES = {
     "d21_degree_dist": d21,
     "d22_e2e_corpus_prep": d22,
     "d23_train_val_test": d23,
+    "d26_leakage_free_split": d26,
+    "d27_shelf_packing": d27,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "d25_psi_drift": d25,
@@ -2401,6 +2472,29 @@ ORACLE = {
     # (distance, cluster) mirrors kmeans_assign's array_position.
     # "cl" avoids the reserved word CLUSTER; output aliases match the
     # Spark side. Integer sizes are robust to centroid-mean ulps.
+    "d26_leakage_free_split": (
+        "WITH f AS (SELECT doc_id, md5(array_to_string("
+        "list_sort(list_distinct(list_filter(string_split(text,' '), "
+        "x -> x<>''))),' ')) fp FROM documents), "
+        "s AS (SELECT fp, CASE "
+        "WHEN substr(md5(fp),1,8) < 'cccccccc' THEN 'train' "
+        "WHEN substr(md5(fp),1,8) < 'e6666666' THEN 'val' "
+        "ELSE 'test' END split FROM f) "
+        "SELECT split, COUNT(*) n_docs, COUNT(DISTINCT fp) n_groups "
+        "FROM s GROUP BY split ORDER BY split"
+    ),
+    "d27_shelf_packing": (
+        "WITH tk AS (SELECT source, doc_id, "
+        "len(list_filter(string_split(text,' '), x -> x<>'')) n_tok "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, n_tok, "
+        "SUM(n_tok) OVER (PARTITION BY source "
+        "ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) cum "
+        "FROM tk) "
+        "SELECT source, CAST(FLOOR((cum - n_tok)/64.0) AS INT) shelf, "
+        "COUNT(*) n_docs, CAST(SUM(n_tok) AS BIGINT) tok "
+        "FROM c GROUP BY 1, 2 ORDER BY source, shelf LIMIT 100"
+    ),
     "v09_ivf_kmeans": (
         "WITH RECURSIVE "
         "ex AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, "
