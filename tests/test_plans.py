@@ -100,12 +100,21 @@ def test_whole_stage_codegen_on_hot_path(spark):
 def test_no_python_udfs_in_declared_corpus(spark):
     """Every declared query must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython stages (v02 excepted: its query vector is fetched
-    driver-side by design; the scan itself is still JVM)."""
+    driver-side by design; the scan itself is still JVM). m02 is the
+    ONE deliberate exception — it exists to value-check the Arrow
+    mapInPandas multimodal plumbing, so its plan must contain exactly
+    that stage (and still no row-at-a-time EvalPython)."""
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":
             continue
         plan = _plan(q(spark, SF_DIR))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+        if name == "m02_fake_decode_features":
+            assert "MapInPandas" in plan  # the stage under test
+        else:
+            assert "MapInPandas" not in plan, (
+                f"{name} has an undeclared Python stage"
+            )
 
 
 def test_bucketed_layout_eliminates_join_shuffle(spark, tmp_path):

@@ -70,6 +70,7 @@ _CHANGED_R5 = [
     "z29_zarr_v2_roundtrip",  # NEW round 5: zarr v2 disk round-trip
     "d26_leakage_free_split",  # NEW round 5: fingerprint-keyed split
     "d27_shelf_packing",  # NEW round 5: SQL-replayable packing ledger
+    "m02_fake_decode_features",  # NEW round 5: mapInPandas value check
     "r56_q9_profit",  # r4 driver FAIL → decimal re-spell
     "v07_hll_rollup",  # first oracle: exact-twin + envelope boolean
     "v09_ivf_kmeans",  # first oracle: fixed-iteration Lloyd CTE twin

@@ -595,6 +595,44 @@ def m01(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m02(spark: SparkSession, d: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end as a driver row
+    (round 5; operators/multimodal.py::extract_features): document
+    bytes stand in for media payloads (binary column contract), and
+    the REAL Arrow `mapInPandas` plumbing — declared output schema,
+    bounded pandas batches, payloads never on the driver — runs the
+    deterministic byte-histogram stand-in kernel. The float32
+    feature is then UN-normalized back to exact integer bucket
+    counts (round(f·n_bytes): f32 relative error ~6e-8 × doc bytes
+    ≪ 0.5, so recovery is exact), which the oracle recomputes
+    byte-by-byte in SQL — the first value-hash check through the
+    multimodal Python path, immune to float-quantization noise.
+    Swapping the stub for a real codec changes the kernel, not one
+    line of this plumbing."""
+    from zappy_spark.operators import multimodal
+
+    media = t(spark, d, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(media, dim=8)
+    cols = [
+        F.round(
+            F.element_at("feature", i + 1).cast("double")
+            * F.col("n_bytes")
+        )
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i in range(8)
+    ]
+    return (
+        feats.select("media_id", "n_bytes", *cols)
+        .orderBy("media_id")
+        .limit(100)
+    )
+
+
 def d25(spark: SparkSession, d: str) -> DataFrame:
     """Dataset drift report (round 4c;
     operators/diagnostics.py::psi_report): Population Stability
@@ -1478,6 +1516,7 @@ QUERIES = {
     "d27_shelf_packing": d27,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
+    "m02_fake_decode_features": m02,
     "d25_psi_drift": d25,
     "r78_scd2_history": r78,
     "r79_point_in_time": r79,
@@ -2472,6 +2511,19 @@ ORACLE = {
     # (distance, cluster) mirrors kmeans_assign's array_position.
     # "cl" avoids the reserved word CLUSTER; output aliases match the
     # Spark side. Integer sizes are robust to centroid-mean ulps.
+    # m02: replay the byte-histogram kernel char-by-char (ASCII text,
+    # so char codes == utf-8 bytes); counts are exact integers.
+    "m02_fake_decode_features": (
+        "WITH b AS (SELECT doc_id, length(text) n, "
+        "list_transform(range(1, length(text)+1), "
+        "i -> ord(substr(text, i, 1)) % 8) codes FROM documents) "
+        "SELECT doc_id AS media_id, CAST(n AS BIGINT) n_bytes, "
+        + ", ".join(
+            f"CAST(len(list_filter(codes, c -> c = {k})) AS BIGINT) c{k}"
+            for k in range(8)
+        )
+        + " FROM b ORDER BY media_id LIMIT 100"
+    ),
     "d26_leakage_free_split": (
         "WITH f AS (SELECT doc_id, md5(array_to_string("
         "list_sort(list_distinct(list_filter(string_split(text,' '), "
