@@ -2113,3 +2113,63 @@ def test_leakage_free_split_keeps_duplicate_groups_together(spark):
     # sanity: the split is not degenerate (both sides populated)
     names = {r["split"] for r in got}
     assert "train" in names and len(names) >= 2
+
+
+def test_matryoshka_full_shortlist_equals_exact(spark):
+    """With shortlist >= candidate count the re-rank sees everything,
+    so prefix retrieval must reproduce exact brute-force top-k — the
+    identity that pins the re-rank stage's correctness."""
+    import pyarrow.dataset as ds
+
+    from zappy_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_topk,
+    )
+
+    d = "/root/testdata/sf0.01"
+    tab = ds.dataset(f"{d}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == 7, columns=["embedding"]
+    )
+    qv = [float(x) for x in tab.column(0)[0].as_py()]
+    emb = spark.read.parquet(f"{d}/embeddings.parquet").filter(
+        F.col("vec_id") != 7
+    )
+    full = matryoshka_topk(
+        emb, "embedding", "vec_id", qv, prefix_dim=16, shortlist=10**6, k=10
+    ).collect()
+    exact = cosine_topk(emb, "embedding", "vec_id", qv, k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_matryoshka_recall_floor(spark):
+    """Recall floor on the WORST case (near-random vectors carry no
+    front-loaded signal: measured 5/10 at shortlist=50, 7/10 at 100).
+    Real MRL embeddings concentrate variance in the prefix; this
+    floor just guards against a broken coarse stage (e.g. slicing
+    the wrong dims), which would push recall toward 10/500."""
+    import pyarrow.dataset as ds
+
+    from zappy_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_topk,
+    )
+
+    d = "/root/testdata/sf0.01"
+    tab = ds.dataset(f"{d}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == 7, columns=["embedding"]
+    )
+    qv = [float(x) for x in tab.column(0)[0].as_py()]
+    emb = spark.read.parquet(f"{d}/embeddings.parquet").filter(
+        F.col("vec_id") != 7
+    )
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(emb, "embedding", "vec_id", qv, 10).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in matryoshka_topk(
+            emb, "embedding", "vec_id", qv, 16, 50, 10
+        ).collect()
+    }
+    assert len(exact & got) >= 3

@@ -46,6 +46,51 @@ def cosine_topk(
     )
 
 
+def matryoshka_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka / prefix-dimension retrieval: rank candidates on
+    the FIRST ``prefix_dim`` dimensions only (MRL-style embeddings
+    front-load information, so the prefix is a usable coarse score),
+    keep a ``shortlist``, then exact full-dim cosine re-rank. The
+    scan-cost story at 100 TB: the coarse pass reads prefix_dim/dim
+    of the float payload (a column-pruned prefix slice if the store
+    splits the vector, or 1/4 of the lambda work here), and the full
+    vectors are touched only for ``shortlist`` rows — same
+    shape as the IVF/PQ re-rank tiers but with zero index build,
+    which is why it's the default for freshly-embedded data.
+
+    Deterministic: both passes round before ordering and tie-break
+    on id; both compile to TakeOrderedAndProject (per-partition heap
+    + k-row driver merge), never a global sort."""
+    q = [float(x) for x in query_vec]
+    qp = _qcol(q[:prefix_dim])
+    qf = _qcol(q)
+    pre = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.round(
+            cosine(F.slice(F.col(vec_col), 1, prefix_dim), qp), 6
+        ).alias("psim"),
+    )
+    short = pre.orderBy(F.desc("psim"), id_col).limit(shortlist)
+    return (
+        short.select(
+            id_col,
+            F.round(cosine(F.col("_v"), qf), 4).alias("sim"),
+            "psim",
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     candidates: DataFrame,
     queries: DataFrame,

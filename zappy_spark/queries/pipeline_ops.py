@@ -595,6 +595,26 @@ def m01(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v18(spark: SparkSession, d: str) -> DataFrame:
+    """Matryoshka prefix-dim retrieval (round 5;
+    operators/similarity.py::matryoshka_topk): coarse rank on the
+    first 16 of 64 dims → 50-candidate shortlist → exact full-dim
+    re-rank, query = stored vector 7 (fetched driver-side via
+    pyarrow, ships as a literal — the l02 pattern). The zero-index
+    ANN tier: same scan-then-rerank shape as IVF/PQ but usable the
+    moment vectors land. Both passes are TakeOrderedAndProject."""
+    import pyarrow.dataset as ds
+
+    tab = ds.dataset(f"{d}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == 7, columns=["embedding"]
+    )
+    qv = [float(x) for x in tab.column(0)[0].as_py()]
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") != 7)
+    return similarity.matryoshka_topk(
+        emb, "embedding", "vec_id", qv, prefix_dim=16, shortlist=50, k=10
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1517,6 +1537,7 @@ QUERIES = {
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "m02_fake_decode_features": m02,
+    "v18_matryoshka_topk": v18,
     "d25_psi_drift": d25,
     "r78_scd2_history": r78,
     "r79_point_in_time": r79,
@@ -2511,6 +2532,20 @@ ORACLE = {
     # (distance, cluster) mirrors kmeans_assign's array_position.
     # "cl" avoids the reserved word CLUSTER; output aliases match the
     # Spark side. Integer sizes are robust to centroid-mean ulps.
+    # v18: DOUBLE[] casts as in l02; DuckDB list slice [1:16] is
+    # 1-based end-inclusive = Spark slice(v, 1, 16).
+    "v18_matryoshka_topk": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv "
+        "FROM embeddings WHERE vec_id=7), "
+        "pre AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev, "
+        "ROUND(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[])[1:16], qv[1:16]),6) psim "
+        "FROM embeddings, q WHERE vec_id<>7 "
+        "ORDER BY psim DESC, vec_id LIMIT 50) "
+        "SELECT vec_id, ROUND(list_cosine_similarity(ev, "
+        "(SELECT qv FROM q)),4) sim, psim "
+        "FROM pre ORDER BY sim DESC, vec_id LIMIT 10"
+    ),
     # m02: replay the byte-histogram kernel char-by-char (ASCII text,
     # so char codes == utf-8 bytes); counts are exact integers.
     "m02_fake_decode_features": (
