@@ -393,3 +393,50 @@ def test_zarr_v2_unsupported_fields_raise(tmp_path):
         _normalize_v2_meta({**base, "compressor": {"id": "blosc"}})
     with pytest.raises(ValueError, match="zarr_format"):
         _normalize_v2_meta({**base, "zarr_format": 3})
+
+
+def test_zarr_v2_append_partial_and_aligned(spark, tmp_path):
+    """Appends fold into the padded tail chunk per the v2 spec; the
+    store stays readable (and plain-numpy decodable) after partial,
+    aligned, and multi-chunk appends, compressed or not."""
+    from zappy_spark.sources.zarrlite import append_zarr_v2, write_zarr_v2
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(7, 3))  # chunk_rows=4 → tail of 3
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    out = str(tmp_path / "a2")
+    write_zarr_v2(zf.df.select("row_id", "vec"), out, 4, 3, compressor="zlib")
+
+    extra1 = rng.normal(size=(1, 3))  # completes the tail chunk
+    extra2 = rng.normal(size=(9, 3))  # aligned start, partial end
+    append_zarr_v2(out, extra1)
+    append_zarr_v2(out, extra2)
+    want = np.concatenate([X, extra1, extra2])
+
+    back = ZappyFrame.from_zarrlite(spark, out)
+    assert back.shape == (17, 3)
+    assert np.allclose(back.asndarray(), want)
+
+    # plain-numpy decode (no zarrlite code): spec bytes, padded tail
+    import zlib
+
+    z = json.load(open(f"{out}/.zarray"))
+    assert z["shape"] == [17, 3] and z["chunks"] == [4, 3]
+    chunks = []
+    for i in range(5):
+        raw = zlib.decompress(open(f"{out}/{i}.0", "rb").read())
+        chunks.append(np.frombuffer(raw, dtype="<f8").reshape(4, 3))
+    full = np.concatenate(chunks)
+    assert np.allclose(full[:17], want)
+    assert np.all(full[17:] == 0.0)
+
+
+def test_zarr_v2_append_rejects_bad_width(spark, tmp_path):
+    from zappy_spark.sources.zarrlite import append_zarr_v2, write_zarr_v2
+
+    X = np.ones((4, 3))
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=1)
+    out = str(tmp_path / "a3")
+    write_zarr_v2(zf.df.select("row_id", "vec"), out, 2, 3)
+    with pytest.raises(ValueError, match=r"\(k, 3\)"):
+        append_zarr_v2(out, np.ones((2, 4)))

@@ -379,6 +379,75 @@ def write_zarr_v2(
     os.replace(tmp, os.path.join(path, ".zarray"))
 
 
+def append_zarr_v2(path: str, arr: "np.ndarray") -> None:
+    """Append rows to a zarr v2 store written by :func:`write_zarr_v2`.
+
+    Spec-conformant growth: if the current tail chunk is PARTIAL, its
+    padded file is rewritten with the new rows folded in (zarr's own
+    append does the same); chunk-aligned stores grow by pure file
+    adds. ``.zarray`` (shape) is replaced atomically last, so a
+    concurrent batch reader sees the old or the new array, never a
+    torn one.
+
+    Streaming caveat, for the tail reader: the chunk-count offset
+    contract assumes immutable chunks, so only chunk-ALIGNED appends
+    are safe under a live ``read_zarrlite_stream`` (a partial-tail
+    rewrite changes the content of an already-served chunk). Batch
+    readers are always fine. Single-writer, driver-side — the
+    metadata owner appends, executors never race on ``.zarray``."""
+    meta = _load_meta(path)
+    if not meta.get("v2"):
+        raise ValueError("append_zarr_v2 requires a zarr v2 store")
+    if meta["compressor"] not in (None, "zlib", "gzip"):
+        raise NotImplementedError(meta["compressor"])
+    arr = np.asarray(arr, dtype=np.float64)
+    n, m = meta["shape"]
+    r = meta["chunk_rows"]
+    sep = meta["dimension_separator"]
+    if arr.ndim != 2 or arr.shape[1] != m:
+        raise ValueError(f"appended rows must be (k, {m}), got {arr.shape}")
+    dt = np.dtype(meta["dtype"])
+
+    def _codec(buf: bytes, compress: bool) -> bytes:
+        comp = meta["compressor"]
+        if comp is None:
+            return buf
+        import gzip
+        import zlib
+
+        mod = zlib if comp == "zlib" else gzip
+        return mod.compress(buf) if compress else mod.decompress(buf)
+
+    tail_rows = n % r
+    if tail_rows:  # fold new rows into the rewritten partial tail
+        i = n // r
+        tp = os.path.join(path, f"{i}{sep}0")
+        with open(tp, "rb") as f:
+            old = np.frombuffer(_codec(f.read(), False), dtype=dt)
+        head = old.reshape(r, m)[:tail_rows].astype(np.float64)
+        arr = np.concatenate([head, arr])
+        start_chunk, new_n = i, (n - tail_rows) + arr.shape[0]
+    else:
+        start_chunk, new_n = n // r, n + arr.shape[0]
+    for j in range(0, arr.shape[0], r):
+        chunk = np.zeros((r, m), np.float64)
+        rows = arr[j : j + r]
+        chunk[: rows.shape[0]] = rows
+        buf = _codec(chunk.astype(dt).tobytes(order="C"), True)
+        with open(
+            os.path.join(path, f"{start_chunk + j // r}{sep}0"), "wb"
+        ) as f:
+            f.write(buf)
+    za = os.path.join(path, ".zarray")
+    with open(za) as f:
+        z = json.load(f)
+    z["shape"] = [new_n, m]
+    tmp = os.path.join(path, "_.zarray.tmp")
+    with open(tmp, "w") as f:
+        json.dump(z, f)
+    os.replace(tmp, za)
+
+
 # -- streaming read side (Spark 4 Python DataSourceStreamReader) -----------
 
 
