@@ -440,3 +440,46 @@ def test_zarr_v2_append_rejects_bad_width(spark, tmp_path):
     write_zarr_v2(zf.df.select("row_id", "vec"), out, 2, 3)
     with pytest.raises(ValueError, match=r"\(k, 3\)"):
         append_zarr_v2(out, np.ones((2, 4)))
+
+
+def test_zarr_v2_stream_tail_chunk_aligned(spark, tmp_path):
+    """Streaming tail over a REAL zarr v2 store: chunk-aligned
+    appends (the streaming-safe mode — padded-tail rewrites would
+    mutate served chunks) drain exactly-once across restarts, and
+    the batch reader agrees with the drained stream."""
+    from zappy_spark.sources.zarrlite import (
+        append_zarr_v2,
+        read_zarrlite,
+        read_zarrlite_stream,
+        write_zarr_v2,
+    )
+
+    store = str(tmp_path / "v2s")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    a = np.arange(18, dtype=float).reshape(6, 3)  # 2 full chunks of 3
+    zf = ZappyFrame.from_ndarray(spark, a, num_partitions=2)
+    write_zarr_v2(zf.df.select("row_id", "vec"), store, 3, 3)
+
+    def drain():
+        q = (
+            read_zarrlite_stream(spark, store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 6
+
+    append_zarr_v2(store, np.full((3, 3), 42.0))  # one aligned chunk
+    drain()
+    rows = spark.read.parquet(out).orderBy("row_id").collect()
+    assert [r.row_id for r in rows] == list(range(9))
+    assert rows[6].vec == [42.0] * 3
+
+    m = read_zarrlite(spark, store).orderBy("row_id").collect()
+    assert [tuple(r) for r in m] == [tuple(r) for r in rows]
