@@ -635,3 +635,28 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS zs_stats_t")
+
+
+def test_matryoshka_both_passes_are_topk_heaps(spark):
+    """v18's coarse shortlist AND final re-rank must compile to
+    TakeOrderedAndProject (per-partition heap + bounded driver
+    merge) — a Sort node would mean a global sort crept in."""
+    plan = _plan(QUERIES["v18_matryoshka_topk"](spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange" not in plan  # no shuffle anywhere in the query
+
+
+def test_shelf_packing_window_is_partitioned(spark):
+    """d27's cumulative-sum window must be hash-partitioned on
+    source — an empty partition spec would serialize the corpus
+    through one task."""
+    plan = _plan(QUERIES["d27_shelf_packing"](spark, SF_DIR))
+    assert "hashpartitioning(source" in plan
+
+
+def test_leakage_free_split_is_one_aggregate(spark):
+    """d26's no-leak guarantee rides the grouping KEY, not a join:
+    the plan must contain no Join at all and exactly the aggregate's
+    exchanges."""
+    plan = _plan(QUERIES["d26_leakage_free_split"](spark, SF_DIR))
+    assert "Join" not in plan
