@@ -991,3 +991,23 @@ def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
         for r in weighted_sample_exact(docs, "doc_id", "wt", 15).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_dynamic_session_stream_equals_batch(spark, replay_dir):
+    """Dynamic (per-event-type) gap session windows: the streaming
+    merge state machine must agree with the batch plan on the same
+    replayed events — the s3 equivalence, but through the Column-gap
+    session_window surface."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.dynamic_session_counts(stream).select(
+            "user_id", F.col("session_window.start").alias("st"), "n"
+        ),
+        "t_dynsess",
+    )
+    batch = jobs.dynamic_session_counts(
+        spark.read.parquet(replay_dir)
+    ).select("user_id", F.col("session_window.start").alias("st"), "n")
+    assert _rows(got, "user_id", "st", "n") == _rows(
+        batch, "user_id", "st", "n"
+    )

@@ -417,6 +417,27 @@ def s17(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s18(spark: SparkSession, d: str) -> DataFrame:
+    """Dynamic-gap session windows (round 5;
+    streaming/jobs.py::dynamic_session_counts): the gap is a
+    PER-EVENT expression — an 'error' only holds a session open 5
+    minutes while normal activity holds 30 — i.e. Spark's native
+    ``session_window`` with a Column gap, a surface the fixed-gap
+    s3 does not touch. The oracle replays the merge semantics as
+    running-max-of-window-end gaps-and-islands (an event opens a new
+    session iff its ts is at or past the max end of every earlier
+    window), which is exactly the [ts, ts+gap) overlap-merge rule.
+    State scales with live sessions; same rollup ledger as s3."""
+    from zappy_spark.streaming.jobs import dynamic_session_counts
+
+    per = dynamic_session_counts(t(spark, d, "events"))
+    return (
+        per.groupBy("user_id")
+        .agg(F.count("*").alias("sessions"), F.sum("n").alias("events"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -435,9 +456,26 @@ QUERIES = {
     "s15_transition_matrix": s15,
     "s16_user_ewma": s16,
     "s17_gaps_islands": s17,
+    "s18_dynamic_session": s18,
 }
 
 ORACLE = {
+    # s18: replay dynamic session merge as running-max-of-end islands
+    "s18_dynamic_session": (
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "ts + CASE WHEN event_type='error' THEN INTERVAL '5 minutes' "
+        "ELSE INTERVAL '30 minutes' END ed FROM events), "
+        "m AS (SELECT user_id, ts, event_id, ed, "
+        "MAX(ed) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) me FROM e), "
+        "isl AS (SELECT user_id, "
+        "SUM(CASE WHEN me IS NULL OR ts >= me THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) sid FROM m), "
+        "s AS (SELECT user_id, sid, COUNT(*) n FROM isl GROUP BY 1, 2) "
+        "SELECT user_id, COUNT(*) sessions, CAST(SUM(n) AS BIGINT) events "
+        "FROM s GROUP BY user_id ORDER BY user_id"
+    ),
     "s17_gaps_islands": (
         "WITH g AS (SELECT user_id, ts, event_id, "
         "CASE WHEN ts - LAG(ts) OVER "

@@ -123,6 +123,29 @@ def session_spans(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dynamic_session_counts(
+    stream: DataFrame,
+    gaps: dict[str, str] | None = None,
+    default: str = "30 minutes",
+) -> DataFrame:
+    """S18 twin: session windows whose gap is a PER-EVENT expression
+    (``session_window`` with a Column gap — each event extends the
+    session by its own type's timeout; e.g. an 'error' only holds a
+    session open 5 minutes while normal activity holds 30). The
+    merge state machine is Spark's native dynamic session window;
+    state per live session, evicted by watermark in production
+    (complete mode in the equivalence test). The batch twin's oracle
+    replays the merge as running-max-of-window-end gaps-and-islands.
+    """
+    gaps = gaps if gaps is not None else {"error": "5 minutes"}
+    gap = F.lit(default)
+    for typ, g in gaps.items():
+        gap = F.when(F.col("event_type") == typ, F.lit(g)).otherwise(gap)
+    return stream.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n")
+    )
+
+
 def dedup_first(stream: DataFrame) -> DataFrame:
     """S4 twin: streaming dropDuplicates keeps the first arrival per
     key; the replay writes files in (ts, event_id) order so arrival
