@@ -2173,3 +2173,27 @@ def test_matryoshka_recall_floor(spark):
         ).collect()
     }
     assert len(exact & got) >= 3
+
+
+def test_triangle_count_planted_graphs(spark):
+    """K4 has 4 triangles, a square has 0, a star has 0; disjoint
+    union counts add. Also a high-degree hub with one closing edge:
+    exactly 1 triangle regardless of orientation."""
+    from zappy_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    star = [(20, x) for x in range(21, 26)]
+    hub = [(30, x) for x in range(31, 41)] + [(31, 32)]
+    edges = spark.createDataFrame(
+        k4 + square + star + hub, "i long, j long"
+    )
+    row = triangle_count(edges, "i", "j").collect()[0]
+    assert row["n_triangles"] == 4 + 0 + 0 + 1
+    assert row["n_edges"] == len(k4) + 4 + 5 + 11
+    assert row["n_nodes"] == 4 + 4 + 6 + 11
+    # direction/duplicate invariance: reversed + doubled edges
+    rev = spark.createDataFrame(
+        [(j, i) for i, j in k4] + k4, "i long, j long"
+    )
+    assert triangle_count(rev, "i", "j").collect()[0]["n_triangles"] == 4

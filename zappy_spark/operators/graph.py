@@ -198,3 +198,71 @@ def pagerank(
     raise RuntimeError(
         f"pagerank did not converge within {max_iter} iterations"
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "i", dst: str = "j") -> DataFrame:
+    """Exact global triangle count with degree-ordered orientation —
+    the third graph primitive next to components and PageRank (dedup
+    reads it as a cluster-density signal: triangle-rich near-dup
+    neighborhoods are template families, triangle-poor ones are
+    chains of borderline pairs).
+
+    The scale trick is the ORIENTATION: undirected edges are
+    canonicalized then directed from the (degree, id)-smaller toward
+    the larger endpoint, so every wedge enumeration fans out from
+    the LOWER-degree endpoint. Out-degrees under this orientation
+    are bounded by O(sqrt(m)), which turns the worst case from
+    sum(deg^2) (quadratic at hubs — a power-law killer) into
+    O(m^1.5) total wedges: the standard bound. Execution is two
+    self-equi-joins hash-partitioned on node ids — no cartesian, no
+    iteration; each triangle is counted exactly once (the count is
+    orientation-invariant, so an oracle may replay with plain id
+    ordering). Returns 1 row: (n_nodes, n_edges, n_triangles)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge from the (degree, id)-smaller endpoint
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ranked = e.join(dx, "x").join(dy, "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("b"),
+    )
+    wedges = o.alias("e1").join(
+        o.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("u"),
+        F.col("e1.b").alias("v"),
+        F.col("e2.b").alias("w"),
+    )
+    # closing edge may be oriented either way between u and w
+    closing = o.select(
+        F.least("a", "b").alias("cx"), F.greatest("a", "b").alias("cy")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("u", "w") == F.col("cx"))
+        & (F.greatest("u", "w") == F.col("cy")),
+        "left_semi",
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -76,6 +76,7 @@ _CHANGED_R5 = [
     "m02_fake_decode_features",  # NEW round 5: mapInPandas value check
     "v18_matryoshka_topk",  # NEW round 5: prefix-dim retrieve + rerank
     "s18_dynamic_session",  # NEW round 5: per-event-gap session window
+    "d28_triangle_count",  # NEW round 5: degree-oriented triangles
     "r56_q9_profit",  # r4 driver FAIL → decimal re-spell
     "v07_hll_rollup",  # first oracle: exact-twin + envelope boolean
     "v09_ivf_kmeans",  # first oracle: fixed-iteration Lloyd CTE twin

@@ -615,6 +615,39 @@ def v18(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d28(spark: SparkSession, d: str) -> DataFrame:
+    """Exact triangle count (round 5; operators/graph.py::
+    triangle_count) over the part co-purchase graph (parts linked
+    when some order contains both; subgraph capped at partkey<500 so
+    the declared entry stays a bounded correctness check at any SF).
+    Spark runs the degree-ordered orientation (O(m^1.5) wedge bound
+    — survives power-law hubs); the oracle replays with plain id
+    ordering, legal because the COUNT is orientation-invariant even
+    though the cost is not. Third graph primitive next to the CC
+    closure (d19) and PageRank (v16): triangle density separates
+    template families from chains in near-dup clusters."""
+    from zappy_spark.operators.graph import triangle_count
+
+    lp = (
+        t(spark, d, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+    )
+    return triangle_count(pairs, "i", "j")
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1538,6 +1571,7 @@ QUERIES = {
     "m01_binary_chunk_plan": m01,
     "m02_fake_decode_features": m02,
     "v18_matryoshka_topk": v18,
+    "d28_triangle_count": d28,
     "d25_psi_drift": d25,
     "r78_scd2_history": r78,
     "r79_point_in_time": r79,
@@ -2532,6 +2566,21 @@ ORACLE = {
     # (distance, cluster) mirrors kmeans_assign's array_position.
     # "cl" avoids the reserved word CLUSTER; output aliases match the
     # Spark side. Integer sizes are robust to centroid-mean ulps.
+    # d28: plain id-ordered replay (count is orientation-invariant)
+    "d28_triangle_count": (
+        "WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p "
+        "FROM lineitem WHERE l_partkey < 500), "
+        "e AS (SELECT DISTINCT a.p x, b.p y FROM lp a "
+        "JOIN lp b ON a.o = b.o AND a.p < b.p), "
+        "nn AS (SELECT COUNT(*) c FROM "
+        "(SELECT x n FROM e UNION SELECT y FROM e)), "
+        "tri AS (SELECT COUNT(*) c FROM e e1 "
+        "JOIN e e2 ON e1.y = e2.x "
+        "JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y) "
+        "SELECT (SELECT c FROM nn) n_nodes, "
+        "(SELECT COUNT(*) FROM e) n_edges, "
+        "(SELECT c FROM tri) n_triangles"
+    ),
     # v18: DOUBLE[] casts as in l02; DuckDB list slice [1:16] is
     # 1-based end-inclusive = Spark slice(v, 1, 16).
     "v18_matryoshka_topk": (
