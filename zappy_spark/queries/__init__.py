@@ -28,19 +28,19 @@ behind and is canary-guarded per family meanwhile.
 Round-5 ordering (this file, executing the plan round 4 wrote):
 CORRECTNESS_r04 confirmed the window is exactly the first 50 dict
 entries — 49 green, r56 hash-fail. Head of the round-5 window: the
-six entries ADDED this round (z29 zarr-v2 round-trip, d26
+seven entries ADDED this round (z29 zarr-v2 round-trip, d26
 leakage-free split, d27 shelf packing, m02 mapInPandas value check,
-v18 matryoshka retrieval, s18 dynamic-gap sessions), then the five
-whose SPELLING changed and which must regain a driver row in their
-new form (r56 decimal re-spell of the r4 failure; v07/v09 gaining
-their first oracles; z01/z02 decimal re-spells), then the
-twenty-one tier-0 entries the r4 window cut off (d23 … t21 plus the
-yielding t04/v02/v06 trio — r75/r78/r79 in that span were also
-re-spelled this session), then 18 promoted _R1_STALE entries
-(z03 … r04) to complete 50.
+v18 matryoshka retrieval, s18 dynamic-gap sessions, d28 triangle
+count), then the five whose SPELLING changed and which must regain
+a driver row in their new form (r56 decimal re-spell of the r4
+failure; v07/v09 gaining their first oracles; z01/z02 decimal
+re-spells), then the twenty-one tier-0 entries the r4 window cut
+off (d23 … t21 plus the yielding t04/v02/v06 trio — r75/r78/r79 in
+that span were also re-spelled this session), then 17 promoted
+_R1_STALE entries (z03 … r03) to complete 50.
 
 ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote the remaining 24 _R1_STALE (r05 … r26), then all
+the back; promote the remaining 25 _R1_STALE (r04 … r26), then all
 of _R2_STALE (39), leaving r4-green entries (z26, r67, …) queued
 directly behind so every entry keeps cycling toward a fresh driver
 row; keep any round-6 additions ahead of everything. Every entry
@@ -66,9 +66,10 @@ _ALL_QUERIES = {
 }
 
 # Round-5 window head: entries with no driver row in their CURRENT
-# spelling. First the five changed/newly-oracled this session, then
-# the 21 tier-0 entries the round-4 window cut off (in their r4
-# order; r75/r78/r79 were additionally re-spelled to decimal sums).
+# spelling. First the seven entries added this session, then the
+# five changed/newly-oracled, then the 21 tier-0 entries the
+# round-4 window cut off (in their r4 order; r75/r78/r79 were
+# additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
     "z29_zarr_v2_roundtrip",  # NEW round 5: zarr v2 disk round-trip
     "d26_leakage_free_split",  # NEW round 5: fingerprint-keyed split
