@@ -47,4 +47,15 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_all_queries_have_unique_keys():
-    assert set(ORACLE) <= set(QUERIES)
+    # since round 5 EVERY declared entry carries a DuckDB oracle —
+    # a new rows-only entry is a regression unless deliberately
+    # argued (and then this assertion is the place to document it)
+    assert set(ORACLE) == set(QUERIES)
+
+
+def test_bench_keys_resolve():
+    """bench.py's B-id mapping must point at live corpus keys."""
+    from bench import BENCH
+
+    missing = [k for k in BENCH.values() if k not in QUERIES]
+    assert not missing, missing
