@@ -2197,3 +2197,79 @@ def test_triangle_count_planted_graphs(spark):
         [(j, i) for i, j in k4] + k4, "i long, j long"
     )
     assert triangle_count(rev, "i", "j").collect()[0]["n_triangles"] == 4
+
+
+def test_temperature_sample_flattens_head_groups(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sampling import temperature_sample
+
+    # head group 3200 rows, tail group 50 rows
+    df = spark.createDataFrame(
+        [(i, "head" if i < 3200 else "tail") for i in range(3250)],
+        "doc_id bigint, source string",
+    )
+    out = temperature_sample(df, "doc_id", "source", scale=10.0)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # tail rate = min(1, 10/sqrt(50)) = 1 -> kept whole
+    assert counts["tail"] == 50
+    # head expectation = 10*sqrt(3200) ~ 566; binomial spread is tight
+    assert 420 < counts["head"] < 720
+    # deterministic
+    again = temperature_sample(df, "doc_id", "source", scale=10.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # alpha=1 keeps everything rate-1 when scale >= 1
+    full = temperature_sample(df, "doc_id", "source", scale=1.0, alpha=1.0)
+    assert full.count() == 3250
+
+
+def test_per_group_cap_keeps_best_k(spark):
+    from zappy_spark.operators.sampling import per_group_cap
+
+    rows = [(i, "a", i * 2) for i in range(30)] + [
+        (100 + i, "b", 5) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, q bigint")
+    out = per_group_cap(df, "source", "q", "doc_id", 10)
+    a = sorted(r["doc_id"] for r in out.filter("source='a'").collect())
+    # top-10 by q desc = ids 20..29
+    assert a == list(range(20, 30))
+    # undersized group kept whole; tie on q broken by ascending id
+    b = sorted(r["doc_id"] for r in out.filter("source='b'").collect())
+    assert b == [100, 101, 102]
+    capped2 = per_group_cap(df, "source", "q", "doc_id", 2)
+    assert sorted(
+        r["doc_id"] for r in capped2.filter("source='b'").collect()
+    ) == [100, 101]
+
+
+def test_winsorize_clamps_to_discrete_edges(spark):
+    from zappy_spark.operators.diagnostics import winsorize
+
+    # values 1..100 in one group: p05 edge=5, p95 edge=95 (discrete)
+    df = spark.createDataFrame(
+        [(i, "en", i) for i in range(1, 101)],
+        "doc_id bigint, lang string, v bigint",
+    )
+    out = winsorize(df, "v", "lang", 0.05, 0.95).collect()
+    lo = {r["_lo"] for r in out}
+    hi = {r["_hi"] for r in out}
+    assert lo == {5} and hi == {95}
+    clipped = {r["v"]: r["v_wins"] for r in out}
+    assert clipped[1] == 5 and clipped[3] == 5
+    assert clipped[99] == 95 and clipped[100] == 95
+    assert clipped[50] == 50  # interior untouched
+    # edges are actual data values even on skewed distributions
+    skew = spark.createDataFrame(
+        [(i, "x", 7) for i in range(99)] + [(99, "x", 10_000)],
+        "doc_id bigint, lang string, v bigint",
+    )
+    srows = winsorize(skew, "v", "lang", 0.05, 0.95).collect()
+    assert {r["_lo"] for r in srows} == {7}
+    assert {r["_hi"] for r in srows} == {7}
+    assert {r["v_wins"] for r in srows} == {7}

@@ -13,7 +13,7 @@ HashPartitioner applies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -181,4 +181,55 @@ def psi_report(
             F.round(term, 6).alias("term"),
         )
         .orderBy("bucket")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized robust scaling: clamp ``col`` to its per-group
+    [p_lo, p_hi] DISCRETE percentiles — the standard outlier-taming
+    transform for heavy-tailed signals (document lengths, request
+    latencies) before they feed a quality score or a curriculum bin.
+    The clamp-to-edge sibling of the MAD gate (text.py): MAD drops
+    outliers, winsorize keeps them at the fence.
+
+    Discrete (not interpolated) percentiles on purpose: the edge is
+    "the smallest value whose cumulative count reaches p·n" over the
+    per-(group, value) COUNT aggregate — an ACTUAL data value picked
+    by an integer-count comparison (r70's spelling), so there is no
+    interpolation arithmetic and the result is exact on any engine.
+    Scale shape: the percentile window sorts |distinct values| rows
+    per group (not raw rows), the edges broadcast back as a tiny
+    frame, and the clamp is a scan-side LEAST/GREATEST."""
+    if not 0.0 < p_lo < p_hi < 1.0:
+        raise ValueError(f"need 0 < p_lo < p_hi < 1, got {p_lo}, {p_hi}")
+    cnt = df.groupBy(group_col, col).agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(group_col)
+    cum = cnt.select(
+        group_col,
+        col,
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(tot).alias("_n"),
+    )
+    edges = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("_cum") >= p_lo * F.col("_n"), F.col(col))
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("_cum") >= p_hi * F.col("_n"), F.col(col))
+        ).alias("_hi"),
+    )
+    return df.join(F.broadcast(edges), group_col).withColumn(
+        f"{col}_wins",
+        F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")),
     )

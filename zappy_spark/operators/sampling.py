@@ -237,3 +237,70 @@ def weighted_sample_exact(
         .orderBy("aes_key", id_col)
         .limit(k)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    scale: float,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: keep each row of group
+    g with rate ``min(1, scale · |g|^(alpha-1))``, so the expected
+    kept count per group is ``min(|g|, scale · |g|^alpha)`` — the
+    unigram-temperature knob of multilingual / multi-domain
+    pre-training mixes (T5/PaLM style): alpha < 1 flattens the
+    head domains toward the tail without starving either. Unlike
+    ``mixture_sample`` the rates are DERIVED from corpus statistics,
+    not supplied; unlike global normalization, each group's rate
+    depends only on its OWN count — no cross-group sum, so for
+    alpha = 0.5 (rate = scale/sqrt(|g|), IEEE-exact sqrt + divide)
+    the decision is bit-reproducible on any engine, with no
+    rounding-boundary class at all.
+
+    Scale shape: one tiny per-group count aggregate, broadcast back
+    (thousands of domains = kilobytes), then a scan-side comparison
+    of the id-hash integer against rate·2^32 — deterministic,
+    append-stable within a corpus snapshot, zero data shuffles."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_zs_cnt"))
+    if alpha == 0.5:
+        rate = F.lit(float(scale)) / F.sqrt(F.col("_zs_cnt"))
+    else:  # pow() is libm-dependent: documented as not oracle-exact
+        rate = F.lit(float(scale)) * F.pow(F.col("_zs_cnt"), alpha - 1.0)
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(
+            F.conv(_hash_key(id_col), 16, 10).cast("double")
+            < F.least(F.lit(1.0), rate) * float(_SPACE)
+        )
+        .drop("_zs_cnt")
+    )
+
+
+def per_group_cap(
+    df: DataFrame, group_col: str, order_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Keep the top-``k`` rows of each group by ``order_col``
+    (descending, id ascending as the total-order tie-break) — the
+    per-host / per-domain quota of crawl curation: no single source
+    may contribute more than k documents, and the k kept are the
+    BEST by the quality signal, not a random subset. The
+    quality-ranked sibling of ``stratified_sample_exact`` (which
+    ranks by hash, i.e. uniformly).
+
+    One window per group (hash shuffle on the group key); skewed
+    groups cost one sort each but emit at most k rows, so the
+    output is bounded by k·|groups| regardless of corpus size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_zs_rn", F.row_number().over(w))
+        .filter(F.col("_zs_rn") <= k)
+        .drop("_zs_rn")
+    )

@@ -772,6 +772,58 @@ def d27(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d29(spark: SparkSession, d: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (round 5;
+    operators/sampling.py::temperature_sample): per-source keep rate
+    min(1, 20/sqrt(|source|)) — expected kept count ∝ |source|^0.5,
+    the unigram-temperature flattening (T5/PaLM style) that tames
+    head domains without starving the tail. Rates DERIVE from corpus
+    counts; alpha = 0.5 keeps the whole decision in IEEE-exact
+    sqrt/divide territory (no cross-group sum, no rounding boundary
+    class). Ledger = per source: total, kept, and the exact integer
+    sum of kept ids — a membership witness with zero float risk.
+    Scale shape: tiny count aggregate broadcast back, scan-side
+    hash-threshold filter, one bounded ledger aggregate."""
+    from zappy_spark.operators.sampling import temperature_sample
+
+    docs = t(spark, d, "documents")
+    kept = temperature_sample(docs, "doc_id", "source", scale=20.0)
+    tot = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    led = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    return (
+        tot.join(led, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("id_sum", F.lit(0)).alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def d30(spark: SparkSession, d: str) -> DataFrame:
+    """Per-domain quality cap (round 5;
+    operators/sampling.py::per_group_cap): no source contributes
+    more than 25 documents, and the 25 kept are the LONGEST
+    (n_chars as the quality proxy; doc_id ascending as the total-
+    order tie-break) — the per-host quota of crawl curation, where
+    uncapped mega-hosts would dominate any mixture. One window per
+    source; output bounded by k·|sources| at any corpus size."""
+    from zappy_spark.operators.sampling import per_group_cap
+
+    return (
+        per_group_cap(
+            t(spark, d, "documents"), "source", "n_chars", "doc_id", 25
+        )
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
 def r78(spark: SparkSession, d: str) -> DataFrame:
     """SCD-2 history apply (round 4c;
     operators/pipeline.py::scd2_apply): orders as the dimension
@@ -887,6 +939,39 @@ def t21(spark: SparkSession, d: str) -> DataFrame:
             F.round(F.max("_mad"), 1).alias("mad"),
         )
         .orderBy("source")
+    )
+
+
+def t22(spark: SparkSession, d: str) -> DataFrame:
+    """Per-language winsorization of document length (round 5;
+    operators/diagnostics.py::winsorize): clamp n_chars to the
+    per-lang [p05, p95] DISCRETE percentiles — outlier-taming that
+    keeps rows at the fence instead of dropping them (the clamp
+    sibling of t21's MAD gate). Discrete edges use r70's
+    integer-count spelling ("smallest value whose cumulative count
+    reaches p·n" over the per-(lang, value) COUNT aggregate), so
+    there is no interpolation arithmetic anywhere; the p·n compare
+    is one IEEE multiply of identical doubles on both engines.
+    Ledger = per lang: edges, clamped-row counts, and the exact
+    int64 sum of winsorized lengths — zero float columns."""
+    from zappy_spark.operators.diagnostics import winsorize
+
+    docs = t(spark, d, "documents").select("doc_id", "lang", "n_chars")
+    wz = winsorize(docs, "n_chars", "lang", 0.05, 0.95)
+    return (
+        wz.groupBy("lang")
+        .agg(
+            F.min("_lo").alias("lo"),
+            F.min("_hi").alias("hi"),
+            F.sum(
+                (F.col("n_chars") < F.col("_lo")).cast("bigint")
+            ).alias("n_below"),
+            F.sum(
+                (F.col("n_chars") > F.col("_hi")).cast("bigint")
+            ).alias("n_above"),
+            F.sum("n_chars_wins").alias("sum_wins"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -1567,6 +1652,9 @@ QUERIES = {
     "d23_train_val_test": d23,
     "d26_leakage_free_split": d26,
     "d27_shelf_packing": d27,
+    "d29_temperature_mixture": d29,
+    "d30_domain_cap": d30,
+    "t22_winsorize": t22,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "m02_fake_decode_features": m02,
@@ -2607,6 +2695,47 @@ ORACLE = {
             for k in range(8)
         )
         + " FROM b ORDER BY media_id LIMIT 100"
+    ),
+    "d29_temperature_mixture": (
+        "WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents "
+        "GROUP BY source), "
+        "k AS (SELECT d.source, d.doc_id FROM documents d JOIN c "
+        "USING (source) "
+        "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT "
+        "< LEAST(CAST(1.0 AS DOUBLE), CAST(20.0 AS DOUBLE)/sqrt(n_total)) "
+        "* 4294967296.0) "
+        "SELECT c.source, c.n_total, "
+        "CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept, "
+        "CAST(COALESCE(SUM(k.doc_id),0) AS BIGINT) AS id_sum "
+        "FROM c LEFT JOIN k ON c.source = k.source "
+        "GROUP BY c.source, c.n_total ORDER BY c.source"
+    ),
+    "d30_domain_cap": (
+        "SELECT source, doc_id, n_chars FROM ("
+        "SELECT source, doc_id, n_chars, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) rn "
+        "FROM documents) WHERE rn <= 25 ORDER BY source, doc_id"
+    ),
+    "t22_winsorize": (
+        "WITH c AS (SELECT lang, n_chars, COUNT(*) AS cnt FROM documents "
+        "GROUP BY lang, n_chars), "
+        "cum AS (SELECT lang, n_chars, "
+        "SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars "
+        "ROWS UNBOUNDED PRECEDING) cum, "
+        "SUM(cnt) OVER (PARTITION BY lang) n FROM c), "
+        "e AS (SELECT lang, "
+        "MIN(CASE WHEN cum >= CAST(0.05 AS DOUBLE) * n THEN n_chars END) lo, "
+        "MIN(CASE WHEN cum >= CAST(0.95 AS DOUBLE) * n THEN n_chars END) hi "
+        "FROM cum GROUP BY lang) "
+        "SELECT d.lang, MIN(e.lo) AS lo, MIN(e.hi) AS hi, "
+        "CAST(SUM(CASE WHEN d.n_chars < e.lo THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_below, "
+        "CAST(SUM(CASE WHEN d.n_chars > e.hi THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_above, "
+        "CAST(SUM(LEAST(GREATEST(d.n_chars, e.lo), e.hi)) AS BIGINT) "
+        "AS sum_wins "
+        "FROM documents d JOIN e USING (lang) "
+        "GROUP BY d.lang ORDER BY d.lang"
     ),
     "d26_leakage_free_split": (
         "WITH f AS (SELECT doc_id, md5(array_to_string("
