@@ -660,3 +660,30 @@ def test_leakage_free_split_is_one_aggregate(spark):
     exchanges."""
     plan = _plan(QUERIES["d26_leakage_free_split"](spark, SF_DIR))
     assert "Join" not in plan
+
+
+def test_temperature_sample_counts_join_is_broadcast(spark):
+    """d29's per-source count table is kilobytes at any corpus size;
+    joining it back must be a BroadcastHashJoin (the data scan never
+    shuffles for it), and the hash-threshold filter must not push a
+    Python eval into the plan."""
+    plan = _plan(QUERIES["d29_temperature_mixture"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_domain_cap_single_window_on_source(spark):
+    """d30 is one ranking window hash-partitioned on source —
+    no join, no second shuffle stage beyond the window's own."""
+    plan = _plan(QUERIES["d30_domain_cap"](spark, SF_DIR))
+    assert "hashpartitioning(source" in plan
+    assert "Join" not in plan
+
+
+def test_winsorize_edges_join_is_broadcast(spark):
+    """t22's percentile edges are a |langs|-row frame; the clamp
+    join back onto the scan must broadcast them, and the percentile
+    window must sort (lang, value) pairs, partitioned by lang."""
+    plan = _plan(QUERIES["t22_winsorize"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(lang" in plan
