@@ -438,6 +438,76 @@ def s18(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r80(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling median baseline (round 5b): per user, the median of
+    the trailing 10 events' values — the robust sibling of s16's
+    EWMA and s12's z-score: one boilerplate spike shifts a mean,
+    not a rolling median. Spark has no median window function;
+    ``percentile(value, 0.5)`` over a ROWS frame is the exact
+    spelling (interpolating, matching DuckDB's windowed median on
+    DOUBLE — both compute (a+b)/2 of the same two doubles on even
+    frames). Ordering inside the frame is (ts, event_id): unique, so
+    frame contents are engine-identical. One shuffle on user_id; the
+    frame is a sliding aggregate per partition, no self-join."""
+    ev = t(spark, d, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(
+                F.expr("percentile(value, 0.5)").over(w), 4
+            ).alias("med10"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+def r81(spark: SparkSession, d: str) -> DataFrame:
+    """Approximate-quantile envelope attestation (round 5b, the v07
+    trick applied to sketched percentiles): the GK-sketch
+    ``approx_percentile`` estimate is engine-specific, but the claim
+    it makes — "within rank error 1/accuracy of the true quantile" —
+    is not. Per event_type the entry outputs the EXACT interpolated
+    p50/p90 (oracle-checkable) plus booleans attesting the
+    accuracy=1000 sketch landed inside the exact [p−0.02, p+0.02]
+    rank band (20× the guaranteed 0.001 rank error — a robust
+    envelope, not a tuned one). The oracle replays the exacts and
+    expects TRUE: a sketch regression flips the driver row red.
+    All percentiles ride ONE aggregate pass (partial-merge GK +
+    exact sort-based percentile per group)."""
+    ev = t(spark, d, "events")
+    ex = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.percentile("value", 0.48).alias("_l50"),
+        F.percentile("value", 0.52).alias("_u50"),
+        F.percentile("value", 0.88).alias("_l90"),
+        F.percentile("value", 0.92).alias("_u90"),
+        F.percentile_approx("value", 0.5, 1000).alias("_a50"),
+        F.percentile_approx("value", 0.9, 1000).alias("_a90"),
+    )
+    return ex.select(
+        "event_type",
+        "p50",
+        "p90",
+        (
+            (F.col("_a50") >= F.col("_l50"))
+            & (F.col("_a50") <= F.col("_u50"))
+        ).alias("p50_within"),
+        (
+            (F.col("_a90") >= F.col("_l90"))
+            & (F.col("_a90") <= F.col("_u90"))
+        ).alias("p90_within"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -457,9 +527,25 @@ QUERIES = {
     "s16_user_ewma": s16,
     "s17_gaps_islands": s17,
     "s18_dynamic_session": s18,
+    "r80_rolling_median": r80,
+    "r81_quantile_envelope": r81,
 }
 
 ORACLE = {
+    "r80_rolling_median": (
+        "SELECT user_id, event_id, ROUND(value,2) AS \"value\", "
+        "ROUND(median(CAST(value AS DOUBLE)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med10 "
+        "FROM events ORDER BY user_id, event_id LIMIT 200"
+    ),
+    "r81_quantile_envelope": (
+        "SELECT event_type, "
+        "ROUND(quantile_cont(value, 0.5), 4) AS p50, "
+        "ROUND(quantile_cont(value, 0.9), 4) AS p90, "
+        "TRUE AS p50_within, TRUE AS p90_within "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
     # s18: replay dynamic session merge as running-max-of-end islands
     "s18_dynamic_session": (
         "WITH e AS (SELECT user_id, ts, event_id, "
