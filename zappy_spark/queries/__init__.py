@@ -43,11 +43,14 @@ _R1_STALE entries (z03 … z19) to complete 50 (z20–z23/r03 pushed
 to round 6 by the 5b additions).
 
 ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote the remaining 25 _R1_STALE (r04 … r26), then all
-of _R2_STALE (39), leaving r4-green entries (z26, r67, …) queued
-directly behind so every entry keeps cycling toward a fresh driver
-row; keep any round-6 additions ahead of everything. Every entry
-passes tests/test_oracle.py locally at sf0.001/sf0.01/sf0.1 AND the
+the back; promote first the five _R1_STALE entries the 5b additions
+pushed out of the r5 window (z20_median_percentile, z21_corr_covar,
+z22_skew_kurt, z23_regr, r03_topk_per_group), then the remaining 25
+_R1_STALE (r04 … r26), then as much of _R2_STALE (39) as fits,
+leaving r4-green entries (z26, r67, …) queued directly behind so
+every entry keeps cycling toward a fresh driver row; keep any
+round-6 additions ahead of everything. Every entry passes
+tests/test_oracle.py locally at sf0.001/sf0.01/sf0.1 AND the
 10x synth fixture regardless of window position."""
 
 from __future__ import annotations
