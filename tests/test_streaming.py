@@ -1011,3 +1011,31 @@ def test_dynamic_session_stream_equals_batch(spark, replay_dir):
     assert _rows(got, "user_id", "st", "n") == _rows(
         batch, "user_id", "st", "n"
     )
+
+
+def test_rolling_median_stream_equals_batch(spark, replay_dir):
+    """The trailing-10 median maintained incrementally (FIFO array
+    state) must equal the batch percentile-over-ROWS-frame spelling
+    row-for-row once the ordered replay drains — the r80 twin."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.rolling_median_stateful(stream), "t_med", output_mode="append"
+    )
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(replay_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    batch = ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med10"),
+    )
+    g = _rows(got, "user_id", "event_id", "value", "med10")
+    b = _rows(batch, "user_id", "event_id", "value", "med10")
+    assert len(g) == len(b) > 0
+    assert g == b

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -459,6 +460,76 @@ def gap_fill_stateful(stream: DataFrame) -> DataFrame:
         _locf_fn,
         outputStructType=_LOCF_OUT,
         stateStructType=_LOCF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_MED_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("med10", DoubleType()),
+    ]
+)
+_MED_STATE = StructType(
+    [StructField("tail", ArrayType(DoubleType()))]
+)
+
+
+def _rolling_median_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-user trailing-10 median emitter. State is the last ≤10
+    values in event order (one small array per key — bounded,
+    history-independent); each arriving event appends, trims to 10,
+    and emits the interpolating median of the current tail —
+    numpy's even-count mean-of-middles matches the batch
+    ``percentile(value, 0.5)`` exactly. Within a batch rows are
+    sorted by (ts, event_id); cross-batch order is the replay's
+    time-ordered file contract (same assumption every twin here
+    documents)."""
+    import numpy as np
+
+    tail: list[float] = list(state.get[0]) if state.exists else []
+    ids: list[int] = []
+    vals: list[float] = []
+    meds: list[float] = []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            tail.append(float(v))
+            if len(tail) > 10:
+                tail.pop(0)
+            ids.append(int(eid))
+            vals.append(round(float(v), 2))
+            meds.append(round(float(np.median(tail)), 4))
+    state.update((tail,))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": ids,
+            "value": vals,
+            "med10": meds,
+        }
+    )
+
+
+def rolling_median_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the r80 rolling-median baseline: the
+    trailing-10 median maintained incrementally per user via
+    applyInPandasWithState. Drained over an ordered replay it equals
+    the batch window spelling row-for-row (the equivalence test);
+    state per key is one ≤10-element array, evicted FIFO — constant
+    memory regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _rolling_median_fn,
+        outputStructType=_MED_OUT,
+        stateStructType=_MED_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
