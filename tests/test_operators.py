@@ -2273,3 +2273,36 @@ def test_winsorize_clamps_to_discrete_edges(spark):
     assert {r["_lo"] for r in srows} == {7}
     assert {r["_hi"] for r in srows} == {7}
     assert {r["v_wins"] for r in srows} == {7}
+
+
+def test_label_propagation_separates_planted_communities(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.graph import label_propagation
+
+    # two 5-cliques joined by ONE bridge edge: CC would merge them,
+    # LPA must keep them separate (the bridge is outvoted 4-to-1)
+    c1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    c2 = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "i bigint, j bigint")
+    out = label_propagation(edges, "i", "j", iters=5)
+    labels = {r["node"]: r["label"] for r in out.collect()}
+    assert len(labels) == 10
+    left = {labels[n] for n in range(5)}
+    right = {labels[n] for n in range(10, 15)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+    # deterministic across runs
+    again = {r["node"]: r["label"] for r in
+             label_propagation(edges, "i", "j", iters=5).collect()}
+    assert labels == again
+    # degenerate single edge: synchronous LPA label-SWAPS each round
+    # (the classic bipartite oscillation) — even iters return to the
+    # start, odd iters are the swapped state; both are deterministic
+    pair = spark.createDataFrame([(7, 9)], "i bigint, j bigint")
+    even = {r["node"]: r["label"] for r in
+            label_propagation(pair, iters=4).collect()}
+    odd = {r["node"]: r["label"] for r in
+           label_propagation(pair, iters=5).collect()}
+    assert even == {7: 7, 9: 9}
+    assert odd == {7: 9, 9: 7}

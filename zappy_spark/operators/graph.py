@@ -19,7 +19,7 @@ Converges in O(diameter) rounds; near-dup clusters are shallow
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -198,6 +198,63 @@ def pagerank(
     raise RuntimeError(
         f"pagerank did not converge within {max_iter} iterations"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    iters: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation over an undirected edge list —
+    the cheap community detector (near-linear per round, no
+    modularity objective): every node starts as its own label and
+    each round adopts the MODE of its neighbors' previous-round
+    labels, ties broken by the smaller label. Returns
+    (node, label) after exactly ``iters`` rounds. Communities
+    separate denser-than-chance neighborhoods where connected
+    components (d19) would merge everything reachable — in a
+    near-dup graph that is the difference between a template FAMILY
+    and a chain of borderline pairs.
+
+    Fully deterministic by construction (synchronous update + the
+    (count DESC, label ASC) tie-break), so a fixed-iteration
+    recursive-CTE oracle replays it exactly — the same trick as
+    pagerank's exact_iters and the d19 closure. Per round: ONE join
+    (labels onto edges) + ONE count aggregate + ONE per-node
+    row_number pick, all hash-partitioned on node ids; lineage cut
+    with localCheckpoint every round. At 100 TB: rounds are
+    constant-cost joins; iters bounds wall-clock regardless of
+    graph diameter (unlike CC, LPA is run for a fixed budget)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(iters):
+        votes = sym.join(
+            labels, sym["b"] == labels["node"]
+        ).select(F.col("a").alias("node"), "label")
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels
 
 
 def triangle_count(edges: DataFrame, src: str = "i", dst: str = "j") -> DataFrame:

@@ -648,6 +648,47 @@ def d28(spark: SparkSession, d: str) -> DataFrame:
     return triangle_count(pairs, "i", "j")
 
 
+def v19(spark: SparkSession, d: str) -> DataFrame:
+    """kNN-graph communities via synchronous label propagation
+    (round 5b; operators/graph.py::label_propagation): mutual
+    structure in embedding space without a cluster-count parameter —
+    build the directed top-3 cosine kNN graph over the first 500
+    vectors (dense ids at every fixture vintage; ranking on the
+    4dp-rounded similarity with id tie-break, the v08 determinism
+    contract), symmetrize, then 5 LPA rounds (mode-of-neighbors,
+    ties to the smaller label). The ledger is community sizes ≥ 2 —
+    ~40 communities of 2–60 members at every SF, so the check is
+    non-vacuous. Fourth graph primitive next to the CC closure
+    (d19), PageRank (v16) and triangles (d28); the oracle replays
+    the full pipeline — kNN ranking AND the 5 fixed rounds — as one
+    recursive CTE. At scale the kNN build swaps for the IVF/LSH
+    candidate generators; LPA's per-round cost is one edge join +
+    one count aggregate, hash-partitioned on node ids."""
+    from zappy_spark.operators.graph import label_propagation
+
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    scored = a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
+        "i", "j", F.round(cosine("ea", "eb"), 4).alias("sim")
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), "j")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("i", "j")
+    )
+    labels = label_propagation(knn, "i", "j", iters=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("label").alias("community"), "n")
+        .orderBy(F.desc("n"), "community")
+        .limit(100)
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1655,6 +1696,7 @@ QUERIES = {
     "d29_temperature_mixture": d29,
     "d30_domain_cap": d30,
     "t22_winsorize": t22,
+    "v19_knn_communities": v19,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "m02_fake_decode_features": m02,
@@ -2695,6 +2737,30 @@ ORACLE = {
             for k in range(8)
         )
         + " FROM b ORDER BY media_id LIMIT 100"
+    ),
+    "v19_knn_communities": (
+        "WITH RECURSIVE "
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev "
+        "FROM embeddings WHERE vec_id < 500), "
+        "s AS (SELECT a.vec_id i, b.vec_id j, "
+        "ROUND(list_cosine_similarity(a.ev, b.ev), 4) sim "
+        "FROM v a JOIN v b ON a.vec_id <> b.vec_id), "
+        "k AS (SELECT i, j FROM (SELECT i, j, row_number() OVER "
+        "(PARTITION BY i ORDER BY sim DESC, j) rn FROM s) WHERE rn <= 3), "
+        "e AS (SELECT DISTINCT i, j FROM "
+        "(SELECT i, j FROM k UNION ALL SELECT j, i FROM k)), "
+        "lab(it, node, label) AS ("
+        "SELECT 0, i, i FROM (SELECT DISTINCT i FROM e) "
+        "UNION ALL "
+        "SELECT it, node, label FROM ("
+        "SELECT q.it, q.node, q.label, row_number() OVER "
+        "(PARTITION BY q.it, q.node ORDER BY q.c DESC, q.label) rn FROM ("
+        "SELECT l.it + 1 it, e.i node, l.label, COUNT(*) c "
+        "FROM lab l JOIN e ON e.j = l.node WHERE l.it < 5 "
+        "GROUP BY l.it, e.i, l.label) q) z WHERE rn = 1) "
+        "SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lab WHERE it = 5 GROUP BY label HAVING COUNT(*) >= 2 "
+        "ORDER BY n DESC, community LIMIT 100"
     ),
     "d29_temperature_mixture": (
         "WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents "
