@@ -687,3 +687,41 @@ def test_winsorize_edges_join_is_broadcast(spark):
     plan = _plan(QUERIES["t22_winsorize"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_knn_communities_broadcast_and_pruned(spark):
+    """v19's 500×500 scoring join must broadcast the 500-row side
+    (BroadcastNestedLoopJoin — bounded by construction, never a
+    shuffled cartesian of the full table), and the vec_id<500 cap
+    must reach both parquet scans. The LPA rounds localCheckpoint
+    (lineage cuts are the point), so the gate inspects the
+    kNN-graph construction stage — the only part with a data-scale
+    plan — built exactly as the v19 builder does."""
+    from pyspark.sql import Window
+    from zappy_spark.queries._util import cosine, t
+
+    emb = t(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    scored = a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
+        "i", "j", F.round(cosine("ea", "eb"), 4).alias("sim")
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), "j")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("i", "j")
+    )
+    plan = _plan(knn)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LessThan(vec_id,500)" in plan
+
+
+def test_rolling_median_single_user_shuffle(spark):
+    """r80 is one window hash-partitioned on user_id; the frame is a
+    sliding aggregate per partition — no join, no Python stage."""
+    plan = _plan(QUERIES["r80_rolling_median"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
