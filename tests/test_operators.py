@@ -2306,3 +2306,33 @@ def test_label_propagation_separates_planted_communities(spark):
            label_propagation(pair, iters=5).collect()}
     assert even == {7: 7, 9: 9}
     assert odd == {7: 9, 9: 7}
+
+
+def test_hits_authority_rewards_strong_hubs(spark):
+    from zappy_spark.operators.graph import hits_bipartite
+
+    # parts 100 and 200 each have TWO buyers, but 100's buyers are
+    # broad-basket hubs (each also buys parts 1..4); 200's buyers buy
+    # nothing else. Degree ties, HITS must rank 100 above 200.
+    hub_edges = [(1, 100), (2, 100)] + [
+        (o, p) for o in (1, 2) for p in (1, 2, 3, 4)
+    ]
+    weak_edges = [(3, 200), (4, 200)]
+    e = spark.createDataFrame(hub_edges + weak_edges, "o bigint, p bigint")
+    auth = {
+        r["node"]: r["auth"]
+        for r in hits_bipartite(e, "o", "p", iters=3).collect()
+    }
+    assert auth[100] > auth[200]
+    # integer exactness: iters=1 authority is exactly the in-degree
+    one = {
+        r["node"]: r["auth"]
+        for r in hits_bipartite(e, "o", "p", iters=1).collect()
+    }
+    assert one[100] == 2 and one[200] == 2 and one[1] == 2
+    # deterministic across runs
+    again = {
+        r["node"]: r["auth"]
+        for r in hits_bipartite(e, "o", "p", iters=3).collect()
+    }
+    assert auth == again

@@ -200,6 +200,67 @@ def pagerank(
     )
 
 
+def hits_bipartite(
+    edges: DataFrame,
+    src: str = "o",
+    dst: str = "p",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hub/authority scoring on a bipartite src→dst edge list
+    (orders→parts, pages→cited-sources, queries→documents): good
+    hubs point at good authorities and vice versa — the
+    seed-discovery dual of PageRank's single importance score.
+    Returns (node, auth) for the dst side after ``iters`` authority
+    updates.
+
+    Determinism trick: scores stay UNNORMALIZED INTEGERS (hub⁰ = 1,
+    then alternating integer-sum updates). Per-round L2
+    normalization only rescales by a positive scalar, so the
+    RANKING is identical to textbook HITS — but integer sums are
+    exact and order-independent on every engine, so the
+    fixed-iteration recursive-CTE oracle replays bit-for-bit with
+    zero float/rounding risk (the same class-dodge as the decimal
+    money sums). Callers wanting unit scores normalize the returned
+    column once at the end. Overflow bound: scores grow ~
+    (d_src·d_dst)^iters; with int64 that caps iters≈4 on
+    thousand-degree graphs — raise to DECIMAL(38,0) beyond.
+
+    Per half-round: ONE join (scores onto edges) + ONE integer sum
+    aggregate, hash-partitioned on node ids; lineage cut per round
+    (localCheckpoint), same iterative discipline as
+    connected_components/pagerank."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (
+        edges.select(F.col(src).alias("o"), F.col(dst).alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = (
+        e.select(F.col("o").alias("node"))
+        .distinct()
+        .withColumn("v", F.lit(1).cast("bigint"))
+    )
+    auth = None
+    for k in range(iters):
+        auth = (
+            e.join(hub, e["o"] == hub["node"])
+            .groupBy("p")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("p").alias("node"), "v")
+            .localCheckpoint()
+        )
+        if k < iters - 1:
+            hub = (
+                e.join(auth, e["p"] == auth["node"])
+                .groupBy("o")
+                .agg(F.sum("v").alias("v"))
+                .select(F.col("o").alias("node"), "v")
+                .localCheckpoint()
+            )
+    return auth.select("node", F.col("v").alias("auth"))
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "i",

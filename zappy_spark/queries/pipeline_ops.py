@@ -689,6 +689,35 @@ def v19(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v20(spark: SparkSession, d: str) -> DataFrame:
+    """HITS authority scoring (round 5b; operators/graph.py::
+    hits_bipartite) on the bipartite order→part purchase graph
+    (l_partkey < 500 cap, the d28/v19 bounded-subgraph convention):
+    which parts are bought by the broadest baskets — the
+    hub/authority dual of PageRank's single importance score, the
+    seed-discovery primitive of citation/link curation. Three
+    authority rounds with UNNORMALIZED INTEGER accumulation
+    (ranking-equivalent to textbook HITS, since per-round L2
+    normalization only rescales): integer sums are exact and
+    order-independent, so the alternating recursive-CTE oracle
+    replays bit-for-bit — no float, no rounding boundary, anywhere.
+    Fifth graph primitive next to CC (d19), PageRank (v16),
+    triangles (d28) and LPA communities (v19)."""
+    from zappy_spark.operators.graph import hits_bipartite
+
+    e = (
+        t(spark, d, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    auth = hits_bipartite(e, "o", "p", iters=3)
+    return (
+        auth.select(F.col("node").alias("part"), "auth")
+        .orderBy(F.desc("auth"), "part")
+        .limit(50)
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1697,6 +1726,7 @@ QUERIES = {
     "d30_domain_cap": d30,
     "t22_winsorize": t22,
     "v19_knn_communities": v19,
+    "v20_hits_authority": v20,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "m02_fake_decode_features": m02,
@@ -2737,6 +2767,28 @@ ORACLE = {
             for k in range(8)
         )
         + " FROM b ORDER BY media_id LIMIT 100"
+    ),
+    "v20_hits_authority": (
+        # the directed-adjacency expansion (e2) keeps the recursive
+        # join a pure (side, src) equi-join — hashable, so the CTE
+        # stays hash-join-bound at any edge count (a key computed
+        # from BOTH sides degrades to a nested loop: 47x slower at
+        # the 10x fixture, unusable at 100x)
+        "WITH RECURSIVE "
+        "e AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem "
+        "WHERE l_partkey < 500), "
+        "e2 AS (SELECT 'h' side, o src, p dst FROM e "
+        "UNION ALL SELECT 'a' side, p src, o dst FROM e), "
+        "st(it, side, id, v) AS ("
+        "SELECT 0, 'h', o, CAST(1 AS BIGINT) FROM "
+        "(SELECT DISTINCT o FROM e) "
+        "UNION ALL "
+        "SELECT it + 1, CASE WHEN st.side = 'h' THEN 'a' ELSE 'h' END, "
+        "e2.dst, CAST(SUM(v) AS BIGINT) "
+        "FROM st JOIN e2 ON e2.side = st.side AND e2.src = st.id "
+        "WHERE it < 5 GROUP BY 1, 2, 3) "
+        "SELECT id AS part, v AS auth FROM st WHERE it = 5 "
+        "ORDER BY auth DESC, part LIMIT 50"
     ),
     "v19_knn_communities": (
         "WITH RECURSIVE "
