@@ -508,6 +508,49 @@ def r81(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def r82(spark: SparkSession, d: str) -> DataFrame:
+    """First/last-touch conversion attribution (round 5b): for each
+    purchase, the earliest and latest click by the same user inside
+    the trailing 7-day window — the marketing-attribution primitive
+    (who gets credit: the click that STARTED the journey or the one
+    that CLOSED it). One RANGE-framed window over the unified event
+    stream — no conversions×clicks join, so cost is one shuffle on
+    user_id regardless of window width; the conditional struct
+    confines the min/max to clicks while the frame rides the full
+    stream. Tie-safe by construction: the (us, event_id) struct
+    ordering breaks same-microsecond click ties identically on both
+    engines (the 100× fixture actually has such collisions), and
+    the [−7d, −1µs] frame excludes same-instant clicks on both.
+    No-click purchases attribute to NULL (kept — the unattributed
+    rate is itself the signal)."""
+    day7 = 7 * 24 * 3600 * 1_000_000
+    ev = t(spark, d, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.struct("us", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-day7, -1)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.min(click).over(w).alias("_fc"),
+            F.max(click).over(w).alias("_lc"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("_fc.event_id").alias("first_click"),
+            F.col("_lc.event_id").alias("last_click"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -529,6 +572,7 @@ QUERIES = {
     "s18_dynamic_session": s18,
     "r80_rolling_median": r80,
     "r81_quantile_envelope": r81,
+    "r82_attribution": r82,
 }
 
 ORACLE = {
@@ -538,6 +582,20 @@ ORACLE = {
         "(PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med10 "
         "FROM events ORDER BY user_id, event_id LIMIT 200"
+    ),
+    "r82_attribution": (
+        "WITH x AS (SELECT user_id, event_id, event_type, "
+        "epoch_us(ts) us FROM events), "
+        "w AS (SELECT user_id, event_id, event_type, "
+        "MIN(CASE WHEN event_type = 'click' "
+        "THEN {'u': us, 'i': event_id} END) OVER win AS fc, "
+        "MAX(CASE WHEN event_type = 'click' "
+        "THEN {'u': us, 'i': event_id} END) OVER win AS lc "
+        "FROM x WINDOW win AS (PARTITION BY user_id ORDER BY us "
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)) "
+        "SELECT user_id, event_id, fc.i AS first_click, "
+        "lc.i AS last_click FROM w WHERE event_type = 'purchase' "
+        "ORDER BY user_id, event_id LIMIT 200"
     ),
     "r81_quantile_envelope": (
         "SELECT event_type, "
