@@ -1039,3 +1039,44 @@ def test_rolling_median_stream_equals_batch(spark, replay_dir):
     b = _rows(batch, "user_id", "event_id", "value", "med10")
     assert len(g) == len(b) > 0
     assert g == b
+
+
+def test_attribution_stream_equals_batch(spark, replay_dir):
+    """The per-user click ledger + purchase-time attribution must
+    equal the batch RANGE-frame spelling row-for-row once the
+    ordered replay drains — the r82 twin (including NULL credit for
+    unattributed purchases and (us, id) tie-breaks)."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.attribution_stateful(stream), "t_attr", output_mode="append"
+    )
+    from pyspark.sql import Window
+
+    day7 = 7 * 24 * 3600 * 1_000_000
+    ev = spark.read.parquet(replay_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.struct("us", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-day7, -1)
+    batch = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.min(click).over(w).alias("_fc"),
+            F.max(click).over(w).alias("_lc"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("_fc.event_id").alias("first_click"),
+            F.col("_lc.event_id").alias("last_click"),
+        )
+    )
+    g = _rows(got, "user_id", "event_id", "first_click", "last_click")
+    b = _rows(batch, "user_id", "event_id", "first_click", "last_click")
+    assert len(g) == len(b) > 0
+    assert g == b

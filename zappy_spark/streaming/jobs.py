@@ -517,6 +517,90 @@ def _rolling_median_fn(
     )
 
 
+_ATTR_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("first_click", LongType()),
+        StructField("last_click", LongType()),
+    ]
+)
+_ATTR_STATE = StructType(
+    [
+        StructField("c_us", ArrayType(LongType())),
+        StructField("c_id", ArrayType(LongType())),
+    ]
+)
+_DAY7_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _attribution_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-user click ledger (clicks in the trailing 7 days, pruned
+    as time advances — bounded state) + attribution emitter: each
+    purchase emits the earliest and latest retained click with
+    click_us ∈ [purchase_us − 7d, purchase_us) — exactly the batch
+    RANGE frame [−7d, −1µs]. Ties on click_us break by event_id via
+    (us, id) tuple ordering, matching the batch struct min/max."""
+    c_us: list[int] = list(state.get[0]) if state.exists else []
+    c_id: list[int] = list(state.get[1]) if state.exists else []
+    out: dict[str, list] = {
+        "event_id": [], "first_click": [], "last_click": []
+    }
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        us_col = rows["ts"].astype("int64") // 1000
+        for us, eid, et in zip(us_col, rows["event_id"], rows["event_type"]):
+            us, eid = int(us), int(eid)
+            lo = us - _DAY7_US
+            while c_us and c_us[0] < lo:
+                c_us.pop(0)
+                c_id.pop(0)
+            if et == "click":
+                c_us.append(us)
+                c_id.append(eid)
+            elif et == "purchase":
+                window = [
+                    (u, i) for u, i in zip(c_us, c_id) if lo <= u < us
+                ]
+                first = min(window) if window else (None, None)
+                last = max(window) if window else (None, None)
+                out["event_id"].append(eid)
+                out["first_click"].append(first[1])
+                out["last_click"].append(last[1])
+    state.update((c_us, c_id))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": pd.Series(out["event_id"], dtype="int64"),
+            "first_click": pd.Series(out["first_click"], dtype="Int64"),
+            "last_click": pd.Series(out["last_click"], dtype="Int64"),
+        }
+    )
+
+
+def attribution_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the r82 first/last-touch attribution: the
+    per-user click ledger maintained incrementally via
+    applyInPandasWithState; purchases emit credit the moment they
+    arrive — the real-time attribution shape. State per key is the
+    clicks of the last 7 days (time-pruned FIFO, bounded by click
+    rate × window, independent of stream length); drained over an
+    ordered replay it equals the batch RANGE-window spelling
+    row-for-row (the equivalence test)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn,
+        outputStructType=_ATTR_OUT,
+        stateStructType=_ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rolling_median_stateful(stream: DataFrame) -> DataFrame:
     """Streaming twin of the r80 rolling-median baseline: the
     trailing-10 median maintained incrementally per user via
