@@ -2336,3 +2336,28 @@ def test_hits_authority_rewards_strong_hubs(spark):
         for r in hits_bipartite(e, "o", "p", iters=3).collect()
     }
     assert auth == again
+
+
+def test_rendezvous_shard_stability(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.layout import rendezvous_shard
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = rendezvous_shard(df, "doc_id", 8, "sh8")
+    b = rendezvous_shard(a, "doc_id", 9, "sh9").collect()
+    # balanced-ish: every shard populated
+    from collections import Counter
+
+    c8 = Counter(r["sh8"] for r in b)
+    assert set(c8) == set(range(8))
+    # growth stability: movers are ~1/9 and ALL land on the NEW shard
+    movers = [r for r in b if r["sh9"] != r["sh8"]]
+    assert all(r["sh9"] == 8 for r in movers)
+    assert 0.06 < len(movers) / 3000 < 0.17
+    # non-movers keep their shard verbatim; assignment is deterministic
+    again = {
+        r["doc_id"]: r["sh8"]
+        for r in rendezvous_shard(df, "doc_id", 8, "sh8").collect()
+    }
+    assert all(again[r["doc_id"]] == r["sh8"] for r in b)

@@ -139,3 +139,41 @@ def analyze_table(
         spark.sql(
             f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
         )
+
+
+def rendezvous_shard(
+    df: DataFrame, id_col: str, n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to argmax over shards of md5(id + "/" + shard) — the stable
+    data-placement primitive. Growing N→N+1 shards moves EXACTLY the
+    rows whose new hash wins (expected 1/(N+1) of them, all onto the
+    NEW shard); modulo hashing would reshuffle (N-1)/N of the corpus.
+    That stability is what makes incremental re-sharding, cache
+    affinity, and partitioned-index growth cheap at 100 TB.
+
+    Pure scan-side projection — the argmax is an array_max over n
+    (hash, shard) structs built per row, zero shuffles, and md5 over
+    strings makes the assignment engine-portable and replayable in
+    SQL (struct ordering breaks the ~2^-128 hash ties identically).
+    For thousands of shards switch to a two-level scheme (rendezvous
+    over shard groups, then within); the per-row cost here is
+    O(n_shards) hash calls."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    entries = [
+        F.struct(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("/"),
+                    F.lit(str(s)),
+                )
+            ).alias("h"),
+            F.lit(s).cast("bigint").alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return df.withColumn(
+        out_col, F.array_max(F.array(*entries))["s"]
+    )

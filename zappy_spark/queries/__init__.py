@@ -28,10 +28,10 @@ behind and is canary-guarded per family meanwhile.
 Round-5 ordering (this file, executing the plan round 4 wrote):
 CORRECTNESS_r04 confirmed the window is exactly the first 50 dict
 entries — 49 green, r56 hash-fail. Head of the round-5 window: the
-fifteen entries ADDED this round (d29 temperature mixture, d30
+sixteen entries ADDED this round (d29 temperature mixture, d30
 domain cap, t22 winsorize, r80 rolling median, r81 quantile
 envelope, v19 kNN communities, v20 HITS authority, r82 first/last-touch
-attribution — 5b session; z29 zarr-v2 round-trip,
+attribution, d31 rendezvous shards — 5b session; z29 zarr-v2 round-trip,
 d26
 leakage-free split, d27 shelf packing, m02 mapInPandas value check,
 v18 matryoshka retrieval, s18 dynamic-gap sessions, d28 triangle
@@ -40,14 +40,14 @@ a driver row in their new form (r56 decimal re-spell of the r4
 failure; v07/v09 gaining their first oracles; z01/z02 decimal
 re-spells), then the twenty-one tier-0 entries the r4 window cut
 off (d23 … t21 plus the yielding t04/v02/v06 trio — r75/r78/r79 in
-that span were also re-spelled this session), then 9 promoted
-_R1_STALE entries (z03 … z14) to complete 50 (z17–z23/r03 pushed
+that span were also re-spelled this session), then 8 promoted
+_R1_STALE entries (z03 … z13) to complete 50 (z14–z23/r03 pushed
 to round 6 by the 5b additions).
 
 ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote first the eight _R1_STALE entries the 5b additions
-pushed out of the r5 window (z17_row_normalize, z18_any_all,
-z19_mean_axis1, z20_median_percentile,
+the back; promote first the nine _R1_STALE entries the 5b additions
+pushed out of the r5 window (z14_minmax_axis1, z17_row_normalize,
+z18_any_all, z19_mean_axis1, z20_median_percentile,
 z21_corr_covar, z22_skew_kurt, z23_regr, r03_topk_per_group), then
 the remaining 25
 _R1_STALE (r04 … r26), then as much of _R2_STALE (39) as fits,
@@ -89,6 +89,7 @@ _CHANGED_R5 = [
     "v19_knn_communities",  # NEW round 5b: kNN-graph label prop
     "v20_hits_authority",  # NEW round 5b: integer-exact HITS
     "r82_attribution",  # NEW round 5b: first/last-touch window
+    "d31_rendezvous_shards",  # NEW round 5b: HRW placement stability
     "z29_zarr_v2_roundtrip",  # NEW round 5: zarr v2 disk round-trip
     "d26_leakage_free_split",  # NEW round 5: fingerprint-keyed split
     "d27_shelf_packing",  # NEW round 5: SQL-replayable packing ledger

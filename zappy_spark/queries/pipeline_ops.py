@@ -689,6 +689,37 @@ def v19(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d31(spark: SparkSession, d: str) -> DataFrame:
+    """Rendezvous-sharding stability ledger (round 5b;
+    operators/layout.py::rendezvous_shard): assign every document to
+    8 shards and to 9, then count per-8-shard how many rows the 8→9
+    growth moves. Highest-random-weight placement moves only the
+    rows whose NEW hash wins — expected 1/9 ≈ 11% (measured 11.0 –
+    12.2% across fixtures), all onto the new shard — where modulo
+    placement would reshuffle 8/9 of the corpus; that stability is
+    what makes incremental re-sharding and partitioned-index growth
+    cheap. Both assignments are pure scan-side md5-argmax
+    projections (zero shuffles before the 8-row ledger aggregate);
+    the oracle replays the argmax via struct MAX over
+    generate_series."""
+    from zappy_spark.operators.layout import rendezvous_shard
+
+    docs = t(spark, d, "documents").select("doc_id")
+    d8 = rendezvous_shard(docs, "doc_id", 8, "sh8")
+    d89 = rendezvous_shard(d8, "doc_id", 9, "sh9")
+    return (
+        d89.groupBy("sh8")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("sh9") != F.col("sh8")).cast("bigint")
+            ).alias("n_moved"),
+        )
+        .select(F.col("sh8").alias("shard"), "n", "n_moved")
+        .orderBy("shard")
+    )
+
+
 def v20(spark: SparkSession, d: str) -> DataFrame:
     """HITS authority scoring (round 5b; operators/graph.py::
     hits_bipartite) on the bipartite order→part purchase graph
@@ -1727,6 +1758,7 @@ QUERIES = {
     "t22_winsorize": t22,
     "v19_knn_communities": v19,
     "v20_hits_authority": v20,
+    "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
     "m02_fake_decode_features": m02,
@@ -2767,6 +2799,18 @@ ORACLE = {
             for k in range(8)
         )
         + " FROM b ORDER BY media_id LIMIT 100"
+    ),
+    "d31_rendezvous_shards": (
+        "WITH s8 AS (SELECT doc_id, MAX({'h': md5(CAST(doc_id AS VARCHAR) "
+        "|| '/' || CAST(g.s AS VARCHAR)), 's': g.s}).s AS sh8 "
+        "FROM documents, generate_series(0, 7) g(s) GROUP BY doc_id), "
+        "s9 AS (SELECT doc_id, MAX({'h': md5(CAST(doc_id AS VARCHAR) "
+        "|| '/' || CAST(g.s AS VARCHAR)), 's': g.s}).s AS sh9 "
+        "FROM documents, generate_series(0, 8) g(s) GROUP BY doc_id) "
+        "SELECT sh8 AS shard, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN sh9 <> sh8 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_moved "
+        "FROM s8 JOIN s9 USING (doc_id) GROUP BY sh8 ORDER BY sh8"
     ),
     "v20_hits_authority": (
         # the directed-adjacency expansion (e2) keeps the recursive
