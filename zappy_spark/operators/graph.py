@@ -384,3 +384,53 @@ def triangle_count(edges: DataFrame, src: str = "i", dst: str = "j") -> DataFram
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from any seed node, bounded by
+    ``max_hops`` — multi-source BFS, the reachability primitive next
+    to components/PageRank/LPA (pipeline reading: "everything within
+    k links of a known-bad seed set", the standard spam/contamination
+    blast-radius query).
+
+    Exactly ``max_hops`` rounds run (distances only shrink, and a
+    node at distance d is final after round d, so a fixed-round
+    schedule is exact for every node it returns — and replayable by
+    a bounded recursive CTE, which is what makes the corpus oracle
+    possible). Per round: one join + one min-agg, both
+    hash-partitioned on the node id — two shuffles over (node, hops)
+    pairs regardless of corpus size; lineage cut per round with
+    localCheckpoint like connected_components. Returns (node, hops)
+    for nodes within ``max_hops`` of a seed, seeds at 0.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        sym = sym.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    sym = sym.distinct().localCheckpoint()
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    for _ in range(max_hops):
+        nbr = sym.join(dist, sym["b"] == dist["node"]).select(
+            F.col("a").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist

@@ -304,3 +304,73 @@ def per_group_cap(
         .filter(F.col("_zs_rn") <= k)
         .drop("_zs_rn")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    prefix_len: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — the public hashed-n-gram recipe):
+    score every document by the average log-likelihood ratio of its
+    hashed word-bigram features under the TARGET distribution (rows
+    where ``target_col`` is true) vs the RAW corpus distribution,
+    both Laplace-smoothed. High weight = "looks like the target
+    domain"; resampling by this weight steers a 100 TB crawl toward
+    a small high-quality target without training a classifier.
+
+    Feature hashing is the md5 hex prefix (16^prefix_len buckets) —
+    a portable string key, so any engine with md5 replays the exact
+    bucketing (the DuckDB oracle does). Scale shape: one explode to
+    (doc, bucket) partial counts (map-side combine), the bucket LUT
+    is bounded at 16^prefix_len rows and broadcast back, totals are
+    a 1-row broadcast, and the final agg shuffles only (doc, bucket,
+    count) triples — the text column never re-shuffles. Returns
+    (id_col, n_grams, dsir_logratio), unrounded.
+    """
+    from zappy_spark.operators.dedup import word_shingles
+
+    n_buckets = 16 ** prefix_len
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).alias("_tgt"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("_g"),
+    )
+    cnt = ex.groupBy(
+        "_id",
+        "_tgt",
+        F.substring(F.md5("_g"), 1, prefix_len).alias("_bk"),
+    ).agg(F.count("*").alias("_c"))
+    lut = cnt.groupBy("_bk").agg(
+        F.sum("_c").alias("_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "_tc"
+        ),
+    )
+    tot = lut.agg(
+        F.sum("_raw").cast("double").alias("_rt"),
+        F.sum("_tc").cast("double").alias("_tt"),
+    )
+    term = F.log(
+        (F.col("_tc") + F.lit(smoothing))
+        / (F.col("_tt") + F.lit(smoothing * n_buckets))
+    ) - F.log(
+        (F.col("_raw") + F.lit(smoothing))
+        / (F.col("_rt") + F.lit(smoothing * n_buckets))
+    )
+    return (
+        cnt.join(F.broadcast(lut), "_bk")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            (F.sum(F.col("_c") * term) / F.sum("_c")).alias(
+                "dsir_logratio"
+            ),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "dsir_logratio")
+    )

@@ -749,6 +749,95 @@ def v20(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v21(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-source BFS blast radius (round 5c; operators/graph.py::
+    bfs_hops) on the part co-purchase graph (d28's bounded
+    l_partkey<500 subgraph): minimum hop distance from the seed set
+    {parts with id < 20} — the "everything within k links of a
+    known-bad seed" contamination/spam query. Exactly 3 fixed
+    rounds, each one join + one min-agg hash-partitioned on the node
+    id (two (node,hops)-pair shuffles per round at any scale),
+    lineage cut per round; fixed-round exactness (a node at distance
+    d is final after round d) is what lets a bounded recursive CTE
+    replay it. Distances are integers — no float anywhere. Sixth
+    graph primitive next to CC (d19), PageRank (v16), triangles
+    (d28), LPA (v19) and HITS (v20). Output: nodes per hop level."""
+    from zappy_spark.operators.graph import bfs_hops
+
+    lp = (
+        t(spark, d, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+    )
+    nodes = pairs.select(F.col("i").alias("n")).union(
+        pairs.select(F.col("j").alias("n"))
+    )
+    seeds = nodes.filter(F.col("n") < 20).distinct()
+    dist = bfs_hops(pairs, seeds, "i", "j", max_hops=3)
+    return (
+        dist.groupBy("hops")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("hops")
+    )
+
+
+def d32(spark: SparkSession, d: str) -> DataFrame:
+    """DSIR importance weighting (round 5c; operators/sampling.py::
+    dsir_weights): rank the corpus by hashed-bigram log-likelihood
+    ratio against the English subset as the target — the public
+    Data-Selection-via-Importance-Resampling recipe that steers a
+    100 TB crawl toward a target domain without a trained
+    classifier. 256 md5-prefix feature buckets (portable string
+    keys), Laplace smoothing 1.0; the bucket LUT is broadcast, the
+    text never re-shuffles. Weight is round-6 then sorted
+    (round-then-sort: the cross-engine cut is deterministic);
+    top-100 with doc_id tie-break."""
+    from zappy_spark.operators.sampling import dsir_weights
+
+    docs = t(spark, d, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    w = dsir_weights(docs, "text", "doc_id", "_is_en", prefix_len=2)
+    return (
+        w.select(
+            "doc_id",
+            "n_grams",
+            F.round("dsir_logratio", 6).alias("dsir_logratio"),
+        )
+        .orderBy(F.desc("dsir_logratio"), "doc_id")
+        .limit(100)
+    )
+
+
+def t23(spark: SparkSession, d: str) -> DataFrame:
+    """Bigram-LM quality scoring (round 5c; operators/text.py::
+    bigram_nll): per-doc average negative log-likelihood under the
+    corpus add-one bigram model — the word-order-aware sibling of
+    t20's unigram perplexity (shuffled/garbled text scores high even
+    with a normal unigram profile). Count-only shuffles end to end;
+    nll rounded to 4 (the t20 precision precedent)."""
+    from zappy_spark.operators.text import bigram_nll
+
+    return (
+        bigram_nll(t(spark, d, "documents"), "text", "doc_id")
+        .select("doc_id", "n_bigrams", F.round("nll", 4).alias("nll"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1758,6 +1847,9 @@ QUERIES = {
     "t22_winsorize": t22,
     "v19_knn_communities": v19,
     "v20_hits_authority": v20,
+    "v21_bfs_hops": v21,
+    "d32_dsir_importance": d32,
+    "t23_bigram_nll": t23,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -2833,6 +2925,69 @@ ORACLE = {
         "WHERE it < 5 GROUP BY 1, 2, 3) "
         "SELECT id AS part, v AS auth FROM st WHERE it = 5 "
         "ORDER BY auth DESC, part LIMIT 50"
+    ),
+    # d32: replay the hashed-bigram DSIR weights; DuckDB 1-based
+    # list indexing for the bigram build (the d24 convention),
+    # md5-prefix string buckets, Laplace-smoothed LN ratio.
+    "d32_dsir_importance": (
+        "WITH t AS (SELECT doc_id, lang = 'en' tgt, "
+        "string_split(text,' ') ws FROM documents), "
+        "g AS (SELECT doc_id, tgt, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1]) g "
+        "FROM (SELECT doc_id, tgt, ws, "
+        "unnest(generate_series(1, len(ws)-1)) i "
+        "FROM t WHERE len(ws)>=2) x), "
+        "cnt AS (SELECT doc_id, tgt, substr(md5(g),1,2) bk, COUNT(*) c "
+        "FROM g GROUP BY doc_id, tgt, bk), "
+        "lut AS (SELECT bk, SUM(c) raw_c, "
+        "SUM(CASE WHEN tgt THEN c ELSE 0 END) tc FROM cnt GROUP BY bk), "
+        "tot AS (SELECT CAST(SUM(raw_c) AS DOUBLE) rt, "
+        "CAST(SUM(tc) AS DOUBLE) tt FROM lut), "
+        "w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_grams, "
+        "SUM(c * (LN((tc+1.0)/(tt+256.0)) - LN((raw_c+1.0)/(rt+256.0)))) "
+        "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
+        "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
+        "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # t23: bigram add-one LM replay; context counts derive from the
+    # bigram table (first word of the gram), V = COUNT(*) of contexts.
+    "t23_bigram_nll": (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) i "
+        "FROM t WHERE len(ws)>=2) x), "
+        "cnt AS (SELECT doc_id, g, COUNT(*) c FROM g GROUP BY doc_id, g), "
+        "big AS (SELECT g, SUM(c) bc FROM cnt GROUP BY g), "
+        "ctx AS (SELECT string_split(g,' ')[1] w1, SUM(bc) cc "
+        "FROM big GROUP BY w1), "
+        "v AS (SELECT CAST(COUNT(*) AS DOUBLE) v FROM ctx) "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) n_bigrams, "
+        "ROUND(-SUM(c * LN((bc+1.0)/(cc+v))) / SUM(c), 4) nll "
+        "FROM cnt JOIN big USING (g), v "
+        "JOIN ctx ON ctx.w1 = string_split(g,' ')[1] "
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    # v21: bounded multi-source BFS as a recursive CTE; UNION
+    # (distinct) bounds the frontier, hops < 3 bounds the depth, and
+    # MIN(hops) per node replays bfs_hops' fixed-round min-agg.
+    # Integer-exact end to end.
+    "v21_bfs_hops": (
+        "WITH RECURSIVE "
+        "lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem "
+        "WHERE l_partkey < 500), "
+        "e0 AS (SELECT DISTINCT a.p x, b.p y FROM lp a "
+        "JOIN lp b ON a.o = b.o AND a.p < b.p), "
+        "e AS (SELECT x a, y b FROM e0 UNION ALL SELECT y, x FROM e0), "
+        "seeds AS (SELECT DISTINCT a n FROM e WHERE a < 20), "
+        "walk(node, hops) AS ("
+        "SELECT n, 0 FROM seeds "
+        "UNION "
+        "SELECT e.b, walk.hops + 1 FROM walk "
+        "JOIN e ON e.a = walk.node WHERE walk.hops < 3), "
+        "d AS (SELECT node, MIN(hops) hops FROM walk GROUP BY node) "
+        "SELECT hops, COUNT(*) n_nodes FROM d GROUP BY hops ORDER BY hops"
     ),
     "v19_knn_communities": (
         "WITH RECURSIVE "
