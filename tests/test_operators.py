@@ -2361,3 +2361,127 @@ def test_rendezvous_shard_stability(spark):
         for r in rendezvous_shard(df, "doc_id", 8, "sh8").collect()
     }
     assert all(again[r["doc_id"]] == r["sh8"] for r in b)
+
+
+# ---------------------------------------------------------- round 5c ops
+
+
+def test_bfs_hops_chain_and_multiseed(spark):
+    from zappy_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5-6 plus an isolated edge 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)], ["i", "j"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["n"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5, 6, 10, 11 unreached
+    # multi-seed takes the MIN distance over seeds
+    seeds2 = spark.createDataFrame([(1,), (6,)], ["n"])
+    got2 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds2, max_hops=2).collect()
+    }
+    assert got2 == {1: 0, 2: 1, 3: 2, 6: 0, 5: 1, 4: 2}
+
+
+def test_bfs_hops_directed_respects_edge_direction(spark):
+    from zappy_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["i", "j"])
+    seeds = spark.createDataFrame([(3,)], ["n"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=3, directed=True).collect()
+    }
+    assert got == {3: 0}  # no in-edges reachable downstream
+
+
+def test_dsir_weights_separates_target_domain(spark):
+    from zappy_spark.operators.sampling import dsir_weights
+
+    # target docs use vocabulary A, raw-only docs vocabulary B; an
+    # unlabeled A-looking doc must outweigh an unlabeled B-looking one
+    a_text = "alpha beta gamma delta alpha beta gamma delta"
+    b_text = "omega psi chi phi omega psi chi phi"
+    rows = (
+        [(i, a_text, True) for i in range(10)]
+        + [(100 + i, b_text, False) for i in range(10)]
+        + [(500, a_text, False), (501, b_text, False)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    w = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_weights(df, "text", "doc_id", "is_tgt").collect()
+    }
+    assert w[500] > w[501]
+    assert w[500] > 0 > w[501]
+
+
+def test_bigram_nll_rewards_predictable_text(spark):
+    from zappy_spark.operators.text import bigram_nll
+
+    # corpus dominated by "a b" transitions; a doc of those is more
+    # predictable than one full of one-off transitions
+    rows = [(i, "a b a b a b a b") for i in range(5)] + [
+        (100, "q r s t u v w x")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["nll"] for r in bigram_nll(df, "text", "doc_id").collect()
+    }
+    assert out[0] < out[100]
+    n = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in bigram_nll(df, "text", "doc_id").collect()
+    }
+    assert n[0] == 7 and n[100] == 7
+
+
+def test_fuzzy_blocked_pairs_blocking_and_guard(spark):
+    from zappy_spark.operators.dedup import fuzzy_blocked_pairs
+
+    rows = [
+        (1, "hello world this is a doc about spark"),
+        (2, "hello world this is a doc about sparks"),  # 1 edit away
+        (3, "goodbye world this is a doc about spark"),  # other block
+        (4, "hello moon entirely different text here xyz"),  # same w1,
+        # but length bucket/levenshtein differ enough
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["i"], r["j"]): r["dist"]
+        for r in fuzzy_blocked_pairs(
+            df, "text", "doc_id", max_dist=5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert all(3 not in p for p in pairs)  # blocked away by first token
+    # flood guard: max_block=1 drops every multi-member block
+    assert (
+        fuzzy_blocked_pairs(df, "text", "doc_id", max_block=1).count() == 0
+    )
+
+
+def test_mmr_rerank_skips_near_duplicate(spark):
+    from zappy_spark.operators.similarity import mmr_rerank
+
+    # candidate 2 is a near-copy of candidate 1; plain top-3 would
+    # take both, MMR must skip it in favor of the orthogonal 3
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),
+        (3, [0.5, 0.86, 0.0]),
+        (4, [0.5, 0.0, 0.86]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_rerank(
+        df, "embedding", "vec_id", [1.0, 0.0, 0.0], shortlist=4, k=3, lam=0.3
+    ).collect()
+    picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert picked[0] == 1
+    assert 2 not in picked[:2]  # the near-dup is not picked second
+    assert set(picked) == {1, 3, 4}

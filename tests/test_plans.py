@@ -725,3 +725,68 @@ def test_rolling_median_single_user_shuffle(spark):
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_interval_overlap_is_keyed_sweep(spark):
+    """r83's ±1 sweep is ONE window hash-partitioned on event_type
+    over the marker union — no interval×interval self-join, no
+    cartesian, no Python stage."""
+    plan = _plan(QUERIES["r83_interval_overlap"](spark, SF_DIR))
+    assert "hashpartitioning(event_type" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_fuzzy_blocked_join_is_equi_hash(spark):
+    """d33's candidate generation must be an equi-join on the block
+    key (hashable — SortMergeJoin/ShuffledHashJoin), never a
+    cartesian; the levenshtein verify rides the join filter."""
+    plan = _plan(QUERIES["d33_fuzzy_blocked"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "Python" not in plan
+
+
+def test_dsir_lut_is_broadcast(spark):
+    """d32's bucket LUT (≤256 rows) must come back as a broadcast
+    hash join — the per-doc re-score never shuffles the gram
+    stream against the LUT."""
+    plan = _plan(QUERIES["d32_dsir_importance"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_bigram_nll_shuffles_counts_only(spark):
+    """t23: text explodes once; every exchange below the final agg
+    carries gram/count columns, never the text column."""
+    plan = _plan(QUERIES["t23_bigram_nll"](spark, SF_DIR))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the raw text column must not appear in any exchange output
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_mmr_shortlist_is_topk_heap(spark):
+    """v22's distributed phase: the shortlist cut must plan as
+    TakeOrderedAndProject (a distributed top-k heap, not a global
+    sort), exactly like b04."""
+    from zappy_spark.operators.vecmath import cosine
+    from zappy_spark.queries._util import t as _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    qc = F.array(*[F.lit(0.1)] * 64)
+    cand = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.round(cosine(F.col("embedding"), qc), 6).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), "_id")
+        .limit(20)
+    )
+    plan = _plan(cand)
+    assert "TakeOrderedAndProject" in plan

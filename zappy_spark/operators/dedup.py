@@ -24,7 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -775,4 +775,67 @@ def incremental_new_docs(
         old_h,
         content_key(new_df[text_col], tier) == old_h["_h"],
         "left_anti",
+    )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...] = (),
+    prefix: int = 40,
+    max_dist: int = 20,
+    len_bucket: int = 32,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Record-linkage-style fuzzy matching: BLOCK on cheap
+    deterministic keys (caller-supplied columns + first token +
+    length bucket), then VERIFY candidates with edit distance on a
+    bounded prefix — the classic two-phase shape that makes
+    O(len²)-per-pair Levenshtein usable on a large corpus. The
+    all-pairs spelling is never materialized: candidates are one
+    equi-join on the block key, so cost is Σ block² not corpus², and
+    the length bucket caps how different two blocked texts can be.
+
+    ``max_block`` is the flood guard (the LSH lesson): a degenerate
+    key — empty texts, a boilerplate first token — would make one
+    block quadratic; blocks above the cap are dropped with the same
+    rationale as lsh_candidate_pairs' max_bucket. Returns
+    (i, j, dist) with i < j, dist = levenshtein of the first
+    ``prefix`` chars ≤ ``max_dist``.
+    """
+    w1 = F.split(F.col(text_col), " ").getItem(0)
+    lb = F.floor(F.length(text_col) / len_bucket).cast("int")
+    b = df.select(
+        F.col(id_col).alias("_fid"),
+        F.substring(text_col, 1, prefix).alias("_pfx"),
+        *[F.col(c) for c in block_cols],
+        w1.alias("_w1"),
+        lb.alias("_lb"),
+    )
+    keys = [*block_cols, "_w1", "_lb"]
+    if max_block is not None:
+        wcnt = Window.partitionBy(*keys)
+        b = b.withColumn("_bsz", F.count("*").over(wcnt)).filter(
+            F.col("_bsz") <= max_block
+        )
+    a = b.select(
+        *[F.col(k) for k in keys],
+        F.col("_fid").alias("i"),
+        F.col("_pfx").alias("_pa"),
+    )
+    c = b.select(
+        *[F.col(k) for k in keys],
+        F.col("_fid").alias("j"),
+        F.col("_pfx").alias("_pb"),
+    )
+    return (
+        a.join(c, on=keys)
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.levenshtein("_pa", "_pb").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
     )

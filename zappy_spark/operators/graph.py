@@ -424,8 +424,10 @@ def bfs_hops(
         .localCheckpoint()
     )
     for _ in range(max_hops):
-        nbr = sym.join(dist, sym["b"] == dist["node"]).select(
-            F.col("a").alias("node"), (F.col("hops") + 1).alias("hops")
+        # expand the frontier FORWARD along a→b (for the undirected
+        # case both directions are already in sym)
+        nbr = sym.join(dist, sym["a"] == dist["node"]).select(
+            F.col("b").alias("node"), (F.col("hops") + 1).alias("hops")
         )
         dist = (
             dist.unionByName(nbr)

@@ -937,3 +937,74 @@ def query_ivfpq_index(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    shortlist: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification — the standard
+    retrieval re-rank that trades relevance against redundancy:
+    greedily pick argmax of λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+    Near-dup-heavy corpora make plain top-k return five copies of
+    one document; MMR is the fix every RAG/eval pipeline ships.
+
+    Two-phase scale shape: the DISTRIBUTED part is the expensive
+    part — one full scan for the round-6 cosine shortlist (top
+    ``shortlist`` with id tie-break), plus a shortlist×shortlist
+    pairwise-sim self-join (bounded at shortlist², tiny) — and the
+    greedy loop then runs driver-side over the collected rounded
+    matrix (≤ shortlist² rows: a bounded rerank fetch, the
+    llm_ops.py:58 precedent). All comparisons use ROUND(...,6)
+    values with id tie-breaks, so the selection is engine-exact and
+    a recursive-CTE oracle replays it. Returns (rank, id, qsim).
+    """
+    from zappy_spark.operators.vecmath import cosine
+
+    spark = emb.sparkSession
+    qc = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine(F.col(vec_col), qc), 6).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), "_id")
+        .limit(shortlist)
+        .localCheckpoint()  # shortlist reused by both collects below
+    )
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("_i"),
+            F.col("b._id").alias("_j"),
+            F.round(cosine("a._v", "b._v"), 6).alias("_s"),
+        )
+    )
+    qsim = {r["_id"]: r["_qsim"] for r in cand.select("_id", "_qsim").collect()}
+    sim = {(r["_i"], r["_j"]): r["_s"] for r in pairs.collect()}
+    first = min(qsim, key=lambda i: (-qsim[i], i))
+    selected = [first]
+    while len(selected) < min(k, len(qsim)):
+        best = min(
+            (i for i in qsim if i not in selected),
+            key=lambda i: (
+                -(
+                    lam * qsim[i]
+                    - (1.0 - lam)
+                    * max(sim[(i, s)] for s in selected)
+                ),
+                i,
+            ),
+        )
+        selected.append(best)
+    rows = [
+        (rank + 1, i, qsim[i]) for rank, i in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, ["rank", id_col, "qsim"])

@@ -551,6 +551,60 @@ def r82(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r83(spark: SparkSession, d: str) -> DataFrame:
+    """Interval-overlap sweep (round 5c): peak concurrency per
+    event_type — each event opens a half-open interval
+    [ts, ts + (⌊value⌋ mod 60 + 1) minutes) and the question is the
+    classic capacity one: how many were ever open at once. The
+    spelling is the ±1 marker sweep: every interval emits (+1 at
+    start, −1 at end), one cumulative sum over (time, delta, id)
+    order gives instantaneous concurrency, max per group is the
+    answer. Delta sorts before +1 at equal timestamps, so half-open
+    semantics (end exactly at another's start ≠ overlap) hold
+    identically on both engines; all arithmetic is integer
+    microseconds — no float anywhere. Scale shape: one shuffle on
+    the group key, then a per-partition sort-sweep — at 100 TB the
+    group key becomes (type, day-bucket) so each sweep is bounded;
+    no interval×interval self-join ever."""
+    ev = t(spark, d, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (
+                F.floor("value").cast("bigint") % 60 + 1
+            )
+            * 60_000_000
+        ).alias("e"),
+    )
+    m = iv.select(
+        "event_type", "event_id", F.col("s").alias("tm"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select(
+            "event_type",
+            "event_id",
+            F.col("e").alias("tm"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tm", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        m.withColumn("c", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("c").alias("max_concurrent"),
+            (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -573,9 +627,26 @@ QUERIES = {
     "r80_rolling_median": r80,
     "r81_quantile_envelope": r81,
     "r82_attribution": r82,
+    "r83_interval_overlap": r83,
 }
 
 ORACLE = {
+    # r83: the ±1 marker sweep replayed verbatim; integer micros,
+    # delta=-1 sorts before +1 at ties = half-open intervals.
+    "r83_interval_overlap": (
+        "WITH iv AS (SELECT event_type, event_id, epoch_us(ts) s, "
+        "epoch_us(ts) + (CAST(floor(value) AS BIGINT) % 60 + 1) "
+        "* 60000000 e FROM events), "
+        "m AS (SELECT event_type, event_id, s tm, 1 d FROM iv "
+        "UNION ALL SELECT event_type, event_id, e, -1 FROM iv), "
+        "c AS (SELECT event_type, SUM(d) OVER "
+        "(PARTITION BY event_type ORDER BY tm, d, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) c "
+        "FROM m) "
+        "SELECT event_type, CAST(MAX(c) AS BIGINT) max_concurrent, "
+        "CAST(COUNT(*) / 2 AS BIGINT) n_intervals "
+        "FROM c GROUP BY event_type ORDER BY event_type"
+    ),
     "r80_rolling_median": (
         "SELECT user_id, event_id, ROUND(value,2) AS \"value\", "
         "ROUND(median(CAST(value AS DOUBLE)) OVER "

@@ -838,6 +838,54 @@ def t23(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d33(spark: SparkSession, d: str) -> DataFrame:
+    """Blocked fuzzy matching (round 5c; operators/dedup.py::
+    fuzzy_blocked_pairs): record-linkage-style near-dup discovery —
+    block on (lang, first token, 32-char length bucket), verify with
+    Levenshtein on the 40-char prefix, keep dist ≤ 20. The
+    complement to MinHash (d02/d06): edit distance catches
+    char-level mutations (OCR noise, truncation) that token
+    shingles miss. Never all-pairs: one equi-join on the block key
+    with a flood guard on degenerate blocks. Integer distances —
+    deterministic cut."""
+    from zappy_spark.operators.dedup import fuzzy_blocked_pairs
+
+    pairs = fuzzy_blocked_pairs(
+        t(spark, d, "documents"),
+        "text",
+        "doc_id",
+        block_cols=("lang",),
+        prefix=40,
+        max_dist=20,
+    )
+    return pairs.orderBy("dist", "i", "j").limit(100)
+
+
+def v22(spark: SparkSession, d: str) -> DataFrame:
+    """MMR-diversified retrieval (round 5c; operators/similarity.py
+    ::mmr_rerank): top-20 cosine shortlist for the vec_id=7 query
+    (the v18 convention), then greedy Maximal-Marginal-Relevance
+    selection of 5 with λ=0.7 — the anti-redundancy re-rank every
+    RAG/eval pipeline ships on near-dup-heavy corpora. The scan and
+    the shortlist pairwise sims are distributed; the greedy loop is
+    a bounded driver-side rerank over round-6 values with id
+    tie-breaks, replayed exactly by a recursive-CTE oracle (the
+    third iterative family: greedy selection, after propagation d19/
+    v16 and alternating v20)."""
+    import pyarrow.dataset as ds
+
+    from zappy_spark.operators.similarity import mmr_rerank
+
+    tab = ds.dataset(f"{d}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == 7, columns=["embedding"]
+    )
+    qv = [float(x) for x in tab.column(0)[0].as_py()]
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") != 7)
+    return mmr_rerank(
+        emb, "embedding", "vec_id", qv, shortlist=20, k=5, lam=0.7
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1850,6 +1898,8 @@ QUERIES = {
     "v21_bfs_hops": v21,
     "d32_dsir_importance": d32,
     "t23_bigram_nll": t23,
+    "d33_fuzzy_blocked": d33,
+    "v22_mmr_rerank": v22,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -2948,6 +2998,52 @@ ORACLE = {
         "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
         "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
         "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # v22: greedy MMR as a recursive CTE — the selected set rides an
+    # id-list column; each step appends the argmax of
+    # 0.7*qsim - 0.3*max(sim to selected) over round-6 values with
+    # vec_id tie-break (exactly mmr_rerank's driver loop). Both
+    # directions live in pw, so MAX(p.s) needs no least/greatest.
+    "v22_mmr_rerank": (
+        "WITH RECURSIVE "
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings "
+        "WHERE vec_id=7), "
+        "cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev, "
+        "ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "(SELECT v FROM qv)),6) qsim FROM embeddings WHERE vec_id<>7 "
+        "ORDER BY qsim DESC, vec_id LIMIT 20), "
+        "pw AS (SELECT a.vec_id i, b.vec_id j, "
+        "ROUND(list_cosine_similarity(a.ev,b.ev),6) s "
+        "FROM cand a JOIN cand b ON a.vec_id <> b.vec_id), "
+        "sel(it, ids) AS ("
+        "SELECT 1, [(SELECT vec_id FROM cand "
+        "ORDER BY qsim DESC, vec_id LIMIT 1)] "
+        "UNION ALL "
+        "SELECT it+1, list_append(ids, ("
+        "SELECT c.vec_id FROM cand c "
+        "WHERE NOT list_contains(sel.ids, c.vec_id) "
+        "ORDER BY 0.7*c.qsim - 0.3*(SELECT MAX(p.s) FROM pw p "
+        "WHERE p.i=c.vec_id AND list_contains(sel.ids, p.j)) DESC, "
+        "c.vec_id LIMIT 1)) FROM sel WHERE it < 5), "
+        "fin AS (SELECT ids FROM sel WHERE it = 5) "
+        "SELECT CAST(u.ord AS BIGINT) rank, u.id AS vec_id, c.qsim "
+        "FROM (SELECT unnest(ids) id, generate_subscripts(ids, 1) ord "
+        "FROM fin) u JOIN cand c ON c.vec_id = u.id ORDER BY rank"
+    ),
+    # d33: blocking + levenshtein verify replay. The flood guard
+    # (block size <= 10000) is vacuous at every test SF (max block 3
+    # at sf0.01) so the oracle omits it; the length bucket uses
+    # floor-division like the Spark side.
+    "d33_fuzzy_blocked": (
+        "WITH b AS (SELECT doc_id, lang, substr(text,1,40) pfx, "
+        "string_split(text,' ')[1] w1, "
+        "CAST(floor(length(text)/32) AS INT) lb FROM documents) "
+        "SELECT a.doc_id i, c.doc_id j, "
+        "CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) dist "
+        "FROM b a JOIN b c ON a.lang = c.lang AND a.w1 = c.w1 "
+        "AND a.lb = c.lb AND a.doc_id < c.doc_id "
+        "WHERE levenshtein(a.pfx, c.pfx) <= 20 "
+        "ORDER BY dist, i, j LIMIT 100"
     ),
     # t23: bigram add-one LM replay; context counts derive from the
     # bigram table (first word of the gram), V = COUNT(*) of contexts.
