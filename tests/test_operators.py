@@ -2485,3 +2485,40 @@ def test_mmr_rerank_skips_near_duplicate(spark):
     assert picked[0] == 1
     assert 2 not in picked[:2]  # the near-dup is not picked second
     assert set(picked) == {1, 3, 4}
+
+
+def test_sample_frame_features_exact_fanout(spark):
+    from zappy_spark.operators.multimodal import sample_frame_features
+
+    payload = bytes(range(100))  # 100 bytes -> 4 frames of 32,32,32,4
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))], ["media_id", "kind", "payload"]
+    )
+    rows = sorted(
+        sample_frame_features(df, frame_bytes=32, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # frames 0 and 2 sampled
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    assert all(r["n_frames"] == 4 for r in rows)
+    assert rows[0]["frame_len"] == 32
+    assert rows[0]["frame_sum"] == sum(range(32))
+    assert rows[1]["frame_sum"] == sum(range(64, 96))
+
+
+def test_token_budget_select_prefix_greedy(spark):
+    from zappy_spark.operators.sampling import token_budget_select
+
+    rows = [
+        ("en", 1, 9, 40),  # kept: cum 40
+        ("en", 2, 8, 50),  # kept: cum 90
+        ("en", 3, 7, 20),  # dropped: cum 110 > 100
+        ("en", 4, 6, 5),   # dropped too: greedy is a PREFIX, not knapsack
+        ("de", 5, 9, 100),  # kept: exactly at budget
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "quality", "tok"])
+    kept = token_budget_select(
+        df, ("lang",), "tok", (F.desc("quality"), F.asc("doc_id")), 100
+    )
+    got = sorted((r["lang"], r["doc_id"], r["_cum_w"]) for r in kept.collect())
+    assert got == [("de", 5, 100), ("en", 1, 40), ("en", 2, 90)]

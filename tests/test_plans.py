@@ -790,3 +790,21 @@ def test_mmr_shortlist_is_topk_heap(spark):
     )
     plan = _plan(cand)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_is_one_window(spark):
+    """d34: one window hash-partitioned on lang, running-sum frame,
+    no join, no Python stage."""
+    plan = _plan(QUERIES["d34_token_budget"](spark, SF_DIR))
+    assert "hashpartitioning(lang" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_frame_features_is_single_arrow_stage(spark):
+    """m03: exactly one Arrow Python stage (the frame kernel) above
+    the scan — the payload visits Python once, and nothing below
+    the kernel shuffles."""
+    plan = _plan(QUERIES["m03_frame_features"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in plan.split("MapInPandas")[1]

@@ -1080,3 +1080,52 @@ def test_attribution_stream_equals_batch(spark, replay_dir):
     b = _rows(batch, "user_id", "event_id", "first_click", "last_click")
     assert len(g) == len(b) > 0
     assert g == b
+
+
+def test_concurrency_stream_equals_batch(spark, replay_dir):
+    """The active-interval ledger's drained running max per
+    event_type must equal the batch ±1 marker sweep's
+    max_concurrent — the r83 twin (half-open semantics: pending
+    ends retire before a start at the same microsecond)."""
+    from pyspark.sql import Window
+
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.concurrency_stateful(stream), "t_conc", output_mode="append"
+    )
+    final = (
+        got.groupBy("event_type")
+        .agg(F.max("max_so_far").alias("max_concurrent"))
+    )
+    ev = spark.read.parquet(replay_dir)
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.floor("value").cast("bigint") % 60 + 1) * 60_000_000
+        ).alias("e"),
+    )
+    m = iv.select(
+        "event_type", "event_id", F.col("s").alias("tm"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select(
+            "event_type", "event_id", F.col("e").alias("tm"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tm", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = (
+        m.withColumn("c", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(F.max("c").alias("max_concurrent"))
+    )
+    g = _rows(final, "event_type", "max_concurrent")
+    b = _rows(batch, "event_type", "max_concurrent")
+    assert len(g) == len(b) > 0
+    assert g == b

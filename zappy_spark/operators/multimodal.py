@@ -265,3 +265,64 @@ def load_uri_payloads(df: DataFrame, uri_col: str = "uri") -> DataFrame:
         ]
     )
     return df.mapInPandas(batches, schema=schema)
+
+
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def sample_frame_features(
+    df: DataFrame, frame_bytes: int = 32, every_n: int = 4
+) -> DataFrame:
+    """Frame-sampled feature extraction through the payload: treat
+    each ``frame_bytes`` slice of the binary payload as one frame,
+    decode every ``every_n``-th frame, emit one feature row per
+    sampled frame — the video-training-data shape (decode is per
+    sampled frame, never the whole clip). The stand-in "decode"
+    is an exact integer byte-sum, so results are value-checkable;
+    a real codec swaps the kernel, not the plumbing.
+
+    Unlike ``frame_sample_plan`` (which only plans indices), the
+    payload here actually VISITS the Python worker — once per media
+    row inside an Arrow batch, fanning out to k sampled-frame rows
+    (mapInPandas as flatMap). Payloads never touch the driver;
+    batch memory is bounded by maxRecordsPerBatch × payload size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "frame_len": [],
+                "frame_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                nf = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, nf, every_n):
+                    chunk = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(nf)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_sum"].append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "frame_len": pd.Series(out["frame_len"], dtype="int32"),
+                    "frame_sum": pd.Series(out["frame_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)

@@ -374,3 +374,34 @@ def dsir_weights(
         )
         .select(F.col("_id").alias(id_col), "n_grams", "dsir_logratio")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    weight_col: str,
+    order_by: tuple,
+    budget: int,
+) -> DataFrame:
+    """Greedy budgeted selection: per group, walk rows in the given
+    priority order and keep them while the running ``weight_col``
+    total stays ≤ ``budget`` — the token-budget data-mixing
+    primitive ("best documents per language until 1B tokens each").
+    Prefix-greedy, not knapsack: the production contract is
+    determinism and one window pass, not optimality — the d27/d30
+    sibling for weighted (token) quotas instead of row-count quotas.
+
+    Scale shape: one window hash-partitioned on the group key; the
+    running sum is a per-partition streaming aggregate — no join, no
+    second pass. ``order_by`` must be a total order (tie-break on a
+    unique id) or the kept set is engine-dependent. The cumulative
+    weight stays on the output as ``_cum_w`` for audit/packing use.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("_cum_w", F.sum(weight_col).over(w)).filter(
+        F.col("_cum_w") <= budget
+    )

@@ -886,6 +886,62 @@ def v22(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m03(spark: SparkSession, d: str) -> DataFrame:
+    """Frame-sampled multimodal decode (round 5c; operators/
+    multimodal.py::sample_frame_features): document bytes stand in
+    for video payloads (32-byte "frames", every 4th sampled), the
+    REAL Arrow mapInPandas flatMap runs the deterministic byte-sum
+    "decode" per sampled frame — the per-frame (not per-clip)
+    decode shape a video training pipeline needs, value-checked
+    end-to-end through the Python worker (the m02 trick, extended
+    from one row per media to k frame rows per media). ASCII text
+    makes char codes == utf-8 bytes, so the oracle replays the
+    frame sums character-by-character in SQL."""
+    from zappy_spark.operators import multimodal
+
+    media = t(spark, d, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        multimodal.sample_frame_features(media, frame_bytes=32, every_n=4)
+        .orderBy("media_id", "frame_idx")
+        .limit(200)
+    )
+
+
+def d34(spark: SparkSession, d: str) -> DataFrame:
+    """Token-budget mixing quota (round 5c; operators/sampling.py::
+    token_budget_select): per language keep the highest-value docs
+    (n_chars desc, doc_id tie-break) while the running whitespace
+    token count stays ≤ 500 — the "N tokens per domain" selection
+    every mixture recipe needs, as one window pass (the weighted
+    sibling of d30's row-count cap). Budget binds at every test SF
+    (≈750+ tokens per lang at sf0.001). Integer counts only."""
+    from zappy_spark.operators.sampling import token_budget_select
+
+    docs = t(spark, d, "documents").withColumn(
+        "_tok", F.size(F.split("text", " ")).cast("bigint")
+    )
+    kept = token_budget_select(
+        docs,
+        ("lang",),
+        "_tok",
+        (F.desc("n_chars"), F.asc("doc_id")),
+        budget=500,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("_tok").alias("tokens_kept"),
+            F.max("_cum_w").alias("budget_used"),
+        )
+        .orderBy("lang")
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1900,6 +1956,8 @@ QUERIES = {
     "t23_bigram_nll": t23,
     "d33_fuzzy_blocked": d33,
     "v22_mmr_rerank": v22,
+    "m03_frame_features": m03,
+    "d34_token_budget": d34,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -2998,6 +3056,34 @@ ORACLE = {
         "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
         "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
         "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # d34: window cumsum quota replay; len(string_split) == Spark
+    # size(split) on this corpus (no empty-token drift: single-space
+    # separated text).
+    "d34_token_budget": (
+        "WITH d AS (SELECT lang, n_chars, doc_id, "
+        "CAST(len(string_split(text,' ')) AS BIGINT) tok FROM documents), "
+        "c AS (SELECT lang, tok, SUM(tok) OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cw FROM d) "
+        "SELECT lang, COUNT(*) n_kept, "
+        "CAST(SUM(tok) AS BIGINT) tokens_kept, "
+        "CAST(MAX(cw) AS BIGINT) budget_used "
+        "FROM c WHERE cw <= 500 GROUP BY lang ORDER BY lang"
+    ),
+    # m03: replay the sampled-frame byte sums char-by-char (ASCII,
+    # the m02 precedent); generate_series with step 4 = the sampler.
+    "m03_frame_features": (
+        "WITH b AS (SELECT doc_id media_id, text, length(text) n, "
+        "CAST(ceil(length(text)/32.0) AS INT) nf FROM documents), "
+        "s AS (SELECT media_id, text, n, nf, "
+        "unnest(generate_series(0, nf-1, 4)) fi FROM b WHERE nf > 0) "
+        "SELECT media_id, CAST(fi AS INT) frame_idx, nf n_frames, "
+        "CAST(LEAST(32, n - fi*32) AS INT) frame_len, "
+        "CAST(list_sum(list_transform(range(CAST(fi*32+1 AS INT), "
+        "CAST(fi*32 + LEAST(32, n - fi*32) + 1 AS INT)), "
+        "x -> ord(substr(text, x, 1)))) AS BIGINT) frame_sum "
+        "FROM s ORDER BY media_id, frame_idx LIMIT 200"
     ),
     # v22: greedy MMR as a recursive CTE — the selected set rides an
     # id-list column; each step appends the argmax of

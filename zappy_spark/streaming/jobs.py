@@ -1137,6 +1137,87 @@ def hll_state_estimates(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+_CONC_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("concurrency", LongType()),
+        StructField("max_so_far", LongType()),
+    ]
+)
+_CONC_STATE = StructType(
+    [
+        StructField("ends", ArrayType(LongType())),
+        StructField("conc", LongType()),
+        StructField("mx", LongType()),
+    ]
+)
+
+
+def _concurrency_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-type active-interval ledger: each event opens
+    [s, s + (⌊value⌋ mod 60 + 1) min); before applying a start, every
+    pending end ≤ s retires first (half-open semantics — exactly the
+    batch sweep's "-1 sorts before +1 at equal time"). Concurrency
+    dips between starts can never raise the max, so the lazily
+    applied ends leave the running max identical to the batch ±1
+    marker sweep. State = sorted pending ends (bounded by peak
+    concurrency, not stream length) + two counters."""
+    import bisect
+    import math
+
+    if state.exists:
+        ends, conc, mx = list(state.get[0]), state.get[1], state.get[2]
+    else:
+        ends, conc, mx = [], 0, 0
+    out: dict[str, list] = {"event_id": [], "concurrency": [], "max_so_far": []}
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        us_col = rows["ts"].astype("int64") // 1000
+        for s, eid, v in zip(us_col, rows["event_id"], rows["value"]):
+            s = int(s)
+            dur = (int(math.floor(float(v))) % 60 + 1) * 60_000_000
+            while ends and ends[0] <= s:
+                ends.pop(0)
+                conc -= 1
+            bisect.insort(ends, s + dur)
+            conc += 1
+            mx = max(mx, conc)
+            out["event_id"].append(int(eid))
+            out["concurrency"].append(conc)
+            out["max_so_far"].append(mx)
+    state.update((ends, conc, mx))
+    yield pd.DataFrame(
+        {
+            "event_type": key[0],
+            "event_id": pd.Series(out["event_id"], dtype="int64"),
+            "concurrency": pd.Series(out["concurrency"], dtype="int64"),
+            "max_so_far": pd.Series(out["max_so_far"], dtype="int64"),
+        }
+    )
+
+
+def concurrency_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the r83 interval-overlap sweep: peak
+    concurrency per event_type maintained incrementally via
+    applyInPandasWithState — the live capacity-monitor shape. The
+    drained running max equals the batch ±1 marker sweep's
+    max_concurrent per key (the equivalence test); state is the
+    active-interval end-heap, bounded by peak concurrency."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _concurrency_fn,
+        outputStructType=_CONC_OUT,
+        stateStructType=_CONC_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> "DataFrame":
