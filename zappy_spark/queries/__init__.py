@@ -28,28 +28,29 @@ behind and is canary-guarded per family meanwhile.
 Round-5 ordering (this file, executing the plan round 4 wrote):
 CORRECTNESS_r04 confirmed the window is exactly the first 50 dict
 entries — 49 green, r56 hash-fail. Head of the round-5 window: the
-sixteen entries ADDED this round (d29 temperature mixture, d30
-domain cap, t22 winsorize, r80 rolling median, r81 quantile
-envelope, v19 kNN communities, v20 HITS authority, r82 first/last-touch
-attribution, d31 rendezvous shards — 5b session; z29 zarr-v2 round-trip,
-d26
-leakage-free split, d27 shelf packing, m02 mapInPandas value check,
-v18 matryoshka retrieval, s18 dynamic-gap sessions, d28 triangle
-count), then the five whose SPELLING changed and which must regain
-a driver row in their new form (r56 decimal re-spell of the r4
-failure; v07/v09 gaining their first oracles; z01/z02 decimal
-re-spells), then the twenty-one tier-0 entries the r4 window cut
-off (d23 … t21 plus the yielding t04/v02/v06 trio — r75/r78/r79 in
-that span were also re-spelled this session), then 8 promoted
-_R1_STALE entries (z03 … z13) to complete 50 (z14–z23/r03 pushed
-to round 6 by the 5b additions).
+twenty-four entries ADDED this round (v21 BFS, d32 DSIR, t23
+bigram-LM, r83 interval sweep, d33 fuzzy linkage, v22 MMR, m03
+frame kernel, d34 token budget — 5c session; d29 temperature
+mixture, d30 domain cap, t22 winsorize, r80 rolling median, r81
+quantile envelope, v19 kNN communities, v20 HITS authority, r82
+attribution, d31 rendezvous shards — 5b; z29 zarr-v2 round-trip,
+d26 leakage-free split, d27 shelf packing, m02 mapInPandas value
+check, v18 matryoshka retrieval, s18 dynamic-gap sessions, d28
+triangle count — 5a), then the five whose SPELLING changed and
+which must regain a driver row in their new form (r56 decimal
+re-spell of the r4 failure; v07/v09 gaining their first oracles;
+z01/z02 decimal re-spells), then the tier-0 entries the r4 window
+cut off (d23 … t21 plus the t04/v02/v06 trio). The 5c additions
+displaced the promoted _R1_STALE tail entirely: the head list is
+now EXACTLY 50 entries, every one with zero driver rows in its
+current form — the window composition the rotation doctrine wants.
 
 ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote first the nine _R1_STALE entries the 5b additions
-pushed out of the r5 window (z14_minmax_axis1, z17_row_normalize,
-z18_any_all, z19_mean_axis1, z20_median_percentile,
-z21_corr_covar, z22_skew_kurt, z23_regr, r03_topk_per_group), then
-the remaining 25
+the back; promote FIRST the _R1_STALE entries the 5b/5c additions
+pushed out of the r5
+window (z01 … z13, z14_minmax_axis1, z17_row_normalize,
+z18_any_all, z19_mean_axis1, z20_median_percentile, z21_corr_covar,
+z22_skew_kurt, z23_regr, r03_topk_per_group), then the remaining
 _R1_STALE (r04 … r26), then as much of _R2_STALE (39) as fits,
 leaving r4-green entries (z26, r67, …) queued directly behind so
 every entry keeps cycling toward a fresh driver row; keep any
@@ -81,6 +82,15 @@ _ALL_QUERIES = {
 # round-4 window cut off (in their r4 order; r75/r78/r79 were
 # additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
+    # round-5c additions (this session): brand new, zero driver rows.
+    "v21_bfs_hops",  # NEW round 5c: bounded multi-source BFS
+    "d32_dsir_importance",  # NEW round 5c: hashed-bigram DSIR weights
+    "t23_bigram_nll",  # NEW round 5c: bigram-LM quality scoring
+    "r83_interval_overlap",  # NEW round 5c: ±1 marker concurrency sweep
+    "d33_fuzzy_blocked",  # NEW round 5c: blocked levenshtein linkage
+    "v22_mmr_rerank",  # NEW round 5c: greedy MMR diversification
+    "m03_frame_features",  # NEW round 5c: frame-sampled Arrow kernel
+    "d34_token_budget",  # NEW round 5c: prefix-greedy token quota
     "d29_temperature_mixture",  # NEW round 5b: c^alpha domain resample
     "d30_domain_cap",  # NEW round 5b: per-host quality quota
     "t22_winsorize",  # NEW round 5b: discrete-percentile clamp
