@@ -2522,3 +2522,37 @@ def test_token_budget_select_prefix_greedy(spark):
     )
     got = sorted((r["lang"], r["doc_id"], r["_cum_w"]) for r in kept.collect())
     assert got == [("de", 5, 100), ("en", 1, 40), ("en", 2, 90)]
+
+
+def test_sign_word_exact_packing(spark):
+    from zappy_spark.operators.similarity import sign_word
+
+    vec = [1.0, -1.0, 2.0] + [0.0] * 29 + [3.0, -4.0] + [0.0] * 30
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    r = df.select(
+        sign_word("embedding", 1, 32).alias("w0"),
+        sign_word("embedding", 33, 32).alias("w1"),
+    ).first()
+    assert r["w0"] == (1 << 0) + (1 << 2)  # dims 1 and 3 positive
+    assert r["w1"] == (1 << 0)  # dim 33 positive
+    # all-positive slice saturates all 32 bits exactly
+    df2 = spark.createDataFrame([(1, [1.0] * 64)], ["vec_id", "embedding"])
+    assert df2.select(
+        sign_word("embedding", 1, 32).alias("w")
+    ).first()["w"] == (1 << 32) - 1
+
+
+def test_sign_hamming_finds_identical_vector(spark):
+    import numpy as np
+    from zappy_spark.operators.similarity import sign_hamming_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(50)]
+    q = rows[7][1]
+    rows.append((999, list(q)))  # exact copy of the query
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sign_hamming_topk(
+        df.filter(F.col("vec_id") != 7), "embedding", "vec_id", q
+    ).collect()
+    top = max(out, key=lambda r: (r["sim"], -r["vec_id"]))
+    assert top["vec_id"] == 999 and top["ham"] == 0 and top["sim"] == 1.0

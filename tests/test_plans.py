@@ -808,3 +808,21 @@ def test_frame_features_is_single_arrow_stage(spark):
     plan = _plan(QUERIES["m03_frame_features"](spark, SF_DIR))
     assert plan.count("MapInPandas") == 1
     assert "Exchange hashpartitioning" not in plan.split("MapInPandas")[1]
+
+
+def test_sign_hamming_cut_is_topk_heap(spark):
+    """v23: the Hamming shortlist must plan as TakeOrderedAndProject
+    (distributed integer-keyed heap), and the whole entry stays
+    JVM-side."""
+    plan = _plan(QUERIES["v23_sign_hamming"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_path_trigrams_single_user_shuffle(spark):
+    """s19: one window shuffle on user_id, one count-only aggregate
+    on the bounded path vocabulary — no join, no Python."""
+    plan = _plan(QUERIES["s19_path_trigrams"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

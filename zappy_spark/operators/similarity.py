@@ -1008,3 +1008,75 @@ def mmr_rerank(
         (rank + 1, i, qsim[i]) for rank, i in enumerate(selected)
     ]
     return spark.createDataFrame(rows, ["rank", id_col, "qsim"])
+
+
+def sign_word(vec: str | Column, start: int, nbits: int) -> Column:
+    """One ≤32-bit sign word from a vector slice (1-based ``start``):
+    bit i set iff component > 0, packed by an exact integer Horner
+    fold (acc*2+b over the reversed bits) — no shift builtins, so
+    any engine replays it with plain arithmetic; every intermediate
+    fits a BIGINT."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bits = F.transform(
+        F.slice(v, start, nbits),
+        lambda x: F.when(
+            x.cast("double") > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+
+
+def sign_hamming_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Binary-quantized retrieval: 1 bit per dimension (sign), rank
+    by Hamming distance, then exact-cosine re-rank the shortlist —
+    the cheapest ANN tier there is (64 dims → 8 bytes per vector,
+    XOR+popcount per comparison) and the standard first stage for
+    100 TB embedding stores where even PQ codes are too big to scan.
+
+    Scale shape: the sign words are scan-side expressions (computed
+    once, persistable as two BIGINT columns beside the vector); the
+    Hamming cut plans as TakeOrderedAndProject (distributed heap,
+    integer keys — no float, fully deterministic with the id
+    tie-break); only the ≤``shortlist`` survivors touch float math
+    for the re-rank. Returns (id, ham, sim round-4) — top ``k`` by
+    re-ranked cosine."""
+    from zappy_spark.operators.vecmath import cosine
+
+    q0 = sum(1 << i for i, x in enumerate(query_vec[:32]) if x > 0)
+    q1 = sum(1 << i for i, x in enumerate(query_vec[32:64]) if x > 0)
+    qc = F.array(*[F.lit(float(x)) for x in query_vec])
+    words = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_word(vec_col, 1, 32).alias("_w0"),
+        sign_word(vec_col, 33, 32).alias("_w1"),
+    )
+    ham = (
+        F.bit_count(F.col("_w0").bitwiseXOR(F.lit(q0).cast("long")))
+        + F.bit_count(F.col("_w1").bitwiseXOR(F.lit(q1).cast("long")))
+    ).cast("int")
+    short = (
+        words.select(id_col, vec_col, ham.alias("ham"))
+        .orderBy("ham", id_col)
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            id_col,
+            "ham",
+            F.round(cosine(F.col(vec_col), qc), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )

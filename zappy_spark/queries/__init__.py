@@ -42,11 +42,14 @@ re-spell of the r4 failure; v07/v09 gaining their first oracles;
 z01/z02 decimal re-spells), then the tier-0 entries the r4 window
 cut off (d23 … t21 plus the t04/v02/v06 trio). The 5c additions
 displaced the promoted _R1_STALE tail entirely: the head list is
-now EXACTLY 50 entries, every one with zero driver rows in its
-current form — the window composition the rotation doctrine wants.
+52 candidates for 50 slots, and the two carrying prior rows-only
+driver rows — v02 and v06, per the r4 yielding convention — queue
+at positions 51/52 to lead the round-6 window; every entry inside
+the window has zero driver rows in its current form.
 
 ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote FIRST the _R1_STALE entries the 5b/5c additions
+the back; promote FIRST v02_rp_lsh_ann and v06_pca_scores (yielded
+their r5 slots), then the _R1_STALE entries the 5b/5c additions
 pushed out of the r5
 window (z01 … z13, z14_minmax_axis1, z17_row_normalize,
 z18_any_all, z19_mean_axis1, z20_median_percentile, z21_corr_covar,
@@ -83,6 +86,8 @@ _ALL_QUERIES = {
 # additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
     # round-5c additions (this session): brand new, zero driver rows.
+    "v23_sign_hamming",  # NEW round 5c: binary-quantized retrieval
+    "s19_path_trigrams",  # NEW round 5c: 3-step journey mining
     "v21_bfs_hops",  # NEW round 5c: bounded multi-source BFS
     "d32_dsir_importance",  # NEW round 5c: hashed-bigram DSIR weights
     "t23_bigram_nll",  # NEW round 5c: bigram-LM quality scoring

@@ -605,6 +605,34 @@ def r83(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s19(spark: SparkSession, d: str) -> DataFrame:
+    """Behavioral path mining (round 5c): the most common 3-step
+    event-type sequences across user journeys — the "what do users
+    do before purchasing" primitive behind funnel design (r66) and
+    transition matrices (s15, which this generalizes from 2-step to
+    3-step). Two LAGs over one (user, time, id)-ordered window build
+    the trigram; one count aggregate ranks paths. Scale: a single
+    shuffle on user_id for the window (the lag frames are
+    per-partition streaming), then a count-only shuffle on the
+    bounded path vocabulary (|event_types|³). Top-20 by (count desc,
+    path) — integer-deterministic cut."""
+    ev = t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("_a"),
+        F.lag("event_type", 1).over(w).alias("_b"),
+        F.col("event_type").alias("_c"),
+    ).filter(F.col("_a").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "_a", "_b", "_c").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -628,9 +656,21 @@ QUERIES = {
     "r81_quantile_envelope": r81,
     "r82_attribution": r82,
     "r83_interval_overlap": r83,
+    "s19_path_trigrams": s19,
 }
 
 ORACLE = {
+    # s19: two LAGs over the same (user, ts, id) order; counts are
+    # integers, cut is (n desc, path) — deterministic.
+    "s19_path_trigrams": (
+        "WITH tri AS (SELECT "
+        "LAG(event_type, 2) OVER w a, LAG(event_type, 1) OVER w b, "
+        "event_type c FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT concat(a, '>', b, '>', c) path, COUNT(*) n "
+        "FROM tri WHERE a IS NOT NULL "
+        "GROUP BY path ORDER BY n DESC, path LIMIT 20"
+    ),
     # r83: the ±1 marker sweep replayed verbatim; integer micros,
     # delta=-1 sorts before +1 at ties = half-open intervals.
     "r83_interval_overlap": (

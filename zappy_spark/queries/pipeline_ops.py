@@ -942,6 +942,29 @@ def d34(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v23(spark: SparkSession, d: str) -> DataFrame:
+    """Binary-quantized retrieval (round 5c; operators/similarity.py
+    ::sign_hamming_topk): 1 sign bit per dimension packed into two
+    BIGINT words by an exact Horner fold, Hamming-distance shortlist
+    of 20 (integer keys + id tie-break — a TakeOrderedAndProject
+    heap, zero float), exact-cosine re-rank to top 5 — the cheapest
+    ANN tier (8 bytes/vector, XOR+popcount) below RP-LSH (v02), PQ
+    (v13/v14) and IVF (v09): the first-stage filter a 100 TB
+    embedding store scans. Query = vec_id 7 (v18/v22 convention)."""
+    import pyarrow.dataset as ds
+
+    from zappy_spark.operators.similarity import sign_hamming_topk
+
+    tab = ds.dataset(f"{d}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == 7, columns=["embedding"]
+    )
+    qv = [float(x) for x in tab.column(0)[0].as_py()]
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") != 7)
+    return sign_hamming_topk(
+        emb, "embedding", "vec_id", qv, shortlist=20, k=5
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1958,6 +1981,7 @@ QUERIES = {
     "v22_mmr_rerank": v22,
     "m03_frame_features": m03,
     "d34_token_budget": d34,
+    "v23_sign_hamming": v23,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -3056,6 +3080,31 @@ ORACLE = {
         "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
         "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
         "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # v23: sign words replayed via ordinal unnest + exact integer
+    # shifts (same values as the Spark Horner fold); Hamming cut on
+    # integers, cosine re-rank round-4. x > 0 on DOUBLE casts so the
+    # sign test sees identical values on both engines.
+    "v23_sign_hamming": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev "
+        "FROM embeddings), "
+        "u AS (SELECT vec_id, unnest(ev) x, generate_subscripts(ev,1) i "
+        "FROM e), "
+        "w AS (SELECT vec_id, "
+        "CAST(SUM(CASE WHEN i<=32 AND x>0 THEN (1::BIGINT << (i-1)) "
+        "ELSE 0 END) AS BIGINT) w0, "
+        "CAST(SUM(CASE WHEN i>32 AND x>0 THEN (1::BIGINT << (i-33)) "
+        "ELSE 0 END) AS BIGINT) w1 FROM u GROUP BY vec_id), "
+        "q AS (SELECT w0 q0, w1 q1 FROM w WHERE vec_id=7), "
+        "qe AS (SELECT ev qv FROM e WHERE vec_id=7), "
+        "h AS (SELECT vec_id, CAST(bit_count(xor(w0,q0)) "
+        "+ bit_count(xor(w1,q1)) AS INT) ham FROM w, q WHERE vec_id<>7), "
+        "short AS (SELECT vec_id, ham FROM h ORDER BY ham, vec_id "
+        "LIMIT 20) "
+        "SELECT s.vec_id, s.ham, ROUND(list_cosine_similarity(e.ev, "
+        "(SELECT qv FROM qe)),4) sim FROM short s "
+        "JOIN e ON e.vec_id = s.vec_id "
+        "ORDER BY sim DESC, s.vec_id LIMIT 5"
     ),
     # d34: window cumsum quota replay; len(string_split) == Spark
     # size(split) on this corpus (no empty-token drift: single-space
