@@ -826,3 +826,22 @@ def test_path_trigrams_single_user_shuffle(spark):
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_cumulative_users_is_first_seen_reduction(spark):
+    """r84: the fact table is touched by ONE user_id hash aggregate
+    (first-seen reduction) — no expanding count-distinct rescans, no
+    join, no Python."""
+    plan = _plan(QUERIES["r84_cumulative_users"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_bloom_gate_probe_is_scan_side(spark):
+    """d35: the probe is scan-side expression work (the filter rides
+    as literals) + one count aggregate — no join against the member
+    set, no Python."""
+    plan = _plan(QUERIES["d35_bloom_gate"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Python" not in plan

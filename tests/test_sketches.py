@@ -110,3 +110,35 @@ def test_native_hll_sketch_merges_and_bounds_error(spark):
     # inside the sketch's error bound of the truth
     assert abs(est - exact) / exact < 0.05
     assert abs(direct - exact) / exact < 0.05
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    a = spark.range(0, 200).withColumnRenamed("id", "k")
+    b = spark.range(200, 400).withColumnRenamed("id", "k")
+    wa = bloom_build(a, "k").first()
+    wb = bloom_build(b, "k").first()
+    wu = bloom_build(a.union(b), "k").first()
+    # mergeable: OR of partial filters == filter of the union
+    for w in range(8):
+        assert wu[f"word_{w}"] == wa[f"word_{w}"] | wb[f"word_{w}"]
+    # no false negatives: every inserted key must hit
+    probed = bloom_might_contain(a, "k", wa)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+    # false-positive rate on disjoint keys stays within ~3x theory
+    # for m=256, k=3, n=200: p = (1-exp(-kn/m))^3 ≈ 0.74 — saturated
+    # filter; use a roomier one for the rate check
+    big = bloom_build(a, "k", n_bits=4096)
+    wbig = big.first()
+    fp = (
+        bloom_might_contain(b, "k", wbig, n_bits=4096)
+        .filter(F.col("bloom_hit"))
+        .count()
+    )
+    assert fp / 200 < 0.05  # theory ≈ 0.002 at m=4096,k=3,n=200

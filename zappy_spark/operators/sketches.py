@@ -95,3 +95,98 @@ def cms_frequencies(
     bis = jvm.java.io.ByteArrayInputStream(payload)
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
     return {item: sketch.estimateCount(item) for item in items}
+
+
+BLOOM_WORD_BITS = 32  # 32-bit words: portable (no engine overflows
+# on << 31; 1<<63 is an error in some engines)
+
+
+def _bloom_bit(key: Column, salt: int, n_bits: int) -> Column:
+    """Bit index for hash ``salt``: md5 is THE portable hash family
+    (the minhash convention — any engine replays it bit-for-bit)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), key)), 1, 8), 16, 10
+    ).cast("long")
+    return h % n_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """Portable mergeable Bloom filter over ``key_col``: k md5-salted
+    bit positions per key, OR-folded into ``n_bits/32`` 32-bit words
+    — the approximate-membership gate that turns "have we ever seen
+    this document?" into an 8-word broadcast instead of a 100 TB
+    anti-join. bit_or is commutative/associative, so partial filters
+    build map-side and merge by word — the same algebra HLL rides;
+    a day×filter table rolls up to month/all-time without rescans.
+
+    Returns ONE row of words (word_0 … word_{n_bits/32-1}), each an
+    exact integer — portable to any engine with md5 + bit_or, which
+    is what makes the corpus oracle replay the filter bit-for-bit.
+    """
+    n_words = n_bits // BLOOM_WORD_BITS
+    key = F.col(key_col).cast("string")
+    bits = [
+        _bloom_bit(key, j, n_bits).alias(f"_b{j}") for j in range(k)
+    ]
+    b = df.select(*bits)
+    words = []
+    for w in range(n_words):
+        per_hash = []
+        for j in range(k):
+            bit = F.col(f"_b{j}")
+            # 2^(bit mod 32) via pow: exact for exponents ≤ 31 (the
+            # word-size choice), and portable — engines disagree on
+            # variable-shift builtins, not on small powers of two
+            per_hash.append(
+                F.when(
+                    (bit >= w * BLOOM_WORD_BITS)
+                    & (bit < (w + 1) * BLOOM_WORD_BITS),
+                    F.pow(F.lit(2.0), bit % BLOOM_WORD_BITS).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        acc = per_hash[0]
+        for p in per_hash[1:]:
+            acc = acc.bitwiseOR(p)
+        words.append(F.bit_or(acc).alias(f"word_{w}"))
+    return b.agg(*words)
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    words_row,
+    n_bits: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """Probe: key claimed-present iff ALL k bits are set in the
+    filter words (shipped as plain integer literals — the filter is
+    bytes, it rides the task closure like a query vector). No false
+    negatives by construction; false-positive rate ≈ (1-e^{-kn/m})^k.
+    Adds a boolean ``bloom_hit`` column."""
+    key = F.col(key_col).cast("string")
+    cond = F.lit(True)
+    for j in range(k):
+        bit = _bloom_bit(key, j, n_bits)
+        # select the word holding this bit via nested whens (JVM-side)
+        sel = F.lit(0).cast("long")
+        for w in range(n_bits // BLOOM_WORD_BITS):
+            wv = F.lit(int(words_row[f"word_{w}"])).cast("long")
+            sel = F.when(
+                F.floor(bit / BLOOM_WORD_BITS) == w, wv
+            ).otherwise(sel)
+        # sel < 2^32 is exact in a double, and dividing by a power of
+        # two is pure binary scaling — floor(sel / 2^b) mod 2 is the
+        # portable bit test
+        hit = (
+            F.floor(sel / F.pow(F.lit(2.0), bit % BLOOM_WORD_BITS))
+            .cast("long")
+            % 2
+            == 1
+        )
+        cond = cond & hit
+    return df.withColumn("bloom_hit", cond)

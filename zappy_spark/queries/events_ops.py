@@ -633,6 +633,30 @@ def s19(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r84(spark: SparkSession, d: str) -> DataFrame:
+    """Cumulative distinct users by day (round 5c): the DAU-growth
+    curve — "how many unique users have we EVER seen as of day X".
+    The naive spelling is a count-distinct per day over an expanding
+    window (quadratic rescans); the scale spelling is first-seen
+    reduction: one hash agg to each user's MIN day (the only pass
+    over the fact table), then new-user counts per day and a running
+    sum over the bounded day spine. The final window is
+    single-partition by construction but over CALENDAR DAYS, not
+    rows — bounded forever. Exact integers; v17's bitmap/HLL rollups
+    are the sketch siblings when per-segment curves are needed."""
+    ev = t(spark, d, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("date").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    ).orderBy("day")
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -657,9 +681,22 @@ QUERIES = {
     "r82_attribution": r82,
     "r83_interval_overlap": r83,
     "s19_path_trigrams": s19,
+    "r84_cumulative_users": r84,
 }
 
 ORACLE = {
+    # r84: first-seen reduction replay; windowed SUM casts away
+    # DuckDB's HUGEINT (the dtype-drift lesson).
+    "r84_cumulative_users": (
+        "WITH fs AS (SELECT user_id, "
+        "CAST(date_trunc('day', MIN(ts)) AS DATE) dy "
+        "FROM events GROUP BY user_id), "
+        "daily AS (SELECT dy, COUNT(*) n_new FROM fs GROUP BY dy) "
+        "SELECT dy AS day, n_new, CAST(SUM(n_new) OVER "
+        "(ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) cum_users "
+        "FROM daily ORDER BY dy"
+    ),
     # s19: two LAGs over the same (user, ts, id) order; counts are
     # integers, cut is (n desc, path) — deterministic.
     "s19_path_trigrams": (

@@ -965,6 +965,46 @@ def v23(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d35(spark: SparkSession, d: str) -> DataFrame:
+    """Portable Bloom-filter membership gate (round 5c; operators/
+    sketches.py::bloom_build/bloom_might_contain): build a 256-bit
+    k=3 filter over the "seen" docs (doc_id mod 3 ≠ 0), probe the
+    whole corpus, and tabulate (is_member × bloom_hit) counts — the
+    approximate-membership primitive that replaces a 100 TB
+    incremental-dedup anti-join with an 8-word broadcast. The md5
+    hash family + 32-bit bit_or words are engine-portable, so the
+    oracle replays the FILTER ITSELF bit-for-bit, proving the
+    no-false-negative contract in the driver row (every member row
+    must land in hit=true) rather than asserting it. The filter
+    rides the probe as 8 integer literals (a bounded driver fetch,
+    the query-vector precedent). The declared 256-bit size keeps the
+    entry a bounded correctness check at any SF — at sf0.1+ the
+    filter saturates (every non-member a false positive, still zero
+    false negatives), which is itself the honest behavior; real
+    deployments size m ∝ n (the test suite pins a 4096-bit filter's
+    FP rate under 5%)."""
+    from zappy_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = t(spark, d, "documents")
+    members = docs.filter(F.col("doc_id") % 3 != 0)
+    words = bloom_build(members, "doc_id", n_bits=256, k=3).first()
+    probed = bloom_might_contain(
+        docs.withColumn("is_member", F.col("doc_id") % 3 != 0),
+        "doc_id",
+        words,
+        n_bits=256,
+        k=3,
+    )
+    return (
+        probed.groupBy("is_member", "bloom_hit")
+        .agg(F.count("*").alias("n"))
+        .orderBy("is_member", "bloom_hit")
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -1982,6 +2022,7 @@ QUERIES = {
     "m03_frame_features": m03,
     "d34_token_budget": d34,
     "v23_sign_hamming": v23,
+    "d35_bloom_gate": d35,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -3080,6 +3121,28 @@ ORACLE = {
         "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
         "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
         "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # d35: the Bloom filter replayed bit-for-bit — same md5-salted
+    # bit family, same 32-bit bit_or words, same pow-of-two bit
+    # test; a missing word (no bits set) coalesces to 0.
+    "d35_bloom_gate": (
+        "WITH s(j) AS (VALUES (0), (1), (2)), "
+        "m AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0), "
+        "mbits AS (SELECT (('0x'||substr(md5(j::VARCHAR||'|'||"
+        "doc_id::VARCHAR),1,8))::BIGINT) % 256 bt FROM m, s), "
+        "words AS (SELECT bt // 32 w, "
+        "bit_or(CAST(pow(2, bt % 32) AS BIGINT)) v "
+        "FROM mbits GROUP BY 1), "
+        "pbits AS (SELECT d.doc_id, d.doc_id % 3 <> 0 is_member, "
+        "(('0x'||substr(md5(j::VARCHAR||'|'||d.doc_id::VARCHAR),1,8))"
+        "::BIGINT) % 256 bt FROM documents d, s), "
+        "probe AS (SELECT doc_id, is_member, "
+        "bool_and(CAST(floor(COALESCE(w.v, 0) / pow(2, bt % 32)) "
+        "AS BIGINT) % 2 = 1) hit "
+        "FROM pbits LEFT JOIN words w ON w.w = bt // 32 "
+        "GROUP BY doc_id, is_member) "
+        "SELECT is_member, hit bloom_hit, COUNT(*) n FROM probe "
+        "GROUP BY is_member, hit ORDER BY is_member, bloom_hit"
     ),
     # v23: sign words replayed via ordinal unnest + exact integer
     # shifts (same values as the Spark Horner fold); Hamming cut on
