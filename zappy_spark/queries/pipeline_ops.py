@@ -1005,6 +1005,52 @@ def d35(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t25(spark: SparkSession, d: str) -> DataFrame:
+    """CMS heavy-hitters attestation (round 5c; operators/
+    sketches.py::cms_build/cms_frequencies — the r81/v07 trick
+    applied to Count-Min): exact top-10 corpus tokens (portable,
+    oracle-checkable) plus booleans attesting the JVM Count-Min
+    sketch honored its contract on each — est ≥ true (structural:
+    CMS never undercounts) and est ≤ true + ⌈ε·N⌉ (the ε=0.001
+    width bound). The sketch BUILD is one distributed JVM aggregate
+    over the token stream; the 10-item probe is a driver-side read
+    of a few-KB payload. The oracle replays the exact counts and
+    expects TRUE twice — a sketch regression flips the driver row
+    red even though the estimate itself is engine-specific."""
+    import math
+
+    from zappy_spark.operators.sketches import cms_build, cms_frequencies
+    from zappy_spark.operators.text import tokens_ws
+
+    ex = t(spark, d, "documents").select(
+        F.explode(tokens_ws(F.col("text"))).alias("tok")
+    )
+    top = (
+        ex.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(10)
+        .collect()
+    )
+    total = ex.count()
+    est = cms_frequencies(
+        spark, cms_build(ex, "tok", eps=0.001, seed=42), [r["tok"] for r in top]
+    )
+    bound = math.ceil(0.001 * total)
+    rows = [
+        (
+            r["tok"],
+            r["n"],
+            bool(est[r["tok"]] >= r["n"]),
+            bool(est[r["tok"]] <= r["n"] + bound),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, ["tok", "n", "never_under", "within_eps"]
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -2023,6 +2069,7 @@ QUERIES = {
     "d34_token_budget": d34,
     "v23_sign_hamming": v23,
     "d35_bloom_gate": d35,
+    "t25_cms_heavy_hitters": t25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -3121,6 +3168,16 @@ ORACLE = {
         "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
         "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
         "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # t25: exact heavy-hitter counts replayed; the CMS contract
+    # booleans must be TRUE (the r81/v07 attestation pattern).
+    "t25_cms_heavy_hitters": (
+        "WITH tok AS (SELECT unnest(string_split(text,' ')) tok "
+        "FROM documents), "
+        "top AS (SELECT tok, COUNT(*) n FROM tok GROUP BY tok "
+        "ORDER BY n DESC, tok LIMIT 10) "
+        "SELECT tok, n, TRUE never_under, TRUE within_eps FROM top "
+        "ORDER BY n DESC, tok"
     ),
     # d35: the Bloom filter replayed bit-for-bit — same md5-salted
     # bit family, same 32-bit bit_or words, same pow-of-two bit
