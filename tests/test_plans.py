@@ -845,3 +845,23 @@ def test_bloom_gate_probe_is_scan_side(spark):
     plan = _plan(QUERIES["d35_bloom_gate"](spark, SF_DIR))
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_source_overlap_dedups_before_join(spark):
+    """d36: the gram-key join must sit ABOVE the distinct (source,
+    gram) aggregate — dedup before the join, so join input is
+    bounded by distinct grams, and the totals side broadcasts."""
+    plan = _plan(QUERIES["d36_source_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_bitemporal_filters_reach_scan(spark):
+    """r85: both temporal cutoffs must push into the parquet scan
+    (history is filtered at the source, never rescanned), and the
+    resolution is one window — no join."""
+    plan = _plan(QUERIES["r85_bitemporal_asof"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -42,16 +42,16 @@ re-spell of the r4 failure; v07/v09 gaining their first oracles;
 z01/z02 decimal re-spells), then the tier-0 entries the r4 window
 cut off (d23 … t21 plus the t04/v02/v06 trio). The 5c additions
 displaced the promoted _R1_STALE tail entirely: the head list is
-55 candidates for 50 slots. The three carrying prior rows-only
+57 candidates for 50 slots. The three carrying prior rows-only
 driver rows — t04, v02, v06, per the r4 yielding convention — plus
-the tier-0 queue tail (s17, t21) wait at positions 51–55 and lead
-the round-6 window; every entry inside the window has zero driver
-rows in its current form.
+the tier-0 queue tail (v17, s17, t21, in queue order) wait at
+positions 51–57 and lead the round-6 window; every entry inside
+the window has zero driver rows in its current form.
 
 ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote FIRST s17_gaps_islands, t21_mad_outliers,
-t04_lang_id, v02_rp_lsh_ann and v06_pca_scores (yielded their r5
-slots), then
+the back; promote FIRST the waiting tier-0 tail (v17, s17, t21)
+and the yielding trio (t04_lang_id, v02_rp_lsh_ann,
+v06_pca_scores), then
 the _R1_STALE entries the 5b/5c additions
 pushed out of the r5
 window (z01 … z13, z14_minmax_axis1, z17_row_normalize,
@@ -89,6 +89,8 @@ _ALL_QUERIES = {
 # additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
     # round-5c additions (this session): brand new, zero driver rows.
+    "d36_source_overlap",  # NEW round 5c: source contamination matrix
+    "r85_bitemporal_asof",  # NEW round 5c: two-axis time travel
     "t25_cms_heavy_hitters",  # NEW round 5c: CMS contract attestation
     "d35_bloom_gate",  # NEW round 5c: portable mergeable Bloom gate
     "r84_cumulative_users",  # NEW round 5c: first-seen DAU growth

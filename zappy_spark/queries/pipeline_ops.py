@@ -1051,6 +1051,50 @@ def t25(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d36(spark: SparkSession, d: str) -> DataFrame:
+    """Source-pair contamination matrix (round 5c): for every
+    ordered source pair (a, b), the fraction of a's distinct
+    3-grams also present in b — corpus forensics for "which feeds
+    are re-hosting which" before mixing weights are chosen
+    (d10/d24's benchmark decontamination generalized corpus×corpus).
+    Shape: distinct (source, gram) FIRST (one hash agg — the t13
+    lesson: dedup before the join, never after), then one gram-key
+    equi-join producing source-pair hits; output is bounded at
+    |sources|² rows no matter the corpus size. Top-20 off-diagonal
+    pairs by round-6 overlap (round-then-sort, id tie-breaks)."""
+    docs = t(spark, d, "documents")
+    from zappy_spark.operators.dedup import word_shingles
+
+    sg = (
+        docs.select(
+            "source", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+        )
+        .distinct()
+    )
+    totals = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    hits = (
+        a.join(b, "g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        hits.join(
+            F.broadcast(totals.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(F.col("shared") / F.col("n_grams"), 6).alias("overlap"),
+        )
+        .orderBy(F.desc("overlap"), "src_a", "src_b")
+        .limit(20)
+    )
+
+
 def m02(spark: SparkSession, d: str) -> DataFrame:
     """Multimodal feature extraction end-to-end as a driver row
     (round 5; operators/multimodal.py::extract_features): document
@@ -2070,6 +2114,7 @@ QUERIES = {
     "v23_sign_hamming": v23,
     "d35_bloom_gate": d35,
     "t25_cms_heavy_hitters": t25,
+    "d36_source_overlap": d36,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -3168,6 +3213,24 @@ ORACLE = {
         "/ SUM(c) s FROM cnt JOIN lut USING (bk), tot GROUP BY doc_id) "
         "SELECT doc_id, n_grams, ROUND(s, 6) dsir_logratio FROM w "
         "ORDER BY dsir_logratio DESC, doc_id LIMIT 100"
+    ),
+    # d36: distinct (source, gram) then one gram-key join; bounded
+    # |sources|^2 output.
+    "d36_source_overlap": (
+        "WITH t AS (SELECT source, string_split(text,' ') ws "
+        "FROM documents), "
+        "sg AS (SELECT DISTINCT source, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        "tot AS (SELECT source, COUNT(*) n_grams FROM sg GROUP BY source), "
+        "hits AS (SELECT a.source src_a, b.source src_b, COUNT(*) shared "
+        "FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source "
+        "GROUP BY src_a, src_b) "
+        "SELECT src_a, src_b, shared, "
+        "ROUND(shared * 1.0 / n_grams, 6) overlap "
+        "FROM hits JOIN tot ON tot.source = hits.src_a "
+        "ORDER BY overlap DESC, src_a, src_b LIMIT 20"
     ),
     # t25: exact heavy-hitter counts replayed; the CMS contract
     # booleans must be TRUE (the r81/v07 attestation pattern).

@@ -1930,6 +1930,49 @@ def b9(spark: SparkSession, d: str) -> DataFrame:
     return li.intersect(p).orderBy("c").limit(5)
 
 
+def r85(spark: SparkSession, d: str) -> DataFrame:
+    """Bitemporal as-of resolution (round 5c): "what did we BELIEVE
+    at transaction time T about the state at valid time V" — the
+    two-axis time-travel query behind reproducible training
+    snapshots with late-arriving corrections (r79's point-in-time
+    lookup gains a second temporal predicate; r78's SCD-2 is the
+    write side). The orders table stands in as a versioned
+    dimension: valid_from = order date, tx_from = order date +
+    (orderkey mod 30) days of ingest lag. Both cutoffs are
+    scan-side filters (pushdown-eligible), then ONE window picks
+    the latest valid version per customer — no join, no history
+    rescan. V=1995-06-30, T=1996-01-01; first 100 customers."""
+    od = t(spark, d, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("tx_from"),
+        "o_totalprice",
+    )
+    snap = od.filter(
+        (F.col("valid_from") <= F.lit("1995-06-30").cast("date"))
+        & (F.col("tx_from") <= F.lit("1996-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("valid_from"), F.desc("o_orderkey")
+    )
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "valid_from",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "r01_pricing_summary": r1,
     "r02_join5_agg": r2,
@@ -2007,6 +2050,7 @@ QUERIES = {
     "r75_filtered_aggs": r75,
     "r76_try_arithmetic": r76,
     "r77_cohort_retention": r77,
+    "r85_bitemporal_asof": r85,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2014,6 +2058,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    # r85: both temporal cutoffs as scan filters, one window pick;
+    # DATE + INTEGER is day arithmetic in DuckDB (Spark date_add).
+    "r85_bitemporal_asof": (
+        "WITH od AS (SELECT o_custkey, o_orderkey, "
+        "CAST(o_orderdate AS DATE) valid_from, "
+        "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) tx_from, "
+        "o_totalprice FROM orders), "
+        "snap AS (SELECT * FROM od WHERE valid_from <= DATE '1995-06-30' "
+        "AND tx_from <= DATE '1996-01-01'), "
+        "pick AS (SELECT *, row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY valid_from DESC, o_orderkey DESC) rn FROM snap) "
+        "SELECT o_custkey, o_orderkey, valid_from, "
+        "ROUND(o_totalprice, 2) price FROM pick WHERE rn = 1 "
+        "ORDER BY o_custkey LIMIT 100"
+    ),
     "r01_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) sq, "
         "ROUND(SUM(l_extendedprice),2) sb, "
