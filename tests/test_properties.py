@@ -639,3 +639,101 @@ def test_native_listagg_matches_portable_spelling(spark):
 
     portable = RQ["r32_sorted_listagg"](spark, SF_DIR)
     assert _hash_df(native.orderBy("s_nationkey")) == _hash_df(portable)
+
+
+def test_dsir_weights_invariant_to_row_order(spark):
+    """DSIR weights are a function of corpus statistics, not of row
+    or partition order — the determinism contract every sampling
+    decision in the pipeline leans on."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sampling import dsir_weights
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=25)), bool(i % 3 == 0))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    shuffled = (
+        df.withColumn("_r", F.md5(F.col("doc_id").cast("string")))
+        .repartition(13, "_r")
+        .drop("_r")
+    )
+    a = {
+        r["doc_id"]: (r["n_grams"], round(r["dsir_logratio"], 9))
+        for r in dsir_weights(df, "text", "doc_id", "tgt").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_grams"], round(r["dsir_logratio"], 9))
+        for r in dsir_weights(shuffled, "text", "doc_id", "tgt").collect()
+    }
+    assert a == b
+
+
+def test_token_budget_prefix_property(spark):
+    """For any budget, the kept set is exactly the maximal prefix of
+    the priority order whose cumulative weight fits — checked
+    against a python replay across budgets (including 0 and 'all')."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sampling import token_budget_select
+
+    rng = np.random.default_rng(11)
+    rows = [
+        ("g" + str(int(i % 3)), int(i), int(rng.integers(1, 50)))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "tok"])
+    for budget in (0, 37, 200, 10_000):
+        kept = {
+            (r["grp"], r["doc_id"])
+            for r in token_budget_select(
+                df, ("grp",), "tok", (F.asc("doc_id"),), budget
+            ).collect()
+        }
+        want = set()
+        for g in {"g0", "g1", "g2"}:
+            cum = 0
+            for grp, did, tok in sorted(rows):
+                if grp != g:
+                    continue
+                cum += tok
+                if cum > budget:
+                    break
+                want.add((g, did))
+        assert kept == want, budget
+
+
+def test_sign_word_matches_python_reference(spark):
+    """Horner bit-pack == the straightforward python pack on random
+    sign patterns (both 32-bit words, including all-negative and
+    all-positive edge vectors)."""
+    import numpy as np
+
+    from zappy_spark.operators.similarity import sign_word
+
+    rng = np.random.default_rng(5)
+    vecs = [
+        [float(x) for x in rng.normal(size=64)] for _ in range(20)
+    ]
+    vecs.append([-1.0] * 64)
+    vecs.append([1.0] * 64)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in df.select(
+            "vec_id",
+            sign_word("embedding", 1, 32).alias("w0"),
+            sign_word("embedding", 33, 32).alias("w1"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        w0 = sum(1 << j for j in range(32) if v[j] > 0)
+        w1 = sum(1 << j for j in range(32) if v[32 + j] > 0)
+        assert got[i] == (w0, w1), i
