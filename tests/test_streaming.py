@@ -1129,3 +1129,25 @@ def test_concurrency_stream_equals_batch(spark, replay_dir):
     b = _rows(batch, "event_type", "max_concurrent")
     assert len(g) == len(b) > 0
     assert g == b
+
+
+def test_cumulative_users_stream_equals_batch(spark, replay_dir):
+    """dropDuplicates keep-first per user + per-day count over the
+    ordered replay must equal the batch first-seen reduction's
+    (day, n_new) pairs — the r84 twin; the cumulative curve is a
+    deterministic function of these rows."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.cumulative_users_stream(stream), "t_cumu"
+    )
+    ev = spark.read.parquet(replay_dir)
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    g = _rows(got, "day", "n_new")
+    b = _rows(batch, "day", "n_new")
+    assert len(g) == len(b) > 0
+    assert g == b

@@ -1218,6 +1218,23 @@ def concurrency_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def cumulative_users_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the r84 cumulative-distinct growth curve:
+    ``dropDuplicates("user_id")`` keeps each user's FIRST event
+    (the ordered-replay contract), so the downstream per-day count
+    is exactly the batch first-seen reduction — the live DAU-growth
+    shape. State is one row per distinct user: the inherent minimum
+    for exact lifetime-distinct (v07/v17 are the sketch/bitmap
+    routes when even that is too much). Complete-mode daily
+    n_new; the cumulative sum is a deterministic function of those
+    rows (the equivalence test pins the pairs)."""
+    return (
+        stream.dropDuplicates(["user_id"])
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_new"))
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> "DataFrame":
