@@ -483,3 +483,44 @@ def test_zarr_v2_stream_tail_chunk_aligned(spark, tmp_path):
 
     m = read_zarrlite(spark, store).orderBy("row_id").collect()
     assert [tuple(r) for r in m] == [tuple(r) for r in rows]
+
+
+def test_csv_round_trip_and_quarantine(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from zappy_spark.sources import csvsrc
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "with,comma and \"quotes\"")],
+        schema,
+    )
+    p = str(tmp_path / "csv_clean")
+    csvsrc.write_csv(df, p)
+    back = csvsrc.read_csv_corpus(spark, p, schema)
+    clean, quarantined = csvsrc.split_corrupt(back)
+    assert quarantined.count() == 0
+    got = sorted((r["doc_id"], r["text"]) for r in clean.collect())
+    assert got == [(1, "hello world"), (2, 'with,comma and "quotes"')]
+
+    # planted corrupt line: wrong arity + broken quoting
+    bad = tmp_path / "csv_bad"
+    bad.mkdir()
+    (bad / "part-00000.csv").write_text(
+        'doc_id,text\n1,ok\nnot_a_number,"unterminated\n'
+    )
+    back2 = csvsrc.read_csv_corpus(spark, str(bad), schema)
+    clean2, quar2 = csvsrc.split_corrupt(back2)
+    assert clean2.filter(F.col("doc_id") == 1).count() == 1
+    assert quar2.count() >= 1  # damage quarantined, job survived
