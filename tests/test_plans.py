@@ -100,16 +100,18 @@ def test_whole_stage_codegen_on_hot_path(spark):
 def test_no_python_udfs_in_declared_corpus(spark):
     """Every declared query must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython stages (v02 excepted: its query vector is fetched
-    driver-side by design; the scan itself is still JVM). m02 is the
-    ONE deliberate exception — it exists to value-check the Arrow
-    mapInPandas multimodal plumbing, so its plan must contain exactly
+    driver-side by design; the scan itself is still JVM). m02 and m03
+    are the TWO deliberate exceptions — they exist to value-check the
+    Arrow mapInPandas multimodal plumbing (per-media features and
+    per-sampled-frame flatMap), so their plans must contain exactly
     that stage (and still no row-at-a-time EvalPython)."""
+    arrow_entries = {"m02_fake_decode_features", "m03_frame_features"}
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":
             continue
         plan = _plan(q(spark, SF_DIR))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
-        if name == "m02_fake_decode_features":
+        if name in arrow_entries:
             assert "MapInPandas" in plan  # the stage under test
         else:
             assert "MapInPandas" not in plan, (
@@ -220,6 +222,10 @@ _GLOBAL_WINDOW_WHITELIST = {
     "r26_range_frame",
     "r27_ranking_suite",
     "r34_window_extras",
+    # r84: the running sum rides the DAY SPINE (already reduced to
+    # one row per calendar day), not the fact table — bounded
+    # forever; the fact-table pass is the partitioned first-seen agg.
+    "r84_cumulative_users",
 }
 
 
