@@ -226,6 +226,13 @@ _GLOBAL_WINDOW_WHITELIST = {
     # one row per calendar day), not the fact table — bounded
     # forever; the fact-table pass is the partitioned first-seen agg.
     "r84_cumulative_users",
+    # r89: the three NTILE(5)s rank the per-customer AGGREGATE
+    # (|customers| ≪ |orders|; the fact pass is the partitioned
+    # groupBy below them — pinned by
+    # test_rfm_ntiles_run_on_aggregated_customers). A customer
+    # dimension that outgrows one partition switches to
+    # operators/ranking.py's bucketed two-pass.
+    "r89_rfm_segments",
 }
 
 
@@ -870,4 +877,85 @@ def test_bitemporal_filters_reach_scan(spark):
     plan = _plan(QUERIES["r85_bitemporal_asof"](spark, SF_DIR))
     assert "PushedFilters" in plan and "o_orderdate" in plan
     assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_benford_digit_is_expression_and_broadcast_total(spark):
+    """r86: the leading digit is scan-side string/expression work, the
+    9-group agg joins its grand total back as a broadcast 1-row
+    aggregate (the r19 pattern) — no shuffle join, no Python."""
+    plan = _plan(QUERIES["r86_benford_digits"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_welch_ttest_single_pass_no_join(spark):
+    """r87: both groups' decimal moments come from ONE conditional
+    aggregation over one scan — no join, no window, no Python."""
+    plan = _plan(QUERIES["r87_welch_ttest"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_acf_windows_never_touch_raw_events(spark):
+    """r88: the fact table collapses to the daily spine via ONE hash
+    aggregate; the lag self-join and lag-group agg run on the bounded
+    spine. No window over raw events, no cartesian."""
+    plan = _plan(QUERIES["r88_acf_daily"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_rfm_ntiles_run_on_aggregated_customers(spark):
+    """r89: the single-partition NTILEs (whitelisted by design) must
+    sit ABOVE the per-customer aggregate — the plan's windows consume
+    the groupBy(o_custkey) output, never the raw orders scan."""
+    df = QUERIES["r89_rfm_segments"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    w = plan.index("Window")
+    agg = plan.rindex("Aggregate")
+    assert agg > w, "customer aggregate must be below every window"
+    assert "Python" not in plan
+
+
+def test_basket_lift_dedups_and_broadcasts(spark):
+    """r90: DISTINCT (basket, item) precedes the pair self-join; item
+    frequencies and the basket total come back as broadcasts; the
+    pair join itself is basket-keyed — no cartesian, no Python."""
+    plan = _plan(QUERIES["r90_basket_lift"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(l_orderkey" in plan or "l_orderkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_prefix_filter_join_is_equi_keyed(spark):
+    """d37: every join in the AllPairs pipeline is equi-keyed (prefix
+    tokens / doc ids) — no nested-loop pair enumeration anywhere, and
+    the per-doc ranking window is doc-partitioned (global gate)."""
+    plan = _plan(QUERIES["d37_prefix_jaccard"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_woe_totals_broadcast(spark):
+    """t26: one scan, a <=6-group agg, totals back via broadcast —
+    no shuffle join, no Python."""
+    plan = _plan(QUERIES["t26_woe_iv"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_retrieval_eval_single_scored_pass(spark):
+    """v24: the query panel broadcasts onto ONE candidate scan that
+    computes both similarities; both rankings are q_id-partitioned
+    windows (global gate). No cartesian, no Python."""
+    plan = _plan(QUERIES["v24_retrieval_eval"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # emb + broadcast q side
     assert "Python" not in plan

@@ -737,3 +737,180 @@ def test_sign_word_matches_python_reference(spark):
         w0 = sum(1 << j for j in range(32) if v[j] > 0)
         w1 = sum(1 << j for j in range(32) if v[32 + j] > 0)
         assert got[i] == (w0, w1), i
+
+
+def test_prefix_filter_pairs_matches_bruteforce(spark):
+    """d37's engine contract (the AllPairs prefix lemma): on a corpus
+    with planted near-dups, prefix_filter_pairs must return EXACTLY
+    the brute-force set of shingle-Jaccard >= theta pairs — the
+    filter is a pure optimization, never a recall trade — and be
+    invariant to partitioning."""
+    import numpy as np
+
+    from zappy_spark.operators.dedup import prefix_filter_pairs
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [" ".join(rng.choice(vocab, size=30)) for _ in range(25)]
+    docs = []
+    for i, b in enumerate(base):
+        docs.append((2 * i, b))
+        ws = b.split()
+        ws[rng.integers(0, 30)] = "mut"  # near-dup: one word changed
+        docs.append((2 * i + 1, " ".join(ws)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def shingles(text, k=3):
+        ws = text.split()
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    want = set()
+    sets = {i: shingles(t) for i, t in docs}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                jac = round(inter / len(sets[i] | sets[j]), 6)
+                if jac >= 0.5:
+                    want.add((i, j, inter, jac))
+
+    got = {
+        (r["i"], r["j"], r["inter"], r["jac"])
+        for r in prefix_filter_pairs(
+            df, "text", "doc_id", theta=0.5, shingle_k=3
+        ).collect()
+    }
+    assert got == want and len(want) >= 20  # every planted pair found
+    got_shuffled = {
+        (r["i"], r["j"], r["inter"], r["jac"])
+        for r in prefix_filter_pairs(
+            df.repartition(7, "text"), "text", "doc_id", 0.5, 3
+        ).collect()
+    }
+    assert got_shuffled == want
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """r87's closed form vs numpy's textbook Welch computation on the
+    same rows (sf0.001)."""
+    import numpy as np
+
+    from zappy_spark.queries.relational import QUERIES as RQ
+
+    row = RQ["r87_welch_ttest"](spark, SF_DIR).collect()[0]
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    a = pdf[pdf.o_orderpriority == "1-URGENT"].o_totalprice.to_numpy()
+    b = pdf[pdf.o_orderpriority == "5-LOW"].o_totalprice.to_numpy()
+    se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t_np = (a.mean() - b.mean()) / np.sqrt(se)
+    df_np = se**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row["n_urgent"] == len(a) and row["n_low"] == len(b)
+    assert abs(row["t_stat"] - t_np) < 1e-4
+    assert abs(row["welch_df"] - df_np) < 0.01
+
+
+def test_acf_matches_numpy(spark):
+    """r88's five-sum Pearson vs numpy.corrcoef over the same daily
+    series (sf0.001)."""
+    import numpy as np
+
+    from zappy_spark.queries.events_ops import QUERIES as EQ
+    from zappy_spark.session import load_table
+
+    got = {r["lag"]: r["acf"] for r in EQ["r88_acf_daily"](spark, SF_DIR).collect()}
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("ts").cast("date").alias("dy"))
+        .agg(F.sum("value").alias("s"))
+        .orderBy("dy")
+        .toPandas()
+    )
+    days = {d: v for d, v in zip(daily.dy, daily.s)}
+    import datetime
+
+    for lag, acf in got.items():
+        xs, ys = [], []
+        for d, v in days.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in days:
+                xs.append(v)
+                ys.append(days[d2])
+        r_np = np.corrcoef(xs, ys)[0, 1]
+        assert abs(acf - r_np) < 1e-5, (lag, acf, r_np)
+
+
+def test_retrieval_eval_metric_invariants(spark):
+    """v24: every metric in [0,1], hits<=10, and MRR==0 exactly when
+    no exact-relevant item is retrieved (hits==0)."""
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    rows = PQ["v24_retrieval_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hits_at_10"] <= 10
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert 0.0 <= r["mrr_at_10"] <= 1.0
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
+        assert (r["mrr_at_10"] == 0.0) == (r["hits_at_10"] == 0)
+        assert r["recall_at_10"] == r["hits_at_10"] / 10.0
+
+
+def test_benford_distribution_is_complete(spark):
+    """r86: digits are exactly a subset of 1..9, observed mass sums
+    to 1, chi contributions are non-negative."""
+    from zappy_spark.queries.relational import QUERIES as RQ
+
+    rows = RQ["r86_benford_digits"](spark, SF_DIR).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_p"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi_contrib"] >= 0 for r in rows)
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-4
+
+
+def test_rfm_grid_covers_all_customers(spark):
+    """r89: every score in 1..5 and segment counts sum to the number
+    of customers with orders."""
+    from zappy_spark.queries.relational import QUERIES as RQ
+
+    rows = RQ["r89_rfm_segments"](spark, SF_DIR).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
+
+
+def test_basket_lift_and_woe_reconstruct(spark):
+    """r90: support/confidence consistent (conf >= support, both in
+    (0,1], lift > 0, i < j). t26: WOE reconstructable from the
+    emitted counts."""
+    import math as m
+
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+    from zappy_spark.queries.relational import QUERIES as RQ
+
+    for r in RQ["r90_basket_lift"](spark, SF_DIR).collect():
+        assert r["i"] < r["j"] and r["co_n"] >= 1
+        assert 0 < r["support"] <= 1 and 0 < r["confidence"] <= 1
+        assert r["lift"] > 0 and r["confidence"] >= r["support"] - 1e-9
+
+    rows = PQ["t26_woe_iv"](spark, SF_DIR).collect()
+    gt = float(sum(r["n_good"] for r in rows))
+    bt = float(sum(r["n_bad"] for r in rows))
+    for r in rows:
+        gr = (r["n_good"] + 0.5) / (gt + 0.5)
+        br = (r["n_bad"] + 0.5) / (bt + 0.5)
+        assert abs(r["woe"] - m.log(gr / br)) < 1e-5
+        assert abs(r["iv_contrib"] - (gr - br) * m.log(gr / br)) < 1e-5

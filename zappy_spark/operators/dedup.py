@@ -839,3 +839,99 @@ def fuzzy_blocked_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    theta: float = 0.5,
+    shingle_k: int = 3,
+    max_token_df: int | None = 100_000,
+) -> DataFrame:
+    """AllPairs/PPJoin-style set-similarity join with PREFIX
+    FILTERING (Bayardo et al., WWW'07): two docs whose element-set
+    Jaccard is ≥ θ MUST share at least one element inside each
+    doc's prefix — the ``|T| - ceil(θ·|T|) + 1`` RAREST elements
+    under the global document-frequency order. Candidates therefore
+    come from ONE equi-join on prefix elements (rare by
+    construction, so the join fans out minimally), and the exact
+    Jaccard verify runs only on that candidate set — the all-pairs
+    spelling never exists.
+
+    Set elements are word ``shingle_k``-grams (``shingle_k=1`` =
+    plain words). Shingles are the near-dup default on purpose: a
+    small-vocabulary corpus makes every WORD ubiquitous and the
+    prefix lemma toothless (measured on the 40-word synthetic
+    corpus: word prefixes fan out to ~2.2e10 candidate pairs at 50k
+    docs, 3-gram shingle prefixes to ~1e8), while the k-gram space
+    grows combinatorially and keeps prefix elements rare.
+
+    Scale shape, in order: (1) elements are DISTINCT per doc before
+    anything; (2) the global df ranking is one hash agg + one join
+    back; (3) per-doc element order is a window partitioned BY DOC
+    (never global); (4) the candidate join keys on prefix elements
+    whose df is low by construction — ``max_token_df`` additionally
+    drops degenerate ubiquitous elements from prefixes (the LSH
+    max_bucket lesson); (5) verify joins the bounded candidate list
+    back to the element table twice, co-partitioned on doc id.
+    Everything is integer counts → deterministic. Returns
+    (i, j, inter, jac) with i < j and jac ≥ θ.
+    """
+    elems = (
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        if shingle_k > 1
+        else F.array_distinct(F.split(F.col(text_col), " "))
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(elems).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("tdf"))
+    w = Window.partitionBy("doc").orderBy("tdf", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .select("doc", "tok", "tdf", F.row_number().over(w).alias("pos"))
+    )
+    prefix = ranked.join(sizes, "doc").filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(theta) * F.col("sz")) + 1
+    )
+    if max_token_df is not None:
+        prefix = prefix.filter(F.col("tdf") <= max_token_df)
+    pa = prefix.select(F.col("doc").alias("i"), "tok")
+    pb = prefix.select(F.col("doc").alias("j"), "tok")
+    cands = (
+        pa.join(pb, "tok")
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("i"), "tok")
+    tb = toks.select(F.col("doc").alias("j"), "tok")
+    inter = (
+        cands.join(ta, "i")
+        .join(tb, ["j", "tok"])
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("i"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc").alias("j"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            "i",
+            "j",
+            "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= theta)
+    )

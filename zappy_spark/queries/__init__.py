@@ -62,7 +62,18 @@ leaving r4-green entries (z26, r67, …) queued directly behind so
 every entry keeps cycling toward a fresh driver row; keep any
 round-6 additions ahead of everything. Every entry passes
 tests/test_oracle.py locally at sf0.001/sf0.01/sf0.1 AND the
-10x synth fixture regardless of window position."""
+10x synth fixture regardless of window position.
+
+Round-5d (a later session inside round 5): eight more brand-new
+entries (r86 Benford, r87 Welch t, r88 ACF, r89 RFM, r90 basket
+lift, d37 AllPairs prefix filter, t26 WOE/IV, v24 retrieval-eval)
+lead the window; they displace eight more candidates to positions
+51+, so the round-6 promotion queue now starts (in order): r75,
+r76, d25, r77, s15, s16, r78, r79, v16 (round-4c entries pushed
+past 50 — still never driver-checked, they go FIRST in round 6),
+then v17, s17, t21, the yielding trio t04/v02/v06, and the stale
+tiers as planned above. All 8 new entries verified at
+sf0.001/0.01/0.1 + the 10x fixture this session."""
 
 from __future__ import annotations
 
@@ -88,6 +99,15 @@ _ALL_QUERIES = {
 # round-4 window cut off (in their r4 order; r75/r78/r79 were
 # additionally re-spelled to decimal sums).
 _CHANGED_R5 = [
+    # round-5d additions (this session): brand new, zero driver rows.
+    "r86_benford_digits",  # NEW round 5d: first-digit DQ audit
+    "r87_welch_ttest",  # NEW round 5d: exact-moment A/B test
+    "r88_acf_daily",  # NEW round 5d: lag-1..7 autocorrelation
+    "r89_rfm_segments",  # NEW round 5d: RFM quintile grid
+    "r90_basket_lift",  # NEW round 5d: a-priori association rules
+    "d37_prefix_jaccard",  # NEW round 5d: AllPairs prefix filter
+    "t26_woe_iv",  # NEW round 5d: WOE/IV feature audit
+    "v24_retrieval_eval",  # NEW round 5d: recall/MRR/NDCG harness
     # round-5c additions (this session): brand new, zero driver rows.
     "d36_source_overlap",  # NEW round 5c: source contamination matrix
     "r85_bitemporal_asof",  # NEW round 5c: two-axis time travel

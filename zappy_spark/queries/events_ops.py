@@ -657,6 +657,55 @@ def r84(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("day")
 
 
+def r88(spark: SparkSession, d: str) -> DataFrame:
+    """Daily-revenue autocorrelation at lags 1..7 (round 5d): the
+    seasonality probe run before fitting any forecast. The daily
+    series accumulates in DECIMAL(18,6) (order-independent — the
+    r56 lesson), each day emits its 7 lag probes via EXPLODE (no
+    cross join), and Pearson r per lag comes from the closed-form
+    five-sum identity computed over exact decimal sums, so the
+    result is bit-deterministic on both engines.
+
+    Scale shape: the fact scan collapses to |days| rows first;
+    everything after — the lag self-join and the 7-group agg — runs
+    on the bounded calendar spine. Never a point-wise window over
+    raw events."""
+    ev = t(spark, d, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("dy")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s")
+    )
+    probes = daily.select(
+        F.col("dy").alias("d0"),
+        F.col("s").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    rhs = daily.select(F.col("dy").alias("d1"), F.col("s").alias("y"))
+    pairs = probes.join(
+        rhs, F.expr("d1 = date_add(d0, lag)")
+    ).select("lag", F.col("x"), F.col("y"))
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(r, 6).alias("acf"),
+    ).orderBy("lag")
+
+
 QUERIES = {
     "s1_tumbling_window": s1,
     "s2_sliding_window": s2,
@@ -682,9 +731,30 @@ QUERIES = {
     "r83_interval_overlap": r83,
     "s19_path_trigrams": s19,
     "r84_cumulative_users": r84,
+    "r88_acf_daily": r88,
 }
 
 ORACLE = {
+    # r88: exact decimal daily sums -> closed-form Pearson r per
+    # lag; DATE + INT is day arithmetic in DuckDB (Spark date_add).
+    "r88_acf_daily": (
+        "WITH daily AS (SELECT CAST(ts AS DATE) dy, "
+        "SUM(CAST(value AS DECIMAL(18,6))) s "
+        "FROM events GROUP BY dy), "
+        "probes AS (SELECT dy d0, s x, "
+        "unnest(generate_series(1, 7)) lag FROM daily), "
+        "pairs AS (SELECT lag, x, d2.s y FROM probes "
+        "JOIN daily d2 ON d2.dy = probes.d0 + CAST(lag AS INT)), "
+        "agg AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) n, "
+        "CAST(SUM(x) AS DOUBLE) sx, CAST(SUM(y) AS DOUBLE) sy, "
+        "CAST(SUM(x*y) AS DOUBLE) sxy, "
+        "CAST(SUM(x*x) AS DOUBLE) sxx, "
+        "CAST(SUM(y*y) AS DOUBLE) syy FROM pairs GROUP BY lag) "
+        "SELECT CAST(lag AS INT) lag, CAST(n AS BIGINT) n, "
+        "ROUND((n*sxy - sx*sy) / "
+        "SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) acf "
+        "FROM agg ORDER BY lag"
+    ),
     # r84: first-seen reduction replay; windowed SUM casts away
     # DuckDB's HUGEINT (the dtype-drift lesson).
     "r84_cumulative_users": (

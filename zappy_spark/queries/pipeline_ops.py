@@ -2073,6 +2073,129 @@ def v15(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d37(spark: SparkSession, d: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (round 5d;
+    operators/dedup.py::prefix_filter_pairs — the AllPairs/PPJoin
+    algorithm): 5-gram-shingle-set Jaccard >= 0.5 pairs found via
+    the rarest-elements-first prefix join, never all-pairs. The
+    third near-dup tier beside MinHash-LSH (d06, probabilistic) and
+    containment (d13, asymmetric): exact Jaccard output with an
+    algebraic completeness guarantee per the prefix lemma. k=5
+    because this corpus's 40-word vocabulary keeps the 3-gram space
+    dense (avg shingle df ~68 at 50k docs -> ~1e8 candidate join
+    rows); at k=5 the measured prefix-filter selectivity is 99.95%
+    (250,717 candidates -> 250,600 true pairs at the 10x fixture)."""
+    pairs = dedup.prefix_filter_pairs(
+        t(spark, d, "documents"), "text", "doc_id", theta=0.5, shingle_k=5
+    )
+    return pairs.orderBy(F.desc("jac"), "i", "j").limit(50)
+
+
+def t26(spark: SparkSession, d: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature audit (round
+    5d): the credit-scoring-style predictive-power screen, here
+    binning doc length against the is-English label. Fixed-width
+    bins (no global sort), +0.5 Laplace smoothing so empty cells
+    stay finite; counts are integers -> WOE/IV deterministic.
+
+    Scale shape: one scan -> <=6-group hash agg; totals come back
+    as a broadcast 1-row aggregate (the r19 pattern)."""
+    docs = t(spark, d, "documents")
+    binc = F.least(F.floor(F.col("n_chars") / 100), F.lit(5)).cast("int")
+    good = (F.col("lang") == "en").cast("int")
+    per = docs.select(binc.alias("bin"), good.alias("g")).groupBy(
+        "bin"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("g").alias("n_good"),
+        (F.count("*") - F.sum("g")).alias("n_bad"),
+    )
+    tot = per.agg(
+        F.sum("n_good").cast("double").alias("gt"),
+        F.sum("n_bad").cast("double").alias("bt"),
+    )
+    gr = (F.col("n_good") + 0.5) / (F.col("gt") + 0.5)
+    br = (F.col("n_bad") + 0.5) / (F.col("bt") + 0.5)
+    woe = F.log(gr / br)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((gr - br) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+_IDCG_10 = sum(1.0 / __import__("math").log2(i + 1) for i in range(1, 11))
+
+
+def v24(spark: SparkSession, d: str) -> DataFrame:
+    """Retrieval-quality evaluation harness (round 5d): recall@10,
+    MRR@10 and binary-gain NDCG@10 of the matryoshka prefix-8
+    cosine ranking (the v18 index tier) against the exact full-dim
+    ranking, for the deterministic query panel vec_id % 50 == 7.
+    This is the missing half of every ANN entry: not "does the
+    index run" but "how good is it" — the numbers an index rollout
+    gates on.
+
+    Scale shape: the query panel is broadcast (v08's batch-kNN
+    shape), ONE scored pass computes both similarities, both
+    rankings are windows partitioned by query, and the metric agg
+    is one group per query. IDCG is a Python-constant literal so
+    no engine ever sums the log series. Sims are rounded (6dp)
+    before ranking with id tie-break — rank-deterministic."""
+    emb = t(spark, d, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine("embedding", "qv"), 6).alias("fs"),
+        F.round(
+            cosine(F.slice("embedding", 1, 8), F.slice("qv", 1, 8)), 6
+        ).alias("ps"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("fs"), "vec_id")
+    wp = Window.partitionBy("q_id").orderBy(F.desc("ps"), "vec_id")
+    ranked = scored.select(
+        "q_id",
+        F.row_number().over(wf).alias("er"),
+        F.row_number().over(wp).alias("ar"),
+    )
+    rel = F.col("er") <= 10
+    ret = F.col("ar") <= 10
+    per = ranked.groupBy("q_id").agg(
+        F.sum(F.when(rel & ret, 1)).alias("hits"),
+        F.min(F.when(rel, F.col("ar"))).alias("first_rel"),
+        F.sum(
+            F.when(rel & ret, 1.0 / (F.log(F.col("ar") + 1.0) / F.log(F.lit(2.0))))
+        ).alias("dcg"),
+    )
+    return per.select(
+        "q_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits_at_10"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 6).alias(
+            "recall_at_10"
+        ),
+        F.round(
+            F.when(F.col("first_rel") <= 10, 1.0 / F.col("first_rel"))
+            .otherwise(0.0),
+            6,
+        ).alias("mrr_at_10"),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(_IDCG_10), 6
+        ).alias("ndcg_at_10"),
+    ).orderBy("q_id")
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -2115,6 +2238,9 @@ QUERIES = {
     "d35_bloom_gate": d35,
     "t25_cms_heavy_hitters": t25,
     "d36_source_overlap": d36,
+    "d37_prefix_jaccard": d37,
+    "t26_woe_iv": t26,
+    "v24_retrieval_eval": v24,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -2502,6 +2628,83 @@ _SHINGLE_CTE = (
 )
 
 ORACLE = {
+    # d37: the AllPairs prefix lemma replayed — distinct 5-gram
+    # shingles per doc, global-df rank per doc, prefix join, exact
+    # Jaccard verify on candidates only; every count is an integer.
+    "d37_prefix_jaccard": (
+        "WITH t AS (SELECT doc_id doc, string_split(text,' ') ws "
+        "FROM documents), "
+        "toks AS (SELECT DISTINCT doc, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2],' ',"
+        "ws[CAST(i AS INT)+3],' ',ws[CAST(i AS INT)+4]) tok FROM "
+        "(SELECT doc, ws, unnest(generate_series(1, len(ws)-4)) i "
+        "FROM t WHERE len(ws)>=5) x WHERE tok <> ''), "
+        "sizes AS (SELECT doc, COUNT(*) sz FROM toks GROUP BY doc), "
+        "dfreq AS (SELECT tok, COUNT(*) tdf FROM toks GROUP BY tok), "
+        "ranked AS (SELECT doc, tok, tdf, ROW_NUMBER() OVER "
+        "(PARTITION BY doc ORDER BY tdf, tok) pos "
+        "FROM toks JOIN dfreq USING (tok)), "
+        "pre AS (SELECT doc, tok FROM ranked JOIN sizes USING (doc) "
+        "WHERE pos <= sz - CEIL(0.5 * sz) + 1 AND tdf <= 100000), "
+        "cands AS (SELECT DISTINCT a.doc i, b.doc j FROM pre a "
+        "JOIN pre b ON a.tok = b.tok AND a.doc < b.doc), "
+        "ov AS (SELECT i, j, COUNT(*) inter FROM cands "
+        "JOIN toks ta ON ta.doc = cands.i "
+        "JOIN toks tb ON tb.doc = cands.j AND tb.tok = ta.tok "
+        "GROUP BY i, j) "
+        "SELECT i, j, inter, ROUND(inter * 1.0 / "
+        "(sa.sz + sb.sz - inter), 6) jac "
+        "FROM ov JOIN sizes sa ON sa.doc = ov.i "
+        "JOIN sizes sb ON sb.doc = ov.j "
+        "WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5 "
+        "ORDER BY jac DESC, i, j LIMIT 50"
+    ),
+    # t26: integer counts + Laplace smoothing; totals via the
+    # scalar-subquery CTE; LN spelled identically on both engines.
+    "t26_woe_iv": (
+        "WITH per AS (SELECT CAST(LEAST(FLOOR(n_chars/100), 5) AS INT) "
+        "bin, COUNT(*) n_docs, "
+        "CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_good, "
+        "CAST(COUNT(*) - SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_bad FROM documents GROUP BY bin), "
+        "tot AS (SELECT CAST(SUM(n_good) AS DOUBLE) gt, "
+        "CAST(SUM(n_bad) AS DOUBLE) bt FROM per) "
+        "SELECT bin, n_docs, n_good, n_bad, "
+        "ROUND(LN(((n_good+0.5)/(gt+0.5)) / ((n_bad+0.5)/(bt+0.5))), 6) "
+        "woe, "
+        "ROUND(((n_good+0.5)/(gt+0.5) - (n_bad+0.5)/(bt+0.5)) * "
+        "LN(((n_good+0.5)/(gt+0.5)) / ((n_bad+0.5)/(bt+0.5))), 6) "
+        "iv_contrib FROM per, tot ORDER BY bin"
+    ),
+    # v24: both rankings on ROUNDED sims with id tie-break (rank-
+    # deterministic); IDCG is the Python literal baked into both
+    # spellings so neither engine sums the log series.
+    "v24_retrieval_eval": (
+        "WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv "
+        "FROM embeddings WHERE vec_id % 50 = 7), "
+        "s AS (SELECT q_id, vec_id, "
+        "ROUND(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), qv), 6) fs, "
+        "ROUND(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[])[1:8], qv[1:8]), 6) ps "
+        "FROM embeddings, q WHERE vec_id <> q_id), "
+        "r AS (SELECT q_id, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY fs DESC, vec_id) er, "
+        "ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY ps DESC, vec_id) ar FROM s), "
+        "per AS (SELECT q_id, "
+        "SUM(CASE WHEN er<=10 AND ar<=10 THEN 1 END) hits, "
+        "MIN(CASE WHEN er<=10 THEN ar END) first_rel, "
+        "SUM(CASE WHEN er<=10 AND ar<=10 THEN "
+        "1.0/(LN(ar+1.0)/LN(2.0)) END) dcg FROM r GROUP BY q_id) "
+        "SELECT q_id, CAST(COALESCE(hits, 0) AS BIGINT) hits_at_10, "
+        "ROUND(COALESCE(hits, 0)/10.0, 6) recall_at_10, "
+        "ROUND(CASE WHEN first_rel <= 10 THEN 1.0/first_rel "
+        "ELSE 0.0 END, 6) mrr_at_10, "
+        f"ROUND(COALESCE(dcg, 0.0)/{_IDCG_10!r}, 6) ndcg_at_10 "
+        "FROM per ORDER BY q_id"
+    ),
     "d01_exact_dedup_groups": (
         "SELECT md5(text) h, MIN(doc_id) keep, COUNT(*) n FROM documents "
         "GROUP BY 1 ORDER BY h LIMIT 100"

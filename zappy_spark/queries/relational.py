@@ -1973,6 +1973,191 @@ def r85(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r86(spark: SparkSession, d: str) -> DataFrame:
+    """Benford first-digit audit (round 5d; the data-quality test
+    auditors run on money columns). The leading digit is taken from
+    the STRING of the exact integer cents (``round(price*100)``) —
+    never ``floor(log10(x))``, whose float error misclassifies exact
+    powers of ten. Expected mass is ``ln(1+1/d)/ln(10)``; the
+    chi-square contribution per digit flags the skewed ones.
+
+    Scale shape: one scan → 9-group hash agg; the grand total joins
+    back as a broadcast 1-row aggregate (the r19 scalar-subquery
+    pattern), so nothing ever leaves two stages."""
+    o = t(spark, d, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("n_total"))
+    p = F.col("n") / F.col("n_total")
+    e = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(p, 6).alias("obs_p"),
+            F.round(e, 6).alias("benford_p"),
+            F.round(F.col("n_total") * F.pow(p - e, 2) / e, 6).alias(
+                "chi_contrib"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+def r87(spark: SparkSession, d: str) -> DataFrame:
+    """Welch two-sample t-test (round 5d): URGENT vs LOW order
+    totals — the A/B-test primitive. Moments accumulate in exact
+    DECIMAL (2dp money → 4dp squares, both order-independent; the
+    r56 lesson applied proactively), so mean/variance/t/df are
+    bit-deterministic; doubles appear only in the final closed-form
+    arithmetic on identical inputs.
+
+    Scale shape: single scan, conditional aggregation → ONE row;
+    no join, no shuffle beyond the map-side partials."""
+    o = t(spark, d, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    a = F.col("o_orderpriority") == "1-URGENT"
+    agg = o.agg(
+        F.sum(F.when(a, 1)).alias("n1"),
+        F.sum(F.when(a, x)).alias("sx1"),
+        F.sum(F.when(a, x * x)).alias("sxx1"),
+        F.sum(F.when(~a, 1)).alias("n2"),
+        F.sum(F.when(~a, x)).alias("sx2"),
+        F.sum(F.when(~a, x * x)).alias("sxx2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    sx1, sx2 = F.col("sx1").cast("double"), F.col("sx2").cast("double")
+    sxx1 = F.col("sxx1").cast("double")
+    sxx2 = F.col("sxx2").cast("double")
+    m1, m2 = sx1 / n1, sx2 / n2
+    v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    se1, se2 = v1 / n1, v2 / n2
+    tstat = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = F.pow(se1 + se2, 2) / (
+        F.pow(se1, 2) / (n1 - 1) + F.pow(se2, 2) / (n2 - 1)
+    )
+    return agg.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.round(m1, 4).alias("mean_urgent"),
+        F.round(m2, 4).alias("mean_low"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_df"),
+    )
+
+
+def r89(spark: SparkSession, d: str) -> DataFrame:
+    """RFM customer segmentation (round 5d): recency / frequency /
+    monetary quintiles via NTILE(5), then the 125-cell segment grid
+    with counts and average spend. Monetary accumulates in
+    DECIMAL(18,2) (exact), and every NTILE order is fully tied off
+    with the customer key, so bucket edges are deterministic.
+
+    Scale shape: the fact scan collapses to one row per customer
+    FIRST; the three global NTILEs then run over the aggregated
+    customer table (|customers| ≪ |orders| — a deliberate,
+    whitelisted single-partition sort, same class as the r84 day
+    spine; operators/ranking.py has the bucketed two-pass for a
+    customer dimension that itself outgrows one partition)."""
+    o = t(spark, d, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    mx = per.agg(F.max("lastd").alias("maxd"))
+    per = per.crossJoin(F.broadcast(mx)).withColumn(
+        "rec", F.datediff("maxd", "lastd")
+    )
+    wr = Window.orderBy(F.col("rec").asc(), "o_custkey")
+    wf = Window.orderBy(F.desc("freq"), "o_custkey")
+    wm = Window.orderBy(F.desc("mon"), "o_custkey")
+    scored = per.select(
+        "o_custkey",
+        "mon",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("mon").cast("double") / F.count("*"), 4
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def r90(spark: SparkSession, d: str) -> DataFrame:
+    """Market-basket association rules (round 5d): pairwise item
+    co-occurrence in orders with support / confidence / lift —
+    the first a-priori pass. Items are ``l_partkey % 50`` category
+    proxies (documented; real catalogs hang a dim join here).
+
+    Scale shape, in order: (1) DISTINCT (basket, item) BEFORE any
+    join — repeat lines never inflate counts or fan-out; (2) the
+    a-priori prune drops infrequent items before pair generation
+    (support ≥ 2%), bounding the self-join; (3) the pair self-join
+    shuffles on the basket key both sides co-partitioned; (4) item
+    frequencies and the basket total come back as broadcast joins.
+    All counts are integers → lift/confidence are exact."""
+    li = t(spark, d, "lineitem")
+    bi = (
+        li.select(
+            "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+        ).distinct()
+    )
+    tot = bi.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    freq = bi.groupBy("item").agg(F.count("*").alias("item_n"))
+    kept = freq.crossJoin(F.broadcast(tot)).filter(
+        F.col("item_n") >= 0.02 * F.col("n_orders")
+    )
+    pruned = bi.join(
+        F.broadcast(kept.select("item")), "item", "left_semi"
+    )
+    a = pruned.select("l_orderkey", F.col("item").alias("i"))
+    b = pruned.select("l_orderkey", F.col("item").alias("j"))
+    co = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("co_n"))
+    )
+    fi = F.broadcast(freq.select(F.col("item").alias("i"), F.col("item_n").alias("i_n")))
+    fj = F.broadcast(freq.select(F.col("item").alias("j"), F.col("item_n").alias("j_n")))
+    return (
+        co.join(fi, "i")
+        .join(fj, "j")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            "j",
+            "co_n",
+            F.round(F.col("co_n") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("co_n") / F.col("i_n"), 6).alias("confidence"),
+            F.round(
+                F.col("co_n") * F.col("n_orders")
+                / (F.col("i_n") * F.col("j_n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "i", "j")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "r01_pricing_summary": r1,
     "r02_join5_agg": r2,
@@ -2051,6 +2236,10 @@ QUERIES = {
     "r76_try_arithmetic": r76,
     "r77_cohort_retention": r77,
     "r85_bitemporal_asof": r85,
+    "r86_benford_digits": r86,
+    "r87_welch_ttest": r87,
+    "r89_rfm_segments": r89,
+    "r90_basket_lift": r90,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2058,6 +2247,89 @@ QUERIES = {
 }
 
 ORACLE = {
+    # r86: leading digit from the STRING of exact integer cents
+    # (never floor(log10)); expected mass spelled LN/LN on both
+    # engines; counts are integers so obs_p/chi are deterministic.
+    "r86_benford_digits": (
+        "WITH per AS (SELECT CAST(substr(CAST(CAST("
+        "ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR),1,1) AS INT) "
+        "digit, COUNT(*) n FROM orders GROUP BY digit), "
+        "tot AS (SELECT CAST(SUM(n) AS DOUBLE) n_total FROM per) "
+        "SELECT digit, n, ROUND(n/n_total, 6) obs_p, "
+        "ROUND(LN(1.0+1.0/digit)/LN(10.0), 6) benford_p, "
+        "ROUND(n_total * POW(n/n_total - LN(1.0+1.0/digit)/LN(10.0), 2) "
+        "/ (LN(1.0+1.0/digit)/LN(10.0)), 6) chi_contrib "
+        "FROM per, tot ORDER BY digit"
+    ),
+    # r87: moments in exact DECIMAL (2dp money -> 4dp squares), so
+    # t/df are order-independent; doubles only in the closed form.
+    "r87_welch_ttest": (
+        "WITH m AS (SELECT "
+        "SUM(CASE WHEN o_orderpriority='1-URGENT' THEN 1 END) n1, "
+        "CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) sx1, "
+        "CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,2)) * "
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) sxx1, "
+        "SUM(CASE WHEN o_orderpriority='5-LOW' THEN 1 END) n2, "
+        "CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) sx2, "
+        "CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,2)) * "
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) sxx2 "
+        "FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT','5-LOW')), "
+        "v AS (SELECT n1, n2, sx1/n1 m1, sx2/n2 m2, "
+        "(sxx1 - sx1*sx1/n1)/(n1-1) v1, "
+        "(sxx2 - sx2*sx2/n2)/(n2-1) v2 FROM m) "
+        "SELECT CAST(n1 AS BIGINT) n_urgent, CAST(n2 AS BIGINT) n_low, "
+        "ROUND(m1, 4) mean_urgent, ROUND(m2, 4) mean_low, "
+        "ROUND((m1-m2)/SQRT(v1/n1 + v2/n2), 6) t_stat, "
+        "ROUND(POW(v1/n1 + v2/n2, 2) / "
+        "(POW(v1/n1, 2)/(n1-1) + POW(v2/n2, 2)/(n2-1)), 4) welch_df "
+        "FROM v"
+    ),
+    # r89: NTILE orders fully tied off with the customer key;
+    # monetary in exact DECIMAL; windowed NTILE is INT on both.
+    "r89_rfm_segments": (
+        "WITH per AS (SELECT o_custkey, "
+        "CAST(MAX(o_orderdate) AS DATE) lastd, COUNT(*) freq, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) mon "
+        "FROM orders GROUP BY o_custkey), "
+        "mx AS (SELECT MAX(lastd) maxd FROM per), "
+        "scored AS (SELECT o_custkey, mon, "
+        "NTILE(5) OVER (ORDER BY maxd - lastd ASC, o_custkey) r_score, "
+        "NTILE(5) OVER (ORDER BY freq DESC, o_custkey) f_score, "
+        "NTILE(5) OVER (ORDER BY mon DESC, o_custkey) m_score "
+        "FROM per, mx) "
+        "SELECT r_score, f_score, m_score, COUNT(*) n_customers, "
+        "ROUND(CAST(SUM(mon) AS DOUBLE)/COUNT(*), 4) avg_monetary "
+        "FROM scored GROUP BY r_score, f_score, m_score "
+        "ORDER BY r_score, f_score, m_score"
+    ),
+    # r90: DISTINCT (basket,item) before every count; a-priori
+    # prune at 2% support before the pair join; integer counts.
+    "r90_basket_lift": (
+        "WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey % 50 item "
+        "FROM lineitem), "
+        "tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) "
+        "n_orders FROM bi), "
+        "freq AS (SELECT item, COUNT(*) item_n FROM bi GROUP BY item), "
+        "kept AS (SELECT item FROM freq, tot "
+        "WHERE item_n >= 0.02 * n_orders), "
+        "pruned AS (SELECT * FROM bi WHERE item IN "
+        "(SELECT item FROM kept)), "
+        "co AS (SELECT a.item i, b.item j, COUNT(*) co_n "
+        "FROM pruned a JOIN pruned b ON a.l_orderkey = b.l_orderkey "
+        "AND a.item < b.item GROUP BY i, j) "
+        "SELECT i, j, co_n, "
+        "ROUND(co_n / n_orders, 6) support, "
+        "ROUND(co_n * 1.0 / fi.item_n, 6) confidence, "
+        "ROUND(co_n * n_orders / (fi.item_n * 1.0 * fj.item_n), 6) lift "
+        "FROM co JOIN freq fi ON fi.item = co.i "
+        "JOIN freq fj ON fj.item = co.j, tot "
+        "ORDER BY lift DESC, i, j LIMIT 20"
+    ),
     # r85: both temporal cutoffs as scan filters, one window pick;
     # DATE + INTEGER is day arithmetic in DuckDB (Spark date_add).
     "r85_bitemporal_asof": (
