@@ -742,9 +742,12 @@ def test_sign_word_matches_python_reference(spark):
 def test_prefix_filter_pairs_matches_bruteforce(spark):
     """d37's engine contract (the AllPairs prefix lemma): on a corpus
     with planted near-dups, prefix_filter_pairs must return EXACTLY
-    the brute-force set of shingle-Jaccard >= theta pairs — the
-    filter is a pure optimization, never a recall trade — and be
-    invariant to partitioning."""
+    the brute-force set of shingle-Jaccard >= theta pairs — with
+    max_token_df unset (the default) the prefix filter is a pure
+    optimization, never a recall trade — and be invariant to
+    partitioning. (An explicit df cap IS a recall trade when it
+    binds; that opt-in mode is the caller's contract, not this
+    lemma's — ADVICE r5 item 5.)"""
     import numpy as np
 
     from zappy_spark.operators.dedup import prefix_filter_pairs

@@ -142,3 +142,22 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
         .count()
     )
     assert fp / 200 < 0.05  # theory ≈ 0.002 at m=4096,k=3,n=200
+
+
+def test_bloom_empty_input_is_all_false_filter(spark):
+    """bit_or over zero rows is NULL; bloom_build must coalesce each
+    word to 0 so an empty build yields a valid all-false filter
+    instead of crashing the probe (ADVICE r5 item 4)."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    a = spark.range(0, 50).withColumnRenamed("id", "k")
+    empty = a.filter(F.col("k") < 0)
+    w = bloom_build(empty, "k").first()
+    assert all(w[f"word_{i}"] == 0 for i in range(8))
+    probed = bloom_might_contain(a, "k", w)
+    assert probed.filter(F.col("bloom_hit")).count() == 0

@@ -847,7 +847,7 @@ def prefix_filter_pairs(
     id_col: str,
     theta: float = 0.5,
     shingle_k: int = 3,
-    max_token_df: int | None = 100_000,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """AllPairs/PPJoin-style set-similarity join with PREFIX
     FILTERING (Bayardo et al., WWW'07): two docs whose element-set
@@ -871,9 +871,16 @@ def prefix_filter_pairs(
     anything; (2) the global df ranking is one hash agg + one join
     back; (3) per-doc element order is a window partitioned BY DOC
     (never global); (4) the candidate join keys on prefix elements
-    whose df is low by construction — ``max_token_df`` additionally
-    drops degenerate ubiquitous elements from prefixes (the LSH
-    max_bucket lesson); (5) verify joins the bounded candidate list
+    whose df is low by construction — ``max_token_df`` (opt-in,
+    default None) additionally drops degenerate ubiquitous elements
+    from prefixes (the LSH max_bucket lesson). Unlike the prefix
+    lemma itself, the df cap IS a recall trade when it binds: a pair
+    whose only shared prefix element exceeds the cap is missed.
+    With the cap unset the prefix filter is exact — the recall
+    property test asserts that unconditional form (ADVICE r5
+    item 5); callers at flood-risk scale pass an explicit cap, as
+    d37's query does with 100k to match its oracle. (5) verify
+    joins the bounded candidate list
     back to the element table twice, co-partitioned on doc id.
     Everything is integer counts → deterministic. Returns
     (i, j, inter, jac) with i < j and jac ≥ θ.

@@ -947,6 +947,7 @@ def mmr_rerank(
     shortlist: int = 20,
     k: int = 5,
     lam: float = 0.7,
+    mu: float | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification — the standard
     retrieval re-rank that trades relevance against redundancy:
@@ -963,7 +964,13 @@ def mmr_rerank(
     llm_ops.py:58 precedent). All comparisons use ROUND(...,6)
     values with id tie-breaks, so the selection is engine-exact and
     a recursive-CTE oracle replays it. Returns (rank, id, qsim).
-    """
+
+    ``mu`` is the redundancy-penalty weight; it defaults to
+    ``1.0 - lam`` but callers whose oracle spells the weight as a
+    literal (v22 hardcodes 0.3) MUST pass the same literal here —
+    ``1.0 - 0.7`` is 0.30000000000000004 in IEEE double, a ~4e-17
+    skew that could flip the greedy argmax on a near-tie (ADVICE
+    r5 item 1)."""
     from zappy_spark.operators.vecmath import cosine
 
     spark = emb.sparkSession
@@ -987,6 +994,8 @@ def mmr_rerank(
             F.round(cosine("a._v", "b._v"), 6).alias("_s"),
         )
     )
+    if mu is None:
+        mu = 1.0 - lam
     qsim = {r["_id"]: r["_qsim"] for r in cand.select("_id", "_qsim").collect()}
     sim = {(r["_i"], r["_j"]): r["_s"] for r in pairs.collect()}
     first = min(qsim, key=lambda i: (-qsim[i], i))
@@ -997,8 +1006,7 @@ def mmr_rerank(
             key=lambda i: (
                 -(
                     lam * qsim[i]
-                    - (1.0 - lam)
-                    * max(sim[(i, s)] for s in selected)
+                    - mu * max(sim[(i, s)] for s in selected)
                 ),
                 i,
             ),

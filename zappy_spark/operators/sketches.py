@@ -152,7 +152,14 @@ def bloom_build(
         acc = per_hash[0]
         for p in per_hash[1:]:
             acc = acc.bitwiseOR(p)
-        words.append(F.bit_or(acc).alias(f"word_{w}"))
+        # bit_or over zero rows is NULL; an empty input must yield
+        # the all-zero (all-false) filter, not a crash in the probe
+        # (ADVICE r5 item 4)
+        words.append(
+            F.coalesce(
+                F.bit_or(acc), F.lit(0).cast("long")
+            ).alias(f"word_{w}")
+        )
     return b.agg(*words)
 
 

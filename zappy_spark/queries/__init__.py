@@ -48,21 +48,26 @@ the tier-0 queue tail (v17, s17, t21, in queue order) wait at
 positions 51–57 and lead the round-6 window; every entry inside
 the window has zero driver rows in its current form.
 
-ROUND-6 ROTATION PLAN (next session): 50 r5-window entries drop to
-the back; promote FIRST the waiting tier-0 tail (v17, s17, t21)
-and the yielding trio (t04_lang_id, v02_rp_lsh_ann,
-v06_pca_scores), then
-the _R1_STALE entries the 5b/5c additions
-pushed out of the r5
-window (z01 … z13, z14_minmax_axis1, z17_row_normalize,
-z18_any_all, z19_mean_axis1, z20_median_percentile, z21_corr_covar,
-z22_skew_kurt, z23_regr, r03_topk_per_group), then the remaining
-_R1_STALE (r04 … r26), then as much of _R2_STALE (39) as fits,
-leaving r4-green entries (z26, r67, …) queued directly behind so
-every entry keeps cycling toward a fresh driver row; keep any
-round-6 additions ahead of everything. Every entry passes
-tests/test_oracle.py locally at sf0.001/sf0.01/sf0.1 AND the
-10x synth fixture regardless of window position.
+ROUND-6 ORDERING (this file, EXECUTING the plan round 5 wrote and
+VERDICT r5 item 2): the 15 driver-debt entries go FIRST and are
+sacred — r75 r76 d25 r77 s15 s16 r78 r79 v16 v17 s17 t21, then the
+yielding trio t04/v02/v06 — followed by the 6 entries re-spelled
+this round (r89 NTILE/boundary fix, the five ADVICE items:
+v22/d33/t25/d37/d35), then any brand-new round-6 entries (capped
+at ≤35 so the debt can never be displaced again), then _R1_STALE
+(z03 … r26; z01/z02 left the tier with green r5 rows), then
+_R2_STALE, then the r5/r4 green tiers cycling behind. Every entry
+passes tests/test_oracle.py locally at sf0.001/sf0.01/sf0.1 AND
+the 10x synth fixture regardless of window position; the whole
+50-entry round-6 window was additionally pre-verified green with
+scripts/check_queries.py at sf0.01 before the driver run.
+
+SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
+after ANY corpus edit run `python -m pytest tests/test_audit.py
+tests/test_dtypes.py tests/test_plans.py -q` (~3 min); at session
+close run the FULL suite and record the result in the commit
+message. The round-5d slip (two red gates shipped) must not
+recur.
 
 Round-5d (a later session inside round 5): eight more brand-new
 entries (r86 Benford, r87 Welch t, r88 ACF, r89 RFM, r90 basket
@@ -93,11 +98,53 @@ _ALL_QUERIES = {
     **pipeline_ops.QUERIES,
 }
 
-# Round-5 window head: entries with no driver row in their CURRENT
-# spelling. First the seven entries added this session, then the
-# five changed/newly-oracled, then the 21 tier-0 entries the
-# round-4 window cut off (in their r4 order; r75/r78/r79 were
-# additionally re-spelled to decimal sums).
+# ROUND-6 HEAD (executing VERDICT r5 item 2, verbatim order): the
+# 15 entries with no current-form green driver row go FIRST — 12
+# round-4c entries never driver-checked plus the t04/v02/v06 trio
+# whose only driver rows predate their oracles. Three rounds of
+# window-head churn displaced these; this round they are sacred:
+# nothing (not even new round-6 entries) goes ahead of them.
+_DEBT_R6 = [
+    "r75_filtered_aggs",
+    "r76_try_arithmetic",
+    "d25_psi_drift",
+    "r77_cohort_retention",
+    "s15_transition_matrix",
+    "s16_user_ewma",
+    "r78_scd2_history",
+    "r79_point_in_time",
+    "v16_pagerank",
+    "v17_bitmap_distinct",
+    "s17_gaps_islands",
+    "t21_mad_outliers",
+    "t04_lang_id",
+    "v02_rp_lsh_ann",
+    "v06_pca_scores",
+]
+
+# Entries whose spelling changed in round 6 (VERDICT wrong-1 + the
+# five ADVICE items) and so need a driver row in their new form:
+# r89 re-spelled (NTILE→BIGINT, boundary-free exact sum), v22's
+# penalty weight now the literal 0.3 on both sides, d33's oracle
+# gained the max_block QUALIFY guard, t25's oracle now drops ''
+# tokens, d37 passes max_token_df explicitly (operator default is
+# now None), d35 rides bloom_build's empty-input coalesce.
+_CHANGED_R6 = [
+    "r89_rfm_segments",
+    "v22_mmr_rerank",
+    "d33_fuzzy_blocked",
+    "t25_cms_heavy_hitters",
+    "d37_prefix_jaccard",
+    "d35_bloom_gate",
+]
+
+# Brand-new round-6 entries (zero driver rows) — appended as the
+# round progresses, capped so debt + changed + new ≤ the 50-slot
+# window never displaces the debt head (VERDICT: ≤35 new).
+_NEW_R6 = []
+
+# Round-5 window head (now historical; every entry below carries a
+# green r5 driver row in current form — r89 moved to _CHANGED_R6).
 _CHANGED_R5 = [
     # round-5d additions (this session): brand new, zero driver rows.
     "r86_benford_digits",  # NEW round 5d: first-digit DQ audit
@@ -247,10 +294,10 @@ _CHANGED_R4 = [
     "v06_pca_scores",
 ]
 
-# Tier 1: last driver-green row is round 1 (stalest; 42 entries).
+# Tier 1: last driver-green row is round 1 (stalest; 40 entries —
+# z01/z02 left this tier when their decimal re-spells went green in
+# r5; they queue with _CHANGED_R5 now).
 _R1_STALE = [
-    "z01_sum_axis0",
-    "z02_mean_axis0",
     "z03_log1p",
     "z04_exp_expm1",
     "z05_row_sum_axis1",
@@ -338,12 +385,20 @@ _R2_STALE = [
     "t06_content_split",
 ]
 
-# First occurrence wins: entries promoted into _CHANGED_R5 keep
-# their head position even though they still appear in the legacy
-# tier lists below (z01/z02 in _R1_STALE; the cut-off 21 + r56 in
-# _CHANGED_R4's tail).
+# First occurrence wins (dict.fromkeys dedup): round-6 order is
+# debt → re-spells → new entries → r1-stale (z01/z02 already have
+# fresh r5 rows via _CHANGED_R5 but sit far enough back not to
+# matter) → r2-stale → the r5 head (all green r5) → r4 tier.
 _PRIORITY = list(
-    dict.fromkeys(_CHANGED_R5 + _R1_STALE + _R2_STALE + _CHANGED_R4)
+    dict.fromkeys(
+        _DEBT_R6
+        + _CHANGED_R6
+        + _NEW_R6
+        + _R1_STALE
+        + _R2_STALE
+        + _CHANGED_R5
+        + _CHANGED_R4
+    )
 )
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}

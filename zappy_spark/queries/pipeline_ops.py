@@ -881,8 +881,11 @@ def v22(spark: SparkSession, d: str) -> DataFrame:
     )
     qv = [float(x) for x in tab.column(0)[0].as_py()]
     emb = t(spark, d, "embeddings").filter(F.col("vec_id") != 7)
+    # mu passed as the literal 0.3 to match the oracle's hardcoded
+    # 0.3 exactly — (1.0 - 0.7) is 0.30000000000000004 (ADVICE r5).
     return mmr_rerank(
-        emb, "embedding", "vec_id", qv, shortlist=20, k=5, lam=0.7
+        emb, "embedding", "vec_id", qv, shortlist=20, k=5, lam=0.7,
+        mu=0.3,
     )
 
 
@@ -2085,8 +2088,11 @@ def d37(spark: SparkSession, d: str) -> DataFrame:
     dense (avg shingle df ~68 at 50k docs -> ~1e8 candidate join
     rows); at k=5 the measured prefix-filter selectivity is 99.95%
     (250,717 candidates -> 250,600 true pairs at the 10x fixture)."""
+    # max_token_df passed explicitly (the oracle hardcodes the same
+    # 100k cap); the operator default is None = exact prefix filter
     pairs = dedup.prefix_filter_pairs(
-        t(spark, d, "documents"), "text", "doc_id", theta=0.5, shingle_k=5
+        t(spark, d, "documents"), "text", "doc_id", theta=0.5,
+        shingle_k=5, max_token_df=100_000,
     )
     return pairs.orderBy(F.desc("jac"), "i", "j").limit(50)
 
@@ -3437,9 +3443,12 @@ ORACLE = {
     ),
     # t25: exact heavy-hitter counts replayed; the CMS contract
     # booleans must be TRUE (the r81/v07 attestation pattern).
+    # tok <> '' mirrors the Spark side's tokens_ws, which drops
+    # empty strings from consecutive spaces (ADVICE r5 item 3).
     "t25_cms_heavy_hitters": (
-        "WITH tok AS (SELECT unnest(string_split(text,' ')) tok "
+        "WITH tok0 AS (SELECT unnest(string_split(text,' ')) tok "
         "FROM documents), "
+        "tok AS (SELECT tok FROM tok0 WHERE tok <> ''), "
         "top AS (SELECT tok, COUNT(*) n FROM tok GROUP BY tok "
         "ORDER BY n DESC, tok LIMIT 10) "
         "SELECT tok, n, TRUE never_under, TRUE within_eps FROM top "
@@ -3552,13 +3561,14 @@ ORACLE = {
         "FROM fin) u JOIN cand c ON c.vec_id = u.id ORDER BY rank"
     ),
     # d33: blocking + levenshtein verify replay. The flood guard
-    # (block size <= 10000) is vacuous at every test SF (max block 3
-    # at sf0.01) so the oracle omits it; the length bucket uses
-    # floor-division like the Spark side.
+    # (block size <= 10000) now mirrors the Spark side's max_block
+    # via QUALIFY — vacuous at test SFs (max block 3 at sf0.01) but
+    # keeps both engines agreeing at ANY SF (ADVICE r5 item 2).
     "d33_fuzzy_blocked": (
         "WITH b AS (SELECT doc_id, lang, substr(text,1,40) pfx, "
         "string_split(text,' ')[1] w1, "
-        "CAST(floor(length(text)/32) AS INT) lb FROM documents) "
+        "CAST(floor(length(text)/32) AS INT) lb FROM documents "
+        "QUALIFY COUNT(*) OVER (PARTITION BY lang, w1, lb) <= 10000) "
         "SELECT a.doc_id i, c.doc_id j, "
         "CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) dist "
         "FROM b a JOIN b c ON a.lang = c.lang AND a.w1 = c.w1 "
