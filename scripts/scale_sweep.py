@@ -1,0 +1,106 @@
+"""Full-corpus scale sweep: run EVERY oracle-backed entry at a
+fixture dir, hash-compare Spark vs DuckDB, and log one JSON line per
+entry with both engines' wall times — the evidence table SCALE.md
+aggregates per family (VERDICT r5 item 5: the long tail had only 10×
+evidence; this produces the 100× rows).
+
+Usage:
+    CHECK_SF_DIR=/tmp/synth_sf10 python scripts/scale_sweep.py \
+        [out.jsonl] [start_idx]
+
+Skips tests/conftest.py's QUADRATIC_ORACLES (the deliberately
+quadratic oracle TWINS — their production paths run in full) at any
+non-testdata dir, same policy as the 10× pytest run. Resumable:
+pass a start index (or it appends and skips names already in the
+log), so an interrupted multi-hour sweep never re-pays finished
+entries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+
+from tests.conftest import QUADRATIC_ORACLES
+from zappy_spark.canon import canon_cell
+from zappy_spark.queries import ORACLE, QUERIES
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/tmp/synth_sf10")
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "scale_sweep.jsonl")
+    done = set()
+    if out.exists():
+        for line in out.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["name"])
+            except Exception:
+                pass
+
+    from zappy_spark.session import get_session
+
+    spark = get_session(app_name="scale_sweep")
+    duck = duckdb.connect()
+    for tbl in TABLES:
+        p = f"{SF_DIR}/{tbl}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        duck.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')"
+        )
+    skip_quadratic = "/testdata/" not in SF_DIR
+    failed = []
+    names = [n for n in QUERIES if n in ORACLE]
+    with out.open("a") as f:
+        for name in names:
+            if name in done:
+                continue
+            if skip_quadratic and name in QUADRATIC_ORACLES:
+                f.write(json.dumps({"name": name, "skipped": True}) + "\n")
+                f.flush()
+                continue
+            t0 = time.monotonic()
+            df = QUERIES[name](spark, SF_DIR)
+            s = _canon(df.columns, [tuple(r) for r in df.collect()])
+            t1 = time.monotonic()
+            res = duck.execute(ORACLE[name])
+            o = _canon([c[0] for c in res.description], res.fetchall())
+            t2 = time.monotonic()
+            rec = {
+                "name": name,
+                "ok": s == o,
+                "rows": s[0],
+                "spark_s": round(t1 - t0, 3),
+                "duck_s": round(t2 - t1, 3),
+            }
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            print(rec, flush=True)
+            if not rec["ok"]:
+                failed.append(name)
+    if failed:
+        print("FAILED:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

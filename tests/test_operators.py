@@ -71,6 +71,64 @@ def test_minhash_lsh_recall(spark, planted_docs):
     assert not random_pairs
 
 
+def test_minhash_lsh_auto_max_bucket(spark, planted_docs):
+    """VERDICT r5 item 7: max_bucket="auto" must (a) pick a cap from
+    the bucket-size distribution that preserves planted-dup recall —
+    genuine fuzzy pairs live in body-sized buckets, far below the
+    slack×tail-quantile cap — and (b) actually bind on a planted
+    mass-clone flood family, dropping its quadratic buckets."""
+    from zappy_spark.operators.dedup import (
+        auto_max_bucket,
+        lsh_candidate_pairs,
+        minhash_signature,
+        near_dup_pairs,
+    )
+
+    df, planted = planted_docs
+    # (a) recall under auto-tuning equals the untuned recall bar
+    found = {
+        (r["i"], r["j"])
+        for r in near_dup_pairs(
+            df, "text", "doc_id", threshold=0.5, num_hashes=16,
+            bands=8, max_bucket="auto",
+        ).collect()
+    }
+    hits = sum((a, b) in found for a, b in planted)
+    assert hits >= 8, f"auto cap broke recall: {hits}/10"
+    # (b) flood a single text 500×: its buckets hold ~500 members
+    # each; the auto cap (slack × q99.9 of mostly-singleton buckets)
+    # must sit orders of magnitude below that and drop them
+    flood = df.sparkSession.createDataFrame(
+        [(10_000 + i, "flood " * 40) for i in range(500)],
+        ["doc_id", "text"],
+    )
+    flooded = df.union(flood)
+    sig = minhash_signature(flooded, "text", "doc_id", 16)
+    capped = lsh_candidate_pairs(sig, "doc_id", 8, 2, "auto")
+    flood_pairs = capped.filter(
+        (F.col("i") >= 10_000) & (F.col("j") >= 10_000)
+    )
+    assert flood_pairs.count() == 0, "auto cap failed to bind on flood"
+    # recall survives alongside the flood
+    kept = {(r["i"], r["j"]) for r in capped.collect()}
+    hits2 = sum((a, b) in kept for a, b in planted)
+    assert hits2 >= 8, f"flood displaced planted pairs: {hits2}/10"
+    # the chosen cap itself: sane bounds on this corpus
+    banded = sig.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(
+            F.array(*[
+                F.md5(F.concat_ws("|", F.lit(str(b)),
+                                  *[F.element_at("sig", b * 2 + r + 1)
+                                    for r in range(2)]))
+                for b in range(8)
+            ])
+        ).alias("bucket"),
+    )
+    cap = auto_max_bucket(banded)
+    assert 32 <= cap < 500, cap
+
+
 def test_simhash_locality(spark, planted_docs):
     from zappy_spark.operators.dedup import simhash_bits
 

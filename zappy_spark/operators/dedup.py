@@ -127,12 +127,50 @@ def minhash_signature(
     return minhash_signature_from_grams(grams, id_col, num_hashes)
 
 
+def auto_max_bucket(
+    banded: DataFrame,
+    min_cap: int = 32,
+    body_q: float = 0.99,
+    slack: int = 8,
+) -> int:
+    """Pick the LSH flood-guard cap FROM THE DATA instead of a
+    caller-supplied constant (VERDICT r5 item 7): one aggregate over
+    the banded keys yields the bucket-size distribution; the cap is
+    ``max(min_cap, slack × q_{body_q})`` — far above every bucket a
+    genuine fuzzy near-dup pair can occupy (those sit at the
+    distribution's body, single digits on real corpora), and far
+    below a mass-clone family's bucket (thousands of members).
+    The anchor is deliberately a BODY quantile, not a tail one: a
+    flood family concentrates in a handful of buckets (a vanishing
+    fraction of all bucket KEYS, since the band key space is md5),
+    so q99-of-buckets sits on ordinary buckets while a tail quantile
+    like q99.9 can land inside the flood itself and learn a cap that
+    never binds (caught by the planted-flood property test). If
+    floods ever occupied >1% of distinct buckets the corpus would be
+    mostly clones — exact/fingerprint dedup territory, per the
+    routing note in ``lsh_candidate_pairs``.
+
+    Cost: one (bucket, count) shuffle + an exact quantile
+    (approxQuantile with relativeError=0) — the same diagnostic
+    pass operators/diagnostics.py::key_skew_report runs, returning
+    ONE scalar to the driver. Deterministic: exact quantile of
+    integer counts, integer arithmetic on top.
+    """
+    counts = banded.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    q = counts.approxQuantile("_n", [body_q], 0.0)
+    if not q:  # empty input: no buckets, cap is moot
+        return min_cap
+    return max(min_cap, int(slack * q[0]))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     bands: int = 4,
     rows: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on all
     ``rows`` hashes of any band become a candidate pair (i < j).
@@ -150,7 +188,9 @@ def lsh_candidate_pairs(
     near-exact clones; route them through md5/fingerprint dedup
     first, and let LSH spend its verify budget on genuine fuzzy
     pairs. Same df-cap philosophy as ``span_edges``/the anchor
-    index."""
+    index. Pass ``max_bucket="auto"`` to derive the cap from the
+    bucket-size distribution (``auto_max_bucket``) instead of
+    guessing a constant."""
     if rows < 1:
         raise ValueError(f"rows per band must be >= 1, got {rows}")
     banded = sig_df.select(
@@ -174,6 +214,8 @@ def lsh_candidate_pairs(
         ).alias("bucket"),
     )
     if max_bucket is not None:
+        if max_bucket == "auto":
+            max_bucket = auto_max_bucket(banded)
         small = (
             banded.groupBy("bucket")
             .agg(F.count("*").alias("_n"))
@@ -215,12 +257,13 @@ def near_dup_pairs(
     bands: int = 4,
     k: int = 3,
     persist: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded bucket
     join → exact-Jaccard verification ≥ threshold. Returns (i, j, jac).
     ``max_bucket`` forwards to ``lsh_candidate_pairs`` — the flood
-    guard for mass-duplicated families (see there).
+    guard for mass-duplicated families (see there); ``"auto"``
+    derives the cap from the bucket-size distribution.
 
     The shingle expansion (``grams``) feeds three consumers — the
     signature aggregation and both sides of the verify join — so it is
