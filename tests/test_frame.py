@@ -378,3 +378,18 @@ def test_argmax_argmin_match_numpy(spark):
     assert np.array_equal(
         zf.argmin(axis=1).asndarray().astype(int), np.argmin(m, axis=1)
     )
+
+
+def test_argmax_argmin_axis0_match_numpy(spark):
+    """Round 6: axis=0 arg-extremes are aggregates (struct-max with
+    negated-id tie-break) — must match numpy including the
+    first-occurrence-on-ties rule."""
+    rng = np.random.default_rng(23)
+    m = rng.normal(size=(15, 6))
+    mx = m[:, 4].max() + 1.0
+    m[2, 4] = m[9, 4] = mx  # planted column tie -> row 2 wins
+    mn = m[:, 1].min() - 1.0
+    m[5, 1] = m[11, 1] = mn  # planted min tie -> row 5 wins
+    zf = ZappyFrame.from_ndarray(spark, m, num_partitions=4)
+    assert np.array_equal(zf.argmax(axis=0), np.argmax(m, axis=0))
+    assert np.array_equal(zf.argmin(axis=0), np.argmin(m, axis=0))

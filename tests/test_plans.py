@@ -233,6 +233,15 @@ _GLOBAL_WINDOW_WHITELIST = {
     # dimension that outgrows one partition switches to
     # operators/ranking.py's bucketed two-pass.
     "r89_rfm_segments",
+    # r91: both LAGs ride the MONTH SPINE (one row per calendar
+    # month, ≤ a few hundred forever) — the r84 day-spine class;
+    # the fact pass is the partitioned monthly hash aggregate.
+    "r91_mom_growth",
+    # r92: the cumulative share runs over the PART-dimension
+    # aggregate (|parts| ≪ |lineitem|; pinned by
+    # test_pareto_window_runs_on_part_aggregate). Outgrowing
+    # dimensions switch to ranking.py's bucketed two-pass.
+    "r92_pareto_abc",
 }
 
 
@@ -958,4 +967,68 @@ def test_retrieval_eval_single_scored_pass(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2  # emb + broadcast q side
+    assert "Python" not in plan
+
+
+def test_argminmax_axis0_is_window_free(spark):
+    """z30: the arg-extremes are struct AGGREGATES — one posexplode
+    + groupBy(pos) (ncols shuffle keys, partial-agg'd), zero Window
+    nodes, no join."""
+    plan = _plan(QUERIES["z30_argminmax_axis0"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_mom_growth_lags_ride_month_spine(spark):
+    """r91: the whitelisted LAG windows consume the monthly
+    aggregate, never raw orders — the aggregate sits below every
+    window in the optimized plan."""
+    df = QUERIES["r91_mom_growth"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.rindex("Aggregate") > plan.index("Window")
+    assert "Python" not in plan
+
+
+def test_pareto_window_runs_on_part_aggregate(spark):
+    """r92: ONE fact hash-agg to the part dimension; the cumulative
+    window and the broadcast total both ride the aggregate. The
+    classification itself is integer expression work — no division
+    node feeds the CASE."""
+    df = QUERIES["r92_pareto_abc"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.rindex("Aggregate") > plan.index("Window")
+    phys = _plan(df)
+    assert "CartesianProduct" not in phys
+    assert "Python" not in phys
+
+
+def test_url_dedup_is_single_hash_aggregate(spark):
+    """d38: canonicalization is scan-side expression work; the dedup
+    is one hash aggregate on the canonical key — no window, no join,
+    no Python."""
+    plan = _plan(QUERIES["d38_url_canonical"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_oov_vocab_probe_is_broadcast(spark):
+    """d39: the 100-row vocabulary comes back as a broadcast build
+    side (TakeOrdered → BroadcastHashJoin) — the token stream is
+    never shuffle-joined by token."""
+    plan = _plan(QUERIES["d39_oov_rate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_centroid_drift_is_narrow_aggs(spark):
+    """v25: the v11 discipline — posexplode feeds (label, half, pos)
+    hash aggs; the centroid join is equi-keyed on (label, pos); no
+    window, no cartesian, plan width constant in dim."""
+    plan = _plan(QUERIES["v25_centroid_drift"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
     assert "Python" not in plan

@@ -508,22 +508,53 @@ class ZappyFrame:
             lambda x, c: F.when(c != 0.0, x).otherwise(F.lit(val)),
         )
 
-    def argmax(self, axis: int = 1) -> "ZappyVector":
-        """Per-row index of the max (np.argmax(axis=1), 0-based,
-        first occurrence on ties — numpy semantics): one
-        array_position over the row, JVM-side, zero shuffles."""
-        return self._arg_extreme(axis, F.array_max)
+    def argmax(self, axis: int = 1):
+        """Index of the max, numpy semantics (0-based, FIRST
+        occurrence on ties). axis=1: one array_position over the
+        row, JVM-side, zero shuffles → ZappyVector. axis=0 (round
+        6; was a documented NotImplementedError): per-column
+        aggregate → local int ndarray, same driver contract as
+        sum(axis=0)."""
+        return self._arg_extreme(axis, "max")
 
-    def argmin(self, axis: int = 1) -> "ZappyVector":
-        """Per-row index of the min (np.argmin(axis=1))."""
-        return self._arg_extreme(axis, F.array_min)
+    def argmin(self, axis: int = 1):
+        """Index of the min (np.argmin); same axis semantics as
+        argmax."""
+        return self._arg_extreme(axis, "min")
 
-    def _arg_extreme(self, axis: int, extreme_fn) -> "ZappyVector":
-        if axis != 1:
-            raise NotImplementedError(
-                "argmax/argmin(axis=0) is an aggregate — use max_by "
-                "over to_columns output"
+    def _arg_extreme(self, axis: int, kind: str):
+        if axis == 0:
+            # Per-column argmax = the SMALLEST row_id attaining the
+            # extreme. One struct-aggregate per column: max of
+            # (x, -row_id) orders by value first then by negated id,
+            # so ties resolve to the first occurrence exactly as
+            # numpy does — deterministic with zero window stages,
+            # the same posexplode + groupBy(pos) shuffle shape as
+            # _col_agg (ncols keys, partial-agg'd map-side).
+            ex = self.df.select(
+                "row_id", F.posexplode("vec").alias("pos", "x")
             )
+            if kind == "max":
+                s = F.struct(
+                    F.col("x").cast(_D).alias("x"),
+                    (-F.col("row_id")).alias("nr"),
+                )
+                rid = -F.max(F.col("s"))["nr"]
+            else:
+                s = F.struct(
+                    F.col("x").cast(_D).alias("x"),
+                    F.col("row_id").alias("r"),
+                )
+                rid = F.min(F.col("s"))["r"]
+            rows = (
+                ex.select("pos", s.alias("s"))
+                .groupBy("pos")
+                .agg(rid.alias("v"))
+                .orderBy("pos")
+                .collect()
+            )
+            return np.array([r["v"] for r in rows], dtype=np.int64)
+        extreme_fn = F.array_max if kind == "max" else F.array_min
         v = F.transform("vec", lambda x: x.cast(_D))
         idx = (F.array_position(v, extreme_fn(v)) - 1).cast("double")
         return ZappyVector(self.df.select("row_id", idx.alias("value")))

@@ -337,6 +337,48 @@ def url_domains(text: str | Column) -> Column:
     return F.regexp_extract_all(text, F.lit(URL_DOMAIN_RE), 1)
 
 
+def canonical_url(url: str | Column) -> Column:
+    """Canonical form of a URL for dedup keying (round 6): lowercase
+    scheme+host (path case is significant per RFC 3986, so only the
+    authority is folded), strip the query string and fragment, and
+    trim a single trailing slash. Pure scan-side string expressions
+    — the canonicalization that makes crawl dedup find
+    ``HTTP://Example.org/A?utm=1`` == ``http://example.org/A/`` —
+    portable: every engine spells these as regexp_replace/lower.
+    Web-scale crawls hang exact dedup (md5 groupBy) off this key;
+    see url_dedup_groups."""
+    u = F.col(url) if isinstance(url, str) else url
+    # drop ?query and #fragment
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    # lowercase ONLY scheme://host (group 1), keep path casing
+    scheme_host = F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1))
+    path = F.regexp_replace(u, r"^https?://[^/]*", "")
+    u = F.concat(scheme_host, path)
+    # trim one trailing slash (capture-group spelling, not a
+    # lookbehind: DuckDB's RE2 oracle twin has no lookbehind)
+    return F.regexp_replace(u, r"(.)/$", "$1")
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup on the canonical URL: (canon_url, n, keep_id) with
+    keep_id = the smallest id in the group — one hash aggregate on
+    the canonicalized key (the dedup.py::exact_dedup shape applied
+    to URLs), no window, no self-join."""
+    return (
+        df.select(
+            canonical_url(url_col).alias("canon_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_id").alias("keep_id"),
+        )
+    )
+
+
 def domain_distribution(
     df: DataFrame, text_col: str
 ) -> DataFrame:

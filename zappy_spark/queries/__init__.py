@@ -141,7 +141,16 @@ _CHANGED_R6 = [
 # Brand-new round-6 entries (zero driver rows) — appended as the
 # round progresses, capped so debt + changed + new ≤ the 50-slot
 # window never displaces the debt head (VERDICT: ≤35 new).
-_NEW_R6 = []
+_NEW_R6 = [
+    "z30_argminmax_axis0",  # NEW r6: window-free axis=0 arg-extremes
+    "r91_mom_growth",  # NEW r6: MoM/YoY growth on exact month spine
+    "r92_pareto_abc",  # NEW r6: cross-multiplied integer ABC classes
+    "t27_readability",  # NEW r6: Flesch via regexp length deltas
+    "t28_keywords",  # NEW r6: per-doc top-2 TF-IDF keywords
+    "d38_url_canonical",  # NEW r6: canonical-URL crawl dedup
+    "d39_oov_rate",  # NEW r6: vocab-coverage OOV audit
+    "v25_centroid_drift",  # NEW r6: per-label embedding drift
+]
 
 # Round-5 window head (now historical; every entry below carries a
 # green r5 driver row in current form — r89 moved to _CHANGED_R6).

@@ -2202,6 +2202,197 @@ def v24(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("q_id")
 
 
+def t27(spark: SparkSession, d: str) -> DataFrame:
+    """Flesch-style readability per document (round 6): the classic
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    reading-ease score, with syllables from the portable
+    vowel-group heuristic — count of maximal [aeiou]+ runs, spelled
+    as a LENGTH DELTA of two regexp_replace calls (groups→'~' minus
+    groups→''), so no engine needs a match-count builtin. Sentences
+    count [.!?]+ runs the same way, floored at 1 (the synthetic
+    corpus has no terminal punctuation — documented; real corpora
+    exercise the same expression). Every per-doc input is an exact
+    integer, so the score arithmetic is IEEE-deterministic; no
+    aggregation anywhere (per-doc rows, doc_id < 100) — zero
+    order-dependence, zero shuffle beyond the final sort."""
+    docs = t(spark, d, "documents").filter(F.col("doc_id") < 100)
+
+    def runs(col, pat):
+        return F.length(F.regexp_replace(col, pat, "~")) - F.length(
+            F.regexp_replace(col, pat, "")
+        )
+
+    words = F.size(text.tokens_ws(F.col("text"))).cast("double")
+    syl = runs(F.col("text"), "[aeiou]+").cast("double")
+    sents = F.greatest(
+        F.lit(1), runs(F.col("text"), r"[.!?]+")
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        syl.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (words / sents)
+            - 84.6 * (syl / words),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def t28(spark: SparkSession, d: str) -> DataFrame:
+    """Per-document keyword extraction (round 6): the top-2 TF-IDF
+    terms per document — the cheap RAKE-replacement every corpus
+    tagger starts with. Reuses operators/text.py::tf_idf (df from
+    the tf table itself, no second tokenize) and picks keywords
+    with a per-doc window over the ROUNDED score with term
+    tie-break — rank-deterministic cross-engine. The df/idf stats
+    come from the FULL corpus; only the output is restricted
+    (doc_id < 30) to keep the entry bounded at any SF. The window
+    partitions by doc — scales with the corpus."""
+    out = text.tf_idf(
+        t(spark, d, "documents"), "text", "doc_id", persist=False
+    ).select(
+        "doc_id", "term", F.round("tfidf", 6).alias("ti")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("ti"), "term")
+    # "kw_rank", not "rank": RANK is a keyword in the oracle engine
+    return (
+        out.withColumn("kw_rank", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("kw_rank") <= 2) & (F.col("doc_id") < 30))
+        .select("doc_id", "kw_rank", "term", "ti")
+        .orderBy("doc_id", "kw_rank")
+    )
+
+
+def d38(spark: SparkSession, d: str) -> DataFrame:
+    """URL-canonicalization dedup (round 6; operators/text.py::
+    canonical_url + url_dedup_groups): the crawl-dedup step that
+    runs BEFORE any content hashing — fold scheme/host case, strip
+    query+fragment, trim the trailing slash, then exact-group on
+    the canonical key. Two planted messy variants per doc (testdata
+    has no organic URLs) collapse to one canonical form each:
+    uppercase-host + ?utm tracking vs lowercase + trailing slash.
+
+    Scale: canonicalization is scan-side regexp/lower expressions;
+    the dedup is ONE hash aggregate on the canonical key (no
+    window, no self-join) — the exact_dedup shape."""
+    docs = t(spark, d, "documents")
+    u1 = F.concat(
+        F.lit("HTTPS://S"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.ORG/Page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm="),
+        F.col("doc_id").cast("string"),
+    )
+    u2 = F.concat(
+        F.lit("https://s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/Page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/"),
+    )
+    urls = docs.select(
+        F.explode(F.array(u1, u2)).alias("url"),
+        F.col("doc_id").alias("uid"),
+    )
+    return (
+        text.url_dedup_groups(urls, "url", "uid")
+        .orderBy(F.desc("n"), "canon_url")
+        .limit(20)
+    )
+
+
+def d39(spark: SparkSession, d: str) -> DataFrame:
+    """Out-of-vocabulary rate per source (round 6): coverage of a
+    top-K corpus vocabulary — the tokenizer-fit health check run
+    before training (high OOV = the vocab or the source is wrong).
+    Vocabulary = top 100 tokens by global count with token
+    tie-break (deterministic); per-source OOV rate = tokens outside
+    it / all tokens, an integer ratio (exact division of exact
+    counts — no order-dependent aggregate anywhere).
+
+    Scale: token counts are one explode + hash agg; the vocab is a
+    100-row TakeOrdered result BROADCAST back against the token
+    stream (left join on a 100-key build side — never a shuffle of
+    the corpus by token); rates are one agg per source."""
+    toks = (
+        t(spark, d, "documents")
+        .select("source", F.explode(text.tokens_ws(F.col("text"))).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def v25(spark: SparkSession, d: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots
+    (round 6): split the corpus into snapshot A (even vec_id) and B
+    (odd), compute each label's centroid in both, and report the
+    cosine between the paired centroids — the embedding-space twin
+    of the d25 PSI feature-drift audit (a retrained encoder whose
+    label centroids rotate is drifting even when scalar feature
+    stats look stable).
+
+    Scale shape (the v11 discipline): ONE posexplode into
+    (label, parity, pos, x); centroids are a narrow hash agg over
+    it; the cosine needs only (label, pos)-joined products
+    re-aggregated per label — plan width constant in dim, no k×dim
+    array driver-side."""
+    x = t(spark, d, "embeddings").select(
+        F.col("label").alias("g"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("p", "x"),
+    )
+    c = x.groupBy("g", "half", "p").agg(F.avg("x").alias("m"))
+    a = c.filter(F.col("half") == 0).select(
+        "g", "p", F.col("m").alias("ma")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        "g", "p", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, ["g", "p"])
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+    )
+    return dots.select(
+        F.col("g").alias("label"),
+        F.round(
+            F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
+        ).alias("centroid_cos"),
+    ).orderBy("label")
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -2247,6 +2438,11 @@ QUERIES = {
     "d37_prefix_jaccard": d37,
     "t26_woe_iv": t26,
     "v24_retrieval_eval": v24,
+    "t27_readability": t27,
+    "t28_keywords": t28,
+    "d38_url_canonical": d38,
+    "d39_oov_rate": d39,
+    "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
     "m01_binary_chunk_plan": m01,
@@ -2634,6 +2830,93 @@ _SHINGLE_CTE = (
 )
 
 ORACLE = {
+    # t27: syllable/sentence runs as length deltas of global ('g')
+    # regexp_replace; all per-doc inputs are exact integers so the
+    # Flesch arithmetic is IEEE-identical cross-engine.
+    "t27_readability": (
+        "WITH d AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 100), "
+        "s AS (SELECT doc_id, "
+        "len(list_filter(string_split(text,' '), x -> x<>'')) words, "
+        "length(regexp_replace(text,'[aeiou]+','~','g')) - "
+        "length(regexp_replace(text,'[aeiou]+','','g')) syl, "
+        "GREATEST(1, length(regexp_replace(text,'[.!?]+','~','g')) - "
+        "length(regexp_replace(text,'[.!?]+','','g'))) sents FROM d) "
+        "SELECT doc_id, CAST(words AS BIGINT) n_words, "
+        "CAST(syl AS BIGINT) n_syllables, "
+        "ROUND(206.835 - 1.015*(words*1.0/sents) "
+        "- 84.6*(syl*1.0/words), 4) flesch "
+        "FROM s ORDER BY doc_id"
+    ),
+    # t28: the t07 idf spelling + a per-doc ROW_NUMBER keyword pick
+    # on the rounded score (term tie-break, rank-deterministic).
+    "t28_keywords": (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(list_filter(string_split(text,' '), x -> x<>'')) term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) tf FROM toks GROUP BY 1,2), "
+        "dfq AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1), "
+        "n AS (SELECT COUNT(*) _n FROM documents), "
+        "sc AS (SELECT doc_id, term, "
+        "ROUND(tf * (LN((_n+1.0)/(df+1.0)) + 1.0), 6) ti "
+        "FROM tf JOIN dfq USING (term), n), "
+        "rk AS (SELECT doc_id, term, ti, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY ti DESC, term) kw_rank FROM sc) "
+        "SELECT doc_id, CAST(kw_rank AS BIGINT) kw_rank, term, ti "
+        "FROM rk WHERE kw_rank <= 2 AND doc_id < 30 "
+        "ORDER BY doc_id, kw_rank"
+    ),
+    # d38: the canonicalization replayed with RE2-safe spellings
+    # (capture-group trailing-slash trim, no lookbehind; '\\1' is
+    # DuckDB's backref syntax where Spark uses '$1').
+    "d38_url_canonical": (
+        "WITH u AS ("
+        "SELECT 'HTTPS://S'||(doc_id%5)||'.Example.ORG/Page/'"
+        "||(doc_id%40)||'?utm='||doc_id url, doc_id uid "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT 'https://s'||(doc_id%5)||'.example.org/Page/'"
+        "||(doc_id%40)||'/', doc_id FROM documents), "
+        "stripped AS (SELECT regexp_replace(url,'[?#].*$','') su, uid "
+        "FROM u), "
+        "c AS (SELECT regexp_replace("
+        "lower(regexp_extract(su, '^(https?://[^/]*)', 1)) || "
+        "regexp_replace(su, '^https?://[^/]*', ''), "
+        "'(.)/$', '\\1') canon_url, uid FROM stripped) "
+        "SELECT canon_url, COUNT(*) n, MIN(uid) keep_id FROM c "
+        "GROUP BY 1 ORDER BY n DESC, canon_url LIMIT 20"
+    ),
+    # d39: vocab = top-100 by (count, token) — deterministic; the
+    # rate is exact-integer division.
+    "d39_oov_rate": (
+        "WITH toks AS (SELECT source, "
+        "unnest(list_filter(string_split(text,' '), x -> x<>'')) tok "
+        "FROM documents), "
+        "vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) n FROM toks "
+        "GROUP BY 1 ORDER BY n DESC, tok LIMIT 100)), "
+        "f AS (SELECT source, CASE WHEN tok IN "
+        "(SELECT tok FROM vocab) THEN 0 ELSE 1 END oov FROM toks) "
+        "SELECT source, COUNT(*) n_tokens, "
+        "CAST(SUM(oov) AS BIGINT) n_oov, "
+        "ROUND(SUM(oov)*1.0/COUNT(*), 6) oov_rate "
+        "FROM f GROUP BY source ORDER BY source"
+    ),
+    # v25: the v11 posexplode discipline — centroids per
+    # (label, half, pos), cosine from narrow rejoined products.
+    # ("label" is reserved in the oracle engine — quoted.)
+    "v25_centroid_drift": (
+        "WITH x AS (SELECT \"label\" g, vec_id % 2 half, "
+        "unnest(CAST(embedding AS DOUBLE[])) x, "
+        "generate_subscripts(CAST(embedding AS DOUBLE[]), 1) p "
+        "FROM embeddings), "
+        "c AS (SELECT g, half, p, AVG(x) m FROM x GROUP BY 1,2,3), "
+        "j AS (SELECT a.g, SUM(a.m*b.m) dot, SUM(a.m*a.m) na, "
+        "SUM(b.m*b.m) nb FROM c a JOIN c b "
+        "ON a.g = b.g AND a.p = b.p AND a.half = 0 AND b.half = 1 "
+        "GROUP BY 1) "
+        "SELECT g \"label\", ROUND(dot/SQRT(na*nb), 6) centroid_cos "
+        "FROM j ORDER BY \"label\""
+    ),
     # d37: the AllPairs prefix lemma replayed — distinct 5-gram
     # shingles per doc, global-df rank per doc, prefix join, exact
     # Jaccard verify on candidates only; every count is an integer.

@@ -2164,6 +2164,104 @@ def r90(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r91(spark: SparkSession, d: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth (round 6):
+    the KPI-dashboard staple. Monthly revenue accumulates in exact
+    DECIMAL(18,2) cents-safe sums; growth percentages divide the
+    resulting exact values as doubles (every monthly sum is an
+    integer number of cents < 2^53, so the doubles are exact and
+    the division IEEE-deterministic cross-engine).
+
+    Scale shape: ONE hash aggregate collapses the fact table to the
+    month spine (≤ a few hundred rows forever); the two LAG windows
+    then ride that aggregate — a deliberate, whitelisted
+    single-partition window of the r84 day-spine class (a spine
+    that outgrew one partition would use operators/ranking.py's
+    bucketed two-pass)."""
+    o = t(spark, d, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    g = monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.lag("rev", 1).over(w).cast("double").alias("_p1"),
+        F.lag("rev", 12).over(w).cast("double").alias("_p12"),
+    )
+    return g.select(
+        "month",
+        "revenue",
+        F.round(
+            100.0 * (F.col("revenue") - F.col("_p1")) / F.col("_p1"), 6
+        ).alias("mom_pct"),
+        F.round(
+            100.0 * (F.col("revenue") - F.col("_p12")) / F.col("_p12"), 6
+        ).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+def r92(spark: SparkSession, d: str) -> DataFrame:
+    """Pareto / ABC inventory classification (round 6): rank parts by
+    revenue, take the running share of total, and bucket into the
+    classic A (top 80% of revenue), B (next 15%), C (tail) classes.
+
+    Deterministic by construction: revenue per part is an exact
+    DECIMAL(18,2) sum; the A/B/C boundaries are decided by
+    CROSS-MULTIPLIED integer comparison (cum*100 <= total*80) on
+    cents — no division, no rounding, no float anywhere near the
+    classification, so a cumulative share that lands exactly on a
+    boundary cannot flip between engines (the r89/r56 lesson
+    applied preemptively). The output share is display-only.
+
+    Scale shape: one fact hash-agg to the part dimension, then ONE
+    cumulative window over that aggregate — |parts| ≪ |lineitem|;
+    whitelisted single-partition of the r84/r89 class with the
+    bucketed two-pass (operators/ranking.py) as the documented
+    escape hatch when the dimension outgrows a partition."""
+    li = t(spark, d, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    # cents as BIGINT: exact, and cum*100 stays far inside 2^63
+    per = per.select(
+        "l_partkey", (F.col("rev") * 100).cast("bigint").alias("cents")
+    )
+    tot = per.agg(F.sum("cents").alias("total"))
+    w = (
+        Window.orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per.withColumn("cum", F.sum("cents").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    classed = ranked.select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "total",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum("cents").cast("double")
+                / F.max("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
+
+
 QUERIES = {
     "r01_pricing_summary": r1,
     "r02_join5_agg": r2,
@@ -2246,6 +2344,8 @@ QUERIES = {
     "r87_welch_ttest": r87,
     "r89_rfm_segments": r89,
     "r90_basket_lift": r90,
+    "r91_mom_growth": r91,
+    "r92_pareto_abc": r92,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -2316,6 +2416,47 @@ ORACLE = {
     ),
     # r90: DISTINCT (basket,item) before every count; a-priori
     # prune at 2% support before the pair join; integer counts.
+    # r91: exact decimal monthly sums; growth divides exact doubles
+    # (integer cents < 2^53). LAG semantics are row-based in both
+    # engines, so a hypothetical missing month shifts both sides
+    # identically.
+    "r91_mom_growth": (
+        # "month" is a DuckDB reserved word (like "day"/"bit") —
+        # quoted throughout.
+        "WITH m AS (SELECT date_trunc('month', "
+        "CAST(o_orderdate AS DATE)) \"month\", "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) rev "
+        "FROM orders GROUP BY 1), "
+        "g AS (SELECT \"month\", CAST(rev AS DOUBLE) revenue, "
+        "CAST(LAG(rev, 1) OVER (ORDER BY \"month\") AS DOUBLE) p1, "
+        "CAST(LAG(rev, 12) OVER (ORDER BY \"month\") AS DOUBLE) p12 "
+        "FROM m) "
+        "SELECT \"month\", revenue, "
+        "ROUND(100.0*(revenue-p1)/p1, 6) mom_pct, "
+        "ROUND(100.0*(revenue-p12)/p12, 6) yoy_pct "
+        "FROM g ORDER BY \"month\""
+    ),
+    # r92: the A/B/C boundaries are cross-multiplied BIGINT
+    # comparisons on exact cents — no division in the
+    # classification, so boundary cells cannot flip cross-engine.
+    # DuckDB windowed SUM returns HUGEINT → CAST to BIGINT.
+    "r92_pareto_abc": (
+        "WITH per AS (SELECT l_partkey, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 "
+        "AS BIGINT) cents FROM lineitem GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(cents) AS BIGINT) total FROM per), "
+        "ranked AS (SELECT l_partkey, cents, "
+        "CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) cum FROM per), "
+        "classed AS (SELECT cents, CASE "
+        "WHEN cum*100 <= total*80 THEN 'A' "
+        "WHEN cum*100 <= total*95 THEN 'B' ELSE 'C' END abc, total "
+        "FROM ranked, tot) "
+        "SELECT abc, COUNT(*) n_parts, "
+        "ROUND(CAST(SUM(cents) AS DOUBLE)/CAST(MAX(total) AS DOUBLE), 6) "
+        "revenue_share FROM classed GROUP BY abc ORDER BY abc"
+    ),
     "r90_basket_lift": (
         "WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey % 50 item "
         "FROM lineitem), "

@@ -474,6 +474,45 @@ def z29(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z30(spark: SparkSession, d: str) -> DataFrame:
+    """argmax/argmin(axis=0) (round 6; np.argmax semantics, the op
+    frame.py::ZappyFrame._arg_extreme now implements for axis=0):
+    for every embedding position, the vec_id attaining the max and
+    the min, FIRST occurrence on ties. Window-free on the Spark
+    side: one struct-aggregate per extreme — max of (x, -vec_id)
+    orders by value then by negated id, so the tie resolves to the
+    smallest id with zero window stages; the shuffle carries ncols
+    keys (posexplode + groupBy(pos), partial-agg'd map-side — the
+    _col_agg scale shape, independent of nrows). The oracle replays
+    it with per-position ROW_NUMBER picks."""
+    x = t(spark, d, "embeddings").select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+    smax = F.struct(F.col("x").alias("x"), (-F.col("vec_id")).alias("nr"))
+    smin = F.struct(F.col("x").alias("x"), F.col("vec_id").alias("r"))
+    return (
+        x.select("pos", smax.alias("sx"), smin.alias("sn"))
+        .groupBy("pos")
+        .agg(
+            (-F.max("sx")["nr"]).alias("argmax_id"),
+            F.min("sn")["r"].alias("argmin_id"),
+            F.round(F.max("sx")["x"], 6).alias("mx"),
+            F.round(F.min("sn")["x"], 6).alias("mn"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("pos"),
+            "argmax_id",
+            "argmin_id",
+            "mx",
+            "mn",
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "z01_sum_axis0": z1,
     "z02_mean_axis0": z2,
@@ -503,9 +542,27 @@ QUERIES = {
     "z27_scrna_recipe": z27,
     "z28_row_median": z28,
     "z29_zarr_v2_roundtrip": z29,
+    "z30_argminmax_axis0": z30,
 }
 
 ORACLE = {
+    # z30: per-position arg-extremes; Spark's window-free
+    # struct-aggregate vs the oracle's ROW_NUMBER picks — same
+    # first-occurrence tie rule spelled two independent ways.
+    "z30_argminmax_axis0": (
+        "WITH x AS (SELECT vec_id, "
+        "unnest(CAST(embedding AS DOUBLE[])) x, "
+        "generate_subscripts(CAST(embedding AS DOUBLE[]), 1) pos "
+        "FROM embeddings), "
+        "mx AS (SELECT pos, vec_id, x, ROW_NUMBER() OVER "
+        "(PARTITION BY pos ORDER BY x DESC, vec_id) rn FROM x), "
+        "mn AS (SELECT pos, vec_id, x, ROW_NUMBER() OVER "
+        "(PARTITION BY pos ORDER BY x ASC, vec_id) rn FROM x) "
+        "SELECT CAST(mx.pos AS BIGINT) pos, mx.vec_id argmax_id, "
+        "mn.vec_id argmin_id, ROUND(mx.x, 6) mx, ROUND(mn.x, 6) mn "
+        "FROM mx JOIN mn ON mx.pos = mn.pos "
+        "WHERE mx.rn = 1 AND mn.rn = 1 ORDER BY pos"
+    ),
     # z29: Spark reduces values that made a zarr-v2 disk round-trip;
     # DuckDB reads the parquet originals — equality proves the v2
     # write/read path is value-preserving, not just self-consistent.
