@@ -2080,6 +2080,17 @@ def r89(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
     )
+    return rfm_grid(per)
+
+
+def rfm_grid(per: DataFrame) -> DataFrame:
+    """The r89 quintile grid over an already-reduced per-customer
+    frame of (o_custkey, lastd, freq, mon). Factored out so the
+    streaming twin (streaming/jobs.py::rfm_segments_from_state,
+    which maintains the same sufficient statistics incrementally)
+    ranks through the IDENTICAL code path — drained-equals-batch is
+    then a test about the state maintenance, not about two grid
+    spellings."""
     mx = per.agg(F.max("lastd").alias("maxd"))
     per = per.crossJoin(F.broadcast(mx)).withColumn(
         "rec", F.datediff("maxd", "lastd")
