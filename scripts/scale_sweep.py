@@ -61,6 +61,14 @@ def main() -> int:
 
     spark = get_session(app_name="scale_sweep")
     duck = duckdb.connect()
+    # The 100× documents table makes some oracle twins (set-similarity
+    # SQL especially) memory-hungry: cap DuckDB well under RAM and
+    # point its spill at /tmp so a heavy oracle gets slow, not
+    # OOM-killed (the first un-capped run died at 115 GB RSS inside
+    # d37's oracle).
+    duck.execute("SET memory_limit='24GB'")
+    duck.execute("SET threads=8")
+    duck.execute("SET temp_directory='/tmp/duck_spill'")
     for tbl in TABLES:
         p = f"{SF_DIR}/{tbl}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -79,19 +87,29 @@ def main() -> int:
                 f.flush()
                 continue
             t0 = time.monotonic()
-            df = QUERIES[name](spark, SF_DIR)
-            s = _canon(df.columns, [tuple(r) for r in df.collect()])
-            t1 = time.monotonic()
-            res = duck.execute(ORACLE[name])
-            o = _canon([c[0] for c in res.description], res.fetchall())
-            t2 = time.monotonic()
-            rec = {
-                "name": name,
-                "ok": s == o,
-                "rows": s[0],
-                "spark_s": round(t1 - t0, 3),
-                "duck_s": round(t2 - t1, 3),
-            }
+            try:
+                df = QUERIES[name](spark, SF_DIR)
+                s = _canon(df.columns, [tuple(r) for r in df.collect()])
+                t1 = time.monotonic()
+                res = duck.execute(ORACLE[name])
+                o = _canon(
+                    [c[0] for c in res.description], res.fetchall()
+                )
+                t2 = time.monotonic()
+                rec = {
+                    "name": name,
+                    "ok": s == o,
+                    "rows": s[0],
+                    "spark_s": round(t1 - t0, 3),
+                    "duck_s": round(t2 - t1, 3),
+                }
+            except Exception as exc:  # record and continue the sweep
+                rec = {
+                    "name": name,
+                    "ok": False,
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                    "at_s": round(time.monotonic() - t0, 3),
+                }
             f.write(json.dumps(rec) + "\n")
             f.flush()
             print(rec, flush=True)

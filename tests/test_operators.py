@@ -706,6 +706,38 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
     assert "_zs_salt" in plan.optimizedPlan().toString()
 
 
+def test_skew_guarded_join_picks_strategy_and_matches(spark):
+    """skew_guarded_join: balanced keys → plain plan (no salt
+    column); pathological keys → salted plan; results identical to
+    the plain join either way."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.joins import skew_guarded_join
+
+    # 90% of rows on one key, hot key above the row floor → salted
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i % 7 + 1, i) for i in range(3000)],
+        "k bigint, payload bigint",
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(8)], "k bigint, name string"
+    )
+    got = skew_guarded_join(left, right, "k", min_hot_rows=1000)
+    want = left.join(right, "k")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "_zs_salt" in plan, "hot key should have triggered salting"
+    # balanced keys → the guard stays out of the way
+    bal = spark.createDataFrame(
+        [(i % 8, i) for i in range(3000)], "k bigint, payload bigint"
+    )
+    got2 = skew_guarded_join(bal, right, "k", min_hot_rows=1000)
+    plan2 = got2._jdf.queryExecution().optimizedPlan().toString()
+    assert "_zs_salt" not in plan2, "balanced key must not salt"
+    assert got2.count() == bal.join(right, "k").count()
+
+
 def test_skew_diagnostics(spark):
     from zappy_spark.operators.diagnostics import (
         key_skew_report,

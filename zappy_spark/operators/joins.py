@@ -140,6 +140,52 @@ def salted_join(
     return out.drop("_zs_salt")
 
 
+def skew_guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    skew_threshold: float = 4.0,
+    min_hot_rows: int = 100_000,
+    max_salt: int = 64,
+) -> DataFrame:
+    """Equi-join that picks its own strategy from a skew diagnostic
+    (round 6 — the salted_join production knob automated, the
+    auto_max_bucket philosophy applied to joins): run
+    ``diagnostics.key_skew_report`` on the left key, and
+
+    - plain join when the key is balanced (skew_ratio below
+      ``skew_threshold`` or the hot key smaller than
+      ``min_hot_rows`` — salting balanced keys just multiplies the
+      right side for nothing);
+    - ``salted_join`` with salt ≈ ceil(skew_ratio) capped at
+      ``max_salt`` when one key would dominate a reducer.
+
+    The diagnostic costs one (key, count) shuffle + a 4-scalar
+    collect — amortized noise next to the join it protects, and the
+    same measurement a human would run before choosing. Results are
+    strategy-invariant (salted_join == plain join, property-pinned),
+    so the choice affects ONLY the physical plan. For sort-merge
+    joins under AQE, Spark's skew-join split handles moderate skew
+    engine-side; this guard is for the known-pathological keys
+    (null-key floods, boilerplate ids) where pre-salting beats
+    runtime splitting.
+    """
+    import math
+
+    from zappy_spark.operators.diagnostics import key_skew_report
+
+    rep = key_skew_report(left, key, top=1)
+    skewed = (
+        rep["skew_ratio"] >= skew_threshold
+        and rep["max_key_rows"] >= min_hot_rows
+    )
+    if not skewed:
+        return left.join(right, key, how)
+    salt = min(max_salt, max(2, math.ceil(rep["skew_ratio"])))
+    return salted_join(left, right, key, salt=salt, how=how)
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
