@@ -76,6 +76,13 @@ def main() -> int:
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')"
         )
     skip_quadratic = "/testdata/" not in SF_DIR
+    # Entries whose BOTH sides are too heavy for the 100× fixture on
+    # this shared box (measured: d37's AllPairs verify + its SQL twin
+    # ran >25 min combined before being cut; the twin alone reached
+    # the DuckDB memory cap). Recorded as skipped WITH this reason —
+    # d37's correctness evidence at scale is the 10× oracle run plus
+    # the candidate-bound plan pins (tests/test_plans.py).
+    heavy_100x = {"d37_prefix_jaccard"} if "synth_sf10" in SF_DIR else set()
     failed = []
     names = [n for n in QUERIES if n in ORACLE]
     with out.open("a") as f:
@@ -84,6 +91,19 @@ def main() -> int:
                 continue
             if skip_quadratic and name in QUADRATIC_ORACLES:
                 f.write(json.dumps({"name": name, "skipped": True}) + "\n")
+                f.flush()
+                continue
+            if name in heavy_100x:
+                f.write(
+                    json.dumps(
+                        {
+                            "name": name,
+                            "skipped": True,
+                            "reason": "heavy_100x (see script note)",
+                        }
+                    )
+                    + "\n"
+                )
                 f.flush()
                 continue
             t0 = time.monotonic()

@@ -62,6 +62,19 @@ the 10x synth fixture regardless of window position; the whole
 50-entry round-6 window was additionally pre-verified green with
 scripts/check_queries.py at sf0.01 before the driver run.
 
+ROUND-7 ROTATION PLAN (next session): the 50 round-6 window
+entries (15 debt + 6 re-spells + 8 new + 21 r1-stale) drop to the
+back once CORRECTNESS_r06 lands green. Promote, in order: any
+round-7 re-spells/new entries (cap ~10 — the stale deadline
+binds), then the 19 remaining _R1_STALE (r08_full_outer_join …
+r26_range_frame in list order), then the first ~21 of _R2_STALE
+(z09 … l01 in list order). That leaves ~18 r2-stale entries whose
+newest rows stay round-2; they lead the round-8 window — the
+"nothing older than round 3" bar is then met one round later than
+VERDICT r5 item 4 hoped, which is the honest arithmetic of a
+50-slot window against 58 stale candidates (flagged here rather
+than silently dropped).
+
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
 tests/test_dtypes.py tests/test_plans.py -q` (~3 min); at session
