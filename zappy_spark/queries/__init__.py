@@ -149,6 +149,11 @@ _CHANGED_R6 = [
     "t25_cms_heavy_hitters",
     "d37_prefix_jaccard",
     "d35_bloom_gate",
+    # r26 re-spelled mid-round: the 100× sweep watchdog caught the
+    # full-table global RANGE frame timing out (the only corpus
+    # spelling that measurably failed the fixture); now a
+    # deterministic 1% key sample — needs a row in the new form.
+    "r26_range_frame",
 ]
 
 # Brand-new round-6 entries (zero driver rows) — appended as the
