@@ -168,6 +168,7 @@ _NEW_R6 = [
     "d38_url_canonical",  # NEW r6: canonical-URL crawl dedup
     "d39_oov_rate",  # NEW r6: vocab-coverage OOV audit
     "v25_centroid_drift",  # NEW r6: per-label embedding drift
+    "z31_zarr_v3_roundtrip",  # NEW r6: zarr v3 disk round-trip
 ]
 
 # Round-5 window head (now historical; every entry below carries a

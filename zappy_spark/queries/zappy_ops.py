@@ -474,6 +474,44 @@ def z29(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z31(spark: SparkSession, d: str) -> DataFrame:
+    """zarr v3 disk round-trip (round 6; sources/zarrlite.py): write
+    the first 500 embeddings to a REAL zarr v3 store — ``zarr.json``
+    core metadata, default ``c/<i>/0`` chunk keys, gzip codec chain,
+    padded tail (chunk_rows=97 forces one) — read it back through
+    the chunk-per-partition DataSource, and reduce to per-position
+    (count, min, max). The oracle computes the same stats straight
+    from parquet, so any v3 format defect (key encoding, codec
+    framing, endianness, fill-value leak past the trim) flips the
+    row. min/max are order-independent — immune to summation-order
+    ulps (the z29 discipline, applied to the v3 path)."""
+    import os
+    import tempfile
+
+    from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v3
+
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 500)
+    df = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"zs_z31_{os.path.basename(d.rstrip('/'))}"
+    )
+    write_zarr_v3(df, store, chunk_rows=97, ncols=64, compressor="gzip")
+    back = read_zarrlite(spark, store)
+    return (
+        back.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 6).alias("mn"),
+            F.round(F.max("x"), 6).alias("mx"),
+        )
+        .orderBy("pos")
+    )
+
+
 def z30(spark: SparkSession, d: str) -> DataFrame:
     """argmax/argmin(axis=0) (round 6; np.argmax semantics, the op
     frame.py::ZappyFrame._arg_extreme now implements for axis=0):
@@ -543,9 +581,21 @@ QUERIES = {
     "z28_row_median": z28,
     "z29_zarr_v2_roundtrip": z29,
     "z30_argminmax_axis0": z30,
+    "z31_zarr_v3_roundtrip": z31,
 }
 
 ORACLE = {
+    # z31: Spark reduces values that made a zarr-v3 disk round-trip;
+    # DuckDB reads the parquet originals — equality proves the v3
+    # write/read path is value-preserving (the z29 contract for v3).
+    "z31_zarr_v3_roundtrip": (
+        "WITH e AS (SELECT "
+        "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) x "
+        "FROM embeddings WHERE vec_id < 500) "
+        "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
     # z30: per-position arg-extremes; Spark's window-free
     # struct-aggregate vs the oracle's ROW_NUMBER picks — same
     # first-occurrence tie rule spelled two independent ways.
