@@ -60,21 +60,27 @@ def main() -> int:
     from zappy_spark.session import get_session
 
     spark = get_session(app_name="scale_sweep")
-    duck = duckdb.connect()
-    # The 100× documents table makes some oracle twins (set-similarity
-    # SQL especially) memory-hungry: cap DuckDB well under RAM and
-    # point its spill at /tmp so a heavy oracle gets slow, not
-    # OOM-killed (the first un-capped run died at 115 GB RSS inside
-    # d37's oracle).
-    duck.execute("SET memory_limit='24GB'")
-    duck.execute("SET threads=8")
-    duck.execute("SET temp_directory='/tmp/duck_spill'")
-    for tbl in TABLES:
-        p = f"{SF_DIR}/{tbl}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        duck.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')"
-        )
+
+    def _mk_duck():
+        # Fresh connection PER ENTRY: a query that hits the memory
+        # limit leaves the old connection's allocator wedged (every
+        # later 64 KB allocation failed in the first run — four
+        # cascade failures), so isolation beats reuse here. Setup is
+        # milliseconds. The 100× documents table makes some oracle
+        # twins memory-hungry: cap DuckDB well under RAM with a /tmp
+        # spill so a heavy oracle gets slow, not OOM-killed (the
+        # un-capped run died at 115 GB RSS inside d37's oracle).
+        d = duckdb.connect()
+        d.execute("SET memory_limit='24GB'")
+        d.execute("SET threads=8")
+        d.execute("SET temp_directory='/tmp/duck_spill'")
+        for tbl in TABLES:
+            p = f"{SF_DIR}/{tbl}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            d.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')"
+            )
+        return d
     skip_quadratic = "/testdata/" not in SF_DIR
     # Entries whose BOTH sides are too heavy for the 100× fixture on
     # this shared box (measured: d37's AllPairs verify + its SQL twin
@@ -107,14 +113,47 @@ def main() -> int:
                 f.flush()
                 continue
             t0 = time.monotonic()
+            duck = _mk_duck()
+            # Per-entry watchdog (the r26 lesson: one quadratic-at-
+            # this-scale frame evaluation must not stall the other
+            # 200 entries): cancel the Spark jobs / interrupt DuckDB
+            # once the budget expires; the raised error is recorded
+            # like any other and the sweep moves on.
+            budget = float(os.environ.get("SWEEP_ENTRY_TIMEOUT", "900"))
+            import threading
+
+            cancelled = {"why": None}
+
+            def _cancel(side):
+                cancelled["why"] = f"{side} exceeded {budget:.0f}s"
+                if side == "spark":
+                    spark.sparkContext.cancelAllJobs()
+                else:
+                    try:
+                        duck.interrupt()
+                    except Exception:
+                        pass
+
             try:
-                df = QUERIES[name](spark, SF_DIR)
-                s = _canon(df.columns, [tuple(r) for r in df.collect()])
+                timer = threading.Timer(budget, _cancel, ["spark"])
+                timer.start()
+                try:
+                    df = QUERIES[name](spark, SF_DIR)
+                    s = _canon(
+                        df.columns, [tuple(r) for r in df.collect()]
+                    )
+                finally:
+                    timer.cancel()
                 t1 = time.monotonic()
-                res = duck.execute(ORACLE[name])
-                o = _canon(
-                    [c[0] for c in res.description], res.fetchall()
-                )
+                timer = threading.Timer(budget, _cancel, ["duck"])
+                timer.start()
+                try:
+                    res = duck.execute(ORACLE[name])
+                    o = _canon(
+                        [c[0] for c in res.description], res.fetchall()
+                    )
+                finally:
+                    timer.cancel()
                 t2 = time.monotonic()
                 rec = {
                     "name": name,
@@ -127,9 +166,18 @@ def main() -> int:
                 rec = {
                     "name": name,
                     "ok": False,
-                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                    "error": (
+                        f"timeout: {cancelled['why']}"
+                        if cancelled["why"]
+                        else f"{type(exc).__name__}: {exc}"[:300]
+                    ),
                     "at_s": round(time.monotonic() - t0, 3),
                 }
+            finally:
+                try:
+                    duck.close()
+                except Exception:
+                    pass
             f.write(json.dumps(rec) + "\n")
             f.flush()
             print(rec, flush=True)

@@ -154,6 +154,10 @@ _CHANGED_R6 = [
     # spelling that measurably failed the fixture); now a
     # deterministic 1% key sample — needs a row in the new form.
     "r26_range_frame",
+    # v24 re-spelled mid-round for the same reason: its %50 query
+    # panel grew with the corpus (panel×corpus ≈ quadratic, 900 s
+    # at 100×); now bounded to vec_id < 2000 — a fixed instrument.
+    "v24_retrieval_eval",
 ]
 
 # Brand-new round-6 entries (zero driver rows) — appended as the
