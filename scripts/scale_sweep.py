@@ -71,7 +71,12 @@ def main() -> int:
         # spill so a heavy oracle gets slow, not OOM-killed (the
         # un-capped run died at 115 GB RSS inside d37's oracle).
         d = duckdb.connect()
-        d.execute("SET memory_limit='24GB'")
+        # 60GB: some oracle operators (list aggregates, recursive
+        # CTE state) cannot spill, and several 100× twins need
+        # >24GB legitimately; the box holds 125GB with Spark's
+        # driver capped at 16GB, so 60GB still leaves the OOM
+        # killer out of reach.
+        d.execute("SET memory_limit='60GB'")
         d.execute("SET threads=8")
         d.execute("SET temp_directory='/tmp/duck_spill'")
         for tbl in TABLES:
