@@ -520,12 +520,45 @@ def containment_pairs(
             )
             .distinct()
         )
-    ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
+    # Verify via narrow (doc, gram) rows, NOT by joining the full
+    # gram arrays onto each candidate pair: the array form shuffles
+    # |A|+|B| strings per candidate as ONE huge record, and at the
+    # 100x fixture those multi-hundred-KB rows blew the sort spill
+    # ("No space left on device" in UnsafeExternalSorter, round 6).
+    # The exploded form moves the same bytes as many ~100-byte rows
+    # — spill-friendly, partial-aggregated, and whole-stage-codegen
+    # all the way. Same math: |A∩B| / min(|A|,|B|) over distinct
+    # grams. The inner joins drop zero-intersection pairs, which is
+    # sound because every candidate shares ≥1 gram by construction
+    # (a matching band pins its argmin grams; an anchor hit IS a
+    # shared gram) and threshold > 0 filters them regardless.
+    dg = grams.select(
+        "_gid", F.explode(F.array_distinct("grams")).alias("_g")
+    )
+    sizes = dg.groupBy("_gid").agg(F.count("*").alias("_n"))
+    inter = (
+        cand.join(dg.select(F.col("_gid").alias("i"), "_g"), "i")
+        .join(dg.select(F.col("_gid").alias("j"), "_g"), ["j", "_g"])
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("_inter"))
+    )
     return (
-        cand.join(ga, "i")
-        .join(gb, "j")
-        .select("i", "j", ngram_containment("ga", "gb").alias("cont"))
+        inter.join(
+            sizes.select(F.col("_gid").alias("i"), F.col("_n").alias("_na")),
+            "i",
+        )
+        .join(
+            sizes.select(F.col("_gid").alias("j"), F.col("_n").alias("_nb")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("_inter").cast("double")
+                / F.least("_na", "_nb").cast("double")
+            ).alias("cont"),
+        )
         .filter(F.col("cont") >= threshold)
     )
 
