@@ -66,9 +66,13 @@ ROUND-7 ROTATION PLAN (next session): the 50 round-6 window
 entries (15 debt + 6 re-spells + 8 new + 21 r1-stale) drop to the
 back once CORRECTNESS_r06 lands green. Promote, in order: any
 round-7 re-spells/new entries (cap ~10 — the stale deadline
-binds), then the 19 remaining _R1_STALE (r08_full_outer_join …
-r26_range_frame in list order), then the first ~21 of _R2_STALE
-(z09 … l01 in list order). That leaves ~18 r2-stale entries whose
+binds), then d13/d14 (their containment verify was physically
+re-spelled late in round 6 — exploded-gram join instead of
+array-carrying join, identical values, oracle unchanged,
+re-checked at all 3 SFs + 100× — but their newest driver rows
+predate the re-spell), then the 19 remaining _R1_STALE
+(r08_full_outer_join … r26_range_frame in list order), then the
+first ~21 of _R2_STALE (z09 … l01 in list order). That leaves ~18 r2-stale entries whose
 newest rows stay round-2; they lead the round-8 window — the
 "nothing older than round 3" bar is then met one round later than
 VERDICT r5 item 4 hoped, which is the honest arithmetic of a
