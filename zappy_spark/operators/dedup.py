@@ -292,12 +292,42 @@ def near_dup_pairs(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
     cand = lsh_candidate_pairs(sig, id_col, bands, rows, max_bucket)
-    ga = grams.select(F.col("_gid").alias("i"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("_gid").alias("j"), F.col("grams").alias("gb"))
+    # Exploded-gram verify (same rationale as containment_pairs):
+    # narrow (doc, gram) rows instead of shuffling both full gram
+    # arrays as one record per candidate. Jaccard = inter /
+    # (|A| + |B| − inter) over distinct grams — identical values.
+    # The inner joins drop zero-intersection pairs, which is sound:
+    # a matching LSH band pins its argmin grams into A∩B, and
+    # threshold > 0 filters jac = 0 regardless.
+    dg = grams.select(
+        "_gid", F.explode(F.array_distinct("grams")).alias("_g")
+    )
+    sizes = dg.groupBy("_gid").agg(F.count("*").alias("_n"))
+    inter = (
+        cand.join(dg.select(F.col("_gid").alias("i"), "_g"), "i")
+        .join(dg.select(F.col("_gid").alias("j"), "_g"), ["j", "_g"])
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("_inter"))
+    )
     return (
-        cand.join(ga, "i")
-        .join(gb, "j")
-        .select("i", "j", ngram_jaccard("ga", "gb").alias("jac"))
+        inter.join(
+            sizes.select(F.col("_gid").alias("i"), F.col("_n").alias("_na")),
+            "i",
+        )
+        .join(
+            sizes.select(F.col("_gid").alias("j"), F.col("_n").alias("_nb")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast(
+                    "double"
+                )
+            ).alias("jac"),
+        )
         .filter(F.col("jac") >= threshold)
     )
 
