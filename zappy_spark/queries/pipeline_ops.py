@@ -86,9 +86,14 @@ def d06(spark: SparkSession, d: str) -> DataFrame:
     bucket join, exact-Jaccard verify. Fully oracle-checked: every
     hash is portable md5, so DuckDB replays the identical pipeline
     (signature → band → candidate → verify) and must produce the
-    same pair set."""
+    same pair set. Instrument bounded to ``doc_id < 5000`` (a no-op
+    at every testdata SF — see d14's docstring; at the 100x fixture
+    the unbounded twin exceeded 1800 s in DuckDB)."""
     pairs = dedup.near_dup_pairs(
-        t(spark, d, "documents"), "text", "doc_id", threshold=0.5
+        t(spark, d, "documents").filter(F.col("doc_id") < 5000),
+        "text",
+        "doc_id",
+        threshold=0.5,
     )
     return pairs.select(
         "i", "j", F.round("jac", 6).alias("jac")
@@ -2530,7 +2535,13 @@ def _simhash_oracle(bits: int = 16) -> str:
 
 def _lsh_pipeline_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     """DuckDB replica of near_dup_pairs(num_hashes=16, bands=4,
-    threshold=0.5): same md5 hash family, same band keys."""
+    threshold=0.5): same md5 hash family, same band keys.
+
+    Instrument bounded to ``doc_id < 5000`` (a no-op at every
+    testdata SF) — on the replica-dense 100x fixture this twin's
+    banded self-join + list_intersect verify exceeded a 1800 s /
+    60 GB budget (measured round 6) while the Spark side finished
+    in ~450 s; d13/d14 doctrine applies."""
     rows = num_hashes // bands
     sig_cols = ", ".join(
         f"MIN(md5(concat('{i}|',g))) s{i}" for i in range(num_hashes)
@@ -2541,7 +2552,8 @@ def _lsh_pipeline_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     return (
-        "WITH t AS (SELECT doc_id, string_split(text,' ') ws FROM documents), "
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws "
+        "FROM documents WHERE doc_id < 5000), "
         "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
         "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
         "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
