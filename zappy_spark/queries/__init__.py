@@ -63,16 +63,14 @@ the 10x synth fixture regardless of window position; the whole
 scripts/check_queries.py at sf0.01 before the driver run.
 
 ROUND-7 ROTATION PLAN (next session): the 50 round-6 window
-entries (15 debt + 6 re-spells + 8 new + 21 r1-stale) drop to the
-back once CORRECTNESS_r06 lands green. Promote, in order: any
-round-7 re-spells/new entries (cap ~10 — the stale deadline
-binds), then d13/d14 (their containment verify was physically
-re-spelled late in round 6 — exploded-gram join instead of
-array-carrying join, identical values, oracle unchanged,
-re-checked at all 3 SFs + 100× — but their newest driver rows
-predate the re-spell), then the 19 remaining _R1_STALE
-(r08_full_outer_join … r26_range_frame in list order), then the
-first ~21 of _R2_STALE (z09 … l01 in list order). That leaves ~18 r2-stale entries whose
+entries (15 debt + 11 re-spells + 9 new + 15 r1-stale; d06/d13/d14
+joined the re-spell tier late after the 100× sweep's findings,
+displacing the last three r1-stale slots) drop to the back once
+CORRECTNESS_r06 lands green. Promote, in order: any round-7
+re-spells/new entries (cap ~10 — the stale deadline binds), then
+the 22 remaining _R1_STALE (z23_regr, r03, r04,
+r08_full_outer_join … r26 order), then the first ~18 of _R2_STALE
+(z09 … l01 in list order). That leaves ~18 r2-stale entries whose
 newest rows stay round-2; they lead the round-8 window — the
 "nothing older than round 3" bar is then met one round later than
 VERDICT r5 item 4 hoped, which is the honest arithmetic of a
@@ -162,6 +160,19 @@ _CHANGED_R6 = [
     # panel grew with the corpus (panel×corpus ≈ quadratic, 900 s
     # at 100×); now bounded to vec_id < 2000 — a fixed instrument.
     "v24_retrieval_eval",
+    # d06/d13/d14 re-spelled late in round 6 by the full-corpus
+    # 100× sweep's findings: the verify stage now runs over narrow
+    # exploded (doc, gram) rows instead of array-carrying joins
+    # (identical values), and the three pair-LISTING instruments
+    # are bounded to doc_id < 5000 (a no-op at every testdata SF —
+    # the replica-dense fixture has ~1e8 true pairs, not a
+    # collectable gate). Values at driver SFs are byte-identical,
+    # but the spelling changed, so they re-enter the window here,
+    # displacing the last three r1-stale slots (stale-but-green
+    # beats changed-without-a-current-row for what can wait).
+    "d06_lsh_neardup_pipeline",
+    "d13_containment_pairs",
+    "d14_containment_anchored",
 ]
 
 # Brand-new round-6 entries (zero driver rows) — appended as the
