@@ -917,3 +917,80 @@ def test_basket_lift_and_woe_reconstruct(spark):
         br = (r["n_bad"] + 0.5) / (bt + 0.5)
         assert abs(r["woe"] - m.log(gr / br)) < 1e-5
         assert abs(r["iv_contrib"] - (gr - br) * m.log(gr / br)) < 1e-5
+
+
+def test_exploded_verify_matches_array_form(spark):
+    """Round-6 re-spell guard: the narrow exploded-gram verify in
+    near_dup_pairs / containment_pairs must reproduce EXACTLY what
+    the original array-carrying form computed — brute-force Jaccard
+    and containment over the same candidate semantics on a planted
+    corpus, plus partitioning invariance. (The re-spell exists for
+    spill shape at 100×, not for semantics: SCALE.md round 6.)"""
+    import numpy as np
+
+    from zappy_spark.operators.dedup import (
+        containment_pairs,
+        near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, size=24)) for _ in range(20)]
+    docs = []
+    for i, b in enumerate(base):
+        docs.append((3 * i, b))
+        ws = b.split()
+        ws[rng.integers(0, 24)] = "mut"  # near-dup twin
+        docs.append((3 * i + 1, " ".join(ws)))
+        # embedded copy: the first 16 words quoted inside noise —
+        # containment 14/22 ≈ 0.64, Jaccard 14/42 ≈ 0.33
+        quote = " ".join(ws[:16])
+        noise = " ".join(rng.choice(vocab, size=24))
+        docs.append((3 * i + 2, f"{noise} {quote}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def shingles(text, k=3):
+        ws = text.split()
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in docs}
+
+    got_j = {
+        (r["i"], r["j"], round(r["jac"], 6))
+        for r in near_dup_pairs(
+            df, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    for i, j, jac in got_j:  # every emitted pair is exactly right
+        inter = len(sets[i] & sets[j])
+        assert jac == round(inter / len(sets[i] | sets[j]), 6)
+    assert len(got_j) >= 15  # the planted twins actually surface
+
+    got_c = {
+        (r["i"], r["j"], round(r["cont"], 6))
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.5, anchors=4
+        ).collect()
+    }
+    for i, j, cont in got_c:
+        inter = len(sets[i] & sets[j])
+        assert cont == round(
+            inter / min(len(sets[i]), len(sets[j])), 6
+        )
+    # the embedded copies are found only via containment: at least
+    # one (twin, quote-host) pair must exceed 0.5 containment while
+    # sitting below 0.5 Jaccard
+    only_cont = {
+        (i, j)
+        for (i, j, _) in got_c
+        if len(sets[i] & sets[j]) / len(sets[i] | sets[j]) < 0.5
+    }
+    assert only_cont, "anchored path found no Jaccard-invisible pair"
+    # partitioning invariance
+    got_j2 = {
+        (r["i"], r["j"], round(r["jac"], 6))
+        for r in near_dup_pairs(
+            df.repartition(7, "text"), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got_j2 == got_j
