@@ -1032,3 +1032,28 @@ def test_centroid_drift_is_narrow_aggs(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_ngram_novelty_is_pure_hash_aggs(spark):
+    """t29: shingle explode feeds per-doc and per-gram hash aggs and
+    a per-source rollup — no window anywhere, no Python, and the
+    gram stream is distinct-per-doc BEFORE any shuffle-by-gram."""
+    plan = _plan(QUERIES["t29_ngram_novelty"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_is_one_partitioned_window_pass(spark):
+    """s20: both window functions (prefix sum, prefix min) ride the
+    SAME (user_id, event_id) sort — exactly one Exchange + one Sort
+    for the window stage, partitioned by user (never a global
+    window); the top-20 cut is TakeOrderedAndProject."""
+    plan = _plan(QUERIES["s20_cusum_drift"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    sorts = len(re.findall(r"\bSort\b", plan))
+    assert sorts <= 3, plan[:3000]

@@ -188,6 +188,8 @@ _NEW_R6 = [
     "d39_oov_rate",  # NEW r6: vocab-coverage OOV audit
     "v25_centroid_drift",  # NEW r6: per-label embedding drift
     "z31_zarr_v3_roundtrip",  # NEW r6: zarr v3 disk round-trip
+    "t29_ngram_novelty",  # NEW r6: per-source crawl-redundancy audit
+    "s20_cusum_drift",  # NEW r6: prefix-sum CUSUM change-point monitor
 ]
 
 # Round-5 window head (now historical; every entry below carries a

@@ -633,6 +633,58 @@ def s19(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def s20(spark: SparkSession, d: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift detection (round 6): the
+    classic S_t = max(0, S_{t-1} + (x_t − k)) change-point monitor,
+    spelled scan-shaped via its prefix-sum closed form
+    S_t = P_t − min(0, min_{s≤t} P_s) — two window functions over
+    ONE (user, event_id)-ordered pass instead of a recursive
+    dependency, which is what makes it runnable as a declarative
+    plan (and as the streaming twin's running state). x is the
+    event value in exact cents; k = 5500 sits above the corpus mean
+    (~4963), so S hovers near 0 and excursions mark sustained
+    drift; h = 20000 is the alarm line. Every quantity is an exact
+    BIGINT — no float accumulation anywhere.
+
+    Scale: the window partitions by user_id (high-cardinality key,
+    one shuffle); the rollup is a hash agg; top-20 by
+    (max_cusum, user_id) is TakeOrderedAndProject."""
+    ev = t(spark, d, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.round(F.col("value") * 100).cast("bigint") - F.lit(5500)
+        ).alias("dx"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = base.select(
+        "user_id", "event_id", F.sum("dx").over(w).alias("ps")
+    )
+    c = p.select(
+        "user_id",
+        (
+            F.col("ps")
+            - F.least(F.min("ps").over(w), F.lit(0).cast("bigint"))
+        ).alias("cusum"),
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.max("cusum").alias("max_cusum"),
+            F.sum(
+                F.when(F.col("cusum") >= 20000, 1).otherwise(0)
+            ).alias("n_alarms"),
+        )
+        .orderBy(F.desc("max_cusum"), "user_id")
+        .limit(20)
+    )
+
+
 def r84(spark: SparkSession, d: str) -> DataFrame:
     """Cumulative distinct users by day (round 5c): the DAU-growth
     curve — "how many unique users have we EVER seen as of day X".
@@ -730,6 +782,7 @@ QUERIES = {
     "r82_attribution": r82,
     "r83_interval_overlap": r83,
     "s19_path_trigrams": s19,
+    "s20_cusum_drift": s20,
     "r84_cumulative_users": r84,
     "r88_acf_daily": r88,
 }
@@ -777,6 +830,24 @@ ORACLE = {
         "SELECT concat(a, '>', b, '>', c) path, COUNT(*) n "
         "FROM tri WHERE a IS NOT NULL "
         "GROUP BY path ORDER BY n DESC, path LIMIT 20"
+    ),
+    # s20: the prefix-sum CUSUM closed form replayed; windowed SUM
+    # returns HUGEINT in this engine — cast to BIGINT before the
+    # arithmetic. Exact cents in, exact integers all the way out.
+    "s20_cusum_drift": (
+        "WITH e AS (SELECT user_id, event_id, "
+        "CAST(ROUND(value*100) AS BIGINT) - 5500 dx FROM events), "
+        "p AS (SELECT user_id, event_id, "
+        "CAST(SUM(dx) OVER (PARTITION BY user_id ORDER BY event_id) "
+        "AS BIGINT) ps FROM e), "
+        "c AS (SELECT user_id, ps - LEAST(CAST(MIN(ps) OVER "
+        "(PARTITION BY user_id ORDER BY event_id) AS BIGINT), 0) "
+        "cusum FROM p) "
+        "SELECT user_id, CAST(MAX(cusum) AS BIGINT) max_cusum, "
+        "CAST(SUM(CASE WHEN cusum >= 20000 THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_alarms "
+        "FROM c GROUP BY user_id ORDER BY max_cusum DESC, user_id "
+        "LIMIT 20"
     ),
     # r83: the ±1 marker sweep replayed verbatim; integer micros,
     # delta=-1 sorts before +1 at ties = half-open intervals.

@@ -2288,6 +2288,61 @@ def t28(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t29(spark: SparkSession, d: str) -> DataFrame:
+    """Per-source n-gram novelty rate (round 6): for each source,
+    the fraction of its documents' distinct 3-gram shingles that
+    FIRST appear (min doc_id corpus-wide) in one of that source's
+    own documents — the crawl-order redundancy audit ("is this feed
+    still contributing new text, or re-serving what we already
+    have?") that sits upstream of dedup spend decisions: a source
+    whose novelty collapses is a candidate for sampling down before
+    MinHash ever runs.
+
+    Scale shape: one shingle explode (distinct per doc, so the
+    count-distinct never shuffles raw token streams twice), one
+    hash agg to each gram's first doc, one count-by-first-doc, and
+    a per-source rollup — no windows, no self-joins; every count is
+    an exact integer and the rate is one exact integer division
+    (the d39 discipline)."""
+    docs = t(spark, d, "documents")
+    dg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(F.col("text"), 3))
+        ).alias("gram"),
+    )
+    per_doc = dg.groupBy("doc_id").agg(F.count("*").alias("_ng"))
+    novel = (
+        dg.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nv"))
+    )
+    j = (
+        per_doc.join(novel, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source", "_ng", F.coalesce("_nv", F.lit(0)).alias("_nv")
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("_ng").alias("n_grams"),
+            F.sum("_nv").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def d38(spark: SparkSession, d: str) -> DataFrame:
     """URL-canonicalization dedup (round 6; operators/text.py::
     canonical_url + url_dedup_groups): the crawl-dedup step that
@@ -2463,6 +2518,7 @@ QUERIES = {
     "v24_retrieval_eval": v24,
     "t27_readability": t27,
     "t28_keywords": t28,
+    "t29_ngram_novelty": t29,
     "d38_url_canonical": d38,
     "d39_oov_rate": d39,
     "v25_centroid_drift": v25,
@@ -2906,6 +2962,27 @@ ORACLE = {
         "SELECT doc_id, CAST(kw_rank AS BIGINT) kw_rank, term, ti "
         "FROM rk WHERE kw_rank <= 2 AND doc_id < 30 "
         "ORDER BY doc_id, kw_rank"
+    ),
+    # t29: the d13 shingle CTE (no token filter — word_shingles
+    # parity), DISTINCT per doc; first-doc via MIN; exact-integer
+    # counts and one exact division (the d39 discipline).
+    "t29_ngram_novelty": (
+        "WITH t AS (SELECT doc_id, string_split(text,' ') ws "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        "pd AS (SELECT doc_id, COUNT(*) ng FROM sh GROUP BY 1), "
+        "fv AS (SELECT MIN(doc_id) doc_id FROM sh GROUP BY g), "
+        "nv AS (SELECT doc_id, COUNT(*) nv FROM fv GROUP BY 1), "
+        "j AS (SELECT d2.source, pd.ng, COALESCE(nv.nv, 0) nv "
+        "FROM pd LEFT JOIN nv USING (doc_id) "
+        "JOIN documents d2 USING (doc_id)) "
+        "SELECT source, CAST(SUM(ng) AS BIGINT) n_grams, "
+        "CAST(SUM(nv) AS BIGINT) n_novel, "
+        "ROUND(SUM(nv)*1.0/SUM(ng), 6) novelty_rate "
+        "FROM j GROUP BY source ORDER BY source"
     ),
     # d38: the canonicalization replayed with RE2-safe spellings
     # (capture-group trailing-slash trim, no lookbehind; '\\1' is
