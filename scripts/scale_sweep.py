@@ -87,13 +87,11 @@ def main() -> int:
             )
         return d
     skip_quadratic = "/testdata/" not in SF_DIR
-    # Entries whose BOTH sides are too heavy for the 100× fixture on
-    # this shared box (measured: d37's AllPairs verify + its SQL twin
-    # ran >25 min combined before being cut; the twin alone reached
-    # the DuckDB memory cap). Recorded as skipped WITH this reason —
-    # d37's correctness evidence at scale is the 10× oracle run plus
-    # the candidate-bound plan pins (tests/test_plans.py).
-    heavy_100x = {"d37_prefix_jaccard"} if "synth_sf10" in SF_DIR else set()
+    # (Round 6: the former heavy_100x set is empty — d37's
+    # instrument is now bounded to doc_id < 5000 like d06/d13/d14,
+    # so it runs at any fixture; only the conftest QUADRATIC_ORACLES
+    # remain skipped outside testdata.)
+    heavy_100x: set[str] = set()
     failed = []
     names = [n for n in QUERIES if n in ORACLE]
     with out.open("a") as f:

@@ -2100,12 +2100,20 @@ def d37(spark: SparkSession, d: str) -> DataFrame:
     because this corpus's 40-word vocabulary keeps the 3-gram space
     dense (avg shingle df ~68 at 50k docs -> ~1e8 candidate join
     rows); at k=5 the measured prefix-filter selectivity is 99.95%
-    (250,717 candidates -> 250,600 true pairs at the 10x fixture)."""
+    (250,717 candidates -> 250,600 true pairs at the 10x fixture).
+    Instrument bounded to ``doc_id < 5000`` (a no-op at every
+    testdata SF): the replica-dense 100x fixture's ~1e8 true pairs
+    made the unbounded verify too heavy for one box on BOTH engines
+    — the d06/d13/d14 bound-the-instrument doctrine (round 6)."""
     # max_token_df passed explicitly (the oracle hardcodes the same
     # 100k cap); the operator default is None = exact prefix filter
     pairs = dedup.prefix_filter_pairs(
-        t(spark, d, "documents"), "text", "doc_id", theta=0.5,
-        shingle_k=5, max_token_df=100_000,
+        t(spark, d, "documents").filter(F.col("doc_id") < 5000),
+        "text",
+        "doc_id",
+        theta=0.5,
+        shingle_k=5,
+        max_token_df=100_000,
     )
     return pairs.orderBy(F.desc("jac"), "i", "j").limit(50)
 
@@ -3040,7 +3048,7 @@ ORACLE = {
     # Jaccard verify on candidates only; every count is an integer.
     "d37_prefix_jaccard": (
         "WITH t AS (SELECT doc_id doc, string_split(text,' ') ws "
-        "FROM documents), "
+        "FROM documents WHERE doc_id < 5000), "
         "toks AS (SELECT DISTINCT doc, concat(ws[CAST(i AS INT)],' ',"
         "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2],' ',"
         "ws[CAST(i AS INT)+3],' ',ws[CAST(i AS INT)+4]) tok FROM "
