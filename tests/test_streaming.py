@@ -1186,3 +1186,55 @@ def test_incremental_rfm_state_equals_batch(spark, tmp_path):
     q2.stop()
     got2 = jobs.rfm_segments_from_state(spark, state2)
     assert _rows(got2, *cols) == _rows(batch, *cols)
+
+
+def test_cusum_stream_equals_batch(spark, replay_dir):
+    """The four-integer CUSUM state folded incrementally must equal
+    the batch prefix-sum closed form (the s20 twin). Both sides are
+    exact BIGINT arithmetic, so equality is exact, not approximate;
+    update-mode emissions are monotone per key, so the drained
+    maximum IS the final state."""
+    stream = jobs.stream_events(spark, replay_dir)
+    got = jobs.run_to_memory(
+        jobs.cusum_stateful(stream), "t_cusum", output_mode="update"
+    )
+    g = got.groupBy("user_id").agg(
+        F.max("max_cusum").alias("max_cusum"),
+        F.max("n_alarms").alias("n_alarms"),
+    )
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(replay_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.round(F.col("value") * 100).cast("bigint") - F.lit(5500)
+        ).alias("dx"),
+    )
+    p = base.select(
+        "user_id", "ts", "event_id", F.sum("dx").over(w).alias("ps")
+    )
+    c = p.select(
+        "user_id",
+        (
+            F.col("ps")
+            - F.least(F.min("ps").over(w), F.lit(0).cast("bigint"))
+        ).alias("cusum"),
+    )
+    b = c.groupBy("user_id").agg(
+        F.max("cusum").alias("max_cusum"),
+        F.sum(F.when(F.col("cusum") >= 20000, 1).otherwise(0)).alias(
+            "n_alarms"
+        ),
+    )
+    gr = _rows(g, "user_id", "max_cusum", "n_alarms")
+    br = _rows(b, "user_id", "max_cusum", "n_alarms")
+    assert len(gr) == len(br) > 0
+    assert gr == br

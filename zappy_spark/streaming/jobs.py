@@ -601,6 +601,83 @@ def attribution_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+_CUSUM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("max_cusum", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [
+        StructField("ps", LongType()),
+        StructField("mn", LongType()),
+        StructField("mx", LongType()),
+        StructField("alarms", LongType()),
+    ]
+)
+
+
+def _cusum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-user CUSUM state: running prefix sum ``ps``, its running
+    minimum ``mn``, the max excursion ``mx`` and the alarm count —
+    four BIGINTs per key, history-independent. Each batch is sorted
+    by (ts, event_id) and folded with vectorized prefix ops
+    (cumsum + minimum.accumulate); cents come from
+    floor(v*100 + 0.5), which equals both engines' away-from-zero
+    ROUND for the positive 2-decimal values this column holds.
+    Cross-batch order is the replay's time-ordered file contract
+    (the same assumption every twin here documents)."""
+    import numpy as np
+
+    ps, mn, mx, alarms = (
+        tuple(state.get) if state.exists else (0, 0, 0, 0)
+    )
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        dx = (
+            np.floor(rows["value"].to_numpy(dtype=float) * 100 + 0.5)
+        ).astype(np.int64) - 5500
+        p = ps + np.cumsum(dx)
+        m = np.minimum.accumulate(np.minimum(p, mn))
+        cusum = p - np.minimum(m, 0)
+        ps = int(p[-1])
+        mn = int(m[-1])
+        mx = max(mx, int(cusum.max()))
+        alarms += int((cusum >= 20000).sum())
+    state.update((ps, mn, mx, alarms))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "max_cusum": [mx],
+            "n_alarms": [alarms],
+        }
+    )
+
+
+def cusum_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the s20 CUSUM drift monitor: the prefix-sum
+    closed form maintained incrementally per user via
+    applyInPandasWithState. Drained over an ordered replay, the
+    final per-user (max_cusum, n_alarms) equals the batch two-window
+    spelling exactly (both are exact BIGINT arithmetic); state per
+    key is four integers — constant memory regardless of stream
+    length, which is the point of the closed form: no window buffer,
+    no replay."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _cusum_fn,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rolling_median_stateful(stream: DataFrame) -> DataFrame:
     """Streaming twin of the r80 rolling-median baseline: the
     trailing-10 median maintained incrementally per user via
