@@ -1035,13 +1035,17 @@ def test_centroid_drift_is_narrow_aggs(spark):
 
 
 def test_ngram_novelty_is_pure_hash_aggs(spark):
-    """t29: shingle explode feeds per-doc and per-gram hash aggs and
-    a per-source rollup — no window anywhere, no Python, and the
-    gram stream is distinct-per-doc BEFORE any shuffle-by-gram."""
+    """t29: one persisted shingle explode feeds both hash aggs;
+    source rides through the explode so there is NO corpus-sized
+    join — only the ~|sources|-row rollup merge — no window, no
+    Python, and the gram stream is distinct-per-doc BEFORE any
+    shuffle-by-gram."""
     plan = _plan(QUERIES["t29_ngram_novelty"](spark, SF_DIR))
     assert "Window" not in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # rollup merge stays broadcast
+    assert plan.count("InMemoryTableScan") >= 2  # explode runs once
 
 
 def test_cusum_is_one_partitioned_window_pass(spark):

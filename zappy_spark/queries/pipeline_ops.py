@@ -2306,38 +2306,40 @@ def t29(spark: SparkSession, d: str) -> DataFrame:
     whose novelty collapses is a candidate for sampling down before
     MinHash ever runs.
 
-    Scale shape: one shingle explode (distinct per doc, so the
-    count-distinct never shuffles raw token streams twice), one
-    hash agg to each gram's first doc, one count-by-first-doc, and
-    a per-source rollup — no windows, no self-joins; every count is
-    an exact integer and the rate is one exact integer division
-    (the d39 discipline)."""
+    Scale shape: ``source`` rides THROUGH the shingle explode, so
+    the whole query is two hash aggs over one persisted exploded
+    frame — no corpus-sized join anywhere (the only join is the
+    ~|sources|-row rollup merge): per-source gram totals are a
+    direct count, and each gram's first doc comes as
+    min(struct(doc_id, source)) (doc_id is unique, so the struct
+    min is a total order) whose source field rolls straight up. No
+    windows, no self-joins;
+    every count is an exact integer and the rate is one exact
+    integer division (the d39 discipline)."""
+    from pyspark import StorageLevel
+
     docs = t(spark, d, "documents")
     dg = docs.select(
         "doc_id",
+        "source",
         F.explode(
             F.array_distinct(dedup.word_shingles(F.col("text"), 3))
         ).alias("gram"),
-    )
-    per_doc = dg.groupBy("doc_id").agg(F.count("*").alias("_ng"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = dg.groupBy("source").agg(F.count("*").alias("n_grams"))
     novel = (
         dg.groupBy("gram")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_nv"))
-    )
-    j = (
-        per_doc.join(novel, "doc_id", "left")
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select(
-            "source", "_ng", F.coalesce("_nv", F.lit(0)).alias("_nv")
-        )
+        .agg(F.min(F.struct("doc_id", "source")).alias("_m"))
+        .select(F.col("_m.source").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_novel"))
     )
     return (
-        j.groupBy("source")
-        .agg(
-            F.sum("_ng").alias("n_grams"),
-            F.sum("_nv").alias("n_novel"),
+        totals.join(novel, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .select(
             "source",
