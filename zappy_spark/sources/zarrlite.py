@@ -24,8 +24,9 @@ DataSource transparently reads REAL zarr v2 stores — a directory
 with ``.zarray`` metadata (``zarr_format: 2``, C order, row-chunked
 2-D) and raw chunk files keyed ``"<i>.0"`` (or ``"<i>/0"`` under
 ``dimension_separator: "/"``), chunks padded to full shape with
-``fill_value`` per the spec, ``compressor`` null / zlib / gzip
-(pure-stdlib codecs; blosc needs the native lib and raises a clear
+``fill_value`` per the spec, ``compressor`` null / zlib / gzip /
+lz4 (stdlib codecs + the pure-Python LZ4 block decoder in
+lz4lite.py; blosc needs the native lib and raises a clear
 error). ``write_zarr_v2`` emits that exact layout, so stores written
 here open with the real ``zarr`` library unchanged and vice versa —
 the dependency swap the judge asked to keep a no-op is now a format
@@ -318,7 +319,8 @@ def write_zarr_v2(
     """Write a REAL zarr v2 store: ``.zarray`` metadata + raw C-order
     ``float64`` chunk files keyed ``"<i>.0"``, every chunk padded to
     the full ``(chunk_rows, ncols)`` shape with the fill value (0.0)
-    per the spec, optionally zlib/gzip-compressed. The distribution
+    per the spec, optionally zlib/gzip/lz4-compressed (lz4 writes the
+    portable stored-block form — see lz4lite). The distribution
     is identical to :func:`write_zarrlite` — one mandatory
     range-partition shuffle onto target chunks, executors write chunk
     files, the driver writes ``.zarray`` last so a concurrent v2
@@ -326,7 +328,7 @@ def write_zarr_v2(
     at all until the atomic metadata write). Output opens unchanged
     with the real ``zarr`` library (v2 stores, default "." separator).
     """
-    if compressor not in (None, "zlib", "gzip"):
+    if compressor not in (None, "zlib", "gzip", "lz4"):
         raise NotImplementedError(f"compressor {compressor!r}")
     os.makedirs(path, exist_ok=True)
     n_rows = df.count()
@@ -362,6 +364,12 @@ def write_zarr_v2(
                 import gzip
 
                 buf = gzip.compress(buf)
+            elif compressor == "lz4":
+                from zappy_spark.sources.lz4lite import (
+                    numcodecs_lz4_encode,
+                )
+
+                buf = numcodecs_lz4_encode(buf)
             with open(os.path.join(path, f"{int(chunk_id)}.0"), "wb") as f:
                 f.write(buf)
             yield pd.DataFrame(
@@ -496,7 +504,7 @@ def append_zarr_v2(path: str, arr: "np.ndarray") -> None:
     meta = _load_meta(path)
     if not meta.get("v2"):
         raise ValueError("append_zarr_v2 requires a zarr v2 store")
-    if meta["compressor"] not in (None, "zlib", "gzip"):
+    if meta["compressor"] not in (None, "zlib", "gzip", "lz4"):
         raise NotImplementedError(meta["compressor"])
     arr = np.asarray(arr, dtype=np.float64)
     n, m = meta["shape"]
@@ -510,6 +518,14 @@ def append_zarr_v2(path: str, arr: "np.ndarray") -> None:
         comp = meta["compressor"]
         if comp is None:
             return buf
+        if comp == "lz4":
+            from zappy_spark.sources import lz4lite
+
+            return (
+                lz4lite.numcodecs_lz4_encode(buf)
+                if compress
+                else lz4lite.numcodecs_lz4_decode(buf)
+            )
         import gzip
         import zlib
 
@@ -658,7 +674,8 @@ def _normalize_v2_meta(z: dict) -> dict:
     """Validate a ``.zarray`` document against what this reader
     supports and map it onto the internal meta dict. Supported: 2-D,
     C order, row-chunked (chunk width == array width), no filters,
-    compressor null/zlib/gzip. Everything else raises with the exact
+    compressor null/zlib/gzip/lz4 (numcodecs LZ4 framing, decoded by
+    the pure-Python lz4lite block decoder). Everything else raises with the exact
     unsupported field, so a real-`zarr` fallback is an informed swap."""
     if z.get("zarr_format") != 2:
         raise ValueError(f"unsupported zarr_format: {z.get('zarr_format')}")
@@ -670,7 +687,7 @@ def _normalize_v2_meta(z: dict) -> dict:
         raise NotImplementedError("zarr filters not supported")
     comp = z.get("compressor")
     comp_id = None if comp is None else comp.get("id")
-    if comp_id not in (None, "zlib", "gzip"):
+    if comp_id not in (None, "zlib", "gzip", "lz4"):
         raise NotImplementedError(
             f"compressor {comp_id!r} needs a native codec; install the "
             "real zarr/numcodecs stack or rewrite with compressor null"
@@ -704,6 +721,10 @@ def _decompress(buf: bytes, comp_id: str | None) -> bytes:
         import gzip
 
         return gzip.decompress(buf)
+    if comp_id == "lz4":  # numcodecs.LZ4 frame; pure-Python decoder
+        from zappy_spark.sources.lz4lite import numcodecs_lz4_decode
+
+        return numcodecs_lz4_decode(buf)
     raise NotImplementedError(comp_id)
 
 
