@@ -190,6 +190,7 @@ _NEW_R6 = [
     "z31_zarr_v3_roundtrip",  # NEW r6: zarr v3 disk round-trip
     "t29_ngram_novelty",  # NEW r6: per-source crawl-redundancy audit
     "s20_cusum_drift",  # NEW r6: prefix-sum CUSUM change-point monitor
+    "z32_zarr_lz4_roundtrip",  # NEW r6: numcodecs-LZ4 codec attestation
 ]
 
 # Round-5 window head (now historical; every entry below carries a

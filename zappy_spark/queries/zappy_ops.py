@@ -512,6 +512,44 @@ def z31(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z32(spark: SparkSession, d: str) -> DataFrame:
+    """zarr v2 + numcodecs-LZ4 disk round-trip (round 6;
+    sources/lz4lite.py): write the first 400 embeddings to a real v2
+    store with ``compressor: {"id": "lz4"}`` — uint32-size-framed
+    LZ4 blocks, padded tail (chunk_rows=89 forces one) — read it
+    back through the DataSource (the pure-Python block decoder),
+    and reduce to per-position (count, min, max). The oracle
+    computes the same stats straight from parquet, so any codec
+    defect (framing, literal/match decode, fill-value leak) flips
+    the row; min/max are order-independent (the z29 discipline,
+    applied to the lz4 path)."""
+    import os
+    import tempfile
+
+    from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v2
+
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 400)
+    df = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"zs_z32_{os.path.basename(d.rstrip('/'))}"
+    )
+    write_zarr_v2(df, store, 89, 64, compressor="lz4")
+    back = read_zarrlite(spark, store)
+    return (
+        back.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 6).alias("mn"),
+            F.round(F.max("x"), 6).alias("mx"),
+        )
+        .orderBy("pos")
+    )
+
+
 def z30(spark: SparkSession, d: str) -> DataFrame:
     """argmax/argmin(axis=0) (round 6; np.argmax semantics, the op
     frame.py::ZappyFrame._arg_extreme now implements for axis=0):
@@ -582,6 +620,7 @@ QUERIES = {
     "z29_zarr_v2_roundtrip": z29,
     "z30_argminmax_axis0": z30,
     "z31_zarr_v3_roundtrip": z31,
+    "z32_zarr_lz4_roundtrip": z32,
 }
 
 ORACLE = {
@@ -593,6 +632,16 @@ ORACLE = {
         "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
         "CAST(unnest(embedding) AS DOUBLE) x "
         "FROM embeddings WHERE vec_id < 500) "
+        "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
+    # z32: same shape as z31's oracle — stats straight from parquet;
+    # the Spark side must agree THROUGH the lz4 disk round-trip.
+    "z32_zarr_lz4_roundtrip": (
+        "WITH e AS (SELECT "
+        "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) x "
+        "FROM embeddings WHERE vec_id < 400) "
         "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
         "FROM e GROUP BY pos ORDER BY pos"
     ),
