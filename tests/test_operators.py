@@ -2646,3 +2646,27 @@ def test_sign_hamming_finds_identical_vector(spark):
     ).collect()
     top = max(out, key=lambda r: (r["sim"], -r["vec_id"]))
     assert top["vec_id"] == 999 and top["ham"] == 0 and top["sim"] == 1.0
+
+
+def test_canonical_url_folds_uppercase_scheme_host(spark):
+    """The canonical_url docstring example must actually collapse
+    (round-7 ADVICE: a case-sensitive scheme pattern left uppercase
+    schemes un-canonicalized, masked by the oracle replaying the
+    same bug)."""
+    from zappy_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://Example.org/A?utm=1",),
+            ("http://example.org/A/",),
+            ("HTTPS://S0.Example.ORG/Page/0?utm=7",),
+            ("https://s0.example.org/Page/0/",),
+            # path case must stay significant (RFC 3986)
+            ("http://example.org/a",),
+        ],
+        ["url"],
+    )
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got[0] == got[1] == "http://example.org/A"
+    assert got[2] == got[3] == "https://s0.example.org/Page/0"
+    assert got[4] == "http://example.org/a" and got[4] != got[0]

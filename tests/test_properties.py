@@ -130,13 +130,17 @@ def test_canon_cell_robustness():
 
 
 @pytest.mark.parametrize("x", [0.5, 1.5, 2.5, 123456.789, 1e-7, 9.999999e5])
-def test_canon_float_6g_stability(x):
-    """f'{v:.6g}' must be identical for values that round-trip
-    through Spark doubles and DuckDB doubles (same IEEE754 value)."""
+def test_canon_float_12g_stability(x):
+    """f'{v:.12g}' must be identical for values that round-trip
+    through Spark doubles and DuckDB doubles (same IEEE754 value).
+    12 digits (raised from 6 in round 7) so cent-level drift inside
+    ~1e9 money sums is visible to the local gate."""
     from zappy_spark.canon import canon_cell
 
     assert canon_cell(x) == canon_cell(float(f"{x!r}"))
-    assert not math.isnan(float(f"{x:.6g}"))
+    assert not math.isnan(float(f"{x:.12g}"))
+    # the r78 class: $0.02 inside 1.07e9 must NOT canon-collapse
+    assert canon_cell(1070000000.02) != canon_cell(1070000000.04)
 
 
 def test_grouped_agg_pandas_udaf_matches_native(spark):

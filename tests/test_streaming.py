@@ -1238,3 +1238,66 @@ def test_cusum_stream_equals_batch(spark, replay_dir):
     br = _rows(b, "user_id", "max_cusum", "n_alarms")
     assert len(gr) == len(br) > 0
     assert gr == br
+
+
+def test_rfm_apply_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once redelivery guard (round-7 ADVICE): re-applying
+    an already-committed batch_id must be a no-op — the RFM merge is
+    additive (sum/count), so without the guard a replay landing
+    after the _LATEST swap double-counts freq/mon."""
+    orders = load_table(spark, SF_SMOKE_DIR, "orders").limit(200)
+    state = str(tmp_path / "rfm_guard")
+    jobs.rfm_apply_batch(orders, 0, state)
+    first = sorted(
+        (r["o_custkey"], r["freq"], str(r["mon"]))
+        for r in jobs.latest_snapshot(spark, state).collect()
+    )
+    assert jobs.applied_revision(state) == 0
+    # replay of batch 0 after the pointer swap: must be skipped
+    jobs.rfm_apply_batch(orders, 0, state)
+    again = sorted(
+        (r["o_custkey"], r["freq"], str(r["mon"]))
+        for r in jobs.latest_snapshot(spark, state).collect()
+    )
+    assert again == first
+    # a NEW batch id still applies (the guard is not a freeze)
+    jobs.rfm_apply_batch(orders, 1, state)
+    assert jobs.applied_revision(state) == 1
+    doubled = {
+        r["o_custkey"]: r["freq"]
+        for r in jobs.latest_snapshot(spark, state).collect()
+    }
+    base = {k: f for k, f, _ in first}
+    assert all(doubled[k] == 2 * base[k] for k in base)
+
+
+def test_scd2_apply_batch_replay_is_idempotent(spark, tmp_path):
+    """Same guard for the SCD-2 history applier: scd2_apply is
+    close-and-append, so a replayed batch would re-close the current
+    versions and append duplicates."""
+    orders = load_table(spark, SF_SMOKE_DIR, "orders").limit(50)
+    chg = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.to_date("o_orderdate").alias("ts"),
+    )
+    hist = str(tmp_path / "scd2_guard")
+    jobs.scd2_apply_batch(chg, 0, hist, ["k"], "ts")
+    n1 = jobs.latest_snapshot(spark, hist).count()
+    jobs.scd2_apply_batch(chg, 0, hist, ["k"], "ts")
+    assert jobs.latest_snapshot(spark, hist).count() == n1
+
+
+def test_lsh_max_bucket_rejects_unknown_string(spark):
+    """round-7 ADVICE: a typo like 'Auto' must raise a clear
+    ValueError up front, not an opaque cast error deep in the
+    plan."""
+    import pytest as _pytest
+
+    from zappy_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 2, 3, 4])], ["doc_id", "sig"]
+    )
+    with _pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs(sig, "doc_id", bands=2, rows=2, max_bucket="Auto")

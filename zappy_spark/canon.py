@@ -21,7 +21,12 @@ def canon_cell(v: object) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        # %.12g, not %.6g: a $0.02 error inside a ~1e9 money sum is
+        # invisible at 6 significant digits — the round-6 driver
+        # caught exactly that (r78) while every local gate stayed
+        # green. 12 digits sees cent-level drift at 1e10 magnitude
+        # while still absorbing last-ulp double noise.
+        return f"{v:.12g}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()[:19]
     if isinstance(v, datetime.date):

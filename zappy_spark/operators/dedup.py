@@ -193,6 +193,13 @@ def lsh_candidate_pairs(
     guessing a constant."""
     if rows < 1:
         raise ValueError(f"rows per band must be >= 1, got {rows}")
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        # fail HERE, not as an opaque cast error deep in the plan
+        # when the string reaches `_n <= max_bucket`
+        raise ValueError(
+            f"max_bucket must be an int, None, or 'auto'; got "
+            f"{max_bucket!r}"
+        )
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
         F.explode(

@@ -350,9 +350,14 @@ def canonical_url(url: str | Column) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     # drop ?query and #fragment
     u = F.regexp_replace(u, r"[?#].*$", "")
-    # lowercase ONLY scheme://host (group 1), keep path casing
-    scheme_host = F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1))
-    path = F.regexp_replace(u, r"^https?://[^/]*", "")
+    # lowercase ONLY scheme://host (group 1), keep path casing.
+    # (?i): the MATCH must be case-insensitive too — 'HTTP://x'
+    # must reach the lower() fold (round-7 ADVICE fix; the
+    # case-sensitive pattern silently left uppercase schemes
+    # un-canonicalized). (?i) is both Java-regex and RE2 syntax,
+    # keeping the DuckDB oracle twin spellable.
+    scheme_host = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/]*)", 1))
+    path = F.regexp_replace(u, r"(?i)^https?://[^/]*", "")
     u = F.concat(scheme_host, path)
     # trim one trailing slash (capture-group spelling, not a
     # lookbehind: DuckDB's RE2 oracle twin has no lookbehind)

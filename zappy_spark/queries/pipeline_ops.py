@@ -1305,7 +1305,17 @@ def r78(spark: SparkSession, d: str) -> DataFrame:
     chg = od.filter(F.col("o_orderkey") % 7 == 0).select(
         F.col("o_orderkey").alias("k"),
         F.lit("X").alias("st"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("p"),
+        # exact decimal ×1.1: ROUND(double*1.1, 2) diverges from
+        # DuckDB at half-cent boundaries (sf0.01 keys 546, 14770 —
+        # round-6 driver catch); decimal×decimal ties are exact and
+        # both engines round them away from zero
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("p"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("ts"),
     )
     out = scd2_apply(hist, chg, ["k"], "ts")
@@ -1345,7 +1355,14 @@ def r79(spark: SparkSession, d: str) -> DataFrame:
     chg = od.filter(F.col("o_orderkey") % 7 == 0).select(
         F.col("o_orderkey").alias("k"),
         F.lit("X").alias("st"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("p"),
+        # same exact-cents fabrication as r78 (shared ×1.1 batch)
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("p"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("ts"),
     )
     full = scd2_apply(hist, chg, ["k"], "ts")
@@ -3008,8 +3025,8 @@ ORACLE = {
         "stripped AS (SELECT regexp_replace(url,'[?#].*$','') su, uid "
         "FROM u), "
         "c AS (SELECT regexp_replace("
-        "lower(regexp_extract(su, '^(https?://[^/]*)', 1)) || "
-        "regexp_replace(su, '^https?://[^/]*', ''), "
+        "lower(regexp_extract(su, '(?i)^(https?://[^/]*)', 1)) || "
+        "regexp_replace(su, '(?i)^https?://[^/]*', ''), "
         "'(.)/$', '\\1') canon_url, uid FROM stripped) "
         "SELECT canon_url, COUNT(*) n, MIN(uid) keep_id FROM c "
         "GROUP BY 1 ORDER BY n DESC, canon_url LIMIT 20"
@@ -3290,7 +3307,9 @@ ORACLE = {
         "CASE WHEN o_orderkey % 7 = 0 "
         "THEN CAST(o_orderdate AS DATE) + 30 END vt FROM orders "
         "UNION ALL "
-        "SELECT o_orderkey, 'X', ROUND(o_totalprice*1.1, 2), "
+        "SELECT o_orderkey, 'X', "
+        "ROUND(CAST(o_totalprice AS DECIMAL(18,2)) "
+        "* CAST(1.1 AS DECIMAL(3,2)), 2), "
         "CAST(o_orderdate AS DATE) + 30, NULL FROM orders "
         "WHERE o_orderkey % 7 = 0), "
         "snap AS (SELECT * FROM hist WHERE vf <= DATE '1995-06-01' "
@@ -3341,7 +3360,9 @@ ORACLE = {
         "FALSE cur FROM orders o JOIN chgk ON o.o_orderkey = chgk.k), "
         "untouched AS (SELECT o_orderstatus st, o_totalprice p, "
         "TRUE cur FROM orders WHERE o_orderkey % 7 <> 0), "
-        "newv AS (SELECT 'X' st, ROUND(o_totalprice*1.1, 2) p, "
+        "newv AS (SELECT 'X' st, "
+        "ROUND(CAST(o_totalprice AS DECIMAL(18,2)) "
+        "* CAST(1.1 AS DECIMAL(3,2)), 2) p, "
         "TRUE cur FROM orders WHERE o_orderkey % 7 = 0), "
         "allv AS (SELECT * FROM closed UNION ALL "
         "SELECT * FROM untouched UNION ALL SELECT * FROM newv) "

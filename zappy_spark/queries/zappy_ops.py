@@ -448,6 +448,7 @@ def z29(spark: SparkSession, d: str) -> DataFrame:
     FORMAT check at any SF — the scale story (one input partition
     per chunk, executor-side decode) is pinned in test_sources."""
     import os
+    import shutil
     import tempfile
 
     from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v2
@@ -460,6 +461,11 @@ def z29(spark: SparkSession, d: str) -> DataFrame:
     store = os.path.join(
         tempfile.gettempdir(), f"zs_z29_{os.path.basename(d.rstrip('/'))}"
     )
+    # fresh store every run: the metadata-written-last torn-read
+    # guarantee only holds for fresh directories — a crashed prior
+    # writer leaves complete old metadata beside partly overwritten
+    # chunks (round-7 ADVICE fix)
+    shutil.rmtree(store, ignore_errors=True)
     write_zarr_v2(df, store, chunk_rows=97, ncols=64, compressor="zlib")
     back = read_zarrlite(spark, store)
     return (
@@ -486,6 +492,7 @@ def z31(spark: SparkSession, d: str) -> DataFrame:
     row. min/max are order-independent — immune to summation-order
     ulps (the z29 discipline, applied to the v3 path)."""
     import os
+    import shutil
     import tempfile
 
     from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v3
@@ -498,6 +505,11 @@ def z31(spark: SparkSession, d: str) -> DataFrame:
     store = os.path.join(
         tempfile.gettempdir(), f"zs_z31_{os.path.basename(d.rstrip('/'))}"
     )
+    # fresh store every run: the metadata-written-last torn-read
+    # guarantee only holds for fresh directories — a crashed prior
+    # writer leaves complete old metadata beside partly overwritten
+    # chunks (round-7 ADVICE fix)
+    shutil.rmtree(store, ignore_errors=True)
     write_zarr_v3(df, store, chunk_rows=97, ncols=64, compressor="gzip")
     back = read_zarrlite(spark, store)
     return (
@@ -524,6 +536,7 @@ def z32(spark: SparkSession, d: str) -> DataFrame:
     the row; min/max are order-independent (the z29 discipline,
     applied to the lz4 path)."""
     import os
+    import shutil
     import tempfile
 
     from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v2
@@ -536,6 +549,11 @@ def z32(spark: SparkSession, d: str) -> DataFrame:
     store = os.path.join(
         tempfile.gettempdir(), f"zs_z32_{os.path.basename(d.rstrip('/'))}"
     )
+    # fresh store every run: the metadata-written-last torn-read
+    # guarantee only holds for fresh directories — a crashed prior
+    # writer leaves complete old metadata beside partly overwritten
+    # chunks (round-7 ADVICE fix)
+    shutil.rmtree(store, ignore_errors=True)
     write_zarr_v2(df, store, 89, 64, compressor="lz4")
     back = read_zarrlite(spark, store)
     return (

@@ -626,10 +626,13 @@ def _cusum_fn(
     four BIGINTs per key, history-independent. Each batch is sorted
     by (ts, event_id) and folded with vectorized prefix ops
     (cumsum + minimum.accumulate); cents come from
-    floor(v*100 + 0.5), which equals both engines' away-from-zero
-    ROUND for the positive 2-decimal values this column holds.
-    Cross-batch order is the replay's time-ordered file contract
-    (the same assumption every twin here documents)."""
+    sign(v)*floor(|v|*100 + 0.5) — half AWAY FROM ZERO for either
+    sign, matching the batch s20 / DuckDB ROUND(value*100) exactly
+    (round-7 ADVICE fix: the earlier floor(v*100+0.5) was half
+    toward +inf, silently diverging from the batch twin if the
+    column ever went negative). Cross-batch order is the replay's
+    time-ordered file contract (the same assumption every twin here
+    documents)."""
     import numpy as np
 
     ps, mn, mx, alarms = (
@@ -638,8 +641,9 @@ def _cusum_fn(
     frames = [pdf for pdf in pdfs if len(pdf)]
     if frames:
         rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        v = rows["value"].to_numpy(dtype=float)
         dx = (
-            np.floor(rows["value"].to_numpy(dtype=float) * 100 + 0.5)
+            np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
         ).astype(np.int64) - 5500
         p = ps + np.cumsum(dx)
         m = np.minimum.accumulate(np.minimum(p, mn))
@@ -865,36 +869,8 @@ def streaming_scd2(
     complete revision; replayed batches rewrite their own revision;
     old revisions are time travel). The audit-trail streaming twin
     of that SCD-1 job."""
-    import os
-
-    from zappy_spark.operators.pipeline import scd2_apply, upsert_snapshot
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        latest = upsert_snapshot(
-            batch_df.limit(0), batch_df, keys, ts_col
-        )
-        cur = latest_snapshot(spark, history_path)
-        if cur is None:
-            attr = [c for c in batch_df.columns if c not in keys]
-            base = batch_df.limit(0).select(
-                *keys,
-                *[c for c in attr if c != ts_col],
-                F.col(ts_col).alias("valid_from"),
-                F.col(ts_col).alias("valid_to"),
-            )
-            hist = base
-        else:
-            hist = cur
-        merged = scd2_apply(hist, latest, keys, ts_col)
-        rev_dir = os.path.join(history_path, f"rev={batch_id}")
-        merged.write.mode("overwrite").parquet(rev_dir)
-        tmp = os.path.join(history_path, "_LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(history_path, "_LATEST"))
+        scd2_apply_batch(batch_df, batch_id, history_path, keys, ts_col)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -902,6 +878,53 @@ def streaming_scd2(
         .option("checkpointLocation", history_path + "_ckpt")
         .start()
     )
+
+
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    history_path: str,
+    keys: list[str],
+    ts_col: str,
+) -> None:
+    """One ``streaming_scd2`` micro-batch, module-level so the
+    at-least-once replay guard is directly testable. Idempotent:
+    if ``_LATEST`` already points at ``batch_id`` or later, the
+    batch was committed and is skipped — without this, a redelivery
+    landing AFTER the pointer swap would read rev=batch_id as
+    'current history' and re-close/re-append the same versions
+    (scd2_apply is close-and-append, not max-version-wins, so
+    replays are NOT naturally absorbed — round-7 ADVICE class)."""
+    import os
+
+    from zappy_spark.operators.pipeline import scd2_apply, upsert_snapshot
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(history_path)
+    if last is not None and last >= batch_id:
+        return
+    spark = batch_df.sparkSession
+    latest = upsert_snapshot(batch_df.limit(0), batch_df, keys, ts_col)
+    cur = latest_snapshot(spark, history_path)
+    if cur is None:
+        attr = [c for c in batch_df.columns if c not in keys]
+        base = batch_df.limit(0).select(
+            *keys,
+            *[c for c in attr if c != ts_col],
+            F.col(ts_col).alias("valid_from"),
+            F.col(ts_col).alias("valid_to"),
+        )
+        hist = base
+    else:
+        hist = cur
+    merged = scd2_apply(hist, latest, keys, ts_col)
+    rev_dir = os.path.join(history_path, f"rev={batch_id}")
+    merged.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(history_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(history_path, "_LATEST"))
 
 
 def replay_orders_dir(
@@ -943,39 +966,14 @@ def incremental_rfm_state(stream: DataFrame, state_path: str) -> "Any":
     bounded customer state at read time through the exact batch
     code path (queries/relational.py::rfm_grid). State revisions
     use the incremental_upsert MVCC discipline (rev dirs + atomic
-    ``_LATEST`` pointer swap)."""
-    import os
+    ``_LATEST`` pointer swap) PLUS an applied-revision replay guard:
+    unlike upsert's max-version-wins merge, this merge is ADDITIVE
+    (sum/count), so an at-least-once redelivery landing after the
+    pointer swap would double-count — ``rfm_apply_batch`` skips any
+    batch_id <= the committed revision (round-7 ADVICE fix)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        part = batch_df.groupBy("o_custkey").agg(
-            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
-            F.count("*").alias("freq"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "mon"
-            ),
-        )
-        cur = latest_snapshot(spark, state_path)
-        if cur is None:
-            merged = part
-        else:
-            merged = (
-                cur.unionByName(part, allowMissingColumns=False)
-                .groupBy("o_custkey")
-                .agg(
-                    F.max("lastd").alias("lastd"),
-                    F.sum("freq").alias("freq"),
-                    F.sum("mon").cast("decimal(18,2)").alias("mon"),
-                )
-            )
-        rev_dir = os.path.join(state_path, f"rev={batch_id}")
-        merged.write.mode("overwrite").parquet(rev_dir)
-        tmp = os.path.join(state_path, "_LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(state_path, "_LATEST"))
+        rfm_apply_batch(batch_df, batch_id, state_path)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -983,6 +981,48 @@ def incremental_rfm_state(stream: DataFrame, state_path: str) -> "Any":
         .option("checkpointLocation", state_path + "_ckpt")
         .start()
     )
+
+
+def rfm_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One ``incremental_rfm_state`` micro-batch, module-level so
+    the replay guard is directly testable. Idempotent: a batch_id
+    at or below the committed ``_LATEST`` revision is skipped —
+    re-adding it would double-count freq/mon AND overwrite the very
+    rev dir the merge is lazily reading."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    spark = batch_df.sparkSession
+    part = batch_df.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is None:
+        merged = part
+    else:
+        merged = (
+            cur.unionByName(part, allowMissingColumns=False)
+            .groupBy("o_custkey")
+            .agg(
+                F.max("lastd").alias("lastd"),
+                F.sum("freq").alias("freq"),
+                F.sum("mon").cast("decimal(18,2)").alias("mon"),
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    merged.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
 
 
 def rfm_segments_from_state(
@@ -1236,6 +1276,19 @@ def latest_snapshot(
     with open(ptr) as f:
         rev = f.read().strip()
     return spark.read.parquet(os.path.join(snapshot_path, f"rev={rev}"))
+
+
+def applied_revision(snapshot_path: str) -> "int | None":
+    """The committed ``_LATEST`` revision id of an MVCC snapshot
+    (None before the first commit) — the at-least-once replay guard:
+    foreachBatch appliers skip any batch_id <= this."""
+    import os
+
+    ptr = os.path.join(snapshot_path, "_LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip())
 
 
 def list_revisions(snapshot_path: str) -> list[int]:
