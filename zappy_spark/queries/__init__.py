@@ -435,17 +435,90 @@ _R2_STALE = [
     "t06_content_split",
 ]
 
-# First occurrence wins (dict.fromkeys dedup): round-6 order is
-# debt → re-spells → new entries → r1-stale (z01/z02 already have
-# fresh r5 rows via _CHANGED_R5 but sit far enough back not to
-# matter) → r2-stale → the r5 head (all green r5) → r4 tier.
+# ROUND-7 HEAD (executing the round-6 rotation plan + VERDICT r6
+# items 1–3): entries whose SPELLING or VALUES changed this round
+# go first and must regain a driver row in their new form.
+_CHANGED_R7 = [
+    # the round-6 driver fail: ×1.1 change price re-spelled as
+    # decimal(18,2)×decimal(3,2) on both engines (half-cent ROUND
+    # boundary, keys 546/14770 at sf0.01)
+    "r78_scd2_history",
+    "r79_point_in_time",  # shares the r78 fabrication
+    # flushed by the NEW per-row ROUND(double) boundary probe
+    # (scripts/audit_rounding.py stage 2) — same decimal re-spell:
+    "r47_upsert_snapshot",  # ×1.1 fabrication 5e-9 from a half-cent
+    "t27_readability",  # Flesch 4dp round 3e-10 from a boundary
+    "z26_clip_where",  # 0.9-discount half-cent 4e-11 from a boundary
+    # VALUES changed: scheme/host match is now case-insensitive on
+    # both engines, so the planted uppercase variants finally
+    # collapse (the bug was oracle-masked)
+    "d38_url_canonical",
+    # NOTE: z29/z31/z32 gained a fresh-store rmtree (stale-/tmp
+    # hygiene) — values and spelling are identical, so they do NOT
+    # re-enter the window.
+]
+
+# Brand-new round-7 entries (zero driver rows) — appended as the
+# round progresses; capped ~10 per VERDICT r6 item 4 so the stale
+# tail is not displaced.
+_NEW_R7: list[str] = [
+    # appended as each is implemented this round (planned set:
+    # d40 substring dedup, d41 cross-lingual align, d42 containment
+    # direction, d43 RAG chunk overlap, t30 Zipf tail, r93
+    # sessionized funnel, v26 residual quantizer, d44 sketch
+    # containment)
+]
+
+# The r1-stale tail: the 27 _R1_STALE entries without a round-6 row
+# (z03…z19 got theirs in the r6 window; r26 via _CHANGED_R6). The
+# 50-slot arithmetic: 6 re-spells + ~8 new + 27 stale = ~41, so
+# ~9 _R2_STALE entries also enter; the remaining r2-stale tail
+# (~27) leads the round-8 window — one round later than VERDICT r5
+# item 4 hoped, flagged here rather than silently dropped (the r6
+# plan's "22 remaining r1-stale" undercounted; it is 27).
+_R1_STALE_TAIL = [
+    "z20_median_percentile",
+    "z21_corr_covar",
+    "z22_skew_kurt",
+    "z23_regr",
+    "r03_topk_per_group",
+    "r04_group_by_date",
+    "r05_semi_join",
+    "r06_anti_join",
+    "r07_left_join",
+    "r08_full_outer_join",
+    "r09_cross_join",
+    "r10_range_join",
+    "r11_rollup",
+    "r12_cube",
+    "r15_having",
+    "r17_union",
+    "r17b_union_all",
+    "r18_except",
+    "r19_scalar_subquery",
+    "r20_in_subquery",
+    "r21_case_coalesce",
+    "r22_string_funcs",
+    "r22b_regex",
+    "r23_date_funcs",
+    "r24_math_funcs",
+    "r25_analytic_window",
+    "r27_ranking_suite",
+]
+
+# First occurrence wins (dict.fromkeys dedup): round-7 order is
+# re-spells → new r7 entries → the r1-stale tail → r2-stale →
+# the round-6 window tiers (all green r6) → older green tiers.
 _PRIORITY = list(
     dict.fromkeys(
-        _DEBT_R6
+        _CHANGED_R7
+        + _NEW_R7
+        + _R1_STALE_TAIL
+        + _R2_STALE
+        + _DEBT_R6
         + _CHANGED_R6
         + _NEW_R6
         + _R1_STALE
-        + _R2_STALE
         + _CHANGED_R5
         + _CHANGED_R4
     )

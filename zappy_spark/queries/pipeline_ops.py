@@ -2279,12 +2279,20 @@ def t27(spark: SparkSession, d: str) -> DataFrame:
         "doc_id",
         words.cast("bigint").alias("n_words"),
         syl.cast("bigint").alias("n_syllables"),
+        # the Flesch double is IEEE-identical cross-engine; the
+        # HAZARD is rounding it — route through decimal(18,10) so a
+        # 4dp half-boundary becomes an exact, engine-consistent tie
+        # (round-7 boundary probe caught a live 3e-10 case)
         F.round(
-            F.lit(206.835)
-            - 1.015 * (words / sents)
-            - 84.6 * (syl / words),
+            (
+                F.lit(206.835)
+                - 1.015 * (words / sents)
+                - 84.6 * (syl / words)
+            ).cast("decimal(18,10)"),
             4,
-        ).alias("flesch"),
+        )
+        .cast("double")
+        .alias("flesch"),
     ).orderBy("doc_id")
 
 
@@ -2968,8 +2976,8 @@ ORACLE = {
         "length(regexp_replace(text,'[.!?]+','','g'))) sents FROM d) "
         "SELECT doc_id, CAST(words AS BIGINT) n_words, "
         "CAST(syl AS BIGINT) n_syllables, "
-        "ROUND(206.835 - 1.015*(words*1.0/sents) "
-        "- 84.6*(syl*1.0/words), 4) flesch "
+        "CAST(ROUND(CAST(206.835 - 1.015*(words*1.0/sents) "
+        "- 84.6*(syl*1.0/words) AS DECIMAL(18,10)), 4) AS DOUBLE) flesch "
         "FROM s ORDER BY doc_id"
     ),
     # t28: the t07 idf spelling + a per-doc ROW_NUMBER keyword pick

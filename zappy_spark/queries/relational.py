@@ -36,9 +36,38 @@ def r1(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sq"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sb"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # money SUMs accumulate as exact BIGINT 10^-2/10^-4
+            # currency units (round-7 campaign; the audit probe
+            # caught sd 4.8e-7 from a half-cent at sf0.001 — one
+            # repartition from flipping). floor(x·10^k + 0.5) is
+            # unambiguous: the double sits ~1e-8 from an integer,
+            # maximally FAR from a half-boundary. Integer sums are
+            # order-free AND codegen-fast (decimal cost ~2× on q1;
+            # headroom: 1e-4-unit totals stay < 2^63 past sf30000).
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
+                        "long"
+                    )
+                )
+                / 100.0
+            ).alias("sb"),
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                                + 0.5
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100
+                )
+                / 100.0
             ).alias("sd"),
             F.round(F.avg("l_quantity"), 4).alias("aq"),
             F.count("*").alias("c"),
@@ -64,7 +93,15 @@ def r2(spark: SparkSession, d: str) -> DataFrame:
     nation = F.broadcast(t(spark, d, "nation"))
     region = F.broadcast(t(spark, d, "region"))
     li_rev = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        # exact BIGINT 10^-4-unit partials (see r1's sd note): exact
+        # at both agg levels, so the eager rewrite cannot reorder a
+        # lossy double accumulation — at long-sum codegen speed
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                + 0.5
+            ).cast("long")
+        ).alias("_rev")
     )
     return (
         orders.join(li_rev, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -73,7 +110,9 @@ def r2(spark: SparkSession, d: str) -> DataFrame:
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .agg(
+            (F.floor((F.sum("_rev") + 50) / 100) / 100.0).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -647,8 +686,15 @@ def r38(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("rev")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rev")
         )
         .select(
             "o_orderkey", "rev", F.col("o_orderdate").cast("date").alias("od")
@@ -906,7 +952,17 @@ def r47(spark: SparkSession, d: str) -> DataFrame:
     base = o.withColumn("v", F.lit(1))
     upd = (
         o.filter(F.col("o_orderkey") % 10 == 3)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        # decimal×decimal, not ROUND(double*1.1, 2): the round-7
+        # boundary probe caught this fabrication 5e-9 from a
+        # half-cent (the r78 class — engines agree only by luck)
+        .withColumn(
+            "o_totalprice",
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,2)"),
+                2,
+            ).cast("double"),
+        )
         .withColumn("o_orderstatus", F.lit("U"))
         .withColumn("v", F.lit(2))
     )
@@ -935,12 +991,26 @@ def r48(spark: SparkSession, d: str) -> DataFrame:
     collapsing to one row, broadcast into the filter — the per-group
     aggregate shuffles once on o_custkey and nothing else moves."""
     o = t(spark, d, "orders")
-    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("tot"))
-    thr = o.agg((F.sum("o_totalprice") * 0.001).alias("thr"))
+    # decimal sums: the HAVING-style comparison decides group
+    # MEMBERSHIP, so a summation-order ulp near the threshold would
+    # add/drop a whole output row (round-7 boundary campaign)
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot")
+    )
+    thr = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            * 0.001
+        ).alias("thr")
+    )
     return (
         per.join(F.broadcast(thr))
-        .filter(F.col("tot") > F.col("thr"))
-        .select("o_custkey", F.round("tot", 2).alias("tot"))
+        .filter(F.col("tot").cast("double") > F.col("thr"))
+        .select(
+            "o_custkey", F.round("tot", 2).cast("double").alias("tot")
+        )
         .orderBy(F.desc("tot"), "o_custkey")
         .limit(100)
     )
@@ -956,8 +1026,16 @@ def r49(spark: SparkSession, d: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
+        # decimal accumulation: the argmax EQUALITY below is on this
+        # value, so exactness matters twice (round-7 audit probe
+        # caught a sum 5e-8 from a half-cent at sf0.1)
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
         ).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("mr"))
@@ -966,7 +1044,11 @@ def r49(spark: SparkSession, d: str) -> DataFrame:
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mr"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -1119,8 +1201,15 @@ def r54(spark: SparkSession, d: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -1150,7 +1239,10 @@ def r55(spark: SparkSession, d: str) -> DataFrame:
         n.select(F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")),
         F.col("s_nationkey") == F.col("sn_nk"),
     ).select("s_suppkey", "supp_nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit("0").cast("decimal(18,4)")
     return (
         li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1165,15 +1257,22 @@ def r55(spark: SparkSession, d: str) -> DataFrame:
         .join(F.broadcast(mkt), F.col("c_nationkey") == F.col("m_nk"), "left_semi")
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # exact decimal sums → one deterministic double division
+            # → decimal(18,10) bridge so the 6dp round has no
+            # cross-engine ROUND(double) boundary (round-7 campaign)
             F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-                        F.lit(0.0)
-                    )
-                )
-                / F.sum(vol),
+                (
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3", vol
+                        ).otherwise(zero)
+                    ).cast("double")
+                    / F.sum(vol).cast("double")
+                ).cast("decimal(18,10)"),
                 6,
-            ).alias("mkt_share")
+            )
+            .cast("double")
+            .alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -1254,8 +1353,15 @@ def r57(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     return (
@@ -1277,7 +1383,10 @@ def r58(spark: SparkSession, d: str) -> DataFrame:
     so the plan is scan → broadcast hash join → 1-row agg."""
     li = t(spark, d, "lineitem")
     p = t(spark, d, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit("0").cast("decimal(18,4)")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -1288,14 +1397,22 @@ def r58(spark: SparkSession, d: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
+            # exact decimal sums → deterministic double division →
+            # decimal(18,10) bridge (round-7 boundary campaign)
             F.round(
-                F.lit(100.0)
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
-                )
-                / F.sum(vol),
+                (
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                            zero
+                        )
+                    ).cast("double")
+                    / F.sum(vol).cast("double")
+                ).cast("decimal(18,10)"),
                 4,
-            ).alias("promo_revenue")
+            )
+            .cast("double")
+            .alias("promo_revenue")
         )
     )
 
@@ -1321,9 +1438,17 @@ def r59(spark: SparkSession, d: str) -> DataFrame:
         lib.join(lim, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
-            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
-                "avg_yearly"
+            F.round(
+                (
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                    ).cast("double")
+                    / F.lit(7.0)
+                ).cast("decimal(28,8)"),
+                2,
             )
+            .cast("double")
+            .alias("avg_yearly")
         )
     )
 
@@ -1361,8 +1486,15 @@ def r60(spark: SparkSession, d: str) -> DataFrame:
     )
     return j.filter(b1 | b2 | b3).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -2518,14 +2650,14 @@ ORACLE = {
     ),
     "r01_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) sq, "
-        "ROUND(SUM(l_extendedprice),2) sb, "
-        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) sd, "
+        "SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 sb, "
+        "floor((SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) + 50)/100)/100.0 sd, "
         "ROUND(AVG(l_quantity),4) aq, COUNT(*) c "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
     ),
     "r02_join5_agg": (
-        "SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue "
+        "SELECT n_name, floor((SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) + 50)/100)/100.0 revenue "
         "FROM customer JOIN orders ON c_custkey=o_custkey "
         "JOIN lineitem ON l_orderkey=o_orderkey "
         "JOIN nation ON c_nationkey=n_nationkey "
@@ -2748,7 +2880,7 @@ ORACLE = {
         "bit_xor(CAST(l_linenumber AS BIGINT)) bx FROM lineitem"
     ),
     "r38_q3_shape": (
-        "SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) rev, "
+        "SELECT o_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) rev, "
         "CAST(o_orderdate AS DATE) od "
         "FROM customer JOIN orders ON c_custkey=o_custkey "
         "JOIN lineitem ON l_orderkey=o_orderkey "
@@ -2817,7 +2949,9 @@ ORACLE = {
     "r47_upsert_snapshot": (
         "WITH b AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 v "
         "FROM orders), "
-        "u AS (SELECT o_orderkey, ROUND(o_totalprice*1.1,2) o_totalprice, "
+        "u AS (SELECT o_orderkey, "
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) "
+        "* CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) o_totalprice, "
         "'U' o_orderstatus, 2 v FROM orders WHERE o_orderkey%10=3 "
         "UNION ALL SELECT o_orderkey+100000000, o_totalprice, 'N', 2 "
         "FROM orders WHERE o_orderkey%10=4), "
@@ -2830,17 +2964,17 @@ ORACLE = {
         "ORDER BY o_orderkey LIMIT 100"
     ),
     "r48_q11_shape": (
-        "SELECT o_custkey, ROUND(SUM(o_totalprice),2) tot FROM orders "
+        "SELECT o_custkey, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) tot FROM orders "
         "GROUP BY o_custkey "
-        "HAVING SUM(o_totalprice) > (SELECT SUM(o_totalprice)*0.001 FROM orders) "
+        "HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*0.001 FROM orders) "
         "ORDER BY tot DESC, o_custkey LIMIT 100"
     ),
     "r49_q15_shape": (
         "WITH rev AS (SELECT l_suppkey, "
-        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) total_rev FROM lineitem "
+        "ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) total_rev FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
-        "SELECT s_suppkey, s_name, total_rev FROM rev "
+        "SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) total_rev FROM rev "
         "JOIN supplier ON l_suppkey=s_suppkey "
         "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) ORDER BY s_suppkey"
     ),
@@ -2891,7 +3025,7 @@ ORACLE = {
     "r54_q7_volume_shipping": (
         "SELECT n1.n_name supp_nation, n2.n_name cust_nation, "
         "CAST(YEAR(l_shipdate) AS INT) l_year, "
-        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue "
+        "CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) revenue "
         "FROM lineitem JOIN supplier ON s_suppkey=l_suppkey "
         "JOIN orders ON o_orderkey=l_orderkey "
         "JOIN customer ON c_custkey=o_custkey "
@@ -2906,9 +3040,11 @@ ORACLE = {
     ),
     "r55_q8_market_share": (
         "SELECT CAST(YEAR(o_orderdate) AS INT) o_year, "
-        "ROUND(SUM(CASE WHEN sn.n_name='NATION_3' "
-        "THEN l_extendedprice*(1-l_discount) ELSE 0 END)"
-        "/SUM(l_extendedprice*(1-l_discount)), 6) mkt_share "
+        "CAST(ROUND(CAST(CAST(SUM(CASE WHEN sn.n_name='NATION_3' "
+        "THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) "
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+        "/CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) "
+        "AS DECIMAL(18,10)), 6) AS DOUBLE) mkt_share "
         "FROM lineitem JOIN part ON p_partkey=l_partkey "
         "JOIN supplier ON s_suppkey=l_suppkey "
         "JOIN nation sn ON s_nationkey=sn.n_nationkey "
@@ -2935,7 +3071,7 @@ ORACLE = {
     ),
     "r57_q10_returned_items": (
         "SELECT c_custkey, c_name, "
-        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) revenue, "
         "c_acctbal, n_name "
         "FROM customer JOIN orders ON o_custkey=c_custkey "
         "JOIN lineitem ON l_orderkey=o_orderkey "
@@ -2947,22 +3083,24 @@ ORACLE = {
         "ORDER BY revenue DESC, c_custkey LIMIT 20"
     ),
     "r58_q14_promo_effect": (
-        "SELECT ROUND(100.0*SUM(CASE WHEN p_type='PROMO' "
-        "THEN l_extendedprice*(1-l_discount) ELSE 0 END)"
-        "/SUM(l_extendedprice*(1-l_discount)), 4) promo_revenue "
+        "SELECT CAST(ROUND(CAST(100.0*CAST(SUM(CASE WHEN p_type='PROMO' "
+        "THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) "
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+        "/CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) "
+        "AS DECIMAL(18,10)), 4) AS DOUBLE) promo_revenue "
         "FROM lineitem JOIN part ON p_partkey=l_partkey "
         "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
         "AND l_shipdate < TIMESTAMP '1996-10-01'"
     ),
     "r59_q17_small_quantity": (
-        "SELECT ROUND(SUM(l_extendedprice)/7.0, 2) avg_yearly "
+        "SELECT CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0 AS DECIMAL(28,8)), 2) AS DOUBLE) avg_yearly "
         "FROM lineitem JOIN part ON p_partkey=l_partkey "
         "WHERE p_brand='Brand#3' AND l_quantity < "
         "(SELECT 0.2*AVG(l2.l_quantity) FROM lineitem l2 "
         "WHERE l2.l_partkey=p_partkey)"
     ),
     "r60_q19_disjunctive": (
-        "SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) revenue "
+        "SELECT CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) revenue "
         "FROM lineitem JOIN part ON p_partkey=l_partkey WHERE "
         "(p_brand='Brand#1' AND p_size BETWEEN 1 AND 15 "
         "AND l_quantity BETWEEN 1 AND 11) "

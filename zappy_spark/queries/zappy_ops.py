@@ -366,13 +366,21 @@ def z26(spark: SparkSession, d: str) -> DataFrame:
                 ),
                 2,
             ).alias("clipped"),
+            # decimal 0.9 discount: 2dp×0.9 is an exact 3dp decimal,
+            # so the half-cent round is an exact engine-consistent
+            # tie (round-7 boundary probe caught a live 4e-11 case)
             F.round(
                 F.when(
                     F.col("l_discount") > 0.05,
-                    F.col("l_extendedprice") * 0.9,
-                ).otherwise(F.col("l_extendedprice")),
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.lit("0.9").cast("decimal(2,1)"),
+                ).otherwise(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                ),
                 2,
-            ).alias("wh"),
+            )
+            .cast("double")
+            .alias("wh"),
         )
         .orderBy("l_orderkey", "l_linenumber", "clipped", "wh")
         .limit(100)
@@ -713,8 +721,11 @@ ORACLE = {
     "z26_clip_where": (
         "SELECT l_orderkey, l_linenumber, "
         "ROUND(LEAST(GREATEST(l_quantity, 10.0), 40.0), 2) clipped, "
-        "ROUND(CASE WHEN l_discount > 0.05 THEN l_extendedprice*0.9 "
-        "ELSE l_extendedprice END, 2) wh "
+        "CAST(ROUND(CASE WHEN l_discount > 0.05 "
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* CAST(0.9 AS DECIMAL(2,1)) "
+        "ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END, 2) "
+        "AS DOUBLE) wh "
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, clipped, wh "
         "LIMIT 100"
     ),
