@@ -2670,3 +2670,119 @@ def test_canonical_url_folds_uppercase_scheme_host(spark):
     assert got[0] == got[1] == "http://example.org/A"
     assert got[2] == got[3] == "https://s0.example.org/Page/0"
     assert got[4] == "http://example.org/a" and got[4] != got[0]
+
+
+def test_substring_dup_spans_exact_boundaries(spark):
+    """Planted maximal span: 'a b c d e f g' (7 tokens) shared
+    between two docs must come back as exactly ONE span of length 7
+    on each side — boundaries recovered, not just membership (the
+    d40 contract vs d17's span counting)."""
+    from zappy_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f g x"),
+            (3, "z1 z2 z3 z4 z5 z6"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["max_span_tokens"], r["dup_tokens"])
+        for r in substring_dup_spans(df, "text", "doc_id", k=5).collect()
+    }
+    assert out == {1: (1, 7, 7), 2: (1, 7, 7)}
+
+
+def test_crosslingual_align_finds_planted_pair(spark):
+    """A fr doc sharing its three rarest tokens with exactly one en
+    doc must align to it with a full-overlap (inter == uni) score;
+    an en doc with a different rare-token anchor must not steal the
+    match."""
+    from zappy_spark.operators.dedup import crosslingual_align_candidates
+
+    rows = [(i, "c1 c2 c3 c4 c5", "en") for i in range(4)]
+    rows += [
+        (10, "c1 c2 x1 x2 x3", "en"),
+        (20, "c1 c2 x1 x2 x3", "fr"),
+        (30, "c1 c2 x1 x2 y1", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = crosslingual_align_candidates(
+        df, "text", "doc_id", "lang"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["match_id"], r["inter"], r["uni"]) == (
+        20,
+        10,
+        5,
+        5,
+    )
+
+
+def test_containment_direction_verdicts(spark):
+    """Planted asymmetry: source A's grams are a strict subset of
+    source C's, so at a 50% threshold the verdict must be a_in_b
+    (A contained in C), decided purely by integer comparisons."""
+    from zappy_spark.operators.dedup import containment_direction
+
+    df = spark.createDataFrame(
+        [("A", "a b c d"), ("C", "a b c d e f g h")],
+        ["source", "text"],
+    )
+    out = containment_direction(
+        df, "text", "source", k=3, hi_pct=50
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"], r["shared"], r["n_a"], r["n_b"]) == (
+        "A", "C", 2, 2, 6,
+    )
+    assert r["verdict"] == "a_in_b"
+
+
+def test_rag_chunk_overlap_flags_cross_doc_clone(spark):
+    """Two docs with identical text must each contribute a redundant
+    chunk (cross-doc 5-gram sharing); a unique doc must not — and
+    within-doc overlap alone never counts."""
+    from zappy_spark.operators.text import rag_chunk_overlap_audit
+
+    clone = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, clone, "sA"), (2, clone, "sA"), (3, uniq, "sB")],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["source"]: (r["n_chunks"], r["n_redundant"])
+        for r in rag_chunk_overlap_audit(
+            df, "text", "doc_id", "source"
+        ).collect()
+    }
+    assert out == {"sA": (2, 2), "sB": (1, 0)}
+
+
+def test_minhash_agreement_identical_docs(spark):
+    """d44's estimator contract at the degenerate point: identical
+    docs must agree on all 16 signature slots and have inter == uni;
+    disjoint docs must agree on zero slots and have inter == 0."""
+    from zappy_spark.queries.pipeline_ops import d44  # noqa: F401
+    from zappy_spark.operators.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    clone = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"v{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, clone), (2, clone), (3, other)], ["doc_id", "text"]
+    )
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signature(
+            df, "text", "doc_id", num_hashes=16, k=3
+        ).collect()
+    }
+    assert sig[1] == sig[2]
+    assert sum(a == b for a, b in zip(sig[1], sig[3])) == 0

@@ -1061,3 +1061,71 @@ def test_cusum_is_one_partitioned_window_pass(spark):
 
     sorts = len(re.findall(r"\bSort\b", plan))
     assert sorts <= 3, plan[:3000]
+
+
+def test_substring_dedup_plan_shape(spark):
+    """d40: the islands window must run over the DUPLICATED subset
+    only (join before window), the shingle frequency agg must carry
+    partial aggregation, and nothing falls back to Python or a
+    cartesian product."""
+    plan = _plan(QUERIES["d40_substring_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on the gram agg
+
+
+def test_crosslingual_align_no_cross_product(spark):
+    """d41: the anchor bucket join and the (pid, token) verify join
+    must both be equi-joins — a per-pair token cross product would
+    be quadratic in doc length."""
+    plan = _plan(QUERIES["d41_crosslingual_align"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_direction_bounded_output(spark):
+    """d42: distinct (source, gram) BEFORE the gram self-join (the
+    t13 lesson) — the plan must aggregate/distinct below the join,
+    and never cross-product."""
+    plan = _plan(QUERIES["d42_contamination_direction"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 1
+
+
+def test_rag_chunk_overlap_scan_side_chunking(spark):
+    """d43: chunking + shingling are array lambdas (no Python, no
+    extra shuffle before the gram agg)."""
+    plan = _plan(QUERIES["d43_rag_chunk_overlap"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_freq_spectrum_two_hash_aggs(spark):
+    """t30: exactly the gram-count agg + the spectrum agg — no joins,
+    no windows, no Python."""
+    plan = _plan(QUERIES["t30_freq_spectrum"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sessionized_funnel_reuses_session_key(spark):
+    """r93: every stage hashes on (user_id, sid) — the plan must not
+    introduce a cartesian product, and the funnel joins stay
+    equi-keyed."""
+    plan = _plan(QUERIES["r93_sessionized_funnel"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_attestation_bounded_panel(spark):
+    """d44: the only non-equi join is the bounded 60-doc pair panel
+    (broadcast nested loop over a tiny side is fine BY CONSTRUCTION);
+    the gram intersection join must stay equi-keyed and nothing
+    falls back to Python."""
+    plan = _plan(QUERIES["d44_minhash_containment_est"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the panel filter must reach the documents scan
+    assert "LessThan(doc_id,60)" in plan

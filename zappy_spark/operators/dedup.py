@@ -1068,3 +1068,248 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jac") >= theta)
     )
+
+
+def substring_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Maximal cross-doc duplicated substring spans — the
+    suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") re-expressed for a
+    distributed engine. A suffix array finds every duplicated
+    substring of length >= k; the equivalent relational form is:
+    OVERLAPPING k-token shingles with positions, a position is
+    duplicated iff its shingle occurs in >= 2 distinct docs, and
+    consecutive duplicated positions merge into maximal runs
+    (gaps-and-islands) — each run [p_min, p_max] is exactly a
+    maximal duplicated token span of length p_max - p_min + k.
+    Unlike span_stats (non-overlapping spans, set membership only),
+    this recovers span BOUNDARIES and lengths, which is what the
+    cut-the-span dedup rewrite needs.
+
+    Returns one row per doc that has any duplicated span:
+    (id, n_spans, max_span_tokens, dup_tokens).
+
+    Scale: one explode to ~n_tokens rows per doc; shingle frequency
+    is one hash agg on md5(gram) with map-side partials; the join
+    back is co-partitioned on the same key; the islands window
+    partitions per doc over only the DUPLICATED positions (a small
+    subset). Corpus text shuffles zero times — only (hash, pos)
+    pairs move. The 100 TB form buckets by gram hash exactly like
+    span_stats."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tks")).filter(
+        F.size("_tks") >= k
+    )
+    n_pos = F.size("_tks") - (k - 1)
+    grams = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_tks"), i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.p").alias("_pos"), F.col("_s.h").alias("_h"))
+    freq = grams.groupBy("_h").agg(F.countDistinct("_id").alias("_d"))
+    dup = grams.join(freq.filter(F.col("_d") >= 2), "_h").select(
+        "_id", "_pos"
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    isl = dup.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    spans = isl.groupBy("_id", "_grp").agg(
+        (F.max("_pos") - F.min("_pos") + k).alias("_len")
+    )
+    return spans.groupBy("_id").agg(
+        F.count("*").alias("n_spans"),
+        F.max("_len").cast("bigint").alias("max_span_tokens"),
+        F.sum("_len").cast("bigint").alias("dup_tokens"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_spans",
+        "max_span_tokens",
+        "dup_tokens",
+    )
+
+
+def crosslingual_align_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    pivot_lang: str = "en",
+    n_anchor: int = 3,
+) -> DataFrame:
+    """Cross-lingual document alignment by cheap anchor signatures —
+    the candidate-mining stage of bitext alignment (the hash-based
+    pre-filter classically run before an embedding scorer like
+    LASER; the scorer is pluggable downstream). Each doc's anchor is
+    the md5 of its ``n_anchor`` RAREST tokens (global document
+    frequency asc, token asc — deterministic); docs in different
+    languages sharing an anchor are candidates, scored by exact
+    token-set Jaccard, and each non-pivot doc keeps its best pivot
+    match (ties → smallest pivot id).
+
+    Returns (id, lang, match_id, inter, uni): intersection and union
+    are exact BIGINTs — no rounded ratio anywhere (the round-7
+    boundary-probe discipline); consumers divide if they want a
+    score.
+
+    Scale: token df is one hash agg; per-doc rarest-3 is a window
+    over (doc, token) distinct rows; the anchor bucket join is
+    md5-keyed (balanced); the Jaccard verify runs over EXPLODED
+    (doc, token) rows, never array-carrying joins (the round-6 100×
+    lesson). An anchor flood (mass-cloned docs) would bound via the
+    same max-bucket guard as LSH; not wired here because anchors of
+    rare tokens are high-cardinality by construction."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            )
+        ).alias("_tok"),
+    )
+    dfreq = toks.groupBy("_tok").agg(F.countDistinct("_id").alias("_df"))
+    ranked = toks.join(dfreq, "_tok").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy("_df", "_tok")
+        ),
+    )
+    anchors = (
+        ranked.filter(F.col("_rn") <= n_anchor)
+        .groupBy("_id", "_lang")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_rn", "_tok"))
+                        ),
+                        lambda s: s["_tok"],
+                    ),
+                )
+            ).alias("_anchor"),
+            F.count("*").alias("_na"),
+        )
+        .filter(F.col("_na") == n_anchor)
+        .select("_id", "_lang", "_anchor")
+    )
+    piv = anchors.filter(F.col("_lang") == pivot_lang).select(
+        F.col("_id").alias("_pid"), "_anchor"
+    )
+    oth = anchors.filter(F.col("_lang") != pivot_lang)
+    cand = oth.join(piv, "_anchor").select("_id", "_lang", "_pid")
+    # exploded-narrow Jaccard: pair rows join token rows per side
+    tok_n = toks.select("_id", "_tok")
+    sizes = tok_n.groupBy("_id").agg(F.count("*").alias("_sz"))
+    inter = (
+        cand.join(tok_n, "_id")
+        .join(
+            # explicit 2-key equi-join (pid, token): never a
+            # per-pair token cross product
+            tok_n.select(F.col("_id").alias("_pid"), "_tok"),
+            ["_pid", "_tok"],
+        )
+        .groupBy("_id", "_lang", "_pid")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(sizes, "_id")
+        .join(
+            sizes.select(
+                F.col("_id").alias("_pid"), F.col("_sz").alias("_psz")
+            ),
+            "_pid",
+        )
+        .select(
+            "_id",
+            "_lang",
+            "_pid",
+            "inter",
+            (F.col("_sz") + F.col("_psz") - F.col("inter")).alias("uni"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        (F.col("inter") / F.col("uni")).desc(), F.col("_pid")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lang").alias(lang_col),
+            F.col("_pid").alias("match_id"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("uni").cast("bigint").alias("uni"),
+        )
+    )
+
+
+def containment_direction(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    hi_pct: int = 12,
+) -> DataFrame:
+    """Asymmetric containment verdict per unordered group pair — the
+    DIRECTION refinement of the d36 overlap matrix: containment is
+    |A∩B|/|A| vs |A∩B|/|B|, and which side clears the ``hi_pct``
+    threshold tells who is re-hosting whom (a benchmark inside a
+    crawl reads 'bench_in_crawl', not 'mutual'). All decisions are
+    exact BIGINT cross-multiplications (shared*100 >= hi_pct*n) —
+    no division, no ROUND, no boundary to flip (the round-7 probe
+    discipline).
+
+    Returns (grp_a, grp_b, shared, n_a, n_b, verdict) for every
+    unordered pair, verdict ∈ a_in_b | b_in_a | mutual | weak.
+
+    Scale: distinct (group, gram) FIRST (the t13 lesson), one
+    gram-keyed equi-join, output bounded at |groups|² regardless of
+    corpus size."""
+    sg = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_gram"),
+    ).distinct()
+    totals = sg.groupBy("_g").agg(F.count("*").alias("_n"))
+    a = sg.select(F.col("_g").alias("grp_a"), "_gram")
+    b = sg.select(F.col("_g").alias("grp_b"), "_gram")
+    hits = (
+        a.join(b, "_gram")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    joined = (
+        hits.join(
+            totals.select(F.col("_g").alias("grp_a"), F.col("_n").alias("n_a")),
+            "grp_a",
+        )
+        .join(
+            totals.select(F.col("_g").alias("grp_b"), F.col("_n").alias("n_b")),
+            "grp_b",
+        )
+    )
+    in_a = F.col("shared") * 100 >= F.lit(hi_pct) * F.col("n_a")
+    in_b = F.col("shared") * 100 >= F.lit(hi_pct) * F.col("n_b")
+    return joined.select(
+        "grp_a",
+        "grp_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(in_a & in_b, "mutual")
+        .when(in_a, "a_in_b")
+        .when(in_b, "b_in_a")
+        .otherwise("weak")
+        .alias("verdict"),
+    )

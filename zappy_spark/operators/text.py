@@ -747,3 +747,101 @@ def bigram_nll(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "nll")
     )
+
+
+def rag_chunk_overlap_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    max_tokens: int = 40,
+    overlap: int = 8,
+    gram_k: int = 5,
+) -> DataFrame:
+    """Cross-document redundancy audit over RAG chunks — the
+    retrieval-index health check: after ``chunk_tokens`` splits the
+    corpus into context windows, how many chunks are ≥50% composed
+    of shingles that also occur in ANOTHER document's chunks? A
+    redundant chunk wastes index space and crowds retrieval results
+    with near-copies (why RAG pipelines dedup at chunk granularity,
+    not doc granularity — a doc-unique page can still carry a
+    boilerplate chunk).
+
+    Within-doc sharing never counts (consecutive chunks overlap by
+    construction), and the redundancy verdict is the exact integer
+    comparison shared*2 >= total — no division, no ROUND.
+
+    Returns per group: (group, n_chunks, n_redundant, shared_grams,
+    total_grams), all BIGINT.
+
+    Scale: chunking and shingling are scan-side array lambdas;
+    gram→distinct-doc counting is one md5-free hash agg (grams are
+    the keys — balanced, high-cardinality); the join back is
+    co-partitioned. The only row multiplication is the standard
+    shingle explode."""
+    from zappy_spark.operators.dedup import word_shingles
+
+    chunks = chunk_tokens(df, text_col, id_col, max_tokens, overlap)
+    grp = df.select(F.col(id_col).alias("_did"), F.col(group_col))
+    cg = (
+        chunks.select(
+            F.col(id_col).alias("_did"),
+            "chunk_id",
+            F.explode(
+                word_shingles(F.col("chunk_text"), gram_k)
+            ).alias("_gm"),
+        )
+        .distinct()
+    )
+    gdocs = cg.select("_did", "_gm").distinct().groupBy("_gm").agg(
+        F.countDistinct("_did").alias("_nd")
+    )
+    per_chunk = (
+        cg.join(gdocs, "_gm")
+        .groupBy("_did", "chunk_id")
+        .agg(
+            F.count("*").alias("_tot"),
+            F.sum((F.col("_nd") >= 2).cast("bigint")).alias("_shr"),
+        )
+    )
+    return (
+        per_chunk.join(grp, "_did")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("_shr") * 2 >= F.col("_tot")).cast("bigint")
+            ).alias("n_redundant"),
+            F.sum("_shr").cast("bigint").alias("shared_grams"),
+            F.sum("_tot").cast("bigint").alias("total_grams"),
+        )
+    )
+
+
+def freq_of_freqs(
+    df: DataFrame, text_col: str, k: int = 3, cap: int = 11
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies over word k-grams — the
+    Zipf-tail audit behind smoothing estimates and dedup-threshold
+    studies: how many gram TYPES occur exactly f times (f capped at
+    ``cap`` for the head). Singleton mass (f=1) estimates unseen
+    probability; a fat f=1 tail means the corpus is still growing
+    vocabulary, a thin one means it's saturating (or duplicated).
+
+    Returns (freq_class, n_types, mass) — all exact BIGINTs, zero
+    divisions (the round-7 probe discipline). Two hash aggs: gram
+    counts (md5-free, balanced keys), then the ≤cap-row spectrum."""
+    from zappy_spark.operators.dedup import word_shingles
+
+    g = df.select(F.explode(word_shingles(F.col(text_col), k)).alias("_g"))
+    c = g.groupBy("_g").agg(F.count("*").alias("_c"))
+    return (
+        c.withColumn(
+            "freq_class", F.least(F.col("_c"), F.lit(cap)).cast("int")
+        )
+        .groupBy("freq_class")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("_c").cast("bigint").alias("mass"),
+        )
+    )

@@ -456,17 +456,27 @@ _CHANGED_R7 = [
     # NOTE: z29/z31/z32 gained a fresh-store rmtree (stale-/tmp
     # hygiene) — values and spelling are identical, so they do NOT
     # re-enter the window.
+    # s17's oracle re-spelled mid-round: the r93 work exposed that
+    # `ts - LAG(ts) > INTERVAL` compares at nanosecond precision in
+    # DuckDB while Spark's gap uses floor-second longs — one session
+    # flipped at sf0.1 under the 6h threshold. Both gap oracles now
+    # count whole-second boundaries (date_diff('second', ...)),
+    # matching Spark exactly; s17 re-enters for a row in new form.
+    "s17_gaps_islands",
 ]
 
 # Brand-new round-7 entries (zero driver rows) — appended as the
 # round progresses; capped ~10 per VERDICT r6 item 4 so the stale
 # tail is not displaced.
 _NEW_R7: list[str] = [
-    # appended as each is implemented this round (planned set:
-    # d40 substring dedup, d41 cross-lingual align, d42 containment
-    # direction, d43 RAG chunk overlap, t30 Zipf tail, r93
-    # sessionized funnel, v26 residual quantizer, d44 sketch
-    # containment)
+    # appended as each is implemented this round
+    "d40_substring_dedup",  # NEW r7: maximal duplicated-substring spans
+    "d41_crosslingual_align",  # NEW r7: rare-token-anchor doc alignment
+    "d42_contamination_direction",  # NEW r7: integer containment verdicts
+    "d43_rag_chunk_overlap",  # NEW r7: chunk-level redundancy audit
+    "t30_freq_spectrum",  # NEW r7: Good-Turing 3-gram spectrum
+    "r93_sessionized_funnel",  # NEW r7: in-session strict-order funnel
+    "d44_minhash_containment_est",  # NEW r7: sketch-vs-exact attestation
 ]
 
 # The r1-stale tail: the 27 _R1_STALE entries without a round-6 row

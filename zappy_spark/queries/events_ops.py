@@ -417,6 +417,66 @@ def s17(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+
+def r93(spark: SparkSession, d: str) -> DataFrame:
+    """Sessionized strict-order funnel (round 7): sessionize by the
+    s17 gaps-and-islands machinery (6-HOUR inactivity — the synthetic
+    event cadence is sparse, so a 30-min gap yields one-event
+    sessions and a vacuous funnel; verified non-vacuous at every
+    step with 6h), then demand
+    view -> click -> purchase IN ORDER *within one session* — the
+    product-analytics funnel r66 cannot express (r66's stages are
+    time-bounded per user across the whole history; this one resets
+    at every session boundary, the form diagnostic for UX changes).
+    Step times chain as three conditional min-aggregates, each
+    joined back on (user_id, sid) — one partitioning reused across
+    all three stages, no per-session collect.
+
+    Output per session-start date: sessions, sessions reaching each
+    step — exact counts only."""
+    ev = t(spark, d, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    df = ev.withColumn(
+        "ns", F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+    ).withColumn("sid", F.sum("ns").over(w))
+    base = df.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "tv"
+        ),
+    )
+    c2 = (
+        df.join(base, ["user_id", "sid"])
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("tv")))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("tc"))
+    )
+    c3 = (
+        df.join(c2, ["user_id", "sid"])
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("tc"))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("tp"))
+    )
+    full = base.join(c2, ["user_id", "sid"], "left").join(
+        c3, ["user_id", "sid"], "left"
+    )
+    return (
+        full.groupBy(F.col("s_start").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count("tv").alias("n_view"),
+            F.count("tc").alias("n_view_click"),
+            F.count("tp").alias("n_full_funnel"),
+        )
+        .orderBy("day")
+    )
+
+
 def s18(spark: SparkSession, d: str) -> DataFrame:
     """Dynamic-gap session windows (round 5;
     streaming/jobs.py::dynamic_session_counts): the gap is a
@@ -776,6 +836,7 @@ QUERIES = {
     "s15_transition_matrix": s15,
     "s16_user_ewma": s16,
     "s17_gaps_islands": s17,
+    "r93_sessionized_funnel": r93,
     "s18_dynamic_session": s18,
     "r80_rolling_median": r80,
     "r81_quantile_envelope": r81,
@@ -909,11 +970,39 @@ ORACLE = {
         "SELECT user_id, COUNT(*) sessions, CAST(SUM(n) AS BIGINT) events "
         "FROM s GROUP BY user_id ORDER BY user_id"
     ),
+    # r93: the s17 session machinery + chained conditional-min
+    # funnel steps; counts only.
+    "r93_sessionized_funnel": (
+        "WITH g AS (SELECT user_id, event_id, ts, event_type, "
+        "CASE WHEN LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR date_diff('second', LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts) "
+        "> 21600 THEN 1 ELSE 0 END ns FROM events), "
+        "sx AS (SELECT *, SUM(ns) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM g), "
+        "b AS (SELECT user_id, sid, MIN(ts) s_start, "
+        "MIN(CASE WHEN event_type = 'view' THEN ts END) tv "
+        "FROM sx GROUP BY 1,2), "
+        "c2 AS (SELECT sx.user_id, sx.sid, MIN(sx.ts) tc "
+        "FROM sx JOIN b ON b.user_id = sx.user_id AND b.sid = sx.sid "
+        "WHERE sx.event_type = 'click' AND sx.ts > b.tv GROUP BY 1,2), "
+        "c3 AS (SELECT sx.user_id, sx.sid, MIN(sx.ts) tp "
+        "FROM sx JOIN c2 ON c2.user_id = sx.user_id AND c2.sid = sx.sid "
+        "WHERE sx.event_type = 'purchase' AND sx.ts > c2.tc GROUP BY 1,2) "
+        "SELECT CAST(b.s_start AS DATE) AS \"day\", COUNT(*) n_sessions, "
+        "COUNT(b.tv) n_view, COUNT(c2.tc) n_view_click, "
+        "COUNT(c3.tp) n_full_funnel "
+        "FROM b LEFT JOIN c2 ON c2.user_id = b.user_id AND c2.sid = b.sid "
+        "LEFT JOIN c3 ON c3.user_id = b.user_id AND c3.sid = b.sid "
+        "GROUP BY 1 ORDER BY 1"
+    ),
     "s17_gaps_islands": (
         "WITH g AS (SELECT user_id, ts, event_id, "
-        "CASE WHEN ts - LAG(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id) "
-        "> INTERVAL '30 minutes' OR LAG(ts) OVER "
+        "CASE WHEN date_diff('second', LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts) "
+        "> 1800 OR LAG(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
         "THEN 1 ELSE 0 END ns FROM events), "
         "s AS (SELECT user_id, ts, SUM(ns) OVER "

@@ -2461,6 +2461,161 @@ def d39(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+
+def d40(spark: SparkSession, d: str) -> DataFrame:
+    """Maximal duplicated-substring spans (round 7;
+    operators/dedup.py::substring_dup_spans): the suffix-array
+    substring dedup of Lee et al. 2022 re-expressed relationally —
+    overlapping 5-token shingles with positions, cross-doc-shared
+    positions merged into maximal runs by gaps-and-islands. The
+    exact sibling of d17 (which counts non-overlapping span
+    membership): this one recovers span BOUNDARIES and lengths,
+    i.e. what the cut-the-span rewrite consumes. Top duplicated
+    docs by total duplicated tokens.
+
+    Scale: shingle frequency is one md5-keyed hash agg (map-side
+    partials); the join back is co-partitioned; the islands window
+    runs per doc over only the duplicated positions. Corpus text
+    never re-shuffles."""
+    return (
+        dedup.substring_dup_spans(
+            t(spark, d, "documents"), "text", "doc_id", k=5
+        )
+        .orderBy(F.desc("dup_tokens"), "doc_id")
+        .limit(100)
+    )
+
+
+
+def d41(spark: SparkSession, d: str) -> DataFrame:
+    """Cross-lingual doc alignment candidates (round 7;
+    operators/dedup.py::crosslingual_align_candidates): each non-en
+    doc buckets on the md5 of its 3 globally-rarest tokens and keeps
+    its best en match by exact token-set Jaccard — the hash-based
+    candidate-mining stage that classically precedes an embedding
+    scorer in bitext mining. Scores stay exact BIGINT
+    (inter, uni) — no rounded ratio (boundary-probe discipline).
+
+    Scale: df agg + anchor window + md5-keyed bucket join + an
+    exploded-narrow verify — no array-carrying joins, no cross
+    products (2-key equi-join on (pid, token))."""
+    return (
+        dedup.crosslingual_align_candidates(
+            t(spark, d, "documents"), "text", "doc_id", "lang"
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+
+def d42(spark: SparkSession, d: str) -> DataFrame:
+    """Per-source contamination DIRECTION (round 7;
+    operators/dedup.py::containment_direction): d36's overlap matrix
+    refined to a who-contains-whom verdict per unordered source
+    pair, decided by exact integer cross-multiplication at a 10%%
+    containment threshold — zero divisions or rounds anywhere.
+    Output bounded at |sources|² rows at any corpus size."""
+    return (
+        dedup.containment_direction(
+            t(spark, d, "documents"), "text", "source", k=3, hi_pct=10
+        )
+        .orderBy("grp_a", "grp_b")
+        .limit(200)
+    )
+
+
+
+def d43(spark: SparkSession, d: str) -> DataFrame:
+    """RAG chunk-overlap audit (round 7;
+    operators/text.py::rag_chunk_overlap_audit): chunk the corpus
+    into 40-token windows (8-token overlap, the chunk_tokens/t09
+    chunker), then per source count chunks that are >= 50%% composed
+    of 5-gram shingles occurring in ANOTHER document's chunks — the
+    retrieval-index redundancy check run before building a RAG
+    store. Within-doc sharing never counts; the redundancy verdict
+    is the exact integer comparison shared*2 >= total."""
+    return (
+        text.rag_chunk_overlap_audit(
+            t(spark, d, "documents"), "text", "doc_id", "source"
+        )
+        .orderBy("source")
+    )
+
+
+
+def t30(spark: SparkSession, d: str) -> DataFrame:
+    """Good-Turing frequency spectrum over 3-grams (round 7;
+    operators/text.py::freq_of_freqs): how many gram types occur
+    exactly f times (head capped at 11+) — the Zipf-tail audit
+    behind smoothing and dedup-threshold choices. All counts exact
+    BIGINT; two hash aggs, no joins, no windows."""
+    return (
+        text.freq_of_freqs(t(spark, d, "documents"), "text", k=3)
+        .orderBy("freq_class")
+    )
+
+
+
+def d44(spark: SparkSession, d: str) -> DataFrame:
+    """MinHash-agreement Jaccard estimation ATTESTED against exact
+    Jaccard (round 7): for every pair in a bounded doc panel, the
+    number of agreeing signature slots (E[slots/16] = J, the MinHash
+    contract) next to the exact intersection/union sizes — the d02
+    signature family joining the t25/v07/r81/d35 sketch-attestation
+    tier. All outputs exact integers: the estimator's quality is in
+    the data, not in a rounded ratio.
+
+    Scale: signatures are corpus-scale (scan + one doc-keyed agg);
+    only the PAIR PANEL is bounded (doc_id < 60 -> 1770 pairs, the
+    bound-the-instrument doctrine) because listing all pairs is the
+    gate's job, not the operator's; production pairs come from LSH
+    buckets (d02/d06)."""
+    docs = t(spark, d, "documents").filter(F.col("doc_id") < 60)
+    sig = dedup.minhash_signature(docs, "text", "doc_id", num_hashes=16, k=3)
+    a = sig.select(F.col("doc_id").alias("i"), F.col("sig").alias("_sa"))
+    b = sig.select(F.col("doc_id").alias("j"), F.col("sig").alias("_sb"))
+    slots = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda z: z
+        )
+    ).cast("bigint")
+    pe = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", slots.alias("slots_eq"))
+    )
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(F.col("text"), 3))
+        ).alias("_g"),
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    it = (
+        g.select(F.col("doc_id").alias("i"), "_g")
+        .join(g.select(F.col("doc_id").alias("j"), "_g"), "_g")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("_it"))
+    )
+    return (
+        pe.join(it, ["i", "j"], "left")
+        .join(sz.select(F.col("doc_id").alias("i"), F.col("_n").alias("_na")), "i")
+        .join(sz.select(F.col("doc_id").alias("j"), F.col("_n").alias("_nb")), "j")
+        .select(
+            "i",
+            "j",
+            "slots_eq",
+            F.coalesce(F.col("_it"), F.lit(0)).cast("bigint").alias("inter"),
+            (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_it"), F.lit(0)))
+            .cast("bigint")
+            .alias("uni"),
+        )
+        .orderBy("i", "j")
+        .limit(300)
+    )
+
+
 def v25(spark: SparkSession, d: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots
     (round 6): split the corpus into snapshot A (even vec_id) and B
@@ -2556,6 +2711,12 @@ QUERIES = {
     "t29_ngram_novelty": t29,
     "d38_url_canonical": d38,
     "d39_oov_rate": d39,
+    "d40_substring_dedup": d40,
+    "d41_crosslingual_align": d41,
+    "d42_contamination_direction": d42,
+    "d43_rag_chunk_overlap": d43,
+    "t30_freq_spectrum": t30,
+    "d44_minhash_containment_est": d44,
     "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
@@ -3041,6 +3202,156 @@ ORACLE = {
     ),
     # d39: vocab = top-100 by (count, token) — deterministic; the
     # rate is exact-integer division.
+    # d44: the d02 signature family (i|gram salts), slot agreement
+    # via list_filter over range, exact jaccard via distinct-gram
+    # self-join.
+    "d44_minhash_containment_est": (
+        "WITH dd AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 60), "
+        "t AS (SELECT doc_id, string_split(text,' ') ws FROM dd), "
+        "sh AS (SELECT doc_id, concat(ws[CAST(i AS INT)],' ',"
+        "ws[CAST(i AS INT)+1],' ',ws[CAST(i AS INT)+2]) g "
+        "FROM (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws)-2)) i "
+        "FROM t WHERE len(ws)>=3) x), "
+        "sg AS (SELECT DISTINCT doc_id, g FROM sh), "
+        "sig AS (SELECT doc_id, [MIN(md5(concat('0|',g))), MIN(md5(concat('1|',g))), MIN(md5(concat('2|',g))), MIN(md5(concat('3|',g))), MIN(md5(concat('4|',g))), MIN(md5(concat('5|',g))), MIN(md5(concat('6|',g))), MIN(md5(concat('7|',g))), MIN(md5(concat('8|',g))), MIN(md5(concat('9|',g))), MIN(md5(concat('10|',g))), MIN(md5(concat('11|',g))), MIN(md5(concat('12|',g))), MIN(md5(concat('13|',g))), MIN(md5(concat('14|',g))), MIN(md5(concat('15|',g)))] s FROM sh GROUP BY doc_id), "
+        "sz AS (SELECT doc_id, COUNT(*) n FROM sg GROUP BY doc_id), "
+        "pr AS (SELECT a.doc_id i, b.doc_id j, a.s sa, b.s sb "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id), "
+        "se AS (SELECT i, j, len(list_filter(range(1,17), "
+        "k -> sa[CAST(k AS INT)] = sb[CAST(k AS INT)])) slots_eq "
+        "FROM pr), "
+        "it AS (SELECT x.doc_id i, y.doc_id j, COUNT(*) itc "
+        "FROM sg x JOIN sg y ON y.g = x.g AND x.doc_id < y.doc_id "
+        "GROUP BY 1,2) "
+        "SELECT se.i, se.j, CAST(slots_eq AS BIGINT) slots_eq, "
+        "CAST(COALESCE(itc,0) AS BIGINT) inter, "
+        "CAST(s1.n + s2.n - COALESCE(itc,0) AS BIGINT) uni "
+        "FROM se LEFT JOIN it ON it.i = se.i AND it.j = se.j "
+        "JOIN sz s1 ON s1.doc_id = se.i "
+        "JOIN sz s2 ON s2.doc_id = se.j "
+        "ORDER BY se.i, se.j LIMIT 300"
+    ),
+    "t30_freq_spectrum": (
+        "WITH tk AS (SELECT list_filter(string_split(text,' '), "
+        "x -> x<>'') tl FROM documents), "
+        "g AS (SELECT array_to_string(tl[CAST(u.i AS INT):"
+        "CAST(u.i+2 AS INT)], ' ') gm "
+        "FROM tk, UNNEST(range(1, len(tl)-1)) AS u(i) "
+        "WHERE len(tl) >= 3), "
+        "c AS (SELECT gm, COUNT(*) c FROM g GROUP BY gm) "
+        "SELECT CAST(LEAST(c, 11) AS INT) freq_class, "
+        "COUNT(*) n_types, CAST(SUM(c) AS BIGINT) mass "
+        "FROM c GROUP BY 1 ORDER BY 1"
+    ),
+    # d43: chunking replayed with UNFILTERED string_split (mirrors
+    # chunk_tokens' raw F.split), grams per chunk, distinct-doc
+    # counts, integer redundancy verdicts.
+    "d43_rag_chunk_overlap": (
+        "WITH tk AS (SELECT doc_id, source, string_split(text,' ') tl "
+        "FROM documents), "
+        "ch AS (SELECT doc_id, source, CAST(u.i AS INT) chunk_id, "
+        "tl[CAST(u.i*32+1 AS INT):CAST(u.i*32+40 AS INT)] ck "
+        "FROM tk, UNNEST(range(0, CAST(CEIL(GREATEST(len(tl)-8,1)/32.0) "
+        "AS BIGINT))) AS u(i)), "
+        "cg AS (SELECT DISTINCT doc_id, chunk_id, "
+        "array_to_string(ck[CAST(v.j AS INT):CAST(v.j+4 AS INT)], ' ') gm "
+        "FROM ch, UNNEST(range(1, len(ck)-3)) AS v(j) "
+        "WHERE len(ck) >= 5), "
+        "gd AS (SELECT gm, COUNT(DISTINCT doc_id) nd FROM cg GROUP BY gm), "
+        "pc AS (SELECT doc_id, chunk_id, COUNT(*) tot, "
+        "SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) shr "
+        "FROM cg JOIN gd USING (gm) GROUP BY 1,2) "
+        "SELECT source, COUNT(*) n_chunks, "
+        "CAST(SUM(CASE WHEN shr*2 >= tot THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_redundant, "
+        "CAST(SUM(shr) AS BIGINT) shared_grams, "
+        "CAST(SUM(tot) AS BIGINT) total_grams "
+        "FROM pc JOIN (SELECT DISTINCT doc_id, source FROM documents) ds "
+        "USING (doc_id) GROUP BY source ORDER BY source"
+    ),
+    # d42: integer cross-multiplied verdicts on distinct 3-grams.
+    "d42_contamination_direction": (
+        "WITH tk AS (SELECT source, "
+        "list_filter(string_split(text,' '), x -> x<>'') tl "
+        "FROM documents), "
+        "g AS (SELECT DISTINCT source, "
+        "array_to_string(tl[CAST(u.i AS INT):CAST(u.i+2 AS INT)], ' ') gm "
+        "FROM tk, UNNEST(range(1, len(tl)-1)) AS u(i) "
+        "WHERE len(tl) >= 3), "
+        "tot AS (SELECT source, COUNT(*) n FROM g GROUP BY source), "
+        "h AS (SELECT a.source grp_a, b.source grp_b, COUNT(*) shared "
+        "FROM g a JOIN g b ON a.gm = b.gm AND a.source < b.source "
+        "GROUP BY 1,2) "
+        "SELECT grp_a, grp_b, CAST(shared AS BIGINT) shared, "
+        "CAST(ta.n AS BIGINT) n_a, CAST(tb.n AS BIGINT) n_b, "
+        "CASE WHEN shared*100 >= 10*ta.n AND shared*100 >= 10*tb.n "
+        "THEN 'mutual' "
+        "WHEN shared*100 >= 10*ta.n THEN 'a_in_b' "
+        "WHEN shared*100 >= 10*tb.n THEN 'b_in_a' "
+        "ELSE 'weak' END verdict "
+        "FROM h JOIN tot ta ON ta.source = grp_a "
+        "JOIN tot tb ON tb.source = grp_b "
+        "ORDER BY grp_a, grp_b LIMIT 200"
+    ),
+    # d41: anchors by string_agg ORDER BY rank; jaccard over
+    # distinct-token joins; best match by (inter/uni DESC, pid).
+    "d41_crosslingual_align": (
+        "WITH tk AS (SELECT DISTINCT doc_id, lang, "
+        "unnest(list_filter(string_split(text,' '), x -> x<>'')) tok "
+        "FROM documents), "
+        "dfq AS (SELECT tok, COUNT(DISTINCT doc_id) df FROM tk "
+        "GROUP BY tok), "
+        "rk AS (SELECT doc_id, lang, tok, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY df, tok) rn "
+        "FROM tk JOIN dfq USING (tok)), "
+        "an AS (SELECT doc_id, lang, "
+        "md5(string_agg(tok, '|' ORDER BY rn)) anchor, COUNT(*) na "
+        "FROM rk WHERE rn <= 3 GROUP BY doc_id, lang "
+        "HAVING COUNT(*) = 3), "
+        "pv AS (SELECT doc_id pid, anchor FROM an WHERE lang = 'en'), "
+        "ot AS (SELECT doc_id, lang, anchor FROM an WHERE lang <> 'en'), "
+        "cd AS (SELECT ot.doc_id, ot.lang, pv.pid FROM ot "
+        "JOIN pv USING (anchor)), "
+        "sz AS (SELECT doc_id, COUNT(*) sz FROM tk GROUP BY doc_id), "
+        "itr AS (SELECT cd.doc_id, cd.lang, cd.pid, COUNT(*) inter "
+        "FROM cd JOIN tk a ON a.doc_id = cd.doc_id "
+        "JOIN tk b ON b.doc_id = cd.pid AND b.tok = a.tok "
+        "GROUP BY 1,2,3), "
+        "sc AS (SELECT itr.doc_id, itr.lang, itr.pid, inter, "
+        "s1.sz + s2.sz - inter uni "
+        "FROM itr JOIN sz s1 ON s1.doc_id = itr.doc_id "
+        "JOIN sz s2 ON s2.doc_id = itr.pid), "
+        "bst AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY inter*1.0/uni DESC, pid) r FROM sc) "
+        "SELECT doc_id, lang, pid match_id, "
+        "CAST(inter AS BIGINT) inter, CAST(uni AS BIGINT) uni "
+        "FROM bst WHERE r = 1 ORDER BY doc_id LIMIT 100"
+    ),
+    # d40: the islands replay — range(1, n_pos+1) generates the
+    # 1-based shingle positions; list slice is 1-based inclusive.
+    "d40_substring_dedup": (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tl "
+        "FROM documents), "
+        "g AS (SELECT doc_id, CAST(u.i AS INT) pos, "
+        "md5(array_to_string(tl[CAST(u.i AS INT):CAST(u.i+4 AS INT)], ' ')) h "
+        "FROM toks, UNNEST(range(1, len(tl)-3)) AS u(i) "
+        "WHERE len(tl) >= 5), "
+        "f AS (SELECT h FROM g GROUP BY h "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "dd AS (SELECT doc_id, pos FROM g JOIN f USING (h)), "
+        "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) grp FROM dd), "
+        "sp AS (SELECT doc_id, grp, MAX(pos)-MIN(pos)+5 len "
+        "FROM isl GROUP BY 1,2) "
+        "SELECT doc_id, COUNT(*) n_spans, "
+        "CAST(MAX(len) AS BIGINT) max_span_tokens, "
+        "CAST(SUM(len) AS BIGINT) dup_tokens "
+        "FROM sp GROUP BY doc_id "
+        "ORDER BY dup_tokens DESC, doc_id LIMIT 100"
+    ),
     "d39_oov_rate": (
         "WITH toks AS (SELECT source, "
         "unnest(list_filter(string_split(text,' '), x -> x<>'')) tok "
