@@ -1301,3 +1301,67 @@ def test_lsh_max_bucket_rejects_unknown_string(spark):
     )
     with _pytest.raises(ValueError, match="max_bucket"):
         lsh_candidate_pairs(sig, "doc_id", bands=2, rows=2, max_bucket="Auto")
+
+
+def test_incremental_novelty_equals_batch(spark, tmp_path):
+    """VERDICT r6 item 7: the documents changelog drained through
+    incremental_novelty_state must equal the batch t29 rows exactly
+    — min(struct(doc_id, source)) is order-free and every count is
+    an exact integer, so equality is exact, not approximate."""
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    replay = str(tmp_path / "docs_replay")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "novelty_state")
+    q = jobs.incremental_novelty_state(
+        jobs.stream_events(spark, replay), state
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(
+        jobs.novelty_from_state(spark, state),
+        "source", "n_grams", "n_novel", "novelty_rate",
+    )
+    batch = _rows(
+        PQ["t29_ngram_novelty"](spark, SF_SMOKE_DIR),
+        "source", "n_grams", "n_novel", "novelty_rate",
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    # replay guard: re-applying the last batch id is a no-op
+    docs = load_table(spark, SF_SMOKE_DIR, "documents").limit(10)
+    rev = jobs.applied_revision(state)
+    jobs.novelty_apply_batch(docs, rev, state)
+    assert _rows(
+        jobs.novelty_from_state(spark, state),
+        "source", "n_grams", "n_novel", "novelty_rate",
+    ) == got
+
+
+def test_incremental_centroid_drift_equals_batch(spark, tmp_path):
+    """The embeddings changelog drained through
+    incremental_centroid_state must reproduce the batch v25 cosine
+    per label (approximate: sum/count merges reorder double
+    accumulation vs AVG, so compare to 1e-9, well inside the 6dp
+    rounding)."""
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    replay = str(tmp_path / "emb_replay")
+    jobs.replay_embeddings_dir(spark, SF_SMOKE_DIR, replay, n_files=3)
+    state = str(tmp_path / "centroid_state")
+    q = jobs.incremental_centroid_state(
+        jobs.stream_events(spark, replay), state
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["label"]: r["centroid_cos"]
+        for r in jobs.centroid_drift_from_state(spark, state).collect()
+    }
+    batch = {
+        r["label"]: r["centroid_cos"]
+        for r in PQ["v25_centroid_drift"](spark, SF_SMOKE_DIR).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for k in batch:
+        assert abs(got[k] - batch[k]) < 1e-9

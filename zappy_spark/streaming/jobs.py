@@ -1481,3 +1481,264 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.table(name)
+
+
+def replay_documents_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Materialize ``documents`` as ``n_files`` doc_id-ordered
+    parquet files — the crawl-order changelog replay for the t29
+    novelty streaming twin (same mechanism as replay_orders_dir;
+    doc_id IS the crawl order in the batch t29 semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    ranked = docs.withColumn("_rn", F.row_number().over(w))
+    total = ranked.count()
+    per = (total + n_files - 1) // n_files
+    for i in range(n_files):
+        lo, hi = i * per + 1, (i + 1) * per
+        (
+            ranked.filter(F.col("_rn").between(lo, hi))
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+
+def novelty_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One ``incremental_novelty_state`` micro-batch: maintain
+    (a) gram → min(struct(doc_id, source)) — the corpus-wide
+    first-appearance ledger, a MIN merge (idempotent by algebra,
+    but still guarded: the totals half is additive) — and
+    (b) source → n_grams, the distinct-(doc, gram) counter.
+    Both live in one MVCC revision (rev=<id>/grams + /totals,
+    atomic ``_LATEST`` swap) so readers never see them torn."""
+    import os
+
+    from zappy_spark.operators.dedup import word_shingles
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    spark = batch_df.sparkSession
+    dg = batch_df.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("gram"),
+    )
+    part_min = dg.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "source")).alias("_m")
+    )
+    part_tot = dg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    ptr = os.path.join(state_path, "_LATEST")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            rev = f.read().strip()
+        cur_g = spark.read.parquet(
+            os.path.join(state_path, f"rev={rev}", "grams")
+        )
+        cur_t = spark.read.parquet(
+            os.path.join(state_path, f"rev={rev}", "totals")
+        )
+        merged_g = (
+            cur_g.unionByName(part_min)
+            .groupBy("gram")
+            .agg(F.min("_m").alias("_m"))
+        )
+        merged_t = (
+            cur_t.unionByName(part_tot)
+            .groupBy("source")
+            .agg(F.sum("n_grams").alias("n_grams"))
+        )
+    else:
+        merged_g, merged_t = part_min, part_tot
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    merged_g.write.mode("overwrite").parquet(os.path.join(rev_dir, "grams"))
+    merged_t.write.mode("overwrite").parquet(os.path.join(rev_dir, "totals"))
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, ptr)
+
+
+def incremental_novelty_state(stream: DataFrame, state_path: str) -> "Any":
+    """Streaming twin of t29's per-source n-gram novelty: the
+    first-appearance ledger is maintained as a mergeable MIN state
+    per gram — a crawl feed drained in doc_id order converges to
+    the exact batch answer because min(struct(doc_id, source)) is
+    order-free, and the per-source totals are the same additive
+    counters the RFM twin guards against redelivery."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        novelty_apply_batch(batch_df, batch_id, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def novelty_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The t29 report over the streaming-maintained state — same
+    output columns and exact-integer division, so drained state ⇒
+    identical rows."""
+    import os
+
+    ptr = os.path.join(state_path, "_LATEST")
+    if not os.path.exists(ptr):
+        raise ValueError(f"no novelty state at {state_path}")
+    with open(ptr) as f:
+        rev = f.read().strip()
+    grams = spark.read.parquet(
+        os.path.join(state_path, f"rev={rev}", "grams")
+    )
+    totals = spark.read.parquet(
+        os.path.join(state_path, f"rev={rev}", "totals")
+    )
+    novel = (
+        grams.select(F.col("_m.source").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def replay_embeddings_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Materialize ``embeddings`` as ``n_files`` vec_id-ordered
+    parquet files — the snapshot changelog for the v25 centroid
+    drift streaming twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vec_id")
+    ranked = emb.withColumn("_rn", F.row_number().over(w))
+    total = ranked.count()
+    per = (total + n_files - 1) // n_files
+    for i in range(n_files):
+        lo, hi = i * per + 1, (i + 1) * per
+        (
+            ranked.filter(F.col("_rn").between(lo, hi))
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+
+def centroid_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One ``incremental_centroid_state`` micro-batch: per
+    (label, half, pos) the sufficient statistics (sum_x, n) — the
+    same build-partials-merge-forever algebra as incremental
+    moments; additive, so redeliveries are guarded like the RFM
+    twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    spark = batch_df.sparkSession
+    part = (
+        batch_df.select(
+            F.col("label").alias("g"),
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(
+                F.transform("embedding", lambda v: v.cast("double"))
+            ).alias("p", "x"),
+        )
+        .groupBy("g", "half", "p")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is None:
+        merged = part
+    else:
+        merged = (
+            cur.unionByName(part)
+            .groupBy("g", "half", "p")
+            .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    merged.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_centroid_state(stream: DataFrame, state_path: str) -> "Any":
+    """Streaming twin of v25's per-label centroid drift: maintain
+    (label, half, pos) → (sum, count) from an embeddings changelog;
+    the cosine report derives centroids at read time, so the drained
+    state converges to the batch v25 up to summation-order ulps."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        centroid_apply_batch(batch_df, batch_id, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def centroid_drift_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """The v25 report over the streaming-maintained moments."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no centroid state at {state_path}")
+    c = per.select(
+        "g", "half", "p", (F.col("sx") / F.col("n")).alias("m")
+    )
+    a = c.filter(F.col("half") == 0).select("g", "p", F.col("m").alias("ma"))
+    b = c.filter(F.col("half") == 1).select("g", "p", F.col("m").alias("mb"))
+    dots = (
+        a.join(b, ["g", "p"])
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+    )
+    return dots.select(
+        F.col("g").alias("label"),
+        F.round(
+            F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
+        ).alias("centroid_cos"),
+    ).orderBy("label")
