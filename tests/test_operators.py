@@ -2695,10 +2695,11 @@ def test_substring_dup_spans_exact_boundaries(spark):
 
 
 def test_crosslingual_align_finds_planted_pair(spark):
-    """A fr doc sharing its three rarest tokens with exactly one en
-    doc must align to it with a full-overlap (inter == uni) score;
-    an en doc with a different rare-token anchor must not steal the
-    match."""
+    """A fr doc sharing its three rarest TRIGRAMS with exactly one
+    en doc must align to it with a full-overlap (inter == uni) gram
+    score; an en doc with a different rare-gram anchor must not
+    steal the match. (Gram anchors are the round-7 100× fix — rare
+    unigrams flood on small vocabularies.)"""
     from zappy_spark.operators.dedup import crosslingual_align_candidates
 
     rows = [(i, "c1 c2 c3 c4 c5", "en") for i in range(4)]
@@ -2716,8 +2717,16 @@ def test_crosslingual_align_finds_planted_pair(spark):
     assert (r["doc_id"], r["match_id"], r["inter"], r["uni"]) == (
         20,
         10,
-        5,
-        5,
+        3,
+        3,
+    )
+    # the flood guard: cap 1 drops every anchor bucket with > 1 doc,
+    # so nothing aligns
+    assert (
+        crosslingual_align_candidates(
+            df, "text", "doc_id", "lang", max_bucket=1
+        ).count()
+        == 0
     )
 
 

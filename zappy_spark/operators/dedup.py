@@ -1144,36 +1144,45 @@ def crosslingual_align_candidates(
     lang_col: str,
     pivot_lang: str = "en",
     n_anchor: int = 3,
+    gram_k: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Cross-lingual document alignment by cheap anchor signatures —
     the candidate-mining stage of bitext alignment (the hash-based
     pre-filter classically run before an embedding scorer like
     LASER; the scorer is pluggable downstream). Each doc's anchor is
-    the md5 of its ``n_anchor`` RAREST tokens (global document
-    frequency asc, token asc — deterministic); docs in different
-    languages sharing an anchor are candidates, scored by exact
-    token-set Jaccard, and each non-pivot doc keeps its best pivot
-    match (ties → smallest pivot id).
+    the md5 of its ``n_anchor`` RAREST ``gram_k``-gram shingles
+    (global document frequency asc, gram asc — deterministic); docs
+    in different languages sharing an anchor are candidates, scored
+    by exact gram-set Jaccard, and each non-pivot doc keeps its best
+    pivot match (ties → smallest pivot id).
+
+    ANCHORS ARE GRAMS, NOT TOKENS (round-7 100× sweep lesson): on a
+    small-vocabulary corpus the rarest unigrams are shared by
+    thousands of docs, so unigram anchors flood their buckets and
+    the candidate join explodes quadratically — the first spelling
+    filled the disk at the 100× fixture. k-gram rarity is
+    discriminative at any vocabulary size, and ``max_bucket`` hard-
+    bounds the blast radius anyway: anchors with more member docs
+    than the cap are dropped BEFORE the bucket join (mass-cloned
+    families route through exact/fingerprint dedup first — the
+    lsh_candidate_pairs doctrine).
 
     Returns (id, lang, match_id, inter, uni): intersection and union
     are exact BIGINTs — no rounded ratio anywhere (the round-7
     boundary-probe discipline); consumers divide if they want a
     score.
 
-    Scale: token df is one hash agg; per-doc rarest-3 is a window
-    over (doc, token) distinct rows; the anchor bucket join is
-    md5-keyed (balanced); the Jaccard verify runs over EXPLODED
-    (doc, token) rows, never array-carrying joins (the round-6 100×
-    lesson). An anchor flood (mass-cloned docs) would bound via the
-    same max-bucket guard as LSH; not wired here because anchors of
-    rare tokens are high-cardinality by construction."""
+    Scale: gram df is one hash agg; per-doc rarest-3 is a window
+    over (doc, gram) distinct rows; the anchor bucket join is
+    md5-keyed, balanced AND capped; the Jaccard verify runs over
+    EXPLODED (doc, gram) rows, never array-carrying joins (the
+    round-6 100× lesson)."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.col(lang_col).alias("_lang"),
         F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-            )
+            F.array_distinct(word_shingles(F.col(text_col), gram_k))
         ).alias("_tok"),
     )
     dfreq = toks.groupBy("_tok").agg(F.countDistinct("_id").alias("_df"))
@@ -1203,19 +1212,26 @@ def crosslingual_align_candidates(
         .filter(F.col("_na") == n_anchor)
         .select("_id", "_lang", "_anchor")
     )
+    small = (
+        anchors.groupBy("_anchor")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select("_anchor")
+    )
+    anchors = anchors.join(small, "_anchor")
     piv = anchors.filter(F.col("_lang") == pivot_lang).select(
         F.col("_id").alias("_pid"), "_anchor"
     )
     oth = anchors.filter(F.col("_lang") != pivot_lang)
     cand = oth.join(piv, "_anchor").select("_id", "_lang", "_pid")
-    # exploded-narrow Jaccard: pair rows join token rows per side
+    # exploded-narrow Jaccard: pair rows join gram rows per side
     tok_n = toks.select("_id", "_tok")
     sizes = tok_n.groupBy("_id").agg(F.count("*").alias("_sz"))
     inter = (
         cand.join(tok_n, "_id")
         .join(
-            # explicit 2-key equi-join (pid, token): never a
-            # per-pair token cross product
+            # explicit 2-key equi-join (pid, gram): never a
+            # per-pair gram cross product
             tok_n.select(F.col("_id").alias("_pid"), "_tok"),
             ["_pid", "_tok"],
         )

@@ -2490,18 +2490,31 @@ def d40(spark: SparkSession, d: str) -> DataFrame:
 def d41(spark: SparkSession, d: str) -> DataFrame:
     """Cross-lingual doc alignment candidates (round 7;
     operators/dedup.py::crosslingual_align_candidates): each non-en
-    doc buckets on the md5 of its 3 globally-rarest tokens and keeps
-    its best en match by exact token-set Jaccard — the hash-based
-    candidate-mining stage that classically precedes an embedding
-    scorer in bitext mining. Scores stay exact BIGINT
+    doc buckets on the md5 of its globally-rarest BIGRAM and
+    keeps its best en match by exact gram-set Jaccard — the
+    hash-based candidate-mining stage that classically precedes an
+    embedding scorer in bitext mining. Scores stay exact BIGINT
     (inter, uni) — no rounded ratio (boundary-probe discipline).
 
-    Scale: df agg + anchor window + md5-keyed bucket join + an
-    exploded-narrow verify — no array-carrying joins, no cross
-    products (2-key equi-join on (pid, token))."""
+    Gram anchors + a 64-doc anchor cap are the round-7 100× sweep
+    fix: rare UNIGRAMS on a small-vocab corpus flooded their anchor
+    buckets and the first spelling's candidate join filled the disk
+    at the 100× fixture; 3-of-rarest-trigram anchors over-corrected
+    to vacuity (singleton grams never collide), so the corpus entry
+    anchors on the single rarest bigram — 756 candidate pairs, max
+    bucket 14 at sf0.01 — and the cap bounds any refresh.
+
+    Scale: gram-df agg + anchor window + capped md5-keyed bucket
+    join + an exploded-narrow verify — no array-carrying joins, no
+    cross products (2-key equi-join on (pid, gram))."""
     return (
         dedup.crosslingual_align_candidates(
-            t(spark, d, "documents"), "text", "doc_id", "lang"
+            t(spark, d, "documents"),
+            "text",
+            "doc_id",
+            "lang",
+            n_anchor=1,
+            gram_k=2,
         )
         .orderBy("doc_id")
         .limit(100)
@@ -3298,18 +3311,24 @@ ORACLE = {
     # d41: anchors by string_agg ORDER BY rank; jaccard over
     # distinct-token joins; best match by (inter/uni DESC, pid).
     "d41_crosslingual_align": (
-        "WITH tk AS (SELECT DISTINCT doc_id, lang, "
-        "unnest(list_filter(string_split(text,' '), x -> x<>'')) tok "
+        "WITH tl AS (SELECT doc_id, lang, string_split(text,' ') ws "
         "FROM documents), "
+        "tk AS (SELECT DISTINCT doc_id, lang, "
+        "array_to_string(ws[CAST(u.i AS INT):CAST(u.i+1 AS INT)], ' ') tok "
+        "FROM tl, UNNEST(range(1, len(ws))) AS u(i) "
+        "WHERE len(ws) >= 2), "
         "dfq AS (SELECT tok, COUNT(DISTINCT doc_id) df FROM tk "
         "GROUP BY tok), "
         "rk AS (SELECT doc_id, lang, tok, ROW_NUMBER() OVER "
         "(PARTITION BY doc_id ORDER BY df, tok) rn "
         "FROM tk JOIN dfq USING (tok)), "
-        "an AS (SELECT doc_id, lang, "
+        "an0 AS (SELECT doc_id, lang, "
         "md5(string_agg(tok, '|' ORDER BY rn)) anchor, COUNT(*) na "
-        "FROM rk WHERE rn <= 3 GROUP BY doc_id, lang "
-        "HAVING COUNT(*) = 3), "
+        "FROM rk WHERE rn <= 1 GROUP BY doc_id, lang "
+        "HAVING COUNT(*) = 1), "
+        "an AS (SELECT an0.doc_id, an0.lang, an0.anchor FROM an0 "
+        "JOIN (SELECT anchor FROM an0 GROUP BY anchor "
+        "HAVING COUNT(*) <= 64) fl USING (anchor)), "
         "pv AS (SELECT doc_id pid, anchor FROM an WHERE lang = 'en'), "
         "ot AS (SELECT doc_id, lang, anchor FROM an WHERE lang <> 'en'), "
         "cd AS (SELECT ot.doc_id, ot.lang, pv.pid FROM ot "
