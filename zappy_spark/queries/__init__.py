@@ -62,20 +62,31 @@ the 10x synth fixture regardless of window position; the whole
 50-entry round-6 window was additionally pre-verified green with
 scripts/check_queries.py at sf0.01 before the driver run.
 
-ROUND-7 ROTATION PLAN (next session): the 50 round-6 window
-entries (15 debt + 11 re-spells + 9 new + 15 r1-stale; d06/d13/d14
-joined the re-spell tier late after the 100× sweep's findings,
-displacing the last three r1-stale slots) drop to the back once
-CORRECTNESS_r06 lands green. Promote, in order: any round-7
-re-spells/new entries (cap ~10 — the stale deadline binds), then
-the 22 remaining _R1_STALE (z23_regr, r03, r04,
-r08_full_outer_join … r26 order), then the first ~18 of _R2_STALE
-(z09 … l01 in list order). That leaves ~18 r2-stale entries whose
-newest rows stay round-2; they lead the round-8 window — the
-"nothing older than round 3" bar is then met one round later than
-VERDICT r5 item 4 hoped, which is the honest arithmetic of a
-50-slot window against 58 stale candidates (flagged here rather
-than silently dropped).
+ROUND-7 ORDERING (this file, EXECUTING the plan round 6 wrote and
+VERDICT r6 items 1–4): head = the 7 entries whose spelling/values
+changed this round (_CHANGED_R7: the r78/r79 driver-fail fix, the
+three boundary-probe decimal re-spells r47/t27/z26, d38's
+case-fold, s17's second-granularity gap oracle), then 7 brand-new
+entries (_NEW_R7: d40 substring spans, d41 alignment, d42
+containment direction, d43 chunk overlap, t30 spectrum, r93
+sessionized funnel, d44 sketch attestation), then the 27-entry
+_R1_STALE_TAIL, then _R2_STALE — the window's last ~9 slots take
+z09 … r34. NOTE the decimal campaign also re-spelled
+r01/r02/r38/r48/r49/r54/r55/r57/r58/r59/r60 this round; r01/r02
+sit in the bench path and get driver rows via entry()/bench, and
+all eleven were value-verified at 3 SFs + the 100× fixture this
+session (SCALE.md r7 rows) — they queue behind the stale tiers
+rather than displacing them, because a verified-green re-spell is
+lower risk than a four-round-stale row.
+
+ROUND-8 ROTATION PLAN (next session): once CORRECTNESS_r07 lands,
+promote (in order) any round-8 re-spells/new (cap ~10), then the
+eleven decimal-campaign re-spells above (r01 … r60 — they need
+driver rows in their new spelling), then the ~31 remaining
+_R2_STALE (r35_grouping_sets … t06 in list order). That clears
+every r2-stale row and the campaign debt in one window (10 + 11 +
+31 = 52 ≈ the 50 slots; the last two r2-stale entries spill to
+round 9 — flagged here, not silently dropped).
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
