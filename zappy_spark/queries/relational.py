@@ -2650,14 +2650,14 @@ ORACLE = {
     ),
     "r01_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) sq, "
-        "SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 sb, "
-        "floor((SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) + 50)/100)/100.0 sd, "
+        "SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE) sb, "
+        "floor((SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) + 50)/100)/CAST(100 AS DOUBLE) sd, "
         "ROUND(AVG(l_quantity),4) aq, COUNT(*) c "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
     ),
     "r02_join5_agg": (
-        "SELECT n_name, floor((SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) + 50)/100)/100.0 revenue "
+        "SELECT n_name, floor((SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) + 50)/100)/CAST(100 AS DOUBLE) revenue "
         "FROM customer JOIN orders ON c_custkey=o_custkey "
         "JOIN lineitem ON l_orderkey=o_orderkey "
         "JOIN nation ON c_nationkey=n_nationkey "
