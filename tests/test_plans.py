@@ -1129,3 +1129,11 @@ def test_minhash_attestation_bounded_panel(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the panel filter must reach the documents scan
     assert "LessThan(doc_id,60)" in plan
+
+
+def test_langid_confusion_single_scan(spark):
+    """t31: one documents scan + one hash agg — no joins (the
+    classifier is scan-side expressions), no Python."""
+    plan = _plan(QUERIES["t31_langid_confusion"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

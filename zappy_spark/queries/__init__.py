@@ -66,12 +66,13 @@ ROUND-7 ORDERING (this file, EXECUTING the plan round 6 wrote and
 VERDICT r6 items 1–4): head = the 7 entries whose spelling/values
 changed this round (_CHANGED_R7: the r78/r79 driver-fail fix, the
 three boundary-probe decimal re-spells r47/t27/z26, d38's
-case-fold, s17's second-granularity gap oracle), then 7 brand-new
+case-fold, s17's second-granularity gap oracle), then 8 brand-new
 entries (_NEW_R7: d40 substring spans, d41 alignment, d42
 containment direction, d43 chunk overlap, t30 spectrum, r93
-sessionized funnel, d44 sketch attestation), then the 27-entry
-_R1_STALE_TAIL, then _R2_STALE — the window's last ~9 slots take
-z09 … r34. NOTE the decimal campaign also re-spelled
+sessionized funnel, d44 sketch attestation, t31 lang-ID confusion
+audit), then the 27-entry
+_R1_STALE_TAIL, then _R2_STALE — the window's last ~8 slots take
+z09 … r32. NOTE the decimal campaign also re-spelled
 r01/r02/r38/r48/r49/r54/r55/r57/r58/r59/r60 this round; r01/r02
 sit in the bench path and get driver rows via entry()/bench, and
 all eleven were value-verified at 3 SFs + the 100× fixture this
@@ -488,6 +489,7 @@ _NEW_R7: list[str] = [
     "t30_freq_spectrum",  # NEW r7: Good-Turing 3-gram spectrum
     "r93_sessionized_funnel",  # NEW r7: in-session strict-order funnel
     "d44_minhash_containment_est",  # NEW r7: sketch-vs-exact attestation
+    "t31_langid_confusion",  # NEW r7: lang-ID eval vs ground truth
 ]
 
 # The r1-stale tail: the 27 _R1_STALE entries without a round-6 row

@@ -2629,6 +2629,22 @@ def d44(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+
+def t31(spark: SparkSession, d: str) -> DataFrame:
+    """Language-ID confusion audit (round 7): t04's heuristic
+    classifier evaluated against the ground-truth ``lang`` column as
+    a long-form confusion matrix — the eval loop every corpus
+    language gate needs before its output drives mixture weights
+    (t04 scores documents; this scores the SCORER). All counts exact
+    integers; one scan + one tiny hash agg."""
+    pred = text.lang_id(t(spark, d, "documents"), "text")
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def v25(spark: SparkSession, d: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots
     (round 6): split the corpus into snapshot A (even vec_id) and B
@@ -2730,6 +2746,7 @@ QUERIES = {
     "d43_rag_chunk_overlap": d43,
     "t30_freq_spectrum": t30,
     "d44_minhash_containment_est": d44,
+    "t31_langid_confusion": t31,
     "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
@@ -3071,6 +3088,31 @@ def _pq_oracle(limit: int = 200) -> str:
         f"dd AS (SELECT vec_id, {', '.join(dist_cols)} FROM e) "
         f"SELECT vec_id, {', '.join(code_cols)} FROM dd "
         f"ORDER BY vec_id LIMIT {limit}"
+    )
+
+
+
+def _langid_confusion_oracle() -> str:
+    """t31: the t04 argmax replayed, grouped against ground truth."""
+    arms = " UNION ALL ".join(
+        "SELECT doc_id, '%s' lang_c, len(list_filter(tk, x -> x IN (%s)))"
+        "*1.0/greatest(len(tk),1) score FROM tok"
+        % (lang, ",".join(f"'{w}'" for w in words))
+        for lang, words in text.LANG_PROFILES.items()
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, lang, "
+        "list_filter(string_split(text,' '), x -> x<>'') tk "
+        "FROM documents), "
+        f"s AS ({arms}), "
+        "best AS (SELECT doc_id, lang_c, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, lang_c) rn FROM s), "
+        "p AS (SELECT doc_id, CASE WHEN score > 0 THEN lang_c "
+        "ELSE 'und' END lang_pred FROM best WHERE rn = 1) "
+        "SELECT t.lang, p.lang_pred, COUNT(*) n "
+        "FROM p JOIN (SELECT DISTINCT doc_id, lang FROM documents) t "
+        "USING (doc_id) "
+        "GROUP BY 1,2 ORDER BY 1,2"
     )
 
 
@@ -3867,6 +3909,7 @@ ORACLE = {
         "FROM votes WHERE vr=1 ORDER BY qid"
     ),
     "t04_lang_id": _lang_id_oracle(),
+    "t31_langid_confusion": _langid_confusion_oracle(),
     "v02_rp_lsh_ann": _rp_lsh_oracle(4, 42, 64, 2, 10),
     "v06_pca_scores": _PCA2_ORACLE,
     "t05_levenshtein": (
