@@ -24,18 +24,23 @@ from zappy_spark.queries._util import cosine, euclidean, t
 
 
 def l1(spark: SparkSession, d: str) -> DataFrame:
-    """JSON field extract + agg. Spelled via VARIANT
-    (``parse_json`` → ``variant_get``): measured 12% faster than
-    ``get_json_object`` at sf0.1 even for a single extraction
-    (426 vs 486 ms median-of-5), and the binary-parse advantage
-    widens with extraction count (see l11). Result-identical to the
-    string path (pinned in test_operators variant tests)."""
+    """JSON field extract + agg. Spelled via ``get_json_object``:
+    round-7 re-measurement (build+collect, median-of-7, the bench
+    protocol) put it at 426 ms vs VARIANT's 610 ms and from_json's
+    575 ms at sf0.1 — for a SINGLE typed extraction the string path
+    wins because parse_json's plan-analysis and binary-encode cost
+    outweighs the one-field parse (this reverses the round-4 note
+    that preferred VARIANT; kernel-only times agree: 52 vs 72 ms).
+    VARIANT's binary-parse advantage is real for MULTI-field
+    extraction and is demonstrated where it wins, in l11's pipeline.
+    Result-identical to the VARIANT path (pinned in test_operators
+    variant tests)."""
     ev = t(spark, d, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.round(
-                F.avg(F.variant_get(F.parse_json("props"), "$.k", "int")), 3
+                F.avg(F.get_json_object("props", "$.k").cast("int")), 3
             ).alias("k")
         )
         .orderBy("event_type")
