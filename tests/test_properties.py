@@ -998,3 +998,99 @@ def test_exploded_verify_matches_array_form(spark):
         ).collect()
     }
     assert got_j2 == got_j
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """d40 property: the relational spans (overlapping-shingle
+    islands) must equal a pure-Python reference that marks every
+    k-window duplicated across docs and merges runs — randomized
+    docs over a small alphabet, seeded for reproducibility."""
+    import random
+
+    from zappy_spark.operators.dedup import substring_dup_spans
+
+    k = 4
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("abcdef") for _ in range(rng.randint(4, 30))))
+        for i in range(14)
+    ]
+
+    # reference: positions whose k-gram occurs in >= 2 distinct docs
+    grams = {}
+    toks = {i: t.split() for i, t in docs}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            grams.setdefault(tuple(tk[p : p + k]), set()).add(i)
+    want = {}
+    for i, tk in toks.items():
+        dup = [
+            p
+            for p in range(len(tk) - k + 1)
+            if len(grams[tuple(tk[p : p + k])]) >= 2
+        ]
+        spans = []
+        for p in dup:
+            if spans and p == spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        if spans:
+            lens = [e - s + k for s, e in spans]
+            want[i] = (len(spans), max(lens), sum(lens))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["max_span_tokens"], r["dup_tokens"])
+        for r in substring_dup_spans(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_containment_direction_matches_bruteforce(spark):
+    """d42 property: verdicts equal a set-arithmetic reference on
+    randomized grouped docs (all four classes decided by the same
+    integer cross-multiplications)."""
+    import random
+
+    from zappy_spark.operators.dedup import containment_direction
+
+    rng = random.Random(11)
+    rows = []
+    for g in "ABCD":
+        for i in range(3):
+            rows.append(
+                (g, " ".join(rng.choice("pqrs") for _ in range(rng.randint(3, 12))))
+            )
+    k, hi = 3, 30
+    gram_sets: dict[str, set] = {}
+    for g, t in rows:
+        tk = t.split(" ")
+        gram_sets.setdefault(g, set()).update(
+            tuple(tk[p : p + k]) for p in range(len(tk) - k + 1)
+        )
+    want = {}
+    gs = sorted(gram_sets)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1 :]:
+            sh = len(gram_sets[a] & gram_sets[b])
+            na, nb = len(gram_sets[a]), len(gram_sets[b])
+            if sh == 0:
+                continue  # no join row
+            ia, ib = sh * 100 >= hi * na, sh * 100 >= hi * nb
+            v = (
+                "mutual" if ia and ib else
+                "a_in_b" if ia else
+                "b_in_a" if ib else "weak"
+            )
+            want[(a, b)] = (sh, na, nb, v)
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r["grp_a"], r["grp_b"]): (
+            r["shared"], r["n_a"], r["n_b"], r["verdict"]
+        )
+        for r in containment_direction(
+            df, "text", "source", k=k, hi_pct=hi
+        ).collect()
+    }
+    assert got == want and len(want) > 0
