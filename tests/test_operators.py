@@ -2795,3 +2795,44 @@ def test_minhash_agreement_identical_docs(spark):
     }
     assert sig[1] == sig[2]
     assert sum(a == b for a, b in zip(sig[1], sig[3])) == 0
+
+
+def test_png_stats_features_real_decode(spark):
+    """The multimodal image path decodes REAL pixels now: PNGs of
+    known synthetic arrays go through binary column → mapInPandas →
+    pnglite, and the emitted stats equal numpy on the sources."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import png_stats_features
+    from zappy_spark.sources.pnglite import encode_png
+
+    rng = np.random.default_rng(9)
+    arrs = {
+        1: rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8),
+        2: rng.integers(0, 256, size=(3, 8, 1), dtype=np.uint8),
+        3: np.full((2, 2, 4), 7, dtype=np.uint8),
+    }
+    rows = [
+        (mid, bytearray(encode_png(a, filter_type=mid % 5)))
+        for mid, a in arrs.items()
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in png_stats_features(df).collect()}
+    for mid, a in arrs.items():
+        r = got[mid]
+        assert (r["height"], r["width"], r["channels"]) == a.shape
+        assert abs(r["px_mean"] - a.mean()) < 1e-4
+        assert abs(r["px_std"] - a.std()) < 1e-4
+
+
+def test_decode_image_png_real_nonpng_loud(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from zappy_spark.operators.multimodal import decode_image
+    from zappy_spark.sources.pnglite import encode_png
+
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert (decode_image(encode_png(a)) == a).all()
+    with _pytest.raises(NotImplementedError, match="non-PNG"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")

@@ -6,10 +6,14 @@ to a typed metadata struct; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so each Python worker sees a bounded
 pandas batch, never one row at a time.
 
-The decode kernels themselves are STUBBED here (no image/audio libs
-in this container, marked NotImplementedError / deterministic fake)
-— the Spark-side plumbing (schema, batch iteration, partition sizing)
-is real and tested in tests/test_operators.py.
+Kernel status: PNG image decode is REAL since round 7
+(sources/pnglite.py — stdlib zlib + the spec's five scanline
+filters, spec-pinned; ``decode_image`` and ``png_stats_features``
+run it), so image stats come from actual decoded pixels. JPEG/WebP/
+audio/video codecs still need libraries absent from this container
+and stay loud NotImplementedError / clearly-marked deterministic
+fakes — the Spark-side plumbing (schema, batch iteration, partition
+sizing) is real and tested in tests/test_operators.py either way.
 """
 
 from __future__ import annotations
@@ -67,10 +71,22 @@ def read_binary_dir(spark: SparkSession, path: str) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — image decode requires a codec library not present in
-    this container. The mapInPandas plumbing around it is real."""
+    """Decode an image payload to an H×W×C uint8 numpy array.
+
+    PNG decodes FOR REAL since round 7 — the format needs only
+    stdlib zlib + the spec's five scanline filters, both implemented
+    in sources/pnglite.py (spec-pinned against hand-authored filter
+    vectors, the lz4lite playbook). Other codecs (JPEG, WebP, …)
+    still require libraries absent from this container and stay
+    loudly NotImplemented."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from zappy_spark.sources.pnglite import decode_png
+
+        img, _ = decode_png(bytes(payload))
+        return img
     raise NotImplementedError(
-        "image decode stub: install a codec (e.g. pillow) and replace"
+        "non-PNG image decode stub: install a codec (e.g. pillow); "
+        "PNG decodes natively via sources/pnglite.py"
     )
 
 
@@ -326,3 +342,55 @@ def sample_frame_features(
             )
 
     return df.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("px_mean", FloatType()),
+        StructField("px_std", FloatType()),
+    ]
+)
+
+
+def png_stats_features(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction over PNG payloads (round 7):
+    decode each payload with the pure-Python spec-pinned PNG codec
+    (sources/pnglite.py) inside Arrow-batched ``mapInPandas`` and
+    emit per-image dimensions + pixel statistics — the first
+    multimodal kernel here whose numbers come from actual decoded
+    pixels, not a deterministic fake. Non-PNG payloads raise
+    loudly (route other codecs through the documented stub).
+
+    Expects (media_id LONG, payload BINARY). Scale shape identical
+    to extract_features: payload bytes stay on the executors, each
+    worker decodes one bounded Arrow batch at a time."""
+    import numpy as np
+
+    from zappy_spark.sources.pnglite import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "px_mean": [],
+                "px_std": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img, meta = decode_png(bytes(payload))
+                px = img.astype(np.float64)
+                out["media_id"].append(int(mid))
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["channels"].append(meta["channels"])
+                out["px_mean"].append(float(px.mean()))
+                out["px_std"].append(float(px.std()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=PNG_STATS_SCHEMA)

@@ -1,0 +1,224 @@
+"""Pure-Python PNG decode/encode (stdlib zlib + numpy only).
+
+The multimodal image path was a documented deterministic fake because
+this container has no codec libraries — but PNG needs none: the
+container format is chunks with CRC32s, the compression is DEFLATE
+(stdlib ``zlib``), and the only codec-specific work is the five
+scanline filters of the PNG spec (RFC 2083 / W3C PNG §6). This module
+implements exactly that, the ``lz4lite`` playbook applied to images:
+a small, loud, spec-pinned decoder — tests pin hand-authored filtered
+scanlines computed from the spec formulas, not just this module's own
+round-trip.
+
+Scope (rejections are loud, never silent):
+- bit depth 8 only (16-bit rejected)
+- color types 0 (gray), 2 (RGB), 3 (palette, expanded to RGB),
+  4 (gray+alpha), 6 (RGBA)
+- no Adam7 interlace (rejected)
+- ancillary chunks ignored; tRNS ignored (palette expands to RGB)
+
+At scale this runs inside Arrow-batched ``mapInPandas`` (see
+operators/multimodal.py): payload bytes never touch the driver, each
+Python worker decodes a bounded pandas batch.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (before palette expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngFormatError(ValueError):
+    """Raised for malformed bytes or spec features outside scope."""
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise PngFormatError("bad PNG signature")
+    off = 8
+    while off < len(data):
+        if off + 8 > len(data):
+            raise PngFormatError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[off : off + 4])
+        ctype = data[off + 4 : off + 8]
+        body = data[off + 8 : off + 8 + length]
+        if len(body) != length:
+            raise PngFormatError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", data[off + 8 + length : off + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngFormatError(f"bad CRC on {ctype!r}")
+        yield ctype, body
+        off += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PngFormatError("missing IEND")
+
+
+def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
+    """PNG bytes → (H×W×C uint8 array, metadata dict).
+
+    Palette images come back expanded to RGB (C=3). Gray → C=1,
+    gray+alpha → C=2, RGB → 3, RGBA → 4.
+    """
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+    if ihdr is None or len(ihdr) != 13:
+        raise PngFormatError("missing/short IHDR")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise PngFormatError(f"unsupported bit depth {depth} (8 only)")
+    if ctype_i not in _CHANNELS:
+        raise PngFormatError(f"unsupported color type {ctype_i}")
+    if comp != 0 or filt != 0:
+        raise PngFormatError("nonzero compression/filter method")
+    if interlace != 0:
+        raise PngFormatError("Adam7 interlace not supported")
+    if w == 0 or h == 0:
+        raise PngFormatError("zero-dimension image")
+    nch = _CHANNELS[ctype_i]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise PngFormatError(
+            f"decompressed size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                line[x] = (line[x] + _paeth(a, int(prior[x]), c)) & 0xFF
+        else:
+            raise PngFormatError(f"unknown filter type {ftype} at row {y}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    img = out.reshape(h, w, nch)
+    if ctype_i == 3:
+        if plte is None or len(plte) % 3:
+            raise PngFormatError("palette image without valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise PngFormatError("palette index out of range")
+        img = pal[idx]
+    meta = {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(img.shape[2]),
+        "color_type": int(ctype_i),
+        "bit_depth": int(depth),
+    }
+    return img, meta
+
+
+def _filter_line(
+    ftype: int, line: np.ndarray, prior: np.ndarray, bpp: int
+) -> bytes:
+    """Forward filter (spec §6.6) — the encoder side, also used by
+    tests to author independent vectors."""
+    stride = len(line)
+    out = bytearray(stride)
+    for x in range(stride):
+        a = int(line[x - bpp]) if x >= bpp else 0
+        b = int(prior[x])
+        c = int(prior[x - bpp]) if x >= bpp else 0
+        v = int(line[x])
+        if ftype == 0:
+            out[x] = v
+        elif ftype == 1:
+            out[x] = (v - a) & 0xFF
+        elif ftype == 2:
+            out[x] = (v - b) & 0xFF
+        elif ftype == 3:
+            out[x] = (v - ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:
+            out[x] = (v - _paeth(a, b, c)) & 0xFF
+        else:
+            raise PngFormatError(f"unknown filter type {ftype}")
+    return bytes(out)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """H×W×C (or H×W) uint8 array → PNG bytes, one filter type for
+    every scanline (0–4). Gray C=1 → color type 0, C=2 → 4, C=3 → 2,
+    C=4 → 6."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise PngFormatError("expected HxW or HxWxC array")
+    h, w, nch = arr.shape
+    ctype_i = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if ctype_i is None:
+        raise PngFormatError(f"unsupported channel count {nch}")
+    flat = arr.reshape(h, w * nch)
+    lines = bytearray()
+    zero = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        prior = flat[y - 1] if y > 0 else zero
+        lines.append(filter_type)
+        lines += _filter_line(filter_type, flat[y], prior, nch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _chunk(b"IEND", b"")
+    )
