@@ -2836,3 +2836,35 @@ def test_decode_image_png_real_nonpng_loud(spark):
     assert (decode_image(encode_png(a)) == a).all()
     with _pytest.raises(NotImplementedError, match="non-PNG"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_wav_stats_features_real_decode(spark):
+    """The multimodal audio path decodes REAL samples: PCM WAVs of
+    known arrays through binary column → mapInPandas → wavlite, and
+    the emitted stats equal numpy on the sources."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import wav_stats_features
+    from zappy_spark.sources.wavlite import encode_wav
+
+    rng = np.random.default_rng(21)
+    clips = {
+        1: (rng.integers(-30000, 30000, size=(800, 2), dtype=np.int16), 16000),
+        2: (np.full(400, 1000, dtype=np.int16), 8000),
+    }
+    rows = [
+        (mid, bytearray(encode_wav(a, rate)))
+        for mid, (a, rate) in clips.items()
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in wav_stats_features(df).collect()}
+    for mid, (a, rate) in clips.items():
+        r = got[mid]
+        a2 = a if a.ndim == 2 else a[:, None]
+        assert r["sample_rate"] == rate
+        assert r["n_frames"] == a2.shape[0]
+        assert r["n_channels"] == a2.shape[1]
+        assert r["duration_ms"] == a2.shape[0] * 1000 // rate
+        x = a2.astype(np.float64)
+        assert abs(r["rms"] - np.sqrt((x * x).mean())) < 1e-2
+        assert r["peak"] == int(np.abs(a2).max())

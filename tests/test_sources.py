@@ -918,3 +918,60 @@ def test_png_loud_rejections():
     bad = good[:-1] + bytes([good[-1] ^ 0xFF])
     with _pytest.raises(PngFormatError, match="CRC|IEND"):
         decode_png(bad)
+
+
+# ---------- wavlite: spec pins ----------
+
+
+def test_wav_hand_authored_bytes():
+    """A RIFF/PCM stream assembled by hand (independent struct
+    spelling): 2 mono 16-bit frames at 8 kHz, values 1000 and -2
+    (little-endian 0xE8 0x03 / 0xFE 0xFF)."""
+    import struct
+
+    from zappy_spark.sources.wavlite import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = bytes([0xE8, 0x03, 0xFE, 0xFF])
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + pcm
+    )
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, rate = decode_wav(data)
+    assert rate == 8000
+    assert s.tolist() == [[1000], [-2]]
+
+
+def test_wav_round_trip_and_8bit():
+    import numpy as np
+
+    from zappy_spark.sources.wavlite import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    s, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and (s == stereo).all()
+    # 8-bit: quantized to the top byte, recentred on decode
+    mono = np.array([0, 256, -256, 32512], dtype=np.int16)
+    s8, _ = decode_wav(encode_wav(mono, 16000, bits=8))
+    assert s8[:, 0].tolist() == [0, 256, -256, 32512]
+
+
+def test_wav_loud_rejections():
+    import struct
+
+    import pytest as _pytest
+
+    from zappy_spark.sources.wavlite import WavFormatError, decode_wav
+
+    with _pytest.raises(WavFormatError, match="RIFF"):
+        decode_wav(b"OggS not a wav")
+    # IEEE-float format tag 3
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(WavFormatError, match="format tag"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

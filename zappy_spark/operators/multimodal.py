@@ -6,14 +6,16 @@ to a typed metadata struct; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so each Python worker sees a bounded
 pandas batch, never one row at a time.
 
-Kernel status: PNG image decode is REAL since round 7
-(sources/pnglite.py — stdlib zlib + the spec's five scanline
-filters, spec-pinned; ``decode_image`` and ``png_stats_features``
-run it), so image stats come from actual decoded pixels. JPEG/WebP/
-audio/video codecs still need libraries absent from this container
-and stay loud NotImplementedError / clearly-marked deterministic
-fakes — the Spark-side plumbing (schema, batch iteration, partition
-sizing) is real and tested in tests/test_operators.py either way.
+Kernel status: PNG image decode and PCM-WAV audio decode are REAL
+since round 7 (sources/pnglite.py — stdlib zlib + the spec's five
+scanline filters; sources/wavlite.py — RIFF/PCM has no codec at all;
+both spec-pinned; ``decode_image``, ``png_stats_features`` and
+``wav_stats_features`` run them), so image and audio stats come from
+actual decoded samples. JPEG/WebP/MP3/video codecs still need
+libraries absent from this container and stay loud
+NotImplementedError / clearly-marked deterministic fakes — the
+Spark-side plumbing (schema, batch iteration, partition sizing) is
+real and tested in tests/test_operators.py either way.
 """
 
 from __future__ import annotations
@@ -394,3 +396,48 @@ def png_stats_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=PNG_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", FloatType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def wav_stats_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV payloads (round 7;
+    sources/wavlite.py — RIFF/PCM has no codec, just the container):
+    per-clip sample rate, duration, RMS and peak from actual decoded
+    samples inside Arrow-batched ``mapInPandas``. Compressed audio
+    (MP3/AAC/…) still requires absent libraries and raises loudly.
+
+    Expects (media_id LONG, payload BINARY)."""
+    import numpy as np
+
+    from zappy_spark.sources.wavlite import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in WAV_STATS_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(payload))
+                x = s.astype(np.float64)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(int(s.shape[0]))
+                out["n_channels"].append(int(s.shape[1]))
+                out["duration_ms"].append(
+                    int(s.shape[0] * 1000 // max(rate, 1))
+                )
+                out["rms"].append(float(np.sqrt((x * x).mean())))
+                out["peak"].append(int(np.abs(s).max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=WAV_STATS_SCHEMA)
