@@ -2868,3 +2868,26 @@ def test_wav_stats_features_real_decode(spark):
         x = a2.astype(np.float64)
         assert abs(r["rms"] - np.sqrt((x * x).mean())) < 1e-2
         assert r["peak"] == int(np.abs(a2).max())
+
+
+def test_resize_png_images_real_nearest_neighbor(spark):
+    """Real PNG resize: decoded pixels resampled nearest-neighbor
+    must equal numpy's index arithmetic on the source array, and the
+    payload is exactly h*w*c bytes (the training-loader contract)."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import resize_png_images
+    from zappy_spark.sources.pnglite import encode_png
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(a, filter_type=2)))],
+        "media_id long, payload binary",
+    )
+    r = resize_png_images(df, 4, 3).first()
+    assert (r["height"], r["width"], r["channels"]) == (4, 3, 3)
+    got = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).reshape(4, 3, 3)
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(3) * 6) // 3
+    assert (got == a[ys][:, xs]).all()

@@ -441,3 +441,56 @@ def wav_stats_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=WAV_STATS_SCHEMA)
+
+
+def resize_png_images(
+    df: DataFrame, height: int, width: int
+) -> DataFrame:
+    """REAL image resize for PNG payloads (round 7): decode with
+    sources/pnglite.py, nearest-neighbor resample in numpy, and emit
+    the training-loader contract — a RAW pixel buffer of exactly
+    height*width*channels bytes with typed dims. The real sibling of
+    ``resize_images``' documented fake kernel (still the path for
+    codec-less formats). Nearest-neighbor is the deterministic
+    resampler (no filtering-kernel ambiguity across libraries), which
+    keeps the output byte-exact reproducible anywhere.
+
+    Expects (media_id LONG, payload BINARY of PNG bytes)."""
+    import numpy as np
+
+    from zappy_spark.sources.pnglite import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "kind": [],
+                "payload": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img, _ = decode_png(bytes(payload))
+                h0, w0, nch = img.shape
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                res = img[ys][:, xs]
+                out["media_id"].append(int(mid))
+                out["kind"].append("image")
+                out["payload"].append(res.tobytes())
+                out["width"].append(width)
+                out["height"].append(height)
+                out["channels"].append(nch)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "kind": out["kind"],
+                    "payload": out["payload"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
