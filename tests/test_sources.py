@@ -975,3 +975,38 @@ def test_wav_loud_rejections():
     )
     with _pytest.raises(WavFormatError, match="format tag"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_png_decodes_real_third_party_file():
+    """EXTERNAL validation (round 7): a PNG produced by a real
+    encoder — IPython's 2×2 grayscale test image (BSD-3-licensed
+    test data, 71 bytes, embedded hex) — must decode to its known
+    pixels. This pins pnglite against the wider PNG ecosystem, not
+    just this repo's own vectors."""
+    from zappy_spark.sources.pnglite import decode_png
+
+    data = bytes.fromhex(
+        "89504e470d0a1a0a0000000d4948445200000002000000020800000000"
+        "57dd52f80000000e49444154789c636c60606260000002920084f77ca3"
+        "580000000049454e44ae426082"
+    )
+    img, meta = decode_png(data)
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 2, 1)
+    assert img.reshape(-1).tolist() == [128, 128, 128, 128]
+
+
+def test_wav_decodes_real_third_party_file():
+    """EXTERNAL validation: CPython's test-suite sndhdr.wav
+    (PSF-licensed test data, 64 bytes, embedded hex) — 5 stereo
+    silence frames at 44.1 kHz from a real writer."""
+    from zappy_spark.sources.wavlite import decode_wav
+
+    data = bytes.fromhex(
+        "524946463800000057415645666d7420100000000100020044ac0000"
+        "10b102000400100064617461140000000000000000000000000000000"
+        "000000000000000"
+    )
+    s, rate = decode_wav(data)
+    assert rate == 44100
+    assert s.shape == (5, 2)
+    assert (s == 0).all()
