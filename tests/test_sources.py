@@ -1010,3 +1010,130 @@ def test_wav_decodes_real_third_party_file():
     assert rate == 44100
     assert s.shape == (5, 2)
     assert (s == 0).all()
+
+
+# CPython test-suite goldens (PSF-licensed test data): the same
+# 16x16 image written by two independent real encoders.
+_PYTHON_BMP = bytes.fromhex(
+        "424d8a040000000000008a0000007c0000001000000010000000010020000300"
+        "000000040000000000000000000000000000000000000000ff0000ff0000ff00"
+        "0000000000ff4247527380c2f52860b81e152085eb0140333313806666264066"
+        "6606a09999093c0ad703245c8f32000000000000000000000000040000000000"
+        "0000000000000000000000000000000000000000000000000000000000080000"
+        "001d00000035000000420000004700000045000000380000001f000000080000"
+        "00000000000000000000000000000000000000000000000000003fd0f14c39d3"
+        "facc2fd2fdf726d0ffff1cccffff19c7fad81297c07b0000003b000000120000"
+        "00000000000000000000000000000000000000000000000000004edefdf744db"
+        "ffff3ad8ffff30d4ffff26d0ffffffffffff1bcbfdf7000000400000001c0000"
+        "000900000005000000010000000200000009000000130000001258e3ffff4edf"
+        "ffff44dbffff3ad7ffff30d3ffff25d0ffff1cccffff00000041000000350000"
+        "002c0000001e0000000b00000008000000210000003c0000003562e7ffff58e3"
+        "ffff4edfffff3dc7e8aa34c5eba92ac2eba921beeba918bbeba918bbeba9129b"
+        "c6790000004100000020a375406fa2733df79c703aff0000004b6cebffff62e7"
+        "ffff58e3ffff4edfffff43dbffff39d7ffff2fd3ffff24cfffff1cccffff1ccc"
+        "ffff129ac27a00000034ae7d43d7a87941ffa1743dff4b321c5b6fe3f5b36ceb"
+        "ffff61e7ffff57e3ffff4ddfffff43dbffff39d7ffff2ed3ffff24cfffff1ccc"
+        "ffff1ac1f3c200000041b28146f7ad7d44ffa67840ff916736aa0000004e6ee1"
+        "f2a66ae9fdf761e6ffff57e3ffff4ddfffff42dbffff38d7ffff2ed3ffff24cf"
+        "ffff1bcbfdf700000047b9874affb28147ffab7c43ffa5763fff936936b64531"
+        "1b5c0000004c00000048000000470000004145c3e26b41d9fdf738d7ffff2dd3"
+        "ffff23cfffff00000046be8b4dffb78549ffb08046ffaa7b42ffa3753eff9c70"
+        "3bff966a37ff946936ff926835f7876032b60000004f45ceec8842daffff37d6"
+        "ffff2dd3ffff0000003dc38f50ffbc894cffb58448ffaf7f45ffa87941ffa174"
+        "3dff9b6f3aff946936ff946936ff946936ff876032b6000000434bdeffff41da"
+        "ffff36d5fded00000024c69152bdc18d4fffbb884bffb48348ffad7d44ffa678"
+        "40ffa0733dff996d39ff946936ff946936ff946936ff0000004855e2ffff4add"
+        "fdf73ed5f9820000000a00000000c48f4e7ebf8a4ca0b68548a1ad7d43a3a174"
+        "3da7966c39aa906636aa976c38ff946936ff946936ff00000048000000180000"
+        "0000000000000000000000000000000000000000000000000000b78549ffb180"
+        "46ffaa7b42ffa3753eff9d703bff966a37ff946936ff00000041000000150000"
+        "0000000000000000000000000000000000000000000000000000bc8a4cffffff"
+        "ffffaf7f45ffa87941ffa2743eff9b6f3aff946936ff000000280000000b0000"
+        "0000000000000000000000000000000000000000000000000000c08d4eafba86"
+        "4aedb48348ffad7e44ffa77840ff9e713cf7966837920000000b000000030000"
+        "00000000000000000000"
+    )
+_PYTHON_PNG = bytes.fromhex(
+        "89504e470d0a1a0a0000000d4948445200000010000000100803000000282d0f"
+        "53000000206348524d00007a26000080840000fa00000080e8000075300000ea"
+        "6000003a98000017709cba513c000001c5504c54450000004e8dc04a86ba3c71"
+        "9e3768960000000000000000000000000000004e8fc44c8abf4885b6437dad3d"
+        "74a1396c963666900000000000005291c6fddd4af9d53e000000326087000000"
+        "fdd536000000356892000000ecce450000003669931b3145000000000000e2c3"
+        "45fdd9410000004681b2366791000000f2e16efde96afdcb1b437dae1c324bf5"
+        "e36ff3c11a4075a33d73a2000000c29a12000000000000000000000000000000"
+        "e8c73debc534ebc22aebbe21ebbb18c69b120000000000000000000000000000"
+        "00000000000000fdde4e000000000000000000000000f1d03ffad339fdd22ffa"
+        "c719c097120000000000000000000000000000000000004883b4447ead4078a7"
+        "4c8abcffffff457faf4179a83e74a23a6f9b3669944985b74680b1427baa3e75"
+        "a33b709d376a96386c974f8dc14b88bb447dad4078a63d73a0396d99ffe25550"
+        "8fc34c89bc4884b53d74a1ffde4bffda414d8bbe4680b03b709cffda42ffd637"
+        "ffd32d4a87b94781b2437cab3f76a5ffd738ffcf23ffe661ffe357ffdf4dffdb"
+        "42ffd32effcf24ffeb6cffe761ffdb43ffd739ffcc1c3a709cffe762ffe358ff"
+        "df4effd32fffdb44ffd73affd330ffd025ffd83affd430ffd026924900020000"
+        "005674524e5300afedf7920b032841157ea0a1a3a7aaaa4818bdf7820ab643ed"
+        "24f74f883db65c4c476bf746f7aa4ea6f7f7d75bb3c26ff74b7a3408213c35aa"
+        "a9a9a9a97920020913122c1ef7401c05014cccf7d87b3b1d4245381ff8321071"
+        "00000001624b47445a03bba5a2000000f54944415418d36360000246a6b0f008"
+        "661656360628888c8a8e898d8b6767850924242625a7a4c6737082795cdc3cbc"
+        "7cfc0269f1f1824220be707a46586656764e3c50205744548c212fbf203aa630"
+        "0ec81797282a9694622849284d4a2e4b8d971697912dafa89463a8aaaea99557"
+        "501454e25056a9abac576550cbcc52d7d0d46a686c6aae6b69d55662d08929d4"
+        "d56b6b6f6ceae86c69edd2e7603030ec366aebe9edebe8ec6fedea3236613035"
+        "33b700f22dadac6d6c6ded38ec191c1c9d9c7bfb264c9c34b98bc3c2c515e27a"
+        "b70953a64e8bd276f770f4f4020b78fbf84eebf2f30f708679ce34d022482938"
+        "24d414c806004062427fc82d9be50000002574455874646174653a6372656174"
+        "6500323031342d30312d32365432303a35393a33372b30323a3030fb9a077700"
+        "00002574455874646174653a6d6f6469667900323031342d30312d3236543230"
+        "3a35393a30302b30323a3030c1ef86a60000000049454e44ae426082"
+    )
+
+
+def test_bmp_decodes_real_v5_bitfields_file():
+    """EXTERNAL validation: CPython's test-suite python.bmp (PSF
+    test data, embedded hex) — a V5-header 32bpp BI_BITFIELDS file
+    from a real writer — must decode to 16×16 RGBA."""
+    from zappy_spark.sources.bmplite import decode_bmp
+
+    img, meta = decode_bmp(_PYTHON_BMP)
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 16, 4)
+    assert meta["compression"] == 3 and meta["bpp"] == 32
+
+
+def test_bmp_png_cross_format_pixel_agreement():
+    """The STRONG codec pin: the same 16×16 Python-logo image exists
+    in CPython's test data as BOTH a palette PNG and a V5 BMP,
+    written by independent real encoders. Our two independent
+    decoders must produce IDENTICAL RGB on every fully-opaque pixel
+    — any filter, palette, mask-order, or row-order bug in either
+    codec breaks this."""
+    import numpy as np
+
+    from zappy_spark.sources.bmplite import decode_bmp
+    from zappy_spark.sources.pnglite import decode_png
+
+    bmp, _ = decode_bmp(_PYTHON_BMP)
+    png, _ = decode_png(_PYTHON_PNG)
+    assert bmp.shape == (16, 16, 4) and png.shape == (16, 16, 3)
+    opaque = bmp[:, :, 3] == 255
+    assert int(opaque.sum()) == 109  # a real image, not vacuous
+    assert (bmp[:, :, :3][opaque] == png[opaque]).all()
+
+
+def test_bmp_round_trip_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from zappy_spark.sources.bmplite import (
+        BmpFormatError,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(4)
+    # odd width exercises the 4-byte row padding
+    a = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    img, meta = decode_bmp(encode_bmp(a))
+    assert (img == a).all() and meta["bpp"] == 24
+    with _pytest.raises(BmpFormatError, match="BM"):
+        decode_bmp(b"PNG? not a bmp" + bytes(60))

@@ -86,9 +86,15 @@ def decode_image(payload: bytes) -> "object":
 
         img, _ = decode_png(bytes(payload))
         return img
+    if payload[:2] == b"BM":
+        from zappy_spark.sources.bmplite import decode_bmp
+
+        img, _ = decode_bmp(bytes(payload))
+        return img
     raise NotImplementedError(
-        "non-PNG image decode stub: install a codec (e.g. pillow); "
-        "PNG decodes natively via sources/pnglite.py"
+        "image decode stub for compressed formats (JPEG/WebP/…): "
+        "install a codec (e.g. pillow); PNG and BMP decode natively "
+        "via sources/pnglite.py and sources/bmplite.py"
     )
 
 
