@@ -1137,3 +1137,27 @@ def test_bmp_round_trip_and_rejections():
     assert (img == a).all() and meta["bpp"] == 24
     with _pytest.raises(BmpFormatError, match="BM"):
         decode_bmp(b"PNG? not a bmp" + bytes(60))
+
+
+def test_codec_round_trips_edge_dimensions():
+    """1×1, 1×N, N×1 and odd-stride shapes through all three codec
+    round-trips — the dimensions where stride/padding/filter-window
+    bugs live."""
+    import numpy as np
+
+    from zappy_spark.sources.bmplite import decode_bmp, encode_bmp
+    from zappy_spark.sources.pnglite import decode_png, encode_png
+    from zappy_spark.sources.wavlite import decode_wav, encode_wav
+
+    rng = np.random.default_rng(17)
+    for h, w in ((1, 1), (1, 9), (9, 1), (3, 7), (2, 2)):
+        a3 = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            img, _ = decode_png(encode_png(a3, filter_type=ft))
+            assert (img == a3).all(), ("png", h, w, ft)
+        img, _ = decode_bmp(encode_bmp(a3))
+        assert (img == a3).all(), ("bmp", h, w)
+    for frames, nch in ((1, 1), (1, 2), (7, 3)):
+        s = rng.integers(-32768, 32767, size=(frames, nch), dtype=np.int16)
+        out, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and (out == s).all(), ("wav", frames, nch)
