@@ -2891,3 +2891,76 @@ def test_resize_png_images_real_nearest_neighbor(spark):
     ys = (np.arange(4) * 8) // 4
     xs = (np.arange(3) * 6) // 3
     assert (got == a[ys][:, xs]).all()
+
+
+def test_tokenize_convention_agrees_on_repeated_spaces(spark):
+    """Round-8 ADVICE pin: d42/t30 tokenize with filter_empty=True,
+    matching their DuckDB oracles' list_filter(string_split(...),
+    x -> x<>''). A doc with consecutive/leading/trailing spaces —
+    absent from every testdata SF, which is why the mismatch was
+    latent — must produce the SAME gram multiset on both engines."""
+    import duckdb
+
+    from zappy_spark.operators.dedup import containment_direction
+    from zappy_spark.operators.text import freq_of_freqs
+
+    rows = [
+        (1, "A", " a  b c   d "),
+        (2, "B", "a b c d e"),
+        (3, "B", "x  y   z w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id INT, source TEXT, text TEXT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+
+    # t30 twin: Good-Turing spectrum over filtered 3-grams
+    got = {
+        r["freq_class"]: (r["n_types"], r["mass"])
+        for r in freq_of_freqs(df, "text", k=3).collect()
+    }
+    want = {
+        fc: (nt, mass)
+        for fc, nt, mass in con.execute(
+            "WITH tk AS (SELECT list_filter(string_split(text,' '), "
+            "x -> x<>'') tl FROM documents), "
+            "g AS (SELECT array_to_string(tl[CAST(u.i AS INT):"
+            "CAST(u.i+2 AS INT)], ' ') gm "
+            "FROM tk, UNNEST(range(1, len(tl)-1)) AS u(i) "
+            "WHERE len(tl) >= 3), "
+            "c AS (SELECT gm, COUNT(*) c FROM g GROUP BY gm) "
+            "SELECT CAST(LEAST(c, 11) AS INT), COUNT(*), "
+            "CAST(SUM(c) AS BIGINT) FROM c GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
+
+    # d42 twin: shared/total distinct grams per source pair
+    got_d = {
+        (r["grp_a"], r["grp_b"]): (r["shared"], r["n_a"], r["n_b"])
+        for r in containment_direction(
+            df, "text", "source", k=3, hi_pct=10
+        ).collect()
+    }
+    want_d = {
+        (a, b): (s, na, nb)
+        for a, b, s, na, nb in con.execute(
+            "WITH tk AS (SELECT source, "
+            "list_filter(string_split(text,' '), x -> x<>'') tl "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT source, "
+            "array_to_string(tl[CAST(u.i AS INT):CAST(u.i+2 AS INT)], ' ') gm "
+            "FROM tk, UNNEST(range(1, len(tl)-1)) AS u(i) "
+            "WHERE len(tl) >= 3), "
+            "tot AS (SELECT source, COUNT(*) n FROM g GROUP BY source), "
+            "h AS (SELECT a.source ga, b.source gb, COUNT(*) s FROM g a "
+            "JOIN g b ON a.gm = b.gm AND a.source < b.source GROUP BY 1,2) "
+            "SELECT ga, gb, s, ta.n, tb.n FROM h "
+            "JOIN tot ta ON ta.source = ga JOIN tot tb ON tb.source = gb"
+        ).fetchall()
+    }
+    assert got_d == want_d
+    con.close()

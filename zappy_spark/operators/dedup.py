@@ -73,11 +73,24 @@ def dedup_keep_best(
     )
 
 
-def word_shingles(text_col: str | Column, k: int = 3) -> Column:
+def word_shingles(
+    text_col: str | Column, k: int = 3, filter_empty: bool = False
+) -> Column:
     """Word k-gram shingle array (documents with < k words yield
     an empty array — callers filter, because NULL-in-concat semantics
-    differ across engines)."""
+    differ across engines).
+
+    ``filter_empty=True`` drops the empty tokens a raw space-split
+    produces on consecutive/leading/trailing spaces — the spelling
+    that pairs with a DuckDB ``list_filter(string_split(...), x ->
+    x<>'')`` oracle (d40/d42/t30). The default keeps them, pairing
+    with a raw ``string_split`` oracle; each corpus entry's two
+    sides must pick the SAME convention (round-8 ADVICE: d42/t30
+    had filtered oracles over an unfiltered builder — latent only
+    because no fixture text had repeated spaces)."""
     ws = F.split(text_col, " ")
+    if filter_empty:
+        ws = F.filter(ws, lambda x: x != "")
     n = F.size(ws) - (k - 1)
     return F.when(
         n >= 1,
@@ -1294,7 +1307,9 @@ def containment_direction(
     corpus size."""
     sg = df.select(
         F.col(group_col).alias("_g"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_gram"),
+        F.explode(
+            word_shingles(F.col(text_col), k, filter_empty=True)
+        ).alias("_gram"),
     ).distinct()
     totals = sg.groupBy("_g").agg(F.count("*").alias("_n"))
     a = sg.select(F.col("_g").alias("grp_a"), "_gram")

@@ -833,7 +833,11 @@ def freq_of_freqs(
     counts (md5-free, balanced keys), then the ≤cap-row spectrum."""
     from zappy_spark.operators.dedup import word_shingles
 
-    g = df.select(F.explode(word_shingles(F.col(text_col), k)).alias("_g"))
+    g = df.select(
+        F.explode(
+            word_shingles(F.col(text_col), k, filter_empty=True)
+        ).alias("_g")
+    )
     c = g.groupBy("_g").agg(F.count("*").alias("_c"))
     return (
         c.withColumn(
