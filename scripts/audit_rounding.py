@@ -146,11 +146,12 @@ def _strip_rounds(sql: str) -> tuple[str, list[int], list[str]]:
 
 
 def _round_sites(sql: str) -> list[tuple[int, int, str, str]]:
-    """Every top-level-scanned ROUND(...) span in the SQL:
-    (start, end, inner_expr, k_text). Nested ROUNDs inside a site's
-    expr are probed when the outer site is rewritten (the inner call
-    still executes inside the CASE's ELSE arm), and again on their
-    own pass since the scan restarts after each site."""
+    """Every ROUND(...) span in the SQL, nested ones included:
+    (start, end, inner_expr, k_text). The scan resumes just past
+    each site's opening ``ROUND(`` (not past its closing paren), so
+    a ROUND nested inside another ROUND's argument is returned as
+    its own site and gets its own boundary-probe pass (round-8
+    ADVICE: the previous resume-at-end skipped inner sites)."""
     sites = []
     pat = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
     i = 0
@@ -181,7 +182,7 @@ def _round_sites(sql: str) -> list[tuple[int, int, str, str]]:
         else:
             expr, k = inner[:cut], inner[cut + 1 :].strip()
         sites.append((m.start(), j, expr, k))
-        i = j
+        i = m.end()
 
 
 # exact-tie floor: a scaled distance at or below this means the
@@ -246,6 +247,57 @@ def _probe_per_row_sites(con, name: str, sql: str) -> list[str]:
     return hits
 
 
+# Stage 3 (VERDICT r7 item 5): the probe covers ORACLE ROUND sites,
+# and relied on builders mirroring them expression-for-expression —
+# a convention, not a checked invariant. This check makes it one at
+# entry granularity: a builder whose DIRECT body calls F.round while
+# its oracle contains NO ROUND site would put a rounded double in
+# front of the differential gate with zero probe coverage — exactly
+# the escape hatch a future builder-only ROUND(double) needs. Such
+# entries fail the audit unless justified here. (Operator-internal
+# F.round calls reached THROUGH a builder are outside this scan —
+# those pair with oracle ROUNDs, which stage 2 probes, and carry
+# their own per-operator value tests.)
+BUILDER_ONLY_ROUND_ALLOWLIST: dict[str, str] = {
+    # m02's F.round UN-rounds: round(f32_feature * n_bytes) recovers
+    # the exact integer bucket count (error ~6e-8·bytes ≪ 0.5), and
+    # the oracle recomputes the INTEGER from raw bytes — there is no
+    # rounded float on either side of the compare.
+    "m02_fake_decode_features": "integer recovery, compare is exact",
+}
+
+
+def _builder_round_gaps() -> list[str]:
+    """Entries whose builder body calls F.round but whose oracle has
+    no ROUND site for stage 2 to probe."""
+    import inspect
+    import re as _re
+
+    from zappy_spark.queries import QUERIES
+
+    gaps = []
+    for name, sql in sorted(ORACLE.items()):
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        n_builder = len(_re.findall(r"\bF\.round\s*\(", src))
+        if not n_builder:
+            continue
+        if _re.search(r"\bROUND\s*\(", sql, _re.IGNORECASE):
+            continue
+        if name in BUILDER_ONLY_ROUND_ALLOWLIST:
+            continue
+        gaps.append(
+            f"BUILDERGAP {name}: {n_builder} F.round site(s) in the "
+            f"builder body but no ROUND in its oracle — probe-blind"
+        )
+    return gaps
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     con = duckdb.connect()
@@ -258,6 +310,9 @@ def main() -> int:
     info = 0
     probe_risk = 0
     audited = 0
+    builder_gaps = _builder_round_gaps()
+    for line in builder_gaps:
+        print(line)
     for name, sql in sorted(ORACLE.items()):
         stripped, ks, exprs = _strip_rounds(sql)
         if not ks:
@@ -303,9 +358,10 @@ def main() -> int:
         f"audited {audited} ROUND-bearing oracles at {sf_dir}: "
         f"{risk} order-dependent boundary cell(s), "
         f"{probe_risk} per-row ROUND(double) boundary site(s), "
-        f"{info} deterministic near-boundary cell(s) (informational)"
+        f"{info} deterministic near-boundary cell(s) (informational); "
+        f"{len(builder_gaps)} builder-only F.round gap(s)"
     )
-    return 1 if (risk or probe_risk) else 0
+    return 1 if (risk or probe_risk or builder_gaps) else 0
 
 
 if __name__ == "__main__":

@@ -1139,6 +1139,56 @@ def test_bmp_round_trip_and_rejections():
         decode_bmp(b"PNG? not a bmp" + bytes(60))
 
 
+def test_bmp_32bpp_bi_rgb_reserved_byte_is_not_alpha():
+    """A 32 bpp BI_RGB file (reserved 4th byte = 0, the common
+    real-writer form) must decode as opaque 3-channel RGB, not as a
+    fully transparent RGBA image (round-8 ADVICE)."""
+    import struct
+
+    import numpy as np
+
+    from zappy_spark.sources.bmplite import decode_bmp
+
+    # hand-build a 2×2 32bpp BI_RGB bottom-up file, reserved byte 0
+    px = {  # (x, y) -> RGB
+        (0, 0): (10, 20, 30), (1, 0): (40, 50, 60),
+        (0, 1): (70, 80, 90), (1, 1): (100, 110, 120),
+    }
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        for x in (0, 1):
+            r, g, b = px[(x, y)]
+            rows += bytes((b, g, r, 0))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(rows), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    img, meta = decode_bmp(head + info + rows)
+    assert img.shape == (2, 2, 3) and meta["channels"] == 3
+    for (x, y), rgb in px.items():
+        assert tuple(img[y, x]) == rgb
+
+
+def test_bmp_truncated_bitfields_header_raises_loudly():
+    """A file whose DIB size field claims V4/V5 mask fields but is
+    physically shorter must raise BmpFormatError, not struct.error
+    (round-8 ADVICE)."""
+    import struct
+
+    import pytest as _pytest
+
+    from zappy_spark.sources.bmplite import BmpFormatError, decode_bmp
+
+    info40 = struct.pack(
+        "<IiiHHIIiiII", 108, 2, 2, 1, 32, 3, 16, 2835, 2835, 0, 0
+    )  # declares a 108-byte V4 header (masks at 54..70)...
+    head = struct.pack("<2sIHHI", b"BM", 14 + 108 + 16, 0, 0, 122)
+    # ...but the file ends right after the 40 core header bytes
+    for cut in (54, 58, 66):
+        with _pytest.raises(BmpFormatError, match="truncated DIB"):
+            decode_bmp((head + info40)[:cut])
+
+
 def test_codec_round_trips_edge_dimensions():
     """1×1, 1×N, N×1 and odd-stride shapes through all three codec
     round-trips — the dimensions where stride/padding/filter-window

@@ -8,7 +8,9 @@ it), then bottom-up BGR(A) pixel rows padded to 4-byte boundaries.
 Scope (loud rejections):
 - 24 bpp BI_RGB and 32 bpp BI_RGB / BI_BITFIELDS with byte-aligned
   masks (the masks real writers emit; arbitrary bit-packed masks are
-  rejected rather than mis-decoded)
+  rejected rather than mis-decoded). BI_RGB decodes as opaque RGB at
+  both depths — a 32 bpp BI_RGB pixel's 4th byte is spec-reserved,
+  not alpha; only an explicit BI_BITFIELDS alpha mask yields RGBA.
 - positive height = bottom-up rows (the common case), negative =
   top-down
 - palette (≤8 bpp) and RLE compression rejected
@@ -50,13 +52,29 @@ def decode_bmp(data: bytes) -> tuple[np.ndarray, dict]:
     # channel order within each pixel, as byte indices into BGRA
     order = None  # indices of (R, G, B[, A]) within the pixel bytes
     if comp == 0:
-        order = (2, 1, 0) if bpp == 24 else (2, 1, 0, 3)
+        # 32 bpp BI_RGB: the 4th byte is RESERVED (BITMAPINFOHEADER
+        # spec), and real writers leave it 0 — mapping it to alpha
+        # would decode common files as fully transparent (round-8
+        # ADVICE). Both depths return opaque RGB.
+        order = (2, 1, 0)
     elif comp == 3 and bpp == 32:
-        if dib >= 52:
-            masks = struct.unpack("<III", data[54:66])
-        else:
+        if dib < 52:
             raise BmpFormatError("BI_BITFIELDS without mask fields")
-        amask = struct.unpack("<I", data[66:70])[0] if dib >= 56 else 0
+        if len(data) < 54 + 12:
+            raise BmpFormatError(
+                f"truncated DIB header ({len(data)} bytes, "
+                f"declared size {dib} needs mask fields)"
+            )
+        masks = struct.unpack("<III", data[54:66])
+        if dib >= 56:
+            if len(data) < 70:
+                raise BmpFormatError(
+                    f"truncated DIB header ({len(data)} bytes, "
+                    f"declared size {dib} needs an alpha mask)"
+                )
+            (amask,) = struct.unpack("<I", data[66:70])
+        else:
+            amask = 0
         byte_of = {0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}
         try:
             r_i, g_i, b_i = (byte_of[m] for m in masks)
