@@ -1211,3 +1211,235 @@ def test_codec_round_trips_edge_dimensions():
         s = rng.integers(-32768, 32767, size=(frames, nch), dtype=np.int16)
         out, rate = decode_wav(encode_wav(s, 22050))
         assert rate == 22050 and (out == s).all(), ("wav", frames, nch)
+
+
+# CPython test-suite goldens (PSF-licensed test data): the same 16x16
+# Python-logo image as written by MORE independent real encoders —
+# ImageMagick GIF (64-color quantized, transparent background) and
+# raw-binary Netpbm PPM/PGM/PBM.
+_PYTHON_GIF = bytes.fromhex(
+    "47494638396110001000f53f00ebbb18ebbe21f3c11afac719fdcb1bffcc1ceb"
+    "c22affcf23ffcf24ffd025ffd32debc534e8c73dffd330ffd430fdd536fad339"
+    "ffd739f9d53effd83aecce45ffda41ffdb44ffde4bffdf4effe255ffe358ffe7"
+    "62f2e16ef5e36ffde96affeb6c326087366690366791366993376896376a9639"
+    "6c963a6f9b3a709c3b709c3c719e3d73a23e74a23f76a54078a6427baa437cab"
+    "437dad457faf4680b14781b24883b44885b64a86ba4c89bc4c8abc4c8abf4f8d"
+    "c1508fc35291c6ffffff00000021ff0b496d6167654d616769636b0767616d6d"
+    "613d300021f9040500003f002c000000001000100000069bc09ff0b7bbcd622d"
+    "1569c814e67cb3170b556a326d5156aa34b2fe74b618cb143295aaccde0e5793"
+    "b954a7d1f997b9487e3c1d4df6828ffe203f17150f5f3634522a67228114840a"
+    "3f87302e5d4d15110a073f472e223f1c1e1b191815130a08043f31523f1d1f1b"
+    "1a1816110d080502422b293fafb1a5a7050556b0180c0b060100005eb1b30d09"
+    "c25e3fb2110e093ea9d23f10cf0503dae04341003b"
+)
+_PYTHON_PPM = bytes.fromhex(
+    "50360a31362031360a3235350a0000000000000000000000004e8dc04a86ba48"
+    "83b4447ead4078a73c719e376896000000000000000000000000000000000000"
+    "0000000000000000004c8abcffffff457faf4179a83e74a23a6f9b3669940000"
+    "000000000000000000000000000000000000000000000000004985b74680b142"
+    "7baa3e75a33b709d376a96366994000000000000000000000000000000000000"
+    "4e8fc44c8abf4885b6437dad3d74a1396c96366690386c973669943669940000"
+    "000000000000000000000000005291c64f8dc14b88bb4883b4447dad4078a63d"
+    "73a0396d99366994366994366994000000ffe255fddd4af9d53e000000508fc3"
+    "4c89bc4884b5457faf4179a83d74a13a6f9b3669943669943669943260870000"
+    "00ffde4bffda41fdd5360000004d8bbe4985b74680b0427baa3e75a33b709c37"
+    "6a96366994356892326087000000ecce45ffda42ffd637ffd32d0000004a87b9"
+    "4781b2437cab3f76a53669931b3145000000000000000000000000e2c345fdd9"
+    "41ffd738ffd32dffcf230000004681b2447dad4078a6366791000000f2e16efd"
+    "e96affe661ffe357ffdf4dffdb42ffd738ffd32effcf24fdcb1b000000437dae"
+    "4179a83d74a11c324bf5e36fffeb6cffe761ffe357ffdf4dffdb43ffd739ffd3"
+    "2effcf24ffcc1cf3c11a0000004075a33d73a23a709c000000ffeb6cffe762ff"
+    "e358ffdf4effdb43ffd739ffd32fffcf24ffcc1cffcc1cc29a12000000000000"
+    "000000000000000000ffe762ffe358ffdf4ee8c73debc534ebc22aebbe21ebbb"
+    "18ebbb18c69b12000000000000000000000000000000000000ffe358ffdf4eff"
+    "db44ffd73affd330ffd025ffcc1c000000000000000000000000000000000000"
+    "000000000000000000fdde4effdb44ffd83affd430ffd026fffffffdcb1b0000"
+    "00000000000000000000000000000000000000000000000000f1d03ffad339fd"
+    "d22fffd026ffcc1cfac719c09712000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "00000000000000000000000000"
+)
+_PYTHON_PGM = bytes.fromhex(
+    "50350a31362031360a3235350a00000000837d7a756f69610000000000000000"
+    "0080ff76706c67610000000000000000007c77726d6862610000000000008581"
+    "7c746c645f646161000000000087847f7a746f6b6561616100ded9d20085807b"
+    "76706c676161615900dad7d200817c77726d686261605900cad7d3d0007e7873"
+    "6e612e00000000c0d6d4d0cd0078746f6000dce4e2dfdbd8d4d0cdc90074706c"
+    "2fdee6e2dfdbd8d4d0cdcac0006d6b6800e6e3dfdbd8d4d1cdcaca9900000000"
+    "00e3dfdbc4c3c0bcb9b99a000000000000dfdbd8d4d1ceca0000000000000000"
+    "00dad8d5d1ceffc9000000000000000000cdd0cfcecac5960000000000000000"
+    "00000000000000000000000000"
+)
+_PYTHON_PBM = bytes.fromhex(
+    "50340a31362031360afb7ff1bffadfd57fadb15bf1a5615fc15801b001b001f0"
+    "07f01ff01ff03fffff"
+)
+
+
+def test_gif_decodes_hand_packed_spec_vector():
+    """A GIF whose LZW bitstream was packed BY HAND from the spec
+    (GIF89a appendix F), independent of this repo's encoder: pixels
+    [[1,1],[0,2]], mcs=2 → codes (4,1,1,0,2,5) at widths
+    (3,3,3,3,4,4) — the width bump fires after the decoder's table
+    reaches 8 entries — packed LSB-first into bytes 4C 20 05."""
+    import struct
+
+    import numpy as np
+
+    from zappy_spark.sources.giflite import decode_gif
+
+    gct = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    data = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+        + gct
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        + bytes((2,))  # LZW min code size
+        + bytes((3, 0x4C, 0x20, 0x05, 0))  # one sub-block + terminator
+        + b"\x3b"
+    )
+    img, meta = decode_gif(data)
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 2, 3)
+    want = np.array(
+        [[[0, 255, 0], [0, 255, 0]], [[255, 0, 0], [0, 0, 255]]],
+        dtype=np.uint8,
+    )
+    assert (img == want).all()
+
+
+def test_gif_decodes_real_third_party_file():
+    """EXTERNAL validation: CPython's imghdrdata python.gif (PSF
+    test data, 405 bytes) — written by ImageMagick (its application
+    extension block names the writer), 64-color global palette,
+    graphic-control transparency."""
+    from zappy_spark.sources.giflite import decode_gif
+
+    img, meta = decode_gif(_PYTHON_GIF)
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 16, 4)
+    assert meta["version"] == "89a" and meta["n_frames"] == 1
+
+
+def test_gif_png_cross_format_pixel_agreement():
+    """Cross-format pin: the same 16×16 image as ImageMagick-GIF and
+    palette-PNG, decoded by two independent decoders. The GIF writer
+    quantized to a 64-color palette, so opaque pixels must agree
+    within the file's own quantization error (≤3/channel, measured)
+    — any channel-order, row-order, or LZW bug produces differences
+    orders of magnitude larger."""
+    import numpy as np
+
+    from zappy_spark.sources.giflite import decode_gif
+    from zappy_spark.sources.pnglite import decode_png
+
+    gif, _ = decode_gif(_PYTHON_GIF)
+    png, _ = decode_png(_PYTHON_PNG)
+    assert gif.shape == (16, 16, 4) and png.shape == (16, 16, 3)
+    opaque = gif[:, :, 3] == 255
+    assert int(opaque.sum()) == 149  # a real image, not vacuous
+    diff = np.abs(
+        gif[:, :, :3][opaque].astype(int) - png[opaque].astype(int)
+    )
+    assert int(diff.max()) <= 3
+
+
+def test_ppm_png_cross_format_exact_agreement():
+    """The STRONGEST pin in the codec suite: python.ppm (raw-binary
+    Netpbm) decodes BYTE-IDENTICAL to the palette-PNG of the same
+    image — both formats are lossless, both files from real writers,
+    both decoders independent."""
+    from zappy_spark.sources.pnglite import decode_png
+    from zappy_spark.sources.pnmlite import decode_pnm
+
+    ppm, meta = decode_pnm(_PYTHON_PPM)
+    png, _ = decode_png(_PYTHON_PNG)
+    assert meta["kind"] == "P6" and ppm.shape == (16, 16, 3)
+    assert (ppm == png).all()
+
+
+def test_pgm_pbm_decode_real_files():
+    """python.pgm must sit within the file's own grayscale-conversion
+    rounding of ITU-R 601 luma of the PNG; python.pbm is a real
+    bit-packed bitmap whose black mask must cover the PGM's dark
+    pixels."""
+    import numpy as np
+
+    from zappy_spark.sources.pnglite import decode_png
+    from zappy_spark.sources.pnmlite import decode_pnm
+
+    pgm, m1 = decode_pnm(_PYTHON_PGM)
+    assert m1["kind"] == "P5" and pgm.shape == (16, 16)
+    png, _ = decode_png(_PYTHON_PNG)
+    luma = (
+        0.299 * png[:, :, 0] + 0.587 * png[:, :, 1] + 0.114 * png[:, :, 2]
+    )
+    assert float(np.abs(pgm.astype(float) - luma).max()) < 8.0
+
+    pbm, m2 = decode_pnm(_PYTHON_PBM)
+    assert m2["kind"] == "P4" and pbm.shape == (16, 16)
+    assert set(np.unique(pbm)) <= {0, 255}
+    # the bitmap's black pixels must be dark in the grayscale render
+    assert int(pgm[pbm == 0].max()) < 160
+
+
+def test_pnm_ascii_variants_and_comments():
+    """P2/P3 ASCII sample text with interleaved # comments and a
+    sub-255 maxval (scaled on decode the way Netpbm exports do)."""
+    import numpy as np
+
+    from zappy_spark.sources.pnmlite import decode_pnm
+
+    p2 = b"P2 # gray\n2 2\n# maxval next\n15\n0 15\n7 8\n"
+    img, meta = decode_pnm(p2)
+    assert meta["maxval"] == 15
+    assert img.tolist() == [[0, 255], [119, 136]]
+    p3 = b"P3\n1 2\n255\n1 2 3\n250 251 252\n"
+    img3, meta3 = decode_pnm(p3)
+    assert meta3["channels"] == 3
+    assert img3.reshape(-1).tolist() == [1, 2, 3, 250, 251, 252]
+
+
+def test_gif_pnm_round_trips_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from zappy_spark.sources.giflite import (
+        GifFormatError,
+        decode_gif,
+        encode_gif,
+    )
+    from zappy_spark.sources.pnmlite import PnmFormatError, decode_pnm
+
+    rng = np.random.default_rng(11)
+    # palettes from tiny to full-width force every LZW code width
+    for h, w, ncol in ((1, 1, 1), (1, 9, 3), (9, 1, 2), (16, 16, 250),
+                       (40, 60, 256), (31, 33, 17)):
+        pal = rng.integers(0, 256, size=(ncol, 3))
+        a = pal[rng.integers(0, ncol, size=(h, w))].astype(np.uint8)
+        out, _ = decode_gif(encode_gif(a))
+        assert (out == a).all(), (h, w, ncol)
+        out2, m2 = decode_gif(encode_gif(a, interlaced=True))
+        assert m2["interlaced"] and (out2 == a).all(), (h, w, ncol)
+    # >4096 dict entries forces the encoder's clear-code reset path
+    seq = (np.arange(120 * 120) % 251).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(251, 3))
+    big = pal[seq.reshape(120, 120)].astype(np.uint8)
+    outb, _ = decode_gif(encode_gif(big))
+    assert (outb == big).all()
+
+    with _pytest.raises(GifFormatError, match="GIF87a/89a"):
+        decode_gif(b"GIF90a" + bytes(20))
+    with _pytest.raises(GifFormatError, match="colors"):
+        k = np.arange(300)
+        grad = np.stack([k % 256, k // 256, np.full_like(k, 7)], axis=1)
+        encode_gif(grad.reshape(300, 1, 3).astype(np.uint8))
+    # truncated LZW stream must fail loudly, not return short pixels
+    good = encode_gif(pal[: 16].astype(np.uint8).reshape(4, 4, 3))
+    with _pytest.raises(GifFormatError):
+        decode_gif(good[: len(good) - 6] + bytes((0, 0x3B)))
+
+    with _pytest.raises(PnmFormatError, match="P1..P6"):
+        decode_pnm(b"P7\n1 1\n255\nx")
+    with _pytest.raises(PnmFormatError, match="16-bit"):
+        decode_pnm(b"P5\n1 1\n65535\n\x00\x00")
+    with _pytest.raises(PnmFormatError, match="truncated raster"):
+        decode_pnm(b"P6\n2 2\n255\n\x00\x01")

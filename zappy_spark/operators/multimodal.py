@@ -91,10 +91,20 @@ def decode_image(payload: bytes) -> "object":
 
         img, _ = decode_bmp(bytes(payload))
         return img
+    if payload[:4] == b"GIF8":
+        from zappy_spark.sources.giflite import decode_gif
+
+        img, _ = decode_gif(bytes(payload))
+        return img
+    if payload[:1] == b"P" and payload[1:2] in b"123456":
+        from zappy_spark.sources.pnmlite import decode_pnm
+
+        img, _ = decode_pnm(bytes(payload))
+        return img
     raise NotImplementedError(
         "image decode stub for compressed formats (JPEG/WebP/…): "
-        "install a codec (e.g. pillow); PNG and BMP decode natively "
-        "via sources/pnglite.py and sources/bmplite.py"
+        "install a codec (e.g. pillow); PNG, BMP, GIF and "
+        "PBM/PGM/PPM decode natively via sources/{png,bmp,gif,pnm}lite"
     )
 
 
