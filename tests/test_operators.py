@@ -2964,3 +2964,100 @@ def test_tokenize_convention_agrees_on_repeated_spaces(spark):
     }
     assert got_d == want_d
     con.close()
+
+
+def test_gif_attest_features_matches_formula(spark):
+    """The m04 kernel: fabricated palette image → REAL encode_gif →
+    decode_gif → integer stats must equal the closed-form arithmetic
+    (what the DuckDB oracle replays)."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import gif_attest_features
+
+    ids = [0, 1, 7, 41]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    got = {r["media_id"]: r for r in gif_attest_features(df).collect()}
+    yy, xx = np.mgrid[0:8, 0:8]
+    for mid in ids:
+        idx = (mid + 3 * yy + 5 * xx) % 16
+        r = got[mid]
+        assert r["n_px"] == 64
+        assert r["r_sum"] == int(((17 * idx) % 256).sum())
+        assert r["g_sum"] == int(((idx * idx + 7) % 256).sum())
+        assert r["b_sum"] == int(((29 * idx + mid) % 256).sum())
+        assert r["c0"] == int((idx == 0).sum())
+
+
+def test_image_hash_bands_and_hamming_pairs(spark):
+    """d45 pipeline on planted data: a near-identical image pair
+    (one pixel nudged) must surface with a small Hamming distance
+    through REAL PNG bytes; an unrelated image must not pair. The
+    band values are checked bit-for-bit against numpy."""
+    import numpy as np
+
+    from zappy_spark.operators.dedup import hamming_candidate_pairs
+    from zappy_spark.operators.multimodal import image_hash_bands
+    from zappy_spark.sources.pnglite import encode_png
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # flip one pixel hard
+    far = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base[:, :, None]))),
+        (2, bytearray(encode_png(near[:, :, None]))),
+        (3, bytearray(encode_png(far[:, :, None]))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_hash_bands(df).collect()
+    byid = {r["media_id"]: r for r in hashes}
+
+    def ref_bands(px):
+        flat = px.astype(np.int64).reshape(-1)
+        bits = (flat * 64 > flat.sum()).astype(np.int64)
+        return [
+            int((bits[b * 16 : b * 16 + 16] << np.arange(16)).sum())
+            for b in range(4)
+        ]
+
+    for mid, px in ((1, base), (2, near), (3, far)):
+        assert [byid[mid][f"a{b}"] for b in range(4)] == ref_bands(px)
+
+    pairs = hamming_candidate_pairs(
+        image_hash_bands(df), "media_id", max_ham=3
+    ).collect()
+    got = {(r["i"], r["j"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all(j != 3 and i != 3 for i, j in got)
+
+    # flood cap: with max_bucket=1 every bucket holding both images
+    # is dropped, so nothing pairs
+    assert (
+        hamming_candidate_pairs(
+            image_hash_bands(df), "media_id", max_ham=3, max_bucket=1
+        ).count()
+        == 0
+    )
+
+
+def test_embedding_png_images_quantization(spark):
+    """The quantize-to-PNG kernel: payload decodes back to exactly
+    clamp(floor((x+1)*127.5), 0, 255) of the float32 input."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import embedding_png_images
+    from zappy_spark.sources.pnglite import decode_png
+
+    vec = (np.linspace(-1.3, 1.3, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(5, [float(x) for x in vec])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_png_images(df).first()
+    img, meta = decode_png(bytes(r["payload"]))
+    assert (meta["width"], meta["height"]) == (8, 8)
+    want = np.clip(
+        np.floor((vec.astype(np.float64) + 1.0) * 127.5), 0, 255
+    ).astype(np.uint8)
+    assert (img.reshape(-1) == want).all()

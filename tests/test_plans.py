@@ -101,11 +101,19 @@ def test_no_python_udfs_in_declared_corpus(spark):
     """Every declared query must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython stages (v02 excepted: its query vector is fetched
     driver-side by design; the scan itself is still JVM). m02 and m03
-    are the TWO deliberate exceptions — they exist to value-check the
+    were the two deliberate exceptions — they exist to value-check the
     Arrow mapInPandas multimodal plumbing (per-media features and
-    per-sampled-frame flatMap), so their plans must contain exactly
-    that stage (and still no row-at-a-time EvalPython)."""
-    arrow_entries = {"m02_fake_decode_features", "m03_frame_features"}
+    per-sampled-frame flatMap) — joined in round 8 by m04 (real GIF
+    encode/decode attestation) and d45 (real PNG bytes feeding the
+    perceptual-hash kernel): binary codecs are exactly what the
+    sanctioned vectorized escape hatch is FOR. Their plans must
+    contain that stage (and still no row-at-a-time EvalPython)."""
+    arrow_entries = {
+        "m02_fake_decode_features",
+        "m03_frame_features",
+        "m04_gif_attest",
+        "d45_phash_neardup",
+    }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":
             continue
@@ -1137,3 +1145,23 @@ def test_langid_confusion_single_scan(spark):
     plan = _plan(QUERIES["t31_langid_confusion"](spark, SF_DIR))
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phash_neardup_banded_equi_join(spark):
+    """d45: the Hamming candidate join must be a (band, value)
+    equi-join — never an all-pairs product — with exactly the one
+    sanctioned Arrow stage pair (encode kernel + hash kernel) and
+    no row-at-a-time Python."""
+    plan = _plan(QUERIES["d45_phash_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gif_attest_single_arrow_stage(spark):
+    """m04: one narrow id column into one Arrow stage; no joins, no
+    extra shuffles beyond the final orderBy."""
+    plan = _plan(QUERIES["m04_gif_attest"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan

@@ -1344,3 +1344,93 @@ def containment_direction(
         .otherwise("weak")
         .alias("verdict"),
     )
+
+
+def hamming_candidate_pairs(
+    hash_df: DataFrame,
+    id_col: str,
+    band_cols: tuple[str, ...] = ("a0", "a1", "a2", "a3"),
+    max_ham: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs by banded Hamming blocking
+    (round 8; VERDICT r7 item 2): the image sibling of
+    ``lsh_candidate_pairs``, joining the real-codec layer to the
+    dedup family. Input is one row per image with its hash split
+    into integer band columns (image_hash_bands); a pair is a
+    CANDIDATE iff it agrees exactly on ≥ 1 band, and a near-dup iff
+    the full Hamming distance Σ_b bit_count(x_b XOR y_b) ≤
+    ``max_ham``.
+
+    With B band columns, pigeonhole guarantees any pair within
+    Hamming distance B-1 shares an identical band — so for
+    ``max_ham < B`` (the default: 3 < 4) the banded join is EXACT,
+    not approximate, and a SQL oracle replays it verbatim. Larger
+    thresholds degrade to standard LSH recall; callers wanting
+    guaranteed recall at distance d split into d+1 bands.
+
+    ``max_bucket`` is the standing flood cap (lsh_candidate_pairs
+    doctrine): band values shared by more than this many images —
+    flat/black frames, letterboxing, sprite sheets — are dropped
+    before the self-join; such families belong to exact dedup.
+    None preserves exact semantics for the oracle twin.
+
+    Scale: the hash table is ~17 bytes/image; banding explodes ×B
+    narrow rows, the join key (band_idx, band_value) is balanced
+    for photographic corpora, and payload bytes never shuffle —
+    only (id, band) pairs move. Returns (i, j, hamming) with
+    i < j."""
+    bands = hash_df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("b"), F.col(c).alias("v")
+                    )
+                    for bi, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", F.col("_e.b").alias("_b"), F.col("_e.v").alias("_v"))
+    if max_bucket is not None:
+        sizes = bands.groupBy("_b", "_v").agg(F.count("*").alias("_n"))
+        bands = bands.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+            ["_b", "_v"],
+        )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            [
+                F.col("x._b") == F.col("y._b"),
+                F.col("x._v") == F.col("y._v"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("i"), F.col("y._id").alias("j")
+        )
+        .distinct()
+    )
+    hx = hash_df.select(
+        F.col(id_col).alias("i"),
+        *[F.col(c).alias(f"_x{k}") for k, c in enumerate(band_cols)],
+    )
+    hy = hash_df.select(
+        F.col(id_col).alias("j"),
+        *[F.col(c).alias(f"_y{k}") for k, c in enumerate(band_cols)],
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"_x{k}").bitwiseXOR(F.col(f"_y{k}"))
+        )
+        for k in range(len(band_cols))
+    )
+    return (
+        cand.join(hx, "i")
+        .join(hy, "j")
+        .select("i", "j", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_ham)
+    )

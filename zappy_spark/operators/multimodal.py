@@ -510,3 +510,200 @@ def resize_png_images(
             )
 
     return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+GIF_ATTEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("c0", LongType()),
+    ]
+)
+
+
+def gif_attest_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """GIF codec attestation through the full Spark surface (round 8
+    — the z32/m02 playbook applied to giflite): per id, fabricate a
+    deterministic 8×8 paletted image from pure integer arithmetic,
+    run it through REAL ``encode_gif`` → ``decode_gif`` (palette
+    build, variable-width LZW both directions, palette mapping), and
+    emit exact-integer statistics of the DECODED pixels. An oracle
+    replays the fabrication arithmetic in SQL without touching
+    bytes, so any bug anywhere in the codec path flips the value
+    hash.
+
+    Fabrication (all exact int): palette index i(y,x) = (id + 3y +
+    5x) mod 16; color_i = (17i mod 256, (i²+7) mod 256,
+    (29i + id) mod 256). 17i mod 256 is injective for i < 16, so the
+    decoded red channel recovers i — ``c0`` counts pixels with
+    i = 0 from the decoded image alone.
+
+    Scale: one narrow id column in, six ints out, per-row constant
+    work inside Arrow batches; payload bytes never leave the
+    executor."""
+    import numpy as np
+
+    from zappy_spark.sources.giflite import decode_gif, encode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:8, 0:8]
+        for pdf in it:
+            out = {k.name: [] for k in GIF_ATTEST_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                idx = (mid + 3 * yy + 5 * xx) % 16
+                i = np.arange(16)
+                pal = np.stack(
+                    [
+                        (17 * i) % 256,
+                        (i * i + 7) % 256,
+                        (29 * i + mid) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                rgb = pal[idx]
+                dec, _ = decode_gif(encode_gif(rgb))
+                assert dec.shape == (8, 8, 3)
+                px = dec.astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_px"].append(64)
+                out["r_sum"].append(int(px[:, :, 0].sum()))
+                out["g_sum"].append(int(px[:, :, 1].sum()))
+                out["b_sum"].append(int(px[:, :, 2].sum()))
+                out["c0"].append(int((px[:, :, 0] == 0).sum()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=GIF_ATTEST_SCHEMA
+    )
+
+
+EMB_PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def embedding_png_images(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Render embeddings as REAL grayscale PNG payloads (round 8):
+    each 64-dim vector quantizes to an 8×8 uint8 image via
+    px = clamp(floor((x + 1) · 127.5), 0, 255) — two IEEE double
+    ops + an exact floor, bit-reproducible on any engine from the
+    same float32 inputs — and is encoded with the spec-pinned
+    pnglite encoder. This is the bytes-producing half of the
+    perceptual-hash dedup pipeline (d45): downstream operators see
+    only (media_id, payload), exactly what a crawl's image corpus
+    looks like."""
+    import numpy as np
+
+    from zappy_spark.sources.pnglite import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                if v.shape[0] != 64:
+                    raise ValueError(
+                        f"embedding dim {v.shape[0]} != 64 (8x8 image)"
+                    )
+                px = np.clip(np.floor((v + 1.0) * 127.5), 0, 255)
+                img = px.astype(np.uint8).reshape(8, 8, 1)
+                ids.append(int(mid))
+                payloads.append(encode_png(img, filter_type=0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, schema=EMB_PNG_SCHEMA
+    )
+
+
+IMAGE_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("a0", LongType()),
+        StructField("a1", LongType()),
+        StructField("a2", LongType()),
+        StructField("a3", LongType()),
+        StructField("d0", LongType()),
+        StructField("d1", LongType()),
+        StructField("d2", LongType()),
+        StructField("d3", LongType()),
+    ]
+)
+
+
+def image_hash_bands(df: DataFrame) -> DataFrame:
+    """Perceptual hashes (aHash + dHash) over REAL decoded pixels,
+    emitted directly as 4×16-bit / 4×14-bit BAND integers (round 8).
+
+    aHash: 8×8 grayscale, bit_k = (px_k · 64 > Σpx) — the mean
+    comparison cross-multiplied to exact integers, no division.
+    dHash: horizontal gradient sign, bit = (px[y][x+1] > px[y][x]),
+    8 rows × 7 comparisons = 56 bits. Bands (not one 64-bit value)
+    are the native output because (a) banding IS the LSH blocking
+    key downstream and (b) bit 63 of a packed BIGINT is the sign
+    bit — both engines handle it, but every shift/compare spelling
+    must then be audited; 16-bit bands stay tiny positive ints.
+
+    Images larger than 8×8 are reduced by exact integer block-mean
+    (floor); multi-channel images reduce to gray = (r+g+b)//3 per
+    pixel first — all arithmetic exact, so a SQL oracle can replay
+    every bit. Runs the real decode path (PNG/BMP/GIF/PNM via
+    decode_image) inside Arrow ``mapInPandas``."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in IMAGE_HASH_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                px = img.astype(np.int64)
+                if px.ndim == 3 and px.shape[2] >= 3:
+                    px = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                elif px.ndim == 3:
+                    px = px[:, :, 0]
+                h, w = px.shape
+                if h % 8 or w % 8:
+                    raise ValueError(
+                        f"image {h}x{w} not block-reducible to 8x8"
+                    )
+                bh, bw = h // 8, w // 8
+                px = (
+                    px.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+                )
+                flat = px.reshape(-1)
+                total = int(flat.sum())
+                abits = (flat * 64 > total).astype(np.int64)
+                dbits = (px[:, 1:] > px[:, :-1]).astype(np.int64).reshape(-1)
+                out["media_id"].append(int(mid))
+                for b in range(4):
+                    seg = abits[b * 16 : (b + 1) * 16]
+                    out[f"a{b}"].append(
+                        int((seg << np.arange(16)).sum())
+                    )
+                    dseg = dbits[b * 14 : (b + 1) * 14]
+                    out[f"d{b}"].append(
+                        int((dseg << np.arange(14)).sum())
+                    )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_HASH_SCHEMA
+    )

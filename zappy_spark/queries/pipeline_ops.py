@@ -2645,6 +2645,72 @@ def t31(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m04(spark: SparkSession, d: str) -> DataFrame:
+    """GIF codec attestation as a driver row (round 8;
+    operators/multimodal.py::gif_attest_features): fabricate a
+    deterministic 8×8 paletted image per doc id from pure integer
+    arithmetic, push it through the REAL giflite encoder AND decoder
+    (palette build, variable-width LZW both ways, palette mapping)
+    inside Arrow ``mapInPandas``, and report exact-integer stats of
+    the DECODED pixels. The oracle replays the fabrication in SQL
+    without touching bytes — the z32/m02 attestation pattern, now
+    covering the fourth native codec. Bounded instrument: 100 ids
+    at any corpus size."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return (
+        multimodal.gif_attest_features(ids, "doc_id")
+        .orderBy("media_id")
+    )
+
+
+def d45(spark: SparkSession, d: str) -> DataFrame:
+    """Perceptual-hash image near-dup (round 8, VERDICT r7 item 2;
+    operators/multimodal.py::image_hash_bands +
+    operators/dedup.py::hamming_candidate_pairs): the most common
+    image-corpus pipeline step, joining the real-codec layer to the
+    dedup family. Embeddings quantize to REAL 8×8 grayscale PNG
+    payloads (embedding_png_images), the aHash is computed from the
+    DECODED pixels as 4×16-bit integer bands, and near-dups are the
+    banded Hamming join at distance ≤ 3 — EXACT by pigeonhole with
+    4 bands, so the DuckDB oracle replays the whole pipeline from
+    the embedding floats (quantization arithmetic is two IEEE
+    double ops + floor, bit-reproducible cross-engine).
+
+    Planted structure: vec_id < 50 get a clone at vec_id+100000
+    with e[0] nudged by +0.001 (≤ 1 pixel level) — guaranteed
+    near-dups threading encode→decode→hash→band-join end-to-end.
+
+    Scale: hashes are 17 bytes/image; only (id, band) pairs
+    shuffle; the banded join is the lsh_candidate_pairs shape with
+    the same flood-cap knob (None here: exact oracle semantics;
+    the planted-clone panel is bounded at any SF)."""
+    from zappy_spark.operators import multimodal
+
+    emb = (
+        t(spark, d, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, k) -> CAST(CASE WHEN k = 0 "
+            "THEN x + 0.001 ELSE x END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    imgs = multimodal.embedding_png_images(emb.unionByName(clones))
+    hashes = multimodal.image_hash_bands(imgs)
+    return (
+        dedup.hamming_candidate_pairs(hashes, "media_id", max_ham=3)
+        .orderBy("i", "j")
+        .limit(300)
+    )
+
+
 def v25(spark: SparkSession, d: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots
     (round 6): split the corpus into snapshot A (even vec_id) and B
@@ -2747,6 +2813,8 @@ QUERIES = {
     "t30_freq_spectrum": t30,
     "d44_minhash_containment_est": d44,
     "t31_langid_confusion": t31,
+    "m04_gif_attest": m04,
+    "d45_phash_neardup": d45,
     "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
@@ -3287,6 +3355,55 @@ ORACLE = {
         "JOIN sz s1 ON s1.doc_id = se.i "
         "JOIN sz s2 ON s2.doc_id = se.j "
         "ORDER BY se.i, se.j LIMIT 300"
+    ),
+    # m04: the GIF attestation replayed WITHOUT bytes — the closed
+    # form of the fabricated palette image; Spark's numbers came
+    # through encode_gif -> decode_gif, so equality attests the
+    # whole LZW path.
+    "m04_gif_attest": (
+        "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100), "
+        "px AS (SELECT doc_id, (doc_id + 3*y.g + 5*x.g) % 16 i "
+        "FROM ids, generate_series(0,7) y(g), generate_series(0,7) x(g)) "
+        "SELECT doc_id AS media_id, CAST(64 AS BIGINT) n_px, "
+        "CAST(SUM((17*i) % 256) AS BIGINT) r_sum, "
+        "CAST(SUM((i*i + 7) % 256) AS BIGINT) g_sum, "
+        "CAST(SUM((29*i + doc_id) % 256) AS BIGINT) b_sum, "
+        "CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) c0 "
+        "FROM px GROUP BY doc_id ORDER BY media_id"
+    ),
+    # d45: the full perceptual-hash pipeline replayed from the
+    # embedding floats: quantize (two IEEE double ops + exact
+    # floor), aHash bits by integer cross-multiplication, 16-bit
+    # band ints, banded self-join, bit_count Hamming. Spark's path
+    # additionally round-trips real PNG bytes in the middle.
+    "d45_phash_neardup": (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e "
+        "FROM embeddings WHERE vec_id < 2000), "
+        "allv AS (SELECT vec_id, e FROM base "
+        "UNION ALL SELECT vec_id + 100000, "
+        "list_prepend(CAST(CAST(e[1] + 0.001 AS REAL) AS DOUBLE), "
+        "e[2:64]) FROM base WHERE vec_id < 50), "
+        "px AS (SELECT vec_id, s.k - 1 AS k, "
+        "CAST(LEAST(255, GREATEST(0, FLOOR((e[s.k] + 1)*127.5))) "
+        "AS BIGINT) p "
+        "FROM allv, generate_series(1,64) s(k)), "
+        "tot AS (SELECT vec_id, SUM(p) t FROM px GROUP BY vec_id), "
+        "bits AS (SELECT px.vec_id, k, "
+        "CASE WHEN p*64 > t THEN 1 ELSE 0 END bt "
+        "FROM px JOIN tot USING (vec_id)), "
+        "bands AS (SELECT vec_id, CAST(k // 16 AS INT) b, "
+        "CAST(SUM(bt << (k % 16)) AS BIGINT) v "
+        "FROM bits GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT x.vec_id i, y.vec_id j "
+        "FROM bands x JOIN bands y ON y.b = x.b AND y.v = x.v "
+        "AND x.vec_id < y.vec_id), "
+        "ham AS (SELECT cand.i, cand.j, "
+        "CAST(SUM(bit_count(xor(bx.v, by.v))) AS BIGINT) hamming "
+        "FROM cand JOIN bands bx ON bx.vec_id = cand.i "
+        "JOIN bands by ON by.vec_id = cand.j AND by.b = bx.b "
+        "GROUP BY 1, 2) "
+        "SELECT i, j, hamming FROM ham WHERE hamming <= 3 "
+        "ORDER BY i, j LIMIT 300"
     ),
     "t30_freq_spectrum": (
         "WITH tk AS (SELECT list_filter(string_split(text,' '), "
