@@ -3061,3 +3061,70 @@ def test_embedding_png_images_quantization(spark):
         np.floor((vec.astype(np.float64) + 1.0) * 127.5), 0, 255
     ).astype(np.uint8)
     assert (img.reshape(-1) == want).all()
+
+
+def test_charset_class_counts_multiscript(spark):
+    """Planted multiscript texts: the Unicode range classes must
+    count exactly what a Python reference counts (the corpus entry
+    uses the portable ASCII subset; this pins the full ranges)."""
+    rows = [
+        (1, "hello мир 42!"),          # latin + cyrillic + digit
+        (2, "Ελλάδα και 中文 かな"),     # greek + cjk + kana
+        (3, "مرحبا abc"),              # arabic + latin
+        (4, "{\"k\": 69}"),            # the events.props shape
+    ]
+    df = spark.createDataFrame(rows, ["rid", "txt"])
+    from zappy_spark.operators.text import (
+        CHARSET_CLASSES,
+        charset_class_counts,
+    )
+
+    got = {r["rid"]: r for r in charset_class_counts(df, "txt").collect()}
+
+    import re
+
+    ranges = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "space": "[ \t\r\n]",
+        "cyrillic": "[Ѐ-ӿ]",
+        "greek": "[Ͱ-Ͽ]",
+        "arabic": "[؀-ۿ]",
+        "cjk": "[一-鿿぀-ヿ가-힯]",
+    }
+    assert [n for n, _ in CHARSET_CLASSES] == list(ranges)
+    for rid, txt in rows:
+        r = got[rid]
+        assert r["n_total"] == len(txt)
+        covered = 0
+        for name, pat in ranges.items():
+            n = len(re.findall(pat, txt))
+            assert r[f"n_{name}"] == n, (rid, name)
+            covered += n
+        assert r["n_other"] == len(txt) - covered
+
+
+def test_block_dedup_ledger_keep_first(spark):
+    """Planted clone blocks: doc 1 owns the first occurrence of a
+    16-token block; docs 2 and 3 repeat it and must have it removed;
+    a within-doc repeat of a block is removed too (keep-first is
+    global, not per-doc); unique blocks are never removed."""
+    from zappy_spark.operators.dedup import block_dedup_ledger
+
+    blk = " ".join(f"w{i}" for i in range(16))
+    uniq = " ".join(f"u{i}" for i in range(16))
+    rows = [
+        (1, blk + " " + uniq),       # first occurrence + unique
+        (2, blk),                    # cross-doc clone -> removed
+        (3, blk + " " + blk),        # two copies, both removed
+        (4, "short tail"),           # 2-token block, unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_removed"], r["removed_tokens"])
+        for r in block_dedup_ledger(df, "text", "doc_id", 16).collect()
+    }
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (1, 1, 16)
+    assert got[3] == (2, 2, 32)
+    assert got[4] == (1, 0, 0)

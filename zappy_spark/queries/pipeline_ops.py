@@ -2711,6 +2711,103 @@ def d45(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t32(spark: SparkSession, d: str) -> DataFrame:
+    """Charset/script profile audit (round 8, VERDICT r7 item 6;
+    operators/text.py::charset_class_counts): per event type, exact
+    character-class counts over the JSON payloads — the
+    garbled-payload / wrong-encoding detector a crawl ingest gate
+    runs before parsing. The documents table is pure lowercase+space
+    at every SF (a script histogram there is vacuous), so the entry
+    audits ``events.props``, which mixes letters, digits, spaces and
+    JSON punctuation; the operator's full Unicode script ranges
+    (Cyrillic/Greek/Arabic/CJK) are pinned on planted multiscript
+    texts in tests/test_operators.py, spelled in the engine-portable
+    POSIX subset here. One scan + a ≤|event_types| hash agg; all
+    counts exact length-deltas of regexp_replace — scan-side,
+    codegen'd."""
+    ev = t(spark, d, "events").select(
+        "event_type", F.col("props").alias("txt")
+    )
+    prof = text.charset_class_counts(
+        ev,
+        "txt",
+        classes=(("latin", "[A-Za-z]"), ("digit", "[0-9]"), ("space", "[ ]")),
+    )
+    return (
+        prof.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("n_total").cast("bigint").alias("chars"),
+            F.sum("n_latin").cast("bigint").alias("latin"),
+            F.sum("n_digit").cast("bigint").alias("digit"),
+            F.sum("n_space").cast("bigint").alias("space"),
+            F.sum("n_other").cast("bigint").alias("other"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def d46(spark: SparkSession, d: str) -> DataFrame:
+    """C4-style block dedup ledger (round 8, VERDICT r7 item 6;
+    operators/dedup.py::block_dedup_ledger): keep-first dedup of
+    non-overlapping 16-token blocks — C4's duplicate-span removal
+    mechanics on this corpus's unit (no sentence delimiters exist,
+    so the block stands in for the three-sentence span; documented
+    in the operator). Returns the top-100 docs by tokens an actual
+    rewrite pass would cut — the ledger d17's membership stats
+    can't provide. One explode + one md5-keyed agg + a
+    co-partitioned join; text never shuffles."""
+    return (
+        dedup.block_dedup_ledger(
+            t(spark, d, "documents"), "text", "doc_id", block_tokens=16
+        )
+        .orderBy(F.desc("removed_tokens"), "doc_id")
+        .limit(100)
+    )
+
+
+def t33(spark: SparkSession, d: str) -> DataFrame:
+    """Per-domain quality-classifier calibration audit (round 8,
+    VERDICT r7 item 6): bucket a deterministic quality score — the
+    type-token ratio, as the EXACT integer decile (nd·10) DIV nt,
+    no float division anywhere — against a ground-truth label
+    (n_chars > 450, the corpus median split) and report the
+    reliability-diagram counts per source. The audit a team runs
+    before a quality classifier's scores drive mixture weights: a
+    monotone n_pos/n profile per bucket means the score ranks
+    usefully, a flat one means it doesn't (here TTR anti-correlates
+    with length — exactly the kind of finding the audit exists to
+    surface). One scan + one ≤|sources|·10-row hash agg; all
+    integers."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    f = (
+        t(spark, d, "documents")
+        .select(
+            "source",
+            "n_chars",
+            F.size(F.array_distinct(toks)).alias("_nd"),
+            F.size(toks).alias("_nt"),
+        )
+        .filter(F.col("_nt") >= 1)
+    )
+    bucket = F.least(
+        F.lit(9), F.expr("CAST((_nd * 10) DIV _nt AS INT)")
+    )
+    return (
+        f.select(
+            "source",
+            bucket.alias("score_bucket"),
+            (F.col("n_chars") > 450).cast("bigint").alias("_pos"),
+        )
+        .groupBy("source", "score_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_pos").cast("bigint").alias("n_pos"),
+        )
+        .orderBy("source", "score_bucket")
+    )
+
+
 def v25(spark: SparkSession, d: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots
     (round 6): split the corpus into snapshot A (even vec_id) and B
@@ -2815,6 +2912,9 @@ QUERIES = {
     "t31_langid_confusion": t31,
     "m04_gif_attest": m04,
     "d45_phash_neardup": d45,
+    "t32_charset_audit": t32,
+    "d46_block_dedup": d46,
+    "t33_calibration_bins": t33,
     "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
@@ -3404,6 +3504,64 @@ ORACLE = {
         "GROUP BY 1, 2) "
         "SELECT i, j, hamming FROM ham WHERE hamming <= 3 "
         "ORDER BY i, j LIMIT 300"
+    ),
+    # t32: per-class counts are length deltas of the same POSIX
+    # character classes on both engines ('g' = replace all).
+    "t32_charset_audit": (
+        "WITH c AS (SELECT event_type, props, "
+        "length(props) tot, "
+        "length(props) - length(regexp_replace(props, '[A-Za-z]', '', "
+        "'g')) lat, "
+        "length(props) - length(regexp_replace(props, '[0-9]', '', "
+        "'g')) dig, "
+        "length(props) - length(regexp_replace(props, '[ ]', '', "
+        "'g')) spc "
+        "FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) n_events, "
+        "CAST(SUM(tot) AS BIGINT) chars, "
+        "CAST(SUM(lat) AS BIGINT) latin, "
+        "CAST(SUM(dig) AS BIGINT) digit, "
+        "CAST(SUM(spc) AS BIGINT) space, "
+        "CAST(SUM(tot - lat - dig - spc) AS BIGINT) other "
+        "FROM c GROUP BY event_type ORDER BY event_type"
+    ),
+    # d46: keep-first replayed as ROW_NUMBER over (doc, pos) within
+    # each md5 block group; rn > 1 is removed.
+    "d46_block_dedup": (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tl "
+        "FROM documents), "
+        "blocks AS (SELECT doc_id, CAST(u.i AS INT) pos, "
+        "md5(array_to_string(tl[CAST(u.i*16+1 AS INT):"
+        "CAST(u.i*16+16 AS INT)], ' ')) h, "
+        "len(tl[CAST(u.i*16+1 AS INT):CAST(u.i*16+16 AS INT)]) ntok "
+        "FROM toks, UNNEST(range(0, CAST(CEIL(len(tl)/16.0) AS BIGINT))) "
+        "u(i) WHERE len(tl) >= 1), "
+        "marked AS (SELECT doc_id, pos, ntok, ROW_NUMBER() OVER "
+        "(PARTITION BY h ORDER BY doc_id, pos) rn FROM blocks) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_blocks, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_removed, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN ntok ELSE 0 END) AS BIGINT) "
+        "removed_tokens "
+        "FROM marked GROUP BY doc_id "
+        "ORDER BY removed_tokens DESC, doc_id LIMIT 100"
+    ),
+    # t33: the score bucket is EXACT integer division — (nd*10)//nt
+    # — so no rounding boundary exists anywhere in the entry.
+    "t33_calibration_bins": (
+        "WITH f AS (SELECT source, n_chars, "
+        "len(list_distinct(list_filter(string_split(text,' '), "
+        "x -> x<>''))) nd, "
+        "len(list_filter(string_split(text,' '), x -> x<>'')) nt "
+        "FROM documents), "
+        "b AS (SELECT source, "
+        "CAST(LEAST(9, (nd*10)//nt) AS INT) score_bucket, "
+        "CASE WHEN n_chars > 450 THEN 1 ELSE 0 END pos "
+        "FROM f WHERE nt >= 1) "
+        "SELECT source, score_bucket, CAST(COUNT(*) AS BIGINT) n, "
+        "CAST(SUM(pos) AS BIGINT) n_pos "
+        "FROM b GROUP BY 1, 2 ORDER BY source, score_bucket"
     ),
     "t30_freq_spectrum": (
         "WITH tk AS (SELECT list_filter(string_split(text,' '), "
