@@ -41,9 +41,14 @@ def r1(spark: SparkSession, d: str) -> DataFrame:
             # caught sd 4.8e-7 from a half-cent at sf0.001 — one
             # repartition from flipping). floor(x·10^k + 0.5) is
             # unambiguous: the double sits ~1e-8 from an integer,
-            # maximally FAR from a half-boundary. Integer sums are
-            # order-free AND codegen-fast (decimal cost ~2× on q1;
-            # headroom: 1e-4-unit totals stay < 2^63 past sf30000).
+            # maximally FAR from a half-boundary. Measured cost
+            # (round-8, sf0.1, interleaved median-of-7): this
+            # spelling 0.49 s vs 0.41 s for the boundary-unsafe
+            # F.round(SUM(double)) and 0.67 s for DECIMAL(18,4)
+            # accumulation — +19% over unsafe, 27% cheaper than
+            # decimal; the whole q1 +23% r7 bench delta IS this
+            # trade, taken deliberately (correctness > 80 ms).
+            # Headroom: 1e-4-unit totals stay < 2^63 past sf30000.
             (
                 F.sum(
                     F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
