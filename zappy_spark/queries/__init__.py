@@ -80,14 +80,31 @@ session (SCALE.md r7 rows) — they queue behind the stale tiers
 rather than displacing them, because a verified-green re-spell is
 lower risk than a four-round-stale row.
 
-ROUND-8 ROTATION PLAN (next session): once CORRECTNESS_r07 lands,
-promote (in order) any round-8 re-spells/new (cap ~10), then the
-eleven decimal-campaign re-spells above (r01 … r60 — they need
+ROUND-8 ROTATION PLAN (written in round 7): once CORRECTNESS_r07
+lands, promote (in order) any round-8 re-spells/new (cap ~10), then
+the eleven decimal-campaign re-spells above (r01 … r60 — they need
 driver rows in their new spelling), then the ~31 remaining
-_R2_STALE (r35_grouping_sets … t06 in list order). That clears
-every r2-stale row and the campaign debt in one window (10 + 11 +
-31 = 52 ≈ the 50 slots; the last two r2-stale entries spill to
-round 9 — flagged here, not silently dropped).
+_R2_STALE (r35_grouping_sets … t06 in list order).
+
+ROUND-8 ORDERING (this file, EXECUTING that plan + VERDICT r7
+item 1): head = 2 re-spells (_CHANGED_R8: d42/t30 whose builders
+now filter empty tokens, matching their oracles — round-8 ADVICE)
++ 5 new entries (_NEW_R8: m04 GIF attestation, d45 perceptual-hash
+image dedup, t32 charset audit, d46 C4 block ledger, t33
+calibration bins) + the 11-entry _DECIMAL_CAMPAIGN_R7 + the full
+31-entry r2-stale tail (r35 … t06; r38 overlaps the campaign, so
+the unique total is 48 and NOTHING spills to round 9 — the r7
+plan's spill-2 estimate assumed 10 new entries, we shipped 5 and
+cleared the whole debt instead). Slots 49–50 fall to r78/r79
+(r7-green; a free re-check). After this window lands, NO corpus
+entry's newest driver row is pre-round-3 or pre-current-spelling —
+the staleness debt VERDICT r7 item 1 defines as done is fully
+cleared, pending CORRECTNESS_r08 confirmation.
+
+ROUND-9 ROTATION PLAN (next session): round-9 re-spells/new first
+(same caps), then the OLDEST green tiers by round — the r3-green
+rows (none stale in current form, but three rounds old by then) —
+purely as freshness refresh; there is no known spelling debt left.
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
@@ -529,12 +546,62 @@ _R1_STALE_TAIL = [
     "r27_ranking_suite",
 ]
 
-# First occurrence wins (dict.fromkeys dedup): round-7 order is
-# re-spells → new r7 entries → the r1-stale tail → r2-stale →
-# the round-6 window tiers (all green r6) → older green tiers.
+# ROUND-8 HEAD (executing the round-7 rotation plan + VERDICT r7
+# item 1, written above as "ROUND-8 ROTATION PLAN"): entries whose
+# SPELLING changed this round go first and must regain a driver row
+# in their new form.
+_CHANGED_R8 = [
+    # round-8 ADVICE: both now tokenize with filter_empty=True,
+    # matching the list_filter spelling their oracles always had
+    # (latent only because no fixture text has repeated spaces —
+    # now pinned by a repeated-space unit corpus)
+    "d42_contamination_direction",
+    "t30_freq_spectrum",
+]
+
+# Brand-new round-8 entries (zero driver rows) — capped so the debt
+# tiers below always fit the 50-slot window: 2 changed + 5 new +
+# 11 campaign + 31 r2-stale − 1 overlap (r38 is in both) = 48.
+_NEW_R8 = [
+    "m04_gif_attest",  # NEW r8: real GIF LZW attestation (z32/m02 form)
+    "d45_phash_neardup",  # NEW r8: perceptual-hash image dedup
+    "t32_charset_audit",  # NEW r8: charset/script class counts
+    "d46_block_dedup",  # NEW r8: C4 keep-first block ledger
+    "t33_calibration_bins",  # NEW r8: classifier reliability audit
+]
+
+# The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL
+# money sums): all values verified at 3 SFs + the 100× fixture in
+# round 7, but their driver rows predate the new spelling — they
+# must land rows in current form (r01/r02 are bench-hot, where a
+# silent cross-engine mismatch would be the most expensive kind).
+_DECIMAL_CAMPAIGN_R7 = [
+    "r01_pricing_summary",
+    "r02_join5_agg",
+    "r38_q3_shape",
+    "r48_q11_shape",
+    "r49_q15_shape",
+    "r54_q7_volume_shipping",
+    "r55_q8_market_share",
+    "r57_q10_returned_items",
+    "r58_q14_promo_effect",
+    "r59_q17_small_quantity",
+    "r60_q19_disjunctive",
+]
+
+# First occurrence wins (dict.fromkeys dedup): round-8 order is
+# re-spells → new r8 → the decimal campaign → ALL remaining
+# r2-stale (the r7 window consumed z09…r34; the 31-entry tail
+# r35…t06 fits entirely — head arithmetic above — so the staleness
+# debt clears THIS round, one round earlier than the r7 plan's
+# spill-2 estimate) → the green tiers cycling behind.
 _PRIORITY = list(
     dict.fromkeys(
-        _CHANGED_R7
+        _CHANGED_R8
+        + _NEW_R8
+        + _DECIMAL_CAMPAIGN_R7
+        + _R2_STALE[8:]  # r35_grouping_sets … t06 (z09…r34 got r7 rows)
+        + _CHANGED_R7
         + _NEW_R7
         + _R1_STALE_TAIL
         + _R2_STALE
