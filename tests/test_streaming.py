@@ -1365,3 +1365,31 @@ def test_incremental_centroid_drift_equals_batch(spark, tmp_path):
     assert set(got) == set(batch) and len(got) > 0
     for k in batch:
         assert abs(got[k] - batch[k]) < 1e-9
+
+
+def test_incremental_alignment_equals_batch(spark, tmp_path):
+    """VERDICT r7 item 8: the documents changelog drained through
+    incremental_alignment_state must equal the batch d41 rows
+    exactly — the state is a mergeable distinct token set, and the
+    report replays the unchanged batch scoring over it (anchors and
+    df ranks derive at read time, so order cannot matter)."""
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    replay = str(tmp_path / "docs_replay_align")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "align_state")
+    q = jobs.incremental_alignment_state(
+        jobs.stream_events(spark, replay), state
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("doc_id", "lang", "match_id", "inter", "uni")
+    got = _rows(jobs.alignment_from_state(spark, state), *cols)
+    batch = _rows(PQ["d41_crosslingual_align"](spark, SF_SMOKE_DIR), *cols)
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    # replay guard: re-applying the last batch id is a no-op
+    docs = load_table(spark, SF_SMOKE_DIR, "documents").limit(10)
+    rev = jobs.applied_revision(state)
+    jobs.alignment_apply_batch(docs, rev, state)
+    assert _rows(jobs.alignment_from_state(spark, state), *cols) == got

@@ -1198,6 +1198,30 @@ def crosslingual_align_candidates(
             F.array_distinct(word_shingles(F.col(text_col), gram_k))
         ).alias("_tok"),
     )
+    return crosslingual_align_from_tokens(
+        toks,
+        id_col=id_col,
+        lang_col=lang_col,
+        pivot_lang=pivot_lang,
+        n_anchor=n_anchor,
+        max_bucket=max_bucket,
+    )
+
+
+def crosslingual_align_from_tokens(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    pivot_lang: str = "en",
+    n_anchor: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """The scoring half of ``crosslingual_align_candidates`` over a
+    precomputed DISTINCT (_id, _lang, _tok) frame — factored out
+    (round 8) so the streaming twin can drain its mergeable token
+    state through the exact same plan the batch operator builds:
+    the composed batch function is unchanged, and drained state ⇒
+    identical rows by construction."""
     dfreq = toks.groupBy("_tok").agg(F.countDistinct("_id").alias("_df"))
     ranked = toks.join(dfreq, "_tok").withColumn(
         "_rn",

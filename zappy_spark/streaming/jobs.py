@@ -1742,3 +1742,99 @@ def centroid_drift_from_state(
             F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
         ).alias("centroid_cos"),
     ).orderBy("label")
+
+
+def alignment_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One ``incremental_alignment_state`` micro-batch: maintain the
+    DISTINCT (doc_id, lang, tok) bigram-membership table d41's
+    alignment derives everything else from (global df ranks, rarest
+    anchors, capped buckets, exploded Jaccard). Set-union-distinct
+    is idempotent — a redelivered doc merges to the same rows — and
+    the revision guard skips replayed batch ids outright, so drain
+    order can never change the state. One MVCC revision per batch
+    (rev=<id>/toks, atomic ``_LATEST`` swap)."""
+    import os
+
+    from zappy_spark.operators.dedup import word_shingles
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    spark = batch_df.sparkSession
+    part = batch_df.select(
+        F.col("doc_id").alias("_id"),
+        F.col("lang").alias("_lang"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 2))
+        ).alias("_tok"),
+    ).distinct()
+    ptr = os.path.join(state_path, "_LATEST")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            rev = f.read().strip()
+        cur = spark.read.parquet(
+            os.path.join(state_path, f"rev={rev}", "toks")
+        )
+        merged = cur.unionByName(part).distinct()
+    else:
+        merged = part
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    merged.write.mode("overwrite").parquet(os.path.join(rev_dir, "toks"))
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, ptr)
+
+
+def incremental_alignment_state(stream: DataFrame, state_path: str) -> "Any":
+    """Streaming twin of d41's cross-lingual alignment (round 8,
+    VERDICT r7 item 8): the token-membership state is a mergeable
+    distinct set (the same shape as incremental_novelty_state's MIN
+    ledger — order-free by algebra), and the report replays the
+    UNCHANGED batch scoring over it, so a drained crawl feed equals
+    the batch answer exactly. Anchors/df ranks are NOT maintained
+    incrementally on purpose: a token's global rarity keeps changing
+    until the stream drains, so the minimal sufficient state is the
+    membership table, and deriving anchors at read time is what
+    makes drained-equals-batch exact rather than approximate."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        alignment_apply_batch(batch_df, batch_id, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def alignment_from_state(
+    spark: SparkSession, state_path: str, limit: int = 100
+) -> DataFrame:
+    """The d41 report over the streaming-maintained membership state
+    — same operator code (crosslingual_align_from_tokens with the
+    d41 entry's parameters), same output columns."""
+    import os
+
+    from zappy_spark.operators.dedup import crosslingual_align_from_tokens
+
+    ptr = os.path.join(state_path, "_LATEST")
+    if not os.path.exists(ptr):
+        raise ValueError(f"no alignment state at {state_path}")
+    with open(ptr) as f:
+        rev = f.read().strip()
+    toks = spark.read.parquet(
+        os.path.join(state_path, f"rev={rev}", "toks")
+    )
+    return (
+        crosslingual_align_from_tokens(
+            toks, id_col="doc_id", lang_col="lang", n_anchor=1
+        )
+        .orderBy("doc_id")
+        .limit(limit)
+    )
