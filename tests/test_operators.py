@@ -3128,3 +3128,23 @@ def test_block_dedup_ledger_keep_first(spark):
     assert got[2] == (1, 1, 16)
     assert got[3] == (2, 2, 32)
     assert got[4] == (1, 0, 0)
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """A planted always-together pair must outrank a frequent but
+    independent pair, and the counts must be exact."""
+    from zappy_spark.operators.text import pmi_collocations
+
+    rows = []
+    # "rare gem" appears 5 times, always together
+    for i in range(5):
+        rows.append((i, "rare gem filler%d common word" % i))
+    # "common word" appears everywhere (high counts, low association)
+    for i in range(5, 30):
+        rows.append((i, "common word other%d common stuff" % i))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(df, "text", min_count=5, top_k=10).collect()
+    assert out[0]["bigram"] == "rare gem"
+    assert (out[0]["n_ab"], out[0]["n_a"], out[0]["n_b"]) == (5, 5, 5)
+    ranks = {r["bigram"]: i for i, r in enumerate(out)}
+    assert ranks["rare gem"] < ranks["common word"]

@@ -899,3 +899,82 @@ def charset_class_counts(
         *out_cols,
         (total - covered).cast("bigint").alias("n_other"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (round 8 —
+    Church & Hanks 1990, the standard association measure behind
+    phrase mining and tokenizer-merge candidates): for adjacent word
+    pairs, PMI = ln(n_ab·N / (n_a·n_b)). Every OUTPUT column is an
+    exact BIGINT count (the probe discipline: consumers holding the
+    integers can compute any score); PMI itself appears only as the
+    ORDER key, spelled as the raw double ratio n_ab·N/(n_a·n_b) —
+    ln is monotone, so the ranking is identical, and the ratio of
+    exact sub-2^53 integers is ONE deterministic IEEE division both
+    engines compute bit-identically. Ties break on the bigram text.
+
+    Returns (bigram, n_ab, n_a, n_b) — the ``top_k`` pairs with
+    n_ab ≥ ``min_count``.
+
+    Scale: one tokenize pass feeds both the unigram and bigram
+    hash aggs (balanced keys); N is a 1-row broadcast crossJoin;
+    the two unigram joins are broadcast-size after min_count
+    pruning only on the bigram side — at corpus scale they stay
+    shuffle equi-joins on the token key. Top-k compiles to
+    TakeOrderedAndProject."""
+    from zappy_spark.operators.dedup import word_shingles
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_w")
+    )
+    uni = toks.groupBy("_w").agg(F.count("*").alias("_n"))
+    big_all = (
+        df.select(
+            F.explode(
+                word_shingles(F.col(text_col), 2, filter_empty=True)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    big_all = big_all.persist()
+    big = big_all.filter(F.col("n_ab") >= min_count)
+    # N from the grouped counts — the corpus is shingled ONCE
+    total = big_all.agg(F.sum("n_ab").alias("_N"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    joined = (
+        big.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(
+            uni.select(F.col("_w").alias("_w1"), F.col("_n").alias("n_a")),
+            "_w1",
+        )
+        .join(
+            uni.select(F.col("_w").alias("_w2"), F.col("_n").alias("n_b")),
+            "_w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    ratio = (
+        F.col("n_ab").cast("double")
+        * F.col("_N").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        joined.orderBy(ratio.desc(), F.col("bigram"))
+        .select(
+            "bigram",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+        .limit(top_k)
+    )

@@ -89,14 +89,15 @@ _R2_STALE (r35_grouping_sets … t06 in list order).
 ROUND-8 ORDERING (this file, EXECUTING that plan + VERDICT r7
 item 1): head = 2 re-spells (_CHANGED_R8: d42/t30 whose builders
 now filter empty tokens, matching their oracles — round-8 ADVICE)
-+ 5 new entries (_NEW_R8: m04 GIF attestation, d45 perceptual-hash
++ 6 new entries (_NEW_R8: m04 GIF attestation, d45 perceptual-hash
 image dedup, t32 charset audit, d46 C4 block ledger, t33
-calibration bins) + the 11-entry _DECIMAL_CAMPAIGN_R7 + the full
-31-entry r2-stale tail (r35 … t06; r38 overlaps the campaign, so
-the unique total is 48 and NOTHING spills to round 9 — the r7
-plan's spill-2 estimate assumed 10 new entries, we shipped 5 and
-cleared the whole debt instead). Slots 49–50 fall to r78/r79
-(r7-green; a free re-check). After this window lands, NO corpus
+calibration bins, t34 PMI collocations) + the 11-entry
+_DECIMAL_CAMPAIGN_R7 + the full 31-entry r2-stale tail (r35 … t06;
+r38 overlaps the campaign, so the unique total is 49 and NOTHING
+spills to round 9 — the r7 plan's spill-2 estimate assumed 10 new
+entries, we shipped 6 and cleared the whole debt instead). Slot 50
+falls to r78 (r7-green; a free re-check). After this window lands,
+NO corpus
 entry's newest driver row is pre-round-3 or pre-current-spelling —
 the staleness debt VERDICT r7 item 1 defines as done is fully
 cleared, pending CORRECTNESS_r08 confirmation.
@@ -560,14 +561,16 @@ _CHANGED_R8 = [
 ]
 
 # Brand-new round-8 entries (zero driver rows) — capped so the debt
-# tiers below always fit the 50-slot window: 2 changed + 5 new +
-# 11 campaign + 31 r2-stale − 1 overlap (r38 is in both) = 48.
+# tiers below always fit the 50-slot window: 2 changed + 6 new +
+# 11 campaign + 31 r2-stale − 1 overlap (r38 is in both) = 49;
+# slot 50 falls to r78 (r7-green, a free re-check).
 _NEW_R8 = [
     "m04_gif_attest",  # NEW r8: real GIF LZW attestation (z32/m02 form)
     "d45_phash_neardup",  # NEW r8: perceptual-hash image dedup
     "t32_charset_audit",  # NEW r8: charset/script class counts
     "d46_block_dedup",  # NEW r8: C4 keep-first block ledger
     "t33_calibration_bins",  # NEW r8: classifier reliability audit
+    "t34_pmi_collocations",  # NEW r8: Church-Hanks PMI phrase mining
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

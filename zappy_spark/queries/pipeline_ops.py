@@ -2808,6 +2808,21 @@ def t33(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t34(spark: SparkSession, d: str) -> DataFrame:
+    """PMI collocation mining (round 8;
+    operators/text.py::pmi_collocations): top-50 adjacent word pairs
+    by pointwise mutual information with n_ab ≥ 5 — the Church &
+    Hanks association measure behind phrase mining and
+    tokenizer-merge candidate lists. Output columns are exact
+    BIGINTs only; PMI orders the rows as the raw integer ratio
+    (ln is monotone), one deterministic IEEE division per row, ties
+    on the bigram text. One shingle pass feeds both aggs; N is a
+    1-row broadcast."""
+    return text.pmi_collocations(
+        t(spark, d, "documents"), "text", min_count=5, top_k=50
+    )
+
+
 def v25(spark: SparkSession, d: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots
     (round 6): split the corpus into snapshot A (even vec_id) and B
@@ -2915,6 +2930,7 @@ QUERIES = {
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
     "t33_calibration_bins": t33,
+    "t34_pmi_collocations": t34,
     "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
@@ -3562,6 +3578,29 @@ ORACLE = {
         "SELECT source, score_bucket, CAST(COUNT(*) AS BIGINT) n, "
         "CAST(SUM(pos) AS BIGINT) n_pos "
         "FROM b GROUP BY 1, 2 ORDER BY source, score_bucket"
+    ),
+    # t34: PMI ordering replayed as the raw double ratio of exact
+    # integer counts (ln is monotone); output columns integer-only.
+    "t34_pmi_collocations": (
+        "WITH tk AS (SELECT list_filter(string_split(text,' '), "
+        "x -> x<>'') tl FROM documents), "
+        "uni AS (SELECT t.w, COUNT(*) n FROM "
+        "(SELECT unnest(tl) w FROM tk) t GROUP BY 1), "
+        "bg AS (SELECT array_to_string(tl[CAST(u.i AS INT):"
+        "CAST(u.i+1 AS INT)], ' ') bigram "
+        "FROM tk, UNNEST(range(1, len(tl))) u(i) WHERE len(tl) >= 2), "
+        "bc AS (SELECT bigram, COUNT(*) n_ab FROM bg GROUP BY 1), "
+        "tot AS (SELECT SUM(n_ab) nn FROM bc), "
+        "j AS (SELECT bc.bigram, n_ab, ua.n n_a, ub.n n_b "
+        "FROM bc JOIN uni ua ON ua.w = string_split(bc.bigram,' ')[1] "
+        "JOIN uni ub ON ub.w = string_split(bc.bigram,' ')[2] "
+        "WHERE n_ab >= 5) "
+        "SELECT bigram, CAST(n_ab AS BIGINT) n_ab, "
+        "CAST(n_a AS BIGINT) n_a, CAST(n_b AS BIGINT) n_b "
+        "FROM j, tot "
+        "ORDER BY CAST(n_ab AS DOUBLE)*CAST(nn AS DOUBLE)/"
+        "(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) DESC, bigram "
+        "LIMIT 50"
     ),
     "t30_freq_spectrum": (
         "WITH tk AS (SELECT list_filter(string_split(text,' '), "
