@@ -1211,6 +1211,24 @@ def test_codec_round_trips_edge_dimensions():
         s = rng.integers(-32768, 32767, size=(frames, nch), dtype=np.int16)
         out, rate = decode_wav(encode_wav(s, 22050))
         assert rate == 22050 and (out == s).all(), ("wav", frames, nch)
+    # round-8 codecs join the same harness: GIF (palette, LZW width
+    # edges at tiny palettes) and PNM (P5/P6 raw, P4 bit padding)
+    from zappy_spark.sources.giflite import decode_gif, encode_gif
+    from zappy_spark.sources.pnmlite import decode_pnm, encode_pnm
+
+    for h, w in ((1, 1), (1, 9), (9, 1), (3, 7), (2, 2)):
+        pal = rng.integers(0, 256, size=(4, 3))
+        a3 = pal[rng.integers(0, 4, size=(h, w))].astype(np.uint8)
+        img, _ = decode_gif(encode_gif(a3))
+        assert (img == a3).all(), ("gif", h, w)
+        g3 = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_pnm(encode_pnm(g3))[0] == g3).all(), ("p6", h, w)
+        g1 = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert (decode_pnm(encode_pnm(g1))[0] == g1).all(), ("p5", h, w)
+        gb = (rng.integers(0, 2, size=(h, w)) * 255).astype(np.uint8)
+        assert (decode_pnm(encode_pnm(gb, "P4"))[0] == gb).all(), (
+            "p4", h, w,
+        )
 
 
 # CPython test-suite goldens (PSF-licensed test data): the same 16x16
