@@ -1165,3 +1165,18 @@ def test_gif_attest_single_arrow_stage(spark):
     plan = _plan(QUERIES["m04_gif_attest"](spark, SF_DIR))
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan
+
+
+def test_hard_negatives_broadcast_panel_partial_maxby(spark):
+    """v26: the 100-anchor panel must BROADCAST against a single
+    corpus scan (BroadcastNestedLoopJoin, bounded by the fixed
+    panel — never a shuffled cartesian), the argmax must run as a
+    map-side partial max_by (no window over the panel x corpus
+    pairs), and no Python stage anywhere (the cosine is the JVM
+    fold kernel)."""
+    plan = _plan(QUERIES["v26_hard_negatives"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

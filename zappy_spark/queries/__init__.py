@@ -89,15 +89,14 @@ _R2_STALE (r35_grouping_sets … t06 in list order).
 ROUND-8 ORDERING (this file, EXECUTING that plan + VERDICT r7
 item 1): head = 2 re-spells (_CHANGED_R8: d42/t30 whose builders
 now filter empty tokens, matching their oracles — round-8 ADVICE)
-+ 6 new entries (_NEW_R8: m04 GIF attestation, d45 perceptual-hash
++ 7 new entries (_NEW_R8: m04 GIF attestation, d45 perceptual-hash
 image dedup, t32 charset audit, d46 C4 block ledger, t33
-calibration bins, t34 PMI collocations) + the 11-entry
-_DECIMAL_CAMPAIGN_R7 + the full 31-entry r2-stale tail (r35 … t06;
-r38 overlaps the campaign, so the unique total is 49 and NOTHING
-spills to round 9 — the r7 plan's spill-2 estimate assumed 10 new
-entries, we shipped 6 and cleared the whole debt instead). Slot 50
-falls to r78 (r7-green; a free re-check). After this window lands,
-NO corpus
+calibration bins, t34 PMI collocations, v26 hard-negative mining)
++ the 11-entry _DECIMAL_CAMPAIGN_R7 + the full 31-entry r2-stale
+tail (r35 … t06; r38 overlaps the campaign, so the unique total is
+exactly 50 and NOTHING spills to round 9 — the r7 plan's spill-2
+estimate assumed 10 new entries, we shipped 7 and cleared the whole
+debt instead). After this window lands, NO corpus
 entry's newest driver row is pre-round-3 or pre-current-spelling —
 the staleness debt VERDICT r7 item 1 defines as done is fully
 cleared, pending CORRECTNESS_r08 confirmation.
@@ -561,9 +560,9 @@ _CHANGED_R8 = [
 ]
 
 # Brand-new round-8 entries (zero driver rows) — capped so the debt
-# tiers below always fit the 50-slot window: 2 changed + 6 new +
-# 11 campaign + 31 r2-stale − 1 overlap (r38 is in both) = 49;
-# slot 50 falls to r78 (r7-green, a free re-check).
+# tiers below always fit the 50-slot window: 2 changed + 7 new +
+# 11 campaign + 31 r2-stale − 1 overlap (r38 is in both) = 50
+# exactly — the cap binds here; further additions queue for r9.
 _NEW_R8 = [
     "m04_gif_attest",  # NEW r8: real GIF LZW attestation (z32/m02 form)
     "d45_phash_neardup",  # NEW r8: perceptual-hash image dedup
@@ -571,6 +570,7 @@ _NEW_R8 = [
     "d46_block_dedup",  # NEW r8: C4 keep-first block ledger
     "t33_calibration_bins",  # NEW r8: classifier reliability audit
     "t34_pmi_collocations",  # NEW r8: Church-Hanks PMI phrase mining
+    "v26_hard_negatives",  # NEW r8: contrastive hard-negative panel
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

@@ -2823,6 +2823,52 @@ def t34(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v26(spark: SparkSession, d: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (round 8): for
+    each anchor in a FIXED 100-slot panel (vec_id < 500, step 5 —
+    constant at any corpus size, the bound-the-instrument doctrine),
+    the most-similar vector with a DIFFERENT label — the standard
+    negative-sampling step for embedding/reranker training data.
+    Output is id/label columns only (no float); the cosine ranks
+    internally via the shared fold kernel both engines compute
+    bit-identically (the v12/l08/d05 precedent). Spelled as ONE
+    hash aggregate — max_by over a (cos, -vec_id) struct, so
+    partial aggregation runs map-side and no window sorts the
+    panel×corpus pairs; the panel broadcasts against a single
+    corpus scan."""
+    emb = t(spark, d, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") < 500) & (F.col("vec_id") % 5 == 0)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    pairs = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+    )
+    key = F.struct(
+        cosine("embedding", "qv").alias("c"),
+        (-F.col("vec_id")).alias("negid"),
+    )
+    best = pairs.groupBy("qid", "qlabel").agg(
+        F.max_by(
+            F.struct(
+                F.col("vec_id").alias("v"), F.col("label").alias("l")
+            ),
+            key,
+        ).alias("_b")
+    )
+    return best.select(
+        "qid",
+        "qlabel",
+        F.col("_b.v").alias("hard_neg_id"),
+        F.col("_b.l").alias("neg_label"),
+    ).orderBy("qid")
+
+
 def v25(spark: SparkSession, d: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots
     (round 6): split the corpus into snapshot A (even vec_id) and B
@@ -2931,6 +2977,7 @@ QUERIES = {
     "d46_block_dedup": d46,
     "t33_calibration_bins": t33,
     "t34_pmi_collocations": t34,
+    "v26_hard_negatives": v26,
     "v25_centroid_drift": v25,
     "d31_rendezvous_shards": d31,
     "d24_decontaminate_frac": d24,
@@ -3601,6 +3648,22 @@ ORACLE = {
         "ORDER BY CAST(n_ab AS DOUBLE)*CAST(nn AS DOUBLE)/"
         "(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) DESC, bigram "
         "LIMIT 50"
+    ),
+    # v26: the same panel scored in SQL; ROW_NUMBER replays the
+    # (cosine desc, vec_id) argmax; output id/label columns only.
+    "v26_hard_negatives": (
+        "WITH q AS (SELECT vec_id qid, label qlabel, "
+        "CAST(embedding AS DOUBLE[]) qv FROM embeddings "
+        "WHERE vec_id < 500 AND vec_id % 5 = 0), "
+        "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ev "
+        "FROM embeddings), "
+        "s AS (SELECT qid, qlabel, vec_id, label, "
+        "list_cosine_similarity(ev, qv) cs "
+        "FROM c, q WHERE label <> qlabel), "
+        "r AS (SELECT qid, qlabel, vec_id, label, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cs DESC, vec_id) rn FROM s) "
+        "SELECT qid, qlabel, vec_id AS hard_neg_id, label AS neg_label "
+        "FROM r WHERE rn = 1 ORDER BY qid"
     ),
     "t30_freq_spectrum": (
         "WITH tk AS (SELECT list_filter(string_split(text,' '), "
