@@ -2988,6 +2988,38 @@ def test_gif_attest_features_matches_formula(spark):
         assert r["c0"] == int((idx == 0).sum())
 
 
+def test_wav_attest_features_matches_formula(spark):
+    """The m05 kernel: fabricated square wave → REAL encode_wav →
+    decode_wav → framing DSP must equal a brute-force numpy replay
+    of the waveform (independent of the closed-form divisor
+    arithmetic the DuckDB oracle uses — this test triangulates the
+    third way: literal per-sample simulation)."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import wav_attest_features
+
+    ids = [0, 1, 12, 13, 64, 99]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    got = {r["media_id"]: r for r in wav_attest_features(df).collect()}
+    for mid in ids:
+        h = 4 + mid % 13
+        a = 1000 + 37 * mid
+        n = 800 + (mid % 7) * 160
+        na = n - (mid % 5) * 160
+        t = np.arange(n)
+        x = np.where((t // h) % 2 == 0, a, -a).astype(np.int64)
+        x[na:] = 0
+        fr = x.reshape(n // 160, 160)
+        r = got[mid]
+        assert r["sample_rate"] == 8000 + (mid % 3) * 4000
+        assert r["n_frames"] == n // 160
+        assert r["zc_total"] == int((fr[:, 1:] * fr[:, :-1] < 0).sum())
+        assert r["energy"] == int((x * x).sum()) == a * a * na
+        assert r["active_frames"] == int(
+            (np.abs(fr).max(axis=1) > 0).sum()
+        )
+
+
 def test_image_hash_bands_and_hamming_pairs(spark):
     """d45 pipeline on planted data: a near-identical image pair
     (one pixel nudged) must surface with a small Hamming distance

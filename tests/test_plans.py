@@ -112,6 +112,7 @@ def test_no_python_udfs_in_declared_corpus(spark):
         "m02_fake_decode_features",
         "m03_frame_features",
         "m04_gif_attest",
+        "m05_wav_attest",
         "d45_phash_neardup",
     }
     for name, q in QUERIES.items():
@@ -1163,6 +1164,15 @@ def test_gif_attest_single_arrow_stage(spark):
     """m04: one narrow id column into one Arrow stage; no joins, no
     extra shuffles beyond the final orderBy."""
     plan = _plan(QUERIES["m04_gif_attest"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+
+
+def test_wav_attest_single_arrow_stage(spark):
+    """m05: one narrow id column into one Arrow stage (encode +
+    decode + framing all inside the same kernel); no joins, no
+    extra shuffles beyond the final orderBy."""
+    plan = _plan(QUERIES["m05_wav_attest"](spark, SF_DIR))
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan
 

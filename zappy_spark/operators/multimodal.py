@@ -583,6 +583,85 @@ def gif_attest_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+WAV_ATTEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("zc_total", LongType()),
+        StructField("energy", LongType()),
+        StructField("active_frames", LongType()),
+    ]
+)
+
+
+def wav_attest_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Audio framing attestation through the full Spark surface (the
+    m04/z32 playbook applied to wavlite + real DSP): per id, fabricate
+    a deterministic mono square wave from pure integer arithmetic,
+    push it through REAL ``encode_wav`` → ``decode_wav`` (RIFF
+    container both directions), then run the standard speech-pipeline
+    framing pass — 160-sample frames, per-frame zero-crossing count,
+    energy, and active-frame (silence-trim) detection — entirely on
+    the DECODED samples. An oracle replays the fabrication closed-form
+    in SQL without touching bytes, so a bug anywhere in the container
+    round-trip OR the framing kernel flips the value hash.
+
+    Fabrication (all exact int): half-period h = 4 + id%13, amplitude
+    a = 1000 + 37·id (< 2^15 for the bounded panel), n = 800 +
+    (id%7)·160 samples of which the first n_active = n − (id%5)·160
+    carry the wave (the tail is digital silence), rate = 8000 +
+    (id%3)·4000. sample[t] = ±a by parity of t÷h, 0 once t ≥ n_active.
+
+    Attested outputs (exact ints): zc_total counts strict sign flips
+    between in-frame neighbor samples = #{t ∈ [1, n_active−1] : h|t,
+    160∤t}; energy = Σ sample² = a²·n_active; active_frames =
+    ⌈n_active/160⌉ — each computable closed-form from id, and each
+    recomputed here only from decoded bytes.
+
+    Scale: one narrow id column in, six ints out, constant work per
+    row inside Arrow batches; payload bytes never leave the executor."""
+    import numpy as np
+
+    from zappy_spark.sources.wavlite import decode_wav, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in WAV_ATTEST_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                h = 4 + mid % 13
+                a = 1000 + 37 * mid
+                n = 800 + (mid % 7) * 160
+                n_active = n - (mid % 5) * 160
+                rate = 8000 + (mid % 3) * 4000
+                t = np.arange(n)
+                wave = np.where((t // h) % 2 == 0, a, -a)
+                wave[n_active:] = 0
+                dec, got_rate = decode_wav(
+                    encode_wav(wave.astype(np.int16), rate, bits=16)
+                )
+                x = dec[:, 0].astype(np.int64)
+                assert x.shape == (n,)
+                fr = x.reshape(n // 160, 160)
+                zc = int((fr[:, 1:] * fr[:, :-1] < 0).sum())
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(got_rate))
+                out["n_frames"].append(n // 160)
+                out["zc_total"].append(zc)
+                out["energy"].append(int((x * x).sum()))
+                out["active_frames"].append(
+                    int((np.abs(fr).max(axis=1) > 0).sum())
+                )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=WAV_ATTEST_SCHEMA
+    )
+
+
 EMB_PNG_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

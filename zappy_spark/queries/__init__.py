@@ -573,6 +573,16 @@ _NEW_R8 = [
     "v26_hard_negatives",  # NEW r8: contrastive hard-negative panel
 ]
 
+# Entries built late in round 8, AFTER the 50-slot window filled —
+# declared, locally verified (3 SFs + 10×/100× + plan pins), and
+# QUEUED at the round-9 window head: they sort immediately after
+# the 50 window tiers below, so CORRECTNESS_r09 picks them up
+# first. This is the standing pattern for overflow (the r8 plan's
+# "further additions queue for r9").
+_NEW_R9 = [
+    "m05_wav_attest",  # NEW r8→r9: real WAV framing/DSP attestation
+]
+
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL
 # money sums): all values verified at 3 SFs + the 100× fixture in
 # round 7, but their driver rows predate the new spelling — they
@@ -604,6 +614,7 @@ _PRIORITY = list(
         + _NEW_R8
         + _DECIMAL_CAMPAIGN_R7
         + _R2_STALE[8:]  # r35_grouping_sets … t06 (z09…r34 got r7 rows)
+        + _NEW_R9  # queued past slot 50 — r9's window head
         + _CHANGED_R7
         + _NEW_R7
         + _R1_STALE_TAIL

@@ -2667,6 +2667,30 @@ def m04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m05(spark: SparkSession, d: str) -> DataFrame:
+    """Audio framing attestation as a driver row (round 8, queued
+    r9-head; operators/multimodal.py::wav_attest_features): fabricate
+    a deterministic square wave per doc id from pure integer
+    arithmetic, push it through the REAL wavlite encoder AND decoder
+    (RIFF/PCM container both ways), then run the speech-pipeline
+    framing pass — 160-sample frames, per-frame zero-crossing counts,
+    exact energy, active-frame silence trim — on the DECODED samples
+    only. The oracle replays the fabrication closed-form in SQL
+    (divisor counting for the crossings — no series scan) without
+    touching bytes: the z32/m02/m04 attestation pattern extended to
+    the audio DSP layer. Bounded instrument: 100 ids at any corpus
+    size."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return (
+        multimodal.wav_attest_features(ids, "doc_id")
+        .orderBy("media_id")
+    )
+
+
 def d45(spark: SparkSession, d: str) -> DataFrame:
     """Perceptual-hash image near-dup (round 8, VERDICT r7 item 2;
     operators/multimodal.py::image_hash_bands +
@@ -2972,6 +2996,7 @@ QUERIES = {
     "d44_minhash_containment_est": d44,
     "t31_langid_confusion": t31,
     "m04_gif_attest": m04,
+    "m05_wav_attest": m05,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -3533,6 +3558,26 @@ ORACLE = {
         "CAST(SUM((29*i + doc_id) % 256) AS BIGINT) b_sum, "
         "CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) c0 "
         "FROM px GROUP BY doc_id ORDER BY media_id"
+    ),
+    # m05: closed-form replay of the square-wave fabrication — zero
+    # crossings by divisor counting (multiples of h in [1, na-1]
+    # that are not frame boundaries, i.e. not multiples of
+    # lcm(h,160)), energy = a^2 * active samples, active frames by
+    # ceiling division. No series scan, no bytes.
+    "m05_wav_attest": (
+        "WITH p AS (SELECT doc_id AS media_id, "
+        "4 + doc_id % 13 AS h, "
+        "1000 + 37*doc_id AS a, "
+        "800 + (doc_id % 7) * 160 AS n, "
+        "(800 + (doc_id % 7) * 160) - (doc_id % 5) * 160 AS na, "
+        "8000 + (doc_id % 3) * 4000 AS sample_rate "
+        "FROM documents WHERE doc_id < 100) "
+        "SELECT media_id, CAST(sample_rate AS BIGINT) sample_rate, "
+        "CAST(n // 160 AS BIGINT) n_frames, "
+        "CAST((na-1) // h - (na-1) // lcm(h, 160) AS BIGINT) zc_total, "
+        "CAST(a*a*na AS BIGINT) energy, "
+        "CAST((na + 159) // 160 AS BIGINT) active_frames "
+        "FROM p ORDER BY media_id"
     ),
     # d45: the full perceptual-hash pipeline replayed from the
     # embedding floats: quantize (two IEEE double ops + exact
