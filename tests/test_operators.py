@@ -3180,3 +3180,31 @@ def test_pmi_collocations_planted_pair(spark):
     assert (out[0]["n_ab"], out[0]["n_a"], out[0]["n_b"]) == (5, 5, 5)
     ranks = {r["bigram"]: i for i, r in enumerate(out)}
     assert ranks["rare gem"] < ranks["common word"]
+
+
+def test_kappa_agreement_hand_contingency(spark):
+    """t35's aggregate on a hand-built contingency: 10 rows, two
+    3-class raters, kappa checked against the textbook formula
+    computed by hand. Group g2 is perfect agreement (kappa = 1)."""
+    from zappy_spark.operators.diagnostics import kappa_agreement
+
+    # g1: a=[0,0,0,1,1,2,2,2,1,0], b=[0,1,0,1,2,2,2,0,1,0]
+    a1 = [0, 0, 0, 1, 1, 2, 2, 2, 1, 0]
+    b1 = [0, 1, 0, 1, 2, 2, 2, 0, 1, 0]
+    rows = [("g1", x, y) for x, y in zip(a1, b1)]
+    rows += [("g2", k % 3, k % 3) for k in range(6)]
+    df = spark.createDataFrame(rows, ["g", "a", "b"])
+    got = {
+        r["g"]: r
+        for r in kappa_agreement(df, "g", "a", "b", 3).collect()
+    }
+    # g1 by hand: n=10, agree=7; marginals a=(4,3,3), b=(4,3,3)
+    # sum rc = 16+9+9 = 34; num = 70-34 = 36; den = 100-34 = 66
+    r = got["g1"]
+    assert (r["n"], r["n_agree"]) == (10, 7)
+    assert (r["kappa_num"], r["kappa_den"]) == (36, 66)
+    # g2: n=6, agree=6, marginals (2,2,2) each, rc=12
+    # num = 36-12 = 24 = den -> kappa exactly 1
+    r = got["g2"]
+    assert r["kappa_num"] == r["kappa_den"] == 24
+    assert r["n_agree"] == r["n"] == 6

@@ -1190,3 +1190,14 @@ def test_hard_negatives_broadcast_panel_partial_maxby(spark):
     assert "partial_max_by" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kappa_agreement_single_scan(spark):
+    """t35: one documents scan into one hash aggregate with map-side
+    partials (both raters are scan-side expressions) — no joins, no
+    window, no Python."""
+    plan = _plan(QUERIES["t35_kappa_agreement"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

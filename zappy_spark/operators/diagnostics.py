@@ -233,3 +233,49 @@ def winsorize(
         f"{col}_wins",
         F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")),
     )
+
+
+def kappa_agreement(
+    df: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+    n_classes: int,
+) -> DataFrame:
+    """Cohen's kappa per group as an EXACT integer fraction (round 8
+    — the label-QA step before annotator or model-judge labels drive
+    training): raw agreement overstates reliability under class
+    imbalance; kappa (Cohen 1960) corrects by the chance agreement of
+    the raters' marginals, kappa = (p_o - p_e)/(1 - p_e). Both terms
+    share the denominator n^2, so the whole statistic is the integer
+    fraction kappa_num/kappa_den with kappa_num = n*n_agree -
+    sum_k a_k*b_k and kappa_den = n^2 - sum_k a_k*b_k — no float
+    anywhere, so the audit hash-compares across engines.
+
+    ONE conditional hash aggregate with map-side partials over
+    (group, class_a, class_b) int columns; no joins, no window —
+    scales as a single scan at any corpus size."""
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            (F.col(a_col) == F.col(b_col)).cast("bigint")
+        ).alias("n_agree"),
+    ]
+    for k in range(n_classes):
+        aggs.append(
+            F.sum((F.col(a_col) == k).cast("bigint")).alias(f"_a{k}")
+        )
+        aggs.append(
+            F.sum((F.col(b_col) == k).cast("bigint")).alias(f"_b{k}")
+        )
+    r = df.groupBy(group_col).agg(*aggs)
+    src = sum(
+        F.col(f"_a{k}") * F.col(f"_b{k}") for k in range(n_classes)
+    )
+    return r.select(
+        group_col,
+        "n",
+        "n_agree",
+        (F.col("n") * F.col("n_agree") - src).alias("kappa_num"),
+        (F.col("n") * F.col("n") - src).alias("kappa_den"),
+    )

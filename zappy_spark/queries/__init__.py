@@ -581,6 +581,7 @@ _NEW_R8 = [
 # "further additions queue for r9").
 _NEW_R9 = [
     "m05_wav_attest",  # NEW r8→r9: real WAV framing/DSP attestation
+    "t35_kappa_agreement",  # NEW r8→r9: Cohen's kappa label QA
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

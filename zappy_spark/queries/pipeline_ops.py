@@ -2832,6 +2832,43 @@ def t33(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t35(spark: SparkSession, d: str) -> DataFrame:
+    """Inter-rater agreement audit via Cohen's kappa (round 8, queued
+    r9-head): the label-QA step a team runs before trusting annotator
+    (or model-judge) labels enough to train on them — raw agreement
+    overstates reliability when classes are imbalanced, kappa (Cohen
+    1960) corrects by the chance-agreement of the raters' marginals.
+    Two deterministic 3-class raters both engines can derive exactly:
+    rater A buckets n_chars at the corpus terciles (216/374), rater B
+    buckets the filtered-token count at ITS terciles (39/69) — highly
+    correlated raters that disagree at boundaries, exactly the
+    regime kappa exists for. Per lang, the output is all-integer:
+    n, n_agree, and kappa as an exact fraction via cross-
+    multiplication (operators/diagnostics.py::kappa_agreement —
+    kappa = kappa_num/kappa_den, never materialized as a float).
+    ONE scan + one |langs|-row hash agg with map-side partials; no
+    joins, no window — the same 100 TB shape as t31's confusion
+    audit."""
+    from zappy_spark.operators.diagnostics import kappa_agreement
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    f = t(spark, d, "documents").select(
+        "lang", "n_chars", F.size(toks).alias("_nt")
+    )
+    ca = (
+        F.when(F.col("n_chars") < 216, 0)
+        .when(F.col("n_chars") < 374, 1)
+        .otherwise(2)
+    )
+    cb = (
+        F.when(F.col("_nt") < 39, 0)
+        .when(F.col("_nt") < 69, 1)
+        .otherwise(2)
+    )
+    g = f.select("lang", ca.alias("_a"), cb.alias("_b"))
+    return kappa_agreement(g, "lang", "_a", "_b", 3).orderBy("lang")
+
+
 def t34(spark: SparkSession, d: str) -> DataFrame:
     """PMI collocation mining (round 8;
     operators/text.py::pmi_collocations): top-50 adjacent word pairs
@@ -2997,6 +3034,7 @@ QUERIES = {
     "t31_langid_confusion": t31,
     "m04_gif_attest": m04,
     "m05_wav_attest": m05,
+    "t35_kappa_agreement": t35,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -3578,6 +3616,33 @@ ORACLE = {
         "CAST(a*a*na AS BIGINT) energy, "
         "CAST((na + 159) // 160 AS BIGINT) active_frames "
         "FROM p ORDER BY media_id"
+    ),
+    # t35: the same two deterministic raters, agreement and
+    # marginals in one conditional aggregate; kappa as the exact
+    # integer fraction (n*agree - sum rc, n^2 - sum rc).
+    "t35_kappa_agreement": (
+        "WITH f AS (SELECT lang, n_chars, "
+        "len(list_filter(string_split(text,' '), x -> x<>'')) nt "
+        "FROM documents), "
+        "c AS (SELECT lang, "
+        "CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 374 THEN 1 "
+        "ELSE 2 END a, "
+        "CASE WHEN nt < 39 THEN 0 WHEN nt < 69 THEN 1 ELSE 2 END b "
+        "FROM f), "
+        "m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n, "
+        "CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_agree, "
+        "CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) a0, "
+        "CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) a1, "
+        "CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) a2, "
+        "CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) b0, "
+        "CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) b1, "
+        "CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) b2 "
+        "FROM c GROUP BY lang) "
+        "SELECT lang, n, n_agree, "
+        "n*n_agree - (a0*b0 + a1*b1 + a2*b2) AS kappa_num, "
+        "n*n - (a0*b0 + a1*b1 + a2*b2) AS kappa_den "
+        "FROM m ORDER BY lang"
     ),
     # d45: the full perceptual-hash pipeline replayed from the
     # embedding floats: quantize (two IEEE double ops + exact
