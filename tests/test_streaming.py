@@ -1393,3 +1393,29 @@ def test_incremental_alignment_equals_batch(spark, tmp_path):
     rev = jobs.applied_revision(state)
     jobs.alignment_apply_batch(docs, rev, state)
     assert _rows(jobs.alignment_from_state(spark, state), *cols) == got
+
+
+def test_incremental_kappa_equals_batch(spark, tmp_path):
+    """The documents changelog drained through
+    incremental_kappa_state must equal the batch t35 rows EXACTLY —
+    the state is eight integer counters per lang, so no tolerance.
+    Replay guard: re-applying the last batch id is a no-op."""
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    replay = str(tmp_path / "docs_replay_kappa")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "kappa_state")
+    q = jobs.incremental_kappa_state(
+        jobs.stream_events(spark, replay), state
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("lang", "n", "n_agree", "kappa_num", "kappa_den")
+    got = _rows(jobs.kappa_from_state(spark, state), *cols)
+    batch = _rows(PQ["t35_kappa_agreement"](spark, SF_SMOKE_DIR), *cols)
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    docs = load_table(spark, SF_SMOKE_DIR, "documents").limit(10)
+    rev = jobs.applied_revision(state)
+    jobs.kappa_apply_batch(docs, rev, state)
+    assert _rows(jobs.kappa_from_state(spark, state), *cols) == got

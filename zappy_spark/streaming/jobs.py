@@ -1838,3 +1838,107 @@ def alignment_from_state(
         .orderBy("doc_id")
         .limit(limit)
     )
+
+
+_KAPPA_COUNT_COLS = ("n", "n_agree", "a0", "a1", "a2", "b0", "b1", "b2")
+
+
+def kappa_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One ``incremental_kappa_state`` micro-batch: per lang, the
+    additive sufficient statistics of the t35 agreement audit — n,
+    n_agree, and both raters' class marginals (a0..a2 / b0..b2).
+    All-integer addition, so merges are exact and drain-order-free;
+    redelivered batch ids are guarded like the RFM/centroid twins.
+    The rater expressions mirror the t35 builder spelling
+    (queries/pipeline_ops.py) — the drained-equals-batch test pins
+    the two against each other, so a drift fails loudly."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    spark = batch_df.sparkSession
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ca = (
+        F.when(F.col("n_chars") < 216, 0)
+        .when(F.col("n_chars") < 374, 1)
+        .otherwise(2)
+    )
+    cb = (
+        F.when(F.col("_nt") < 39, 0)
+        .when(F.col("_nt") < 69, 1)
+        .otherwise(2)
+    )
+    g = batch_df.select(
+        "lang", "n_chars", F.size(toks).alias("_nt")
+    ).select("lang", ca.alias("_a"), cb.alias("_b"))
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("_a") == F.col("_b")).cast("bigint")
+        ).alias("n_agree"),
+    ]
+    for k in range(3):
+        aggs.append(
+            F.sum((F.col("_a") == k).cast("bigint")).alias(f"a{k}")
+        )
+        aggs.append(
+            F.sum((F.col("_b") == k).cast("bigint")).alias(f"b{k}")
+        )
+    part = g.groupBy("lang").agg(*aggs)
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("lang")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _KAPPA_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_kappa_state(stream: DataFrame, state_path: str) -> "Any":
+    """Streaming twin of t35's Cohen's-kappa label-QA audit: the
+    agreement monitor a labeling pipeline runs CONTINUOUSLY as
+    annotations arrive, instead of re-scanning the corpus — state is
+    eight integer counters per lang, mergeable forever."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kappa_apply_batch(batch_df, batch_id, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def kappa_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The t35 report over the streaming-maintained counters: kappa
+    as the same exact integer fraction (num = n*agree - sum rc,
+    den = n^2 - sum rc)."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no kappa state at {state_path}")
+    src = sum(F.col(f"a{k}") * F.col(f"b{k}") for k in range(3))
+    return per.select(
+        "lang",
+        "n",
+        "n_agree",
+        (F.col("n") * F.col("n_agree") - src).alias("kappa_num"),
+        (F.col("n") * F.col("n") - src).alias("kappa_den"),
+    ).orderBy("lang")
