@@ -1094,3 +1094,74 @@ def test_containment_direction_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_wav_attest_divisor_formula_hypothesis():
+    """hypothesis: the m05 oracle's closed-form zero-crossing count
+    (divisor counting: multiples of h in [1, na-1] that are not
+    multiples of lcm(h,160)) must equal a brute-force per-sample
+    simulation of the fabricated square wave, for arbitrary ids —
+    far beyond the 100-id driver panel."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 10**6))
+    @settings(max_examples=300, deadline=None)
+    def check(mid):
+        h = 4 + mid % 13
+        n = 800 + (mid % 7) * 160
+        na = n - (mid % 5) * 160
+        t = np.arange(n)
+        x = np.where((t // h) % 2 == 0, 1, -1).astype(np.int64)
+        x[na:] = 0
+        fr = x.reshape(n // 160, 160)
+        brute = int((fr[:, 1:] * fr[:, :-1] < 0).sum())
+        lcm = h * 160 // math.gcd(h, 160)
+        closed = (na - 1) // h - (na - 1) // lcm
+        assert brute == closed
+        assert ((na + 159) // 160) == int(
+            (np.abs(fr).max(axis=1) > 0).sum()
+        )
+
+    check()
+
+
+def test_kappa_integer_fraction_hypothesis():
+    """hypothesis: t35's cross-multiplied integer kappa fraction
+    equals the textbook float formula kappa = (p_o - p_e)/(1 - p_e)
+    on arbitrary 3x3 contingency tables (when the denominator is
+    nonzero)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 2)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(pairs):
+        n = len(pairs)
+        agree = sum(1 for a, b in pairs if a == b)
+        ak = [sum(1 for a, _ in pairs if a == k) for k in range(3)]
+        bk = [sum(1 for _, b in pairs if b == k) for k in range(3)]
+        src = sum(ak[k] * bk[k] for k in range(3))
+        num = n * agree - src
+        den = n * n - src
+        if den == 0:
+            # all mass in one (a,b) diagonal cell: kappa undefined
+            # (p_e = 1); the integer form exposes this as den = 0
+            # instead of a float division error.
+            assert num == 0
+            return
+        po = agree / n
+        pe = src / (n * n)
+        kappa = (po - pe) / (1 - pe)
+        assert abs(num / den - kappa) < 1e-12
+
+    check()
