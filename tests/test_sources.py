@@ -1461,3 +1461,204 @@ def test_gif_pnm_round_trips_and_rejections():
         decode_pnm(b"P5\n1 1\n65535\n\x00\x00")
     with _pytest.raises(PnmFormatError, match="truncated raster"):
         decode_pnm(b"P6\n2 2\n255\n\x00\x01")
+
+
+# -- zarr v3 sharding_indexed (round 8): spec pinning ----------------------
+
+
+def test_crc32c_public_vectors():
+    """The crc32c kernel against the public check vectors (RFC 3720
+    appendix B.4 / the value every crc32c library prints for the
+    9-byte check string), plus the empty-input identity."""
+    from zappy_spark.sources.zarrlite import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # 32 bytes of zeros — iSCSI test vector
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    # 32 bytes of 0xFF — iSCSI test vector
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def _hand_written_sharded_store(
+    path, index_location="end", with_crc=True, missing_last=True
+):
+    """A 10x3 float64 array in TWO shard files of 6 rows, inner
+    chunks of 2 rows (3 per shard). Shard 1 holds rows 6..9: its
+    third inner chunk is entirely past the array end and is written
+    as the spec's MISSING sentinel (when missing_last) — the sparse
+    shard case. Bytes are hand-packed per the zarr v3 sharding
+    spec, independent of the writer under test."""
+    import struct
+
+    X = np.arange(30, dtype="<f8").reshape(10, 3)
+    path.mkdir()
+    MISSING = 0xFFFFFFFFFFFFFFFF
+    for s in range(2):
+        blobs, table = [], []
+        pos = 0
+        for j in range(3):
+            lo = s * 6 + j * 2
+            if lo >= 10 and missing_last:
+                table.append((MISSING, MISSING))
+                continue
+            chunk = np.zeros((2, 3), dtype="<f8")
+            rows = X[lo : lo + 2]
+            chunk[: rows.shape[0]] = rows
+            b = chunk.tobytes(order="C")
+            blobs.append(b)
+            table.append((pos, len(b)))
+            pos += len(b)
+        idx = b"".join(struct.pack("<QQ", o, n) for o, n in table)
+        if with_crc:
+            from zappy_spark.sources.zarrlite import crc32c
+
+            idx += struct.pack("<I", crc32c(idx))
+        body = b"".join(blobs)
+        if index_location == "end":
+            data = body + idx
+        else:
+            # offsets are absolute within the file: shift by index
+            shift = len(idx)
+            idx = b"".join(
+                struct.pack(
+                    "<QQ",
+                    o if o == MISSING else o + shift,
+                    n,
+                )
+                for o, n in table
+            )
+            if with_crc:
+                from zappy_spark.sources.zarrlite import crc32c
+
+                idx += struct.pack("<I", crc32c(idx))
+            data = idx + body
+        (path / "c" / str(s)).mkdir(parents=True, exist_ok=True)
+        (path / "c" / str(s) / "0").write_bytes(data)
+    index_codecs = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    if with_crc:
+        index_codecs.append({"name": "crc32c"})
+    (path / "zarr.json").write_text(
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [10, 3],
+                "data_type": "float64",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [6, 3]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": 0.0,
+                "codecs": [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": [2, 3],
+                            "codecs": [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {
+                                        "endian": "little"
+                                    },
+                                }
+                            ],
+                            "index_codecs": index_codecs,
+                            "index_location": index_location,
+                        },
+                    }
+                ],
+            }
+        )
+    )
+    return X.astype(np.float64)
+
+
+def test_zarr_v3_sharded_golden_read(spark, tmp_path):
+    """Reader consumes a hand-written spec-conformant SHARDED store
+    byte-for-byte, including a MISSING inner chunk resolved to
+    fill_value (the trimmed tail, so invisible in the result)."""
+    X = _hand_written_sharded_store(tmp_path / "v3s")
+    got = ZappyFrame.from_zarrlite(spark, str(tmp_path / "v3s")).asndarray()
+    assert np.array_equal(got, X)
+
+
+def test_zarr_v3_sharded_index_at_start(spark, tmp_path):
+    X = _hand_written_sharded_store(
+        tmp_path / "v3ss", index_location="start", missing_last=False
+    )
+    got = ZappyFrame.from_zarrlite(spark, str(tmp_path / "v3ss")).asndarray()
+    assert np.array_equal(got, X)
+
+
+def test_zarr_v3_sharded_crc_mismatch_raises(spark, tmp_path):
+    """A flipped bit in the shard index must fail LOUDLY with the
+    crc32c values in the message — never decode garbage offsets."""
+    _hand_written_sharded_store(tmp_path / "v3sc")
+    f = tmp_path / "v3sc" / "c" / "0" / "0"
+    data = bytearray(f.read_bytes())
+    data[-20] ^= 0x01  # inside the offset table, before the crc
+    f.write_bytes(bytes(data))
+    with pytest.raises(Exception, match="crc32c mismatch"):
+        ZappyFrame.from_zarrlite(
+            spark, str(tmp_path / "v3sc")
+        ).asndarray()
+
+
+def test_zarr_v3_sharded_writer_round_trip(spark, tmp_path):
+    """write_zarr_v3(shard_rows=...) emits spec bytes: (a) the
+    reader round-trips them, (b) a PLAIN-NUMPY decode of the raw
+    shard file (independent index parse + crc check) recovers the
+    same rows, (c) the all-padding inner chunk of the last shard is
+    the MISSING sentinel, not padding bytes."""
+    import struct
+
+    from zappy_spark.sources.zarrlite import crc32c, write_zarr_v3
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(10, 3))
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    store = tmp_path / "v3sw"
+    write_zarr_v3(
+        zf.df.selectExpr("row_id", "vec"),
+        str(store),
+        chunk_rows=2,
+        ncols=3,
+        shard_rows=6,
+    )
+    got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
+    assert np.allclose(got, X, atol=0)
+    # independent decode of shard 1 (rows 6..9 + missing tail)
+    data = (store / "c" / "1" / "0").read_bytes()
+    idx = data[-(3 * 16 + 4) :]
+    assert struct.unpack("<I", idx[-4:])[0] == crc32c(idx[:-4])
+    table = np.frombuffer(idx[:-4], dtype="<u8").reshape(3, 2)
+    assert (table[2] == 0xFFFFFFFFFFFFFFFF).all()  # MISSING
+    o, n = (int(v) for v in table[0])
+    rows = np.frombuffer(data[o : o + n], dtype="<f8").reshape(2, 3)
+    assert np.allclose(rows, X[6:8], atol=0)
+
+
+def test_zarr_v3_sharded_gzip_round_trip(spark, tmp_path):
+    """Sharding composes with the inner gzip chain."""
+    from zappy_spark.sources.zarrlite import write_zarr_v3
+
+    X = np.arange(24, dtype=np.float64).reshape(8, 3)
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    store = tmp_path / "v3sg"
+    write_zarr_v3(
+        zf.df.selectExpr("row_id", "vec"),
+        str(store),
+        chunk_rows=2,
+        ncols=3,
+        compressor="gzip",
+        shard_rows=4,
+    )
+    got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
+    assert np.array_equal(got, X)

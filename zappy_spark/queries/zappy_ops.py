@@ -576,6 +576,53 @@ def z32(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z33(spark: SparkSession, d: str) -> DataFrame:
+    """zarr v3 ``sharding_indexed`` disk round-trip (round 8, queued
+    r9-head; sources/zarrlite.py sharding support): write the first
+    400 embeddings to a real sharded v3 store — 3 inner chunks of 30
+    rows per 90-row shard object, crc32c-checksummed offset index at
+    the shard tail, the last shard's all-padding inner chunk as the
+    spec's MISSING sentinel — read it back through the DataSource
+    (index parse + crc verify + inner chain decode per shard), and
+    reduce to per-position (count, min, max). The oracle computes the
+    same stats straight from parquet, so any sharding defect (offset
+    arithmetic, crc, missing-chunk fill leak, inner decode) flips the
+    row; min/max are order-independent (the z29/z32 discipline).
+    Scale: sharding IS the 100 TB zarr layout — it divides object
+    count by the packing factor while ranged reads keep inner chunks
+    independently fetchable."""
+    import os
+    import shutil
+    import tempfile
+
+    from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v3
+
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 400)
+    df = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"zs_z33_{os.path.basename(d.rstrip('/'))}"
+    )
+    # fresh store every run (the z32 torn-read discipline)
+    shutil.rmtree(store, ignore_errors=True)
+    # 400 rows / 90-row shards -> 5 shards; the last holds 40 live
+    # rows across 2 inner chunks + 1 MISSING inner chunk
+    write_zarr_v3(df, store, 30, 64, shard_rows=90)
+    back = read_zarrlite(spark, store)
+    return (
+        back.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 6).alias("mn"),
+            F.round(F.max("x"), 6).alias("mx"),
+        )
+        .orderBy("pos")
+    )
+
+
 def z30(spark: SparkSession, d: str) -> DataFrame:
     """argmax/argmin(axis=0) (round 6; np.argmax semantics, the op
     frame.py::ZappyFrame._arg_extreme now implements for axis=0):
@@ -647,6 +694,7 @@ QUERIES = {
     "z30_argminmax_axis0": z30,
     "z31_zarr_v3_roundtrip": z31,
     "z32_zarr_lz4_roundtrip": z32,
+    "z33_zarr_sharded_roundtrip": z33,
 }
 
 ORACLE = {
@@ -664,6 +712,17 @@ ORACLE = {
     # z32: same shape as z31's oracle — stats straight from parquet;
     # the Spark side must agree THROUGH the lz4 disk round-trip.
     "z32_zarr_lz4_roundtrip": (
+        "WITH e AS (SELECT "
+        "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) x "
+        "FROM embeddings WHERE vec_id < 400) "
+        "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
+    # z33: same parquet-truth oracle as z32 — the Spark side is the
+    # only one that touches the sharded store, so the hash attests
+    # the whole sharding read/write path.
+    "z33_zarr_sharded_roundtrip": (
         "WITH e AS (SELECT "
         "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
         "CAST(unnest(embedding) AS DOUBLE) x "

@@ -38,8 +38,11 @@ DataSource also reads REAL zarr v3 stores — ``zarr.json`` core
 metadata (regular chunk grid, default ``c/<i>/0`` or v2-style chunk
 keys, ``bytes`` codec little/big endian, optional gzip) — and
 ``write_zarr_v3`` emits that layout; golden-file tests pin both
-directions against hand-written spec bytes. sharding/blosc/zstd
-codecs still need the native stack and raise with the exact field.
+directions against hand-written spec bytes. Round 8 adds the
+``sharding_indexed`` codec both ways (inner-chunk packing with a
+crc32c-checksummed offset index — the object-store-scale layout),
+pure container arithmetic, no native stack. blosc/zstd remain
+native-stack-blocked and raise with the exact field.
 
 Write side: executors write aligned chunks in parallel via
 ``mapInPandas`` over a range-repartitioned frame; the driver writes
@@ -111,6 +114,9 @@ def _partitions_for(store: str, meta: dict) -> list[_ChunkPartition]:
             "dtype": meta["dtype"],
             "chunk_shape": [meta["chunk_rows"], meta["shape"][1]],
             "compressor": meta["compressor"],
+            # v3 sharding_indexed: inner-chunk layout within each
+            # shard file (None for plain chunk-per-file stores)
+            "shard": meta.get("shard"),
         }
         # v3 keys are "c/<i>/0" (default encoding) or "<i>.0"
         # (v2-style encoding); v2 keys are "<i><sep>0"
@@ -404,6 +410,7 @@ def write_zarr_v3(
     chunk_rows: int,
     ncols: int,
     compressor: str | None = None,
+    shard_rows: int | None = None,
 ) -> None:
     """Write a REAL zarr v3 store (round 6): ``zarr.json`` core
     metadata + little-endian C-order ``float64`` chunks under the
@@ -411,20 +418,43 @@ def write_zarr_v3(
     codec chain ``bytes(little)`` [+ ``gzip``]. Same executor-write /
     driver-metadata-last split and range-partition distribution as
     :func:`write_zarr_v2`; output opens unchanged with the real
-    ``zarr`` v3 library."""
+    ``zarr`` v3 library.
+
+    ``shard_rows`` (round 8) switches to the ``sharding_indexed``
+    layout: each on-disk object packs ``shard_rows // chunk_rows``
+    inner chunks plus a crc32c-checksummed (offset, nbytes) index at
+    the end — the object-store-scale layout (a 100 TB array at 1 MiB
+    chunks is 10^8 objects; sharding collapses that by the packing
+    factor while keeping inner chunks independently readable via
+    ranged requests). Inner chunks entirely past the array end are
+    written as the spec's MISSING sentinel, not padding bytes."""
     if compressor not in (None, "gzip"):
         raise NotImplementedError(
             f"v3 compressor {compressor!r} (spec codecs here: gzip)"
         )
+    if shard_rows is not None and shard_rows % chunk_rows:
+        raise ValueError(
+            f"chunk_rows {chunk_rows} must divide shard_rows "
+            f"{shard_rows} (zarr v3 sharding spec)"
+        )
     os.makedirs(os.path.join(path, "c"), exist_ok=True)
     n_rows = df.count()
-    n_chunks = max(1, (n_rows + chunk_rows - 1) // chunk_rows)
+    file_rows = shard_rows if shard_rows is not None else chunk_rows
+    n_chunks = max(1, (n_rows + file_rows - 1) // file_rows)
 
     chunked = df.select(
-        chunk_id_expr(chunk_rows).alias("_chunk"),
+        chunk_id_expr(file_rows).alias("_chunk"),
         "row_id",
         "vec",
     ).repartitionByRange(n_chunks, "_chunk")
+
+    def _encode(arr: "np.ndarray") -> bytes:
+        buf = arr.tobytes(order="C")
+        if compressor == "gzip":
+            import gzip
+
+            buf = gzip.compress(buf)
+        return buf
 
     def write_partition(batches):
         import pandas as pd
@@ -436,16 +466,33 @@ def write_zarr_v3(
         for chunk_id, grp in whole.groupby("_chunk"):
             grp = grp.sort_values("row_id")
             arr = np.stack(grp["vec"].to_numpy()).astype("<f8")
-            if arr.shape[0] < chunk_rows:  # spec: pad to chunk shape
+            if arr.shape[0] < file_rows:  # spec: pad to chunk shape
                 pad = np.zeros(
-                    (chunk_rows - arr.shape[0], arr.shape[1]), "<f8"
+                    (file_rows - arr.shape[0], arr.shape[1]), "<f8"
                 )
                 arr = np.concatenate([arr, pad])
-            buf = arr.tobytes(order="C")
-            if compressor == "gzip":
-                import gzip
-
-                buf = gzip.compress(buf)
+            if shard_rows is None:
+                buf = _encode(arr)
+            else:
+                # sharding_indexed: encoded inner chunks back to
+                # back, (offset, nbytes) uint64-LE index + crc32c
+                # at the end; all-padding inner chunks -> MISSING
+                n_live = len(grp)
+                blobs, table = [], []
+                pos = 0
+                for j in range(shard_rows // chunk_rows):
+                    if j * chunk_rows >= n_live:
+                        table.append((0xFFFFFFFFFFFFFFFF,) * 2)
+                        continue
+                    b = _encode(
+                        arr[j * chunk_rows : (j + 1) * chunk_rows]
+                    )
+                    blobs.append(b)
+                    table.append((pos, len(b)))
+                    pos += len(b)
+                idx = np.asarray(table, dtype="<u8").tobytes()
+                idx += crc32c(idx).to_bytes(4, "little")
+                buf = b"".join(blobs) + idx
             cdir = os.path.join(path, "c", str(int(chunk_id)))
             os.makedirs(cdir, exist_ok=True)
             with open(os.path.join(cdir, "0"), "wb") as f:
@@ -463,6 +510,24 @@ def write_zarr_v3(
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if compressor == "gzip":
         codecs.append({"name": "gzip", "configuration": {"level": 6}})
+    if shard_rows is not None:
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [chunk_rows, ncols],
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {
+                            "name": "bytes",
+                            "configuration": {"endian": "little"},
+                        },
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
     zjson = {
         "zarr_format": 3,
         "node_type": "array",
@@ -470,7 +535,7 @@ def write_zarr_v3(
         "data_type": "float64",
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": [chunk_rows, ncols]},
+            "configuration": {"chunk_shape": [file_rows, ncols]},
         },
         "chunk_key_encoding": {
             "name": "default",
@@ -601,15 +666,68 @@ _V3_DTYPES = {
 }
 
 
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    the zarr v3 ``crc32c`` codec appends to shard indexes. Pure
+    stdlib (table-driven); pinned against the public test vector
+    crc32c(b"123456789") == 0xE3069283 in tests/test_sources.py."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _v3_byte_chain(codecs: list, where: str) -> tuple[str, "str | None"]:
+    """Validate a v3 bytes→bytes codec chain of exactly one ``bytes``
+    (little/big endian) optionally followed by ``gzip``/``zlib``;
+    returns (endian_prefix, compressor_id). Shared by the top-level
+    chain and the inner chain of ``sharding_indexed``."""
+    if not codecs or codecs[0].get("name") != "bytes":
+        raise NotImplementedError(
+            f"{where} codec chain must start with the 'bytes' "
+            "array->bytes codec; got "
+            f"{[c.get('name') for c in codecs]}"
+        )
+    endian = "<"
+    if codecs[0].get("configuration", {}).get("endian", "little") == "big":
+        endian = ">"
+    comp_id = None
+    for c in codecs[1:]:
+        if c.get("name") in ("gzip", "zlib") and comp_id is None:
+            comp_id = c["name"]
+        else:
+            raise NotImplementedError(
+                f"{where} codec {c.get('name')!r} needs the native "
+                "stack (blosc/zstd unsupported in zarrlite)"
+            )
+    return endian, comp_id
+
+
 def _normalize_v3_meta(z: dict) -> dict:
     """Validate a ``zarr.json`` (zarr v3 core spec, round 6) against
     what this reader supports and map it onto the internal meta
     dict. Supported: 2-D arrays, regular chunk grid row-chunked to
     full width, default or v2-style chunk key encoding, a codec
     chain of exactly one ``bytes`` (little/big endian) optionally
-    followed by ``gzip``/``zlib``. sharding_indexed / transpose /
-    blosc / zstd raise with the exact unsupported field — same
-    informed-swap contract as the v2 reader."""
+    followed by ``gzip``/``zlib`` — or (round 8) ``sharding_indexed``
+    wrapping that same inner chain, with ``index_codecs`` of
+    ``bytes`` [+ ``crc32c``] and either index location: the layout
+    object stores actually use at scale (many small chunks packed
+    into few large objects). transpose / blosc / zstd raise with
+    the exact unsupported field — same informed-swap contract as
+    the v2 reader."""
     if z.get("zarr_format") != 3:
         raise ValueError(f"unsupported zarr_format: {z.get('zarr_format')}")
     if z.get("node_type") != "array":
@@ -630,24 +748,48 @@ def _normalize_v3_meta(z: dict) -> dict:
     dt = _V3_DTYPES.get(z.get("data_type"))
     if dt is None:
         raise NotImplementedError(f"data_type {z.get('data_type')!r}")
-    endian = "<"
-    comp_id = None
     codecs = z.get("codecs", [])
-    if not codecs or codecs[0].get("name") != "bytes":
-        raise NotImplementedError(
-            "codec chain must start with the 'bytes' array->bytes codec; "
-            f"got {[c.get('name') for c in codecs]}"
-        )
-    if codecs[0].get("configuration", {}).get("endian", "little") == "big":
-        endian = ">"
-    for c in codecs[1:]:
-        if c.get("name") in ("gzip", "zlib") and comp_id is None:
-            comp_id = c["name"]
-        else:
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        if len(codecs) > 1:
             raise NotImplementedError(
-                f"codec {c.get('name')!r} needs the native stack "
-                "(sharding/blosc/zstd unsupported in zarrlite)"
+                "codecs after sharding_indexed not supported: "
+                f"{[c.get('name') for c in codecs[1:]]}"
             )
+        cfg = codecs[0].get("configuration", {})
+        ir, icm = (int(x) for x in cfg["chunk_shape"])
+        if icm != m:
+            raise NotImplementedError(
+                f"column-chunked inner chunks (chunk_shape {[ir, icm]}) "
+                "not supported"
+            )
+        if r % ir:
+            raise ValueError(
+                f"inner chunk rows {ir} must divide shard rows {r} "
+                "(zarr v3 sharding spec)"
+            )
+        endian, comp_id = _v3_byte_chain(
+            cfg.get("codecs", []), "sharding inner"
+        )
+        idx_names = [
+            c.get("name")
+            for c in cfg.get("index_codecs", [{"name": "bytes"}])
+        ]
+        if idx_names not in (["bytes"], ["bytes", "crc32c"]):
+            raise NotImplementedError(
+                f"index_codecs {idx_names} (bytes [+ crc32c] only)"
+            )
+        loc = cfg.get("index_location", "end")
+        if loc not in ("start", "end"):
+            raise NotImplementedError(f"index_location {loc!r}")
+        shard = {
+            "inner_rows": ir,
+            "index_crc": idx_names == ["bytes", "crc32c"],
+            "index_location": loc,
+            "fill_value": z.get("fill_value", 0.0),
+        }
+    else:
+        endian, comp_id = _v3_byte_chain(codecs, "top-level")
     enc = z.get("chunk_key_encoding", {"name": "default"})
     if enc.get("name") == "default":
         sep = enc.get("configuration", {}).get("separator", "/")
@@ -667,6 +809,7 @@ def _normalize_v3_meta(z: dict) -> dict:
         "compressor": comp_id,
         "dimension_separator": sep,
         "v3_key_prefix": key_prefix,
+        "shard": shard,
     }
 
 
@@ -745,12 +888,71 @@ def _chunk_starts(meta: dict) -> list[int]:
     return np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
 
 
+def _decode_shard(
+    data: bytes, v2: dict
+) -> "np.ndarray":
+    """Decode one zarr v3 ``sharding_indexed`` shard file: parse the
+    (offset, nbytes) uint64-LE index (verifying the trailing crc32c
+    when the store declares it), decode each present inner chunk
+    through the inner byte chain, and materialize missing inner
+    chunks (offset == nbytes == 2^64-1) as fill_value — the spec's
+    sparse-shard contract. Offsets are absolute within the shard
+    file, so index_location start/end both resolve directly."""
+    sh = v2["shard"]
+    dt = np.dtype(v2["dtype"])
+    shard_rows, m = v2["chunk_shape"]
+    ir = sh["inner_rows"]
+    n_inner = shard_rows // ir
+    idx_size = n_inner * 16 + (4 if sh["index_crc"] else 0)
+    if len(data) < idx_size:
+        raise ValueError(
+            f"shard file shorter ({len(data)}B) than its index "
+            f"({idx_size}B)"
+        )
+    idx = (
+        data[-idx_size:]
+        if sh["index_location"] == "end"
+        else data[:idx_size]
+    )
+    if sh["index_crc"]:
+        want = int.from_bytes(idx[-4:], "little")
+        got = crc32c(idx[:-4])
+        if got != want:
+            raise ValueError(
+                f"shard index crc32c mismatch: {got:#010x} != "
+                f"{want:#010x}"
+            )
+        idx = idx[:-4]
+    table = np.frombuffer(idx, dtype="<u8").reshape(n_inner, 2)
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    parts = []
+    for off, nb in table:
+        if off == missing and nb == missing:
+            parts.append(
+                np.full((ir, m), sh["fill_value"], dtype=dt)
+            )
+            continue
+        buf = _decompress(
+            data[int(off) : int(off) + int(nb)], v2["compressor"]
+        )
+        parts.append(np.frombuffer(buf, dtype=dt).reshape(ir, m))
+    return np.concatenate(parts)
+
+
 def _read_chunk(partition: "_ChunkPartition"):
     if partition.v2 is not None:
         with open(partition.path, "rb") as f:
-            raw = _decompress(f.read(), partition.v2["compressor"])
-        full = np.frombuffer(raw, dtype=np.dtype(partition.v2["dtype"]))
-        arr = full.reshape(partition.v2["chunk_shape"])[: partition.rows]
+            data = f.read()
+        if partition.v2.get("shard"):
+            arr = _decode_shard(data, partition.v2)[: partition.rows]
+        else:
+            raw = _decompress(data, partition.v2["compressor"])
+            full = np.frombuffer(
+                raw, dtype=np.dtype(partition.v2["dtype"])
+            )
+            arr = full.reshape(partition.v2["chunk_shape"])[
+                : partition.rows
+            ]
         arr = arr.astype(np.float64, copy=False)
     else:
         arr = np.load(partition.path).astype(np.float64, copy=False)
