@@ -704,8 +704,10 @@ def rolling_median_stateful(stream: DataFrame) -> DataFrame:
 # API) was evaluated and crashes in this environment even on a
 # minimal example ("TransformWithStateInPySpark driver worker exited
 # unexpectedly") — applyInPandasWithState above is the supported
-# custom-state surface here. Re-verified round 5: identical crash on
-# a minimal ValueState counter (RocksDB provider, memory sink).
+# custom-state surface here. Re-verified rounds 5 and 8: identical
+# crash on a minimal ValueState counter (RocksDB provider, memory
+# sink, rate source; "TransformWithStateInPySpark driver worker
+# exited unexpectedly" before the first micro-batch commits).
 
 
 def interval_stream_join(
