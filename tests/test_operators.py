@@ -3053,8 +3053,17 @@ def test_image_hash_bands_and_hamming_pairs(spark):
             for b in range(4)
         ]
 
+    def ref_dbands(px):
+        g = px.astype(np.int64)
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).reshape(-1)
+        return [
+            int((bits[b * 14 : b * 14 + 14] << np.arange(14)).sum())
+            for b in range(4)
+        ]
+
     for mid, px in ((1, base), (2, near), (3, far)):
         assert [byid[mid][f"a{b}"] for b in range(4)] == ref_bands(px)
+        assert [byid[mid][f"d{b}"] for b in range(4)] == ref_dbands(px)
 
     pairs = hamming_candidate_pairs(
         image_hash_bands(df), "media_id", max_ham=3
@@ -3062,6 +3071,19 @@ def test_image_hash_bands_and_hamming_pairs(spark):
     got = {(r["i"], r["j"]): r["hamming"] for r in pairs}
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert all(j != 3 and i != 3 for i, j in got)
+
+    # dHash banding is a first-class blocking key too: the same
+    # near-pair must surface (gradient signs barely move on a
+    # one-pixel nudge) and the unrelated image must not
+    dpairs = hamming_candidate_pairs(
+        image_hash_bands(df),
+        "media_id",
+        band_cols=("d0", "d1", "d2", "d3"),
+        max_ham=6,
+    ).collect()
+    dgot = {(r["i"], r["j"]) for r in dpairs}
+    assert (1, 2) in dgot
+    assert all(j != 3 and i != 3 for i, j in dgot)
 
     # flood cap: with max_bucket=1 every bucket holding both images
     # is dropped, so nothing pairs
