@@ -1201,3 +1201,15 @@ def test_kappa_agreement_single_scan(spark):
     assert "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_no_single_partition_sort(spark):
+    """d48: the global shuffle-order assignment must run through the
+    range-bucketed two-pass ranker — window partitioned on the
+    bucket id, NO SinglePartition exchange anywhere (the one plan
+    shape a 100 TB epoch shuffle cannot contain), panel filter after
+    ranking, no Python stage."""
+    plan = _plan(QUERIES["d48_epoch_shuffle"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_zs_bucket" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

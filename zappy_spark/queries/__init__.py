@@ -591,6 +591,7 @@ _NEW_R9 = [
     "m05_wav_attest",  # NEW r8→r9: real WAV framing/DSP attestation
     "t35_kappa_agreement",  # NEW r8→r9: Cohen's kappa label QA
     "z33_zarr_sharded_roundtrip",  # NEW r8→r9: sharding_indexed I/O
+    "d48_epoch_shuffle",  # NEW r8→r9: reproducible training order
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

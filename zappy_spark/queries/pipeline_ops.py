@@ -2667,6 +2667,68 @@ def m04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d48(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic epoch-shuffle ordering (round 8, queued r9-head):
+    assign every document its global position in a reproducible
+    training-shuffle epoch — position = dense global row number under
+    the order md5('epoch7:' || doc_id) — plus the 256-doc global
+    batch it lands in. This is the data-ordering step a reproducible
+    training run needs (same corpus + same seed string → the same
+    batch schedule on any engine, any partitioning, any restart);
+    pairs with d31's rendezvous sharding (which answers WHERE a doc
+    lives, not WHEN it is consumed).
+
+    Scale: the naive spelling is ROW_NUMBER over a global ORDER BY —
+    a single-partition sort at 100 TB. This entry instead ranks by
+    the shuffle key through the range-bucketed two-pass operator
+    (operators/ranking.py::with_global_ranks, the r40 machinery):
+    the hex key maps order-isomorphically onto a 60-bit integer
+    (fixed-width lowercase hex compares like its value), buckets are
+    ~equi-depth by approxQuantile, and the only full shuffle is the
+    balanced per-bucket hash — no single-partition stage. The oracle
+    replays the naive ROW_NUMBER form; output is panel-bounded
+    (doc_id < 2000) AFTER positions are computed over the whole
+    corpus."""
+    from zappy_spark.operators.ranking import with_global_ranks
+
+    keyed = t(spark, d, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("epoch7:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("_k"),
+    )
+    ranked = with_global_ranks(
+        keyed,
+        "_k",
+        tiebreak=["doc_id"],
+        buckets=16,
+        row_number_col="epoch_pos",
+    )
+    return (
+        ranked.filter(F.col("doc_id") < 2000)
+        .select(
+            "doc_id",
+            "epoch_pos",
+            F.expr("CAST((epoch_pos - 1) DIV 256 AS BIGINT)").alias(
+                "batch_id"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def m05(spark: SparkSession, d: str) -> DataFrame:
     """Audio framing attestation as a driver row (round 8, queued
     r9-head; operators/multimodal.py::wav_attest_features): fabricate
@@ -3035,6 +3097,7 @@ QUERIES = {
     "m04_gif_attest": m04,
     "m05_wav_attest": m05,
     "t35_kappa_agreement": t35,
+    "d48_epoch_shuffle": d48,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -3596,6 +3659,18 @@ ORACLE = {
         "CAST(SUM((29*i + doc_id) % 256) AS BIGINT) b_sum, "
         "CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) c0 "
         "FROM px GROUP BY doc_id ORDER BY media_id"
+    ),
+    # d48: the naive global ROW_NUMBER spelling — the semantic
+    # contract the two-pass bucketed ranker must reproduce exactly.
+    "d48_epoch_shuffle": (
+        "WITH k AS (SELECT doc_id, "
+        "substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 15) h "
+        "FROM documents), "
+        "r AS (SELECT doc_id, "
+        "ROW_NUMBER() OVER (ORDER BY h, doc_id) epoch_pos FROM k) "
+        "SELECT doc_id, CAST(epoch_pos AS BIGINT) epoch_pos, "
+        "CAST((epoch_pos - 1) // 256 AS BIGINT) batch_id "
+        "FROM r WHERE doc_id < 2000 ORDER BY doc_id"
     ),
     # m05: closed-form replay of the square-wave fabrication — zero
     # crossings by divisor counting (multiples of h in [1, na-1]
