@@ -103,14 +103,15 @@ cleared, pending CORRECTNESS_r08 confirmation.
 
 ROUND-9 ROTATION PLAN (written in round 8, from the measured
 per-entry latest-driver-row table over CORRECTNESS_r01–r08): head =
-any round-9 re-spells (none known), then the 3-entry _NEW_R9 below
-(m05 WAV attestation, t35 kappa agreement, z33 sharded zarr — all
-locally green at 3 SFs + both fixtures this round, zero driver
-rows), then the EXACTLY-40-entry r3-green tier (oldest remaining
-rows once r8 lands; in list order: b04_global_topk, d07–d12,
-l02, r28b, r30, r33, r41–r46, r50, s1, s6, s8–s10, t02, t07–t14,
-v01, v03–v05, v08, v10, z06, z24), then 7 slots from the r4-green
-tier head (d15_weighted_sample … l09_mips_topk) = 50 exactly.
+any round-9 re-spells (none known), then the 4-entry _NEW_R9 below
+(m05 WAV attestation, t35 kappa agreement, z33 sharded zarr, d48
+epoch shuffle — all locally green at 3 SFs + both fixtures this
+round, zero driver rows), then the EXACTLY-40-entry r3-green tier
+(oldest remaining rows once r8 lands; in list order:
+b04_global_topk, d07–d12, l02, r28b, r30, r33, r41–r46, r50, s1,
+s6, s8–s10, t02, t07–t14, v01, v03–v05, v08, v10, z06, z24), then
+6 slots from the r4-green tier head (d15_weighted_sample …
+d20_incremental_dedup) = 50 exactly.
 No spelling debt exists — this is purely freshness rotation; any
 round-9 new entries displace the r4-tier tail, not the r3 tier.
 
