@@ -3230,3 +3230,41 @@ def test_kappa_agreement_hand_contingency(spark):
     r = got["g2"]
     assert r["kappa_num"] == r["kappa_den"] == 24
     assert r["n_agree"] == r["n"] == 6
+
+
+def test_quantile_sketch_attest_numpy_parity_and_breach(spark):
+    """t36: (a) the exact p50/p90 must equal numpy's linear
+    interpolation on the raw column and both contract booleans must
+    be TRUE on real data; (b) the rank-interval logic must DETECT a
+    breach — a value far from the target quantile has a rank span
+    that cannot overlap the contract interval (negative control, so
+    the attestation is not vacuous)."""
+    import numpy as np
+
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    sf = "/root/testdata/sf0.001"
+    rows = PQ["t36_quantile_sketch_attest"](spark, sf).collect()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity"
+    )
+    for r in rows:
+        q = np.array(
+            [
+                x["l_quantity"]
+                for x in li.filter(
+                    F.col("l_returnflag") == r["l_returnflag"]
+                ).collect()
+            ]
+        )
+        assert r["n"] == len(q)
+        assert abs(r["p50"] - np.percentile(q, 50)) < 1e-6
+        assert abs(r["p90"] - np.percentile(q, 90)) < 1e-6
+        assert r["sketch_ok_p50"] and r["sketch_ok_p90"]
+        # negative control on the same group: the minimum value's
+        # rank span [0, count(min)] must fail the p90 interval
+        lt = 0
+        le = int((q == q.min()).sum())
+        n = len(q)
+        lo, hi = 0.9 * n - n / 100 - 1, 0.9 * n + n / 100 + 1
+        assert not (le >= lo and lt <= hi)

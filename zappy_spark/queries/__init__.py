@@ -103,15 +103,15 @@ cleared, pending CORRECTNESS_r08 confirmation.
 
 ROUND-9 ROTATION PLAN (written in round 8, from the measured
 per-entry latest-driver-row table over CORRECTNESS_r01–r08): head =
-any round-9 re-spells (none known), then the 4-entry _NEW_R9 below
+any round-9 re-spells (none known), then the 5-entry _NEW_R9 below
 (m05 WAV attestation, t35 kappa agreement, z33 sharded zarr, d48
-epoch shuffle — all locally green at 3 SFs + both fixtures this
-round, zero driver rows), then the EXACTLY-40-entry r3-green tier
-(oldest remaining rows once r8 lands; in list order:
-b04_global_topk, d07–d12, l02, r28b, r30, r33, r41–r46, r50, s1,
-s6, s8–s10, t02, t07–t14, v01, v03–v05, v08, v10, z06, z24), then
-6 slots from the r4-green tier head (d15_weighted_sample …
-d20_incremental_dedup) = 50 exactly.
+epoch shuffle, t36 quantile-sketch contract — all locally green at
+3 SFs + both fixtures this round, zero driver rows), then the
+EXACTLY-40-entry r3-green tier (oldest remaining rows once r8
+lands; in list order: b04_global_topk, d07–d12, l02, r28b, r30,
+r33, r41–r46, r50, s1, s6, s8–s10, t02, t07–t14, v01, v03–v05,
+v08, v10, z06, z24), then 5 slots from the r4-green tier head
+(d15_weighted_sample … d19_cc_closure) = 50 exactly.
 No spelling debt exists — this is purely freshness rotation; any
 round-9 new entries displace the r4-tier tail, not the r3 tier.
 
@@ -593,6 +593,7 @@ _NEW_R9 = [
     "t35_kappa_agreement",  # NEW r8→r9: Cohen's kappa label QA
     "z33_zarr_sharded_roundtrip",  # NEW r8→r9: sharding_indexed I/O
     "d48_epoch_shuffle",  # NEW r8→r9: reproducible training order
+    "t36_quantile_sketch_attest",  # NEW r8→r9: GK-sketch contract
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

@@ -2667,6 +2667,81 @@ def m04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t36(spark: SparkSession, d: str) -> DataFrame:
+    """Quantile-sketch attestation (round 8, queued r9-head — the
+    r81/v07/t25/d35/d44 estimator-contract trick applied to the LAST
+    uncovered sketch family): per l_returnflag, the EXACT median and
+    p90 of l_quantity (the r31 interpolation-parity spelling, the
+    portable output) next to booleans attesting that Spark's
+    ``percentile_approx`` (Greenwald–Khanna, accuracy=100 → rank
+    error ≤ n/100) met its contract on this data. Ties make the
+    naive |count(≤v) − p·n| ≤ εn check WRONG (l_quantity is 50
+    discrete values, each carrying ~2% mass > ε) — the correct
+    attest is interval intersection: the returned value's rank span
+    [count(<v), count(≤v)] must overlap [(p−ε)n, (p+ε)n]. The
+    oracle recomputes the exact quantiles and asserts the contract
+    booleans TRUE; a sketch regression (or a broken attest spelling)
+    flips the hash.
+
+    Scale: two hash aggregates over one scan plus a 3-row broadcast
+    join back for the rank counts; at 100 TB the sketch (not the
+    exact percentile) is the production path — this entry is the
+    gate that LETS a pipeline trust it."""
+    li = t(spark, d, "lineitem").select("l_returnflag", "l_quantity")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity", F.lit(0.5), F.lit(100)
+        ).alias("_a50"),
+        F.percentile_approx(
+            "l_quantity", F.lit(0.9), F.lit(100)
+        ).alias("_a90"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+    ranks = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_quantity") < F.col("_a50")).cast("bigint")
+            ).alias("_lt50"),
+            F.sum(
+                (F.col("l_quantity") <= F.col("_a50")).cast("bigint")
+            ).alias("_le50"),
+            F.sum(
+                (F.col("l_quantity") < F.col("_a90")).cast("bigint")
+            ).alias("_lt90"),
+            F.sum(
+                (F.col("l_quantity") <= F.col("_a90")).cast("bigint")
+            ).alias("_le90"),
+        )
+    )
+
+    def _ok(lt, le, p):
+        # rank interval [lt, le] must overlap [(p-eps)n, (p+eps)n];
+        # eps = 1/accuracy = 0.01, with +1 absolute slack for the
+        # integer rank endpoints
+        lo = p * F.col("n") - F.col("n") / 100 - 1
+        hi = p * F.col("n") + F.col("n") / 100 + 1
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return (
+        exact.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "p50",
+            "p90",
+            _ok("_lt50", "_le50", 0.5).alias("sketch_ok_p50"),
+            _ok("_lt90", "_le90", 0.9).alias("sketch_ok_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def d48(spark: SparkSession, d: str) -> DataFrame:
     """Deterministic epoch-shuffle ordering (round 8, queued r9-head):
     assign every document its global position in a reproducible
@@ -3098,6 +3173,7 @@ QUERIES = {
     "m05_wav_attest": m05,
     "t35_kappa_agreement": t35,
     "d48_epoch_shuffle": d48,
+    "t36_quantile_sketch_attest": t36,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -3659,6 +3735,18 @@ ORACLE = {
         "CAST(SUM((29*i + doc_id) % 256) AS BIGINT) b_sum, "
         "CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) c0 "
         "FROM px GROUP BY doc_id ORDER BY media_id"
+    ),
+    # t36: the oracle recomputes the exact quantiles (the r31
+    # interpolation-parity spelling) and asserts the contract
+    # booleans TRUE — the sketch is Spark-side-only, so a contract
+    # breach flips the Spark booleans against these constants (the
+    # v07 HLL-envelope pattern).
+    "t36_quantile_sketch_attest": (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) n, "
+        "ROUND(quantile_cont(l_quantity, 0.5), 6) p50, "
+        "ROUND(quantile_cont(l_quantity, 0.9), 6) p90, "
+        "TRUE AS sketch_ok_p50, TRUE AS sketch_ok_p90 "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
     ),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
