@@ -14,6 +14,17 @@ query instead of every sample of one query — that consecutive-
 sample correlation is what made q7 oscillate 0.24→0.16→0.36 s
 across rounds 2–4 while its plan never changed. Medians are taken
 per query across passes; totals stay comparable with BASELINE.md.
+
+``fixed_cost_sentinel`` (round 9, VERDICT r8 item 3): the emitted
+JSON carries the median of 7 timed ``spark.range(1).collect()``
+round-trips measured under the same warm protocol — a query whose
+plan does zero data work, so its time IS the per-action fixed cost
+(Py4J round-trip + job/stage scheduling). Cross-round bench drift
+can now be diagnosed in data: if (query − sentinel) deltas match
+the prior round's within noise, the shift is environmental; if a
+query moved while the sentinel didn't, profile that query. The r8
+episode (suite 3.45 s → 4.40 s with a byte-identical bench path)
+motivated this field.
 """
 
 from __future__ import annotations
@@ -65,12 +76,26 @@ def main() -> None:
     for key in BENCH.values():
         QUERIES[key](spark, sf_dir).collect()
 
+    # Fixed-cost sentinel: a zero-data-work action, same warm
+    # protocol (untimed warm, interleaved samples below).
+    spark.range(1).collect()
+
     samples: dict[str, list[float]] = {qid: [] for qid in BENCH}
+    sentinel_samples: list[float] = []
     for _ in range(RUNS):
         for qid, key in BENCH.items():
             t0 = time.perf_counter()
             QUERIES[key](spark, sf_dir).collect()
             samples[qid].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        sentinel_samples.append(time.perf_counter() - t0)
+    # two extra sentinel samples for a 7-sample median (it is the
+    # drift diagnostic — cheap, so buy extra robustness)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        sentinel_samples.append(time.perf_counter() - t0)
     per_query = {
         qid: round(statistics.median(s), 4) for qid, s in samples.items()
     }
@@ -84,6 +109,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "fixed_cost_sentinel": round(
+                    statistics.median(sentinel_samples), 4
+                ),
             }
         )
     )

@@ -1416,6 +1416,38 @@ def test_pnm_ascii_variants_and_comments():
     assert img3.reshape(-1).tolist() == [1, 2, 3, 250, 251, 252]
 
 
+def test_pnm_p1_run_together_bits_and_raster_comment():
+    """Round-9 ADVICE pins: (a) plain PBM legally packs bits with no
+    separating whitespace ('0110'); (b) a '#' comment between the
+    last header token and the raw raster separator must be skipped,
+    not read as raster bytes."""
+    import pytest as _pytest
+
+    from zappy_spark.sources.pnmlite import PnmFormatError, decode_pnm
+
+    # P1 with run-together bits, a comment, and mixed separators
+    p1 = b"P1 # bitmap\n4 2\n0110\n1 0 01\n"
+    img, meta = decode_pnm(p1)
+    assert meta["kind"] == "P1"
+    # 1 = black -> 0; 0 = white -> 255
+    assert img.tolist() == [[255, 0, 0, 255], [0, 255, 255, 0]]
+    # non-bit sample text is a loud, accurate rejection
+    with _pytest.raises(PnmFormatError, match="not '0'/'1'"):
+        decode_pnm(b"P1\n2 1\n02\n")
+
+    # P5 with a spec-legal comment between maxval and the raster:
+    # '255 # c\n<data>' — the comment's EOL is the separator
+    raw = bytes([0, 1, 2, 3])
+    img5, _ = decode_pnm(b"P5 2 2 255 # trailing comment\n" + raw)
+    assert img5.reshape(-1).tolist() == [0, 1, 2, 3]
+    # two stacked comments before the raster also skip cleanly
+    img5b, _ = decode_pnm(b"P5 2 2 255\n# a\n# b\n" + raw)
+    assert img5b.reshape(-1).tolist() == [0, 1, 2, 3]
+    # comment that never terminates -> loud truncation error
+    with _pytest.raises(PnmFormatError, match="separator"):
+        decode_pnm(b"P5 2 2 255 # never ends")
+
+
 def test_gif_pnm_round_trips_and_rejections():
     import numpy as np
     import pytest as _pytest

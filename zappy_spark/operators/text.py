@@ -922,20 +922,22 @@ def pmi_collocations(
     n_ab ≥ ``min_count``.
 
     Scale: one tokenize pass feeds both the unigram and bigram
-    hash aggs (balanced keys); N is a 1-row broadcast crossJoin;
-    the two unigram joins are broadcast-size after min_count
-    pruning only on the bigram side — at corpus scale they stay
-    shuffle equi-joins on the token key. Top-k compiles to
-    TakeOrderedAndProject."""
+    hash aggs (balanced keys); N is a 1-row broadcast crossJoin,
+    computed as Σ max(tokens−1, 0) per doc — a scan-only partial
+    agg with NO bigram shuffle and no persist (the round-8 spelling
+    cached the grouped bigram table to share it between the filter
+    branch and the N sum, but never unpersisted — an executor-
+    storage leak under repeated invocation; this form is leak-free
+    and drops the second shuffle entirely). The two unigram joins
+    are broadcast-size after min_count pruning only on the bigram
+    side — at corpus scale they stay shuffle equi-joins on the
+    token key. Top-k compiles to TakeOrderedAndProject."""
     from zappy_spark.operators.dedup import word_shingles
 
-    toks = df.select(
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-        ).alias("_w")
-    )
+    toks_expr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = df.select(F.explode(toks_expr).alias("_w"))
     uni = toks.groupBy("_w").agg(F.count("*").alias("_n"))
-    big_all = (
+    big = (
         df.select(
             F.explode(
                 word_shingles(F.col(text_col), 2, filter_empty=True)
@@ -943,11 +945,15 @@ def pmi_collocations(
         )
         .groupBy("bigram")
         .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
     )
-    big_all = big_all.persist()
-    big = big_all.filter(F.col("n_ab") >= min_count)
-    # N from the grouped counts — the corpus is shingled ONCE
-    total = big_all.agg(F.sum("n_ab").alias("_N"))
+    # N = total bigram count = Σ max(|tokens|−1, 0): identical to
+    # summing n_ab over all groups, but computable from the scan
+    total = df.agg(
+        F.sum(
+            F.greatest(F.size(toks_expr) - F.lit(1), F.lit(0))
+        ).alias("_N")
+    )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
     joined = (

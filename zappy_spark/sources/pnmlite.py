@@ -55,6 +55,34 @@ def _tokens(data: bytes, need: int, pos: int) -> tuple[list[int], int]:
     return out, pos
 
 
+def _bits(data: bytes, need: int, pos: int) -> tuple[list[int], int]:
+    """Read ``need`` plain-PBM (P1) samples starting at ``pos``.
+
+    P1 legally allows bit runs WITHOUT separating whitespace
+    (``0110``), so this is a per-character parser: whitespace and
+    ``#``-to-EOL comments are skipped, every other byte must be an
+    ASCII ``0`` or ``1`` (anything else is a loud rejection)."""
+    out: list[int] = []
+    n = len(data)
+    while len(out) < need:
+        while pos < n and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and data[pos] == 0x23:  # '#'
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        if pos >= n:
+            raise PnmFormatError("truncated header/sample text")
+        c = data[pos]
+        if c not in (0x30, 0x31):
+            raise PnmFormatError(
+                f"P1 sample byte {bytes([c])!r} is not '0'/'1'"
+            )
+        out.append(c - 0x30)
+        pos += 1
+    return out, pos
+
+
 def decode_pnm(data: bytes) -> tuple[np.ndarray, dict]:
     """Netpbm bytes → (uint8 array, metadata dict)."""
     if len(data) < 2 or data[0:1] != b"P" or data[1] not in b"123456":
@@ -74,13 +102,26 @@ def decode_pnm(data: bytes) -> tuple[np.ndarray, dict]:
         raise PnmFormatError(
             f"maxval {maxval} out of scope (1..255; 16-bit rejected)"
         )
-    if kind in (1, 2, 3):  # ASCII samples
+    if kind == 1:  # plain PBM: bits may run together ('0110')
+        vals, pos = _bits(data, w * h, pos)
+        arr = np.array(vals, dtype=np.int64)
+    elif kind in (2, 3):  # ASCII samples, whitespace-delimited
         vals, pos = _tokens(data, w * h * nch, pos)
         arr = np.array(vals, dtype=np.int64)
-    else:  # raw: exactly ONE whitespace byte after the header
-        if pos >= len(data) or not data[pos : pos + 1].isspace():
-            raise PnmFormatError("missing sample separator")
-        pos += 1
+    else:  # raw: ONE whitespace byte after the header — but spec-
+        # legal '#' comments may sit between the last header token
+        # and that separator ('255 # foo\n<data>'); each comment
+        # runs to EOL and the EOL becomes the separator candidate,
+        # so loop instead of reading comment bytes as raster
+        while True:
+            if pos >= len(data) or not data[pos : pos + 1].isspace():
+                raise PnmFormatError("missing sample separator")
+            pos += 1
+            if pos < len(data) and data[pos] == 0x23:  # '#'
+                while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                    pos += 1
+                continue
+            break
         if kind == 4:
             stride = (w + 7) // 8
             need = stride * h
