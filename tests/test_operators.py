@@ -3204,6 +3204,130 @@ def test_pmi_collocations_planted_pair(spark):
     assert ranks["rare gem"] < ranks["common word"]
 
 
+def test_strip_markup_organic_patterns(spark):
+    """t38's chain on organic-crawl edge shapes: nested tags,
+    attributes with '>'-free bodies, multi-line script/style with
+    markup-looking content inside, comments spanning lines, entity
+    decode ordering (&amp;lt; must become the literal text '&lt;',
+    never re-parsed as a tag), unclosed tags and unknown entities
+    surviving verbatim, and whitespace collapse."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import strip_markup
+
+    cases = [
+        # nested + attributes
+        ('<div class="a"><p><b>deep</b> text</p></div>', "deep text"),
+        # script body contains fake tags and comparison operators
+        ('before<script>\nif (a < b && c > d) { x("<p>"); }\n'
+         "</script>after", "before after"),
+        # style block + CDATA-ish comment across lines
+        ("<style>\n.a { content: '<'; }\n</style>x<!-- multi\n"
+         "line\ncomment -->y", "x y"),
+        # entity order: &amp;lt; is LITERAL '&lt;' text, not a tag
+        ("a &amp;lt;b&amp;gt; c", "a &lt;b&gt; c"),
+        # decoded &lt;tag&gt; stays as visible text, not re-stripped
+        ("say &lt;hi&gt; &amp; wave", 'say <hi> & wave'),
+        # full entity set
+        ("&quot;q&quot; &#39;s&#39; &#34;d&#34; &apos;a&apos;&nbsp;.",
+         "\"q\" 's' \"d\" 'a' ."),
+        # unclosed tag at end survives; unknown entity survives
+        ("tail <div class=", "tail <div class="),
+        ("dash &#x2019; stays", "dash &#x2019; stays"),
+        # SCRIPT case-insensitive; whitespace collapse + trim
+        ("  <SCRIPT a=b>x</SCRIPT>  hi \t there\r\n ", "hi there"),
+        # empty tag '<>' is a (degenerate) tag span
+        ("a<>b", "a b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], ["i", "s"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", strip_markup(F.col("s")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_strip_markup_duckdb_parity_on_edges(spark):
+    """The SQL twin (_strip_markup_sql) must agree with the Spark
+    chain byte-for-byte on the same organic edge shapes — this is
+    what makes t38's oracle a replay rather than a reimplementation."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import strip_markup
+    from zappy_spark.queries.pipeline_ops import _strip_markup_sql
+
+    texts = [
+        '<div class="a"><p><b>deep</b> text</p></div>',
+        'x<script>\na < b; "</p>"\n</script>y<!-- c\nc -->z',
+        "a &amp;lt;b&amp;gt; c &quot; &#39; &nbsp;",
+        "tail <div class= &#x2019; <STYLE>s</STYLE>",
+        "  spaces \t tabs \r\n lines  ",
+    ]
+    df = spark.createDataFrame([(s,) for s in texts], ["s"])
+    spark_out = [
+        r["c"] for r in df.select(strip_markup(F.col("s")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    for s, want in zip(texts, spark_out):
+        got = con.execute(
+            f"SELECT {_strip_markup_sql('?')}", [s]
+        ).fetchone()[0]
+        assert got == want, (s, got, want)
+
+
+def test_bpe_train_merges_hand_schedule(spark):
+    """t37's merge loop on a corpus whose BPE schedule is derivable
+    by hand, including the overlap-counting and greedy-application
+    subtleties (Sennrich semantics: pair counts include overlapping
+    occurrences; application is left-to-right non-overlapping)."""
+    from zappy_spark.operators.text import bpe_train_merges
+
+    # vocab: 'aaa' ×4 (pair (a,a) counted 2× per word = 8),
+    #        'abab' ×3 ((a,b)=6, (b,a)=3), 'Zed!' filtered out
+    rows = [(i, "aaa abab" if i < 3 else "aaa Zed!") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bpe_train_merges(df, "text", n_merges=3).collect()
+    assert [(r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_n"])
+            for r in out] == [
+        # step 1: (a,a)=8 beats (a,b)=6; greedy turns aaa -> [aa, a]
+        (1, "a", "a", "aa", 8),
+        # step 2: (a,b)=6 — merging abab -> [ab, ab]
+        (2, "a", "b", "ab", 6),
+        # step 3: remaining pairs all appear in every surviving word
+        # once per word: (aa,a)=4 from 'aaa'; (ab,ab)=3 from 'abab';
+        # tie-break is count first, so (aa,a) wins
+        (3, "aa", "a", "aaa", 4),
+    ]
+    # plan hygiene: argmax is a per-branch TakeOrderedAndProject —
+    # no global Sort feeds the limit
+    plan = bpe_train_merges(df, "text", n_merges=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_merge_application_greedy(spark):
+    """The '|l||r|' string-replace form IS greedy left-to-right BPE:
+    'babab' with merge (b,a) yields [ba, ba, b], never re-merging
+    into the replaced text, and symbol boundaries can't be crossed
+    (pair (b,a) must not fire inside symbols ['b','ab'])."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("|b||a||b||a||b|",), ("|b||ab|",)], ["s"]
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            F.replace(F.col("s"), F.lit("|b||a|"), F.lit("|ba|")).alias("m")
+        ).collect()
+    ]
+    assert got == ["|ba||ba||b|", "|b||ab|"]
+
+
 def test_kappa_agreement_hand_contingency(spark):
     """t35's aggregate on a hand-built contingency: 10 rows, two
     3-class raters, kappa checked against the textbook formula

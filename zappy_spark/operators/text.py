@@ -187,6 +187,54 @@ def normalize_text(text: str | Column) -> Column:
     return F.trim(out)
 
 
+# Markup-stripping chain (round 9, VERDICT r8 item 5). Order is
+# load-bearing: script/style/comment BLOCKS go first (their bodies
+# may contain '<' and '>' that the bare-tag regex would mis-split),
+# then bare tags, then entities — decoded AFTER tag removal so
+# literal '&lt;b&gt;' text is NOT re-parsed as markup (HTML
+# semantics), with '&amp;' decoded LAST (the standard double-decode
+# guard). All patterns are Java∩RE2: inline (?is) flags, non-greedy
+# .*?, and an explicit [ \t\r\n] class instead of \s (whose ASCII
+# coverage differs at the margin between the two engines).
+_MARKUP_BLOCK_RES = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_MARKUP_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: str | Column) -> Column:
+    """HTML/markup stripping — the text-extraction pass a crawl
+    corpus hits before every other text op (C4/CCNet's first step):
+    drop script/style/comment blocks, remove tags, decode the common
+    entities, collapse whitespace. Pure regexp_replace + replace
+    chain in the Java∩RE2 subset — scan-side, codegen'd, one pass,
+    oracle-replayable.
+
+    Scope (loud in docs, pinned in tests): well-formed-ish tag spans
+    (``<[^>]*>``) — an unclosed ``<div`` at end-of-text stays, as
+    does an entity outside the decoded set (``&#x2019;``); both
+    survive verbatim rather than corrupting neighbors."""
+    out = text
+    for pat in _MARKUP_BLOCK_RES:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, "<[^>]*>", " ")
+    for ent, rep in _MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, "[ \t\r\n]+", " ")
+    return F.trim(out)
+
+
 def tf_idf(
     df: DataFrame, text_col: str, id_col: str, persist: bool = True
 ) -> DataFrame:
@@ -984,3 +1032,122 @@ def pmi_collocations(
         )
         .limit(top_k)
     )
+
+
+def _bpe_pair_top1(state: DataFrame) -> DataFrame:
+    """Best adjacent symbol pair of a BPE state frame (``_f`` word
+    freq, ``_s`` the ``|s1||s2||…|`` symbol string): explode adjacent
+    pairs, ONE hash agg of Σfreq (overlapping occurrences counted,
+    Sennrich's get_stats convention), deterministic argmax =
+    TakeOrderedAndProject on (count DESC, lhs, rhs)."""
+    arr = F.filter(F.split("_s", "\\|"), lambda x: x != "")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        state.select("_f", F.explode(pairs).alias("_p"))
+        .groupBy(
+            F.col("_p.l").alias("lhs"), F.col("_p.r").alias("rhs")
+        )
+        .agg(F.sum("_f").alias("pair_n"))
+        .orderBy(F.col("pair_n").desc(), "lhs", "rhs")
+        .limit(1)
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Iterative BPE merge-loop tokenizer training (round 9 — the
+    Sennrich/Haddow/Birch 2016 algorithm behind every production
+    subword vocabulary; t34's PMI pass mines merge *candidates*,
+    this trains the actual merge schedule): ``n_merges`` iterations
+    of count-adjacent-pairs → pick the most frequent (deterministic
+    tie-break: count DESC, then lhs/rhs byte order) → greedily merge
+    every left-to-right occurrence.
+
+    Returns one row per merge step: (step, lhs, rhs, merged,
+    pair_n) — the merge schedule, byte/integer-exact.
+
+    Exactness trick: a word's symbol sequence is ONE string with
+    every symbol in its own ``|…|`` wrapper (``cat`` →
+    ``|c||a||t|``), built by ``regexp_replace(w,'(.)','|$1|')``.
+    Merging pair (l, r) is then a single plain
+    ``replace(s,'|l||r|','|lr|')`` — left-to-right non-overlapping
+    replace IS greedy BPE application, symbol boundaries can't be
+    crossed (each symbol carries its own delimiters), and DuckDB's
+    ``replace`` has identical semantics, so the oracle replays the
+    whole loop bit-for-bit. The vocabulary is lowercased
+    ``^[a-z0-9]+$`` tokens (the pre-tokenized scope every BPE
+    trainer assumes), which also guarantees '|' never collides.
+
+    Scale: the corpus collapses to the (word, freq) vocabulary with
+    ONE hash agg — Heaps-law bounded (~10M rows even at 100 TB), so
+    every later iteration touches the vocab, never the corpus. Each
+    iteration = one narrow pair-explode + one map-side-combinable
+    hash agg + a 1-ROW driver collect (the v09 Lloyd's
+    centroids-as-literals precedent); merges re-enter the plan as
+    literals, keeping lineage LINEAR in n_merges (a fully-lazy
+    nesting would re-expand the upstream 2^k times). The returned
+    plan re-derives each step's winner distributed — step k's branch
+    applies merges 1..k−1 as literal replaces, so collecting it is
+    n_merges one-agg jobs, each TakeOrderedAndProject (no global
+    sort anywhere)."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("_w0")
+        )
+        .select(F.lower("_w0").alias("_w"))
+        .filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+    )
+    base = words.select(
+        "_f", F.regexp_replace("_w", "(.)", "|$1|").alias("_s")
+    )
+
+    def _apply(state: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        return state.withColumn(
+            "_s",
+            F.replace(
+                F.col("_s"),
+                F.lit(f"|{lhs}||{rhs}|"),
+                F.lit(f"|{lhs}{rhs}|"),
+            ),
+        )
+
+    # discovery: K bounded 1-row collects steer the merge literals
+    merges: list[tuple[str, str]] = []
+    state = base
+    for _ in range(n_merges):
+        top = _bpe_pair_top1(state).collect()
+        if not top:
+            break
+        lhs, rhs = top[0]["lhs"], top[0]["rhs"]
+        merges.append((lhs, rhs))
+        state = _apply(state, lhs, rhs)
+
+    # returned plan: the schedule recomputed distributed, one branch
+    # per step with prior merges as literals (linear lineage)
+    out = None
+    state = base
+    for step, (lhs, rhs) in enumerate(merges, start=1):
+        branch = _bpe_pair_top1(state).select(
+            F.lit(step).cast("int").alias("step"),
+            "lhs",
+            "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+        )
+        out = branch if out is None else out.unionAll(branch)
+        state = _apply(state, lhs, rhs)
+    if out is None:  # degenerate corpus: no pair ever existed
+        schema = "step int, lhs string, rhs string, merged string, pair_n bigint"
+        return df.sparkSession.createDataFrame([], schema)
+    return out.orderBy("step")

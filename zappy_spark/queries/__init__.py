@@ -115,6 +115,29 @@ v08, v10, z06, z24), then 5 slots from the r4-green tier head
 No spelling debt exists — this is purely freshness rotation; any
 round-9 new entries displace the r4-tier tail, not the r3 tier.
 
+ROUND-9 ORDERING (this file, EXECUTING that plan): one re-spell
+became known this round — _CHANGED_R9 = t34, whose Spark-side N is
+re-spelled as the scan-side Σ max(tokens−1,0) (value-identical,
+leak-free; round-9 ADVICE), so it must regain a driver row in the
+new form — and two new entries landed (_NEW_R9B: t37 BPE merge-loop
+training, t38 markup stripping — VERDICT r8 items 4 and 5). Per the
+plan's displacement rule both lists displace the r4-tier tail:
+window = 1 (t34) + 5 (_NEW_R9) + 2 (_NEW_R9B) + 40 (r3 tier,
+verbatim) + 2 (r4 head: d15, d16) = 50 exactly; d17/d18/d19 defer
+to round 10. Tier order is ALPHABETICAL within a tier (the same
+order the r8 plan's b04…z24 and d15…d19 listings used).
+
+ROUND-10 ROTATION PLAN (written in round 9, from the latest-row
+table over CORRECTNESS_r01–r09): head = any round-10 re-spells,
+then any round-10 new entries, then the remaining 39-entry r4-green
+tier (alphabetical: d17_span_dedup, d18_fingerprint_dedup,
+d19_cc_closure, d20–d22, l09, l11, r51–r53, r61–r72, s11–s13,
+t15–t20, v11–v15, z25, z27), then fill to 50 from the 43-entry
+r5-green tier head (alphabetical: d23_train_val_test,
+d24_decontaminate_frac, d26, d27, d28, d29, d30, d31, d32, d34,
+d36, …). With no re-spells/new that is 39 + 11 = 50; new entries
+displace the r5-tier fill, never the r4 tier.
+
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
 tests/test_dtypes.py tests/test_plans.py -q` (~3 min); at session
@@ -596,6 +619,75 @@ _NEW_R9 = [
     "t36_quantile_sketch_attest",  # NEW r8→r9: GK-sketch contract
 ]
 
+# ROUND-9 HEAD (executing the round-8 rotation plan, "ROUND-9
+# ORDERING" above): the one spelling change of round 9 must regain
+# a driver row in its new form.
+_CHANGED_R9 = [
+    # round-9 ADVICE: pmi_collocations' N re-spelled scan-side
+    # (Σ max(tokens−1,0)) — value-identical, drops the persist leak
+    # and the second bigram shuffle; oracle unchanged and green
+    "t34_pmi_collocations",
+]
+
+# Brand-new round-9 entries (zero driver rows): VERDICT r8 items 4
+# and 5. Both displace the r4-tier tail per the written plan.
+_NEW_R9B = [
+    "t37_bpe_merges",  # NEW r9: iterative BPE merge-loop training
+    "t38_strip_markup",  # NEW r9: HTML/markup text extraction
+]
+
+# The exactly-40-entry r3-green tier (alphabetical), verbatim from
+# the round-8 plan.
+_R3_TIER_R9 = [
+    "b04_global_topk",
+    "d07_hash_sample",
+    "d08_stratified_sample",
+    "d09_dedup_keep_best",
+    "d10_decontaminate",
+    "d11_mixture_sample",
+    "d12_quantile_buckets",
+    "l02_cosine_topk",
+    "r28b_pivot_native",
+    "r30_asof_join",
+    "r33_interval_arith",
+    "r41_recursive_cte",
+    "r42_zorder_key",
+    "r43_correlated_subquery",
+    "r44_q21_sole_late",
+    "r45_q22_no_urgent",
+    "r46_q13_custdist",
+    "r50_dataset_diff",
+    "s10_outer_interval_join",
+    "s1_tumbling_window",
+    "s6_interval_join",
+    "s8_windowed_topk",
+    "s9_bucket_dedup",
+    "t02_quality_features",
+    "t07_tfidf",
+    "t08_pii_redaction",
+    "t09_chunking",
+    "t10_normalize_text",
+    "t11_repetition",
+    "t12_domain_distribution",
+    "t13_boilerplate",
+    "t14_length_histogram",
+    "v01_ivf_label_topk",
+    "v03_l2_normalize",
+    "v04_quantize_int8",
+    "v05_covariance",
+    "v08_knn_join",
+    "v10_standardize",
+    "z06_unary_suite",
+    "z24_var_axis1",
+]
+
+# r4-green tier head: 2 slots survive the 3-entry displacement
+# (d17/d18/d19 defer to round 10 — see ROUND-10 ROTATION PLAN).
+_R4_HEAD_R9 = [
+    "d15_weighted_sample",
+    "d16_semantic_dedup",
+]
+
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL
 # money sums): all values verified at 3 SFs + the 100× fixture in
 # round 7, but their driver rows predate the new spelling — they
@@ -621,13 +713,63 @@ _DECIMAL_CAMPAIGN_R7 = [
 # r35…t06 fits entirely — head arithmetic above — so the staleness
 # debt clears THIS round, one round earlier than the r7 plan's
 # spill-2 estimate) → the green tiers cycling behind.
+# First occurrence wins (dict.fromkeys dedup): round-9 order is the
+# t34 re-spell → the 5 queued _NEW_R9 → the 2 new _NEW_R9B → the
+# 40-entry r3 tier → d15/d16 = 50 exactly; everything below cycles
+# behind the window (round-10's tiers are already next in line:
+# d17…z27 alphabetical, then the r5 tier).
 _PRIORITY = list(
     dict.fromkeys(
-        _CHANGED_R8
+        _CHANGED_R9
+        + _NEW_R9
+        + _NEW_R9B
+        + _R3_TIER_R9
+        + _R4_HEAD_R9
+        + [  # round-10 r4-tier continuation, alphabetical
+            "d17_span_dedup",
+            "d18_fingerprint_dedup",
+            "d19_cc_closure",
+            "d20_incremental_dedup",
+            "d21_degree_dist",
+            "d22_e2e_corpus_prep",
+            "l09_mips_topk",
+            "l11_variant_pipeline",
+            "r51_q20_dominant_supplier",
+            "r52_q6_scan_only",
+            "r53_q4_priority_exists",
+            "r61_q2_min_cost_supplier",
+            "r62_q12_priority_split",
+            "r63_binned_range_join",
+            "r64_gap_fill",
+            "r65_time_weighted_avg",
+            "r66_funnel",
+            "r67_mode",
+            "r68_q16_supplier_cnt",
+            "r69_asof_tolerance",
+            "r70_percentile_disc",
+            "r71_dq_audit",
+            "r72_histogram",
+            "s11_session_spans",
+            "s12_rolling_anomaly",
+            "s13_window_distinct",
+            "t15_corpus_vocab",
+            "t16_token_entropy",
+            "t17_lexical_diversity",
+            "t18_bm25",
+            "t19_gopher_rules",
+            "t20_unigram_ppl",
+            "v11_centroid_cohesion",
+            "v12_knn_classify",
+            "v13_pq_codes",
+            "v14_adc_scoring",
+            "v15_rank_normalize",
+            "z25_matvec",
+            "z27_scrna_recipe",
+        ]
+        + _CHANGED_R8
         + _NEW_R8
         + _DECIMAL_CAMPAIGN_R7
         + _R2_STALE[8:]  # r35_grouping_sets … t06 (z09…r34 got r7 rows)
-        + _NEW_R9  # queued past slot 50 — r9's window head
         + _CHANGED_R7
         + _NEW_R7
         + _R1_STALE_TAIL

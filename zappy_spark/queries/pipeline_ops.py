@@ -2742,6 +2742,91 @@ def t36(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t37(spark: SparkSession, d: str) -> DataFrame:
+    """BPE merge-loop tokenizer training (round 9, VERDICT r8 item 4
+    — the most-used data-pipeline operator the corpus lacked;
+    operators/text.py::bpe_train_merges): 6 iterations of
+    count-adjacent-symbol-pairs → pick the most frequent
+    (deterministic tie-break) → greedy left-to-right merge, over the
+    lowercased ``[a-z0-9]+`` vocabulary of ``documents.text``.
+    Output = the merge schedule (step, lhs, rhs, merged, pair_n),
+    byte/integer-exact.
+
+    Oracle: the v09-Lloyd's fixed-iteration pattern, unrolled — six
+    chained CTE stages each recomputing pair counts, taking the same
+    deterministic argmax, and applying the merge with the SAME
+    ``replace(s,'|l||r|','|lr|')`` string form, so both engines run
+    the identical algorithm end-to-end (not a sampled check).
+
+    Scale: the corpus collapses to the Heaps-bounded (word, freq)
+    vocab in ONE hash agg; each iteration is a narrow pair explode +
+    map-side-combinable agg + TakeOrderedAndProject(1) — the 1-row
+    driver collects are the kmeans centroids-as-literals precedent,
+    keeping lineage linear in the merge count."""
+    from zappy_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(t(spark, d, "documents"), "text", n_merges=6)
+
+
+def t38(spark: SparkSession, d: str) -> DataFrame:
+    """Markup stripping / text extraction (round 9, VERDICT r8 item
+    5; operators/text.py::strip_markup): plant four deterministic
+    markup shapes over ``documents.text`` (the t08 planted-PII
+    pattern — testdata has no organic HTML) — a full page with
+    script/style/comment blocks + the entity set, nested divs with
+    an id interpolation, untouched text, and an UPPERCASE-tag list —
+    then strip and emit the cleaned strings. Both engines run the
+    identical regexp/replace chain, so every byte of the output
+    hash-checks the whole pipeline: block removal, tag removal,
+    entity decode order (&amp; last), whitespace collapse.
+
+    Scale: scan-side expression chain, zero shuffles before the
+    presentation orderBy; wired AHEAD of the quality-filter family
+    (t02/t19 consume clean text at 100 TB)."""
+    from zappy_spark.operators.text import strip_markup
+
+    docs = t(spark, d, "documents")
+    i = F.col("doc_id").cast("string")
+    head60 = F.substring("text", 1, 60)
+    head40 = F.substring("text", 1, 40)
+    planted = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(
+                    '<!DOCTYPE html><html><head><style type="text/css">\n'
+                    "body {color: #fff}\n</style><script src=\"a.js\">\n"
+                    'var a = 1 < 2 && "x";\n</script></head><body>'
+                    '<h1 class="t">'
+                ),
+                head60,
+                F.lit("</h1><!-- hidden\ncomment --><p>doc &amp; "),
+                i,
+                F.lit(" &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<div id="d'), i, F.lit('"><p>'), head60,
+                F.lit("</p><br/></div>"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("<UL><LI>"), head40,
+                F.lit("</LI><LI>item &amp; more</LI></UL>"),
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", strip_markup(planted).alias("clean"))
+        .orderBy("doc_id")
+        .limit(120)
+    )
+
+
 def d48(spark: SparkSession, d: str) -> DataFrame:
     """Deterministic epoch-shuffle ordering (round 8, queued r9-head):
     assign every document its global position in a reproducible
@@ -3174,6 +3259,8 @@ QUERIES = {
     "t35_kappa_agreement": t35,
     "d48_epoch_shuffle": d48,
     "t36_quantile_sketch_attest": t36,
+    "t37_bpe_merges": t37,
+    "t38_strip_markup": t38,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -3488,6 +3575,96 @@ def _adc_oracle(limit: int = 20) -> str:
     )
 
 
+def _strip_markup_sql(expr: str) -> str:
+    """Wrap a SQL string expression in the exact strip_markup chain
+    (operators/text.py) — same pattern order, same entity order, so
+    the oracle replays the operator byte-for-byte."""
+    out = expr
+    for pat in (
+        "(?is)<script[^>]*>.*?</script>",
+        "(?is)<style[^>]*>.*?</style>",
+        "(?s)<!--.*?-->",
+        "<[^>]*>",
+    ):
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&#34;", '"'),
+        ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({out}, '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+def _t38_oracle() -> str:
+    page0 = (
+        "'<!DOCTYPE html><html><head><style type=\"text/css\">\n"
+        "body {color: #fff}\n</style><script src=\"a.js\">\n"
+        "var a = 1 < 2 && \"x\";\n</script></head><body>"
+        "<h1 class=\"t\">' || substr(text,1,60) || "
+        "'</h1><!-- hidden\ncomment --><p>doc &amp; ' || "
+        "CAST(doc_id AS VARCHAR) || "
+        "' &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>'"
+    )
+    page1 = (
+        "'<div id=\"d' || CAST(doc_id AS VARCHAR) || '\"><p>' || "
+        "substr(text,1,60) || '</p><br/></div>'"
+    )
+    page3 = (
+        "'<UL><LI>' || substr(text,1,40) || "
+        "'</LI><LI>item &amp; more</LI></UL>'"
+    )
+    return (
+        "WITH p AS (SELECT doc_id, CASE doc_id % 4 "
+        f"WHEN 0 THEN {page0} WHEN 1 THEN {page1} WHEN 2 THEN text "
+        f"ELSE {page3} END s FROM documents) "
+        f"SELECT doc_id, {_strip_markup_sql('s')} clean "
+        "FROM p ORDER BY doc_id LIMIT 120"
+    )
+
+
+def _bpe_oracle(k: int = 6) -> str:
+    """Unrolled fixed-iteration BPE replay (t37): the v09 Lloyd's
+    CTE pattern without recursion — step k's stage recomputes pair
+    counts from stage k−1's symbol strings, takes the identical
+    (count DESC, lhs, rhs) argmax, and applies the merge with the
+    same '|l||r|' → '|lr|' string replace the Spark operator uses
+    (plain left-to-right replace = greedy BPE in both engines)."""
+    parts = [
+        "WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents), "
+        "v AS (SELECT lower(t) w, COUNT(*) f FROM tok "
+        "WHERE regexp_matches(lower(t), '^[a-z0-9]+$') GROUP BY 1), "
+        "s0 AS (SELECT w, f, regexp_replace(w, '(.)', '|\\1|', 'g') s "
+        "FROM v)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", a{i} AS (SELECT w, f, list_filter(string_split(s,'|'), "
+            f"x -> x<>'') arr FROM s{i - 1})"
+            f", e{i} AS (SELECT w, f, generate_subscripts(arr,1) i, "
+            f"unnest(arr) a FROM a{i})"
+            f", b{i} AS (SELECT x.a l, y.a r, SUM(x.f) n "
+            f"FROM e{i} x JOIN e{i} y ON x.w = y.w AND y.i = x.i + 1 "
+            f"GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)"
+            f", s{i} AS (SELECT w, f, replace(s, "
+            f"'|' || b.l || '||' || b.r || '|', "
+            f"'|' || b.l || b.r || '|') s FROM s{i - 1}, b{i} b)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) step, l lhs, r rhs, l || r merged, "
+        f"CAST(n AS BIGINT) pair_n FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f" SELECT * FROM ({unions}) ORDER BY step")
+    return "".join(parts)
+
+
 def _pq_oracle(limit: int = 200) -> str:
     """DuckDB replica of pq_codes(pq_codebook()): identical literal
     centroids, identical left-folded squared-distance accumulation
@@ -3748,6 +3925,14 @@ ORACLE = {
         "TRUE AS sketch_ok_p50, TRUE AS sketch_ok_p90 "
         "FROM lineitem GROUP BY 1 ORDER BY 1"
     ),
+    # t37: the whole 6-merge BPE loop replayed unrolled (fixed-
+    # iteration Lloyd's pattern) with the identical string-replace
+    # merge application — a full algorithm replay, not a spot check.
+    "t37_bpe_merges": _bpe_oracle(6),
+    # t38: the planted-markup CASE + the identical strip chain in
+    # DuckDB — every output byte checks block/tag/entity/whitespace
+    # handling (the t08 planted-fixture pattern).
+    "t38_strip_markup": _t38_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
