@@ -3204,6 +3204,32 @@ def test_pmi_collocations_planted_pair(spark):
     assert ranks["rare gem"] < ranks["common word"]
 
 
+def test_image_patch_features_matches_direct_slices(spark):
+    """m06's reshape-transpose patch grid must equal direct 2-D
+    slicing of the fabricated image, per patch, for several ids —
+    and the values must survive the real PNG round-trip."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import image_patch_features
+
+    df = spark.createDataFrame([(7,), (200,)], ["media_id"])
+    got = {
+        (r["media_id"], r["patch_y"], r["patch_x"]): (
+            r["px_sum"], r["px_min"], r["px_max"])
+        for r in image_patch_features(df, "media_id", patch=8).collect()
+    }
+    yy, xx = np.mgrid[0:16, 0:16]
+    for mid in (7, 200):
+        img = ((3 * mid + 5 * yy + 13 * xx) % 256).astype(np.int64)
+        for py in range(2):
+            for px in range(2):
+                sl = img[py * 8:(py + 1) * 8, px * 8:(px + 1) * 8]
+                assert got[(mid, py, px)] == (
+                    int(sl.sum()), int(sl.min()), int(sl.max())
+                ), (mid, py, px)
+    assert len(got) == 8
+
+
 def test_strip_markup_organic_patterns(spark):
     """t38's chain on organic-crawl edge shapes: nested tags,
     attributes with '>'-free bodies, multi-line script/style with
@@ -3307,6 +3333,26 @@ def test_bpe_train_merges_hand_schedule(spark):
     plan = bpe_train_merges(df, "text", n_merges=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_segment_stats_hand_counts(spark):
+    """t39's audit on the hand-schedule corpus: with the 3 merges
+    from test_bpe_train_merges_hand_schedule, 'aaa' segments to one
+    subword, 'abab' to two, and 'zed!' is out-of-scope."""
+    from zappy_spark.operators.text import bpe_segment_stats
+
+    rows = [(i, "aaa abab" if i < 3 else "aaa Zed!", i % 2)
+            for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    got = {
+        r["grp"]: (r["n_words"], r["n_chars"], r["n_subwords"],
+                   r["n_oov_words"])
+        for r in bpe_segment_stats(df, "text", "grp", n_merges=3).collect()
+    }
+    # grp 0 = docs 0,2: (aaa abab)x2 -> 4 words, 14 chars, 6 subwords
+    assert got[0] == (4, 14, 6, 0)
+    # grp 1 = docs 1,3: aaa abab aaa zed! -> 3 in-scope, 1 oov
+    assert got[1] == (3, 10, 4, 1)
 
 
 def test_bpe_merge_application_greedy(spark):

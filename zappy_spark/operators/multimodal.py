@@ -583,6 +583,79 @@ def gif_attest_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("patch_y", LongType()),
+        StructField("patch_x", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def image_patch_features(
+    df: DataFrame, id_col: str = "media_id", patch: int = 8
+) -> DataFrame:
+    """ViT-style patch extraction through the full Spark surface
+    (round 9 — the m04/z32 attestation playbook applied to the ONE
+    multimodal preprocessing shape the corpus lacked: image →
+    non-overlapping P×P patch grid, the data movement in front of
+    every vision-transformer encoder): per id, fabricate a
+    deterministic 16×16 grayscale image px(y,x) = (3·id + 5y + 13x)
+    mod 256, push it through REAL ``encode_png`` (Paeth filter —
+    the hairiest of the five) → ``decode_png``, reshape the DECODED
+    pixels into the patch grid, and emit one row per patch with
+    exact-integer stats. An oracle replays the fabrication + patch
+    arithmetic in SQL without touching bytes; any bug in the codec
+    or the patch bookkeeping flips the hash.
+
+    Scale: one narrow id column in, (16/P)² rows of six ints out,
+    constant work per row inside Arrow batches; payloads never
+    leave the executor. The same reshape — (H/P, P, W/P, P) →
+    transpose — is the production path for real decoded buffers."""
+    import numpy as np
+
+    from zappy_spark.sources.pnglite import decode_png, encode_png
+
+    n = 16
+    if n % patch:
+        raise ValueError(f"patch {patch} must divide {n}")
+    g = n // patch
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:n, 0:n]
+        for pdf in it:
+            out = {k.name: [] for k in PATCH_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                img = ((3 * mid + 5 * yy + 13 * xx) % 256).astype(np.uint8)
+                dec, meta = decode_png(encode_png(img, filter_type=4))
+                if dec.ndim == 3:  # gray decodes H×W×1
+                    dec = dec[:, :, 0]
+                assert dec.shape == (n, n)
+                px = dec.astype(np.int64)
+                # (g, P, g, P) -> (g, g, P, P): the ViT patch grid
+                grid = px.reshape(g, patch, g, patch).transpose(0, 2, 1, 3)
+                for py in range(g):
+                    for gx in range(g):
+                        p = grid[py, gx]
+                        out["media_id"].append(mid)
+                        out["patch_y"].append(py)
+                        out["patch_x"].append(gx)
+                        out["px_sum"].append(int(p.sum()))
+                        out["px_min"].append(int(p.min()))
+                        out["px_max"].append(int(p.max()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=PATCH_SCHEMA
+    )
+
+
 WAV_ATTEST_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -1034,6 +1034,112 @@ def pmi_collocations(
     )
 
 
+def _bpe_base_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(freq, symbol-string) vocabulary a BPE loop iterates over:
+    lowercased ``^[a-z0-9]+$`` whitespace tokens, ONE hash agg
+    (Heaps-law bounded — corpus-size-independent thereafter), each
+    word's symbols as the ``|c1||c2||…|`` delimiter-wrapped string."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("_w0")
+        )
+        .select(F.lower("_w0").alias("_w"))
+        .filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+        .select("_f", F.regexp_replace("_w", "(.)", "|$1|").alias("_s"))
+    )
+
+
+def bpe_apply_merges(
+    sym_string: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a merge schedule (in order) to a ``|s1||s2||…|`` symbol
+    string: each merge is ONE plain left-to-right replace — exact
+    greedy BPE application (see bpe_train_merges)."""
+    out = sym_string
+    for lhs, rhs in merges:
+        out = F.replace(out, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
+    return out
+
+
+def bpe_discover_merges(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[str, str]]:
+    """Run the BPE training loop and return the merge schedule as
+    driver literals — ``n_merges`` jobs, each a vocab-sized pair agg
+    collecting exactly ONE row (the v09 Lloyd's centroids-as-
+    literals precedent)."""
+    merges: list[tuple[str, str]] = []
+    state = _bpe_base_vocab(df, text_col)
+    for _ in range(n_merges):
+        top = _bpe_pair_top1(state).collect()
+        if not top:
+            break
+        lhs, rhs = top[0]["lhs"], top[0]["rhs"]
+        merges.append((lhs, rhs))
+        state = state.withColumn(
+            "_s", bpe_apply_merges(F.col("_s"), [(lhs, rhs)])
+        )
+    return merges
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Subword segmentation audit — the APPLY half of tokenizer
+    training (train K merges, apply, re-count): per ``group_col``,
+    the corpus token economics under the trained merges. Returns
+    (group, n_words, n_chars, n_subwords, n_oov_words) — all exact
+    BIGINTs. ``n_subwords`` is Σ per-word symbol count after the
+    merge schedule; fertility = n_subwords / n_words and the
+    compression ratio n_chars / n_subwords are one division away
+    for consumers holding the integers (the probe discipline).
+    Out-of-scope words (anything not lowercase ``[a-z0-9]+`` after
+    lowering — the same pre-tokenizer scope training used) are
+    counted separately, not segmented.
+
+    Scale: after the discovery jobs (vocab-sized, 1-row collects),
+    the audit is ONE corpus scan with NO join: a word's subword
+    count is a deterministic expression of the word itself (wrap →
+    K literal replaces → count), so the merge table never ships —
+    it is compiled INTO the scan — and the only shuffle is the
+    |groups|-row final agg."""
+    merges = bpe_discover_merges(df, text_col, n_merges)
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_w0"),
+    ).select("grp", F.lower("_w0").alias("_w"))
+    in_scope = F.col("_w").rlike("^[a-z0-9]+$")
+    seg = bpe_apply_merges(
+        F.regexp_replace("_w", "(.)", "|$1|"), merges
+    )
+    n_sym = F.size(F.filter(F.split(seg, "\\|"), lambda x: x != ""))
+    return (
+        tok.select(
+            "grp",
+            in_scope.cast("bigint").alias("_in"),
+            F.when(in_scope, F.length("_w")).otherwise(0).alias("_ch"),
+            F.when(in_scope, n_sym).otherwise(0).alias("_ns"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("_in").alias("n_words"),
+            F.sum("_ch").cast("bigint").alias("n_chars"),
+            F.sum("_ns").cast("bigint").alias("n_subwords"),
+            (F.count("*") - F.sum("_in")).alias("n_oov_words"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def _bpe_pair_top1(state: DataFrame) -> DataFrame:
     """Best adjacent symbol pair of a BPE state frame (``_f`` word
     freq, ``_s`` the ``|s1||s2||…|`` symbol string): explode adjacent
@@ -1097,41 +1203,14 @@ def bpe_train_merges(
     applies merges 1..k−1 as literal replaces, so collecting it is
     n_merges one-agg jobs, each TakeOrderedAndProject (no global
     sort anywhere)."""
-    words = (
-        df.select(
-            F.explode(
-                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-            ).alias("_w0")
-        )
-        .select(F.lower("_w0").alias("_w"))
-        .filter(F.col("_w").rlike("^[a-z0-9]+$"))
-        .groupBy("_w")
-        .agg(F.count("*").alias("_f"))
-    )
-    base = words.select(
-        "_f", F.regexp_replace("_w", "(.)", "|$1|").alias("_s")
-    )
+    base = _bpe_base_vocab(df, text_col)
 
     def _apply(state: DataFrame, lhs: str, rhs: str) -> DataFrame:
         return state.withColumn(
-            "_s",
-            F.replace(
-                F.col("_s"),
-                F.lit(f"|{lhs}||{rhs}|"),
-                F.lit(f"|{lhs}{rhs}|"),
-            ),
+            "_s", bpe_apply_merges(F.col("_s"), [(lhs, rhs)])
         )
 
-    # discovery: K bounded 1-row collects steer the merge literals
-    merges: list[tuple[str, str]] = []
-    state = base
-    for _ in range(n_merges):
-        top = _bpe_pair_top1(state).collect()
-        if not top:
-            break
-        lhs, rhs = top[0]["lhs"], top[0]["rhs"]
-        merges.append((lhs, rhs))
-        state = _apply(state, lhs, rhs)
+    merges = bpe_discover_merges(df, text_col, n_merges)
 
     # returned plan: the schedule recomputed distributed, one branch
     # per step with prior merges as literals (linear lineage)

@@ -2667,6 +2667,26 @@ def m04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m06(spark: SparkSession, d: str) -> DataFrame:
+    """ViT patch-extraction attestation (round 9;
+    operators/multimodal.py::image_patch_features): deterministic
+    16×16 grayscale images through the REAL pnglite encoder (Paeth
+    filter) AND decoder, then the (H/P, P, W/P, P)-reshape patch
+    grid — one row of exact-integer stats per 8×8 patch. The oracle
+    replays fabrication + patch arithmetic closed-form (no bytes),
+    so the hash pins the codec round-trip AND the patch
+    bookkeeping. Bounded instrument: 100 ids, 400 rows at any
+    corpus size."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return multimodal.image_patch_features(ids, "doc_id", patch=8).orderBy(
+        "media_id", "patch_y", "patch_x"
+    )
+
+
 def t36(spark: SparkSession, d: str) -> DataFrame:
     """Quantile-sketch attestation (round 8, queued r9-head — the
     r81/v07/t25/d35/d44 estimator-contract trick applied to the LAST
@@ -2766,6 +2786,27 @@ def t37(spark: SparkSession, d: str) -> DataFrame:
     from zappy_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(t(spark, d, "documents"), "text", n_merges=6)
+
+
+def t39(spark: SparkSession, d: str) -> DataFrame:
+    """BPE subword segmentation audit (round 9 — the APPLY half of
+    VERDICT r8 item 4's "train K merges, apply, re-count";
+    operators/text.py::bpe_segment_stats): per source, the corpus
+    token economics under the 6 merges t37 trains — words, chars,
+    subwords after segmentation, out-of-scope words. Fertility and
+    compression ratio are one division away from the exact BIGINTs.
+
+    Scale: a word's subword count is a deterministic EXPRESSION of
+    the word (wrap → 6 literal replaces → count), so the audit is
+    ONE corpus scan with no join — the trained merge table compiles
+    into the scan — plus a |sources|-row agg. The oracle re-trains
+    with the t37 CTE prefix and segments with the same replaces:
+    the full train→apply loop replays on both engines."""
+    from zappy_spark.operators.text import bpe_segment_stats
+
+    return bpe_segment_stats(
+        t(spark, d, "documents"), "text", "source", n_merges=6
+    ).orderBy("source")
 
 
 def t38(spark: SparkSession, d: str) -> DataFrame:
@@ -3261,6 +3302,8 @@ QUERIES = {
     "t36_quantile_sketch_attest": t36,
     "t37_bpe_merges": t37,
     "t38_strip_markup": t38,
+    "t39_bpe_segment": t39,
+    "m06_patch_attest": m06,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -3628,13 +3671,10 @@ def _t38_oracle() -> str:
     )
 
 
-def _bpe_oracle(k: int = 6) -> str:
-    """Unrolled fixed-iteration BPE replay (t37): the v09 Lloyd's
-    CTE pattern without recursion — step k's stage recomputes pair
-    counts from stage k−1's symbol strings, takes the identical
-    (count DESC, lhs, rhs) argmax, and applies the merge with the
-    same '|l||r|' → '|lr|' string replace the Spark operator uses
-    (plain left-to-right replace = greedy BPE in both engines)."""
+def _bpe_train_ctes(k: int) -> str:
+    """The unrolled BPE training prefix shared by the t37 and t39
+    oracles: WITH chain producing b1..b{k} (per-step winning pair +
+    count) and s{k} (final vocab symbol strings)."""
     parts = [
         "WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), "
         "x -> x<>'')) t FROM documents), "
@@ -3656,13 +3696,54 @@ def _bpe_oracle(k: int = 6) -> str:
             f"'|' || b.l || '||' || b.r || '|', "
             f"'|' || b.l || b.r || '|') s FROM s{i - 1}, b{i} b)"
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int = 6) -> str:
+    """Unrolled fixed-iteration BPE replay (t37): the v09 Lloyd's
+    CTE pattern without recursion — step k's stage recomputes pair
+    counts from stage k−1's symbol strings, takes the identical
+    (count DESC, lhs, rhs) argmax, and applies the merge with the
+    same '|l||r|' → '|lr|' string replace the Spark operator uses
+    (plain left-to-right replace = greedy BPE in both engines)."""
     unions = " UNION ALL ".join(
         f"SELECT CAST({i} AS INT) step, l lhs, r rhs, l || r merged, "
         f"CAST(n AS BIGINT) pair_n FROM b{i}"
         for i in range(1, k + 1)
     )
-    parts.append(f" SELECT * FROM ({unions}) ORDER BY step")
-    return "".join(parts)
+    return _bpe_train_ctes(k) + f" SELECT * FROM ({unions}) ORDER BY step"
+
+
+def _t39_oracle(k: int = 6) -> str:
+    """BPE application replay (t39): re-train the schedule with the
+    t37 CTE prefix, then segment every in-scope corpus token with
+    the same chained replaces (merge pairs referenced straight from
+    the b1..b{k} single-row CTEs) and aggregate per source."""
+    merge_cols = ", ".join(f"b{i}.l l{i}, b{i}.r r{i}" for i in range(1, k + 1))
+    merge_from = ", ".join(f"b{i}" for i in range(1, k + 1))
+    seg = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for i in range(1, k + 1):
+        seg = (
+            f"replace({seg}, '|' || l{i} || '||' || r{i} || '|', "
+            f"'|' || l{i} || r{i} || '|')"
+        )
+    return (
+        _bpe_train_ctes(k)
+        + f", m AS (SELECT {merge_cols} FROM {merge_from})"
+        ", tokx AS (SELECT source grp, lower(t) w FROM "
+        "(SELECT source, unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents))"
+        ", segd AS (SELECT grp, w, "
+        "regexp_matches(w, '^[a-z0-9]+$') ins, "
+        f"len(list_filter(string_split({seg}, '|'), x -> x<>'')) ns "
+        "FROM tokx, m) "
+        "SELECT grp source, "
+        "CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) n_words, "
+        "CAST(SUM(CASE WHEN ins THEN len(w) ELSE 0 END) AS BIGINT) n_chars, "
+        "CAST(SUM(CASE WHEN ins THEN ns ELSE 0 END) AS BIGINT) n_subwords, "
+        "CAST(SUM(CASE WHEN ins THEN 0 ELSE 1 END) AS BIGINT) n_oov_words "
+        "FROM segd GROUP BY 1 ORDER BY 1"
+    )
 
 
 def _pq_oracle(limit: int = 200) -> str:
@@ -3933,6 +4014,21 @@ ORACLE = {
     # DuckDB — every output byte checks block/tag/entity/whitespace
     # handling (the t08 planted-fixture pattern).
     "t38_strip_markup": _t38_oracle(),
+    # m06: fabrication + patch arithmetic replayed closed-form; the
+    # Spark numbers came through encode_png(Paeth) -> decode_png ->
+    # patch reshape, so equality attests codec AND bookkeeping.
+    "m06_patch_attest": (
+        "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100), "
+        "px AS (SELECT doc_id, y.g // 8 py, x.g // 8 pxg, "
+        "(3*doc_id + 5*y.g + 13*x.g) % 256 v "
+        "FROM ids, generate_series(0,15) y(g), generate_series(0,15) x(g)) "
+        "SELECT doc_id AS media_id, CAST(py AS BIGINT) patch_y, "
+        "CAST(pxg AS BIGINT) patch_x, CAST(SUM(v) AS BIGINT) px_sum, "
+        "CAST(MIN(v) AS BIGINT) px_min, CAST(MAX(v) AS BIGINT) px_max "
+        "FROM px GROUP BY 1, 2, 3 ORDER BY media_id, patch_y, patch_x"
+    ),
+    # t39: full train->apply replay sharing the t37 training prefix.
+    "t39_bpe_segment": _t39_oracle(6),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (

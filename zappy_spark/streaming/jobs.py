@@ -704,10 +704,15 @@ def rolling_median_stateful(stream: DataFrame) -> DataFrame:
 # API) was evaluated and crashes in this environment even on a
 # minimal example ("TransformWithStateInPySpark driver worker exited
 # unexpectedly") — applyInPandasWithState above is the supported
-# custom-state surface here. Re-verified rounds 5 and 8: identical
-# crash on a minimal ValueState counter (RocksDB provider, memory
-# sink, rate source; "TransformWithStateInPySpark driver worker
-# exited unexpectedly" before the first micro-batch commits).
+# custom-state surface here. Re-verified rounds 5, 8 and 9:
+# identical crash on a minimal ValueState counter (RocksDB provider,
+# memory sink, rate source; "TransformWithStateInPySpark driver
+# worker exited unexpectedly" before the first micro-batch commits).
+# The round-9 probe also re-confirmed no codec/compression libs
+# (PIL/cv2/imageio/soundfile/librosa/blosc/blosc2/zarr/numcodecs/
+# zstandard/brotli all absent), so the JPEG-class and blosc
+# activation paths (multimodal.py:16, zarrlite docstring) stay
+# dormant.
 
 
 def interval_stream_join(
