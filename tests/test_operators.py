@@ -3204,6 +3204,30 @@ def test_pmi_collocations_planted_pair(spark):
     assert ranks["rare gem"] < ranks["common word"]
 
 
+def test_mmr_rerank_batch_prefers_diversity(spark):
+    """v27's batch MMR on a hand case: the #2-by-relevance candidate
+    is an exact duplicate of #1, so at λ=0.7/μ=0.3 the diverse
+    orthogonal candidate must take rank 2 and the duplicate drops to
+    rank 3 — per query, across a 2-query batch."""
+    from zappy_spark.operators.similarity import mmr_rerank_batch
+
+    rows = []
+    for q in (10, 20):
+        rows += [
+            (q, 1, [1.0, 0.0], 0.9),   # top relevance
+            (q, 2, [1.0, 0.0], 0.89),  # duplicate of #1
+            (q, 3, [0.0, 1.0], 0.6),   # diverse
+        ]
+    df = spark.createDataFrame(rows, ["qid", "cid", "v", "rel"])
+    out = mmr_rerank_batch(
+        df, "qid", "cid", "v", "rel", k=3, lam=0.7, mu=0.3
+    ).collect()
+    got = {(r["qid"], r["rnk"]): r["cid"] for r in out}
+    for q in (10, 20):
+        # rank2: dup scores 0.7*0.89-0.3*1=0.323 < diverse 0.42
+        assert (got[(q, 1)], got[(q, 2)], got[(q, 3)]) == (1, 3, 2)
+
+
 def test_image_patch_features_matches_direct_slices(spark):
     """m06's reshape-transpose patch grid must equal direct 2-D
     slicing of the fabricated image, per patch, for several ids —

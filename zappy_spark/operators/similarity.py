@@ -132,6 +132,92 @@ def knn_join(
     )
 
 
+def mmr_rerank_batch(
+    cands: DataFrame,
+    qid_col: str,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 3,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """BATCH maximal-marginal-relevance diversity re-ranking (round
+    9 — Carbonell & Goldstein 1998; the fully-distributed multi-
+    query counterpart of the single-query driver-side ``mmr_rerank``
+    below, which collects a shortlist² sim matrix per query and
+    cannot batch): iteratively select ``k`` of each query's candidates,
+    greedy argmax of lam·relevance − mu·max_sim_to_already_selected.
+    ``lam``/``mu`` are SEPARATE parameters, not lam/(1−lam) — in
+    IEEE doubles 1−0.7 ≠ 0.3, and the oracle writes the literal
+    0.3, so deriving mu would diverge the engines at the last ulp.
+
+    ``cands`` has one row per (query, candidate): query id,
+    candidate id, candidate vector, relevance (pre-rounded, e.g.
+    knn_join's round-4 sim). Pairwise candidate similarities are
+    rounded to ``round_digits`` before scoring — the v08 discipline
+    that makes every downstream comparison an identical-IEEE-ops
+    decision on identical inputs in both engines (ties then break
+    on the candidate id).
+
+    Returns (qid, rnk, id, rel) for the selected rows.
+
+    Scale: the selection loop is UNROLLED into k per-query window
+    argmaxes over the candidate panel (|Q|·top_k rows after the ANN
+    stage — panel-sized, never corpus-sized); each step joins the
+    1-row-per-query picks back broadcast. No driver collects, no
+    global sort."""
+    from pyspark.sql import Window
+
+    from zappy_spark.operators.vecmath import cosine
+
+    cur = cands.select(
+        F.col(qid_col).alias("_q"),
+        F.col(id_col).alias("_c"),
+        F.col(vec_col).alias("_v"),
+        F.col(rel_col).alias("_rel"),
+    )
+    out = None
+    sel_vecs: list[str] = []
+    for rank in range(1, k + 1):
+        if sel_vecs:
+            sims = [
+                F.round(cosine(F.col("_v"), F.col(sv)), round_digits)
+                for sv in sel_vecs
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(lam) * F.col("_rel") - F.lit(mu) * maxsim
+        else:
+            score = F.col("_rel")
+        w = Window.partitionBy("_q").orderBy(score.desc(), F.col("_c"))
+        pick = (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_q", "_c", "_v", "_rel")
+        )
+        row = pick.select(
+            F.col("_q").alias(qid_col),
+            F.lit(rank).cast("int").alias("rnk"),
+            F.col("_c").alias(id_col),
+            F.col("_rel").alias("rel"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if rank < k:
+            sv = f"_sel{rank}"
+            cur = cur.join(
+                F.broadcast(
+                    pick.select(
+                        F.col("_q"), F.col("_c").alias("_pc"),
+                        F.col("_v").alias(sv),
+                    )
+                ),
+                "_q",
+            ).filter(F.col("_c") != F.col("_pc")).drop("_pc")
+            sel_vecs.append(sv)
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

@@ -2667,6 +2667,38 @@ def m04(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v27(spark: SparkSession, d: str) -> DataFrame:
+    """MMR diversity re-ranking (round 9;
+    operators/similarity.py::mmr_rerank): 20-query panel → exact
+    cosine top-8 via knn_join (round-4 discipline) → 3-step greedy
+    MMR selection at λ=0.7/μ=0.3 — the standard step between ANN
+    retrieval and a RAG context window. The oracle unrolls the same
+    3 argmaxes with ROW_NUMBER; relevance and pairwise sims are
+    rounded to 4 digits BEFORE scoring, so every comparison is
+    identical IEEE arithmetic on identical inputs in both engines.
+
+    Scale: the ANN stage is the v08 shape (broadcast query panel ×
+    one candidate scan + per-query window top-k); the MMR loop then
+    touches only the |Q|×8 panel — selection cost is independent of
+    corpus size."""
+    from zappy_spark.operators.similarity import knn_join, mmr_rerank_batch
+
+    emb = t(spark, d, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
+    top = knn_join(
+        c, q, "embedding", "vec_id", "qv", "qid", k=8, round_digits=4
+    )
+    cand = top.join(
+        c.select("vec_id", F.col("embedding").alias("cv")), "vec_id"
+    )
+    return mmr_rerank_batch(
+        cand, "qid", "vec_id", "cv", "sim", k=3, lam=0.7, mu=0.3
+    ).orderBy("qid", "rnk")
+
+
 def m06(spark: SparkSession, d: str) -> DataFrame:
     """ViT patch-extraction attestation (round 9;
     operators/multimodal.py::image_patch_features): deterministic
@@ -3304,6 +3336,7 @@ QUERIES = {
     "t38_strip_markup": t38,
     "t39_bpe_segment": t39,
     "m06_patch_attest": m06,
+    "v27_mmr_rerank": v27,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4014,6 +4047,41 @@ ORACLE = {
     # DuckDB — every output byte checks block/tag/entity/whitespace
     # handling (the t08 planted-fixture pattern).
     "t38_strip_markup": _t38_oracle(),
+    # v27: the 3-step greedy selection unrolled; rel and pairwise
+    # sims rounded to 4dp BEFORE scoring (v08 discipline), 0.7/0.3
+    # as literals on both engines (never 1-lam: 1-0.7 != 0.3 in
+    # doubles).
+    "v27_mmr_rerank": (
+        "WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv "
+        "FROM embeddings WHERE vec_id < 20), "
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv "
+        "FROM embeddings WHERE vec_id >= 20), "
+        "s AS (SELECT qid, vec_id, cv, "
+        "ROUND(list_cosine_similarity(cv, qv), 4) rel FROM c, q), "
+        "top AS (SELECT qid, vec_id, cv, rel FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) rn "
+        "FROM s) WHERE rn <= 8), "
+        "p1 AS (SELECT qid, vec_id, cv, rel FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) rn "
+        "FROM top) WHERE rn = 1), "
+        "c2 AS (SELECT t.qid, t.vec_id, t.cv, t.rel, "
+        "ROUND(list_cosine_similarity(t.cv, p.cv), 4) m1 "
+        "FROM top t JOIN p1 p ON t.qid = p.qid AND t.vec_id <> p.vec_id), "
+        "p2 AS (SELECT qid, vec_id, cv, rel, m1 FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY 0.7*rel - 0.3*m1 DESC, vec_id) rn FROM c2) WHERE rn = 1), "
+        "c3 AS (SELECT t.qid, t.vec_id, t.rel, "
+        "GREATEST(t.m1, ROUND(list_cosine_similarity(t.cv, p.cv), 4)) m2 "
+        "FROM c2 t JOIN p2 p ON t.qid = p.qid AND t.vec_id <> p.vec_id), "
+        "p3 AS (SELECT qid, vec_id, rel FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY 0.7*rel - 0.3*m2 DESC, vec_id) rn FROM c3) WHERE rn = 1) "
+        "SELECT * FROM ("
+        "SELECT qid, CAST(1 AS INT) rnk, vec_id, rel FROM p1 "
+        "UNION ALL SELECT qid, CAST(2 AS INT) rnk, vec_id, rel FROM p2 "
+        "UNION ALL SELECT qid, CAST(3 AS INT) rnk, vec_id, rel FROM p3"
+        ") ORDER BY qid, rnk"
+    ),
     # m06: fabrication + patch arithmetic replayed closed-form; the
     # Spark numbers came through encode_png(Paeth) -> decode_png ->
     # patch reshape, so equality attests codec AND bookkeeping.
