@@ -1694,3 +1694,51 @@ def test_zarr_v3_sharded_gzip_round_trip(spark, tmp_path):
     )
     got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
     assert np.array_equal(got, X)
+
+
+def test_zarr_v2_consolidated_metadata(spark, tmp_path):
+    """z34's surface: write_zarr_v2(consolidated=True) emits the real
+    zarr ``.zmetadata`` document (zarr_consolidated_format 1, every
+    metadata key inlined), the reader opens through it with the
+    per-key ``.zarray`` DELETED, a stale-format version is loudly
+    rejected, and the walk picks up nested group metadata keys."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from zappy_spark.sources.zarrlite import (
+        write_consolidated_metadata,
+        write_zarr_v2,
+    )
+
+    X = np.arange(30, dtype=np.float64).reshape(10, 3)
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    store = tmp_path / "v2c"
+    write_zarr_v2(
+        zf.df.selectExpr("row_id", "vec"),
+        str(store),
+        chunk_rows=4,
+        ncols=3,
+        compressor="zlib",
+        consolidated=True,
+    )
+    doc = _json.loads((store / ".zmetadata").read_text())
+    assert doc["zarr_consolidated_format"] == 1
+    assert doc["metadata"][".zarray"]["zarr_format"] == 2
+    # the proof read: only .zmetadata can serve the open
+    os.remove(store / ".zarray")
+    got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
+    assert np.array_equal(got, X)
+    # nested keys are walked into the document with '/' separators
+    sub = store / "grp"
+    sub.mkdir()
+    (sub / ".zgroup").write_text('{"zarr_format": 2}')
+    write_consolidated_metadata(str(store))
+    doc2 = _json.loads((store / ".zmetadata").read_text())
+    assert doc2["metadata"]["grp/.zgroup"] == {"zarr_format": 2}
+    # unsupported consolidated version -> loud rejection
+    doc2["zarr_consolidated_format"] = 2
+    (store / ".zmetadata").write_text(_json.dumps(doc2))
+    with _pytest.raises(NotImplementedError, match="consolidated"):
+        ZappyFrame.from_zarrlite(spark, str(store)).asndarray()

@@ -129,9 +129,10 @@ order the r8 plan's b04…z24 and d15…d19 listings used).
 
 ROUND-10 ROTATION PLAN (written in round 9, from the latest-row
 table over CORRECTNESS_r01–r09): head = any round-10 re-spells,
-then the 3-entry _NEW_R10 below (t39 BPE apply/fertility audit,
-m06 ViT patch attestation, v27 distributed batch MMR selection —
-built after the round-9 window filled,
+then the 4-entry _NEW_R10 below (t39 BPE apply/fertility audit,
+m06 ViT patch attestation, v27 distributed batch MMR selection,
+z34 zarr consolidated-metadata round-trip — built after the
+round-9 window filled,
 locally green at 3 SFs + both fixtures, zero driver rows), then any
 further round-10 new entries, then the remaining 39-entry r4-green
 tier (alphabetical: d17_span_dedup, d18_fingerprint_dedup,
@@ -139,7 +140,7 @@ d19_cc_closure, d20–d22, l09, l11, r51–r53, r61–r72, s11–s13,
 t15–t20, v11–v15, z25, z27), then fill to 50 from the 43-entry
 r5-green tier head (alphabetical: d23_train_val_test,
 d24_decontaminate_frac, d26, d27, d28, d29, d30, d31, d32, d34,
-d36, …). With no re-spells and only _NEW_R10 that is 3 + 39 + 8 =
+d36, …). With no re-spells and only _NEW_R10 that is 4 + 39 + 7 =
 50; new entries displace the r5-tier fill, never the r4 tier.
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
@@ -700,6 +701,7 @@ _NEW_R10 = [
     "t39_bpe_segment",  # NEW r9→r10: BPE apply/fertility audit
     "m06_patch_attest",  # NEW r9→r10: ViT patch grid over real PNG
     "v27_mmr_rerank",  # NEW r9→r10: distributed batch MMR selection
+    "z34_zarr_consolidated_roundtrip",  # NEW r9→r10: .zmetadata open
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

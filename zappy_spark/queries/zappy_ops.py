@@ -623,6 +623,50 @@ def z33(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z34(spark: SparkSession, d: str) -> DataFrame:
+    """zarr v2 CONSOLIDATED-metadata round-trip (round 9;
+    sources/zarrlite.py::write_consolidated_metadata): write the
+    first 300 embeddings as a zlib v2 store with ``consolidated=
+    True``, then DELETE the per-key ``.zarray`` so the DataSource
+    read-back can only succeed through the ``.zmetadata`` document
+    (the real zarr ``consolidate_metadata``/``open_consolidated``
+    format, ``zarr_consolidated_format: 1``), and reduce to
+    per-position (count, min, max) against the parquet oracle.
+    Scale: consolidation is the object-store OPEN-cost fix — one
+    GET for a whole hierarchy's metadata instead of one per key;
+    the z33 sharding entry is the matching data-plane fix."""
+    import os
+    import shutil
+    import tempfile
+
+    from zappy_spark.sources.zarrlite import read_zarrlite, write_zarr_v2
+
+    emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 300)
+    df = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"zs_z34_{os.path.basename(d.rstrip('/'))}"
+    )
+    # fresh store every run (the z32 torn-read discipline)
+    shutil.rmtree(store, ignore_errors=True)
+    write_zarr_v2(df, store, 64, 64, compressor="zlib", consolidated=True)
+    # the proof: with .zarray gone, only .zmetadata can open it
+    os.remove(os.path.join(store, ".zarray"))
+    back = read_zarrlite(spark, store)
+    return (
+        back.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 6).alias("mn"),
+            F.round(F.max("x"), 6).alias("mx"),
+        )
+        .orderBy("pos")
+    )
+
+
 def z30(spark: SparkSession, d: str) -> DataFrame:
     """argmax/argmin(axis=0) (round 6; np.argmax semantics, the op
     frame.py::ZappyFrame._arg_extreme now implements for axis=0):
@@ -695,6 +739,7 @@ QUERIES = {
     "z31_zarr_v3_roundtrip": z31,
     "z32_zarr_lz4_roundtrip": z32,
     "z33_zarr_sharded_roundtrip": z33,
+    "z34_zarr_consolidated_roundtrip": z34,
 }
 
 ORACLE = {
@@ -727,6 +772,16 @@ ORACLE = {
         "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
         "CAST(unnest(embedding) AS DOUBLE) x "
         "FROM embeddings WHERE vec_id < 400) "
+        "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
+    # z34: stats straight from parquet; the Spark side went write ->
+    # consolidate -> DELETE .zarray -> read via .zmetadata only.
+    "z34_zarr_consolidated_roundtrip": (
+        "WITH e AS (SELECT "
+        "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) x "
+        "FROM embeddings WHERE vec_id < 300) "
         "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
         "FROM e GROUP BY pos ORDER BY pos"
     ),

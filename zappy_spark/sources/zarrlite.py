@@ -321,6 +321,7 @@ def write_zarr_v2(
     chunk_rows: int,
     ncols: int,
     compressor: str | None = None,
+    consolidated: bool = False,
 ) -> None:
     """Write a REAL zarr v2 store: ``.zarray`` metadata + raw C-order
     ``float64`` chunk files keyed ``"<i>.0"``, every chunk padded to
@@ -402,6 +403,9 @@ def write_zarr_v2(
     with open(tmp, "w") as f:
         json.dump(zarray, f)
     os.replace(tmp, os.path.join(path, ".zarray"))
+    if consolidated:
+        # after .zarray so the consolidated doc includes it
+        write_consolidated_metadata(path)
 
 
 def write_zarr_v3(
@@ -630,16 +634,59 @@ def append_zarr_v2(path: str, arr: "np.ndarray") -> None:
 # -- streaming read side (Spark 4 Python DataSourceStreamReader) -----------
 
 
+def write_consolidated_metadata(store: str) -> None:
+    """Write zarr v2 consolidated metadata (round 9): one root
+    ``.zmetadata`` JSON — ``{"zarr_consolidated_format": 1,
+    "metadata": {<relative key>: <parsed doc>, …}}`` — holding every
+    metadata document in the store (``.zarray``/``.zgroup``/
+    ``.zattrs`` at any depth, '/'-separated keys per the spec; the
+    format the real ``zarr`` library's ``consolidate_metadata`` /
+    ``open_consolidated`` pair uses). At object-store scale this is
+    THE open-cost fix: opening a hierarchy costs ONE GET instead of
+    one per metadata key. Atomic replace, same torn-read discipline
+    as ``.zarray``."""
+    meta: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(store):
+        for fn in files:
+            if fn in (".zarray", ".zgroup", ".zattrs"):
+                full = os.path.join(root, fn)
+                key = os.path.relpath(full, store).replace(os.sep, "/")
+                with open(full) as f:
+                    meta[key] = json.load(f)
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    tmp = os.path.join(store, "_.zmetadata.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, os.path.join(store, ".zmetadata"))
+
+
 def _load_meta(store: str) -> dict:
     """Store metadata, auto-detecting layout: a ``zarr.json`` file
     means a zarr v3 store, a ``.zarray`` file a zarr v2 store (both
-    normalized into the internal meta shape); otherwise the legacy
+    normalized into the internal meta shape); a ``.zmetadata``
+    consolidated document serves the v2 metadata WITHOUT touching
+    per-key files (checked before ``.zarray`` — one read per open,
+    the reason consolidation exists; a store whose ``.zarray`` was
+    lost but whose ``.zmetadata`` survives still opens, and the z34
+    corpus entry pins exactly that); otherwise the legacy
     ``meta.json``."""
     z3 = os.path.join(store, "zarr.json")
     if os.path.exists(z3):
         with open(z3) as f:
             z = json.load(f)
         return _normalize_v3_meta(z)
+    zc = os.path.join(store, ".zmetadata")
+    if os.path.exists(zc):
+        with open(zc) as f:
+            c = json.load(f)
+        if c.get("zarr_consolidated_format") != 1:
+            raise NotImplementedError(
+                "unsupported consolidated metadata format "
+                f"{c.get('zarr_consolidated_format')!r}"
+            )
+        if ".zarray" not in c.get("metadata", {}):
+            raise ValueError(".zmetadata holds no root .zarray")
+        return _normalize_v2_meta(c["metadata"][".zarray"])
     za = os.path.join(store, ".zarray")
     if os.path.exists(za):
         with open(za) as f:
