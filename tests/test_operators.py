@@ -3204,6 +3204,82 @@ def test_pmi_collocations_planted_pair(spark):
     assert ranks["rare gem"] < ranks["common word"]
 
 
+def test_sentence_stats_hand_counts(spark):
+    """t40's per-doc expressions on hand texts: run counting
+    (non-overlapping [.!?]+), the <3-sentence flag, terminal-end
+    with trailing spaces."""
+    from zappy_spark.operators.text import sentence_stats
+
+    rows = [
+        (0, "g", "One. Two! Three? tail"),        # 3 sents, no term end
+        (1, "g", "Only one sentence."),           # 1 sent, term end
+        (2, "g", "A!! B?? C.. D. "),              # 4 runs, term end+space
+        (3, "g", "no punctuation at all"),        # 0 sents
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "txt"])
+    out = sentence_stats(df, "txt", "src").collect()[0]
+    assert out["n_docs"] == 4
+    assert out["n_sentences"] == 3 + 1 + 4 + 0
+    assert out["n_lt3_sent"] == 2  # docs 1 and 3
+    assert out["n_terminal_end"] == 2  # docs 1 and 2
+    assert out["n_words"] == 4 + 3 + 4 + 4
+
+
+def test_stopword_coverage_hand_counts(spark):
+    """t41's coverage on explicit lists: exact stopword counts and
+    the cross-multiplied <5% flag (19 tokens 1 stop = 5.26% -> not
+    low; 21 tokens 1 stop = 4.76% -> low)."""
+    from zappy_spark.operators.text import stopword_coverage
+
+    stop = {"en": ("the",), "xx": ("zz",)}
+    rows = [
+        (0, "en", "the " + "w " * 18),   # 19 toks, 1 stop: not low
+        (1, "en", "the " + "w " * 20),   # 21 toks, 1 stop: low
+        (2, "qq", "the the the"),        # unknown lang: 0 stops, low
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "txt"])
+    got = {
+        r["lang"]: (r["n_docs"], r["n_tokens"], r["n_stop_tokens"],
+                    r["n_low_coverage_docs"])
+        for r in stopword_coverage(df, "txt", "lang", stopwords=stop).collect()
+    }
+    assert got["en"] == (2, 40, 2, 1)
+    assert got["qq"] == (3 - 2, 3, 0, 1)
+
+
+def test_registrable_domain_psl_rules(spark):
+    """d49's eTLD+1 CASE: multi-label suffixes beat single-label
+    ones, a bare public suffix yields NULL (the PSL stop rule — no
+    fall-through to a shorter suffix), unknown TLDs yield NULL; and
+    the generated DuckDB CASE agrees byte-for-byte."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import registrable_domain
+    from zappy_spark.queries.pipeline_ops import _regdom_sql
+
+    cases = {
+        "a.s3.co.uk": "s3.co.uk",
+        "cdn7.github.io": "cdn7.github.io",
+        "www.site.com": "site.com",
+        "github.io": None,     # bare suffix: NULL, not 'github.io'
+        "co.uk": None,
+        "plain": None,
+        "x.dev": "x.dev",
+        "deep.a.b.com.au": "b.com.au",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    got = {
+        r["h"]: r["r"]
+        for r in df.select("h", registrable_domain("h").alias("r")).collect()
+    }
+    assert got == cases
+    con = duckdb.connect()
+    for h, want in cases.items():
+        dgot = con.execute(f"SELECT {_regdom_sql('?')}", [h]).fetchone()[0]
+        assert dgot == want, (h, dgot, want)
+
+
 def test_mmr_rerank_batch_prefers_diversity(spark):
     """v27's batch MMR on a hand case: the #2-by-relevance candidate
     is an exact duplicate of #1, so at λ=0.7/μ=0.3 the diverse

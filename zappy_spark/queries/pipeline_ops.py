@@ -2841,6 +2841,87 @@ def t39(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("source")
 
 
+def t40(spark: SparkSession, d: str) -> DataFrame:
+    """C4 sentence/terminal-punctuation audit (round 9;
+    operators/text.py::sentence_stats) over planted sentences
+    (fixture text has no punctuation — the t08 precedent): a CASE
+    over doc_id plants one-sentence docs, non-terminal tails,
+    terminal tails, and trailing-space endings, then the per-source
+    counts replay exactly in SQL (regexp_count ↔
+    len(regexp_extract_all), same ``[.!?]+`` runs). Scale: one scan
+    of scan-side expressions + a |sources|-row agg."""
+    from zappy_spark.operators.text import sentence_stats
+
+    docs = t(spark, d, "documents")
+    i = F.col("doc_id").cast("string")
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("No terminal tail"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("Short tail."))
+        .otherwise(F.lit(""))
+    )
+    planted = F.when(
+        F.col("doc_id") % 5 == 4,
+        F.concat(F.lit("Only one sentence for doc "), i, F.lit(".")),
+    ).otherwise(
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(". "),
+            F.substring("text", 81, 60),
+            F.lit("! Is it "),
+            i,
+            F.lit("? "),
+            tail,
+        )
+    )
+    return sentence_stats(
+        docs.select("source", planted.alias("ptext")), "ptext", "source"
+    ).orderBy("source")
+
+
+def t41(spark: SparkSession, d: str) -> DataFrame:
+    """Per-language stopword-coverage audit (round 9;
+    operators/text.py::stopword_coverage — the CCNet quality
+    signal): per lang, exact token/stopword counts and the
+    <5%-coverage doc count, the low-coverage decision an integer
+    cross-multiplication. The per-lang lists ride into the scan as
+    a map literal (element_at + array_contains inside an array
+    filter) — no join, no explode; oracle replays the same CASE'd
+    list_contains filter."""
+    from zappy_spark.operators.text import stopword_coverage
+
+    return stopword_coverage(
+        t(spark, d, "documents"), "text", "lang"
+    ).orderBy("lang")
+
+
+def d49(spark: SparkSession, d: str) -> DataFrame:
+    """Public-suffix registrable-domain audit (round 9;
+    operators/text.py::registrable_domain + domain_suffix_audit)
+    over planted URLs (the t12 precedent): three hosts per doc —
+    ``a.s{k}.co.uk`` (multi-label suffix: naive last-two-labels
+    grouping would call every .co.uk site ONE domain),
+    ``cdn{k}.github.io`` (private-registry suffix), and
+    ``www.site{k}.com`` — then per-suffix doc mentions + distinct
+    sites. The oracle replays the identical longest-match CASE
+    (first-match-wins = the PSL stop rule)."""
+    from zappy_spark.operators.text import domain_suffix_audit
+
+    docs = t(spark, d, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" http://a.s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".co.uk/x and https://cdn"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".github.io/y plus https://www.site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/z end"),
+    )
+    return domain_suffix_audit(
+        docs.select(planted.alias("ptext")), "ptext"
+    ).orderBy("suffix")
+
+
 def t38(spark: SparkSession, d: str) -> DataFrame:
     """Markup stripping / text extraction (round 9, VERDICT r8 item
     5; operators/text.py::strip_markup): plant four deterministic
@@ -3335,6 +3416,9 @@ QUERIES = {
     "t37_bpe_merges": t37,
     "t38_strip_markup": t38,
     "t39_bpe_segment": t39,
+    "t40_sentence_stats": t40,
+    "t41_stopword_coverage": t41,
+    "d49_domain_suffix_audit": d49,
     "m06_patch_attest": m06,
     "v27_mmr_rerank": v27,
     "d45_phash_neardup": d45,
@@ -3648,6 +3732,95 @@ def _adc_oracle(limit: int = 20) -> str:
         f"cc AS (SELECT vec_id, {', '.join(code_cols)} FROM dd) "
         f"SELECT vec_id, ROUND({decode}, 6) adist FROM cc "
         f"ORDER BY adist, vec_id LIMIT {limit}"
+    )
+
+
+def _t40_oracle() -> str:
+    planted = (
+        "CASE WHEN doc_id % 5 = 4 THEN "
+        "'Only one sentence for doc ' || CAST(doc_id AS VARCHAR) || '.' "
+        "ELSE substr(text,1,80) || '. ' || substr(text,81,60) || "
+        "'! Is it ' || CAST(doc_id AS VARCHAR) || '? ' || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'No terminal tail' "
+        "WHEN doc_id % 3 = 1 THEN 'Short tail.' ELSE '' END END"
+    )
+    return (
+        f"WITH p AS (SELECT source, {planted} s FROM documents), "
+        "c AS (SELECT source, "
+        "len(regexp_extract_all(s, '[.!?]+')) ns, "
+        "len(list_filter(string_split(s, ' '), x -> x <> '')) nw, "
+        "CASE WHEN regexp_matches(s, '[.!?] *$') THEN 1 ELSE 0 END te "
+        "FROM p) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) n_docs, "
+        "CAST(SUM(ns) AS BIGINT) n_sentences, "
+        "CAST(SUM(nw) AS BIGINT) n_words, "
+        "CAST(SUM(CASE WHEN ns < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_lt3_sent, "
+        "CAST(SUM(te) AS BIGINT) n_terminal_end "
+        "FROM c GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _t41_oracle() -> str:
+    from zappy_spark.operators.text import STOPWORDS_LITE
+
+    whens = " ".join(
+        "WHEN '{}' THEN [{}]".format(
+            lang, ", ".join(f"'{w}'" for w in STOPWORDS_LITE[lang])
+        )
+        for lang in sorted(STOPWORDS_LITE)
+    )
+    return (
+        "WITH f AS (SELECT lang, "
+        "list_filter(string_split(text,' '), x -> x <> '') tk "
+        "FROM documents), "
+        "c AS (SELECT lang, len(tk) t, len(list_filter(tk, "
+        f"x -> list_contains(CASE lang {whens} "
+        "ELSE CAST([] AS VARCHAR[]) END, x))) s FROM f) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs, "
+        "CAST(SUM(t) AS BIGINT) n_tokens, "
+        "CAST(SUM(s) AS BIGINT) n_stop_tokens, "
+        "CAST(SUM(CASE WHEN s*100 < t*5 THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_low_coverage_docs "
+        "FROM c GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _regdom_sql(hexpr: str) -> str:
+    """The registrable_domain CASE in DuckDB SQL, generated from the
+    SAME suffix tuple (longest first; CASE's first-match-wins is the
+    PSL stop rule — a bare suffix yields NULL via the inner CASE)."""
+    from zappy_spark.operators.text import PUBLIC_SUFFIXES_LITE
+
+    whens = []
+    for s in PUBLIC_SUFFIXES_LITE:
+        m = s.count(".") + 1
+        whens.append(
+            f"WHEN array_to_string(pp[-{m}:], '.') = '{s}' THEN "
+            f"CASE WHEN len(pp) > {m} THEN pp[-{m + 1}] || '.{s}' END"
+        )
+    return (
+        f"(SELECT CASE {' '.join(whens)} END "
+        f"FROM (SELECT string_split({hexpr}, '.') pp))"
+    )
+
+
+def _d49_oracle() -> str:
+    planted = (
+        "substr(text,1,20) || ' http://a.s' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '.co.uk/x and https://cdn' || "
+        "CAST(doc_id % 4 AS VARCHAR) || '.github.io/y plus "
+        "https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/z end'"
+    )
+    return (
+        f"WITH p AS (SELECT {planted} s FROM documents), "
+        "h AS (SELECT unnest(list_distinct(regexp_extract_all(s, "
+        "'https?://([A-Za-z0-9.-]+)[^\\s]*', 1))) host FROM p), "
+        f"r AS (SELECT {_regdom_sql('host')} reg FROM h) "
+        "SELECT substr(reg, instr(reg, '.') + 1) suffix, "
+        "CAST(COUNT(*) AS BIGINT) n_doc_mentions, "
+        "CAST(COUNT(DISTINCT reg) AS BIGINT) n_sites "
+        "FROM r GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -4095,6 +4268,9 @@ ORACLE = {
         "CAST(MIN(v) AS BIGINT) px_min, CAST(MAX(v) AS BIGINT) px_max "
         "FROM px GROUP BY 1, 2, 3 ORDER BY media_id, patch_y, patch_x"
     ),
+    "t40_sentence_stats": _t40_oracle(),
+    "t41_stopword_coverage": _t41_oracle(),
+    "d49_domain_suffix_audit": _d49_oracle(),
     # t39: full train->apply replay sharing the t37 training prefix.
     "t39_bpe_segment": _t39_oracle(6),
     # d48: the naive global ROW_NUMBER spelling — the semantic
