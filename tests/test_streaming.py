@@ -1395,6 +1395,34 @@ def test_incremental_alignment_equals_batch(spark, tmp_path):
     assert _rows(jobs.alignment_from_state(spark, state), *cols) == got
 
 
+def test_incremental_stopword_equals_batch(spark, tmp_path):
+    """The documents changelog drained through
+    incremental_stopword_state must equal the batch t41 rows
+    EXACTLY — four integer counters per lang, no tolerance; the
+    partial IS the t41 operator, so spelling drift is impossible.
+    Replay guard: re-applying the last batch id is a no-op."""
+    from zappy_spark.queries.pipeline_ops import QUERIES as PQ
+
+    replay = str(tmp_path / "docs_replay_stop")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "stop_state")
+    q = jobs.incremental_stopword_state(
+        jobs.stream_events(spark, replay), state
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("lang", "n_docs", "n_tokens", "n_stop_tokens",
+            "n_low_coverage_docs")
+    got = _rows(jobs.stopword_from_state(spark, state), *cols)
+    batch = _rows(PQ["t41_stopword_coverage"](spark, SF_SMOKE_DIR), *cols)
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    docs = load_table(spark, SF_SMOKE_DIR, "documents").limit(10)
+    rev = jobs.applied_revision(state)
+    jobs.stopword_apply_batch(docs, rev, state)
+    assert _rows(jobs.stopword_from_state(spark, state), *cols) == got
+
+
 def test_incremental_kappa_equals_batch(spark, tmp_path):
     """The documents changelog drained through
     incremental_kappa_state must equal the batch t35 rows EXACTLY —

@@ -1934,6 +1934,83 @@ def incremental_kappa_state(stream: DataFrame, state_path: str) -> "Any":
     )
 
 
+_STOPWORD_COUNT_COLS = (
+    "n_docs",
+    "n_tokens",
+    "n_stop_tokens",
+    "n_low_coverage_docs",
+)
+
+
+def stopword_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One ``incremental_stopword_state`` micro-batch: per lang, the
+    additive sufficient statistics of the t41 coverage audit —
+    docs, tokens, stopword tokens, low-coverage docs (the per-doc
+    flag is the same integer cross-multiplication, decided inside
+    the batch, so partials are exactly additive). Reuses the t41
+    operator itself (operators/text.py::stopword_coverage) for the
+    partial, so batch and stream cannot drift in spelling;
+    redelivered batch ids are guarded like the kappa twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.text import stopword_coverage
+
+    spark = batch_df.sparkSession
+    part = stopword_coverage(batch_df, "text", "lang")
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("lang")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _STOPWORD_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_stopword_state(
+    stream: DataFrame, state_path: str
+) -> "Any":
+    """Streaming twin of t41's stopword-coverage audit: the
+    language-quality monitor a crawl pipeline runs continuously as
+    pages arrive — four integer counters per lang, mergeable
+    forever, same MVCC rev-dir snapshot as the kappa twin."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stopword_apply_batch(batch_df, batch_id, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def stopword_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The t41 report over the streaming-maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no stopword state at {state_path}")
+    return per.select("lang", *_STOPWORD_COUNT_COLS).orderBy("lang")
+
+
 def kappa_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The t35 report over the streaming-maintained counters: kappa
     as the same exact integer fraction (num = n*agree - sum rc,
