@@ -3204,6 +3204,54 @@ def test_pmi_collocations_planted_pair(spark):
     assert ranks["rare gem"] < ranks["common word"]
 
 
+def test_normalize_unicode_lite_hand_cases(spark):
+    """t42's fold table on explicit codepoints: quotes/dashes fold,
+    fullwidth folds, zero-width/BOM drop, ellipsis/ligatures expand,
+    combining accents pass through (documented scope), and DuckDB's
+    translate agrees byte-for-byte."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import normalize_unicode_lite
+    from zappy_spark.queries.pipeline_ops import _t42_oracle  # noqa: F401
+
+    cases = {
+        "\u201cq\u201d \u2018s\u2019": '"q" \'s\'',
+        "a\u2013b\u2014c": "a-b-c",
+        "\uff28\uff49 \uff10\uff11": "Hi 01",
+        "x\u200by\u200cz\u200dw\ufeff!": "xyzw!",
+        "wait\u2026 \ufb01t \ufb02y": "wait... fit fly",
+        "nb\u00a0sp": "nb sp",
+        "caf\u00e9 stays": "caf\u00e9 stays",  # outside scope: untouched
+    }
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(cases)], ["i", "s"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", normalize_unicode_lite(F.col("s")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    from zappy_spark.operators.text import (
+        _UNI_FROM,
+        _UNI_REPLACES,
+        _UNI_TO,
+    )
+
+    def q(x):
+        return "'" + x.replace("'", "''") + "'"
+
+    expr = f"translate(?, {q(_UNI_FROM)}, {q(_UNI_TO)})"
+    for a, b in _UNI_REPLACES:
+        expr = f"replace({expr}, {q(a)}, {q(b)})"
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (src, got[i], want)
+        dgot = con.execute(f"SELECT {expr}", [src]).fetchone()[0]
+        assert dgot == want, (src, dgot, want)
+
+
 def test_sentence_stats_hand_counts(spark):
     """t40's per-doc expressions on hand texts: run counting
     (non-overlapping [.!?]+), the <3-sentence flag, terminal-end

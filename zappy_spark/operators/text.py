@@ -334,6 +334,50 @@ def registrable_domain(
     return expr
 
 
+# Unicode-normalization-lite tables (round 9). A pragmatic NFKC
+# subset as PORTABLE string primitives (translate is 1:1-positional
+# with drop-when-to-is-shorter semantics in BOTH engines — verified;
+# a full NFKC needs ICU, which would be a Python UDF on the scan
+# path): curly quotes/dashes → ASCII, NBSP → space, fullwidth
+# alphanumerics → ASCII, zero-width/BOM characters REMOVED (they sit
+# at the tail of FROM past the end of TO), then the multi-char
+# expansions (ellipsis, fi/fl ligatures) as plain replaces.
+_UNI_FROM = (
+    "’‘“”–— "
+    + "".join(chr(c) for c in range(0xFF10, 0xFF1A))  # ０-９
+    + "".join(chr(c) for c in range(0xFF21, 0xFF3B))  # Ａ-Ｚ
+    + "".join(chr(c) for c in range(0xFF41, 0xFF5B))  # ａ-ｚ
+    + "​‌‍﻿"  # removed (no TO counterpart)
+)
+_UNI_TO = (
+    "''\"\"-- "
+    + "0123456789"
+    + "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    + "abcdefghijklmnopqrstuvwxyz"
+)
+_UNI_REPLACES = (
+    ("…", "..."),
+    ("ﬁ", "fi"),
+    ("ﬂ", "fl"),
+)
+
+
+def normalize_unicode_lite(text: str | Column) -> Column:
+    """NFKC-lite unicode normalization (round 9) — the cleanup pass
+    real crawl text needs before tokenization/dedup (curly quotes
+    split tokens, fullwidth digits break numeric parsing, zero-width
+    characters make visually-identical strings hash differently):
+    one ``translate`` (folds + drops) plus three multi-char
+    ``replace``s, all scan-side and engine-portable. Scope is the
+    table above — anything outside it (e.g. combining accents)
+    passes through unchanged, loudly documented rather than
+    half-normalized."""
+    out = F.translate(text, _UNI_FROM, _UNI_TO)
+    for a, b in _UNI_REPLACES:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
 def domain_suffix_audit(df: DataFrame, text_col: str) -> DataFrame:
     """Public-suffix-aware domain audit (round 9): URL hosts →
     registrable domains (eTLD+1) → per-suffix (doc mentions,

@@ -2841,6 +2841,45 @@ def t39(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("source")
 
 
+# t42's planted-unicode suffix, built from explicit codepoints (most
+# are invisible or editor-hostile; the oracle embeds the SAME constant,
+# so query and SQL cannot diverge on a character an editor can't show).
+_T42_SUFFIX = (
+    " \u201cquoted\u201d \u2018single\u2019 dash\u2014here \u2013"
+    " full\uff57\uff49\uff44\uff54\uff28\uff10\uff11"
+    " lig\ufb01x\ufb02y \u2026 nb\u00a0sp zero\u200bwidth"
+    " bom\ufeff end"
+)
+
+
+def t42(spark: SparkSession, d: str) -> DataFrame:
+    """Unicode normalization lite (round 9;
+    operators/text.py::normalize_unicode_lite): planted unicode -
+    curly quotes, en/em dashes, fullwidth alphanumerics, NBSP,
+    zero-width characters, ellipsis, fi/fl ligatures (fixture text
+    is pure ASCII - the t08 precedent) - folded to ASCII by ONE
+    scan-side translate + three replaces; every cleaned byte
+    hash-checks against DuckDB's identical translate (verified:
+    both engines share the 1:1-positional drop-when-shorter
+    semantics). doc_id % 3 == 2 rows pass through untouched (the
+    no-op path is part of the contract)."""
+    from zappy_spark.operators.text import normalize_unicode_lite
+
+    docs = t(spark, d, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 2, F.col("text")
+    ).otherwise(
+        F.concat(F.substring("text", 1, 40), F.lit(_T42_SUFFIX))
+    )
+    return (
+        docs.select(
+            "doc_id", normalize_unicode_lite(planted).alias("clean")
+        )
+        .orderBy("doc_id")
+        .limit(120)
+    )
+
+
 def t40(spark: SparkSession, d: str) -> DataFrame:
     """C4 sentence/terminal-punctuation audit (round 9;
     operators/text.py::sentence_stats) over planted sentences
@@ -3419,6 +3458,7 @@ QUERIES = {
     "t40_sentence_stats": t40,
     "t41_stopword_coverage": t41,
     "d49_domain_suffix_audit": d49,
+    "t42_unicode_normalize": t42,
     "m06_patch_attest": m06,
     "v27_mmr_rerank": v27,
     "d45_phash_neardup": d45,
@@ -3732,6 +3772,30 @@ def _adc_oracle(limit: int = 20) -> str:
         f"cc AS (SELECT vec_id, {', '.join(code_cols)} FROM dd) "
         f"SELECT vec_id, ROUND({decode}, 6) adist FROM cc "
         f"ORDER BY adist, vec_id LIMIT {limit}"
+    )
+
+
+def _t42_oracle() -> str:
+    """t42's SQL twin, generated from the SAME constants the Spark
+    operator uses (_UNI_FROM/_UNI_TO/_UNI_REPLACES + _T42_SUFFIX) —
+    invisible characters can't drift between the two spellings."""
+    from zappy_spark.operators.text import (
+        _UNI_FROM,
+        _UNI_REPLACES,
+        _UNI_TO,
+    )
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    expr = f"translate(s, {q(_UNI_FROM)}, {q(_UNI_TO)})"
+    for a, b in _UNI_REPLACES:
+        expr = f"replace({expr}, {q(a)}, {q(b)})"
+    return (
+        "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN text "
+        f"ELSE substr(text,1,40) || {q(_T42_SUFFIX)} END s "
+        "FROM documents) "
+        f"SELECT doc_id, {expr} clean FROM p ORDER BY doc_id LIMIT 120"
     )
 
 
@@ -4271,6 +4335,7 @@ ORACLE = {
     "t40_sentence_stats": _t40_oracle(),
     "t41_stopword_coverage": _t41_oracle(),
     "d49_domain_suffix_audit": _d49_oracle(),
+    "t42_unicode_normalize": _t42_oracle(),
     # t39: full train->apply replay sharing the t37 training prefix.
     "t39_bpe_segment": _t39_oracle(6),
     # d48: the naive global ROW_NUMBER spelling — the semantic
