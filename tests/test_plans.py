@@ -114,6 +114,8 @@ def test_no_python_udfs_in_declared_corpus(spark):
         "m04_gif_attest",
         "m05_wav_attest",
         "d45_phash_neardup",
+        # round 9: real PNG (Paeth) encode/decode + patch reshape
+        "m06_patch_attest",
     }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":
