@@ -116,6 +116,8 @@ def test_no_python_udfs_in_declared_corpus(spark):
         "d45_phash_neardup",
         # round 9: real PNG (Paeth) encode/decode + patch reshape
         "m06_patch_attest",
+        # round 9: real Netpbm P6 + bit-packed P4 encode/decode
+        "m07_pnm_attest",
     }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":

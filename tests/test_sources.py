@@ -1446,6 +1446,16 @@ def test_pnm_p1_run_together_bits_and_raster_comment():
     # comment that never terminates -> loud truncation error
     with _pytest.raises(PnmFormatError, match="separator"):
         decode_pnm(b"P5 2 2 255 # never ends")
+    # the ambiguity the length rule resolves: a raster whose FIRST
+    # byte is 0x23 ('#') with an exact-fit length is RASTER, never a
+    # comment (the m07 regression case — binary samples are
+    # arbitrary bytes)
+    hashy = bytes([0x23, 7, 11, 13])
+    img5c, _ = decode_pnm(b"P5 2 2 255\n" + hashy)
+    assert img5c.reshape(-1).tolist() == [0x23, 7, 11, 13]
+    # and a comment whose following raster ALSO starts with '#'
+    img5d, _ = decode_pnm(b"P5 2 2 255 # c\n" + hashy)
+    assert img5d.reshape(-1).tolist() == [0x23, 7, 11, 13]
 
 
 def test_gif_pnm_round_trips_and_rejections():

@@ -656,6 +656,75 @@ def image_patch_features(
     )
 
 
+PNM_ATTEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("bw_black", LongType()),
+        StructField("n_px", LongType()),
+    ]
+)
+
+
+def pnm_attest_features(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Netpbm codec attestation (round 9 — the m04/m05/m06 playbook
+    applied to the SIXTH native codec, previously unit-pinned only):
+    per id, fabricate a deterministic 8×8 RGB image and a 0/255
+    bitmap from pure integer arithmetic, push them through REAL
+    ``encode_pnm``/``decode_pnm`` — binary P6 for the color image,
+    bit-packed P4 (MSB-first, row-padded) for the bitmap — and emit
+    exact-integer stats of the DECODED pixels. The oracle replays
+    the fabrication closed-form, so any raster/bit-packing defect
+    flips the hash. Bounded instrument: 100 ids at any corpus size.
+
+    Fabrication: r=(5y+11x+id)%256, g=(3y+x+2id)%256, b=(yx+id)%256;
+    bitmap black iff (x+y+id)%3==0 (black decodes to 0, white 255,
+    so the black count survives the bit round-trip)."""
+    import numpy as np
+
+    from zappy_spark.sources.pnmlite import decode_pnm, encode_pnm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:8, 0:8]
+        for pdf in it:
+            out = {k.name: [] for k in PNM_ATTEST_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rgb = np.stack(
+                    [
+                        (5 * yy + 11 * xx + mid) % 256,
+                        (3 * yy + xx + 2 * mid) % 256,
+                        (yy * xx + mid) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                dec, meta = decode_pnm(encode_pnm(rgb))
+                assert meta["kind"] == "P6" and dec.shape == (8, 8, 3)
+                px = dec.astype(np.int64)
+                bw = np.where((xx + yy + mid) % 3 == 0, 0, 255).astype(
+                    np.uint8
+                )
+                bdec, bmeta = decode_pnm(encode_pnm(bw, kind="P4"))
+                assert bmeta["kind"] == "P4" and bdec.shape == (8, 8)
+                out["media_id"].append(mid)
+                out["r_sum"].append(int(px[:, :, 0].sum()))
+                out["g_sum"].append(int(px[:, :, 1].sum()))
+                out["b_sum"].append(int(px[:, :, 2].sum()))
+                out["bw_black"].append(int((bdec == 0).sum()))
+                out["n_px"].append(64)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=PNM_ATTEST_SCHEMA
+    )
+
+
 WAV_ATTEST_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

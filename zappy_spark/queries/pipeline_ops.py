@@ -2719,6 +2719,24 @@ def m06(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m07(spark: SparkSession, d: str) -> DataFrame:
+    """Netpbm codec attestation as a driver row (round 9;
+    operators/multimodal.py::pnm_attest_features): deterministic
+    8×8 RGB + 0/255 bitmap through REAL binary P6 and bit-packed P4
+    encode/decode inside Arrow mapInPandas; exact-integer stats of
+    the decoded pixels, closed-form oracle, bounded 100-id
+    instrument — the sixth native codec gains the same driver gate
+    as PNG/GIF/WAV (m02/m04/m05/m06)."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return multimodal.pnm_attest_features(ids, "doc_id").orderBy(
+        "media_id"
+    )
+
+
 def t36(spark: SparkSession, d: str) -> DataFrame:
     """Quantile-sketch attestation (round 8, queued r9-head — the
     r81/v07/t25/d35/d44 estimator-contract trick applied to the LAST
@@ -3459,6 +3477,7 @@ QUERIES = {
     "t41_stopword_coverage": t41,
     "d49_domain_suffix_audit": d49,
     "t42_unicode_normalize": t42,
+    "m07_pnm_attest": m07,
     "m06_patch_attest": m06,
     "v27_mmr_rerank": v27,
     "d45_phash_neardup": d45,
@@ -4336,6 +4355,21 @@ ORACLE = {
     "t41_stopword_coverage": _t41_oracle(),
     "d49_domain_suffix_audit": _d49_oracle(),
     "t42_unicode_normalize": _t42_oracle(),
+    # m07: fabrication replayed closed-form; Spark's numbers came
+    # through encode_pnm/decode_pnm (binary P6 + bit-packed P4).
+    "m07_pnm_attest": (
+        "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100), "
+        "px AS (SELECT doc_id, y.g yy, x.g xx "
+        "FROM ids, generate_series(0,7) y(g), generate_series(0,7) x(g)) "
+        "SELECT doc_id AS media_id, "
+        "CAST(SUM((5*yy + 11*xx + doc_id) % 256) AS BIGINT) r_sum, "
+        "CAST(SUM((3*yy + xx + 2*doc_id) % 256) AS BIGINT) g_sum, "
+        "CAST(SUM((yy*xx + doc_id) % 256) AS BIGINT) b_sum, "
+        "CAST(SUM(CASE WHEN (xx + yy + doc_id) % 3 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) bw_black, CAST(64 AS BIGINT) n_px "
+        "FROM px GROUP BY doc_id ORDER BY media_id"
+    ),
+
     # t39: full train->apply replay sharing the t37 training prefix.
     "t39_bpe_segment": _t39_oracle(6),
     # d48: the naive global ROW_NUMBER spelling — the semantic

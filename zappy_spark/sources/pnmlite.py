@@ -108,38 +108,41 @@ def decode_pnm(data: bytes) -> tuple[np.ndarray, dict]:
     elif kind in (2, 3):  # ASCII samples, whitespace-delimited
         vals, pos = _tokens(data, w * h * nch, pos)
         arr = np.array(vals, dtype=np.int64)
-    else:  # raw: ONE whitespace byte after the header — but spec-
-        # legal '#' comments may sit between the last header token
-        # and that separator ('255 # foo\n<data>'); each comment
-        # runs to EOL and the EOL becomes the separator candidate,
-        # so loop instead of reading comment bytes as raster
-        while True:
-            if pos >= len(data) or not data[pos : pos + 1].isspace():
+    else:  # raw: ONE whitespace byte after the header, then raster.
+        # A '#' right after that byte is AMBIGUOUS: it may be a
+        # header comment ('255 # foo\n<data>') or the first raster
+        # byte (0x23 is a perfectly legal sample). libnetpbm reads
+        # raster unconditionally; the spec allows comments before
+        # the delimiter. Resolve by exact raster length: an exact
+        # fit is raster, otherwise each '#' run to EOL is a comment
+        # whose EOL becomes the new delimiter — so neither a legal
+        # comment nor a '#'-leading raster is ever silently shifted.
+        stride = (w + 7) // 8
+        need = stride * h if kind == 4 else w * h * nch
+        if pos >= len(data) or not data[pos : pos + 1].isspace():
+            raise PnmFormatError("missing sample separator")
+        pos += 1
+        while (
+            pos < len(data)
+            and data[pos] == 0x23  # '#'
+            and len(data) - pos != need
+        ):
+            while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            if pos >= len(data):
                 raise PnmFormatError("missing sample separator")
-            pos += 1
-            if pos < len(data) and data[pos] == 0x23:  # '#'
-                while pos < len(data) and data[pos] not in (0x0A, 0x0D):
-                    pos += 1
-                continue
-            break
+            pos += 1  # the comment's EOL is the delimiter
+        if len(data) - pos < need:
+            raise PnmFormatError(
+                f"truncated raster ({len(data) - pos} < {need})"
+            )
         if kind == 4:
-            stride = (w + 7) // 8
-            need = stride * h
-            if len(data) - pos < need:
-                raise PnmFormatError(
-                    f"truncated raster ({len(data) - pos} < {need})"
-                )
             rows = np.frombuffer(
                 data[pos : pos + need], dtype=np.uint8
             ).reshape(h, stride)
             bits = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first
             arr = bits.astype(np.int64)
         else:
-            need = w * h * nch
-            if len(data) - pos < need:
-                raise PnmFormatError(
-                    f"truncated raster ({len(data) - pos} < {need})"
-                )
             arr = np.frombuffer(
                 data[pos : pos + need], dtype=np.uint8
             ).astype(np.int64)
