@@ -3204,6 +3204,31 @@ def test_pmi_collocations_planted_pair(spark):
     assert ranks["rare gem"] < ranks["common word"]
 
 
+def test_dedup_cluster_ledger_planted_cluster(spark):
+    """d50's flow on a planted transitive cluster: docs 0 and 2
+    share spans with doc 1 but NOT directly with each other if only
+    pairwise — all three must land in ONE component, the longest doc
+    is kept, and the ledger arithmetic is exact. Doc 3 is a
+    singleton and must not appear."""
+    from zappy_spark.operators.dedup import dedup_cluster_ledger
+
+    base = "a b c d e f g h i"           # spans [a b c][d e f][g h i]
+    rows = [
+        (0, base, 17),
+        (1, base + " extra tail words x", 37),   # longest -> kept
+        (2, base + " other suffix", 30),
+        (3, "q r s t u v w x y", 17),            # unrelated singleton
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    out = dedup_cluster_ledger(
+        df, "text", "doc_id", "n_chars", span=3, min_shared=3, max_df=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["component"], r["n_docs"], r["kept_doc_id"],
+            r["kept_chars"], r["chars_removed"]) == (0, 3, 1, 37, 47)
+
+
 def test_normalize_unicode_lite_hand_cases(spark):
     """t42's fold table on explicit codepoints: quotes/dashes fold,
     fullwidth folds, zero-width/BOM drop, ellipsis/ligatures expand,

@@ -1530,3 +1530,47 @@ def block_dedup_ledger(
         F.col("_id").alias(id_col), "n_blocks", "n_removed",
         "removed_tokens",
     )
+
+
+def dedup_cluster_ledger(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    span: int = 3,
+    min_shared: int = 3,
+    max_df: int = 8,
+) -> DataFrame:
+    """End-to-end near-dup CLUSTER ledger (round 9, d50) — the full
+    production dedup flow: df-capped span edges → connected
+    components (the transitive closure pairwise dedup gets wrong) →
+    keep-best canonical per cluster (largest ``size_col``, ties to
+    the lowest id) → per-cluster audit row (component, n_docs,
+    kept_doc_id, kept_chars, chars_removed). Only multi-doc
+    clusters appear (singletons have nothing to review).
+
+    Scale: edge fan-out ≤ C(max_df, 2) per span, CC is iterative
+    min-label propagation with localCheckpoint lineage cuts, the
+    selection is ONE max_by hash aggregate."""
+    from zappy_spark.operators.graph import connected_components
+
+    edges = span_edges(
+        docs, text_col, id_col,
+        span=span, min_shared=min_shared, max_df=max_df,
+    )
+    comp = connected_components(edges, "i", "j").select(
+        F.col("node").alias(id_col), "component"
+    )
+    sized = comp.join(docs.select(id_col, size_col), id_col)
+    neg_id = -F.col(id_col)
+    kept_size = F.max_by(size_col, F.struct(F.col(size_col), neg_id))
+    return sized.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.max_by(id_col, F.struct(F.col(size_col), neg_id)).alias(
+            "kept_doc_id"
+        ),
+        kept_size.alias("kept_chars"),
+        (F.sum(size_col) - kept_size).cast("bigint").alias(
+            "chars_removed"
+        ),
+    )

@@ -2951,6 +2951,35 @@ def t41(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def d50(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end near-dup CLUSTER ledger (round 9) — the full
+    production dedup flow composed from proven parts: d19's
+    df-capped span edges → connected components (transitive
+    closure; pairwise-only dedup gets (a,b),(b,c) wrong) → d09's
+    canonical keep-best selection per cluster (highest n_chars,
+    ties to the lowest doc_id) → the audit ledger: per multi-doc
+    cluster, its size, the kept doc, and the chars removed. This is
+    the view a data team actually reviews before deleting anything.
+
+    Oracle: d19's recursive-CTE closure extended with the same
+    ROW_NUMBER keep-best and SUM−kept arithmetic — the whole flow
+    replays, not just the clustering step.
+
+    Scale: edges are span-df-capped (fan-out ≤ C(8,2) per span), CC
+    is the iterative min-label propagation with localCheckpoint
+    lineage cuts, selection is ONE max_by hash agg — nothing
+    all-pairs, nothing single-partition."""
+    docs = t(spark, d, "documents")
+    return (
+        dedup.dedup_cluster_ledger(
+            docs, "text", "doc_id", "n_chars",
+            span=3, min_shared=3, max_df=8,
+        )
+        .orderBy("component")
+        .limit(200)
+    )
+
+
 def d49(spark: SparkSession, d: str) -> DataFrame:
     """Public-suffix registrable-domain audit (round 9;
     operators/text.py::registrable_domain + domain_suffix_audit)
@@ -3478,6 +3507,7 @@ QUERIES = {
     "d49_domain_suffix_audit": d49,
     "t42_unicode_normalize": t42,
     "m07_pnm_attest": m07,
+    "d50_dedup_cluster_ledger": d50,
     "m06_patch_attest": m06,
     "v27_mmr_rerank": v27,
     "d45_phash_neardup": d45,
@@ -4355,6 +4385,39 @@ ORACLE = {
     "t41_stopword_coverage": _t41_oracle(),
     "d49_domain_suffix_audit": _d49_oracle(),
     "t42_unicode_normalize": _t42_oracle(),
+    # d50: the d19 closure CTE extended with keep-best + ledger
+    # arithmetic - the WHOLE dedup flow replays.
+    "d50_dedup_cluster_ledger": (
+        "WITH RECURSIVE tok AS (SELECT doc_id, "
+        "list_filter(string_split(text,' '), x -> x<>'') tks "
+        "FROM documents), "
+        "n AS (SELECT doc_id, tks, unnest(generate_series(0, "
+        "CAST(CEIL(GREATEST(len(tks),1)/3.0) AS INT) - 1)) i FROM tok), "
+        "sp AS (SELECT DISTINCT doc_id, "
+        "md5(array_to_string(tks[i*3+1 : i*3+3],' ')) h FROM n), "
+        "cap AS (SELECT h FROM (SELECT h, COUNT(*) c FROM sp GROUP BY h) "
+        "WHERE c BETWEEN 2 AND 8), "
+        "p AS (SELECT a.doc_id i, b.doc_id j FROM sp a JOIN cap USING (h) "
+        "JOIN sp b USING (h) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+        "e AS (SELECT i a, j b FROM p UNION SELECT j, i FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM e "
+        "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
+        "comp AS (SELECT a doc_id, LEAST(a, MIN(b)) component FROM reach "
+        "GROUP BY a), "
+        "sz AS (SELECT component, c.doc_id, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY component "
+        "ORDER BY n_chars DESC, c.doc_id) rn "
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) "
+        "SELECT component, CAST(COUNT(*) AS BIGINT) n_docs, "
+        "CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) "
+        "kept_doc_id, "
+        "CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) "
+        "kept_chars, "
+        "CAST(SUM(n_chars) - MIN(CASE WHEN rn = 1 THEN n_chars END) "
+        "AS BIGINT) chars_removed "
+        "FROM sz GROUP BY component ORDER BY component LIMIT 200"
+    ),
     # m07: fabrication replayed closed-form; Spark's numbers came
     # through encode_pnm/decode_pnm (binary P6 + bit-packed P4).
     "m07_pnm_attest": (
