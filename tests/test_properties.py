@@ -1165,3 +1165,128 @@ def test_kappa_integer_fraction_hypothesis():
         assert abs(num / den - kappa) < 1e-12
 
     check()
+
+
+def test_bpe_hypothesis_reconstruction_and_schedule(spark):
+    """hypothesis (round 9): for a random small corpus, the trained
+    merge schedule equals a plain-Python BPE reference (Sennrich
+    get_stats/merge semantics, same tie-break), and applying the
+    schedule to every vocab word preserves the word — symbols always
+    concatenate back to the original (no byte is ever lost or
+    duplicated by the delimiter-string merge trick)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_discover_merges,
+    )
+    from pyspark.sql import functions as F
+
+    word = st.text(alphabet="ab c", min_size=1, max_size=8)
+
+    def py_bpe(texts, k):
+        vocab = {}
+        for t in texts:
+            for w in t.split(" "):
+                w = w.lower()
+                if w and all("a" <= c <= "z" or "0" <= c <= "9" for c in w):
+                    vocab[w] = vocab.get(w, 0) + 1
+        syms = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(k):
+            pairs = {}
+            for w, f in vocab.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] = (
+                        pairs.get((s[i], s[i + 1]), 0) + f
+                    )
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and (s[i], s[i + 1]) == best
+                    ):
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges, syms
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=st.lists(word, min_size=1, max_size=10))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = bpe_discover_merges(df, "text", 4)
+        want, ref_syms = py_bpe(texts, 4)
+        assert got == want, (texts, got, want)
+        if not ref_syms:
+            return
+        # reconstruction: apply the schedule, split, concat == word
+        wdf = spark.createDataFrame(
+            [(w,) for w in ref_syms], ["w"]
+        ).select(
+            "w",
+            bpe_apply_merges(
+                F.regexp_replace("w", "(.)", "|$1|"), got
+            ).alias("s"),
+        )
+        for r in wdf.collect():
+            parts = [x for x in r["s"].split("|") if x != ""]
+            assert "".join(parts) == r["w"], (r["w"], parts)
+            assert parts == ref_syms[r["w"]], (r["w"], parts)
+
+    check()
+
+
+def test_strip_markup_idempotent_and_tagfree(spark):
+    """hypothesis (round 9): strip_markup output never contains a
+    well-formed tag span, and the chain is idempotent on its own
+    output for tag-only inputs (entity decode is deliberately
+    single-pass, so idempotence is asserted on the tag/whitespace
+    dimensions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+    from zappy_spark.operators.text import strip_markup
+
+    frag = st.lists(
+        st.sampled_from(
+            ["<b>", "</b>", "<div a=1>", "text", "more words",
+             "<script>x<y</script>", "<!--c-->", "  ", "plain"]
+        ),
+        min_size=0,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(parts=frag)
+    def check(parts):
+        s = "".join(parts)
+        df = spark.createDataFrame([(s,)], ["s"])
+        once = df.select(strip_markup(F.col("s")).alias("c")).collect()[0][
+            "c"
+        ]
+        import re as _re
+
+        assert not _re.search(r"<[^>]*>", once), (s, once)
+        assert "  " not in once and once == once.strip()
+        twice = (
+            spark.createDataFrame([(once,)], ["s"])
+            .select(strip_markup(F.col("s")).alias("c"))
+            .collect()[0]["c"]
+        )
+        assert twice == once, (s, once, twice)
+
+    check()
