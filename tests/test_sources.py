@@ -1752,3 +1752,32 @@ def test_zarr_v2_consolidated_metadata(spark, tmp_path):
     (store / ".zmetadata").write_text(_json.dumps(doc2))
     with _pytest.raises(NotImplementedError, match="consolidated"):
         ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
+
+
+def test_zarr_v2_append_refreshes_consolidated(spark, tmp_path):
+    """z35's hazard, closed: the reader PREFERS .zmetadata, so
+    append_zarr_v2 must refresh a present consolidated doc or the
+    grown shape is silently shadowed. Pin: after append, the doc
+    carries the new shape and a .zarray-less read sees ALL rows."""
+    import json as _json
+    import os
+
+    from zappy_spark.sources.zarrlite import append_zarr_v2, write_zarr_v2
+
+    X = np.arange(24, dtype=np.float64).reshape(8, 3)
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    store = tmp_path / "v2ca"
+    write_zarr_v2(
+        zf.df.selectExpr("row_id", "vec"),
+        str(store),
+        chunk_rows=4,
+        ncols=3,
+        consolidated=True,
+    )
+    extra = np.arange(100, 106, dtype=np.float64).reshape(2, 3)
+    append_zarr_v2(str(store), extra)
+    doc = _json.loads((store / ".zmetadata").read_text())
+    assert doc["metadata"][".zarray"]["shape"] == [10, 3]
+    os.remove(store / ".zarray")
+    got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
+    assert np.array_equal(got, np.vstack([X, extra]))

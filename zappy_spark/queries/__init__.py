@@ -129,12 +129,13 @@ order the r8 plan's b04…z24 and d15…d19 listings used).
 
 ROUND-10 ROTATION PLAN (written in round 9, from the latest-row
 table over CORRECTNESS_r01–r09): head = any round-10 re-spells,
-then the 10-entry _NEW_R10 below (t39 BPE apply/fertility audit,
+then the 11-entry _NEW_R10 below (t39 BPE apply/fertility audit,
 m06 ViT patch attestation, v27 distributed batch MMR selection,
 z34 zarr consolidated-metadata round-trip, t40 C4 sentence audit,
 t41 stopword coverage, d49 registrable-domain audit, t42 NFKC-lite
 unicode normalization, m07 Netpbm codec attestation, d50 end-to-end
-dedup-cluster ledger — built after the round-9 window filled,
+dedup-cluster ledger, z35 zarr append + consolidated-refresh — built
+after the round-9 window filled,
 locally green at 3 SFs + both fixtures, zero driver rows), then any
 further round-10 new entries, then the remaining 39-entry r4-green
 tier (alphabetical: d17_span_dedup, d18_fingerprint_dedup,
@@ -142,8 +143,8 @@ d19_cc_closure, d20–d22, l09, l11, r51–r53, r61–r72, s11–s13,
 t15–t20, v11–v15, z25, z27), then fill to 50 from the 43-entry
 r5-green tier head (alphabetical: d23_train_val_test,
 d24_decontaminate_frac, d26, d27, d28, d29, d30, d31, d32, d34,
-d36, …). With no re-spells and only _NEW_R10 that is 10 + 39 + 1 =
-50; new entries displace the r5-tier fill, never the r4 tier.
+d36, …). With no re-spells and only _NEW_R10 that is 11 + 39 + 0 =
+50 exactly (the r5 tier starts in round 11); new entries displace the r5-tier fill, never the r4 tier.
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
@@ -710,6 +711,7 @@ _NEW_R10 = [
     "t42_unicode_normalize",  # NEW r9→r10: NFKC-lite fold/drop pass
     "m07_pnm_attest",  # NEW r9→r10: Netpbm P6/P4 codec driver gate
     "d50_dedup_cluster_ledger",  # NEW r9→r10: e2e dedup cluster flow
+    "z35_zarr_append_roundtrip",  # NEW r9→r10: append + .zmetadata refresh
 ]
 
 # The 11 round-7 decimal-campaign re-spells (exact BIGINT/DECIMAL

@@ -667,6 +667,68 @@ def z34(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def z35(spark: SparkSession, d: str) -> DataFrame:
+    """zarr v2 APPEND + consolidated-refresh round-trip (round 9;
+    sources/zarrlite.py::append_zarr_v2): write the first 200
+    embeddings as a consolidated zlib v2 store, append rows 200–299
+    (driver-side, partial-tail rewrite + atomic ``.zarray`` replace
+    + the ``.zmetadata`` REFRESH the reader's consolidated-first
+    preference makes mandatory — a stale consolidated doc would
+    silently shadow the grown shape), DELETE ``.zarray``, and read
+    all 300 rows back through the refreshed document alone. The
+    oracle computes the same per-position stats from parquet, so a
+    stale-shape bug surfaces as a row-count mismatch, not a hang.
+    Scale: append is the metadata-owner's operation (single-writer
+    driver); the 100 appended rows are a bounded instrument."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from zappy_spark.sources.zarrlite import (
+        append_zarr_v2,
+        read_zarrlite,
+        write_zarr_v2,
+    )
+
+    emb = t(spark, d, "embeddings")
+    df = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("row_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"zs_z35_{os.path.basename(d.rstrip('/'))}"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    write_zarr_v2(df, store, 64, 64, compressor="zlib", consolidated=True)
+    # bounded instrument: 100 appended rows, ordered
+    tail = (
+        emb.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    append_zarr_v2(
+        store, np.array([r["embedding"] for r in tail], dtype=np.float64)
+    )
+    # the proof: with .zarray gone, only the REFRESHED doc can serve
+    os.remove(os.path.join(store, ".zarray"))
+    back = read_zarrlite(spark, store)
+    return (
+        back.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 6).alias("mn"),
+            F.round(F.max("x"), 6).alias("mx"),
+        )
+        .orderBy("pos")
+    )
+
+
 def z30(spark: SparkSession, d: str) -> DataFrame:
     """argmax/argmin(axis=0) (round 6; np.argmax semantics, the op
     frame.py::ZappyFrame._arg_extreme now implements for axis=0):
@@ -740,6 +802,7 @@ QUERIES = {
     "z32_zarr_lz4_roundtrip": z32,
     "z33_zarr_sharded_roundtrip": z33,
     "z34_zarr_consolidated_roundtrip": z34,
+    "z35_zarr_append_roundtrip": z35,
 }
 
 ORACLE = {
@@ -772,6 +835,18 @@ ORACLE = {
         "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
         "CAST(unnest(embedding) AS DOUBLE) x "
         "FROM embeddings WHERE vec_id < 400) "
+        "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
+        "FROM e GROUP BY pos ORDER BY pos"
+    ),
+    # z35: stats straight from parquet over ALL 300 rows; the Spark
+    # side went write(200) -> append(100, refreshing .zmetadata) ->
+    # DELETE .zarray -> read via the refreshed doc only. A stale
+    # consolidated shape shows up as n=200 row counts.
+    "z35_zarr_append_roundtrip": (
+        "WITH e AS (SELECT "
+        "CAST(generate_subscripts(embedding,1)-1 AS INT) pos, "
+        "CAST(unnest(embedding) AS DOUBLE) x "
+        "FROM embeddings WHERE vec_id < 300) "
         "SELECT pos, COUNT(*) n, ROUND(MIN(x),6) mn, ROUND(MAX(x),6) mx "
         "FROM e GROUP BY pos ORDER BY pos"
     ),

@@ -629,6 +629,12 @@ def append_zarr_v2(path: str, arr: "np.ndarray") -> None:
     with open(tmp, "w") as f:
         json.dump(z, f)
     os.replace(tmp, za)
+    # consolidated stores: the reader PREFERS .zmetadata, so a stale
+    # consolidated doc would silently shadow the grown shape —
+    # refresh it whenever it exists (same hazard zarr's own
+    # open_consolidated documents; here it is closed, not documented)
+    if os.path.exists(os.path.join(path, ".zmetadata")):
+        write_consolidated_metadata(path)
 
 
 # -- streaming read side (Spark 4 Python DataSourceStreamReader) -----------
