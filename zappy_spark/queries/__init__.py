@@ -146,6 +146,28 @@ d24_decontaminate_frac, d26, d27, d28, d29, d30, d31, d32, d34,
 d36, …). With no re-spells and only _NEW_R10 that is 11 + 39 + 0 =
 50 exactly (the r5 tier starts in round 11); new entries displace the r5-tier fill, never the r4 tier.
 
+ROUND-10 ORDERING (this file, EXECUTING that plan verbatim): no
+round-10 re-spells exist, so the window is exactly the 11-entry
+_NEW_R10 (slots 1–11, the only corpus entries with zero driver
+rows) followed by the 39-entry r4-green tier _R4_TIER_R10 (slots
+12–50, alphabetical d17…z27 — re-verified this round against the
+recomputed latest-row table over CORRECTNESS_r01–r09). The two
+entries built THIS round (_NEW_R11: v28 distributed logistic-
+regression training, t43 token-ID encode round-trip — VERDICT r9
+items 4 and 5) were constructed after the window composition
+froze; per the plan's displacement rule ("never the r4 tier") they
+queue at positions 51–52 and lead the round-11 window.
+
+ROUND-11 ROTATION PLAN (written in round 10): head = any round-11
+re-spells, then _NEW_R11 (v28, t43 — locally green at 3 SFs + both
+synth fixtures, zero driver rows), then any further round-11 new
+entries, then the 43-entry r5-green tier _R5_TIER_R11 (alphabetical
+d23…z29), then fill to 50 from the 45-entry r6-green tier head
+(alphabetical: d25_bloom_join, d33_fuzzy_linkage, d35_url_canon,
+d37_allpairs_prefix, d38_near_dup_registry, …). With no re-spells
+and no further new entries that is 2 + 43 + 5 = 50 exactly; new
+entries displace the r6-tier fill, never the r5 tier.
+
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
 tests/test_dtypes.py tests/test_plans.py -q` (~3 min); at session
@@ -739,21 +761,11 @@ _DECIMAL_CAMPAIGN_R7 = [
 # r35…t06 fits entirely — head arithmetic above — so the staleness
 # debt clears THIS round, one round earlier than the r7 plan's
 # spill-2 estimate) → the green tiers cycling behind.
-# First occurrence wins (dict.fromkeys dedup): round-9 order is the
-# t34 re-spell → the 5 queued _NEW_R9 → the 2 new _NEW_R9B → the
-# 40-entry r3 tier → d15/d16 = 50 exactly; everything below cycles
-# behind the window (round-10's tiers are already next in line:
-# d17…z27 alphabetical, then the r5 tier).
-_PRIORITY = list(
-    dict.fromkeys(
-        _CHANGED_R9
-        + _NEW_R9
-        + _NEW_R9B
-        + _R3_TIER_R9
-        + _R4_HEAD_R9
-        + _NEW_R10  # queued past slot 50 — r10's window head
-        + [  # round-10 r4-tier continuation, alphabetical
-            "d17_span_dedup",
+# The 39-entry r4-green tier (alphabetical), verified against the
+# recomputed latest-row table over CORRECTNESS_r01–r09 this round:
+# exactly the entries whose newest driver row is round 4.
+_R4_TIER_R10 = [
+    "d17_span_dedup",
             "d18_fingerprint_dedup",
             "d19_cc_closure",
             "d20_incremental_dedup",
@@ -790,9 +802,87 @@ _PRIORITY = list(
             "v13_pq_codes",
             "v14_adc_scoring",
             "v15_rank_normalize",
-            "z25_matvec",
-            "z27_scrna_recipe",
-        ]
+    "z25_matvec",
+    "z27_scrna_recipe",
+]
+
+# Entries built in round 10 AFTER the window composition froze
+# (VERDICT r9 items 4 and 5). Per the written plan's displacement
+# rule they must NOT displace the r4 tier, and with 11 + 39 = 50
+# there is no r5-tier fill to displace — so they queue at positions
+# 51+ and lead the round-11 window (the standing _NEW_R9/_NEW_R10
+# overflow pattern). All verified at 3 SFs + 10×/100× fixtures.
+_NEW_R11 = [
+    "v28_logreg_train",  # NEW r10: distributed logistic-regression training
+    "t43_token_ids",  # NEW r10: token-ID encode + detokenize round-trip
+]
+
+# The 43-entry r5-green tier (alphabetical), from the same
+# recomputed latest-row table: next in line after _NEW_R11.
+_R5_TIER_R11 = [
+    "d23_train_val_test",
+    "d24_decontaminate_frac",
+    "d26_leakage_free_split",
+    "d27_shelf_packing",
+    "d28_triangle_count",
+    "d29_temperature_mixture",
+    "d30_domain_cap",
+    "d31_rendezvous_shards",
+    "d32_dsir_importance",
+    "d34_token_budget",
+    "d36_source_overlap",
+    "m01_binary_chunk_plan",
+    "m02_fake_decode_features",
+    "m03_frame_features",
+    "r56_q9_profit",
+    "r74_salted_join",
+    "r80_rolling_median",
+    "r81_quantile_envelope",
+    "r82_attribution",
+    "r83_interval_overlap",
+    "r84_cumulative_users",
+    "r85_bitemporal_asof",
+    "r86_benford_digits",
+    "r87_welch_ttest",
+    "r88_acf_daily",
+    "r90_basket_lift",
+    "s14_variant_window",
+    "s18_dynamic_session",
+    "s19_path_trigrams",
+    "t22_winsorize",
+    "t23_bigram_nll",
+    "t26_woe_iv",
+    "v07_hll_rollup",
+    "v09_ivf_kmeans",
+    "v18_matryoshka_topk",
+    "v19_knn_communities",
+    "v20_hits_authority",
+    "v21_bfs_hops",
+    "v23_sign_hamming",
+    "z01_sum_axis0",
+    "z02_mean_axis0",
+    "z28_row_median",
+    "z29_zarr_v2_roundtrip",
+]
+
+# First occurrence wins (dict.fromkeys dedup): ROUND-10 order
+# EXECUTES the plan round 9 wrote — the 11 never-driver-checked
+# _NEW_R10 lead, then the 39-entry r4 tier = 50 exactly (no
+# re-spells this round). _NEW_R11 (built after the window froze)
+# queues at 51+, then the r5 tier — so the round-11 window is
+# already written: _NEW_R11 (2) + r5 tier (43) + 5 from the
+# r6-tier head = 50. Everything below cycles behind.
+_PRIORITY = list(
+    dict.fromkeys(
+        _NEW_R10  # r10 window head — zero driver rows, slots 1–11
+        + _R4_TIER_R10  # slots 12–50
+        + _NEW_R11  # queued past slot 50 — r11's window head
+        + _R5_TIER_R11  # r11 tier
+        + _CHANGED_R9
+        + _NEW_R9
+        + _NEW_R9B
+        + _R3_TIER_R9
+        + _R4_HEAD_R9
         + _CHANGED_R8
         + _NEW_R8
         + _DECIMAL_CAMPAIGN_R7
@@ -810,7 +900,7 @@ _PRIORITY = list(
     )
 )
 
-QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}
+QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY if k in _ALL_QUERIES}
 QUERIES.update({k: v for k, v in _ALL_QUERIES.items() if k not in QUERIES})
 
 ORACLE = {
