@@ -3528,6 +3528,49 @@ def test_bpe_segment_stats_hand_counts(spark):
     assert got[1] == (3, 10, 4, 1)
 
 
+def test_bpe_segment_degenerate_corpus_oracle_parity(spark, tmp_path):
+    """Round-10 ADVICE pin: a corpus with FEWER than n_merges
+    trainable pairs used to empty the whole t39 oracle (empty b_i
+    in the m cross join) while the Spark operator breaks out of the
+    merge loop early and still segments — an engine divergence on
+    degenerate corpora. The identity-fallback merge columns
+    ('#','#' never matches the alnum vocab) must make both engines
+    agree."""
+    import duckdb
+    import pandas as pd
+
+    from zappy_spark.queries.pipeline_ops import QUERIES, _t39_oracle
+
+    # vocab {ab, cd}: merge 1 = (a,b) n=3, merge 2 = (c,d) n=1,
+    # then NO adjacent pairs remain -> b3..b6 empty
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["s1", "s1", "s2"],
+            "text": ["ab ab", "ab cd", "Zed! ab"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["source"]: (
+            r["n_words"], r["n_chars"], r["n_subwords"], r["n_oov_words"]
+        )
+        for r in QUERIES["t39_bpe_segment"](spark, str(tmp_path)).collect()
+    }
+    # after both merges every in-scope word is ONE subword
+    assert got["s1"] == (4, 8, 4, 0)
+    assert got["s2"] == (1, 2, 1, 1)  # 'zed!' out of scope
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    orc = {
+        r[0]: tuple(r[1:]) for r in con.execute(_t39_oracle(6)).fetchall()
+    }
+    assert orc == got
+
+
 def test_bpe_merge_application_greedy(spark):
     """The '|l||r|' string-replace form IS greedy left-to-right BPE:
     'babab' with merge (b,a) yields [ba, ba, b], never re-merging

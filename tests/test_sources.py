@@ -1457,6 +1457,25 @@ def test_pnm_p1_run_together_bits_and_raster_comment():
     img5d, _ = decode_pnm(b"P5 2 2 255 # c\n" + hashy)
     assert img5d.reshape(-1).tolist() == [0x23, 7, 11, 13]
 
+    # round-10 ADVICE pins: (a) a CRLF-terminated comment is ONE
+    # delimiter — the '\n' must not leak into the raster as its
+    # first byte (the +1-length case used to pass the truncation
+    # check and silently shift every pixel)
+    img5e, _ = decode_pnm(b"P5 2 2 255 # c\r\n" + raw)
+    assert img5e.reshape(-1).tolist() == [0, 1, 2, 3]
+    # a CR-only comment delimiter (classic-Mac writer) also works
+    img5f, _ = decode_pnm(b"P5 2 2 255 # c\r" + raw)
+    assert img5f.reshape(-1).tolist() == [0, 1, 2, 3]
+    # (b) a '#'-leading raster with writer-appended trailing bytes
+    # is neither an exact fit nor a viable comment+raster: LOUD
+    # rejection, never a silent comment-eats-raster shift
+    with _pytest.raises(PnmFormatError, match="ambiguous '#'"):
+        decode_pnm(b"P5 2 2 255\n" + bytes([0x23, 7, 11, 13]) + b"\n")
+    # a real comment followed by a full raster plus trailing bytes
+    # still decodes (skip leaves >= need)
+    img5g, _ = decode_pnm(b"P5 2 2 255 # c\n" + raw + b"\n")
+    assert img5g.reshape(-1).tolist() == [0, 1, 2, 3]
+
 
 def test_gif_pnm_round_trips_and_rejections():
     import numpy as np
@@ -1781,3 +1800,43 @@ def test_zarr_v2_append_refreshes_consolidated(spark, tmp_path):
     os.remove(store / ".zarray")
     got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
     assert np.array_equal(got, np.vstack([X, extra]))
+
+
+def test_zarr_v2_rewrite_refreshes_consolidated(spark, tmp_path):
+    """Round-10 ADVICE pin: write_zarr_v2 with consolidated=False
+    over a store previously written consolidated must refresh the
+    pre-existing .zmetadata (the reader prefers it, so a stale doc
+    would silently shadow the new shape/compressor — the rewrite
+    twin of the append hazard)."""
+    import json as _json
+    import os
+
+    from zappy_spark.sources.zarrlite import write_zarr_v2
+
+    X = np.arange(24, dtype=np.float64).reshape(8, 3)
+    zf = ZappyFrame.from_ndarray(spark, X, num_partitions=2)
+    store = tmp_path / "v2cr"
+    write_zarr_v2(
+        zf.df.selectExpr("row_id", "vec"),
+        str(store),
+        chunk_rows=4,
+        ncols=3,
+        consolidated=True,
+    )
+    # rewrite with a DIFFERENT shape + compressor, consolidated off
+    Y = np.arange(100, 130, dtype=np.float64).reshape(10, 3)
+    zf2 = ZappyFrame.from_ndarray(spark, Y, num_partitions=2)
+    write_zarr_v2(
+        zf2.df.selectExpr("row_id", "vec"),
+        str(store),
+        chunk_rows=5,
+        ncols=3,
+        compressor="zlib",
+    )
+    doc = _json.loads((store / ".zmetadata").read_text())
+    assert doc["metadata"][".zarray"]["shape"] == [10, 3]
+    assert doc["metadata"][".zarray"]["compressor"] == {"id": "zlib"}
+    # the consolidated-first open must see the NEW array
+    os.remove(store / ".zarray")
+    got = ZappyFrame.from_zarrlite(spark, str(store)).asndarray()
+    assert np.array_equal(got, Y)

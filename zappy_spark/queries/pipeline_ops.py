@@ -4036,10 +4036,21 @@ def _bpe_oracle(k: int = 6) -> str:
 def _t39_oracle(k: int = 6) -> str:
     """BPE application replay (t39): re-train the schedule with the
     t37 CTE prefix, then segment every in-scope corpus token with
-    the same chained replaces (merge pairs referenced straight from
-    the b1..b{k} single-row CTEs) and aggregate per source."""
-    merge_cols = ", ".join(f"b{i}.l l{i}, b{i}.r r{i}" for i in range(1, k + 1))
-    merge_from = ", ".join(f"b{i}" for i in range(1, k + 1))
+    the same chained replaces and aggregate per source. Degenerate-
+    corpus guard (round-10 ADVICE): a corpus yielding fewer than k
+    trainable pairs leaves some b_i EMPTY, and a plain cross join
+    of b1..b{k} would empty the whole oracle while the Spark
+    operator (which breaks out of the merge loop early) still
+    segments with the shorter schedule. Each merge column is
+    therefore a scalar subquery with an identity fallback — the
+    pair ('#','#'), whose wrapped form '|#||#|' can never occur in
+    the ^[a-z0-9]+$ vocab, so the fallback replace is a no-op,
+    exactly like the operator's absent merge."""
+    merge_cols = ", ".join(
+        f"COALESCE((SELECT l FROM b{i}), '#') l{i}, "
+        f"COALESCE((SELECT r FROM b{i}), '#') r{i}"
+        for i in range(1, k + 1)
+    )
     seg = "regexp_replace(w, '(.)', '|\\1|', 'g')"
     for i in range(1, k + 1):
         seg = (
@@ -4048,7 +4059,7 @@ def _t39_oracle(k: int = 6) -> str:
         )
     return (
         _bpe_train_ctes(k)
-        + f", m AS (SELECT {merge_cols} FROM {merge_from})"
+        + f", m AS (SELECT {merge_cols})"
         ", tokx AS (SELECT source grp, lower(t) w FROM "
         "(SELECT source, unnest(list_filter(string_split(text,' '), "
         "x -> x<>'')) t FROM documents))"

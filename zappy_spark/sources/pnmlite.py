@@ -113,25 +113,37 @@ def decode_pnm(data: bytes) -> tuple[np.ndarray, dict]:
         # header comment ('255 # foo\n<data>') or the first raster
         # byte (0x23 is a perfectly legal sample). libnetpbm reads
         # raster unconditionally; the spec allows comments before
-        # the delimiter. Resolve by exact raster length: an exact
-        # fit is raster, otherwise each '#' run to EOL is a comment
-        # whose EOL becomes the new delimiter — so neither a legal
-        # comment nor a '#'-leading raster is ever silently shifted.
+        # the delimiter. Resolve by raster length: an exact fit is
+        # raster; a '#' run to EOL whose skip still leaves a full
+        # raster is a comment (its EOL — CRLF counts as ONE
+        # delimiter — becomes the new delimiter); anything else is
+        # a LOUD rejection, never a silent pixel shift (a
+        # '#'-leading raster with writer-appended trailing bytes
+        # lands here rather than being eaten as a comment).
         stride = (w + 7) // 8
         need = stride * h if kind == 4 else w * h * nch
         if pos >= len(data) or not data[pos : pos + 1].isspace():
             raise PnmFormatError("missing sample separator")
         pos += 1
-        while (
-            pos < len(data)
-            and data[pos] == 0x23  # '#'
-            and len(data) - pos != need
-        ):
-            while pos < len(data) and data[pos] not in (0x0A, 0x0D):
-                pos += 1
-            if pos >= len(data):
+        while pos < len(data) and data[pos] == 0x23:  # '#'
+            if len(data) - pos == need:
+                break  # exact fit ⇒ '#' is the first raster byte
+            j = pos  # tentative comment skip
+            while j < len(data) and data[j] not in (0x0A, 0x0D):
+                j += 1
+            if j >= len(data):
                 raise PnmFormatError("missing sample separator")
-            pos += 1  # the comment's EOL is the delimiter
+            if data[j] == 0x0D and data[j + 1 : j + 2] == b"\n":
+                j += 1  # CRLF-terminated comment: one delimiter
+            j += 1  # the comment's EOL is the delimiter
+            if len(data) - j < need:
+                raise PnmFormatError(
+                    "ambiguous '#' at raster start: neither an "
+                    "exact-length raster nor a comment followed by "
+                    "a full raster (trailing bytes after a "
+                    "'#'-leading raster?)"
+                )
+            pos = j
         if len(data) - pos < need:
             raise PnmFormatError(
                 f"truncated raster ({len(data) - pos} < {need})"

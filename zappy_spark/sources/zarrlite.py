@@ -406,6 +406,14 @@ def write_zarr_v2(
     if consolidated:
         # after .zarray so the consolidated doc includes it
         write_consolidated_metadata(path)
+    elif os.path.exists(os.path.join(path, ".zmetadata")):
+        # rewriting a store previously written consolidated: the
+        # reader PREFERS .zmetadata, so leaving the old doc behind
+        # would silently shadow the new shape/compressor — the same
+        # stale-shadow hazard append_zarr_v2 closes. Refresh rather
+        # than delete so a consolidated store stays consolidated
+        # across rewrites (one-GET open survives).
+        write_consolidated_metadata(path)
 
 
 def write_zarr_v3(
