@@ -64,6 +64,13 @@ def main() -> int:
         f" {tot['fail']} | | |"
     )
     print()
+    vac = sorted(r["name"] for r in seen.values() if r.get("vacuous"))
+    print(
+        f"Vacuous (0-row hash matches — arithmetic unexercised at this "
+        f"fixture): {len(vac)}"
+        + (f" — {', '.join(f'`{n}`' for n in vac)}" if vac else "")
+    )
+    print()
     for r in seen.values():
         if r.get("skipped"):
             print(f"- skipped `{r['name']}`: {r.get('reason', 'quadratic oracle twin (conftest policy)')}")

@@ -165,6 +165,13 @@ def main() -> int:
                     "spark_s": round(t1 - t0, 3),
                     "duck_s": round(t2 - t1, 3),
                 }
+                if s[0] == 0 and o[0] == 0:
+                    # a 0-row hash "match" is degenerate evidence —
+                    # the entry's arithmetic was never exercised at
+                    # this fixture (VERDICT r9: d50's perturbed-
+                    # corpus vacuity went unnoticed for a round).
+                    # Flag it so degeneracy is self-announcing.
+                    rec["vacuous"] = True
             except Exception as exc:  # record and continue the sweep
                 rec = {
                     "name": name,
@@ -186,6 +193,14 @@ def main() -> int:
             print(rec, flush=True)
             if not rec["ok"]:
                 failed.append(name)
+    # aggregate vacuity count over the WHOLE log (including resumed
+    # prior runs), so the degenerate-match tally rides every sweep
+    vacuous = [
+        json.loads(line)["name"]
+        for line in out.read_text().splitlines()
+        if line.strip() and json.loads(line).get("vacuous")
+    ]
+    print(f"vacuous (0-row matches): {len(vacuous)} {sorted(vacuous)}")
     if failed:
         print("FAILED:", failed)
     return 1 if failed else 0

@@ -37,12 +37,50 @@ SHIFTED = {
 }
 
 
+PLANT_EVERY = 50  # one 3-doc span-dup chain per 50 base docs
+
+
+def _chain_text(i):
+    """Planted TRANSITIVE span-dup chain text for replica role i
+    (round-10, VERDICT r9 item 2): the suffix perturbation destroys
+    organic span-duplicate clusters (every span shared by all 10
+    replicas of a doc exceeds d50's max_df=8 cap), leaving the
+    flagship dedup-ledger flow scale-exercised only as "doesn't
+    crash". For every PLANT_EVERY-th base doc, replicas 1/2/3
+    become a chain A~B~C: A = 9 x-tokens (3 spans), B = the same 9
+    x-tokens + 9 y-tokens (6 spans), C = the 9 y-tokens + a 3-token
+    z tail. A and B share exactly the 3 x-spans, B and C exactly
+    the 3 y-spans, A and C share NOTHING — only the transitive
+    closure clusters them (the pairwise-dedup failure mode d50
+    exists to catch). Span df = 2 per shared span, far under the
+    cap; tokens carry the base doc_id so chains never cross."""
+    d = F.col("doc_id").cast("string")
+    xs = [F.concat(F.lit("px"), d, F.lit(f"n{k}")) for k in range(9)]
+    ys = [F.concat(F.lit("py"), d, F.lit(f"n{k}")) for k in range(9)]
+    zs = [F.concat(F.lit("pz"), d, F.lit(f"n{k}")) for k in range(3)]
+    toks = {1: xs, 2: xs + ys, 3: ys + zs}[i]
+    return F.concat_ws(" ", *toks)
+
+
 def perturb(name: str, df, i: int):
     """Content-perturb replica i (identity for i == 0)."""
     if i == 0:
         return df
     if name == "documents":
-        return df.withColumn("text", F.concat("text", F.lit(f" r{i}")))
+        out = df.withColumn("text", F.concat("text", F.lit(f" r{i}")))
+        if i in (1, 2, 3):
+            planted = (F.col("doc_id") % PLANT_EVERY) == 0
+            out = out.withColumn(
+                "text", F.when(planted, _chain_text(i)).otherwise(F.col("text"))
+            ).withColumn(
+                # keep n_chars == length(text) (the generator's
+                # invariant) so d50's keep-best picks B, the longest
+                "n_chars",
+                F.when(planted, F.length("text").cast("bigint")).otherwise(
+                    F.col("n_chars")
+                ),
+            )
+        return out
     if name == "embeddings":
         return df.withColumn(
             "embedding",

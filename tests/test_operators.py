@@ -3229,6 +3229,70 @@ def test_dedup_cluster_ledger_planted_cluster(spark):
             r["kept_chars"], r["chars_removed"]) == (0, 3, 1, 37, 47)
 
 
+def test_synth_scale_planting_feeds_d50_chains(spark):
+    """Round-10, VERDICT r9 item 2: the synth-fixture generator's
+    planted replicas must form TRANSITIVE span-dup chains that d50
+    actually clusters — per planted base doc, replicas 1/2/3 become
+    A~B~C (A and C share nothing directly), ONE 3-doc component,
+    keep-best = B (the longest), chars_removed = |A| + |C|. Runs
+    the real generator code path (scripts/synth_scale.perturb) on a
+    miniature base corpus with the real key-shift arithmetic."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from scripts.synth_scale import PLANT_EVERY, perturb
+
+    from zappy_spark.operators.dedup import dedup_cluster_ledger
+
+    # two planted base docs (0 and PLANT_EVERY) + one unplanted
+    rows = [
+        (0, "organic words here", "en", "web", 18),
+        (PLANT_EVERY, "more organic text", "en", "web", 17),
+        (7, "never planted doc", "en", "web", 17),
+    ]
+    base = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    span = PLANT_EVERY + 1  # max(doc_id) + 1, as main() computes
+    parts = []
+    for i in range(5):
+        p = perturb("documents", base, i)
+        parts.append(p.withColumn("doc_id", F.col("doc_id") + i * span))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    out = {
+        r["component"]: r
+        for r in dedup_cluster_ledger(
+            corpus, "text", "doc_id", "n_chars",
+            span=3, min_shared=3, max_df=8,
+        ).collect()
+    }
+    # one 3-doc cluster per planted base doc, nothing else
+    assert len(out) == 2
+    for d in (0, PLANT_EVERY):
+        a_id, b_id, c_id = d + span, d + 2 * span, d + 3 * span
+        r = out[a_id]  # component label = min doc_id in the chain
+        assert r["n_docs"] == 3
+        assert r["kept_doc_id"] == b_id  # B = x+y blocks, longest
+        sizes = {
+            row["doc_id"]: row["n_chars"]
+            for row in corpus.filter(
+                F.col("doc_id").isin([a_id, b_id, c_id])
+            ).collect()
+        }
+        assert r["kept_chars"] == sizes[b_id]
+        assert r["chars_removed"] == sizes[a_id] + sizes[c_id]
+        # n_chars invariant holds on planted rows
+        texts = {
+            row["doc_id"]: row["text"]
+            for row in corpus.filter(
+                F.col("doc_id").isin([a_id, b_id, c_id])
+            ).collect()
+        }
+        assert all(len(texts[k]) == sizes[k] for k in texts)
+
+
 def test_normalize_unicode_lite_hand_cases(spark):
     """t42's fold table on explicit codepoints: quotes/dashes fold,
     fullwidth folds, zero-width/BOM drop, ellipsis/ligatures expand,
