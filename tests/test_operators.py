@@ -3718,3 +3718,230 @@ def test_quantile_sketch_attest_numpy_parity_and_breach(spark):
         n = len(q)
         lo, hi = 0.9 * n - n / 100 - 1, 0.9 * n + n / 100 + 1
         assert not (le >= lo and lt <= hi)
+
+
+# ---------------------------------------------------------- round 10
+
+
+def test_logreg_tdiv_matches_both_engines(spark):
+    """v28's exactness hinges on ONE pinned semantic: Spark `div`,
+    DuckDB `//`, and the driver-side _tdiv all truncate integer
+    division toward ZERO (Python's bare // floors — different on
+    negatives). Pin all three on the sign grid."""
+    import duckdb
+
+    from zappy_spark.operators.training import _tdiv
+
+    cases = [(7, 3), (-7, 3), (7, -3), (-7, -3), (8, 4), (-8, 4)]
+    got_spark = [
+        r["q"]
+        for r in spark.createDataFrame(cases, ["a", "b"])
+        .selectExpr("a div b q", "a", "b")
+        .orderBy("a", "b")
+        .collect()
+    ]
+    ordered = sorted(cases)
+    got_duck = [
+        duckdb.sql(f"select cast({a} as bigint) // {b}").fetchone()[0]
+        for a, b in ordered
+    ]
+    got_py = [_tdiv(a, b) for a, b in ordered]
+    # ordered: (-8,4) (-7,-3) (-7,3) (7,-3) (7,3) (8,4) — all three
+    # truncate toward zero (floor division would give -3 for -7/3)
+    assert got_spark == got_duck == got_py == [-2, 2, -2, -2, 2, 2]
+
+
+def test_logreg_train_planted_separation(spark):
+    """v28's accuracy pin on PLANTED separable labels (VERDICT r9
+    item 4): positives carry 'the' twice, negatives none, so the
+    clipped x1 feature separates at the boundary the label rule
+    uses — 8 iterations must reach 100% training accuracy, with a
+    positive 'the' weight and negative bias. The whole trajectory
+    is also re-derived with plain Python integers (the fixed-point
+    arithmetic twin) and must match the distributed result cell for
+    cell — partitioning cannot perturb an integer sum."""
+    from zappy_spark.operators.training import (
+        LOGREG_SCALE,
+        _tdiv,
+        logreg_train_fixed,
+    )
+
+    rows = [
+        (i, "the quick the text data word")
+        if i % 2 == 0
+        else (i, "data data noise word filler junk")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    out = logreg_train_fixed(df, "text", n_iter=8, lr_den=2).collect()
+    assert [r["step"] for r in out] == list(range(1, 9))
+    final = out[-1]
+    assert final["n"] == 40
+    assert final["n_correct"] == 40  # separable -> 100% accuracy
+    assert final["w_the"] > 0 and final["w_bias"] < 0
+
+    # python fixed-point twin (the same arithmetic, sequential)
+    s = LOGREG_SCALE
+    feats = [
+        ((1, 2, 1, 0), 1) if i % 2 == 0 else ((1, 0, 2, 0), 0)
+        for i in range(40)
+    ]
+    w = [0, 0, 0, 0]
+    expect = []
+    for step in range(1, 9):
+        g = [0, 0, 0, 0]
+        ncorr = 0
+        for x, y in feats:
+            z = sum(wi * xi for wi, xi in zip(w, x))
+            p = min(s, max(0, s // 2 + _tdiv(z, 4)))
+            r = p - y * s
+            if (1 if 2 * p > s else 0) == y:
+                ncorr += 1
+            for j in range(4):
+                g[j] += r * x[j]
+        w = [w[j] - _tdiv(g[j], 2 * 40) for j in range(4)]
+        expect.append((step, 40, ncorr, w[0], w[1], w[2], w[3]))
+    got = [
+        (r["step"], r["n"], r["n_correct"], r["w_bias"], r["w_the"],
+         r["w_data"], r["w_len"])
+        for r in out
+    ]
+    assert got == expect
+
+
+def test_logreg_plan_one_agg_per_step(spark):
+    """v28 plan hygiene: the training plan is unions of per-step
+    single aggregates over the scan — no join, no window, no Python
+    UDF anywhere (the gradient is a hash agg, not a collect loop)."""
+    from zappy_spark.operators.training import logreg_train_fixed
+
+    df = spark.createDataFrame(
+        [(i, "the the data") for i in range(8)], ["doc_id", "text"]
+    )
+    plan = (
+        logreg_train_fixed(df, "text", n_iter=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython",
+                "Window"):
+        assert bad not in plan
+
+
+def test_token_id_table_base_merges_shadowing():
+    """t43's id table: base [a-z0-9] ids 0..35 in byte order, merge
+    products 36.. in step order, FIRST occurrence wins when two
+    steps concatenate to the same string (the setdefault/CASE-order
+    precedence both engines share), '<unk>' = -1."""
+    from zappy_spark.operators.text import token_id_table
+
+    t = token_id_table([("t", "h"), ("th", "e"), ("a", "b")])
+    assert t["a"] == 0 and t["z"] == 25 and t["0"] == 26 and t["9"] == 35
+    assert t["th"] == 36 and t["the"] == 37 and t["ab"] == 38
+    assert t["<unk>"] == -1
+    # collision: step 1 (a,bc)->'abc', step 3 (ab,c)->'abc' shadows
+    t2 = token_id_table([("a", "bc"), ("x", "y"), ("ab", "c")])
+    assert t2["abc"] == 36 and t2["xy"] == 37  # id 38 never assigned
+    assert 38 not in set(t2.values())
+
+
+def test_encode_token_ids_hand_histogram(spark):
+    """t43 on the t37 hand-schedule corpus: with merges (a,a),
+    (a,b), (aa,a), 'aaa' encodes to the single id for 'aaa', 'abab'
+    to two 'ab' ids, and 'Zed!' becomes ONE <unk> (id -1) — the
+    UNK row doubling as the OOV count."""
+    from zappy_spark.operators.text import encode_token_ids
+
+    rows = [(i, "aaa abab" if i < 3 else "aaa Zed!", "g0" if i < 3 else "g1")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    got = {
+        (r["src"], r["token_id"], r["token"]): r["n"]
+        for r in encode_token_ids(df, "text", "src", n_merges=3).collect()
+    }
+    # merges: step1 (a,a)->aa id 36, step2 (a,b)->ab id 37,
+    # step3 (aa,a)->aaa id 38
+    assert got == {
+        ("g0", 37, "ab"): 6,   # 3 docs x abab -> [ab, ab]
+        ("g0", 38, "aaa"): 3,  # 3 docs x aaa -> [aaa]
+        ("g1", -1, "<unk>"): 1,  # zed! out of scope
+        ("g1", 38, "aaa"): 1,
+    }
+
+
+def test_token_ids_detok_identity(spark):
+    """t43's detokenize-identity audit: every in-scope word's id
+    sequence decodes back to the word byte-for-byte (symbols only
+    ever merge, never drop bytes; the id table is invertible on
+    non-shadowed ids). Pinned here as the property the histogram
+    entry doesn't re-assert per row."""
+    from zappy_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_discover_merges,
+        decode_token_ids,
+        token_id_table,
+    )
+
+    rows = [(i, "the then theta other data date 42x") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_discover_merges(df, "text", 6)
+    ids = token_id_table(merges)
+    id_map = F.create_map(*[F.lit(x) for kv in ids.items() for x in kv])
+    words = df.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    seg = bpe_apply_merges(F.regexp_replace("w", "(.)", "|$1|"), merges)
+    syms = F.filter(F.split(seg, "\\|"), lambda x: x != "")
+    encoded = words.select(
+        "w",
+        F.transform(
+            syms, lambda t: F.element_at(id_map, t)
+        ).alias("ids"),
+    )
+    decoded = encoded.select(
+        "w", decode_token_ids(F.col("ids"), merges).alias("back")
+    )
+    bad = decoded.filter(F.col("w") != F.col("back")).collect()
+    assert bad == []
+
+
+def test_token_ids_degenerate_corpus_oracle_parity(spark, tmp_path):
+    """t43's oracle shares t39's identity-fallback guard: fewer
+    trainable pairs than n_merges must not empty the SQL side while
+    Spark still encodes with the shorter schedule."""
+    import duckdb
+    import pandas as pd
+
+    from zappy_spark.queries.pipeline_ops import QUERIES, _t43_oracle
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["s1", "s1", "s2"],
+            "text": ["ab ab", "ab cd", "Zed! ab"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r["source"], r["token_id"], r["token"]): r["n"]
+        for r in QUERIES["t43_token_ids"](spark, str(tmp_path)).collect()
+    }
+    # merges: (a,b) id 36, (c,d) id 37; b3..b6 fall back to '#'
+    assert got == {
+        ("s1", 36, "ab"): 3,
+        ("s1", 37, "cd"): 1,
+        ("s2", -1, "<unk>"): 1,
+        ("s2", 36, "ab"): 1,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    orc = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(_t43_oracle(6)).fetchall()
+    }
+    assert orc == got

@@ -1450,3 +1450,115 @@ def bpe_train_merges(
         schema = "step int, lhs string, rhs string, merged string, pair_n bigint"
         return df.sparkSession.createDataFrame([], schema)
     return out.orderBy("step")
+
+
+# Token-ID encoding (round 10, VERDICT r9 item 5 — the artifact a
+# training pipeline actually materializes): base alphabet [a-z0-9]
+# gets ids 0..35 in byte order, trained merge products get ids
+# 36..35+K in merge order (FIRST occurrence wins when two merge
+# steps concatenate to the same string — dict.setdefault here, CASE
+# order in the SQL twin, so the precedence cannot drift). The id of
+# a symbol is a pure function of the symbol string, so the lookup
+# table compiles INTO the scan as a map literal (the t41 trick) —
+# no join ever ships it.
+TOKEN_ID_BASE = "abcdefghijklmnopqrstuvwxyz0123456789"
+TOKEN_ID_UNK = -1
+
+
+def token_id_table(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol -> id table for a trained merge
+    schedule: 36 base chars then one id per merge step; '<unk>'
+    maps to TOKEN_ID_UNK. A later merge whose product collides with
+    an earlier one is SHADOWED (setdefault) — segmentation can emit
+    the string only once, so the table stays a function."""
+    ids: dict[str, int] = {c: i for i, c in enumerate(TOKEN_ID_BASE)}
+    for step, (lhs, rhs) in enumerate(merges, start=1):
+        ids.setdefault(lhs + rhs, 35 + step)
+    ids["<unk>"] = TOKEN_ID_UNK
+    return ids
+
+
+def encode_token_ids(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Token-ID encode + per-source id histogram — completes the
+    tokenizer story (t37 trains the merges, t39 audits fertility,
+    this emits the ids): every in-scope word (lowercased
+    ``[a-z0-9]+``, the training scope) is segmented by the trained
+    schedule and each subword becomes its vocabulary id; an
+    out-of-scope word becomes ONE ``<unk>`` token (id -1) — the
+    explicit UNK policy, which also makes the histogram's UNK row
+    the per-source OOV count. Returns (group, token_id, token, n),
+    exact BIGINT counts.
+
+    Detokenize identity holds by construction — a word's subwords
+    concatenate back to the word (symbol wrappers only ever merge,
+    never drop bytes) and the id table is invertible on non-shadowed
+    ids — and is pinned as a property test rather than re-asserted
+    per row here.
+
+    Scale: after the vocab-bounded discovery jobs, ONE corpus scan
+    — segmentation is K literal replaces (t39's compile-the-merges
+    trick), the id lookup is a 43-entry map literal (t41's trick),
+    and the only shuffle is the |groups| x |vocab| histogram agg
+    (map-side combinable, bounded by construction)."""
+    merges = bpe_discover_merges(df, text_col, n_merges)
+    ids = token_id_table(merges)
+    id_map = F.create_map(
+        *[F.lit(x) for kv in ids.items() for x in kv]
+    )
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_w0"),
+    ).select("grp", F.lower("_w0").alias("_w"))
+    in_scope = F.col("_w").rlike("^[a-z0-9]+$")
+    seg = bpe_apply_merges(
+        F.regexp_replace("_w", "(.)", "|$1|"), merges
+    )
+    syms = F.filter(F.split(seg, "\\|"), lambda x: x != "")
+    arr = F.when(in_scope, syms).otherwise(
+        F.array(F.lit("<unk>"))
+    )
+    return (
+        tok.select("grp", F.explode(arr).alias("token"))
+        .select(
+            "grp",
+            F.coalesce(
+                F.element_at(id_map, F.col("token")),
+                F.lit(TOKEN_ID_UNK),
+            ).alias("token_id"),
+            "token",
+        )
+        .groupBy("grp", "token_id", "token")
+        .agg(F.count("*").alias("n"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def decode_token_ids(
+    ids_arr: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Detokenize: map an array of token ids back to symbol strings
+    via the inverted (non-shadowed) table and concatenate — the
+    identity-audit half. Unknown/UNK ids decode to '<unk>'."""
+    table = token_id_table(merges)
+    inv: dict[int, str] = {}
+    for sym, i in table.items():
+        inv.setdefault(i, sym)
+    dec_map = F.create_map(
+        *[F.lit(x) for kv in inv.items() for x in kv]
+    )
+    return F.array_join(
+        F.transform(
+            ids_arr,
+            lambda i: F.coalesce(
+                F.element_at(dec_map, i), F.lit("<unk>")
+            ),
+        ),
+        "",
+    )

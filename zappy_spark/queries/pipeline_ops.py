@@ -3437,6 +3437,64 @@ def v25(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("label")
 
 
+def v28(spark: SparkSession, d: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (round 10, VERDICT r9
+    item 4; operators/training.py::logreg_train_fixed): 8 fixed
+    gradient-descent iterations of a logistic model with the
+    hard-sigmoid link, entirely in scale-1e6 fixed-point BIGINTs —
+    the C4/CCNet-style learned quality filter trained IN the engine
+    rather than scored with trained-elsewhere artifacts. Features
+    are scan-side clipped integer counts ('the', 'data', length
+    bucket); the label ('the' appears >= 2 times) is a linearly
+    separable rule the trainer must re-learn. Output = one row per
+    iteration (step, n, n_correct, w_bias, w_the, w_data, w_len),
+    every cell an exact integer — no ROUND anywhere.
+
+    Exactness: per-row quantities are exact BIGINTs (hard sigmoid =
+    clamp + truncating div, no exp), so gradient sums are
+    order-independent integer sums and the weight trajectory
+    replays bit-for-bit in DuckDB (`div` == `//`, both truncate
+    toward zero — verified on negatives).
+
+    Scale: per iteration ONE map-side-combinable hash agg over a
+    narrow integer scan; only 6 integers cross the shuffle; weights
+    re-enter as literals (the v09-Lloyd's / t37-BPE precedent),
+    lineage linear in the iteration count."""
+    from zappy_spark.operators.training import logreg_train_fixed
+
+    return logreg_train_fixed(
+        t(spark, d, "documents"), "text", n_iter=8, lr_den=2
+    )
+
+
+def t43(spark: SparkSession, d: str) -> DataFrame:
+    """Token-ID encoding (round 10, VERDICT r9 item 5;
+    operators/text.py::encode_token_ids) — completes the tokenizer
+    story: t37 trains the 6-merge schedule, t39 audits fertility,
+    this emits the actual vocabulary ids a training pipeline
+    materializes. Base chars [a-z0-9] get ids 0..35 in byte order,
+    merge products 36..41 in merge order (first occurrence wins on
+    collision — dict.setdefault in Spark, CASE order in SQL);
+    out-of-scope words become ONE <unk> token (id -1), so the UNK
+    histogram row IS the per-source OOV count. Output = per-source
+    id histogram (source, token_id, token, n), exact BIGINTs;
+    detokenize-identity is pinned as a property test (subwords
+    concatenate back to the word by construction).
+
+    Scale: after the vocab-bounded discovery jobs, ONE corpus scan
+    — merges compile into the scan as literal replaces (t39), the
+    id table rides as a 43-entry map literal (t41), and the only
+    shuffle is the |sources| x |vocab| histogram agg."""
+    from zappy_spark.operators.text import encode_token_ids
+
+    return (
+        encode_token_ids(
+            t(spark, d, "documents"), "text", "source", n_merges=6
+        )
+        .orderBy("source", "token_id", "token")
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3510,6 +3568,8 @@ QUERIES = {
     "d50_dedup_cluster_ledger": d50,
     "m06_patch_attest": m06,
     "v27_mmr_rerank": v27,
+    "v28_logreg_train": v28,
+    "t43_token_ids": t43,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4076,6 +4136,102 @@ def _t39_oracle(k: int = 6) -> str:
     )
 
 
+def _t43_oracle(k: int = 6) -> str:
+    """Token-ID encode replay (t43): re-train the schedule with the
+    t37 CTE prefix, segment with the same chained replaces (t39's
+    degenerate '#'-fallback guard included), then assign ids with
+    the SAME precedence the Spark table uses — <unk> first, merge
+    products in step order (CASE first-match == dict.setdefault),
+    base [a-z0-9] by ascii arithmetic (a..z -> 0..25 via -97,
+    0..9 -> 26..35 via -22)."""
+    merge_cols = ", ".join(
+        f"COALESCE((SELECT l FROM b{i}), '#') l{i}, "
+        f"COALESCE((SELECT r FROM b{i}), '#') r{i}"
+        for i in range(1, k + 1)
+    )
+    seg = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for i in range(1, k + 1):
+        seg = (
+            f"replace({seg}, '|' || l{i} || '||' || r{i} || '|', "
+            f"'|' || l{i} || r{i} || '|')"
+        )
+    id_case = "CASE WHEN token = '<unk>' THEN -1 " + " ".join(
+        f"WHEN token = l{i} || r{i} THEN {35 + i}"
+        for i in range(1, k + 1)
+    ) + (
+        " WHEN ascii(token) BETWEEN 97 AND 122 THEN ascii(token) - 97"
+        " ELSE ascii(token) - 22 END"
+    )
+    return (
+        _bpe_train_ctes(k)
+        + f", m AS (SELECT {merge_cols})"
+        ", tokx AS (SELECT source grp, lower(t) w FROM "
+        "(SELECT source, unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents))"
+        ", segd AS (SELECT grp, w, "
+        "regexp_matches(w, '^[a-z0-9]+$') ins, "
+        f"list_filter(string_split({seg}, '|'), x -> x<>'') syms "
+        "FROM tokx, m)"
+        ", toks AS (SELECT grp, unnest(syms) token FROM segd WHERE ins "
+        "UNION ALL SELECT grp, '<unk>' token FROM segd WHERE NOT ins)"
+        f", idt AS (SELECT grp, token, {id_case} token_id FROM toks, m) "
+        "SELECT grp source, CAST(token_id AS INT) token_id, token, "
+        "CAST(COUNT(*) AS BIGINT) n "
+        "FROM idt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    )
+
+
+def _v28_oracle(k: int = 8, lr_den: int = 2) -> str:
+    """Unrolled fixed-iteration logistic-GD replay (v28): the
+    v09-Lloyd's / t37-BPE CTE pattern — stage k cross-joins the
+    1-row weight CTE i{k-1} into the feature scan, recomputes the
+    hard-sigmoid residuals and integer gradient sums, and derives
+    i{k} with the same truncating division (`//` == Spark `div`,
+    both toward zero). All-integer arithmetic makes every stage
+    order-independent, so the replay is bit-exact, not
+    approximately-equal."""
+    s = 1_000_000
+    parts = [
+        "WITH fw AS (SELECT list_filter(string_split(text, ' '), "
+        "x -> x <> '') ws FROM documents), "
+        "f AS (SELECT "
+        "CASE WHEN len(list_filter(ws, x -> x = 'the')) >= 2 "
+        "THEN 1 ELSE 0 END y, "
+        "LEAST(len(list_filter(ws, x -> x = 'the')), 3) x1, "
+        "LEAST(len(list_filter(ws, x -> x = 'data')), 3) x2, "
+        "LEAST(len(ws) // 16, 3) x3 FROM fw), "
+        "i0 AS (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1, "
+        "CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", p{i} AS (SELECT y, x1, x2, x3, "
+            f"LEAST({s}, GREATEST(0, {s // 2} + "
+            f"(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) p "
+            f"FROM f, i{i - 1})"
+            f", a{i} AS (SELECT COUNT(*) n, "
+            f"SUM(CASE WHEN (CASE WHEN 2 * p > {s} THEN 1 ELSE 0 END) = y "
+            "THEN 1 ELSE 0 END) nc, "
+            f"SUM(p - y * {s}) g0, SUM((p - y * {s}) * x1) g1, "
+            f"SUM((p - y * {s}) * x2) g2, SUM((p - y * {s}) * x3) g3 "
+            f"FROM p{i})"
+            f", i{i} AS (SELECT "
+            + ", ".join(
+                f"CAST(w{j} - g{j} // ({lr_den} * GREATEST(n, 1)) "
+                f"AS BIGINT) w{j}"
+                for j in range(4)
+            )
+            + f" FROM a{i}, i{i - 1})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) step, CAST(n AS BIGINT) n, "
+        f"CAST(nc AS BIGINT) n_correct, w0 w_bias, w1 w_the, "
+        f"w2 w_data, w3 w_len FROM a{i}, i{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({unions}) ORDER BY step"
+
+
 def _pq_oracle(limit: int = 200) -> str:
     """DuckDB replica of pq_codes(pq_codebook()): identical literal
     centroids, identical left-folded squared-distance accumulation
@@ -4446,6 +4602,13 @@ ORACLE = {
 
     # t39: full train->apply replay sharing the t37 training prefix.
     "t39_bpe_segment": _t39_oracle(6),
+    # t43: full train->encode replay sharing the t37 training prefix;
+    # id precedence (unk, merges in step order, ascii base) mirrors
+    # token_id_table exactly.
+    "t43_token_ids": _t43_oracle(6),
+    # v28: unrolled fixed-point logistic-GD replay — all-integer
+    # arithmetic, so bit-exact on any partitioning (no ROUND cells).
+    "v28_logreg_train": _v28_oracle(8, 2),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (

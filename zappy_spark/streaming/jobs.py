@@ -712,7 +712,12 @@ def rolling_median_stateful(stream: DataFrame) -> DataFrame:
 # (PIL/cv2/imageio/soundfile/librosa/blosc/blosc2/zarr/numcodecs/
 # zstandard/brotli all absent), so the JPEG-class and blosc
 # activation paths (multimodal.py:16, zarrlite docstring) stay
-# dormant.
+# dormant. Round-10 re-probe: same on all fronts — the minimal
+# ValueState counter (rate source, RocksDB provider, memory sink)
+# again dies before the first commit ("TransformWithStateInPySpark
+# driver worker exited unexpectedly", q.isActive False, 0 rows),
+# and PIL/cv2/blosc/zarr/numcodecs/soundfile/imageio all raise
+# ModuleNotFoundError.
 
 
 def interval_stream_join(
