@@ -26,7 +26,6 @@ from scripts.synth_scale import PLANT_EVERY, REPL
 
 
 def main(sf_dir: str) -> int:
-    from zappy_spark.queries import QUERIES
     from zappy_spark.session import get_session
 
     p = f"{sf_dir}/documents.parquet"
@@ -49,9 +48,21 @@ def main(sf_dir: str) -> int:
     )
 
     spark = get_session(app_name="assert_d50_planting")
+    # Drive the UNDERLYING operator, not the corpus query: d50's
+    # display spelling caps output at the 200 smallest components,
+    # which at the 100x fixture (1000 planted chains) would report
+    # the other 800 as spuriously "missing". The structural claim
+    # is about the operator; the capped query is just its window.
+    from zappy_spark.operators.dedup import dedup_cluster_ledger
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
     rows = {
         r["component"]: r
-        for r in QUERIES["d50_dedup_cluster_ledger"](spark, sf_dir).collect()
+        for r in dedup_cluster_ledger(
+            docs, "text", "doc_id", "n_chars",
+            span=3, min_shared=3, max_df=8,
+        ).collect()
     }
     bad = []
     for d in planted:

@@ -40,7 +40,7 @@ SHIFTED = {
 PLANT_EVERY = 50  # one 3-doc span-dup chain per 50 base docs
 
 
-def _chain_text(i):
+def _chain_text(i, salt: str = ""):
     """Planted TRANSITIVE span-dup chain text for replica role i
     (round-10, VERDICT r9 item 2): the suffix perturbation destroys
     organic span-duplicate clusters (every span shared by all 10
@@ -53,16 +53,23 @@ def _chain_text(i):
     the 3 y-spans, A and C share NOTHING — only the transitive
     closure clusters them (the pairwise-dedup failure mode d50
     exists to catch). Span df = 2 per shared span, far under the
-    cap; tokens carry the base doc_id so chains never cross."""
+    cap; tokens carry the base doc_id so chains never cross, and
+    ``salt`` (main() passes the pass's id shift) so DOUBLE-applying
+    the generator (sf0.1 → 10× → 100×) never reuses a span: pass-1
+    chain docs re-enter pass 2 as 10 suffix-perturbed copies whose
+    spans the df cap rightly kills, and an unsalted pass-2 chain
+    for the same base id would collide with them and vanish too —
+    exactly the 100-chains-missing failure the 100× assertion
+    caught."""
     d = F.col("doc_id").cast("string")
-    xs = [F.concat(F.lit("px"), d, F.lit(f"n{k}")) for k in range(9)]
-    ys = [F.concat(F.lit("py"), d, F.lit(f"n{k}")) for k in range(9)]
-    zs = [F.concat(F.lit("pz"), d, F.lit(f"n{k}")) for k in range(3)]
+    xs = [F.concat(F.lit(f"px{salt}v"), d, F.lit(f"n{k}")) for k in range(9)]
+    ys = [F.concat(F.lit(f"py{salt}v"), d, F.lit(f"n{k}")) for k in range(9)]
+    zs = [F.concat(F.lit(f"pz{salt}v"), d, F.lit(f"n{k}")) for k in range(3)]
     toks = {1: xs, 2: xs + ys, 3: ys + zs}[i]
     return F.concat_ws(" ", *toks)
 
 
-def perturb(name: str, df, i: int):
+def perturb(name: str, df, i: int, salt: str = ""):
     """Content-perturb replica i (identity for i == 0)."""
     if i == 0:
         return df
@@ -71,7 +78,8 @@ def perturb(name: str, df, i: int):
         if i in (1, 2, 3):
             planted = (F.col("doc_id") % PLANT_EVERY) == 0
             out = out.withColumn(
-                "text", F.when(planted, _chain_text(i)).otherwise(F.col("text"))
+                "text",
+                F.when(planted, _chain_text(i, salt)).otherwise(F.col("text")),
             ).withColumn(
                 # keep n_chars == length(text) (the generator's
                 # invariant) so d50's keep-best picks B, the longest
@@ -101,7 +109,7 @@ def main(src: str, dst: str) -> None:
             span = df.agg(*[F.max(k) for k in keys]).first()[0] + 1
             parts = []
             for i in range(REPL):
-                p = perturb(name, df, i)
+                p = perturb(name, df, i, salt=str(span))
                 for k in keys:
                     p = p.withColumn(k, F.col(k) + F.lit(i * span))
                 parts.append(p)

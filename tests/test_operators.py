@@ -3945,3 +3945,67 @@ def test_token_ids_degenerate_corpus_oracle_parity(spark, tmp_path):
         for r in con.execute(_t43_oracle(6)).fetchall()
     }
     assert orc == got
+
+
+def test_synth_scale_double_application_salted_chains(spark):
+    """Round-10 fix: applying the generator TWICE (sf0.1 -> 10x ->
+    100x) must still plant working chains in pass 2. Pass-1 chain
+    docs re-enter pass 2 as REPL suffix-perturbed copies whose spans
+    the df cap kills (correct), but an UNSALTED pass-2 chain for the
+    same base id would reuse those very span strings and vanish with
+    them — the 100-chains-missing failure the 100x assertion caught.
+    main() salts chain tokens with the pass's id shift; this drives
+    two passes of the real perturb() path at miniature scale and
+    asserts every pass-2 chain clusters."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from scripts.synth_scale import PLANT_EVERY, perturb
+
+    from zappy_spark.operators.dedup import dedup_cluster_ledger
+
+    rows = [
+        (0, "organic words here", "en", "web", 18),
+        (PLANT_EVERY, "more organic text", "en", "web", 17),
+        (7, "never planted doc", "en", "web", 17),
+    ]
+    base = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    def one_pass(df, repl):
+        span = df.agg(F.max("doc_id")).first()[0] + 1
+        parts = []
+        for i in range(repl):
+            p = perturb("documents", df, i, salt=str(span))
+            parts.append(p.withColumn("doc_id", F.col("doc_id") + i * span))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, span
+
+    pass1, span1 = one_pass(base, 5)
+    corpus, span2 = one_pass(pass1, 5)
+    corpus = corpus.localCheckpoint()
+    out = {
+        r["component"]: r
+        for r in dedup_cluster_ledger(
+            corpus, "text", "doc_id", "n_chars",
+            span=3, min_shared=3, max_df=8,
+        ).collect()
+    }
+    # pass-2 planting bases: every doc in pass1 with id % 50 == 0 —
+    # ids 0 and 50 from the base, plus pass-1 chain/replica ids that
+    # happen to be multiples of 50
+    planted2 = [
+        r["doc_id"]
+        for r in pass1.filter(F.col("doc_id") % PLANT_EVERY == 0).collect()
+    ]
+    assert len(planted2) >= 2
+    for d in planted2:
+        a, b = d + span2, d + 2 * span2
+        r = out.get(a)
+        assert r is not None, f"pass-2 chain for base {d} missing"
+        assert r["n_docs"] == 3 and r["kept_doc_id"] == b
+    # nothing else clusters: pass-1 chains' copies are df-capped away
+    assert len(out) == len(planted2)

@@ -4143,7 +4143,18 @@ def _t43_oracle(k: int = 6) -> str:
     the SAME precedence the Spark table uses — <unk> first, merge
     products in step order (CASE first-match == dict.setdefault),
     base [a-z0-9] by ascii arithmetic (a..z -> 0..25 via -97,
-    0..9 -> 26..35 via -22)."""
+    0..9 -> 26..35 via -22).
+
+    Spelling notes (measured at sf0.01): segmentation runs over the
+    DEDUPED (group, word) vocabulary weighted by its count — a
+    word's id sequence is a pure function of the word, so SUM(c)
+    equals the per-occurrence count while the 6-replace chain runs
+    Heaps-bounded times, not corpus-bounded (124 s → 35 s); the
+    single-branch CASE-to-['<unk>'] list (the Spark side's one
+    explode) avoids double-referencing the segmentation CTE, and
+    m's columns are carried THROUGH the unnest so m is referenced
+    exactly once (DuckDB inlines multi-referenced CTEs — each extra
+    reference re-runs the whole training chain)."""
     merge_cols = ", ".join(
         f"COALESCE((SELECT l FROM b{i}), '#') l{i}, "
         f"COALESCE((SELECT r FROM b{i}), '#') r{i}"
@@ -4155,6 +4166,7 @@ def _t43_oracle(k: int = 6) -> str:
             f"replace({seg}, '|' || l{i} || '||' || r{i} || '|', "
             f"'|' || l{i} || r{i} || '|')"
         )
+    lr = ", ".join(f"l{i}, r{i}" for i in range(1, k + 1))
     id_case = "CASE WHEN token = '<unk>' THEN -1 " + " ".join(
         f"WHEN token = l{i} || r{i} THEN {35 + i}"
         for i in range(1, k + 1)
@@ -4168,16 +4180,15 @@ def _t43_oracle(k: int = 6) -> str:
         ", tokx AS (SELECT source grp, lower(t) w FROM "
         "(SELECT source, unnest(list_filter(string_split(text,' '), "
         "x -> x<>'')) t FROM documents))"
-        ", segd AS (SELECT grp, w, "
-        "regexp_matches(w, '^[a-z0-9]+$') ins, "
-        f"list_filter(string_split({seg}, '|'), x -> x<>'') syms "
-        "FROM tokx, m)"
-        ", toks AS (SELECT grp, unnest(syms) token FROM segd WHERE ins "
-        "UNION ALL SELECT grp, '<unk>' token FROM segd WHERE NOT ins)"
-        f", idt AS (SELECT grp, token, {id_case} token_id FROM toks, m) "
-        "SELECT grp source, CAST(token_id AS INT) token_id, token, "
-        "CAST(COUNT(*) AS BIGINT) n "
-        "FROM idt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ", vgrp AS (SELECT grp, w, COUNT(*) c FROM tokx GROUP BY 1, 2)"
+        ", segd AS (SELECT grp, c, "
+        "CASE WHEN regexp_matches(w, '^[a-z0-9]+$') "
+        f"THEN list_filter(string_split({seg}, '|'), x -> x<>'') "
+        f"ELSE ['<unk>'] END syms, {lr} FROM vgrp, m)"
+        f", toks AS (SELECT grp, c, unnest(syms) token, {lr} FROM segd) "
+        f"SELECT grp source, CAST({id_case} AS INT) token_id, token, "
+        "CAST(SUM(c) AS BIGINT) n "
+        "FROM toks GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
     )
 
 
