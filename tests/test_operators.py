@@ -4009,3 +4009,66 @@ def test_synth_scale_double_application_salted_chains(spark):
         assert r["n_docs"] == 3 and r["kept_doc_id"] == b
     # nothing else clusters: pass-1 chains' copies are df-capped away
     assert len(out) == len(planted2)
+
+
+def test_logreg_score_ledger_matches_trained_predictions(spark):
+    """v29's ledger on the planted-separation corpus: with 100%
+    training accuracy, keep == label — so n_keep is exactly the
+    positive count and chars_kept sums exactly the positive docs'
+    chars. Also pins the arithmetic identity chars_total =
+    chars_kept + dropped chars."""
+    from zappy_spark.operators.training import logreg_score_ledger
+
+    rows = [
+        (i, "g0" if i < 20 else "g1",
+         "the quick the text data word" if i % 2 == 0
+         else "data data noise word filler junk",
+         29 if i % 2 == 0 else 32)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "source", "text", "n_chars"]
+    ).repartition(5)
+    out = {
+        r["source"]: r
+        for r in logreg_score_ledger(
+            df, "text", "source", "n_chars", n_iter=8, lr_den=2
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        r = out[g]
+        assert r["n_docs"] == 20
+        assert r["n_keep"] == 10  # the separable positives
+        assert r["chars_total"] == 10 * 29 + 10 * 32
+        assert r["chars_kept"] == 10 * 29
+    # plan hygiene: scoring is literal arithmetic on the scan — the
+    # ledger plan has no join anywhere
+    plan = (
+        logreg_score_ledger(df, "text", "source", "n_chars", n_iter=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"):
+        assert bad not in plan
+
+
+def test_vocab_growth_hand_counts(spark):
+    """t44 on a hand corpus: token/type/hapax/max-freq per group,
+    out-of-scope words ('Zed!') excluded by the tokenizer-family
+    scope rule, case folded before counting."""
+    from zappy_spark.operators.text import vocab_growth_stats
+
+    rows = [
+        (0, "g0", "aa bb aa cc"),
+        (1, "g0", "aa Zed! dd"),
+        (2, "g1", "xx xx xx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    got = {
+        r["grp"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                   r["max_freq"])
+        for r in vocab_growth_stats(df, "text", "grp").collect()
+    }
+    # g0: tokens aa,bb,aa,cc,aa,dd (zed! out of scope) -> 6 tokens,
+    # 4 types, hapax = bb,cc,dd = 3, max = aa x3
+    assert got["g0"] == (6, 4, 3, 3)
+    assert got["g1"] == (3, 1, 0, 3)

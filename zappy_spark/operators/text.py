@@ -1562,3 +1562,44 @@ def decode_token_ids(
         ),
         "",
     )
+
+
+def vocab_growth_stats(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Vocabulary-growth / Zipf-tail audit (round 10) — the
+    empirical measurement behind the Heaps-law bound every
+    vocabulary-collapsed operator in this corpus leans on (t37's
+    merge loop, t43's encode, t34's PMI): per group, total in-scope
+    tokens, distinct types, hapax legomena (types seen once — the
+    Zipf tail, typically ~half the vocabulary), and the top type's
+    frequency (the Zipf head). Type/token ratio and hapax fraction
+    are one division away from the exact BIGINTs (the probe
+    discipline). Scope = lowercased ``[a-z0-9]+``, the tokenizer
+    family's pre-tokenization contract.
+
+    Scale: ONE corpus scan into a (group, word) hash agg — the
+    Heaps-bounded shape itself (map-side combine collapses each
+    partition to its local vocab before the shuffle) — then a
+    |groups|-row rollup. No join, no sort, no second scan."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_w0"),
+    ).select("grp", F.lower("_w0").alias("_w"))
+    counts = (
+        tok.filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("grp", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("_c") == 1).cast("bigint")).alias("n_hapax"),
+            F.max("_c").cast("bigint").alias("max_freq"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

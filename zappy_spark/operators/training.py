@@ -57,7 +57,10 @@ def _tdiv(a: int, b: int) -> int:
 
 
 def logreg_features(
-    df: DataFrame, text_col: str, x_cap: int = 3
+    df: DataFrame,
+    text_col: str,
+    x_cap: int = 3,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Scan-side integer features + deterministic label for the
     quality-classifier demo: x1 = clipped count of the token 'the'
@@ -66,7 +69,9 @@ def logreg_features(
     y = 1 iff 'the' occurs at least twice (a linearly separable
     rule the trainer must RE-learn from the clipped features —
     x1's clip keeps the boundary interior to the feature range).
-    All columns int, all expressions scan-side, zero shuffles."""
+    All columns int, all expressions scan-side, zero shuffles.
+    ``extra`` columns pass through untouched (the scoring ledger
+    keeps its group/chars columns beside the features)."""
     words = F.filter(
         F.split(F.col(text_col), " "), lambda x: x != ""
     )
@@ -75,6 +80,7 @@ def logreg_features(
         return F.size(F.filter(words, lambda x: x == F.lit(tok)))
 
     return df.select(
+        *extra,
         (_cnt("the") >= 2).cast("int").alias("y"),
         F.least(_cnt("the"), F.lit(x_cap)).alias("x1"),
         F.least(_cnt("data"), F.lit(x_cap)).alias("x2"),
@@ -120,6 +126,27 @@ def _logreg_step_agg(feat: DataFrame, w: list[int]) -> DataFrame:
     )
 
 
+def logreg_fit_weights(
+    feat: DataFrame, n_iter: int = 8, lr_den: int = 2
+) -> list[list[int]]:
+    """Run the fixed-point GD loop over a feature frame and return
+    the weight TRAJECTORY [w^(0) .. w^(n_iter)] (w^(0) = zeros) as
+    plain Python ints — n_iter driver collects of ONE row each (the
+    bounded-instrument doctrine). The driver-side update uses _tdiv
+    so it matches the engines' truncating division exactly."""
+    w = [0, 0, 0, 0]
+    traj = [list(w)]
+    for _ in range(n_iter):
+        row = _logreg_step_agg(feat, w).collect()[0]
+        n = max(row["n"], 1)  # same empty-corpus guard as the plan
+        w = [
+            w[j] - _tdiv(row[f"_g{j}"], lr_den * n)
+            for j in range(4)
+        ]
+        traj.append(list(w))
+    return traj
+
+
 def logreg_train_fixed(
     df: DataFrame,
     text_col: str,
@@ -145,11 +172,11 @@ def logreg_train_fixed(
     (the kmeans centroids-as-literals precedent), keeping lineage
     LINEAR in n_iter."""
     feat = logreg_features(df, text_col)
-    s = LOGREG_SCALE
+    traj = logreg_fit_weights(feat, n_iter, lr_den)
 
     out = None
-    w = [0, 0, 0, 0]
     for step in range(1, n_iter + 1):
+        w = traj[step - 1]
         agg = _logreg_step_agg(feat, w)
         branch = agg.select(
             F.lit(step).cast("int").alias("step"),
@@ -170,12 +197,6 @@ def logreg_train_fixed(
             ],
         )
         out = branch if out is None else out.unionAll(branch)
-        row = agg.collect()[0]  # bounded instrument: ONE row
-        n = max(row["n"], 1)  # same empty-corpus guard as the plan
-        w = [
-            w[j] - _tdiv(row[f"_g{j}"], lr_den * n)
-            for j in range(4)
-        ]
     assert out is not None
     return out.orderBy("step")
 
@@ -204,3 +225,60 @@ def logreg_predict(
     return rows.withColumn(
         "pred", (F.lit(2) * p > s).cast("int")
     ).drop("_z")
+
+
+def logreg_score_ledger(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    chars_col: str,
+    n_iter: int = 8,
+    lr_den: int = 2,
+) -> DataFrame:
+    """Train-then-FILTER — the pass a production pipeline actually
+    runs with the trained quality classifier (v28 trains and audits;
+    this applies): fit the fixed-point weights, then score every
+    document scan-side (z, hard-sigmoid threshold 2p > S as literal
+    arithmetic — no join, the weights ride the scan) and emit the
+    per-group keep/drop ledger a data team reviews before writing
+    the filtered corpus: (group, n_docs, n_keep, chars_total,
+    chars_kept). All exact BIGINTs; chars use the table's declared
+    ``chars_col`` so the ledger is byte-accounting, not an estimate.
+
+    Scale: training is n_iter one-agg jobs over the feature scan
+    (see logreg_fit_weights); scoring is ONE more corpus scan
+    feeding a |groups|-row map-side-combinable agg. Nothing joins,
+    nothing sorts, no row ever leaves the executors except the
+    ledger."""
+    s = LOGREG_SCALE
+    feat = logreg_features(df, text_col, extra=(group_col, chars_col))
+    w = logreg_fit_weights(
+        feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+    )[-1]
+    z = (
+        F.lit(w[0]).cast("bigint")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    rows = feat.select(group_col, chars_col, z.alias("_z"))
+    p = F.least(
+        F.lit(s).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.lit(s // 2) + F.expr("_z div 4"),
+        ),
+    )
+    keep = (F.lit(2) * p > s).cast("bigint")
+    return (
+        rows.select(group_col, chars_col, keep.alias("_k"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_k").alias("n_keep"),
+            F.sum(chars_col).cast("bigint").alias("chars_total"),
+            F.sum(F.col(chars_col) * F.col("_k"))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+    )

@@ -151,22 +151,24 @@ round-10 re-spells exist, so the window is exactly the 11-entry
 _NEW_R10 (slots 1–11, the only corpus entries with zero driver
 rows) followed by the 39-entry r4-green tier _R4_TIER_R10 (slots
 12–50, alphabetical d17…z27 — re-verified this round against the
-recomputed latest-row table over CORRECTNESS_r01–r09). The two
+recomputed latest-row table over CORRECTNESS_r01–r09). The four
 entries built THIS round (_NEW_R11: v28 distributed logistic-
-regression training, t43 token-ID encode round-trip — VERDICT r9
-items 4 and 5) were constructed after the window composition
-froze; per the plan's displacement rule ("never the r4 tier") they
-queue at positions 51–52 and lead the round-11 window.
+regression training and t43 token-ID encode round-trip — VERDICT
+r9 items 4 and 5 — plus v29 train-then-filter keep/drop ledger and
+t44 Heaps/Zipf vocabulary-growth audit) were constructed after the
+window composition froze; per the plan's displacement rule ("never
+the r4 tier") they queue at positions 51–54 and lead the round-11
+window.
 
 ROUND-11 ROTATION PLAN (written in round 10): head = any round-11
-re-spells, then _NEW_R11 (v28, t43 — locally green at 3 SFs + both
-synth fixtures, zero driver rows), then any further round-11 new
-entries, then the 43-entry r5-green tier _R5_TIER_R11 (alphabetical
-d23…z29), then fill to 50 from the 45-entry r6-green tier head
-(alphabetical: d25_bloom_join, d33_fuzzy_linkage, d35_url_canon,
-d37_allpairs_prefix, d38_near_dup_registry, …). With no re-spells
-and no further new entries that is 2 + 43 + 5 = 50 exactly; new
-entries displace the r6-tier fill, never the r5 tier.
+re-spells, then _NEW_R11 (v28, t43, v29, t44 — locally green at 3
+SFs + both synth fixtures, zero driver rows), then any further
+round-11 new entries, then the 43-entry r5-green tier _R5_TIER_R11
+(alphabetical d23…z29), then fill to 50 from the 45-entry r6-green
+tier head (alphabetical: d25_bloom_join, d33_fuzzy_linkage,
+d35_url_canon, …). With no re-spells and no further new entries
+that is 4 + 43 + 3 = 50 exactly; new entries displace the r6-tier
+fill, never the r5 tier.
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
@@ -815,6 +817,8 @@ _R4_TIER_R10 = [
 _NEW_R11 = [
     "v28_logreg_train",  # NEW r10: distributed logistic-regression training
     "t43_token_ids",  # NEW r10: token-ID encode + detokenize round-trip
+    "v29_logreg_filter_ledger",  # NEW r10: train-then-filter keep/drop ledger
+    "t44_vocab_growth",  # NEW r10: Heaps/Zipf vocabulary-growth audit
 ]
 
 # The 43-entry r5-green tier (alphabetical), from the same

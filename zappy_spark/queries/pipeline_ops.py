@@ -3467,6 +3467,49 @@ def v28(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v29(spark: SparkSession, d: str) -> DataFrame:
+    """Quality-classifier FILTER pass (round 10;
+    operators/training.py::logreg_score_ledger) — the step a
+    production pipeline actually runs with v28's trained weights:
+    fit the fixed-point model, then score every document scan-side
+    (weights ride the scan as literals — no join) and emit the
+    per-source keep/drop ledger (n_docs, n_keep, chars_total,
+    chars_kept), the byte-accounting a data team reviews before
+    writing the filtered corpus. All exact BIGINTs.
+
+    Oracle: the shared v28 logistic-GD CTE prefix (bit-exact
+    fixed-point replay) + ONE scoring pass at the final weights
+    with the same hard-sigmoid threshold spelling.
+
+    Scale: training is n_iter one-agg jobs; scoring is ONE more
+    corpus scan into a |sources|-row map-side-combinable agg."""
+    from zappy_spark.operators.training import logreg_score_ledger
+
+    return logreg_score_ledger(
+        t(spark, d, "documents"), "text", "source", "n_chars",
+        n_iter=8, lr_den=2,
+    ).orderBy("source")
+
+
+def t44(spark: SparkSession, d: str) -> DataFrame:
+    """Vocabulary-growth / Zipf-tail audit (round 10;
+    operators/text.py::vocab_growth_stats): per source, exact
+    n_tokens / n_types / hapax count / top-frequency — the
+    empirical measurement behind the Heaps-law bound the
+    vocabulary-collapsed operators (t37 merge loop, t43 encode,
+    t34 PMI) lean on. Type/token ratio and hapax fraction are one
+    division from the BIGINTs.
+
+    Scale: ONE scan into the (source, word) hash agg — itself the
+    Heaps-bounded shape, map-side combine collapsing each partition
+    to its local vocab — then a |sources|-row rollup. No join."""
+    from zappy_spark.operators.text import vocab_growth_stats
+
+    return vocab_growth_stats(
+        t(spark, d, "documents"), "text", "source"
+    ).orderBy("source")
+
+
 def t43(spark: SparkSession, d: str) -> DataFrame:
     """Token-ID encoding (round 10, VERDICT r9 item 5;
     operators/text.py::encode_token_ids) — completes the tokenizer
@@ -3570,6 +3613,8 @@ QUERIES = {
     "v27_mmr_rerank": v27,
     "v28_logreg_train": v28,
     "t43_token_ids": t43,
+    "v29_logreg_filter_ledger": v29,
+    "t44_vocab_growth": t44,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4192,21 +4237,30 @@ def _t43_oracle(k: int = 6) -> str:
     )
 
 
-def _v28_oracle(k: int = 8, lr_den: int = 2) -> str:
-    """Unrolled fixed-iteration logistic-GD replay (v28): the
-    v09-Lloyd's / t37-BPE CTE pattern — stage k cross-joins the
-    1-row weight CTE i{k-1} into the feature scan, recomputes the
-    hard-sigmoid residuals and integer gradient sums, and derives
-    i{k} with the same truncating division (`//` == Spark `div`,
-    both toward zero). All-integer arithmetic makes every stage
+def _logreg_ctes(k: int, lr_den: int, extra: str = "") -> str:
+    """The unrolled fixed-iteration logistic-GD prefix shared by the
+    v28 and v29 oracles: feature CTE f (``extra`` prepends
+    passthrough columns, e.g. 'source, n_chars,'), weight CTEs
+    i0..i{k}, per-stage aggregate CTEs a1..a{k}. The v09-Lloyd's /
+    t37-BPE pattern — stage k cross-joins the 1-row weight CTE
+    i{k-1} into the feature scan, recomputes the hard-sigmoid
+    residuals and integer gradient sums, and derives i{k} with the
+    same truncating division (`//` == Spark `div`, both toward
+    zero). All-integer arithmetic makes every stage
     order-independent, so the replay is bit-exact, not
-    approximately-equal."""
+    approximately-equal. f is MATERIALIZED: DuckDB inlines
+    multi-referenced CTEs, and each of the k stages references f —
+    the hint makes the oracle touch the corpus once per iteration
+    like the Spark side (measured 2x at sf0.01)."""
     s = 1_000_000
     parts = [
-        "WITH fw AS (SELECT list_filter(string_split(text, ' '), "
+        "WITH fw AS (SELECT "
+        + extra
+        + "list_filter(string_split(text, ' '), "
         "x -> x <> '') ws FROM documents), "
-        "f AS (SELECT "
-        "CASE WHEN len(list_filter(ws, x -> x = 'the')) >= 2 "
+        "f AS MATERIALIZED (SELECT "
+        + extra
+        + "CASE WHEN len(list_filter(ws, x -> x = 'the')) >= 2 "
         "THEN 1 ELSE 0 END y, "
         "LEAST(len(list_filter(ws, x -> x = 'the')), 3) x1, "
         "LEAST(len(list_filter(ws, x -> x = 'data')), 3) x2, "
@@ -4234,13 +4288,63 @@ def _v28_oracle(k: int = 8, lr_den: int = 2) -> str:
             )
             + f" FROM a{i}, i{i - 1})"
         )
+    return "".join(parts)
+
+
+def _v28_oracle(k: int = 8, lr_den: int = 2) -> str:
+    """Training-trajectory replay (v28): the shared logistic-GD CTE
+    prefix, then one UNION ALL row per stage."""
     unions = " UNION ALL ".join(
         f"SELECT CAST({i} AS INT) step, CAST(n AS BIGINT) n, "
         f"CAST(nc AS BIGINT) n_correct, w0 w_bias, w1 w_the, "
         f"w2 w_data, w3 w_len FROM a{i}, i{i}"
         for i in range(1, k + 1)
     )
-    return "".join(parts) + f" SELECT * FROM ({unions}) ORDER BY step"
+    return (
+        _logreg_ctes(k, lr_den)
+        + f" SELECT * FROM ({unions}) ORDER BY step"
+    )
+
+
+def _v29_oracle(k: int = 8, lr_den: int = 2) -> str:
+    """Train-then-filter replay (v29): the shared logistic-GD CTE
+    prefix with source/n_chars carried through the feature CTE,
+    then ONE scoring pass at the final weights i{k} and the
+    per-source keep/drop ledger — the same hard-sigmoid threshold
+    spelling (2p > S) the Spark scan uses."""
+    s = 1_000_000
+    return (
+        _logreg_ctes(k, lr_den, extra="source, n_chars, ")
+        + ", sc AS (SELECT source, n_chars, "
+        f"LEAST({s}, GREATEST(0, {s // 2} + "
+        "(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) p "
+        f"FROM f, i{k}) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) n_docs, "
+        f"CAST(SUM(CASE WHEN 2 * p > {s} THEN 1 ELSE 0 END) AS BIGINT) "
+        "n_keep, "
+        "CAST(SUM(n_chars) AS BIGINT) chars_total, "
+        f"CAST(SUM(CASE WHEN 2 * p > {s} THEN n_chars ELSE 0 END) "
+        "AS BIGINT) chars_kept "
+        "FROM sc GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _t44_oracle() -> str:
+    """Vocabulary-growth / Zipf-tail replay (t44): the same
+    (group, word) hash agg + rollup, in-scope = lowercased
+    [a-z0-9]+ (the tokenizer family's pre-tokenization contract)."""
+    return (
+        "WITH tok AS (SELECT source grp, lower(t) w FROM "
+        "(SELECT source, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) t FROM documents)), "
+        "v AS (SELECT grp, w, COUNT(*) c FROM tok "
+        "WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY 1, 2) "
+        "SELECT grp source, CAST(SUM(c) AS BIGINT) n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) n_types, "
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax, "
+        "CAST(MAX(c) AS BIGINT) max_freq "
+        "FROM v GROUP BY 1 ORDER BY 1"
+    )
 
 
 def _pq_oracle(limit: int = 200) -> str:
@@ -4620,6 +4724,10 @@ ORACLE = {
     # v28: unrolled fixed-point logistic-GD replay — all-integer
     # arithmetic, so bit-exact on any partitioning (no ROUND cells).
     "v28_logreg_train": _v28_oracle(8, 2),
+    # v29: the same training prefix + one scoring pass at the final
+    # weights — the keep/drop ledger replays end-to-end.
+    "v29_logreg_filter_ledger": _v29_oracle(8, 2),
+    "t44_vocab_growth": _t44_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
