@@ -42,6 +42,11 @@ def main() -> int:
 
     spark = get_session(app_name="check_queries")
     duck = duckdb.connect()
+    # same spill posture as scale_sweep.py: pointed at a big synth
+    # fixture, a heavy oracle twin should get slow, not OOM (the
+    # un-spilled t43 run died allocating at the 100x vocab agg)
+    duck.execute("SET memory_limit='60GB'")
+    duck.execute("SET temp_directory='/tmp/duck_spill'")
     for tbl in TABLES:
         p = f"{SF_DIR}/{tbl}.parquet"
         # Spark-written tables are directories of part files

@@ -4096,16 +4096,25 @@ def _t38_oracle() -> str:
 
 
 def _bpe_train_ctes(k: int) -> str:
-    """The unrolled BPE training prefix shared by the t37 and t39
+    """The unrolled BPE training prefix shared by the t37/t39/t43
     oracles: WITH chain producing b1..b{k} (per-step winning pair +
-    count) and s{k} (final vocab symbol strings)."""
+    count) and s{k} (final vocab symbol strings).
+
+    The s{i} states are MATERIALIZED (round 10): each s{i} is
+    referenced TWICE (by a{i+1} and s{i+1}), and DuckDB inlines
+    multi-referenced CTEs by default, so the plain spelling
+    re-derives the whole chain 2^k times — measured 573 s for the
+    b6 point alone at the 100x fixture, vs 4.1 s materialized,
+    identical result. The hint gives the oracle the same LINEAR
+    lineage the Spark side gets from merges-as-literals; semantics
+    are untouched."""
     parts = [
         "WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), "
         "x -> x<>'')) t FROM documents), "
         "v AS (SELECT lower(t) w, COUNT(*) f FROM tok "
         "WHERE regexp_matches(lower(t), '^[a-z0-9]+$') GROUP BY 1), "
-        "s0 AS (SELECT w, f, regexp_replace(w, '(.)', '|\\1|', 'g') s "
-        "FROM v)"
+        "s0 AS MATERIALIZED (SELECT w, f, "
+        "regexp_replace(w, '(.)', '|\\1|', 'g') s FROM v)"
     ]
     for i in range(1, k + 1):
         parts.append(
@@ -4116,7 +4125,7 @@ def _bpe_train_ctes(k: int) -> str:
             f", b{i} AS (SELECT x.a l, y.a r, SUM(x.f) n "
             f"FROM e{i} x JOIN e{i} y ON x.w = y.w AND y.i = x.i + 1 "
             f"GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)"
-            f", s{i} AS (SELECT w, f, replace(s, "
+            f", s{i} AS MATERIALIZED (SELECT w, f, replace(s, "
             f"'|' || b.l || '||' || b.r || '|', "
             f"'|' || b.l || b.r || '|') s FROM s{i - 1}, b{i} b)"
         )
