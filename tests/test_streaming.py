@@ -1447,3 +1447,43 @@ def test_incremental_kappa_equals_batch(spark, tmp_path):
     rev = jobs.applied_revision(state)
     jobs.kappa_apply_batch(docs, rev, state)
     assert _rows(jobs.kappa_from_state(spark, state), *cols) == got
+
+
+def test_incremental_filter_ledger_equals_batch(spark, tmp_path):
+    """Round 10: the documents changelog drained through
+    incremental_filter_state (v29's trained-filter keep/drop ledger
+    at FIXED weights) must equal the batch scoring pass EXACTLY —
+    four integer counters per source, no tolerance; the micro-batch
+    partial IS logreg_score_ledger(weights=...), so batch/stream
+    spelling drift is impossible. Replay guard: re-applying the
+    last batch id is a no-op."""
+    from zappy_spark.operators.training import (
+        logreg_features,
+        logreg_fit_weights,
+        logreg_score_ledger,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    w = logreg_fit_weights(logreg_features(docs, "text"))[-1]
+
+    replay = str(tmp_path / "docs_replay_filter")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "filter_state")
+    q = jobs.incremental_filter_state(
+        jobs.stream_events(spark, replay), state, w
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "n_docs", "n_keep", "chars_total", "chars_kept")
+    got = _rows(jobs.filter_from_state(spark, state), *cols)
+    batch = _rows(
+        logreg_score_ledger(
+            docs, "text", "source", "n_chars", weights=w
+        ).orderBy("source"),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.filter_ledger_apply_batch(docs.limit(10), rev, state, w)
+    assert _rows(jobs.filter_from_state(spark, state), *cols) == got

@@ -234,6 +234,7 @@ def logreg_score_ledger(
     chars_col: str,
     n_iter: int = 8,
     lr_den: int = 2,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """Train-then-FILTER — the pass a production pipeline actually
     runs with the trained quality classifier (v28 trains and audits;
@@ -249,12 +250,21 @@ def logreg_score_ledger(
     (see logreg_fit_weights); scoring is ONE more corpus scan
     feeding a |groups|-row map-side-combinable agg. Nothing joins,
     nothing sorts, no row ever leaves the executors except the
-    ledger."""
+    ledger.
+
+    Pass ``weights`` to score with an already-trained model instead
+    of fitting — the deployment split (train offline, score online):
+    the streaming twin scores every micro-batch with the same fixed
+    weights, making its per-group counters exactly additive."""
     s = LOGREG_SCALE
     feat = logreg_features(df, text_col, extra=(group_col, chars_col))
-    w = logreg_fit_weights(
-        feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
-    )[-1]
+    w = (
+        weights
+        if weights is not None
+        else logreg_fit_weights(
+            feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+        )[-1]
+    )
     z = (
         F.lit(w[0]).cast("bigint")
         + F.lit(w[1]) * F.col("x1")

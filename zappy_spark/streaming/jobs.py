@@ -2031,3 +2031,94 @@ def kappa_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         (F.col("n") * F.col("n_agree") - src).alias("kappa_num"),
         (F.col("n") * F.col("n") - src).alias("kappa_den"),
     ).orderBy("lang")
+
+
+# ---- streaming twin of v29's trained-quality-filter ledger ----
+
+_FILTER_COUNT_COLS = (
+    "n_docs",
+    "n_keep",
+    "chars_total",
+    "chars_kept",
+)
+
+
+def filter_ledger_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    weights: "list[int]",
+) -> None:
+    """One ``incremental_filter_state`` micro-batch: per source, the
+    additive sufficient statistics of v29's keep/drop ledger —
+    docs, kept docs, chars, kept chars. The per-doc keep decision is
+    the fixed-point hard-sigmoid threshold at the FIXED trained
+    weights (the deployment split: train offline, score online), so
+    it depends only on the document and the partials are exactly
+    additive. The partial IS the v29 scoring operator
+    (operators/training.py::logreg_score_ledger with weights), so
+    batch and stream cannot drift in spelling; redelivered batch
+    ids are guarded like the stopword/kappa twins."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.training import logreg_score_ledger
+
+    spark = batch_df.sparkSession
+    part = logreg_score_ledger(
+        batch_df, "text", "source", "n_chars", weights=weights
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _FILTER_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_filter_state(
+    stream: DataFrame, state_path: str, weights: "list[int]"
+) -> "Any":
+    """Streaming twin of v29's trained-filter keep/drop ledger: the
+    quality-filter DRIFT monitor a crawl pipeline runs continuously
+    — if a source's keep fraction or kept-bytes share moves, the
+    upstream distribution changed under the deployed classifier.
+    Four integer counters per source, mergeable forever, same MVCC
+    rev-dir snapshot as the stopword/kappa twins; the trained
+    weights are fixed literals for the life of the deployment (a
+    retrain is a NEW state path, never an in-place mutation — the
+    counters are only additive under a fixed model)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        filter_ledger_apply_batch(batch_df, batch_id, state_path, weights)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def filter_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The v29 ledger over the streaming-maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no filter-ledger state at {state_path}")
+    return per.select("source", *_FILTER_COUNT_COLS).orderBy("source")
