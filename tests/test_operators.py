@@ -4072,3 +4072,110 @@ def test_vocab_growth_hand_counts(spark):
     # 4 types, hapax = bb,cc,dd = 3, max = aa x3
     assert got["g0"] == (6, 4, 3, 3)
     assert got["g1"] == (3, 1, 0, 3)
+
+
+def test_logreg_trajectory_partition_invariant(spark):
+    """The v28 exactness claim tested directly: the weight
+    trajectory is an integer sequence, so it must be IDENTICAL
+    under any partitioning of the corpus (1, 3, 32 partitions, and
+    a shuffled row order) — the property floating-point gradient
+    sums cannot have."""
+    from zappy_spark.operators.training import (
+        logreg_features,
+        logreg_fit_weights,
+    )
+
+    rows = [
+        (i, f"doc {i} " + ("the " * (i % 5)) + ("data " * (i % 3)))
+        for i in range(101)
+    ]
+    base = spark.createDataFrame(rows, ["doc_id", "text"])
+    trajs = []
+    for df in (
+        base.coalesce(1),
+        base.repartition(3),
+        base.repartition(32),
+        base.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(7),
+    ):
+        trajs.append(logreg_fit_weights(logreg_features(df, "text"), 6, 2))
+    assert trajs[0] == trajs[1] == trajs[2] == trajs[3]
+
+
+def test_logreg_holdout_eval_split_isolation(spark):
+    """v30's structural claim: the holdout cannot influence the
+    weights. Poisoning every HOLDOUT doc's text (flipping its
+    features and label) must leave the trained weights — and hence
+    the confusion counts on the UNPOISONED holdout — unchanged,
+    while poisoning one TRAINING doc changes the trajectory."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import (
+        logreg_features,
+        logreg_fit_weights,
+    )
+
+    rows = [
+        (i, "the quick the text data word"
+         if i % 2 == 0 else "data data noise word filler junk")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ho = _hash_key("doc_id") < sample_threshold(0.25)
+    train = df.filter(~ho)
+    w_base = logreg_fit_weights(logreg_features(train, "text"))[-1]
+
+    # poison all holdout docs -> training unchanged -> same weights
+    poisoned = df.withColumn(
+        "text",
+        F.when(ho, F.lit("the the the the the")).otherwise(F.col("text")),
+    )
+    w_ho_poison = logreg_fit_weights(
+        logreg_features(poisoned.filter(~ho), "text")
+    )[-1]
+    assert w_ho_poison == w_base
+
+    # poison one training doc -> trajectory moves
+    tid = train.select("doc_id").orderBy("doc_id").first()[0]
+    poisoned_tr = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == tid, F.lit("the the the the the")
+        ).otherwise(F.col("text")),
+    )
+    w_tr_poison = logreg_fit_weights(
+        logreg_features(poisoned_tr.filter(~ho), "text")
+    )[-1]
+    assert w_tr_poison != w_base
+
+
+def test_logreg_holdout_eval_hand_confusion(spark):
+    """v30's confusion arithmetic on the separable corpus: with
+    100% accuracy the holdout confusion has fp == fn == 0 and
+    tp + tn == n_eval; counts cross-checked against the split
+    predicate evaluated directly."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import logreg_holdout_eval
+
+    rows = [
+        (i, "g0",
+         "the quick the text data word"
+         if i % 2 == 0 else "data data noise word filler junk")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    out = logreg_holdout_eval(
+        df, "text", "doc_id", "src", holdout_frac=0.25
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    n_ho = df.filter(
+        _hash_key("doc_id") < sample_threshold(0.25)
+    ).count()
+    assert r["n_eval"] == n_ho > 0
+    assert r["fp"] == 0 and r["fn"] == 0
+    assert r["tp"] + r["tn"] == r["n_eval"]

@@ -292,3 +292,75 @@ def logreg_score_ledger(
             .alias("chars_kept"),
         )
     )
+
+
+def logreg_holdout_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    holdout_frac: float = 0.25,
+    n_iter: int = 8,
+    lr_den: int = 2,
+) -> DataFrame:
+    """Held-out evaluation of the trained quality classifier — the
+    model-selection step between v28 (train) and v29 (deploy):
+    split by the house md5-keyed rule (operators/sampling.py's
+    hex-prefix threshold, so the split is deterministic, engine-
+    portable, and append-stable), FIT on the training complement,
+    then score the holdout and emit the per-group confusion counts
+    (n_eval, tp, fp, fn, tn) — precision/recall/accuracy are one
+    division away from the exact BIGINTs.
+
+    Scale: the split is a scan-side md5 filter (no shuffle, composes
+    with pushdown); training is n_iter one-agg jobs over the
+    training partition; evaluation is ONE scan of the holdout into
+    a |groups|-row agg. The holdout never influences the weights —
+    the same property the oracle enforces structurally (training
+    stages read FROM f WHERE NOT ho)."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    s = LOGREG_SCALE
+    ho = _hash_key(id_col) < sample_threshold(holdout_frac)
+    feat = logreg_features(df, text_col, extra=(group_col, id_col))
+    feat = feat.withColumn("_ho", ho)
+    w = logreg_fit_weights(
+        feat.filter(~F.col("_ho")).select("y", "x1", "x2", "x3"),
+        n_iter,
+        lr_den,
+    )[-1]
+    z = (
+        F.lit(w[0]).cast("bigint")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    rows = feat.filter(F.col("_ho")).select(
+        group_col, "y", z.alias("_z")
+    )
+    p = F.least(
+        F.lit(s).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.lit(s // 2) + F.expr("_z div 4"),
+        ),
+    )
+    pred = (F.lit(2) * p > s).cast("int")
+    rows = rows.select(group_col, "y", pred.alias("_pr"))
+
+    def _n(cond) -> Column:
+        return F.sum(cond.cast("bigint"))
+
+    return (
+        rows.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_eval"),
+            _n((F.col("_pr") == 1) & (F.col("y") == 1)).alias("tp"),
+            _n((F.col("_pr") == 1) & (F.col("y") == 0)).alias("fp"),
+            _n((F.col("_pr") == 0) & (F.col("y") == 1)).alias("fn"),
+            _n((F.col("_pr") == 0) & (F.col("y") == 0)).alias("tn"),
+        )
+    )

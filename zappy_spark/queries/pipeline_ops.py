@@ -3510,6 +3510,32 @@ def t44(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("source")
 
 
+def v30(spark: SparkSession, d: str) -> DataFrame:
+    """Held-out classifier evaluation (round 10;
+    operators/training.py::logreg_holdout_eval) — the
+    model-selection step between v28 (train) and v29 (deploy):
+    md5-keyed 25% holdout (the house hex-prefix threshold, so the
+    split is deterministic, engine-portable, append-stable), fit on
+    the complement, then the per-source confusion counts on the
+    holdout (n_eval, tp, fp, fn, tn) — precision/recall/accuracy
+    are one division from the exact BIGINTs.
+
+    Oracle: the shared logistic-GD CTE prefix with the training
+    stages restricted to WHERE NOT ho — the holdout structurally
+    cannot influence the weights — then one eval block over
+    WHERE ho with the identical threshold spelling.
+
+    Scale: split = scan-side md5 filter (no shuffle, composes with
+    pushdown); training = n_iter one-agg jobs over the training
+    partition; eval = ONE holdout scan into a |sources|-row agg."""
+    from zappy_spark.operators.training import logreg_holdout_eval
+
+    return logreg_holdout_eval(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        holdout_frac=0.25, n_iter=8, lr_den=2,
+    ).orderBy("source")
+
+
 def t43(spark: SparkSession, d: str) -> DataFrame:
     """Token-ID encoding (round 10, VERDICT r9 item 5;
     operators/text.py::encode_token_ids) — completes the tokenizer
@@ -3615,6 +3641,7 @@ QUERIES = {
     "t43_token_ids": t43,
     "v29_logreg_filter_ledger": v29,
     "t44_vocab_growth": t44,
+    "v30_logreg_holdout_eval": v30,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4246,7 +4273,13 @@ def _t43_oracle(k: int = 6) -> str:
     )
 
 
-def _logreg_ctes(k: int, lr_den: int, extra: str = "") -> str:
+def _logreg_ctes(
+    k: int,
+    lr_den: int,
+    extra: str = "",
+    train_where: str = "",
+    extra_fw: str | None = None,
+) -> str:
     """The unrolled fixed-iteration logistic-GD prefix shared by the
     v28 and v29 oracles: feature CTE f (``extra`` prepends
     passthrough columns, e.g. 'source, n_chars,'), weight CTEs
@@ -4260,11 +4293,17 @@ def _logreg_ctes(k: int, lr_den: int, extra: str = "") -> str:
     approximately-equal. f is MATERIALIZED: DuckDB inlines
     multi-referenced CTEs, and each of the k stages references f —
     the hint makes the oracle touch the corpus once per iteration
-    like the Spark side (measured 2x at sf0.01)."""
+    like the Spark side (measured 2x at sf0.01). ``train_where``
+    restricts the TRAINING stages' scan (e.g. 'WHERE NOT ho' for
+    the v30 holdout split) without filtering f itself, so a later
+    eval block can read the complement from the same CTE.
+    ``extra_fw`` lets the first CTE compute EXPRESSIONS over the
+    base table (e.g. the md5 split flag over doc_id) that ``extra``
+    then carries as plain columns."""
     s = 1_000_000
     parts = [
         "WITH fw AS (SELECT "
-        + extra
+        + (extra_fw if extra_fw is not None else extra)
         + "list_filter(string_split(text, ' '), "
         "x -> x <> '') ws FROM documents), "
         "f AS MATERIALIZED (SELECT "
@@ -4282,7 +4321,7 @@ def _logreg_ctes(k: int, lr_den: int, extra: str = "") -> str:
             f", p{i} AS (SELECT y, x1, x2, x3, "
             f"LEAST({s}, GREATEST(0, {s // 2} + "
             f"(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) p "
-            f"FROM f, i{i - 1})"
+            f"FROM f, i{i - 1} {train_where})"
             f", a{i} AS (SELECT COUNT(*) n, "
             f"SUM(CASE WHEN (CASE WHEN 2 * p > {s} THEN 1 ELSE 0 END) = y "
             "THEN 1 ELSE 0 END) nc, "
@@ -4335,6 +4374,46 @@ def _v29_oracle(k: int = 8, lr_den: int = 2) -> str:
         f"CAST(SUM(CASE WHEN 2 * p > {s} THEN n_chars ELSE 0 END) "
         "AS BIGINT) chars_kept "
         "FROM sc GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _v30_oracle(
+    k: int = 8, lr_den: int = 2, frac: float = 0.25
+) -> str:
+    """Holdout-evaluation replay (v30): the shared logistic-GD CTE
+    prefix with the training stages restricted to the md5-keyed
+    training complement (WHERE NOT ho inside the prefix — the
+    holdout structurally cannot reach the weights), then one eval
+    block over the holdout at i{k} with the identical hard-sigmoid
+    threshold and the identical hex-prefix split literal."""
+    from zappy_spark.operators.sampling import sample_threshold
+
+    s = 1_000_000
+    thr = sample_threshold(frac)
+    ho = (
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') ho, "
+    )
+    return (
+        _logreg_ctes(
+            k, lr_den, extra="source, ho, ",
+            train_where="WHERE NOT ho",
+            extra_fw="source, " + ho,
+        )
+        + ", ev AS (SELECT source, y, "
+        f"LEAST({s}, GREATEST(0, {s // 2} + "
+        f"(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) p "
+        f"FROM f, i{k} WHERE ho) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) n_eval, "
+        f"CAST(SUM(CASE WHEN 2 * p > {s} AND y = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) tp, "
+        f"CAST(SUM(CASE WHEN 2 * p > {s} AND y = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) fp, "
+        f"CAST(SUM(CASE WHEN 2 * p <= {s} AND y = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) fn, "
+        f"CAST(SUM(CASE WHEN 2 * p <= {s} AND y = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) tn "
+        "FROM ev GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -4737,6 +4816,9 @@ ORACLE = {
     # weights — the keep/drop ledger replays end-to-end.
     "v29_logreg_filter_ledger": _v29_oracle(8, 2),
     "t44_vocab_growth": _t44_oracle(),
+    # v30: training stages restricted to the md5 complement INSIDE
+    # the shared prefix, eval block over the holdout at i8.
+    "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
