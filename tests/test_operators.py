@@ -4179,3 +4179,25 @@ def test_logreg_holdout_eval_hand_confusion(spark):
     assert r["n_eval"] == n_ho > 0
     assert r["fp"] == 0 and r["fn"] == 0
     assert r["tp"] + r["tn"] == r["n_eval"]
+
+
+def test_vocab_coverage_curve_hand_counts(spark):
+    """t45 on a hand corpus with a rank TIE at the boundary: 'aa'
+    and 'bb' both occur 3x — the tie breaks to the smaller word, so
+    k=1 covers 'aa' (3 tokens), k=5 covers everything. Out-of-scope
+    words excluded; curve is monotone and ends at total."""
+    from zappy_spark.operators.text import vocab_coverage_curve
+
+    rows = [
+        (0, "aa bb aa bb Zed!"),
+        (1, "aa bb cc dd"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["k"]: (r["covered_tokens"], r["total_tokens"])
+        for r in vocab_coverage_curve(df, "text", ks=(1, 2, 5)).collect()
+    }
+    # vocab: aa x3, bb x3, cc x1, dd x1 -> total 8
+    assert got[1] == (3, 8)   # tie (aa,bb) -> 'aa' ranks first
+    assert got[2] == (6, 8)
+    assert got[5] == (8, 8)

@@ -255,6 +255,11 @@ _GLOBAL_WINDOW_WHITELIST = {
     # test_pareto_window_runs_on_part_aggregate). Outgrowing
     # dimensions switch to ranking.py's bucketed two-pass.
     "r92_pareto_abc",
+    # t45: the coverage rank runs over the (word, count) VOCABULARY
+    # aggregate — Heaps-bounded (~10M rows at 100 TB), never the
+    # corpus; ranking.py's bucketed two-pass drops in if a
+    # vocabulary ever outgrows one executor.
+    "t45_vocab_coverage",
 }
 
 

@@ -9,7 +9,7 @@ the hot path — so a 100 TB corpus pays one pass per operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword
@@ -1602,4 +1602,61 @@ def vocab_growth_stats(
             F.max("_c").cast("bigint").alias("max_freq"),
         )
         .withColumnRenamed("grp", group_col)
+    )
+
+
+def vocab_coverage_curve(
+    df: DataFrame, text_col: str, ks: tuple[int, ...] = (1, 5, 10, 20, 50)
+) -> DataFrame:
+    """Top-k vocabulary coverage curve (round 10) — the decision
+    input for vocabulary-size selection: for each k, how many corpus
+    tokens the k most frequent types cover (the integer numerator of
+    the coverage fraction every tokenizer-sizing writeup plots).
+    Ranking ties break to the lexicographically smaller word, so the
+    curve is deterministic in both engines. Returns (k,
+    covered_tokens, total_tokens), exact BIGINTs, one row per k.
+
+    Scale: the corpus collapses to the (word, count) vocabulary in
+    ONE map-side-combinable hash agg; the rank window then runs over
+    the VOCAB — Heaps-bounded (~10M rows even at 100 TB), a single
+    executor's work by design (if that ever mattered, ranking.py's
+    range-bucketed two-pass ranker drops in). The curve itself is
+    ONE conditional-sum agg over the ranked vocab."""
+    tok = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_w0")
+    ).select(F.lower("_w0").alias("_w"))
+    counts = (
+        tok.filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_c").desc(), F.col("_w"))
+    )
+    ranked = counts.select("_c", rank.alias("_r"))
+    agg = ranked.agg(
+        F.sum("_c").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("_r") <= k, F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"_cov{k}")
+            for k in ks
+        ],
+    )
+    spark = df.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        kdf.crossJoin(F.broadcast(agg))
+        .select(
+            "k",
+            F.coalesce(
+                *[
+                    F.when(F.col("k") == k, F.col(f"_cov{k}"))
+                    for k in ks
+                ]
+            ).alias("covered_tokens"),
+            "total_tokens",
+        )
     )

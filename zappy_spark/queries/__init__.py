@@ -156,19 +156,19 @@ entries built THIS round (_NEW_R11: v28 distributed logistic-
 regression training and t43 token-ID encode round-trip — VERDICT
 r9 items 4 and 5 — plus v29 train-then-filter keep/drop ledger and
 t44 Heaps/Zipf vocabulary-growth audit) were constructed after the
-window composition froze (v30 held-out confusion evaluation joined
-them late in the round); per the plan's displacement rule ("never
-the r4 tier") they queue at positions 51–55 and lead the round-11
-window.
+window composition froze (v30 held-out confusion evaluation and
+t45 vocabulary coverage joined them late in the round); per the
+plan's displacement rule ("never the r4 tier") they queue at
+positions 51–56 and lead the round-11 window.
 
 ROUND-11 ROTATION PLAN (written in round 10): head = any round-11
-re-spells, then _NEW_R11 (v28, t43, v29, t44, v30 — locally green
-at 3 SFs + both synth fixtures, zero driver rows), then any further
-round-11 new entries, then the 43-entry r5-green tier _R5_TIER_R11
+re-spells, then _NEW_R11 (v28, t43, v29, t44, v30, t45 — locally
+green at 3 SFs + both synth fixtures, zero driver rows), then any
+further round-11 new entries, then the 43-entry r5-green tier _R5_TIER_R11
 (alphabetical d23…z29), then fill to 50 from the 45-entry r6-green
 tier head (alphabetical: d25_bloom_join, d33_fuzzy_linkage,
 d35_url_canon, …). With no re-spells and no further new entries
-that is 5 + 43 + 2 = 50 exactly; new entries displace the r6-tier
+that is 6 + 43 + 1 = 50 exactly; new entries displace the r6-tier
 fill, never the r5 tier.
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
@@ -821,6 +821,7 @@ _NEW_R11 = [
     "v29_logreg_filter_ledger",  # NEW r10: train-then-filter keep/drop ledger
     "t44_vocab_growth",  # NEW r10: Heaps/Zipf vocabulary-growth audit
     "v30_logreg_holdout_eval",  # NEW r10: md5-holdout confusion eval
+    "t45_vocab_coverage",  # NEW r10: top-k vocabulary coverage curve
 ]
 
 # The 43-entry r5-green tier (alphabetical), from the same

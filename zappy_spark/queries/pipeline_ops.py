@@ -3536,6 +3536,27 @@ def v30(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("source")
 
 
+def t45(spark: SparkSession, d: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (round 10;
+    operators/text.py::vocab_coverage_curve): for k in
+    {1,5,10,20,50}, how many corpus tokens the k most frequent
+    types cover — the integer numerators of the coverage fractions
+    a tokenizer-sizing decision plots, completing the
+    tokenizer-economics family (t44 measures the vocabulary, t45
+    measures what a budget of it buys). Ties rank to the smaller
+    word, so the curve is deterministic in both engines.
+
+    Scale: one corpus scan into the Heaps-bounded (word, count)
+    agg; the rank window runs over the VOCAB (a single executor's
+    work by design — ranking.py's range-bucketed ranker drops in if
+    vocabulary ever outgrows that), then ONE conditional-sum agg."""
+    from zappy_spark.operators.text import vocab_coverage_curve
+
+    return vocab_coverage_curve(
+        t(spark, d, "documents"), "text"
+    ).orderBy("k")
+
+
 def t43(spark: SparkSession, d: str) -> DataFrame:
     """Token-ID encoding (round 10, VERDICT r9 item 5;
     operators/text.py::encode_token_ids) — completes the tokenizer
@@ -3642,6 +3663,7 @@ QUERIES = {
     "v29_logreg_filter_ledger": v29,
     "t44_vocab_growth": t44,
     "v30_logreg_holdout_eval": v30,
+    "t45_vocab_coverage": t45,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4417,6 +4439,33 @@ def _v30_oracle(
     )
 
 
+def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
+    """Coverage-curve replay (t45): identical (count DESC, word)
+    ranking and conditional sums; the k rows come from a VALUES
+    list cross-joined to the 1-row aggregate."""
+    covs = ", ".join(
+        f"CAST(SUM(CASE WHEN r <= {k} THEN c ELSE 0 END) AS BIGINT) c{k}"
+        for k in ks
+    )
+    case = "CASE k " + " ".join(
+        f"WHEN {k} THEN c{k}" for k in ks
+    ) + " END"
+    vals = ", ".join(f"({k})" for k in ks)
+    return (
+        "WITH tok AS (SELECT lower(t) w FROM "
+        "(SELECT unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) t FROM documents)), "
+        "v AS (SELECT w, COUNT(*) c FROM tok "
+        "WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY 1), "
+        "rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) r "
+        "FROM v), "
+        f"ag AS (SELECT CAST(SUM(c) AS BIGINT) total, {covs} FROM rk) "
+        f"SELECT CAST(k AS INT) k, {case} covered_tokens, "
+        "total total_tokens "
+        f"FROM (VALUES {vals}) ks(k), ag ORDER BY k"
+    )
+
+
 def _t44_oracle() -> str:
     """Vocabulary-growth / Zipf-tail replay (t44): the same
     (group, word) hash agg + rollup, in-scope = lowercased
@@ -4819,6 +4868,7 @@ ORACLE = {
     # v30: training stages restricted to the md5 complement INSIDE
     # the shared prefix, eval block over the holdout at i8.
     "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
+    "t45_vocab_coverage": _t45_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
