@@ -53,7 +53,10 @@ def main(sf_dir: str) -> int:
     # which at the 100x fixture (1000 planted chains) would report
     # the other 800 as spuriously "missing". The structural claim
     # is about the operator; the capped query is just its window.
-    from zappy_spark.operators.dedup import dedup_cluster_ledger
+    from zappy_spark.operators.dedup import (
+        D50_LEDGER_PARAMS,
+        dedup_cluster_ledger,
+    )
     from zappy_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -61,7 +64,7 @@ def main(sf_dir: str) -> int:
         r["component"]: r
         for r in dedup_cluster_ledger(
             docs, "text", "doc_id", "n_chars",
-            span=3, min_shared=3, max_df=8,
+            **D50_LEDGER_PARAMS,
         ).collect()
     }
     bad = []

@@ -44,8 +44,16 @@ def main() -> int:
     duck = duckdb.connect()
     # same spill posture as scale_sweep.py: pointed at a big synth
     # fixture, a heavy oracle twin should get slow, not OOM (the
-    # un-spilled t43 run died allocating at the 100x vocab agg)
-    duck.execute("SET memory_limit='60GB'")
+    # un-spilled t43 run died allocating at the 100x vocab agg).
+    # Cap at ~80% of physical RAM (round-11 ADVICE): a hardcoded
+    # 60GB above physical memory invites the OS OOM-killer, the
+    # opposite of the spill intent.
+    try:
+        page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        cap_gb = max(1, min(60, int(page * 0.8 / 2**30)))
+    except (ValueError, OSError):
+        cap_gb = 4
+    duck.execute(f"SET memory_limit='{cap_gb}GB'")
     duck.execute("SET temp_directory='/tmp/duck_spill'")
     for tbl in TABLES:
         p = f"{SF_DIR}/{tbl}.parquet"

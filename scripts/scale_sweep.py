@@ -75,8 +75,15 @@ def main() -> int:
         # CTE state) cannot spill, and several 100× twins need
         # >24GB legitimately; the box holds 125GB with Spark's
         # driver capped at 16GB, so 60GB still leaves the OOM
-        # killer out of reach.
-        d.execute("SET memory_limit='60GB'")
+        # killer out of reach. On smaller hosts cap at ~80% of
+        # physical RAM instead (round-11 ADVICE on the
+        # check_queries twin of this setting).
+        try:
+            page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            cap_gb = max(1, min(60, int(page * 0.8 / 2**30)))
+        except (ValueError, OSError):
+            cap_gb = 4
+        d.execute(f"SET memory_limit='{cap_gb}GB'")
         d.execute("SET threads=8")
         d.execute("SET temp_directory='/tmp/duck_spill'")
         for tbl in TABLES:

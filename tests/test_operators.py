@@ -3751,6 +3751,29 @@ def test_logreg_tdiv_matches_both_engines(spark):
     assert got_spark == got_duck == got_py == [-2, 2, -2, -2, 2, 2]
 
 
+def test_logreg_empty_corpus_zero_trajectory(spark):
+    """Round-11 ADVICE: a global agg over ZERO rows returns NULL
+    sums; before the coalesce fix _tdiv(None, ...) raised TypeError
+    inside the fit loop. The empty corpus must instead yield the
+    all-zero weight trajectory (the SQL oracle's NULL-free
+    spelling), and the distributed plan's weights must be 0, not
+    NULL."""
+    from zappy_spark.operators.training import (
+        logreg_features,
+        logreg_fit_weights,
+        logreg_train_fixed,
+    )
+
+    df = spark.createDataFrame([], "text string")
+    traj = logreg_fit_weights(logreg_features(df, "text"), 3, 2)
+    assert traj == [[0, 0, 0, 0]] * 4
+    rows = logreg_train_fixed(df, "text", n_iter=2).collect()
+    assert [
+        (r["step"], r["n"], r["w_bias"], r["w_the"], r["w_data"], r["w_len"])
+        for r in rows
+    ] == [(1, 0, 0, 0, 0, 0), (2, 0, 0, 0, 0, 0)]
+
+
 def test_logreg_train_planted_separation(spark):
     """v28's accuracy pin on PLANTED separable labels (VERDICT r9
     item 4): positives carry 'the' twice, negatives none, so the

@@ -1532,6 +1532,18 @@ def block_dedup_ledger(
     )
 
 
+# The d50 corpus entry's ledger configuration — ONE definition
+# shared by the query (queries/pipeline_ops.py), its oracle, and
+# scripts/assert_d50_planting.py, so the planting assertion can
+# never silently validate a different configuration than the
+# corpus entry (round-11 ADVICE).
+D50_LEDGER_PARAMS: dict[str, int] = {
+    "span": 3,
+    "min_shared": 3,
+    "max_df": 8,
+}
+
+
 def dedup_cluster_ledger(
     docs: DataFrame,
     text_col: str = "text",

@@ -116,13 +116,21 @@ def _logreg_step_agg(feat: DataFrame, w: list[int]) -> DataFrame:
     rows = rows.select("y", "x1", "x2", "x3", p.alias("_p"))
     r = F.col("_p") - F.col("y").cast("bigint") * s
     pred = (F.lit(2) * F.col("_p") > s).cast("int")
+
+    def _zsum(col: Column) -> Column:
+        # Empty-corpus guard (round-11 ADVICE): a global agg over
+        # zero rows returns NULL sums; coalesce to 0 so the update
+        # yields the all-zero trajectory (the oracle's NULL-free
+        # spelling) instead of _tdiv(None, ...) raising.
+        return F.coalesce(F.sum(col), F.lit(0).cast("bigint"))
+
     return rows.agg(
         F.count("*").alias("n"),
-        F.sum((pred == F.col("y")).cast("bigint")).alias("n_correct"),
-        F.sum(r).alias("_g0"),
-        F.sum(r * F.col("x1")).alias("_g1"),
-        F.sum(r * F.col("x2")).alias("_g2"),
-        F.sum(r * F.col("x3")).alias("_g3"),
+        _zsum((pred == F.col("y")).cast("bigint")).alias("n_correct"),
+        _zsum(r).alias("_g0"),
+        _zsum(r * F.col("x1")).alias("_g1"),
+        _zsum(r * F.col("x2")).alias("_g2"),
+        _zsum(r * F.col("x3")).alias("_g3"),
     )
 
 

@@ -2973,7 +2973,7 @@ def d50(spark: SparkSession, d: str) -> DataFrame:
     return (
         dedup.dedup_cluster_ledger(
             docs, "text", "doc_id", "n_chars",
-            span=3, min_shared=3, max_df=8,
+            **dedup.D50_LEDGER_PARAMS,
         )
         .orderBy("component")
         .limit(200)
@@ -4805,20 +4805,22 @@ ORACLE = {
     "d49_domain_suffix_audit": _d49_oracle(),
     "t42_unicode_normalize": _t42_oracle(),
     # d50: the d19 closure CTE extended with keep-best + ledger
-    # arithmetic - the WHOLE dedup flow replays.
+    # arithmetic - the WHOLE dedup flow replays. Parameters come
+    # from the SAME D50_LEDGER_PARAMS constant the query and the
+    # planting assertion use (round-11 ADVICE).
     "d50_dedup_cluster_ledger": (
         "WITH RECURSIVE tok AS (SELECT doc_id, "
         "list_filter(string_split(text,' '), x -> x<>'') tks "
         "FROM documents), "
         "n AS (SELECT doc_id, tks, unnest(generate_series(0, "
-        "CAST(CEIL(GREATEST(len(tks),1)/3.0) AS INT) - 1)) i FROM tok), "
+        "CAST(CEIL(GREATEST(len(tks),1)/{sp}.0) AS INT) - 1)) i FROM tok), "
         "sp AS (SELECT DISTINCT doc_id, "
-        "md5(array_to_string(tks[i*3+1 : i*3+3],' ')) h FROM n), "
+        "md5(array_to_string(tks[i*{sp}+1 : i*{sp}+{sp}],' ')) h FROM n), "
         "cap AS (SELECT h FROM (SELECT h, COUNT(*) c FROM sp GROUP BY h) "
-        "WHERE c BETWEEN 2 AND 8), "
+        "WHERE c BETWEEN 2 AND {df}), "
         "p AS (SELECT a.doc_id i, b.doc_id j FROM sp a JOIN cap USING (h) "
         "JOIN sp b USING (h) WHERE a.doc_id < b.doc_id "
-        "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= {ms}), "
         "e AS (SELECT i a, j b FROM p UNION SELECT j, i FROM p), "
         "reach(a, b) AS (SELECT a, b FROM e "
         "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
@@ -4836,6 +4838,10 @@ ORACLE = {
         "CAST(SUM(n_chars) - MIN(CASE WHEN rn = 1 THEN n_chars END) "
         "AS BIGINT) chars_removed "
         "FROM sz GROUP BY component ORDER BY component LIMIT 200"
+    ).format(
+        sp=dedup.D50_LEDGER_PARAMS["span"],
+        ms=dedup.D50_LEDGER_PARAMS["min_shared"],
+        df=dedup.D50_LEDGER_PARAMS["max_df"],
     ),
     # m07: fabrication replayed closed-form; Spark's numbers came
     # through encode_pnm/decode_pnm (binary P6 + bit-packed P4).
