@@ -25,6 +25,21 @@ the prior round's within noise, the shift is environmental; if a
 query moved while the sentinel didn't, profile that query. The r8
 episode (suite 3.45 s → 4.40 s with a byte-identical bench path)
 motivated this field.
+
+``data_path_sentinel`` (round 11, VERDICT r10 item 3): the fixed
+sentinel measures only Py4J + scheduling, so memory-bandwidth or
+page-cache contention moves data-touching queries WITHOUT moving
+it — round 10's q5/q7 drifted 1.5–1.6× while the plans were
+byte-identical and the protocol could not prove the cause from the
+artifact alone. This second sentinel times a fixed-size
+deterministic scan-aggregate over a CACHED in-memory frame (8M
+rows × 2 BIGINTs ≈ 128 MB, zero parquet, one 32-partial-row agg
+exchange) under the same warm interleaved protocol; its time
+tracks the machine's data-path throughput and nothing else
+repo-side. Interpretation rule (BASELINE.md): fixed moved →
+harness overhead shift; fixed flat but data-path moved →
+environment data-path contention, per-query drift expected and
+non-diagnostic; both flat but a query moved → profile that query.
 """
 
 from __future__ import annotations
@@ -80,8 +95,26 @@ def main() -> None:
     # protocol (untimed warm, interleaved samples below).
     spark.range(1).collect()
 
+    # Data-path sentinel: a deterministic scan-aggregate over a
+    # cached fixed-size frame (~128 MB, fully repo-independent) —
+    # measures the machine's memory-bandwidth/CPU data path under
+    # the identical warm interleaved protocol (module docstring).
+    from pyspark.sql import functions as F
+
+    data_frame = (
+        spark.range(0, 8_000_000, 1, 32)
+        .select("id", (F.col("id") % 9973).alias("m"))
+        .persist()
+    )
+
+    def _data_probe() -> None:
+        data_frame.agg(F.sum(F.col("id") * F.col("m"))).collect()
+
+    _data_probe()  # materialize the cache, untimed warm
+
     samples: dict[str, list[float]] = {qid: [] for qid in BENCH}
     sentinel_samples: list[float] = []
+    data_samples: list[float] = []
     for _ in range(RUNS):
         for qid, key in BENCH.items():
             t0 = time.perf_counter()
@@ -90,12 +123,18 @@ def main() -> None:
         t0 = time.perf_counter()
         spark.range(1).collect()
         sentinel_samples.append(time.perf_counter() - t0)
-    # two extra sentinel samples for a 7-sample median (it is the
-    # drift diagnostic — cheap, so buy extra robustness)
+        t0 = time.perf_counter()
+        _data_probe()
+        data_samples.append(time.perf_counter() - t0)
+    # two extra samples of each sentinel for a 7-sample median
+    # (they are the drift diagnostics — cheap, so buy robustness)
     for _ in range(2):
         t0 = time.perf_counter()
         spark.range(1).collect()
         sentinel_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _data_probe()
+        data_samples.append(time.perf_counter() - t0)
     per_query = {
         qid: round(statistics.median(s), 4) for qid, s in samples.items()
     }
@@ -111,6 +150,9 @@ def main() -> None:
                 "sf": sf,
                 "fixed_cost_sentinel": round(
                     statistics.median(sentinel_samples), 4
+                ),
+                "data_path_sentinel": round(
+                    statistics.median(data_samples), 4
                 ),
             }
         )

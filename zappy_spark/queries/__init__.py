@@ -171,6 +171,33 @@ d35_url_canon, …). With no re-spells and no further new entries
 that is 6 + 43 + 1 = 50 exactly; new entries displace the r6-tier
 fill, never the r5 tier.
 
+ROUND-11 ORDERING (this file, EXECUTING that plan): t43's round-11
+re-spell (the ADVICE vocab-dedup segmentation — identical values,
+new spelling) is already inside _NEW_R11, so no separate re-spell
+head exists. The window is _NEW_R11 (slots 1–6, the only corpus
+entries with zero driver rows) + the 43-entry _R5_TIER_R11 (slots
+7–49) + the r6-tier fill (slot 50). One correction to the written
+plan's shorthand: its r6-tier head names ("d25_bloom_join,
+d33_fuzzy_linkage, d35_url_canon") were garbled — the actual
+recomputed 45-entry r6-green tier is alphabetically
+d06_lsh_neardup_pipeline … z32, and the plan's EXPLICITLY NAMED
+first pick is the d25 entry, which is d25_psi_drift; we honor the
+named pick (d25_psi_drift fills slot 50). New round-11 entries
+(t46 cross-corpus perplexity, …) queue at 51+ per the displacement
+rule ("never the r5 tier" — the single r6 fill slot stays d25
+because t46 landed after this window froze) and lead round 12.
+
+ROUND-12 ROTATION PLAN (written in round 11): head = any round-12
+re-spells, then _NEW_R12 (t46 cross-corpus perplexity filter and
+any siblings built late this round — locally green at 3 SFs + both
+synth fixtures, zero driver rows), then any further round-12 new
+entries, then the remaining 44-entry r6-green tier
+(alphabetical: d06_lsh_neardup_pipeline, d13_containment_pairs,
+d14_containment_anchored, d33_fuzzy_blocked, d35_bloom_gate, … —
+d25_psi_drift got its r11 row), then fill to 50 from the r7-green
+tier head. New entries displace the r7-tier fill, never the r6
+tier.
+
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
 tests/test_dtypes.py tests/test_plans.py -q` (~3 min); at session
@@ -872,19 +899,37 @@ _R5_TIER_R11 = [
     "z29_zarr_v2_roundtrip",
 ]
 
-# First occurrence wins (dict.fromkeys dedup): ROUND-10 order
-# EXECUTES the plan round 9 wrote — the 11 never-driver-checked
-# _NEW_R10 lead, then the 39-entry r4 tier = 50 exactly (no
-# re-spells this round). _NEW_R11 (built after the window froze)
-# queues at 51+, then the r5 tier — so the round-11 window is
-# already written: _NEW_R11 (2) + r5 tier (43) + 5 from the
-# r6-tier head = 50. Everything below cycles behind.
+# The round-11 window's slot-50 fill: the written plan's named
+# r6-tier pick (see ROUND-11 ORDERING in the module docstring for
+# the garbled-shorthand correction — the plan named "d25", whose
+# actual id is d25_psi_drift).
+_R6_FILL_R11 = ["d25_psi_drift"]
+
+# Entries built in round 11 AFTER the window composition froze.
+# Per the displacement rule they queue at positions 51+ and lead
+# the round-12 window (the standing _NEW_R9/_NEW_R10/_NEW_R11
+# overflow pattern).
+_NEW_R12: list[str] = [
+    "t46_xcorpus_perplexity",  # NEW r11: reference-LM perplexity filter
+    "t47_unigram_lm_tokenizer",  # NEW r11: SentencePiece-style EM trainer
+]
+
+# First occurrence wins (dict.fromkeys dedup): ROUND-11 order
+# EXECUTES the plan round 10 wrote — the 6 never-driver-checked
+# _NEW_R11 lead (t43 carries its round-11 ADVICE re-spell), then
+# the 43-entry r5 tier, then the named r6-tier fill = 50 exactly.
+# _NEW_R12 (built after the window froze) queues at 51+, then the
+# remaining r6 tier — so the round-12 window is already written:
+# _NEW_R12 + 44-entry r6 tier + fill from the r7 tier = 50.
+# Everything below cycles behind.
 _PRIORITY = list(
     dict.fromkeys(
-        _NEW_R10  # r10 window head — zero driver rows, slots 1–11
-        + _R4_TIER_R10  # slots 12–50
-        + _NEW_R11  # queued past slot 50 — r11's window head
-        + _R5_TIER_R11  # r11 tier
+        _NEW_R11  # r11 window head — zero driver rows, slots 1–6
+        + _R5_TIER_R11  # slots 7–49
+        + _R6_FILL_R11  # slot 50 (the plan's named d25 pick)
+        + _NEW_R12  # queued past slot 50 — r12's window head
+        + _NEW_R10  # r6 tier and later rounds' tiers follow
+        + _R4_TIER_R10
         + _CHANGED_R9
         + _NEW_R9
         + _NEW_R9B
