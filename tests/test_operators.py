@@ -4224,3 +4224,245 @@ def test_vocab_coverage_curve_hand_counts(spark):
     assert got[1] == (3, 8)   # tie (aa,bb) -> 'aa' ranks first
     assert got[2] == (6, 8)
     assert got[5] == (8, 8)
+
+
+def _t46_ids(n: int, frac: float = 0.5) -> tuple[list[int], list[int]]:
+    """Split ids 0..n-1 into (ref, eval) by the house md5 hex-prefix
+    rule — the same arithmetic sampling.sample_threshold drives, so
+    tests can plant docs on a KNOWN side of the split."""
+    import hashlib
+
+    from zappy_spark.operators.sampling import sample_threshold
+
+    thr = sample_threshold(frac)
+    ref, ev = [], []
+    for i in range(n):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        (ref if h < thr else ev).append(i)
+    return ref, ev
+
+
+def test_xcorpus_perplexity_planted_separation(spark):
+    """t46's planted-distribution pin: reference docs cycle a fixed
+    4-word pattern, so in-pattern bigrams get near-1 smoothed
+    probability while garbage bigrams fall back to 1/V. Clean eval
+    docs must be KEPT, garbage eval docs DROPPED, and a 1-token doc
+    lands in n_short — the ledger accounts for every document."""
+    from zappy_spark.operators.text import xcorpus_perplexity_ledger
+
+    ref, ev = _t46_ids(40, 0.5)
+    clean = "alpha beta gamma delta " * 10
+    rows = [(i, clean.strip(), "s") for i in ref]
+    # eval: first two clean, next two garbage (unseen vocab), one short
+    rows.append((ev[0], clean.strip(), "s"))
+    rows.append((ev[1], clean.strip(), "s"))
+    rows.append((ev[2], "zzz1 zzz2 zzz3 zzz4 zzz5", "s"))
+    rows.append((ev[3], "qqq7 qqq8 qqq9", "s"))
+    rows.append((ev[4], "alpha", "s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = xcorpus_perplexity_ledger(
+        df, "text", "doc_id", "source", ref_frac=0.5, ppl_cutoff=2.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == len(ref)
+    assert r["n_eval"] == 5
+    assert r["n_short"] == 1
+    assert r["n_keep"] == 2  # the clean eval docs
+    assert r["n_drop"] == 2  # the garbage eval docs
+
+
+def test_xcorpus_perplexity_model_isolation(spark):
+    """t46's structural claim (the v30 precedent): scored documents
+    cannot reach the model. Adding a brand-new garbage EVAL doc must
+    leave every other eval doc's keep/drop verdict unchanged —
+    possible only if the model is built from the reference slice
+    alone."""
+    from zappy_spark.operators.text import xcorpus_perplexity_ledger
+
+    ref, ev = _t46_ids(60, 0.5)
+    clean = ("alpha beta gamma delta " * 8).strip()
+    base_rows = [(i, clean, "s") for i in ref]
+    base_rows += [(ev[0], clean, "s"), (ev[1], "zz1 zz2 zz3 zz4", "s")]
+    poisoned = base_rows + [
+        (ev[2], "xx1 xx2 xx3 xx4 xx5 xx6 xx7 xx8", "s")
+    ]
+
+    def ledger(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        return xcorpus_perplexity_ledger(
+            df, "text", "doc_id", "source", ref_frac=0.5, ppl_cutoff=2.0
+        ).collect()[0]
+
+    a, b = ledger(base_rows), ledger(poisoned)
+    # the new eval doc adds exactly one eval + one drop; keeps and
+    # the prior drop verdicts are untouched (model unchanged)
+    assert (a["n_ref"], a["n_keep"], a["n_drop"]) == (len(ref), 1, 1)
+    assert (b["n_ref"], b["n_keep"], b["n_drop"]) == (len(ref), 1, 2)
+
+
+def test_xcorpus_perplexity_cutoff_margin(spark):
+    """t46's margin pin: the keep rule compares an order-dependent
+    double sum (noise ~1e-13) against the ln(ppl_cutoff) literal,
+    so correctness REQUIRES no document near the cutoff. Assert the
+    nearest per-doc nll at the driver fixture sits >= 1e-6 away
+    (round-11 calibration measured >= 1.2e-5 across all SFs and
+    both synth fixtures; this guards the checked-in fixture)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.dedup import word_shingles
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.text import T46_PARAMS
+    from zappy_spark.session import load_table
+
+    cut = math.log(T46_PARAMS["ppl_cutoff"])
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("_id"),
+        (
+            _hash_key("doc_id")
+            < sample_threshold(T46_PARAMS["ref_frac"])
+        ).alias("_ref"),
+        word_shingles(F.col("text"), 2, filter_empty=True).alias("_gs"),
+    )
+    cnt = (
+        docs.select("_id", "_ref", F.explode("_gs").alias("_g"))
+        .groupBy("_id", "_ref", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    model = (
+        cnt.filter(F.col("_ref")).groupBy("_g").agg(F.sum("_c").alias("_bc"))
+    )
+    ctx = model.groupBy(F.split("_g", " ").getItem(0).alias("_w1")).agg(
+        F.sum("_bc").alias("_cc")
+    )
+    v = ctx.agg(F.count("*").cast("bigint").alias("_v"))
+    p = (F.coalesce(F.col("_bc"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v")
+    )
+    margin = (
+        cnt.filter(~F.col("_ref"))
+        .withColumn("_w1", F.split("_g", " ").getItem(0))
+        .join(model, "_g", "left")
+        .join(ctx, "_w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("_id")
+        .agg(((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll"))
+        .agg(F.min(F.abs(F.col("_nll") - F.lit(cut))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert margin > 1e-6, f"doc too close to t46 cutoff: {margin}"
+
+
+def test_unigram_lm_planted_vocab_recovery(spark):
+    """t47's planted pin: a corpus whose words are concatenations
+    of 'ab' and 'cd' must converge to exactly those two pieces in
+    use (single chars survive in the cost table as the pruning
+    floor but earn zero usage), with exact usage counts."""
+    from zappy_spark.operators.text import unigram_lm_train
+
+    rows = [("abcd abab cdcd abcdab",)] * 30 + [("cdab ab cd",)] * 20
+    df = spark.createDataFrame(rows, ["text"])
+    out = unigram_lm_train(
+        df, "text", n_iter=3, max_piece_len=2, n_pieces=10
+    ).collect()
+    got = {(r["step"], r["piece"]): r["n_used"] for r in out}
+    # hand counts: 'ab' in abcd(1)x30 + abab(2)x30 + abcdab(2)x30 +
+    # cdab(1)x20 + ab(1)x20 = 190; 'cd' = 30+60+30+20+20 = 160
+    assert got == {
+        (s, p): n
+        for s in (1, 2, 3)
+        for p, n in (("ab", 190), ("cd", 160))
+    }
+
+
+def test_unigram_lm_partition_invariance(spark):
+    """t47's exactness claim: the whole (step, piece, n_used,
+    cost_next) trajectory is integer arithmetic over integer sums,
+    so it must be BIT-IDENTICAL under any input partitioning."""
+    from zappy_spark.operators.text import unigram_lm_train
+
+    rows = [
+        (f"w{i % 7}x{i % 3} abba cabb ba{i % 5}",) for i in range(60)
+    ]
+    trajs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["text"]).repartition(parts)
+        trajs.append(
+            [
+                tuple(r)
+                for r in unigram_lm_train(
+                    df, "text", n_iter=3, max_piece_len=3, n_pieces=20
+                ).collect()
+            ]
+        )
+    assert trajs[0] == trajs[1]
+
+
+def test_unigram_segment_concat_identity(spark):
+    """Viterbi pieces must concatenate back to the word (the
+    t43 detokenize-identity property for the unigram family) and
+    out-of-alphabet words become ONE <unk>."""
+    from zappy_spark.operators.text import (
+        _unigram_costs,
+        unigram_segment,
+    )
+
+    costs = _unigram_costs({"a": 5, "b": 3, "ab": 9, "ba": 2, "c": 1})
+    df = spark.createDataFrame(
+        [("abab baa cab Ab ba7 x.y",)], ["text"]
+    )
+    rows = unigram_segment(df, "text", costs, max_piece_len=2).collect()
+    got = {r["word"]: list(r["pieces"]) for r in rows}
+    # out-of-scope word (punctuation) -> ONE <unk>
+    assert got["x.y"] == ["<unk>"]
+    # every in-scope word's pieces concatenate back IN ORDER —
+    # including 'ba7', whose '7' falls back to an off-table
+    # single-char piece at the INF cost (still emitted, so the
+    # identity holds even for out-of-alphabet chars)
+    for w, ps in got.items():
+        if w != "x.y":
+            assert "".join(ps) == w, (w, ps)
+    assert got["abab"] == ["ab", "ab"]
+
+
+def test_unigram_lm_cost_formula_twin(spark):
+    """cost_next must equal the Python fixed-point twin recomputed
+    from the SAME integer counts — pinning the M-step spelling the
+    SQL oracle replays (round/ln on one IEEE division)."""
+    import math
+
+    from zappy_spark.operators.text import (
+        UNIGRAM_SCALE,
+        unigram_lm_train,
+    )
+
+    rows = [("abc bca cab abcabc",)] * 9 + [("aa bb cc",)] * 4
+    df = spark.createDataFrame(rows, ["text"])
+    out = unigram_lm_train(
+        df, "text", n_iter=2, max_piece_len=3, n_pieces=15
+    ).collect()
+    by_step: dict[int, dict[str, tuple[int, int]]] = {}
+    for r in out:
+        by_step.setdefault(r["step"], {})[r["piece"]] = (
+            r["n_used"],
+            r["cost_next"],
+        )
+    for step, tbl in by_step.items():
+        used = {p: n for p, (n, _) in tbl.items()}
+        # single chars that earned no usage row still floor into the
+        # total; recover them from the alphabet of the used pieces
+        alphabet = {ch for p in used for ch in p}
+        full = dict(used)
+        for ch in alphabet:
+            full.setdefault(ch, 1)
+        total = sum(full.values())
+        for p, (n, cost) in tbl.items():
+            want = round(-math.log(full[p] / total) * UNIGRAM_SCALE)
+            assert cost == want, (step, p, cost, want)

@@ -3585,6 +3585,39 @@ def t43(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t46(spark: SparkSession, d: str) -> DataFrame:
+    """Cross-corpus perplexity filter (round 11, VERDICT r10 item 1;
+    operators/text.py::xcorpus_perplexity_ledger) — the CCNet/KenLM
+    setup: an add-one-smoothed bigram LM trained on the
+    deterministic md5-keyed 25% reference slice (the d07/v30
+    spelling) scores the REMAINING 75%, and the per-source
+    keep/drop ledger (ppl cutoff 30.5, margin-calibrated this
+    round) is what a data team reviews before writing the filtered
+    corpus. Unlike t20/t23, the scored documents structurally
+    cannot reach the model — the oracle's model CTEs read WHERE
+    is_ref and the scoring CTE WHERE NOT is_ref inside the shared
+    prefix, the same isolation v30 pins for the classifier.
+
+    Output = (source, n_ref, n_eval, n_short, n_keep, n_drop), all
+    exact BIGINTs; the only floats are one IEEE division of exact
+    integers per bigram, one libm ln, and the per-doc average whose
+    partial-order noise (~1e-13) sits >= 1.2e-5 from the cutoff at
+    every verified SF/fixture (the margin pin).
+
+    Scale: one corpus scan, gram-keyed count joins, |sources|-row
+    ledger — see the operator docstring for the 100 TB shape."""
+    from zappy_spark.operators.text import (
+        T46_PARAMS,
+        xcorpus_perplexity_ledger,
+    )
+
+    return xcorpus_perplexity_ledger(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        ref_frac=T46_PARAMS["ref_frac"],
+        ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3664,6 +3697,7 @@ QUERIES = {
     "t44_vocab_growth": t44,
     "v30_logreg_holdout_eval": v30,
     "t45_vocab_coverage": t45,
+    "t46_xcorpus_perplexity": t46,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4466,6 +4500,64 @@ def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     )
 
 
+def _t46_oracle() -> str:
+    """Cross-corpus perplexity replay (t46): the model CTEs read
+    WHERE is_ref and the scoring CTE WHERE NOT is_ref inside ONE
+    shared prefix — the slice restriction is structural, so a
+    scored document cannot leak into the model (the v30
+    precedent). The ln(ppl_cutoff) comparison literal is the
+    Python-repr double BOTH sides embed, so the keep rule compares
+    against the identical IEEE value; the nearest document sits
+    >= 1.2e-5 away (margin pin in tests/test_operators.py)."""
+    import math
+
+    from zappy_spark.operators.sampling import sample_threshold
+    from zappy_spark.operators.text import T46_PARAMS
+
+    thr = sample_threshold(T46_PARAMS["ref_frac"])
+    cut = repr(math.log(T46_PARAMS["ppl_cutoff"]))
+    return (
+        "WITH d AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') tks, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') is_ref FROM documents), "
+        "n AS (SELECT doc_id, source, is_ref, tks, "
+        "unnest(generate_series(1, len(tks) - 1)) i "
+        "FROM d WHERE len(tks) >= 2), "
+        "bg AS (SELECT doc_id, source, is_ref, "
+        "tks[i] || ' ' || tks[i+1] g FROM n), "
+        "cnt AS (SELECT doc_id, source, is_ref, g, COUNT(*) c "
+        "FROM bg GROUP BY ALL), "
+        "model AS (SELECT g, SUM(c) bc FROM cnt WHERE is_ref "
+        "GROUP BY 1), "
+        "ctx AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc "
+        "FROM model GROUP BY 1), "
+        "vv AS (SELECT COUNT(*) v FROM ctx), "
+        "sc AS (SELECT doc_id, source, "
+        "-SUM(c * ln((COALESCE(bc, 0) + 1.0) / (COALESCE(cc, 0) + v)))"
+        " / SUM(c) nll "
+        "FROM cnt LEFT JOIN model USING (g) "
+        "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
+        "CROSS JOIN vv WHERE NOT is_ref GROUP BY 1, 2), "
+        "counts AS (SELECT source, "
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) n_ref, "
+        "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) n_eval, "
+        "SUM(CASE WHEN NOT is_ref AND len(tks) < 2 THEN 1 ELSE 0 END) "
+        "n_short FROM d GROUP BY 1), "
+        "scored AS (SELECT source, "
+        f"SUM(CASE WHEN nll < {cut} THEN 1 ELSE 0 END) nk, "
+        f"SUM(CASE WHEN nll >= {cut} THEN 1 ELSE 0 END) nd "
+        "FROM sc GROUP BY 1) "
+        "SELECT counts.source, CAST(n_ref AS BIGINT) n_ref, "
+        "CAST(n_eval AS BIGINT) n_eval, "
+        "CAST(n_short AS BIGINT) n_short, "
+        "CAST(COALESCE(nk, 0) AS BIGINT) n_keep, "
+        "CAST(COALESCE(nd, 0) AS BIGINT) n_drop "
+        "FROM counts LEFT JOIN scored ON counts.source = scored.source "
+        "ORDER BY counts.source"
+    )
+
+
 def _t44_oracle() -> str:
     """Vocabulary-growth / Zipf-tail replay (t44): the same
     (group, word) hash agg + rollup, in-scope = lowercased
@@ -4875,6 +4967,7 @@ ORACLE = {
     # the shared prefix, eval block over the holdout at i8.
     "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
     "t45_vocab_coverage": _t45_oracle(),
+    "t46_xcorpus_perplexity": _t46_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
