@@ -69,10 +69,29 @@ def _chain_text(i, salt: str = ""):
     return F.concat_ws(" ", *toks)
 
 
-def perturb(name: str, df, i: int, salt: str = ""):
+def perturb(name: str, df, i: int, salt: str = "", whale: int | None = None):
     """Content-perturb replica i (identity for i == 0)."""
     if i == 0:
         return df
+    if name == "orders" and whale is not None:
+        # Round-11 (VERDICT r10 item 6, the d50 planting precedent):
+        # replication dilutes every customer's value share below
+        # r48's 0.1% HAVING threshold (sf0.1's top share is already
+        # under it), leaving the Q11 value-share arithmetic
+        # scale-exercised only as "returns empty". Re-keying
+        # ~1/173 of each replica's orders (by o_orderkey residue —
+        # deterministic, replay-stable) onto the base table's MIN
+        # custkey plants ONE whale holding ~0.5% of global value:
+        # referential integrity holds (the custkey exists), the
+        # share sits 5x above the threshold (no boundary risk), and
+        # a second generator pass (10x -> 100x) re-plants onto the
+        # same custkey, so the whale survives composition.
+        return df.withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 173 == 0, F.lit(whale)
+            ).otherwise(F.col("o_custkey")),
+        )
     if name == "documents":
         out = df.withColumn("text", F.concat("text", F.lit(f" r{i}")))
         if i in (1, 2, 3):
@@ -107,9 +126,14 @@ def main(src: str, dst: str) -> None:
         if name in SHIFTED:
             keys = SHIFTED[name]
             span = df.agg(*[F.max(k) for k in keys]).first()[0] + 1
+            whale = (
+                df.agg(F.min("o_custkey")).first()[0]
+                if name == "orders"
+                else None
+            )
             parts = []
             for i in range(REPL):
-                p = perturb(name, df, i, salt=str(span))
+                p = perturb(name, df, i, salt=str(span), whale=whale)
                 for k in keys:
                     p = p.withColumn(k, F.col(k) + F.lit(i * span))
                 parts.append(p)

@@ -4464,5 +4464,7 @@ def test_unigram_lm_cost_formula_twin(spark):
             full.setdefault(ch, 1)
         total = sum(full.values())
         for p, (n, cost) in tbl.items():
-            want = round(-math.log(full[p] / total) * UNIGRAM_SCALE)
+            want = math.floor(
+                -math.log(full[p] / total) * UNIGRAM_SCALE + 0.5
+            )
             assert cost == want, (step, p, cost, want)

@@ -1793,16 +1793,18 @@ def _viterbi_pieces(
 
 def _unigram_costs(counts: dict[str, int]) -> dict[str, int]:
     """M-step: scale-S integer costs from exact integer piece
-    counts — cost(p) = round(-ln(n_p / total) * S). ONE IEEE
-    division + one libm ln + one round per piece, computed
-    driver-side over the bounded piece table (the v09/v28
-    bounded-instrument shape); the SQL oracle recomputes the same
-    expression from the same integers."""
+    counts — cost(p) = floor(-ln(n_p / total) * S + 0.5). ONE IEEE
+    division + one libm ln + one explicit HALF-UP round per piece
+    (floor(x + 0.5), NOT Python's banker's round() — DuckDB's
+    FLOOR spells it identically, so the tie behavior cannot drift
+    across engines), computed driver-side over the bounded piece
+    table (the v09/v28 bounded-instrument shape); the SQL oracle
+    recomputes the same expression from the same integers."""
     import math
 
     total = sum(counts.values())
     return {
-        p: round(-math.log(n / total) * UNIGRAM_SCALE)
+        p: math.floor(-math.log(n / total) * UNIGRAM_SCALE + 0.5)
         for p, n in counts.items()
     }
 
@@ -1868,7 +1870,14 @@ def unigram_lm_train(
     )
 
     # Seed candidates: all substrings of length 1..max_piece_len of
-    # the deduped vocab, occurrence-weighted by word count.
+    # the deduped vocab, occurrence-weighted by word count. NB the
+    # per-length lambda must be built by a closure HELPER with a
+    # single parameter: F.transform dispatches on lambda arity, so
+    # a `lambda i, ln=ln:` spelling would receive the array INDEX
+    # as ln (caught by the t47 oracle diff this round).
+    def _sub_of(ln: int):
+        return lambda i: F.substring(F.col("_w"), i, F.lit(ln))
+
     subs = F.flatten(
         F.array(
             *[
@@ -1878,9 +1887,7 @@ def unigram_lm_train(
                         F.sequence(
                             F.lit(1), F.length("_w") - F.lit(ln) + 1
                         ),
-                        lambda i, ln=ln: F.substring(
-                            F.col("_w"), i, F.lit(ln)
-                        ),
+                        _sub_of(ln),
                     ),
                 ).otherwise(F.array().cast("array<string>"))
                 for ln in range(1, max_piece_len + 1)

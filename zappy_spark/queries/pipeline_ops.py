@@ -3618,6 +3618,30 @@ def t46(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t47(spark: SparkSession, d: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training (round
+    11, VERDICT r10 item 2; operators/text.py::unigram_lm_train) —
+    the OTHER mainstream tokenizer family beside BPE: substring
+    seeding, then 3 hard-EM iterations of Viterbi segmentation
+    (forward DP + longest-piece backtrace, pure column expressions)
+    with scale-1e6 fixed-point integer costs, pruning unused
+    multi-char candidates each M-step. The whole (step, piece,
+    n_used, cost_next) trajectory is exact integer arithmetic —
+    the oracle replays the DP with recursive CTEs and the M-step
+    with the identical floor(x+0.5) half-up spelling.
+
+    Scale: E-steps run over the Heaps-bounded DEDUPED vocabulary
+    weighted by count (the t43 trick); each iteration is one
+    map-side-combinable hash agg of <= n_pieces rows; driver state
+    is the bounded piece table (v09/v28 doctrine)."""
+    from zappy_spark.operators.text import unigram_lm_train
+
+    return unigram_lm_train(
+        t(spark, d, "documents"), "text",
+        n_iter=3, max_piece_len=3, n_pieces=40,
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3698,6 +3722,7 @@ QUERIES = {
     "v30_logreg_holdout_eval": v30,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
+    "t47_unigram_lm_tokenizer": t47,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4558,6 +4583,102 @@ def _t46_oracle() -> str:
     )
 
 
+def _t47_oracle(
+    n_iter: int = 3, max_piece_len: int = 3, n_pieces: int = 40
+) -> str:
+    """Unigram-LM training replay (t47): the Viterbi E-step as a
+    pair of recursive CTEs per iteration — dp{k} builds the exact
+    BIGINT best-cost array position by position (3 LEFT JOINs to
+    the current cost table per step), bt{k} walks it back choosing
+    the LONGEST piece whose integer equality holds (the pinned
+    tie-break) — and the M-step as the identical half-up
+    floor(-ln(n/total)*S + 0.5) spelling over the same integer
+    counts, with unused single chars floored at 1 and unused
+    multi-char candidates pruned (the SentencePiece base-char
+    rule). Every iteration's cost table c{k} is derived inside the
+    shared prefix, so the trajectory replays end-to-end — nothing
+    enters as a literal."""
+    assert max_piece_len == 3, "oracle spelled for max_piece_len=3"
+    s = 1_000_000
+    inf = 10**15
+    big = 100 * inf
+    parts = [
+        "WITH RECURSIVE v AS MATERIALIZED (SELECT lower(t) w, COUNT(*) c FROM "
+        "(SELECT unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) t FROM documents) "
+        "WHERE regexp_matches(lower(t), '^[a-z0-9]+$') GROUP BY 1), "
+        "sd AS ("
+        "SELECT substr(w, i, 1) p, c FROM (SELECT w, c, "
+        "unnest(generate_series(1, length(w))) i FROM v) "
+        "UNION ALL SELECT substr(w, i, 2), c FROM (SELECT w, c, "
+        "unnest(generate_series(1, length(w) - 1)) i FROM v) "
+        "UNION ALL SELECT substr(w, i, 3), c FROM (SELECT w, c, "
+        "unnest(generate_series(1, length(w) - 2)) i FROM v)), "
+        "sa AS (SELECT p, SUM(c) n FROM sd GROUP BY 1), "
+        "ch AS (SELECT p, n FROM sa WHERE length(p) = 1), "
+        "mu AS (SELECT p, n FROM (SELECT p, n, ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, p) rn FROM sa WHERE length(p) > 1), "
+        "(SELECT COUNT(*) nc FROM ch) "
+        f"WHERE rn <= GREATEST({n_pieces} - nc, 0)), "
+        "a0 AS (SELECT p, n FROM ch UNION ALL SELECT p, n FROM mu), "
+        "t0 AS (SELECT SUM(n) t FROM a0), "
+        "c0 AS MATERIALIZED (SELECT p, CAST(FLOOR(-ln(n / t) * "
+        f"{s} + 0.5) AS BIGINT) k FROM a0, t0)"
+    ]
+    for k in range(1, n_iter + 1):
+        pc = f"c{k - 1}"
+        parts.append(
+            f", dp{k} AS ("
+            "SELECT w, c, 0 AS pos, [CAST(0 AS BIGINT)] AS b FROM v "
+            "UNION ALL SELECT w, c, pos + 1, list_append(b, LEAST("
+            f"b[pos + 1] + COALESCE(p1.k, {inf}), "
+            f"CASE WHEN pos >= 1 THEN b[pos] + COALESCE(p2.k, {inf}) "
+            f"ELSE {big} END, "
+            f"CASE WHEN pos >= 2 THEN b[pos - 1] + COALESCE(p3.k, {inf}) "
+            f"ELSE {big} END)) "
+            f"FROM dp{k} "
+            f"LEFT JOIN {pc} p1 ON p1.p = substr(w, pos + 1, 1) "
+            f"LEFT JOIN {pc} p2 ON p2.p = substr(w, pos, 2) "
+            f"LEFT JOIN {pc} p3 ON p3.p = substr(w, pos - 1, 3) "
+            "WHERE pos < length(w)), "
+            f"df{k} AS MATERIALIZED (SELECT w, c, b FROM dp{k} "
+            "WHERE pos = length(w)), "
+            f"bt{k} AS ("
+            "SELECT w, c, b, length(w) AS pos, "
+            f"CAST([] AS VARCHAR[]) AS ps FROM df{k} "
+            "UNION ALL SELECT w, c, b, pos - l, "
+            "list_append(ps, substr(w, pos - l + 1, l)) "
+            "FROM (SELECT w, c, b, pos, ps, CASE "
+            "WHEN pos >= 3 AND b[pos + 1] = b[pos - 2] + "
+            f"COALESCE(q3.k, {inf}) THEN 3 "
+            "WHEN pos >= 2 AND b[pos + 1] = b[pos - 1] + "
+            f"COALESCE(q2.k, {inf}) THEN 2 "
+            "ELSE 1 END AS l "
+            f"FROM bt{k} "
+            f"LEFT JOIN {pc} q2 ON q2.p = substr(w, pos - 1, 2) "
+            f"LEFT JOIN {pc} q3 ON q3.p = substr(w, pos - 2, 3) "
+            "WHERE pos > 0)), "
+            f"u{k} AS MATERIALIZED (SELECT piece, SUM(c) n FROM "
+            f"(SELECT unnest(ps) piece, c FROM bt{k} WHERE pos = 0) "
+            "GROUP BY 1), "
+            f"a{k} AS (SELECT cp.p, CASE WHEN length(cp.p) = 1 "
+            "THEN GREATEST(COALESCE(u.n, 0), 1) ELSE u.n END n "
+            f"FROM {pc} cp LEFT JOIN u{k} u ON cp.p = u.piece "
+            "WHERE length(cp.p) = 1 OR COALESCE(u.n, 0) > 0), "
+            f"t{k} AS (SELECT SUM(n) t FROM a{k}), "
+            f"c{k} AS MATERIALIZED (SELECT p, CAST(FLOOR(-ln(n / t) * "
+            f"{s} + 0.5) AS BIGINT) k FROM a{k}, t{k})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) step, u.piece, "
+        f"CAST(u.n AS BIGINT) n_used, c{k}.k cost_next "
+        f"FROM u{k} u JOIN c{k} ON c{k}.p = u.piece"
+        for k in range(1, n_iter + 1)
+    )
+    parts.append(f" SELECT * FROM ({unions}) ORDER BY step, piece")
+    return "".join(parts)
+
+
 def _t44_oracle() -> str:
     """Vocabulary-growth / Zipf-tail replay (t44): the same
     (group, word) hash agg + rollup, in-scope = lowercased
@@ -4968,6 +5089,7 @@ ORACLE = {
     "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
+    "t47_unigram_lm_tokenizer": _t47_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
