@@ -1487,3 +1487,45 @@ def test_incremental_filter_ledger_equals_batch(spark, tmp_path):
     rev = jobs.applied_revision(state)
     jobs.filter_ledger_apply_batch(docs.limit(10), rev, state, w)
     assert _rows(jobs.filter_from_state(spark, state), *cols) == got
+
+
+def test_incremental_piece_usage_equals_batch(spark, tmp_path):
+    """Round 11: the documents changelog drained through
+    incremental_piece_usage_state (t47's apply side at a FIXED
+    trained piece table) must equal the batch usage ledger EXACTLY
+    — one integer counter per (source, piece), no tolerance; the
+    micro-batch partial IS unigram_usage_ledger(costs=...), so
+    batch/stream spelling drift is impossible. Replay guard:
+    re-applying the last batch id is a no-op."""
+    from zappy_spark.operators.text import (
+        unigram_train_costs,
+        unigram_usage_ledger,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    costs = unigram_train_costs(
+        docs, "text", n_iter=2, max_piece_len=3, n_pieces=30
+    )
+    assert costs  # trained on real fixture text
+
+    replay = str(tmp_path / "docs_replay_pieces")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "piece_state")
+    q = jobs.incremental_piece_usage_state(
+        jobs.stream_events(spark, replay), state, costs
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "piece", "n_used")
+    got = _rows(jobs.piece_usage_from_state(spark, state), *cols)
+    batch = _rows(
+        unigram_usage_ledger(docs, "text", "source", costs).orderBy(
+            "source", "piece"
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.piece_usage_apply_batch(docs.limit(10), rev, state, costs)
+    assert _rows(jobs.piece_usage_from_state(spark, state), *cols) == got

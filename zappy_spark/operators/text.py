@@ -1857,7 +1857,50 @@ def unigram_lm_train(
     bounded-instrument doctrine). Nothing joins on doc ids,
     nothing collects unbounded rows."""
     spark = df.sparkSession
-    vocab = (
+    vocab = _unigram_vocab(df, text_col)
+    picked = _unigram_seed_counts(vocab, max_piece_len, n_pieces)
+    if not picked:
+        return spark.createDataFrame(
+            [], "step int, piece string, n_used bigint, cost_next bigint"
+        )
+    costs = _unigram_costs(picked)
+
+    out = None
+    for step in range(1, n_iter + 1):
+        agg = _unigram_step_agg(vocab, costs, max_piece_len)
+        rows = {r["piece"]: r["n_used"] for r in agg.collect()}
+        new_costs = _unigram_costs(_unigram_next_counts(costs, rows))
+        # Distributed branch for this step (incoming costs as
+        # literals; n_used re-derived by the engine, cost_next
+        # attached as the literal the next step runs at).
+        nc = new_costs
+        branch = agg.select(
+            F.lit(step).cast("int").alias("step"),
+            "piece",
+            F.col("n_used").cast("bigint").alias("n_used"),
+        ).withColumn(
+            "cost_next",
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in nc.items() for x in kv]
+                    ),
+                    F.col("piece"),
+                ),
+                F.lit(None).cast("bigint"),
+            ),
+        )
+        out = branch if out is None else out.unionAll(branch)
+        costs = new_costs
+    assert out is not None
+    return out.orderBy("step", "piece")
+
+
+def _unigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The tokenizer family's shared scope: lowercased
+    ``^[a-z0-9]+$`` whitespace tokens, deduped to (word, count) —
+    ONE Heaps-bounded hash agg."""
+    return (
         df.select(
             F.explode(
                 F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
@@ -1869,12 +1912,19 @@ def unigram_lm_train(
         .agg(F.count("*").alias("_c"))
     )
 
-    # Seed candidates: all substrings of length 1..max_piece_len of
-    # the deduped vocab, occurrence-weighted by word count. NB the
-    # per-length lambda must be built by a closure HELPER with a
-    # single parameter: F.transform dispatches on lambda arity, so
-    # a `lambda i, ln=ln:` spelling would receive the array INDEX
-    # as ln (caught by the t47 oracle diff this round).
+
+def _unigram_seed_counts(
+    vocab: DataFrame, max_piece_len: int, n_pieces: int
+) -> dict[str, int]:
+    """Seed candidates: all substrings of length 1..max_piece_len
+    of the deduped vocab, occurrence-weighted by word count; every
+    present single char + the top (n_pieces − #chars) multi-char
+    pieces by (count DESC, piece ASC). NB the per-length lambda
+    must be built by a closure HELPER with a single parameter:
+    F.transform dispatches on lambda arity, so a
+    ``lambda i, ln=ln:`` spelling would receive the array INDEX as
+    ln (a real bug the t47 oracle diff caught in round 11)."""
+
     def _sub_of(ln: int):
         return lambda i: F.substring(F.col("_w"), i, F.lit(ln))
 
@@ -1905,59 +1955,96 @@ def unigram_lm_train(
         .orderBy(F.col("_n").desc(), F.col("_p"))
         .limit(max(n_pieces - chars.count(), 0))
     )
-    picked = {
-        r["_p"]: r["_n"] for r in chars.unionAll(multi).collect()
+    return {r["_p"]: r["_n"] for r in chars.unionAll(multi).collect()}
+
+
+def _unigram_step_agg(
+    vocab: DataFrame, costs: dict[str, int], max_piece_len: int
+) -> DataFrame:
+    """One E-step: Viterbi-segment every distinct word at the
+    incoming costs, count piece usage weighted by word count — ONE
+    map-side-combinable hash agg of <= |pieces| rows."""
+    pieces = _viterbi_pieces(F.col("_w"), costs, max_piece_len)
+    return (
+        vocab.select(F.explode(pieces).alias("piece"), "_c")
+        .groupBy("piece")
+        .agg(F.sum("_c").alias("n_used"))
+    )
+
+
+def _unigram_next_counts(
+    costs: dict[str, int], rows: dict[str, int]
+) -> dict[str, int]:
+    """M-step count adjustment: prune unused multi-char pieces;
+    single chars get the add-one floor so the alphabet never
+    vanishes (the SentencePiece base-char rule)."""
+    return {
+        p: max(rows.get(p, 0), 1) if len(p) == 1 else rows[p]
+        for p in costs
+        if len(p) == 1 or rows.get(p, 0) > 0
     }
+
+
+def unigram_train_costs(
+    df: DataFrame,
+    text_col: str,
+    n_iter: int = 3,
+    max_piece_len: int = 3,
+    n_pieces: int = 40,
+) -> dict[str, int]:
+    """The DEPLOYABLE artifact of unigram-LM training: the final
+    piece -> cost table after ``n_iter`` EM iterations (the
+    logreg_fit_weights analog — train offline, hand the bounded
+    table to the apply side / the streaming drift monitor)."""
+    vocab = _unigram_vocab(df, text_col)
+    picked = _unigram_seed_counts(vocab, max_piece_len, n_pieces)
     if not picked:
-        return spark.createDataFrame(
-            [], "step int, piece string, n_used bigint, cost_next bigint"
-        )
+        return {}
     costs = _unigram_costs(picked)
-
-    def _step_counts(cost_tbl: dict[str, int]) -> DataFrame:
-        pieces = _viterbi_pieces(F.col("_w"), cost_tbl, max_piece_len)
-        return (
-            vocab.select(F.explode(pieces).alias("piece"), "_c")
-            .groupBy("piece")
-            .agg(F.sum("_c").alias("n_used"))
-        )
-
-    out = None
-    for step in range(1, n_iter + 1):
-        agg = _step_counts(costs)
-        rows = {r["piece"]: r["n_used"] for r in agg.collect()}
-        # M-step: prune unused multi-char pieces; single chars get
-        # the add-one floor so the alphabet never vanishes.
-        new_counts = {
-            p: max(rows.get(p, 0), 1) if len(p) == 1 else rows[p]
-            for p in costs
-            if len(p) == 1 or rows.get(p, 0) > 0
+    for _ in range(n_iter):
+        rows = {
+            r["piece"]: r["n_used"]
+            for r in _unigram_step_agg(vocab, costs, max_piece_len).collect()
         }
-        new_costs = _unigram_costs(new_counts)
-        # Distributed branch for this step (incoming costs as
-        # literals; n_used re-derived by the engine, cost_next
-        # attached as the literal the next step runs at).
-        nc = new_costs
-        branch = agg.select(
-            F.lit(step).cast("int").alias("step"),
-            "piece",
-            F.col("n_used").cast("bigint").alias("n_used"),
-        ).withColumn(
-            "cost_next",
-            F.coalesce(
-                F.element_at(
-                    F.create_map(
-                        *[F.lit(x) for kv in nc.items() for x in kv]
-                    ),
-                    F.col("piece"),
-                ),
-                F.lit(None).cast("bigint"),
-            ),
+        costs = _unigram_costs(_unigram_next_counts(costs, rows))
+    return costs
+
+
+def unigram_usage_ledger(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    costs: dict[str, int],
+    max_piece_len: int = 3,
+) -> DataFrame:
+    """Per-group piece-usage ledger under a FIXED trained unigram
+    piece table — the APPLY-side audit (which pieces a source
+    actually exercises, the tokenizer-drift signal): Viterbi
+    segmentation per DISTINCT (group, word) weighted by count (the
+    t43 trick), one |groups| x |pieces| hash agg. Returns
+    (group, piece, n_used), exact BIGINTs — additive sufficient
+    statistics, so the streaming twin's micro-batch partial IS this
+    operator. Out-of-alphabet chars surface as their own
+    off-table piece strings (deterministic, still additive)."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("_w0"),
         )
-        out = branch if out is None else out.unionAll(branch)
-        costs = new_costs
-    assert out is not None
-    return out.orderBy("step", "piece")
+        .select("_g", F.lower("_w0").alias("_w"))
+        .filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("_g", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    pieces = _viterbi_pieces(F.col("_w"), costs, max_piece_len)
+    return (
+        vocab.select("_g", F.explode(pieces).alias("piece"), "_c")
+        .groupBy("_g", "piece")
+        .agg(F.sum("_c").cast("bigint").alias("n_used"))
+        .select(F.col("_g").alias(group_col), "piece", "n_used")
+    )
 
 
 def unigram_segment(

@@ -717,7 +717,11 @@ def rolling_median_stateful(stream: DataFrame) -> DataFrame:
 # again dies before the first commit ("TransformWithStateInPySpark
 # driver worker exited unexpectedly", q.isActive False, 0 rows),
 # and PIL/cv2/blosc/zarr/numcodecs/soundfile/imageio all raise
-# ModuleNotFoundError.
+# ModuleNotFoundError. Round-11 re-probe: unchanged — the same
+# minimal ValueState counter (rate source, RocksDB provider,
+# memory sink, pyspark 4.1.2) dies with "TransformWithStateInPySpark
+# driver worker exited unexpectedly" before the first commit, and
+# PIL/cv2/zarr/numcodecs/blosc/lz4/soundfile/librosa/av all absent.
 
 
 def interval_stream_join(
@@ -2122,3 +2126,90 @@ def filter_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if per is None:
         raise ValueError(f"no filter-ledger state at {state_path}")
     return per.select("source", *_FILTER_COUNT_COLS).orderBy("source")
+
+
+# ---- streaming twin of t47's unigram piece-usage ledger ----
+
+
+def piece_usage_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    costs: "dict[str, int]",
+    max_piece_len: int = 3,
+) -> None:
+    """One ``incremental_piece_usage_state`` micro-batch: per
+    (source, piece), the additive usage counts of the trained
+    unigram tokenizer — the partial IS
+    operators/text.py::unigram_usage_ledger at the FIXED piece
+    table, so batch and stream cannot drift in spelling (the
+    filter-ledger/stopword/kappa doctrine); redelivered batch ids
+    are guarded identically."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.text import unigram_usage_ledger
+
+    spark = batch_df.sparkSession
+    part = unigram_usage_ledger(
+        batch_df, "text", "source", costs, max_piece_len
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source", "piece")
+            .agg(F.sum("n_used").cast("bigint").alias("n_used"))
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_piece_usage_state(
+    stream: DataFrame,
+    state_path: str,
+    costs: "dict[str, int]",
+    max_piece_len: int = 3,
+) -> "Any":
+    """Streaming twin of t47's apply side: the tokenizer-drift
+    monitor a training pipeline runs against the deployed unigram
+    piece table — if a source's piece-usage distribution moves
+    (new dominant pieces, rising off-table chars), the upstream
+    text shifted under the deployed tokenizer and a retrain is
+    due. One exact BIGINT counter per (source, piece), mergeable
+    forever, same MVCC rev-dir snapshot + replay guard as the
+    quality-filter twin; the trained piece table is FIXED for the
+    life of the deployment (a retrain is a NEW state path — the
+    counters are only additive under a fixed tokenizer)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        piece_usage_apply_batch(
+            batch_df, batch_id, state_path, costs, max_piece_len
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def piece_usage_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """The t47 usage ledger over the streaming-maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no piece-usage state at {state_path}")
+    return per.select("source", "piece", "n_used").orderBy(
+        "source", "piece"
+    )
