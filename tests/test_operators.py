@@ -4468,3 +4468,114 @@ def test_unigram_lm_cost_formula_twin(spark):
                 -math.log(full[p] / total) * UNIGRAM_SCALE + 0.5
             )
             assert cost == want, (step, p, cost, want)
+
+
+def test_absdisc_perplexity_planted_separation(spark):
+    """t48's planted pin (the t46 shape under the discounted
+    estimator): in-pattern eval docs keep near-ML bigram
+    probability (nll ~ 0), garbage eval docs back off to the tiny
+    add-one unigram (nll ~ ln(totu+vu)) — KEPT vs DROPPED, with the
+    1-token doc in n_short."""
+    from zappy_spark.operators.text import absdisc_perplexity_ledger
+
+    ref, ev = _t46_ids(40, 0.5)
+    clean = ("alpha beta gamma delta " * 10).strip()
+    rows = [(i, clean, "s") for i in ref]
+    rows += [
+        (ev[0], clean, "s"),
+        (ev[1], clean, "s"),
+        (ev[2], "zzz1 zzz2 zzz3 zzz4 zzz5", "s"),
+        (ev[3], "qqq7 qqq8 qqq9", "s"),
+        (ev[4], "alpha", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = absdisc_perplexity_ledger(
+        df, "text", "doc_id", "source", ref_frac=0.5, ppl_cutoff=2.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_ref"], r["n_eval"], r["n_short"]) == (len(ref), 5, 1)
+    assert (r["n_keep"], r["n_drop"]) == (2, 2)
+
+
+def test_absdisc_perplexity_cutoff_margin(spark):
+    """t48's margin pin at the driver fixture: nearest per-doc nll
+    must sit >= 1e-6 from ln(ppl_cutoff) (round-11 calibration
+    measured >= 4.6e-4 across all SFs and both fixtures)."""
+    import math
+
+    import duckdb
+
+    from zappy_spark.operators.sampling import sample_threshold
+    from zappy_spark.operators.text import T48_PARAMS
+
+    thr = sample_threshold(T48_PARAMS["ref_frac"])
+    cut = math.log(T48_PARAMS["ppl_cutoff"])
+    d = duckdb.connect()
+    d.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    pu = "((COALESCE(uc, 0) + 1.0) / (totu + vu))"
+    margin = d.execute(
+        "WITH d AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') tks, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') is_ref FROM documents), "
+        "n AS (SELECT doc_id, is_ref, tks, "
+        "unnest(generate_series(1, len(tks) - 1)) i "
+        "FROM d WHERE len(tks) >= 2), "
+        "bg AS (SELECT doc_id, is_ref, tks[i] || ' ' || tks[i+1] g FROM n), "
+        "cnt AS (SELECT doc_id, is_ref, g, COUNT(*) c FROM bg GROUP BY ALL), "
+        "model AS (SELECT g, SUM(c) bc FROM cnt WHERE is_ref GROUP BY 1), "
+        "ctx AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc, "
+        "COUNT(*) n1p FROM model GROUP BY 1), "
+        "toks AS (SELECT unnest(tks) w FROM d WHERE is_ref), "
+        "uni AS (SELECT w, COUNT(*) uc FROM toks GROUP BY 1), "
+        "uv AS (SELECT COUNT(*) vu, SUM(uc) totu FROM uni), "
+        "sc AS (SELECT doc_id, -SUM(c * ln(CASE WHEN cc IS NULL THEN "
+        f"{pu} ELSE (GREATEST(COALESCE(bc, 0) - 0.75, 0.0) + "
+        f"0.75 * n1p * {pu}) / cc END)) / SUM(c) nll "
+        "FROM cnt LEFT JOIN model USING (g) "
+        "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
+        "LEFT JOIN uni ON string_split(cnt.g, ' ')[2] = uni.w "
+        "CROSS JOIN uv WHERE NOT is_ref GROUP BY 1) "
+        f"SELECT MIN(ABS(nll - {cut!r})) FROM sc"
+    ).fetchone()[0]
+    assert margin > 1e-6, f"doc too close to t48 cutoff: {margin}"
+
+
+def test_filter_agreement_grid_accounts_for_every_scored_doc(spark):
+    """v31's accounting pin: the 2x2 grid partitions the scored
+    set — n_scored == n_both_keep + n_lm_only + n_clf_only +
+    n_both_drop per source, and n_scored equals t46's
+    n_keep + n_drop (the LM-scored population) on the same data."""
+    from zappy_spark.operators.text import (
+        T46_PARAMS,
+        xcorpus_perplexity_ledger,
+    )
+    from zappy_spark.operators.training import filter_agreement_ledger
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    grid = filter_agreement_ledger(
+        docs, "text", "doc_id", "source",
+        ref_frac=T46_PARAMS["ref_frac"],
+        ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+    ).collect()
+    lm = {
+        r["source"]: r["n_keep"] + r["n_drop"]
+        for r in xcorpus_perplexity_ledger(
+            docs, "text", "doc_id", "source",
+            ref_frac=T46_PARAMS["ref_frac"],
+            ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+        ).collect()
+    }
+    assert len(grid) > 0
+    for r in grid:
+        parts = (
+            r["n_both_keep"] + r["n_lm_only"]
+            + r["n_clf_only"] + r["n_both_drop"]
+        )
+        assert r["n_scored"] == parts, tuple(r)
+        assert r["n_scored"] == lm[r["source"]], tuple(r)

@@ -1073,6 +1073,136 @@ def xcorpus_perplexity_ledger(
     keyed join anywhere; nothing all-pairs; nothing collected."""
     import math
 
+    lncut = math.log(ppl_cutoff)
+    docs = _xcorpus_docs(df, text_col, id_col, group_col, ref_frac)
+    sc = _xcorpus_doc_nll(docs)
+    counts = docs.groupBy("_grp").agg(
+        F.sum(F.col("_ref").cast("bigint")).alias("n_ref"),
+        F.sum((~F.col("_ref")).cast("bigint")).alias("n_eval"),
+        F.sum(
+            ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
+        ).alias("n_short"),
+    )
+    scored = sc.groupBy("_grp").agg(
+        F.sum((F.col("_nll") < F.lit(lncut)).cast("bigint")).alias("_nk"),
+        F.sum((F.col("_nll") >= F.lit(lncut)).cast("bigint")).alias("_nd"),
+    )
+    return (
+        counts.join(scored, "_grp", "left")
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_ref",
+            "n_eval",
+            "n_short",
+            F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_keep"),
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_drop"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def _xcorpus_docs(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float,
+) -> "DataFrame":
+    """t46's base frame: (_id, _grp, _ref, _gs) — md5-keyed ref
+    flag + overlapping word-bigram shingles, one scan-side select
+    (shared by the ledger and the v31 agreement audit)."""
+    from zappy_spark.operators.dedup import word_shingles
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
+        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+    )
+
+
+def _xcorpus_doc_nll(docs: "DataFrame") -> "DataFrame":
+    """t46's per-document scores: (_id, _grp, _nll) over the
+    NON-reference slice under the reference-only add-one bigram LM
+    (exact BIGINT model counts, vocab V = distinct reference
+    contexts as a 1-row broadcast; unseen bigram -> (0+1)/(cc+V),
+    unseen context -> 1/V — always defined)."""
+    cnt = (
+        docs.select("_id", "_grp", "_ref", F.explode("_gs").alias("_g"))
+        .groupBy("_id", "_grp", "_ref", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    model = (
+        cnt.filter(F.col("_ref"))
+        .groupBy("_g")
+        .agg(F.sum("_c").alias("_bc"))
+    )
+    ctx = model.groupBy(
+        F.split("_g", " ").getItem(0).alias("_w1")
+    ).agg(F.sum("_bc").alias("_cc"))
+    v = ctx.agg(F.count("*").cast("bigint").alias("_v"))
+    p = (F.coalesce(F.col("_bc"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v")
+    )
+    return (
+        cnt.filter(~F.col("_ref"))
+        .withColumn("_w1", F.split("_g", " ").getItem(0))
+        .join(model, "_g", "left")
+        .join(ctx, "_w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("_id", "_grp")
+        .agg(
+            ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")
+        )
+    )
+
+
+# t48 absolute-discounting perplexity filter: shared parameters
+# (the T46_PARAMS precedent). D is the textbook 0.75 discount.
+T48_PARAMS: dict[str, float] = {
+    "ref_frac": 0.25,
+    "ppl_cutoff": 28.5,
+}
+
+
+def absdisc_perplexity_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float = 0.25,
+    ppl_cutoff: float = 28.5,
+) -> DataFrame:
+    """Cross-corpus perplexity filtering with INTERPOLATED ABSOLUTE
+    DISCOUNTING and unigram backoff (round 11 — the production
+    smoothing family; t46 is the add-one baseline, this is the
+    KenLM-style estimator CCNet actually deploys): a bigram LM
+    trained on the deterministic md5-keyed reference slice scores
+    the remaining documents with
+
+        p(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1)·p_u(w2)) / c(w1·)
+
+    (D = 0.75, N1+(w1) = distinct continuations of w1, p_u =
+    add-one unigram over the reference vocabulary), backing off to
+    p_u entirely for unseen contexts — high-frequency bigrams keep
+    nearly their ML estimate while the discount mass D·N1+ funds
+    the backoff, the behavior add-k lacks.
+
+    Split/exactness/scale contract identical to
+    ``xcorpus_perplexity_ledger`` (same structural slice isolation,
+    same all-BIGINT ledger, same margin discipline — calibrated
+    >= 4.6e-4 at cutoff 28.5 across all 3 SFs + both fixtures);
+    the probability expression is spelled in ONE shared operator
+    order on both engines so the only cross-engine residue is the
+    per-doc sum's partial order (~1e-13), absorbed by the margin.
+
+    Returns (group, n_ref, n_eval, n_short, n_keep, n_drop)."""
+    import math
+
     from zappy_spark.operators.dedup import word_shingles
     from zappy_spark.operators.sampling import (
         _hash_key,
@@ -1085,14 +1215,15 @@ def xcorpus_perplexity_ledger(
         F.col(group_col).alias("_grp"),
         (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
         word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+            "_ws"
+        ),
     )
     cnt = (
         docs.select("_id", "_grp", "_ref", F.explode("_gs").alias("_g"))
         .groupBy("_id", "_grp", "_ref", "_g")
         .agg(F.count("*").alias("_c"))
     )
-    # Reference model: exact BIGINT bigram + context counts, vocab
-    # size V = distinct reference contexts (1-row broadcast).
     model = (
         cnt.filter(F.col("_ref"))
         .groupBy("_g")
@@ -1100,20 +1231,41 @@ def xcorpus_perplexity_ledger(
     )
     ctx = model.groupBy(
         F.split("_g", " ").getItem(0).alias("_w1")
-    ).agg(F.sum("_bc").alias("_cc"))
-    v = ctx.agg(F.count("*").cast("bigint").alias("_v"))
-    # Score the non-reference documents: add-one smoothed bigram
-    # probability; unseen bigram -> (0+1)/(cc+V), unseen context ->
-    # 1/V — always defined.
-    p = (F.coalesce(F.col("_bc"), F.lit(0)) + F.lit(1.0)) / (
-        F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v")
+    ).agg(
+        F.sum("_bc").alias("_cc"),
+        F.count("*").cast("bigint").alias("_n1p"),
+    )
+    uni = (
+        docs.filter(F.col("_ref"))
+        .select(F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_uc"))
+    )
+    uv = uni.agg(
+        F.count("*").cast("bigint").alias("_vu"),
+        F.sum("_uc").cast("bigint").alias("_totu"),
+    )
+    pu = (F.coalesce(F.col("_uc"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_totu") + F.col("_vu")
+    )
+    p = F.when(F.col("_cc").isNull(), pu).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_bc"), F.lit(0)) - F.lit(0.75),
+                F.lit(0.0),
+            )
+            + F.lit(0.75) * F.col("_n1p") * pu
+        )
+        / F.col("_cc")
     )
     sc = (
         cnt.filter(~F.col("_ref"))
         .withColumn("_w1", F.split("_g", " ").getItem(0))
+        .withColumn("_w2", F.split("_g", " ").getItem(1))
         .join(model, "_g", "left")
         .join(ctx, "_w1", "left")
-        .crossJoin(F.broadcast(v))
+        .join(uni.select(F.col("_w").alias("_w2"), "_uc"), "_w2", "left")
+        .crossJoin(F.broadcast(uv))
         .groupBy("_id", "_grp")
         .agg(
             ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")

@@ -302,6 +302,102 @@ def logreg_score_ledger(
     )
 
 
+def filter_agreement_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float = 0.25,
+    ppl_cutoff: float = 30.5,
+    n_iter: int = 8,
+    lr_den: int = 2,
+) -> DataFrame:
+    """Agreement audit between the two deployed quality-filter
+    families (round 11 — the decision artifact a data team reviews
+    before switching filters): the trained logistic classifier
+    (v28) and the cross-corpus perplexity LM (t46) each produce a
+    keep/drop verdict; this emits the per-source 2x2 grid over the
+    documents BOTH systems score (the LM's non-reference slice):
+    (group, n_scored, n_both_keep, n_lm_only, n_clf_only,
+    n_both_drop) — all exact BIGINTs. High off-diagonal counts
+    mean the filters disagree on what quality is, the signal that
+    one of them is mistuned for that source.
+
+    The classifier trains on the full corpus at fixed-point BIGINT
+    weights (the v28 exactness doctrine); the LM keeps its
+    structural reference isolation (t46). The only doc-keyed
+    operation is ONE narrow equi-join of the two verdict frames on
+    the id — both sides are (id, verdict) projections, hash-
+    partitioned on the same key, carrying two columns each."""
+    from zappy_spark.operators.text import (
+        _xcorpus_doc_nll,
+        _xcorpus_docs,
+    )
+    import math
+
+    s = LOGREG_SCALE
+    lncut = math.log(ppl_cutoff)
+    feat = logreg_features(df, text_col, extra=(id_col,))
+    w = logreg_fit_weights(
+        feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+    )
+    wv = w[-1]
+    z = (
+        F.lit(wv[0]).cast("bigint")
+        + F.lit(wv[1]) * F.col("x1")
+        + F.lit(wv[2]) * F.col("x2")
+        + F.lit(wv[3]) * F.col("x3")
+    )
+    p = F.least(
+        F.lit(s).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.lit(s // 2) + F.expr("_z div 4"),
+        ),
+    )
+    clf = (
+        feat.select(F.col(id_col).alias("_id"), z.alias("_z"))
+        .select("_id", (F.lit(2) * p > s).cast("int").alias("_kc"))
+    )
+    lm = _xcorpus_doc_nll(
+        _xcorpus_docs(df, text_col, id_col, group_col, ref_frac)
+    ).select(
+        "_id", "_grp", (F.col("_nll") < F.lit(lncut)).cast("int").alias("_kl")
+    )
+    both = lm.join(clf, "_id")
+
+    def _n(cond) -> Column:
+        return F.sum(cond.cast("bigint"))
+
+    return (
+        both.groupBy("_grp")
+        .agg(
+            F.count("*").alias("n_scored"),
+            _n((F.col("_kl") == 1) & (F.col("_kc") == 1)).alias(
+                "n_both_keep"
+            ),
+            _n((F.col("_kl") == 1) & (F.col("_kc") == 0)).alias(
+                "n_lm_only"
+            ),
+            _n((F.col("_kl") == 0) & (F.col("_kc") == 1)).alias(
+                "n_clf_only"
+            ),
+            _n((F.col("_kl") == 0) & (F.col("_kc") == 0)).alias(
+                "n_both_drop"
+            ),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_scored",
+            "n_both_keep",
+            "n_lm_only",
+            "n_clf_only",
+            "n_both_drop",
+        )
+        .orderBy(group_col)
+    )
+
+
 def logreg_holdout_eval(
     df: DataFrame,
     text_col: str,

@@ -912,6 +912,8 @@ _R6_FILL_R11 = ["d25_psi_drift"]
 _NEW_R12: list[str] = [
     "t46_xcorpus_perplexity",  # NEW r11: reference-LM perplexity filter
     "t47_unigram_lm_tokenizer",  # NEW r11: SentencePiece-style EM trainer
+    "t48_absdisc_perplexity",  # NEW r11: absolute-discount/backoff variant
+    "v31_filter_agreement",  # NEW r11: LM-vs-classifier 2x2 agreement audit
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-11 order

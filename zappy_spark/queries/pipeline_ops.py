@@ -3642,6 +3642,52 @@ def t47(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t48(spark: SparkSession, d: str) -> DataFrame:
+    """Absolute-discounting perplexity filter (round 11;
+    operators/text.py::absdisc_perplexity_ledger) — the KenLM-style
+    estimator beside t46's add-one baseline: interpolated absolute
+    discounting (D=0.75) with add-one-unigram backoff, trained on
+    the same deterministic md5-keyed 25% reference slice, per-source
+    keep/drop ledger at ppl cutoff 28.5 (margin >= 4.6e-4 across
+    all SFs/fixtures). Model CTEs read WHERE is_ref inside the
+    shared oracle prefix — same structural isolation as t46/v30."""
+    from zappy_spark.operators.text import (
+        T48_PARAMS,
+        absdisc_perplexity_ledger,
+    )
+
+    return absdisc_perplexity_ledger(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        ref_frac=T48_PARAMS["ref_frac"],
+        ppl_cutoff=T48_PARAMS["ppl_cutoff"],
+    )
+
+
+def v31(spark: SparkSession, d: str) -> DataFrame:
+    """Quality-filter agreement audit (round 11;
+    operators/training.py::filter_agreement_ledger): the trained
+    logistic classifier (v28, fixed-point BIGINT weights) and the
+    cross-corpus perplexity LM (t46, add-one bigram on the md5
+    reference slice) each verdict every scored document; output =
+    the per-source 2x2 agreement grid over the documents both
+    systems score — the review a team runs before switching filter
+    families. Oracle = the shared logistic-GD CTE prefix + the
+    SAME t46 chain (_t46_chain — one definition, zero drift) + one
+    join of the two verdicts.
+
+    Scale: training is K one-agg jobs; both verdict frames are
+    narrow (id, verdict) projections equi-joined on the id; the
+    ledger is one |sources|-row agg."""
+    from zappy_spark.operators.text import T46_PARAMS
+    from zappy_spark.operators.training import filter_agreement_ledger
+
+    return filter_agreement_ledger(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        ref_frac=T46_PARAMS["ref_frac"],
+        ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3723,6 +3769,8 @@ QUERIES = {
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
+    "t48_absdisc_perplexity": t48,
+    "v31_filter_agreement": v31,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4525,24 +4573,18 @@ def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     )
 
 
-def _t46_oracle() -> str:
-    """Cross-corpus perplexity replay (t46): the model CTEs read
-    WHERE is_ref and the scoring CTE WHERE NOT is_ref inside ONE
-    shared prefix — the slice restriction is structural, so a
-    scored document cannot leak into the model (the v30
-    precedent). The ln(ppl_cutoff) comparison literal is the
-    Python-repr double BOTH sides embed, so the keep rule compares
-    against the identical IEEE value; the nearest document sits
-    >= 1.2e-5 away (margin pin in tests/test_operators.py)."""
-    import math
-
+def _t46_chain() -> str:
+    """The t46 CTE chain (d → … → sc), WITHOUT the leading WITH —
+    reused verbatim by the t46 oracle and the v31 agreement oracle
+    (one definition, so the two cannot drift): tokenize + md5 ref
+    flag, bigram counts, ref-only model/context/vocab, and the
+    per-document add-one-smoothed NLL over the non-ref slice."""
     from zappy_spark.operators.sampling import sample_threshold
     from zappy_spark.operators.text import T46_PARAMS
 
     thr = sample_threshold(T46_PARAMS["ref_frac"])
-    cut = repr(math.log(T46_PARAMS["ppl_cutoff"]))
     return (
-        "WITH d AS (SELECT doc_id, source, "
+        "d AS (SELECT doc_id, source, "
         "list_filter(string_split(text, ' '), x -> x <> '') tks, "
         "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
         f"< '{thr}') is_ref FROM documents), "
@@ -4563,7 +4605,28 @@ def _t46_oracle() -> str:
         " / SUM(c) nll "
         "FROM cnt LEFT JOIN model USING (g) "
         "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
-        "CROSS JOIN vv WHERE NOT is_ref GROUP BY 1, 2), "
+        "CROSS JOIN vv WHERE NOT is_ref GROUP BY 1, 2)"
+    )
+
+
+def _t46_oracle() -> str:
+    """Cross-corpus perplexity replay (t46): the model CTEs read
+    WHERE is_ref and the scoring CTE WHERE NOT is_ref inside ONE
+    shared prefix — the slice restriction is structural, so a
+    scored document cannot leak into the model (the v30
+    precedent). The ln(ppl_cutoff) comparison literal is the
+    Python-repr double BOTH sides embed, so the keep rule compares
+    against the identical IEEE value; the nearest document sits
+    >= 1.2e-5 away (margin pin in tests/test_operators.py)."""
+    import math
+
+    from zappy_spark.operators.text import T46_PARAMS
+
+    cut = repr(math.log(T46_PARAMS["ppl_cutoff"]))
+    return (
+        "WITH "
+        + _t46_chain()
+        + ", "
         "counts AS (SELECT source, "
         "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) n_ref, "
         "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) n_eval, "
@@ -4677,6 +4740,105 @@ def _t47_oracle(
     )
     parts.append(f" SELECT * FROM ({unions}) ORDER BY step, piece")
     return "".join(parts)
+
+
+def _t48_oracle() -> str:
+    """Absolute-discounting perplexity replay (t48): the t46 CTE
+    prefix extended with continuation counts (n1p), the reference
+    unigram table, and the interpolated-absolute-discount
+    probability in the SAME operator order as the Spark expression;
+    model/unigram CTEs read WHERE is_ref — structural isolation."""
+    import math
+
+    from zappy_spark.operators.sampling import sample_threshold
+    from zappy_spark.operators.text import T48_PARAMS
+
+    thr = sample_threshold(T48_PARAMS["ref_frac"])
+    cut = repr(math.log(T48_PARAMS["ppl_cutoff"]))
+    pu = "((COALESCE(uc, 0) + 1.0) / (totu + vu))"
+    return (
+        "WITH d AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') tks, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') is_ref FROM documents), "
+        "n AS (SELECT doc_id, source, is_ref, tks, "
+        "unnest(generate_series(1, len(tks) - 1)) i "
+        "FROM d WHERE len(tks) >= 2), "
+        "bg AS (SELECT doc_id, source, is_ref, "
+        "tks[i] || ' ' || tks[i+1] g FROM n), "
+        "cnt AS (SELECT doc_id, source, is_ref, g, COUNT(*) c "
+        "FROM bg GROUP BY ALL), "
+        "model AS (SELECT g, SUM(c) bc FROM cnt WHERE is_ref "
+        "GROUP BY 1), "
+        "ctx AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc, "
+        "COUNT(*) n1p FROM model GROUP BY 1), "
+        "toks AS (SELECT unnest(tks) w FROM d WHERE is_ref), "
+        "uni AS (SELECT w, COUNT(*) uc FROM toks GROUP BY 1), "
+        "uv AS (SELECT COUNT(*) vu, SUM(uc) totu FROM uni), "
+        "sc AS (SELECT doc_id, source, "
+        "-SUM(c * ln(CASE WHEN cc IS NULL THEN "
+        f"{pu} "
+        "ELSE (GREATEST(COALESCE(bc, 0) - 0.75, 0.0) + "
+        f"0.75 * n1p * {pu}) / cc END)) / SUM(c) nll "
+        "FROM cnt LEFT JOIN model USING (g) "
+        "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
+        "LEFT JOIN uni ON string_split(cnt.g, ' ')[2] = uni.w "
+        "CROSS JOIN uv WHERE NOT is_ref GROUP BY 1, 2), "
+        "counts AS (SELECT source, "
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) n_ref, "
+        "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) n_eval, "
+        "SUM(CASE WHEN NOT is_ref AND len(tks) < 2 THEN 1 ELSE 0 END) "
+        "n_short FROM d GROUP BY 1), "
+        "scored AS (SELECT source, "
+        f"SUM(CASE WHEN nll < {cut} THEN 1 ELSE 0 END) nk, "
+        f"SUM(CASE WHEN nll >= {cut} THEN 1 ELSE 0 END) nd "
+        "FROM sc GROUP BY 1) "
+        "SELECT counts.source, CAST(n_ref AS BIGINT) n_ref, "
+        "CAST(n_eval AS BIGINT) n_eval, "
+        "CAST(n_short AS BIGINT) n_short, "
+        "CAST(COALESCE(nk, 0) AS BIGINT) n_keep, "
+        "CAST(COALESCE(nd, 0) AS BIGINT) n_drop "
+        "FROM counts LEFT JOIN scored ON counts.source = scored.source "
+        "ORDER BY counts.source"
+    )
+
+
+def _v31_oracle(k: int = 8, lr_den: int = 2) -> str:
+    """Filter-agreement replay (v31): the logistic-GD prefix
+    (weights derived in-CTE, the v28 spelling) concatenated with
+    the VERBATIM t46 chain (_t46_chain — the same string the t46
+    oracle embeds, so the two entries cannot drift), then one join
+    of the classifier verdict (hard-sigmoid threshold at i{k}) with
+    the LM verdict (nll < the shared ln-cutoff literal)."""
+    import math
+
+    from zappy_spark.operators.text import T46_PARAMS
+
+    s = 1_000_000
+    cut = repr(math.log(T46_PARAMS["ppl_cutoff"]))
+    return (
+        _logreg_ctes(k, lr_den, extra="doc_id, source, ")
+        + ", "
+        + _t46_chain()
+        + ", ev AS (SELECT doc_id, "
+        f"CASE WHEN 2 * LEAST({s}, GREATEST(0, {s // 2} + "
+        "(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) "
+        f"> {s} THEN 1 ELSE 0 END kc "
+        f"FROM f, i{k}), "
+        f"lm AS (SELECT doc_id, source, CASE WHEN nll < {cut} "
+        "THEN 1 ELSE 0 END kl FROM sc) "
+        "SELECT lm.source, CAST(COUNT(*) AS BIGINT) n_scored, "
+        "CAST(SUM(CASE WHEN kl = 1 AND kc = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_both_keep, "
+        "CAST(SUM(CASE WHEN kl = 1 AND kc = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_lm_only, "
+        "CAST(SUM(CASE WHEN kl = 0 AND kc = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_clf_only, "
+        "CAST(SUM(CASE WHEN kl = 0 AND kc = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) n_both_drop "
+        "FROM lm JOIN ev ON lm.doc_id = ev.doc_id "
+        "GROUP BY 1 ORDER BY 1"
+    )
 
 
 def _t44_oracle() -> str:
@@ -5090,6 +5252,8 @@ ORACLE = {
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
+    "t48_absdisc_perplexity": _t48_oracle(),
+    "v31_filter_agreement": _v31_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
