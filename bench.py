@@ -27,19 +27,20 @@ episode (suite 3.45 s → 4.40 s with a byte-identical bench path)
 motivated this field.
 
 ``data_path_sentinel`` (round 11, VERDICT r10 item 3): the fixed
-sentinel measures only Py4J + scheduling, so memory-bandwidth or
-page-cache contention moves data-touching queries WITHOUT moving
-it — round 10's q5/q7 drifted 1.5–1.6× while the plans were
-byte-identical and the protocol could not prove the cause from the
-artifact alone. This second sentinel times a fixed-size
-deterministic scan-aggregate over a CACHED in-memory frame (8M
-rows × 2 BIGINTs ≈ 128 MB, zero parquet, one 32-partial-row agg
-exchange) under the same warm interleaved protocol; its time
-tracks the machine's data-path throughput and nothing else
-repo-side. Interpretation rule (BASELINE.md): fixed moved →
-harness overhead shift; fixed flat but data-path moved →
-environment data-path contention, per-query drift expected and
-non-diagnostic; both flat but a query moved → profile that query.
+sentinel measures only Py4J + scheduling, so CPU or memory
+contention moves data-touching queries WITHOUT moving it — round
+10's q5/q7 drifted 1.5–1.6× while the plans were byte-identical
+and the protocol could not prove the cause from the artifact
+alone. This second sentinel times a fixed-size deterministic
+whole-stage-codegen aggregate (4M generated rows across 32
+partitions, zero parquet, zero cache — see the in-code note for
+why the first cached-frame design was rejected) under the same
+warm interleaved protocol; its time tracks machine compute/
+scheduler contention and nothing else repo-side. Interpretation
+rule (BASELINE.md): fixed moved → harness overhead shift; fixed
+flat but data-path moved → environment contention, per-query
+drift expected and non-diagnostic; both flat but a query moved →
+profile that query.
 """
 
 from __future__ import annotations
@@ -95,22 +96,25 @@ def main() -> None:
     # protocol (untimed warm, interleaved samples below).
     spark.range(1).collect()
 
-    # Data-path sentinel: a deterministic scan-aggregate over a
-    # cached fixed-size frame (~128 MB, fully repo-independent) —
-    # measures the machine's memory-bandwidth/CPU data path under
-    # the identical warm interleaved protocol (module docstring).
+    # Data-path sentinel: a deterministic fixed-size codegen
+    # aggregate (4M generated rows across 32 partitions, fully
+    # repo-independent) under the identical warm interleaved
+    # protocol — measures the machine's CPU/scheduler data path.
+    # Deliberately NOT cached: the first design persisted a 128 MB
+    # frame and re-aggregated it per pass, which inflated the suite
+    # ~30% and the fixed sentinel ~2x (measured back-to-back this
+    # round) — a probe must not perturb what it diagnoses. The
+    # generated-range form has zero storage footprint and its time
+    # still tracks machine contention (it is ~50 ms of pure
+    # whole-stage-codegen arithmetic fanned across every core).
     from pyspark.sql import functions as F
 
-    data_frame = (
-        spark.range(0, 8_000_000, 1, 32)
-        .select("id", (F.col("id") % 9973).alias("m"))
-        .persist()
-    )
-
     def _data_probe() -> None:
-        data_frame.agg(F.sum(F.col("id") * F.col("m"))).collect()
+        spark.range(0, 4_000_000, 1, 32).agg(
+            F.sum(F.col("id") % 9973 * F.col("id"))
+        ).collect()
 
-    _data_probe()  # materialize the cache, untimed warm
+    _data_probe()  # untimed warm (JIT)
 
     samples: dict[str, list[float]] = {qid: [] for qid in BENCH}
     sentinel_samples: list[float] = []

@@ -188,15 +188,17 @@ rule ("never the r5 tier" — the single r6 fill slot stays d25
 because t46 landed after this window froze) and lead round 12.
 
 ROUND-12 ROTATION PLAN (written in round 11): head = any round-12
-re-spells, then _NEW_R12 (t46 cross-corpus perplexity filter and
-any siblings built late this round — locally green at 3 SFs + both
-synth fixtures, zero driver rows), then any further round-12 new
-entries, then the remaining 44-entry r6-green tier
-(alphabetical: d06_lsh_neardup_pipeline, d13_containment_pairs,
-d14_containment_anchored, d33_fuzzy_blocked, d35_bloom_gate, … —
-d25_psi_drift got its r11 row), then fill to 50 from the r7-green
-tier head. New entries displace the r7-tier fill, never the r6
-tier.
+re-spells, then the 4-entry _NEW_R12 (t46 cross-corpus perplexity
+filter, t47 unigram-LM tokenizer training, t48 absolute-discount
+perplexity, v31 filter-agreement audit — all locally green at 3
+SFs + both synth fixtures + the full-corpus 10× sweep, zero driver
+rows), then any further round-12 new entries, then the remaining
+44-entry r6-green tier (alphabetical: d06_lsh_neardup_pipeline,
+d13_containment_pairs, d14_containment_anchored, d33_fuzzy_blocked,
+d35_bloom_gate, … — d25_psi_drift got its r11 row), then fill to
+50 from the r7-green tier head: 4 + 44 + 2 = 50 with no re-spells
+and no further new entries. New entries displace the r7-tier fill,
+never the r6 tier.
 
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
