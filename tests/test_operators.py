@@ -4579,3 +4579,46 @@ def test_filter_agreement_grid_accounts_for_every_scored_doc(spark):
         )
         assert r["n_scored"] == parts, tuple(r)
         assert r["n_scored"] == lm[r["source"]], tuple(r)
+
+
+def test_xcorpus_fixed_model_matches_t46_on_eval_slice(spark):
+    """The train/deploy split must be CONSISTENT: scoring the
+    non-reference slice with the STORED model artifact
+    (xcorpus_fit_model -> xcorpus_ledger_with_model) must reproduce
+    t46's in-one-pass (n_keep, n_drop) per source exactly — the
+    artifact round-trip loses nothing."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.text import (
+        T46_PARAMS,
+        xcorpus_fit_model,
+        xcorpus_ledger_with_model,
+        xcorpus_perplexity_ledger,
+    )
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frac = T46_PARAMS["ref_frac"]
+    cut = T46_PARAMS["ppl_cutoff"]
+    model = xcorpus_fit_model(docs, "text", "doc_id", ref_frac=frac)
+    ev = docs.filter(
+        ~(_hash_key("doc_id") < sample_threshold(frac))
+    )
+    got = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["n_short"])
+        for r in xcorpus_ledger_with_model(
+            ev, "text", "doc_id", "source", model, ppl_cutoff=cut
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["n_short"])
+        for r in xcorpus_perplexity_ledger(
+            docs, "text", "doc_id", "source",
+            ref_frac=frac, ppl_cutoff=cut,
+        ).collect()
+    }
+    assert got == want and len(got) > 0

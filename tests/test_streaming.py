@@ -1529,3 +1529,51 @@ def test_incremental_piece_usage_equals_batch(spark, tmp_path):
     rev = jobs.applied_revision(state)
     jobs.piece_usage_apply_batch(docs.limit(10), rev, state, costs)
     assert _rows(jobs.piece_usage_from_state(spark, state), *cols) == got
+
+
+def test_incremental_ppl_ledger_equals_batch(spark, tmp_path):
+    """Round 11: the documents changelog drained through
+    incremental_ppl_state (t46's deploy side at a FIXED stored
+    bigram model) must equal the batch fixed-model ledger EXACTLY —
+    four integer counters per source, no tolerance; the micro-batch
+    partial IS xcorpus_ledger_with_model, so batch/stream spelling
+    drift is impossible. Replay guard: re-applying the last batch
+    id is a no-op."""
+    from zappy_spark.operators.text import (
+        T46_PARAMS,
+        xcorpus_fit_model,
+        xcorpus_ledger_with_model,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    model_path = str(tmp_path / "ppl_model")
+    xcorpus_fit_model(
+        docs, "text", "doc_id", ref_frac=T46_PARAMS["ref_frac"]
+    ).write.parquet(model_path)
+
+    replay = str(tmp_path / "docs_replay_ppl")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "ppl_state")
+    q = jobs.incremental_ppl_state(
+        jobs.stream_events(spark, replay), state, model_path,
+        ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "n_docs", "n_short", "n_keep", "n_drop")
+    got = _rows(jobs.ppl_from_state(spark, state), *cols)
+    batch = _rows(
+        xcorpus_ledger_with_model(
+            docs, "text", "doc_id", "source",
+            spark.read.parquet(model_path),
+            ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.ppl_ledger_apply_batch(
+        docs.limit(10), rev, state, model_path
+    )
+    assert _rows(jobs.ppl_from_state(spark, state), *cols) == got

@@ -1161,6 +1161,101 @@ def _xcorpus_doc_nll(docs: "DataFrame") -> "DataFrame":
     )
 
 
+def xcorpus_fit_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_frac: float = 0.25,
+) -> DataFrame:
+    """The DEPLOYABLE artifact of t46's training half: the exact
+    BIGINT bigram count table (gram, bc) from the md5-keyed
+    reference slice — everything scoring needs (context totals,
+    vocabulary size) re-derives from it with two aggregates, so
+    ONE small table is the whole model (write it to parquet, ship
+    it; the v29/t47 train-offline pattern)."""
+    docs = _xcorpus_docs(df, text_col, id_col, id_col, ref_frac)
+    return (
+        docs.filter(F.col("_ref"))
+        .select(F.explode("_gs").alias("gram"), "_id")
+        .groupBy("gram", "_id")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("gram")
+        .agg(F.sum("_c").cast("bigint").alias("bc"))
+    )
+
+
+def xcorpus_ledger_with_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    model: DataFrame,
+    ppl_cutoff: float = 30.5,
+) -> DataFrame:
+    """Score EVERY document against a FIXED trained bigram model
+    (the deployment half of t46 — training happened offline via
+    ``xcorpus_fit_model``): per-group keep/drop ledger
+    (group, n_docs, n_short, n_keep, n_drop), all exact BIGINTs.
+    The per-document verdict depends only on the document and the
+    fixed model, so the counters are ADDITIVE — the streaming
+    drift monitor's micro-batch partial IS this operator.
+
+    The smoothed probability is t46's spelling exactly:
+    p = (bc+1)/(cc+V), unseen context -> 1/V, with cc/V re-derived
+    from the model table (two bounded aggregates per call)."""
+    import math
+
+    from zappy_spark.operators.dedup import word_shingles
+
+    lncut = math.log(ppl_cutoff)
+    docs = df.select(
+        F.col(group_col).alias("_grp"),
+        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+        F.col(id_col).alias("_rid"),
+    )
+    ctx = model.groupBy(
+        F.split("gram", " ").getItem(0).alias("_w1")
+    ).agg(F.sum("bc").alias("_cc"))
+    v = ctx.agg(F.count("*").cast("bigint").alias("_v"))
+    cnt = (
+        docs.select("_rid", "_grp", F.explode("_gs").alias("_g"))
+        .groupBy("_rid", "_grp", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    p = (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v")
+    )
+    sc = (
+        cnt.withColumn("_w1", F.split("_g", " ").getItem(0))
+        .join(model.withColumnRenamed("gram", "_g"), "_g", "left")
+        .join(ctx, "_w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("_rid", "_grp")
+        .agg(
+            ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")
+        )
+    )
+    base = docs.groupBy("_grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.size("_gs") == 0).cast("bigint")).alias("n_short"),
+    )
+    scored = sc.groupBy("_grp").agg(
+        F.sum((F.col("_nll") < F.lit(lncut)).cast("bigint")).alias("_nk"),
+        F.sum((F.col("_nll") >= F.lit(lncut)).cast("bigint")).alias("_nd"),
+    )
+    return (
+        base.join(scored, "_grp", "left")
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_docs",
+            "n_short",
+            F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_keep"),
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_drop"),
+        )
+        .orderBy(group_col)
+    )
+
+
 # t48 absolute-discounting perplexity filter: shared parameters
 # (the T46_PARAMS precedent). D is the textbook 0.75 discount.
 T48_PARAMS: dict[str, float] = {

@@ -2213,3 +2213,96 @@ def piece_usage_from_state(
     return per.select("source", "piece", "n_used").orderBy(
         "source", "piece"
     )
+
+
+# ---- streaming twin of t46's fixed-model perplexity ledger ----
+
+_PPL_COUNT_COLS = ("n_docs", "n_short", "n_keep", "n_drop")
+
+
+def ppl_ledger_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 30.5,
+) -> None:
+    """One ``incremental_ppl_state`` micro-batch: per source, the
+    additive keep/drop/short counters of the fixed-model perplexity
+    filter. The model is the STORED bigram-count artifact
+    (xcorpus_fit_model -> parquet at ``model_path``) — the
+    deployment split again: the reference model is fixed for the
+    life of the monitor (a retrain writes a NEW model + state
+    path), so the per-document verdict depends only on the document
+    and the counters are exactly additive. The partial IS
+    operators/text.py::xcorpus_ledger_with_model, so batch/stream
+    spelling drift is structurally impossible; redelivered batch
+    ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.text import xcorpus_ledger_with_model
+
+    spark = batch_df.sparkSession
+    model = spark.read.parquet(model_path)
+    part = xcorpus_ledger_with_model(
+        batch_df, "text", "doc_id", "source", model, ppl_cutoff
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _PPL_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_ppl_state(
+    stream: DataFrame,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 30.5,
+) -> "Any":
+    """Streaming twin of t46's deploy side: the perplexity-filter
+    DRIFT monitor a crawl pipeline runs against the stored
+    reference LM — if a source's keep fraction moves under the
+    fixed model, the upstream text distribution changed and the
+    reference slice is due a refresh. Four integer counters per
+    source, mergeable forever, same MVCC rev-dir snapshot + replay
+    guard as the filter/stopword/kappa/piece-usage twins."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ppl_ledger_apply_batch(
+            batch_df, batch_id, state_path, model_path, ppl_cutoff
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def ppl_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The fixed-model perplexity ledger over the streaming-
+    maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no ppl-ledger state at {state_path}")
+    return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
