@@ -41,6 +41,18 @@ rule (BASELINE.md): fixed moved → harness overhead shift; fixed
 flat but data-path moved → environment contention, per-query
 drift expected and non-diagnostic; both flat but a query moved →
 profile that query.
+
+Self-adjudication (round 12, VERDICT r11 item 2): the artifact
+applies the interpretation rule itself. Sentinel acceptance bands
+(derived from the r9–r11 settled-machine history, pinned in the
+emitted JSON as ``sentinel_bands``) gate each measurement pass; an
+out-of-band pass is retried up to 3 times on the same warm engine,
+and if no pass lands in band the least-contaminated pass ships
+with ``"contaminated": true`` — the BENCH_r11 episode (both
+sentinels 2–4x out of band, suite 2.6x, zero plan drift) no longer
+needs a judge re-run to classify. ``queries_net_of_fixed_cost``
+(per-query median minus the fixed sentinel) makes the short
+queries' data-work component readable directly from the artifact.
 """
 
 from __future__ import annotations
@@ -75,6 +87,57 @@ BENCH = {
 # median of 5 (baseline protocol used 3 for Spark; more samples make
 # the median robust to transient machine-load spikes without bias)
 RUNS = 5
+
+
+# Sentinel acceptance bands (round 12, VERDICT r11 item 2): fixed
+# upper bound from the settled-band history 0.066–0.128 s across
+# rounds 9–11 (builder + judge runs on an idle box); data-path from
+# the settled 0.37–0.52 s. A measurement pass whose sentinel medians
+# land OUTSIDE these bands was taken on a contended machine — its
+# per-query numbers are non-diagnostic (the BENCH_r11 episode: both
+# sentinels 2–4x out of band, suite 2.6x, plans byte-identical).
+# The artifact now adjudicates itself: out-of-band passes are
+# retried up to MAX_ATTEMPTS, and if no pass lands in band the
+# emitted JSON carries "contaminated": true so a loaded-machine
+# number can never masquerade as a code regression or a pass.
+FIXED_SENTINEL_MAX = 0.15
+DATA_SENTINEL_MAX = 0.60
+MAX_ATTEMPTS = 3
+
+
+def _measure(spark, sf_dir, data_probe):
+    """One interleaved measurement pass: RUNS round-robin sweeps of
+    the suite + per-pass sentinel samples (2 extra sentinel samples
+    for a 7-sample median). Returns (per_query, fixed, data)."""
+    samples: dict[str, list[float]] = {qid: [] for qid in BENCH}
+    sentinel_samples: list[float] = []
+    data_samples: list[float] = []
+    for _ in range(RUNS):
+        for qid, key in BENCH.items():
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).collect()
+            samples[qid].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        sentinel_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        data_probe()
+        data_samples.append(time.perf_counter() - t0)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        sentinel_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        data_probe()
+        data_samples.append(time.perf_counter() - t0)
+    per_query = {
+        qid: round(statistics.median(s), 4) for qid, s in samples.items()
+    }
+    return (
+        per_query,
+        round(statistics.median(sentinel_samples), 4),
+        round(statistics.median(data_samples), 4),
+    )
 
 
 def main() -> None:
@@ -116,34 +179,33 @@ def main() -> None:
 
     _data_probe()  # untimed warm (JIT)
 
-    samples: dict[str, list[float]] = {qid: [] for qid in BENCH}
-    sentinel_samples: list[float] = []
-    data_samples: list[float] = []
-    for _ in range(RUNS):
-        for qid, key in BENCH.items():
-            t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).collect()
-            samples[qid].append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        spark.range(1).collect()
-        sentinel_samples.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _data_probe()
-        data_samples.append(time.perf_counter() - t0)
-    # two extra samples of each sentinel for a 7-sample median
-    # (they are the drift diagnostics — cheap, so buy robustness)
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(1).collect()
-        sentinel_samples.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _data_probe()
-        data_samples.append(time.perf_counter() - t0)
-    per_query = {
-        qid: round(statistics.median(s), 4) for qid, s in samples.items()
-    }
+    # Self-adjudication loop: take passes until the sentinels land
+    # in band (max MAX_ATTEMPTS); keep the pass with the least
+    # sentinel contamination as the fallback.
+    best = None  # (fixed + data, per_query, fixed, data)
+    attempts = 0
+    in_band = False
+    for _ in range(MAX_ATTEMPTS):
+        attempts += 1
+        per_query, fixed, data = _measure(spark, sf_dir, _data_probe)
+        if best is None or fixed + data < best[0]:
+            best = (fixed + data, per_query, fixed, data)
+        if fixed <= FIXED_SENTINEL_MAX and data <= DATA_SENTINEL_MAX:
+            best = (fixed + data, per_query, fixed, data)
+            in_band = True
+            break
+    _, per_query, fixed, data = best
 
     total = round(sum(per_query.values()), 4)
+    # Sentinel-subtracted per-query values (VERDICT r11 item 2):
+    # each timed action pays the fixed per-action cost (Py4J
+    # round-trip + job/stage scheduling) once, so query - fixed is
+    # the data-work component — the number to compare against a
+    # ~200 ms baseline query without prose (the q6 gate-edge
+    # episode). Floored at 0.
+    queries_net = {
+        qid: round(max(0.0, v - fixed), 4) for qid, v in per_query.items()
+    }
     print(
         json.dumps(
             {
@@ -151,13 +213,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_net_of_fixed_cost": queries_net,
                 "sf": sf,
-                "fixed_cost_sentinel": round(
-                    statistics.median(sentinel_samples), 4
-                ),
-                "data_path_sentinel": round(
-                    statistics.median(data_samples), 4
-                ),
+                "fixed_cost_sentinel": fixed,
+                "data_path_sentinel": data,
+                "sentinel_bands": {
+                    "fixed_cost_max": FIXED_SENTINEL_MAX,
+                    "data_path_max": DATA_SENTINEL_MAX,
+                },
+                "attempts": attempts,
+                "contaminated": not in_band,
             }
         )
     )
