@@ -4545,6 +4545,169 @@ def test_absdisc_perplexity_cutoff_margin(spark):
     assert margin > 1e-6, f"doc too close to t48 cutoff: {margin}"
 
 
+def test_kneser_ney_planted_separation(spark):
+    """t49's planted pin (the t46/t48 shape under interpolated KN):
+    in-pattern eval docs keep near-ML discounted probability
+    (nll ~ 0), garbage eval docs back off to the small add-one
+    continuation distribution — KEPT vs DROPPED, with the 1-token
+    doc in n_short and every document accounted for."""
+    from zappy_spark.operators.text import kneser_ney_perplexity_ledger
+
+    ref, ev = _t46_ids(40, 0.5)
+    clean = ("alpha beta gamma delta " * 10).strip()
+    rows = [(i, clean, "s") for i in ref]
+    rows += [
+        (ev[0], clean, "s"),
+        (ev[1], clean, "s"),
+        (ev[2], "zzz1 zzz2 zzz3 zzz4 zzz5", "s"),
+        (ev[3], "qqq7 qqq8 qqq9", "s"),
+        (ev[4], "alpha", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = kneser_ney_perplexity_ledger(
+        df, "text", "doc_id", "source", ref_frac=0.5, ppl_cutoff=2.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_ref"], r["n_eval"], r["n_short"]) == (len(ref), 5, 1)
+    assert (r["n_keep"], r["n_drop"]) == (2, 2)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The KN-specific behavioral pin — the 'San Francisco' effect
+    that separates t49 from t48 on IDENTICAL data and cutoff:
+    'francisco' is the most FREQUENT reference token but appears in
+    only ONE context (always after 'san'), while 'cat' is rarer but
+    follows FOUR distinct contexts. An unseen-context eval bigram
+    backs off to the continuation distribution under KN (cat wins:
+    p_c = 5/12 vs francisco's 2/12) but to raw unigram frequency
+    under absolute discounting (francisco wins: p_u = 11/35 vs
+    5/35) — so at the same cutoff the two estimators give OPPOSITE
+    keep/drop verdicts, per-source-visible in the ledger. Hand
+    numbers: KN nll(cat) = ln(12/5) = 0.876 < ln 3.5 = 1.253 <
+    ln 6 = 1.792 = nll(francisco); absdisc nll(francisco) =
+    ln(35/11) = 1.157 < ln 3.5 < ln 7 = 1.946 = nll(cat)."""
+    from zappy_spark.operators.text import (
+        absdisc_perplexity_ledger,
+        kneser_ney_perplexity_ledger,
+    )
+
+    ref, ev = _t46_ids(60, 0.5)
+    rows = [(i, "san francisco", "r") for i in ref[:10]]
+    rows += [
+        (ref[10], "the cat", "r"),
+        (ref[11], "a cat", "r"),
+        (ref[12], "one cat", "r"),
+        (ref[13], "two cat", "r"),
+    ]
+    rows += [
+        (ev[0], "uq1 francisco", "gf"),
+        (ev[1], "uq2 cat", "gc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def verdicts(ledger_fn):
+        out = ledger_fn(
+            df, "text", "doc_id", "source", ref_frac=0.5, ppl_cutoff=3.5
+        ).collect()
+        return {
+            r["source"]: (r["n_keep"], r["n_drop"])
+            for r in out
+            if r["source"] != "r"
+        }
+
+    kn = verdicts(kneser_ney_perplexity_ledger)
+    ad = verdicts(absdisc_perplexity_ledger)
+    # KN: many-context 'cat' keeps, single-context 'francisco' drops
+    assert kn == {"gf": (0, 1), "gc": (1, 0)}
+    # absolute discounting: raw frequency wins — exactly reversed
+    assert ad == {"gf": (1, 0), "gc": (0, 1)}
+
+
+def test_kneser_ney_cutoff_margin(spark):
+    """t49's margin pin at the driver fixture: nearest per-doc nll
+    must sit >= 1e-4 from ln(ppl_cutoff) (round-12 gap scan
+    measured >= 8.5e-3 across all 3 SFs and both fixtures; the
+    brief's floor is 1e-4, asserted here)."""
+    import math
+
+    import duckdb
+
+    from zappy_spark.operators.sampling import sample_threshold
+    from zappy_spark.operators.text import T49_PARAMS
+
+    thr = sample_threshold(T49_PARAMS["ref_frac"])
+    cut = math.log(T49_PARAMS["ppl_cutoff"])
+    d = duckdb.connect()
+    d.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    pc = "((COALESCE(cw2, 0) + 1.0) / (bt + vu))"
+    margin = d.execute(
+        "WITH d AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') tks, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') is_ref FROM documents), "
+        "n AS (SELECT doc_id, is_ref, tks, "
+        "unnest(generate_series(1, len(tks) - 1)) i "
+        "FROM d WHERE len(tks) >= 2), "
+        "bg AS (SELECT doc_id, is_ref, tks[i] || ' ' || tks[i+1] g FROM n), "
+        "cnt AS (SELECT doc_id, is_ref, g, COUNT(*) c FROM bg GROUP BY ALL), "
+        "model AS (SELECT g, SUM(c) bc FROM cnt WHERE is_ref GROUP BY 1), "
+        "ctx AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc, "
+        "COUNT(*) n1p FROM model GROUP BY 1), "
+        "cont AS (SELECT string_split(g, ' ')[2] w2, COUNT(*) cw2 "
+        "FROM model GROUP BY 1), "
+        "toks AS (SELECT unnest(tks) w FROM d WHERE is_ref), "
+        "uv AS (SELECT COUNT(DISTINCT w) vu FROM toks), "
+        "btc AS (SELECT COUNT(*) bt FROM model), "
+        "sc AS (SELECT doc_id, -SUM(c * ln(CASE WHEN cc IS NULL THEN "
+        f"{pc} ELSE (GREATEST(COALESCE(bc, 0) - 0.75, 0.0) + "
+        f"0.75 * n1p * {pc}) / cc END)) / SUM(c) nll "
+        "FROM cnt LEFT JOIN model USING (g) "
+        "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
+        "LEFT JOIN cont ON string_split(cnt.g, ' ')[2] = cont.w2 "
+        "CROSS JOIN uv CROSS JOIN btc "
+        "WHERE NOT is_ref GROUP BY 1) "
+        f"SELECT MIN(ABS(nll - {cut!r})) FROM sc"
+    ).fetchone()[0]
+    assert margin > 1e-4, f"doc too close to t49 cutoff: {margin}"
+
+
+def test_perplexity_empty_reference_raises(spark):
+    """Round-12 ADVICE guard: an empty reference slice / empty
+    stored model must raise LOUDLY instead of silently vanishing
+    every scored document from n_keep/n_drop (V=0 made the smoothed
+    probability a NULL-producing division). ref_frac=0.0 puts the
+    md5 threshold below every id."""
+    import pytest
+
+    from zappy_spark.operators.text import (
+        absdisc_perplexity_ledger,
+        kneser_ney_perplexity_ledger,
+        xcorpus_ledger_with_model,
+        xcorpus_perplexity_ledger,
+    )
+
+    rows = [(i, "alpha beta gamma delta", "s") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for fn in (
+        xcorpus_perplexity_ledger,
+        absdisc_perplexity_ledger,
+        kneser_ney_perplexity_ledger,
+    ):
+        with pytest.raises(Exception, match="empty reference slice/model"):
+            fn(
+                df, "text", "doc_id", "source", ref_frac=0.0, ppl_cutoff=2.0
+            ).collect()
+    empty_model = spark.createDataFrame([], "gram string, bc bigint")
+    with pytest.raises(Exception, match="empty reference slice/model"):
+        xcorpus_ledger_with_model(
+            df, "text", "doc_id", "source", empty_model, ppl_cutoff=2.0
+        ).collect()
+
+
 def test_filter_agreement_grid_accounts_for_every_scored_doc(spark):
     """v31's accounting pin: the 2x2 grid partitions the scored
     set — n_scored == n_both_keep + n_lm_only + n_clf_only +

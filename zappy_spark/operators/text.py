@@ -1083,6 +1083,40 @@ def xcorpus_perplexity_ledger(
             ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
         ).alias("n_short"),
     )
+    return _keep_drop_ledger(
+        counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
+    )
+
+
+def _positive_or_raise(col, what: str):
+    """Lazy degenerate-case guard (round-12 ADVICE): pass the model
+    size through when positive, raise loudly when the trained
+    model/vocabulary is empty — without it V=0 turns the smoothed
+    probability into a NULL-producing division and scored documents
+    silently vanish from n_keep/n_drop, breaking the 'ledger
+    accounts for every document' invariant (same shape in every
+    perplexity-family operator). A per-row WHEN on a 1-row
+    broadcast frame: zero cost on the healthy path, no eager
+    driver job, and the raise carries the operator name."""
+    return F.when(col > 0, col).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{what}: empty reference slice/model — smoothing "
+                "vocabulary V=0 would silently unaccount every "
+                "scored document"
+            )
+        )
+    )
+
+
+def _keep_drop_ledger(counts, sc, group_col, lncut, count_cols):
+    """Shared keep/drop ledger assembly for the perplexity family
+    (round-12 ADVICE dedup — this block was triplicated across
+    xcorpus_perplexity_ledger / xcorpus_ledger_with_model /
+    absdisc_perplexity_ledger): verdict the per-doc nll frame at
+    ln(cutoff), left-join onto the per-group base counts (a group
+    can have zero scored docs), coalesce to exact-BIGINT zeros,
+    order by group."""
     scored = sc.groupBy("_grp").agg(
         F.sum((F.col("_nll") < F.lit(lncut)).cast("bigint")).alias("_nk"),
         F.sum((F.col("_nll") >= F.lit(lncut)).cast("bigint")).alias("_nd"),
@@ -1091,9 +1125,7 @@ def xcorpus_perplexity_ledger(
         counts.join(scored, "_grp", "left")
         .select(
             F.col("_grp").alias(group_col),
-            "n_ref",
-            "n_eval",
-            "n_short",
+            *count_cols,
             F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_keep"),
             F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_drop"),
         )
@@ -1144,7 +1176,9 @@ def _xcorpus_doc_nll(docs: "DataFrame") -> "DataFrame":
     ctx = model.groupBy(
         F.split("_g", " ").getItem(0).alias("_w1")
     ).agg(F.sum("_bc").alias("_cc"))
-    v = ctx.agg(F.count("*").cast("bigint").alias("_v"))
+    v = ctx.agg(F.count("*").cast("bigint").alias("_v")).select(
+        _positive_or_raise(F.col("_v"), "xcorpus_perplexity").alias("_v")
+    )
     p = (F.coalesce(F.col("_bc"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v")
     )
@@ -1216,7 +1250,11 @@ def xcorpus_ledger_with_model(
     ctx = model.groupBy(
         F.split("gram", " ").getItem(0).alias("_w1")
     ).agg(F.sum("bc").alias("_cc"))
-    v = ctx.agg(F.count("*").cast("bigint").alias("_v"))
+    v = ctx.agg(F.count("*").cast("bigint").alias("_v")).select(
+        _positive_or_raise(F.col("_v"), "xcorpus_ledger_with_model").alias(
+            "_v"
+        )
+    )
     cnt = (
         docs.select("_rid", "_grp", F.explode("_gs").alias("_g"))
         .groupBy("_rid", "_grp", "_g")
@@ -1239,20 +1277,8 @@ def xcorpus_ledger_with_model(
         F.count("*").alias("n_docs"),
         F.sum((F.size("_gs") == 0).cast("bigint")).alias("n_short"),
     )
-    scored = sc.groupBy("_grp").agg(
-        F.sum((F.col("_nll") < F.lit(lncut)).cast("bigint")).alias("_nk"),
-        F.sum((F.col("_nll") >= F.lit(lncut)).cast("bigint")).alias("_nd"),
-    )
-    return (
-        base.join(scored, "_grp", "left")
-        .select(
-            F.col("_grp").alias(group_col),
-            "n_docs",
-            "n_short",
-            F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_keep"),
-            F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_drop"),
-        )
-        .orderBy(group_col)
+    return _keep_drop_ledger(
+        base, sc, group_col, lncut, ["n_docs", "n_short"]
     )
 
 
@@ -1339,6 +1365,9 @@ def absdisc_perplexity_ledger(
     uv = uni.agg(
         F.count("*").cast("bigint").alias("_vu"),
         F.sum("_uc").cast("bigint").alias("_totu"),
+    ).select(
+        _positive_or_raise(F.col("_vu"), "absdisc_perplexity").alias("_vu"),
+        "_totu",
     )
     pu = (F.coalesce(F.col("_uc"), F.lit(0)) + F.lit(1.0)) / (
         F.col("_totu") + F.col("_vu")
@@ -1373,21 +1402,168 @@ def absdisc_perplexity_ledger(
             ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
         ).alias("n_short"),
     )
-    scored = sc.groupBy("_grp").agg(
-        F.sum((F.col("_nll") < F.lit(lncut)).cast("bigint")).alias("_nk"),
-        F.sum((F.col("_nll") >= F.lit(lncut)).cast("bigint")).alias("_nd"),
+    return _keep_drop_ledger(
+        counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
     )
-    return (
-        counts.join(scored, "_grp", "left")
+
+
+# t49 interpolated Kneser–Ney perplexity filter: shared parameters
+# (the T46/T48 precedent — one definition for the operator default,
+# the corpus entry, its oracle, and the margin pin). D is the
+# textbook 0.75 discount; the cutoff was chosen BY the round-12
+# gap scan over the merged nll distribution of all 3 SFs + both
+# synth fixtures (~416k scored docs): ln(45.5) sits in a real
+# inter-cluster gap — nearest document >= 8.5e-3 on every dataset
+# (85x the >= 1e-4 brief) — and the split is non-vacuous at every
+# scale the drop branch is verified at (sf0.01 2 drops, sf0.1 5,
+# 10x 181, 100x 1923; sf0.001's 360 eval docs all keep — the one
+# scale with no drop rows, documented, driver checks run at
+# sf0.01). Mid-range "balanced" cutoffs were REJECTED by the same
+# scan: the densest achievable margin there is ~6.5e-6 at the 100x
+# fixture — a float-vs-hash coin flip, the exact failure the
+# margin discipline exists to engineer away.
+T49_PARAMS: dict[str, float] = {
+    "ref_frac": 0.25,
+    "ppl_cutoff": 45.5,
+}
+
+
+def kneser_ney_perplexity_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float = 0.25,
+    ppl_cutoff: float = 45.5,
+) -> DataFrame:
+    """Cross-corpus perplexity filtering with INTERPOLATED
+    KNESER–NEY smoothing (round 12, VERDICT r11 item 3 — the
+    production KenLM DEFAULT, completing the ladder t46 add-one →
+    t48 absolute discounting → this): absolute discounting where
+    the backoff distribution uses CONTINUATION counts instead of
+    raw unigram frequency —
+
+        p(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1·)·p_c(w2))
+                   / c(w1·)
+        p_c(w2)  = (N1+(·w2) + 1) / (N1+(··) + V)
+
+    with D = 0.75, N1+(w1·) = distinct continuations of w1,
+    N1+(·w2) = distinct LEFT-CONTEXTS of w2 ("in how many novel
+    combinations has w2 appeared" — the KN insight that 'Francisco'
+    is frequent but only ever follows 'San'), N1+(··) = total
+    bigram types, V = reference unigram vocabulary (the +1/+V
+    add-one floor keeps p_c defined for words the reference never
+    saw as a continuation — t48's backoff discipline applied to the
+    continuation distribution). Unseen contexts back off to p_c
+    entirely.
+
+    Split/exactness contract identical to t46/t48 (same md5-keyed
+    structural slice isolation on both engines, same all-BIGINT
+    ledger): every model quantity is an exact BIGINT — c(w1 w2) and
+    c(w1·) are count sums, N1+(w1·)/N1+(·w2)/N1+(··) are distinct-
+    bigram-type counts (COUNT(*) over the deduped model table), V a
+    distinct-token count — so the probability is a handful of IEEE
+    ops on sub-2^53 integers spelled in ONE shared operator order
+    on both engines; the per-doc sum's partial-order residue
+    (~1e-13) is absorbed by the margin scan's cutoff (>= 8.5e-3
+    pinned across all 3 SFs + both synth fixtures — see
+    T49_PARAMS for the full calibration record).
+
+    Scale (100 TB): identical shuffle topology to t48 — ONE corpus
+    scan feeds the (doc, bigram) hash agg; model / ctx / cont are
+    successive aggregates on the gram key (cont is COUNT(*) of the
+    already-deduped model table grouped by w2 — no extra corpus
+    pass); (N1+(··), V) is a 1-row broadcast; scoring joins carry
+    counts only, never text; no doc-keyed join anywhere.
+
+    Returns (group, n_ref, n_eval, n_short, n_keep, n_drop)."""
+    import math
+
+    from zappy_spark.operators.dedup import word_shingles
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    lncut = math.log(ppl_cutoff)
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
+        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+            "_ws"
+        ),
+    )
+    cnt = (
+        docs.select("_id", "_grp", "_ref", F.explode("_gs").alias("_g"))
+        .groupBy("_id", "_grp", "_ref", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    model = (
+        cnt.filter(F.col("_ref"))
+        .groupBy("_g")
+        .agg(F.sum("_c").alias("_bc"))
+    )
+    ctx = model.groupBy(
+        F.split("_g", " ").getItem(0).alias("_w1")
+    ).agg(
+        F.sum("_bc").alias("_cc"),
+        F.count("*").cast("bigint").alias("_n1p"),
+    )
+    cont = model.groupBy(
+        F.split("_g", " ").getItem(1).alias("_w2")
+    ).agg(F.count("*").cast("bigint").alias("_cw2"))
+    vocab = (
+        docs.filter(F.col("_ref"))
+        .select(F.explode("_ws").alias("_w"))
+        .agg(F.count_distinct("_w").cast("bigint").alias("_vu"))
+    )
+    bv = (
+        model.agg(F.count("*").cast("bigint").alias("_bt"))
+        .crossJoin(vocab)
         .select(
-            F.col("_grp").alias(group_col),
-            "n_ref",
-            "n_eval",
-            "n_short",
-            F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_keep"),
-            F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_drop"),
+            "_bt",
+            _positive_or_raise(F.col("_vu"), "kneser_ney_perplexity").alias(
+                "_vu"
+            ),
         )
-        .orderBy(group_col)
+    )
+    pc = (F.coalesce(F.col("_cw2"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_bt") + F.col("_vu")
+    )
+    p = F.when(F.col("_cc").isNull(), pc).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_bc"), F.lit(0)) - F.lit(0.75),
+                F.lit(0.0),
+            )
+            + F.lit(0.75) * F.col("_n1p") * pc
+        )
+        / F.col("_cc")
+    )
+    sc = (
+        cnt.filter(~F.col("_ref"))
+        .withColumn("_w1", F.split("_g", " ").getItem(0))
+        .withColumn("_w2", F.split("_g", " ").getItem(1))
+        .join(model, "_g", "left")
+        .join(ctx, "_w1", "left")
+        .join(cont, "_w2", "left")
+        .crossJoin(F.broadcast(bv))
+        .groupBy("_id", "_grp")
+        .agg(
+            ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")
+        )
+    )
+    counts = docs.groupBy("_grp").agg(
+        F.sum(F.col("_ref").cast("bigint")).alias("n_ref"),
+        F.sum((~F.col("_ref")).cast("bigint")).alias("n_eval"),
+        F.sum(
+            ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
+        ).alias("n_short"),
+    )
+    return _keep_drop_ledger(
+        counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
     )
 
 

@@ -3688,6 +3688,35 @@ def v31(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t49(spark: SparkSession, d: str) -> DataFrame:
+    """Interpolated Kneser–Ney perplexity filter (round 12, VERDICT
+    r11 item 3; operators/text.py::kneser_ney_perplexity_ledger) —
+    the production KenLM DEFAULT, the last rung of the perplexity
+    ladder (t46 add-one → t48 absolute discounting → interpolated
+    KN): t48's discounted bigram estimate with the backoff
+    distribution switched from raw unigram frequency to CONTINUATION
+    counts N1+(·w2) = COUNT(DISTINCT w1) per w2 — exact BIGINT, one
+    more aggregate over the already-deduped model table. Same
+    md5-keyed 25% reference slice, same structural WHERE-is_ref
+    isolation inside the oracle, same all-BIGINT ledger. Cutoff 45.5
+    chosen BY the round-12 gap scan over the merged ~416k-doc nll
+    distribution of all 3 SFs + both synth fixtures (nearest doc
+    >= 8.5e-3 from ln(cutoff) on every dataset, drops non-vacuous
+    at sf0.01/sf0.1/10x/100x — the t46 precedent: pick the cutoff
+    by the scan, don't hope; mid-range cutoffs were rejected with
+    measured 100x margins of ~6.5e-6)."""
+    from zappy_spark.operators.text import (
+        T49_PARAMS,
+        kneser_ney_perplexity_ledger,
+    )
+
+    return kneser_ney_perplexity_ledger(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        ref_frac=T49_PARAMS["ref_frac"],
+        ppl_cutoff=T49_PARAMS["ppl_cutoff"],
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3770,6 +3799,7 @@ QUERIES = {
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
     "t48_absdisc_perplexity": t48,
+    "t49_kneser_ney_perplexity": t49,
     "v31_filter_agreement": v31,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
@@ -4803,6 +4833,73 @@ def _t48_oracle() -> str:
     )
 
 
+def _t49_oracle() -> str:
+    """Interpolated Kneser–Ney perplexity replay (t49): the t48 CTE
+    prefix with the backoff distribution switched to continuation
+    counts — cont = N1+(·w2) = COUNT(*) per w2 over the deduped
+    model table, bt = N1+(··) = COUNT(*) of the model, vu = the
+    reference unigram vocabulary (COUNT DISTINCT) — and the
+    interpolated-KN probability in the SAME operator order as the
+    Spark expression; every model CTE reads WHERE is_ref —
+    structural isolation."""
+    import math
+
+    from zappy_spark.operators.sampling import sample_threshold
+    from zappy_spark.operators.text import T49_PARAMS
+
+    thr = sample_threshold(T49_PARAMS["ref_frac"])
+    cut = repr(math.log(T49_PARAMS["ppl_cutoff"]))
+    pc = "((COALESCE(cw2, 0) + 1.0) / (bt + vu))"
+    return (
+        "WITH d AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') tks, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') is_ref FROM documents), "
+        "n AS (SELECT doc_id, source, is_ref, tks, "
+        "unnest(generate_series(1, len(tks) - 1)) i "
+        "FROM d WHERE len(tks) >= 2), "
+        "bg AS (SELECT doc_id, source, is_ref, "
+        "tks[i] || ' ' || tks[i+1] g FROM n), "
+        "cnt AS (SELECT doc_id, source, is_ref, g, COUNT(*) c "
+        "FROM bg GROUP BY ALL), "
+        "model AS (SELECT g, SUM(c) bc FROM cnt WHERE is_ref "
+        "GROUP BY 1), "
+        "ctx AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc, "
+        "COUNT(*) n1p FROM model GROUP BY 1), "
+        "cont AS (SELECT string_split(g, ' ')[2] w2, COUNT(*) cw2 "
+        "FROM model GROUP BY 1), "
+        "toks AS (SELECT unnest(tks) w FROM d WHERE is_ref), "
+        "uv AS (SELECT COUNT(DISTINCT w) vu FROM toks), "
+        "btc AS (SELECT COUNT(*) bt FROM model), "
+        "sc AS (SELECT doc_id, source, "
+        "-SUM(c * ln(CASE WHEN cc IS NULL THEN "
+        f"{pc} "
+        "ELSE (GREATEST(COALESCE(bc, 0) - 0.75, 0.0) + "
+        f"0.75 * n1p * {pc}) / cc END)) / SUM(c) nll "
+        "FROM cnt LEFT JOIN model USING (g) "
+        "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
+        "LEFT JOIN cont ON string_split(cnt.g, ' ')[2] = cont.w2 "
+        "CROSS JOIN uv CROSS JOIN btc "
+        "WHERE NOT is_ref GROUP BY 1, 2), "
+        "counts AS (SELECT source, "
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) n_ref, "
+        "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) n_eval, "
+        "SUM(CASE WHEN NOT is_ref AND len(tks) < 2 THEN 1 ELSE 0 END) "
+        "n_short FROM d GROUP BY 1), "
+        "scored AS (SELECT source, "
+        f"SUM(CASE WHEN nll < {cut} THEN 1 ELSE 0 END) nk, "
+        f"SUM(CASE WHEN nll >= {cut} THEN 1 ELSE 0 END) nd "
+        "FROM sc GROUP BY 1) "
+        "SELECT counts.source, CAST(n_ref AS BIGINT) n_ref, "
+        "CAST(n_eval AS BIGINT) n_eval, "
+        "CAST(n_short AS BIGINT) n_short, "
+        "CAST(COALESCE(nk, 0) AS BIGINT) n_keep, "
+        "CAST(COALESCE(nd, 0) AS BIGINT) n_drop "
+        "FROM counts LEFT JOIN scored ON counts.source = scored.source "
+        "ORDER BY counts.source"
+    )
+
+
 def _v31_oracle(k: int = 8, lr_den: int = 2) -> str:
     """Filter-agreement replay (v31): the logistic-GD prefix
     (weights derived in-CTE, the v28 spelling) concatenated with
@@ -5253,6 +5350,7 @@ ORACLE = {
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
     "t48_absdisc_perplexity": _t48_oracle(),
+    "t49_kneser_ney_perplexity": _t49_oracle(),
     "v31_filter_agreement": _v31_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
