@@ -3020,6 +3020,80 @@ def test_wav_attest_features_matches_formula(spark):
         )
 
 
+def test_mel_filterbank_geometry():
+    """m08's reduction matrix: HTK triangles with complementary
+    adjacent slopes — every interior rfft bin's weights sum to
+    exactly 1 across the bank (rising edge of filter m+1 = 1 −
+    falling edge of m by construction), filter supports are
+    contiguous, and the panel's planted constants hold: bin 40
+    (2000 Hz) weighted 0.796/0.204 across filters 8/9, bin 80
+    (4000 Hz = fmax) on the last falling edge with weight exactly
+    0."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import mel_filterbank
+
+    w = mel_filterbank()
+    assert w.shape == (12, 81)
+    # complementary slopes hold between the FIRST apex (~107 Hz,
+    # bin 3) and the LAST apex (~3352 Hz, bin 67): there each bin
+    # sits on filter m's falling edge and filter m+1's rising edge,
+    # which sum to 1 by construction; past the last apex only the
+    # final falling edge remains, tapering to exactly 0 at fmax.
+    col = w.sum(axis=0)
+    assert np.allclose(col[np.arange(3, 68)], 1.0, atol=1e-12)
+    assert np.all(np.diff(col[68:]) < 0)  # monotone final taper
+    assert w[:, 80].max() == 0.0  # Nyquist on the last falling edge
+    nz40 = np.nonzero(w[:, 40])[0]
+    assert list(nz40) == [8, 9]
+    assert abs(w[8, 40] - 0.796431) < 1e-4
+    for m in range(12):
+        sup = np.nonzero(w[m])[0]
+        assert np.array_equal(sup, np.arange(sup[0], sup[-1] + 1))
+
+
+def test_mel_attest_features_matches_simulation(spark):
+    """The m08 kernel: fabricated two-tone signal → REAL encode_wav
+    → decode_wav → framed FFT power spectrum → mel reduction must
+    equal a brute-force numpy replay AND the closed forms the
+    DuckDB oracle uses (Parseval total, single-bin peak) — the m05
+    triangulation applied to the spectral layer."""
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import (
+        mel_attest_features,
+        mel_filterbank,
+    )
+
+    ids = [0, 1, 2, 13, 64, 99]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    got = {r["media_id"]: r for r in mel_attest_features(df).collect()}
+    w = mel_filterbank()
+    for mid in ids:
+        a = 1000 + 4 * mid
+        b = 2 * a if mid % 2 else a // 4
+        n = 800 + (mid % 7) * 160
+        x = np.tile([a + b, -b, b - a, -b], n // 4).astype(np.float64)
+        fr = x.reshape(n // 160, 160)
+        spec = np.fft.fft(fr, axis=1)
+        power = spec.real**2 + spec.imag**2
+        half = power[:, :81].sum(axis=0)
+        r = got[mid]
+        nf = n // 160
+        assert r["n_frames"] == nf
+        assert r["peak_bin"] == int(half.argmax()) == (80 if mid % 2 else 40)
+        # single-bin closed form, exact
+        assert r["peak_power"] == nf * (
+            (320 * a) ** 2 if mid % 2 else (80 * a) ** 2
+        )
+        # Parseval closed form, exact after the deterministic round
+        assert r["specsum"] == nf * 160 * (80 * a * a + 160 * b * b)
+        mel_e = w @ half
+        assert r["mel_argmax"] == int(mel_e.argmax()) == 8
+        assert (r["mel_lo"], r["mel_hi"]) == (32, 46)
+        assert r["mel_n_filters"] == 12
+
+
 def test_image_hash_bands_and_hamming_pairs(spark):
     """d45 pipeline on planted data: a near-identical image pair
     (one pixel nudged) must surface with a small Hamming distance
@@ -4543,6 +4617,50 @@ def test_absdisc_perplexity_cutoff_margin(spark):
         f"SELECT MIN(ABS(nll - {cut!r})) FROM sc"
     ).fetchone()[0]
     assert margin > 1e-6, f"doc too close to t48 cutoff: {margin}"
+
+
+def test_absdisc_fixed_model_matches_t48_on_eval_slice(spark):
+    """t48's train/deploy split must be CONSISTENT (round 12 — the
+    t46 artifact round-trip pin applied to the discounted
+    estimator): scoring the non-reference slice with the STORED
+    two-table model artifact (absdisc_fit_model ->
+    absdisc_ledger_with_model) must reproduce t48's in-one-pass
+    (n_keep, n_drop, n_short) per source exactly — the artifact
+    round trip loses nothing, including the re-derived context
+    totals, continuation funding, and vocabulary."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.text import (
+        T48_PARAMS,
+        absdisc_fit_model,
+        absdisc_ledger_with_model,
+        absdisc_perplexity_ledger,
+    )
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frac = T48_PARAMS["ref_frac"]
+    cut = T48_PARAMS["ppl_cutoff"]
+    model = absdisc_fit_model(docs, "text", "doc_id", ref_frac=frac)
+    ev = docs.filter(
+        ~(_hash_key("doc_id") < sample_threshold(frac))
+    )
+    got = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["n_short"])
+        for r in absdisc_ledger_with_model(
+            ev, "text", "doc_id", "source", model, ppl_cutoff=cut
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["n_short"])
+        for r in absdisc_perplexity_ledger(
+            docs, "text", "doc_id", "source",
+            ref_frac=frac, ppl_cutoff=cut,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
 
 
 def test_kneser_ney_planted_separation(spark):

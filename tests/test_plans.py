@@ -118,6 +118,9 @@ def test_no_python_udfs_in_declared_corpus(spark):
         "m06_patch_attest",
         # round 9: real Netpbm P6 + bit-packed P4 encode/decode
         "m07_pnm_attest",
+        # round 12: real WAV encode/decode + framed FFT power
+        # spectrum + mel filterbank (numpy inside Arrow batches)
+        "m08_mel_attest",
     }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":

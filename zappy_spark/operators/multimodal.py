@@ -804,6 +804,141 @@ def wav_attest_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+MEL_ATTEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("peak_bin", LongType()),
+        StructField("peak_power", LongType()),
+        StructField("specsum", LongType()),
+        StructField("mel_n_filters", LongType()),
+        StructField("mel_argmax", LongType()),
+        StructField("mel_lo", LongType()),
+        StructField("mel_hi", LongType()),
+    ]
+)
+
+
+def mel_filterbank(
+    n_mels: int = 12,
+    n_fft: int = 160,
+    sr: int = 8000,
+    fmin: float = 0.0,
+    fmax: float = 4000.0,
+):
+    """Standard HTK-mel triangular filterbank over the rfft bins
+    (mel(f) = 2595·log10(1 + f/700), n_mels+2 equally-mel-spaced
+    edge points, unnormalized triangles — adjacent filters'
+    rising/falling slopes are complementary, so every interior bin's
+    weights sum to exactly 1). Pure numpy, id-independent constants:
+    the speech-feature reduction matrix every ASR/audio-LM frontend
+    applies after the power spectrum."""
+    import numpy as np
+
+    def h2m(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def m2h(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    pts = m2h(np.linspace(h2m(fmin), h2m(fmax), n_mels + 2))
+    bins = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    w = np.zeros((n_mels, len(bins)))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        w[m] = np.clip(
+            np.minimum((bins - lo) / (c - lo), (hi - bins) / (hi - c)),
+            0.0,
+            None,
+        )
+    return w
+
+
+def mel_attest_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Mel-filterbank audio features through the full Spark surface
+    (round 12, VERDICT r11 item 5 — the audio analog of m06's ViT
+    patch attestation; the m04/m05/z32 playbook): per id, fabricate
+    a two-tone test signal that is EXACTLY integer-valued and EXACTLY
+    bin-aligned — x[t] = A·cos(2π·40t/160) + B·cos(2π·80t/160), whose
+    samples cycle the integer pattern [A+B, −B, B−A, −B] (the only
+    cosine phases with all-integer samples), A = 1000+4·id (divisible
+    by 4 so B = A/4 is exact on even ids; B = 2A on odd ids) — push it
+    through REAL ``encode_wav`` → ``decode_wav`` (RIFF both ways),
+    frame the DECODED samples at 160, take the full-DFT power
+    spectrum per frame (numpy FFT inside Arrow ``mapInPandas``), sum
+    across frames, and reduce the rfft half with a 12-filter HTK mel
+    bank (``mel_filterbank``).
+
+    Closed-form oracle on the pure tones — every output an exact
+    BIGINT:
+    - Parseval pins ``specsum`` = Σ_k|X_k|² = n_frames·160·Σ_t x_t²
+      = n_frames·160·(80A² + 160B²) (per 4-sample period Σx² =
+      (A+B)² + B² + (A−B)² + B² = 2A² + 4B²); the numeric FFT lands
+      within 7e-5 of the integer (measured over the panel) so the
+      round is deterministic.
+    - Single-bin energy pins ``peak_bin``/``peak_power``: the signal
+      has power ONLY at bins 40, 80, 120 — |X_40|² = (80A)² (+mirror
+      at 120), |X_80|² = (160B)² (Nyquist, unmirrored) — so the rfft
+      argmax is 40 on even ids ((80A)² > (40A)²) and 80 on odd
+      ((320A)² > (80A)²), with peak_power = n_frames·(80A)² /
+      n_frames·(320A)² exactly (measured FFT error: 0.0).
+    - The mel reduction pins ``mel_argmax``/``mel_lo``/``mel_hi``:
+      bin 40 = 2000 Hz falls in filters 8 (w=0.796) and 9 (w=0.204)
+      of the 12-filter 0–4000 Hz bank, bin 80 = 4000 Hz sits ON the
+      last filter's falling edge (weight exactly 0), so filter 8 wins
+      on every id with ≥74% relative margin — constants (8, 32, 46)
+      a wrong mel geometry, wrong bank shape, or wrong spectrum
+      cannot reproduce.
+
+    Scale: one narrow id column in, nine ints out, constant work per
+    row inside Arrow batches; payload bytes never leave the executor;
+    bounded 100-id instrument at any corpus size."""
+    import numpy as np
+
+    from zappy_spark.sources.wavlite import decode_wav, encode_wav
+
+    w_mel = mel_filterbank()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in MEL_ATTEST_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                a = 1000 + 4 * mid
+                b = 2 * a if mid % 2 else a // 4
+                n = 800 + (mid % 7) * 160
+                pat = np.array([a + b, -b, b - a, -b], dtype=np.int64)
+                assert np.abs(pat).max() < 32768
+                wave = np.tile(pat, n // 4).astype(np.int16)
+                dec, _rate = decode_wav(encode_wav(wave, 8000, bits=16))
+                x = dec[:, 0].astype(np.float64)
+                assert x.shape == (n,)
+                fr = x.reshape(n // 160, 160)
+                spec = np.fft.fft(fr, axis=1)
+                power = spec.real**2 + spec.imag**2
+                half = power[:, :81].sum(axis=0)
+                peak = int(half.argmax())
+                mel_e = w_mel @ half
+                marg = int(mel_e.argmax())
+                support = np.nonzero(w_mel[marg])[0]
+                out["media_id"].append(mid)
+                out["n_frames"].append(n // 160)
+                out["peak_bin"].append(peak)
+                out["peak_power"].append(int(round(float(half[peak]))))
+                out["specsum"].append(int(round(float(power.sum()))))
+                out["mel_n_filters"].append(w_mel.shape[0])
+                out["mel_argmax"].append(marg)
+                out["mel_lo"].append(int(support[0]))
+                out["mel_hi"].append(int(support[-1]))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=MEL_ATTEST_SCHEMA
+    )
+
+
 EMB_PNG_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -1407,6 +1407,147 @@ def absdisc_perplexity_ledger(
     )
 
 
+def absdisc_fit_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_frac: float = 0.25,
+) -> DataFrame:
+    """The DEPLOYABLE artifact of t48's training half (round 12,
+    VERDICT r11 item 4 — the xcorpus_fit_model pattern extended to
+    the two-table discounted estimator): ONE parquet table
+    (kind, gram, c) holding BOTH exact-BIGINT count tables the
+    absolute-discounting estimator needs — ``kind='bg'`` rows are
+    the bigram counts c(w1 w2), ``kind='ug'`` rows the unigram
+    token counts c(w) — aggregated from the md5-keyed reference
+    slice only. Everything scoring needs (context totals c(w1·),
+    continuation funding N1+(w1·), vocabulary V, token total)
+    re-derives from the stored rows with bounded aggregates, so one
+    small artifact is the whole model: write it to parquet, ship
+    it, score against it forever (``absdisc_ledger_with_model``)."""
+    from zappy_spark.operators.dedup import word_shingles
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    ref = df.filter(_hash_key(id_col) < sample_threshold(ref_frac))
+    bg = (
+        ref.select(
+            F.explode(
+                word_shingles(F.col(text_col), 2, filter_empty=True)
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit("bg").alias("kind"), "gram", "c")
+    )
+    ug = (
+        ref.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), " "), lambda x: x != ""
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit("ug").alias("kind"), "gram", "c")
+    )
+    return bg.unionByName(ug)
+
+
+def absdisc_ledger_with_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    model: DataFrame,
+    ppl_cutoff: float = 28.5,
+) -> DataFrame:
+    """Score EVERY document against a FIXED stored discounted model
+    (the deployment half of t48 — training happened offline via
+    ``absdisc_fit_model``): per-group keep/drop ledger (group,
+    n_docs, n_short, n_keep, n_drop), all exact BIGINTs. The
+    per-document verdict depends only on the document and the fixed
+    artifact, so the counters are ADDITIVE — the streaming drift
+    monitor's micro-batch partial IS this operator.
+
+    The smoothed probability is t48's spelling exactly — p_u =
+    (uc+1)/(totu+vu), p = (max(bc−0.75, 0) + 0.75·N1+(w1)·p_u)/cc,
+    full backoff to p_u on unseen contexts — with cc/N1+/V/totu
+    re-derived from the stored (kind, gram, c) rows by bounded
+    aggregates per call; the V=0 degenerate guard raises loudly."""
+    import math
+
+    from zappy_spark.operators.dedup import word_shingles
+
+    lncut = math.log(ppl_cutoff)
+    docs = df.select(
+        F.col(group_col).alias("_grp"),
+        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+        F.col(id_col).alias("_rid"),
+    )
+    bgm = model.filter(F.col("kind") == "bg").select(
+        F.col("gram").alias("_g"), F.col("c").alias("_bc")
+    )
+    uni = model.filter(F.col("kind") == "ug").select(
+        F.col("gram").alias("_w2"), F.col("c").alias("_uc")
+    )
+    ctx = bgm.groupBy(
+        F.split("_g", " ").getItem(0).alias("_w1")
+    ).agg(
+        F.sum("_bc").alias("_cc"),
+        F.count("*").cast("bigint").alias("_n1p"),
+    )
+    uv = uni.agg(
+        F.count("*").cast("bigint").alias("_vu"),
+        F.sum("_uc").cast("bigint").alias("_totu"),
+    ).select(
+        _positive_or_raise(
+            F.col("_vu"), "absdisc_ledger_with_model"
+        ).alias("_vu"),
+        "_totu",
+    )
+    cnt = (
+        docs.select("_rid", "_grp", F.explode("_gs").alias("_g"))
+        .groupBy("_rid", "_grp", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    pu = (F.coalesce(F.col("_uc"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_totu") + F.col("_vu")
+    )
+    p = F.when(F.col("_cc").isNull(), pu).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_bc"), F.lit(0)) - F.lit(0.75),
+                F.lit(0.0),
+            )
+            + F.lit(0.75) * F.col("_n1p") * pu
+        )
+        / F.col("_cc")
+    )
+    sc = (
+        cnt.withColumn("_w1", F.split("_g", " ").getItem(0))
+        .withColumn("_w2", F.split("_g", " ").getItem(1))
+        .join(bgm, "_g", "left")
+        .join(ctx, "_w1", "left")
+        .join(uni, "_w2", "left")
+        .crossJoin(F.broadcast(uv))
+        .groupBy("_rid", "_grp")
+        .agg(
+            ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")
+        )
+    )
+    base = docs.groupBy("_grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.size("_gs") == 0).cast("bigint")).alias("n_short"),
+    )
+    return _keep_drop_ledger(
+        base, sc, group_col, lncut, ["n_docs", "n_short"]
+    )
+
+
 # t49 interpolated Kneser–Ney perplexity filter: shared parameters
 # (the T46/T48 precedent — one definition for the operator default,
 # the corpus entry, its oracle, and the margin pin). D is the

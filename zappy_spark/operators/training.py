@@ -48,6 +48,44 @@ from pyspark.sql import functions as F
 LOGREG_SCALE = 1_000_000
 
 
+def _logreg_z(w: list[int]) -> Column:
+    """The BIGINT pre-activation z = w·(1, x1, x2, x3) at scale-S
+    weight literals — one definition for every site that evaluates
+    the trained model (round-12 ADVICE: the GD step, the batch
+    predictor, the score ledger, the holdout eval, and the
+    agreement audits previously each hand-copied this and the
+    hard-sigmoid below — the exact parameter-drift risk
+    D50_LEDGER_PARAMS/T46_PARAMS exist to prevent)."""
+    return (
+        F.lit(w[0]).cast("bigint")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+
+
+def _hard_sigmoid_p() -> Column:
+    """The fixed-point hard-sigmoid link p = clamp(S/2 + z div 4,
+    0, S) over the BIGINT pre-activation column ``_z`` (exact
+    integer arithmetic; `div` floors identically on both engines).
+    Pair with ``_hard_sigmoid_keep`` for the 2p > S verdict."""
+    s = LOGREG_SCALE
+    return F.least(
+        F.lit(s).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.lit(s // 2) + F.expr("_z div 4"),
+        ),
+    )
+
+
+def _hard_sigmoid_keep(p: Column) -> Column:
+    """The keep/positive verdict at the hard-sigmoid output:
+    2p > S (strict, matching every oracle's CASE spelling)."""
+    return F.lit(2) * p > F.lit(LOGREG_SCALE)
+
+
+
 def _tdiv(a: int, b: int) -> int:
     """Python twin of Spark `div` / DuckDB `//`: integer division
     truncating toward ZERO (Python's // floors, which differs on
@@ -99,23 +137,12 @@ def _logreg_step_agg(feat: DataFrame, w: list[int]) -> DataFrame:
     g_j = sum(r * x_j) — every addend an exact integer, so the sum
     is order-independent on any partitioning."""
     s = LOGREG_SCALE
-    z = (
-        F.lit(w[0]).cast("bigint")
-        + F.lit(w[1]) * F.col("x1")
-        + F.lit(w[2]) * F.col("x2")
-        + F.lit(w[3]) * F.col("x3")
-    )
+    z = _logreg_z(w)
     rows = feat.select("y", "x1", "x2", "x3", z.alias("_z"))
-    p = F.least(
-        F.lit(s).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.lit(s // 2) + F.expr("_z div 4"),
-        ),
-    )
+    p = _hard_sigmoid_p()
     rows = rows.select("y", "x1", "x2", "x3", p.alias("_p"))
     r = F.col("_p") - F.col("y").cast("bigint") * s
-    pred = (F.lit(2) * F.col("_p") > s).cast("int")
+    pred = _hard_sigmoid_keep(F.col("_p")).cast("int")
 
     def _zsum(col: Column) -> Column:
         # Empty-corpus guard (round-11 ADVICE): a global agg over
@@ -216,22 +243,11 @@ def logreg_predict(
     appends pred (0/1, hard-sigmoid threshold 2p > S) — the
     apply-half used by the planted-separation unit pin."""
     s = LOGREG_SCALE
-    z = (
-        F.lit(w[0]).cast("bigint")
-        + F.lit(w[1]) * F.col("x1")
-        + F.lit(w[2]) * F.col("x2")
-        + F.lit(w[3]) * F.col("x3")
-    )
+    z = _logreg_z(w)
     rows = feat.withColumn("_z", z)
-    p = F.least(
-        F.lit(s).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.lit(s // 2) + F.expr("_z div 4"),
-        ),
-    )
+    p = _hard_sigmoid_p()
     return rows.withColumn(
-        "pred", (F.lit(2) * p > s).cast("int")
+        "pred", _hard_sigmoid_keep(p).cast("int")
     ).drop("_z")
 
 
@@ -273,21 +289,10 @@ def logreg_score_ledger(
             feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
         )[-1]
     )
-    z = (
-        F.lit(w[0]).cast("bigint")
-        + F.lit(w[1]) * F.col("x1")
-        + F.lit(w[2]) * F.col("x2")
-        + F.lit(w[3]) * F.col("x3")
-    )
+    z = _logreg_z(w)
     rows = feat.select(group_col, chars_col, z.alias("_z"))
-    p = F.least(
-        F.lit(s).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.lit(s // 2) + F.expr("_z div 4"),
-        ),
-    )
-    keep = (F.lit(2) * p > s).cast("bigint")
+    p = _hard_sigmoid_p()
+    keep = _hard_sigmoid_keep(p).cast("bigint")
     return (
         rows.select(group_col, chars_col, keep.alias("_k"))
         .groupBy(group_col)
@@ -342,22 +347,11 @@ def filter_agreement_ledger(
         feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
     )
     wv = w[-1]
-    z = (
-        F.lit(wv[0]).cast("bigint")
-        + F.lit(wv[1]) * F.col("x1")
-        + F.lit(wv[2]) * F.col("x2")
-        + F.lit(wv[3]) * F.col("x3")
-    )
-    p = F.least(
-        F.lit(s).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.lit(s // 2) + F.expr("_z div 4"),
-        ),
-    )
+    z = _logreg_z(wv)
+    p = _hard_sigmoid_p()
     clf = (
         feat.select(F.col(id_col).alias("_id"), z.alias("_z"))
-        .select("_id", (F.lit(2) * p > s).cast("int").alias("_kc"))
+        .select("_id", _hard_sigmoid_keep(p).cast("int").alias("_kc"))
     )
     lm = _xcorpus_doc_nll(
         _xcorpus_docs(df, text_col, id_col, group_col, ref_frac)
@@ -436,23 +430,12 @@ def logreg_holdout_eval(
         n_iter,
         lr_den,
     )[-1]
-    z = (
-        F.lit(w[0]).cast("bigint")
-        + F.lit(w[1]) * F.col("x1")
-        + F.lit(w[2]) * F.col("x2")
-        + F.lit(w[3]) * F.col("x3")
-    )
+    z = _logreg_z(w)
     rows = feat.filter(F.col("_ho")).select(
         group_col, "y", z.alias("_z")
     )
-    p = F.least(
-        F.lit(s).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.lit(s // 2) + F.expr("_z div 4"),
-        ),
-    )
-    pred = (F.lit(2) * p > s).cast("int")
+    p = _hard_sigmoid_p()
+    pred = _hard_sigmoid_keep(p).cast("int")
     rows = rows.select(group_col, "y", pred.alias("_pr"))
 
     def _n(cond) -> Column:

@@ -200,6 +200,32 @@ d35_bloom_gate, … — d25_psi_drift got its r11 row), then fill to
 and no further new entries. New entries displace the r7-tier fill,
 never the r6 tier.
 
+ROUND-12 ORDERING (this file, EXECUTING that plan): no round-12
+re-spells exist, so the window is exactly _NEW_R12 (slots 1–4, the
+only corpus entries with zero driver rows at window freeze), then
+the two entries built early this round — t49 interpolated
+Kneser–Ney perplexity (VERDICT r11 item 3) and m08 mel-filterbank
+audio features (item 5), both verified at 3 SFs + both regenerated
+synth fixtures before entering — in slots 5–6, displacing the
+plan's two r7-tier fill slots exactly as written ("new entries
+displace the r7-tier fill, never the r6 tier"), then the 44-entry
+r6-green tier _R6_TIER_R12 (slots 7–50, alphabetical
+d06_lsh_neardup_pipeline … z32_zarr_lz4_roundtrip, recomputed from
+the latest-row table over CORRECTNESS_r01–r11): 4 + 2 + 44 = 50.
+Entries built later in round 12 (the v32 three-filter agreement
+cube etc.) join _NEW_R13 at positions 51+ per the displacement
+rule and lead round 13.
+
+ROUND-13 ROTATION PLAN (written in round 12): head = any round-13
+re-spells, then _NEW_R13 (round-12 builds that landed after this
+window froze), then any further round-13 new entries, then the
+48-entry r7-green tier (alphabetical: d38_url_canonical,
+d40_substring_dedup, d41_crosslingual_align, d43_rag_chunk_overlap,
+d44_minhash_containment_est, r03_topk_per_group, …), then fill to
+50 from the r8-green tier head. With no re-spells and |_NEW_R13| =
+n new entries that is n + 48 + (2 − n) = 50; new entries displace
+the r8-tier fill, never the r7 tier.
+
 SESSION-CLOSE GATE (VERDICT r5 item 3, now standing doctrine):
 after ANY corpus edit run `python -m pytest tests/test_audit.py
 tests/test_dtypes.py tests/test_plans.py -q` (~3 min); at session
@@ -918,21 +944,93 @@ _NEW_R12: list[str] = [
     "v31_filter_agreement",  # NEW r11: LM-vs-classifier 2x2 agreement audit
 ]
 
-# First occurrence wins (dict.fromkeys dedup): ROUND-11 order
-# EXECUTES the plan round 10 wrote — the 6 never-driver-checked
-# _NEW_R11 lead (t43 carries its round-11 ADVICE re-spell), then
-# the 43-entry r5 tier, then the named r6-tier fill = 50 exactly.
-# _NEW_R12 (built after the window froze) queues at 51+, then the
-# remaining r6 tier — so the round-12 window is already written:
-# _NEW_R12 + 44-entry r6 tier + fill from the r7 tier = 50.
+# Brand-new round-12 entries (zero driver rows, built before this
+# round's window froze): per the written r12 plan they follow
+# _NEW_R12 and DISPLACE the two r7-tier fill slots, never the r6
+# tier — 4 + 2 + 44 = 50 exactly.
+_NEW_R12B: list[str] = [
+    "t49_kneser_ney_perplexity",  # NEW r12: interpolated-KN filter
+    "m08_mel_attest",  # NEW r12: mel-filterbank audio features
+]
+
+# The 44-entry r6-green tier (alphabetical), recomputed from the
+# latest-row table over CORRECTNESS_r01..r11 (every entry's latest
+# driver row is r6, all green): the round-12 window body.
+_R6_TIER_R12 = [
+    "d06_lsh_neardup_pipeline",
+    "d13_containment_pairs",
+    "d14_containment_anchored",
+    "d33_fuzzy_blocked",
+    "d35_bloom_gate",
+    "d37_prefix_jaccard",
+    "d39_oov_rate",
+    "r26_range_frame",
+    "r75_filtered_aggs",
+    "r76_try_arithmetic",
+    "r77_cohort_retention",
+    "r89_rfm_segments",
+    "r91_mom_growth",
+    "r92_pareto_abc",
+    "s15_transition_matrix",
+    "s16_user_ewma",
+    "s20_cusum_drift",
+    "t04_lang_id",
+    "t21_mad_outliers",
+    "t25_cms_heavy_hitters",
+    "t28_keywords",
+    "t29_ngram_novelty",
+    "v02_rp_lsh_ann",
+    "v06_pca_scores",
+    "v16_pagerank",
+    "v17_bitmap_distinct",
+    "v22_mmr_rerank",
+    "v24_retrieval_eval",
+    "v25_centroid_drift",
+    "z03_log1p",
+    "z04_exp_expm1",
+    "z05_row_sum_axis1",
+    "z07_scalar_broadcast",
+    "z10_bool_mask",
+    "z11_column_select",
+    "z12_var_std",
+    "z13_minmax_axis0",
+    "z14_minmax_axis1",
+    "z17_row_normalize",
+    "z18_any_all",
+    "z19_mean_axis1",
+    "z30_argminmax_axis0",
+    "z31_zarr_v3_roundtrip",
+    "z32_zarr_lz4_roundtrip",
+]
+
+# Entries built in round 12 AFTER the window composition froze:
+# they queue at positions 51+ and lead the round-13 window (the
+# standing overflow pattern).
+_NEW_R13: list[str] = []
+
+# First occurrence wins (dict.fromkeys dedup): ROUND-12 order
+# EXECUTES the plan round 11 wrote — the 4 never-driver-checked
+# _NEW_R12 lead (slots 1–4, the only corpus entries with zero
+# driver rows at window freeze), then the two round-12 builds
+# (slots 5–6, displacing the plan's two r7-tier fill slots — "new
+# entries displace the r7-tier fill, never the r6 tier"), then the
+# 44-entry r6-green tier (slots 7–50) = 50 exactly, no re-spells.
+# The round-13 window is already written: _NEW_R13 (round-12
+# builds after the freeze, currently empty) + the 48-entry
+# r7-green tier (alphabetical head: d38_url_canonical,
+# d40_substring_dedup, …) + fill to 50 from the r8-tier head; new
+# round-13 entries displace the r8 fill, never the r7 tier.
 # Everything below cycles behind.
 _PRIORITY = list(
     dict.fromkeys(
-        _NEW_R11  # r11 window head — zero driver rows, slots 1–6
-        + _R5_TIER_R11  # slots 7–49
-        + _R6_FILL_R11  # slot 50 (the plan's named d25 pick)
-        + _NEW_R12  # queued past slot 50 — r12's window head
-        + _NEW_R10  # r6 tier and later rounds' tiers follow
+        _NEW_R12  # r12 window head — zero driver rows, slots 1–4
+        + _NEW_R12B  # slots 5–6: round-12 builds (displace r7 fill)
+        + _R6_TIER_R12  # slots 7–50: the 44-entry r6-green tier
+        + _NEW_R13  # queued past slot 50 — r13's window head
+        + _NEW_R11  # r11 window (all green r11) cycles behind
+        + _R5_TIER_R11
+        + _R6_FILL_R11
+        + _NEW_R10
         + _R4_TIER_R10
         + _CHANGED_R9
         + _NEW_R9

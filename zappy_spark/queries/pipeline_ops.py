@@ -3688,6 +3688,29 @@ def v31(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m08(spark: SparkSession, d: str) -> DataFrame:
+    """Mel-filterbank audio features as a driver row (round 12,
+    VERDICT r11 item 5; operators/multimodal.py::mel_attest_features)
+    — the audio analog of m06's ViT patches: an exactly-integer,
+    exactly-bin-aligned two-tone signal rides the REAL wavlite
+    encoder AND decoder, is framed at 160 samples, FFT'd to a power
+    spectrum inside Arrow mapInPandas, and reduced with a 12-filter
+    HTK mel bank. The oracle replays the pure-tone closed forms in
+    SQL without touching bytes: Parseval pins specsum, single-bin
+    energy pins peak_bin/peak_power, and the measured mel-geometry
+    constants (filter 8, support 32–46, >=74% argmax margin) pin the
+    filterbank. Bounded instrument: 100 ids at any corpus size."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return (
+        multimodal.mel_attest_features(ids, "doc_id")
+        .orderBy("media_id")
+    )
+
+
 def t49(spark: SparkSession, d: str) -> DataFrame:
     """Interpolated Kneser–Ney perplexity filter (round 12, VERDICT
     r11 item 3; operators/text.py::kneser_ney_perplexity_ledger) —
@@ -3776,6 +3799,7 @@ QUERIES = {
     "t31_langid_confusion": t31,
     "m04_gif_attest": m04,
     "m05_wav_attest": m05,
+    "m08_mel_attest": m08,
     "t35_kappa_agreement": t35,
     "d48_epoch_shuffle": d48,
     "t36_quantile_sketch_attest": t36,
@@ -5369,6 +5393,30 @@ ORACLE = {
     # that are not frame boundaries, i.e. not multiples of
     # lcm(h,160)), energy = a^2 * active samples, active frames by
     # ceiling division. No series scan, no bytes.
+    # m08: the pure-tone closed forms — Parseval for the total
+    # spectral power, single-bin energy for the peak, and the
+    # measured mel-bank constants (filter 8, support bins 32..46,
+    # 12 filters) which the Spark side recomputes from decoded
+    # bytes + numpy FFT + the HTK filter geometry.
+    "m08_mel_attest": (
+        "WITH p AS (SELECT doc_id AS media_id, "
+        "1000 + 4*doc_id AS a, "
+        "doc_id % 2 AS odd, "
+        "(800 + (doc_id % 7) * 160) // 160 AS nf "
+        "FROM documents WHERE doc_id < 100) "
+        "SELECT media_id, CAST(nf AS BIGINT) n_frames, "
+        "CAST(CASE WHEN odd = 1 THEN 80 ELSE 40 END AS BIGINT) "
+        "peak_bin, "
+        "CAST(nf * CASE WHEN odd = 1 THEN 320*320*a*a "
+        "ELSE 80*80*a*a END AS BIGINT) peak_power, "
+        "CAST(nf * 160 * CASE WHEN odd = 1 THEN 720*a*a "
+        "ELSE 90*a*a END AS BIGINT) specsum, "
+        "CAST(12 AS BIGINT) mel_n_filters, "
+        "CAST(8 AS BIGINT) mel_argmax, "
+        "CAST(32 AS BIGINT) mel_lo, "
+        "CAST(46 AS BIGINT) mel_hi "
+        "FROM p ORDER BY media_id"
+    ),
     "m05_wav_attest": (
         "WITH p AS (SELECT doc_id AS media_id, "
         "4 + doc_id % 13 AS h, "

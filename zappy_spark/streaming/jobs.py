@@ -2306,3 +2306,95 @@ def ppl_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if per is None:
         raise ValueError(f"no ppl-ledger state at {state_path}")
     return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
+
+
+# ---- streaming twin of t48's fixed-model discounted ledger ----
+
+
+def absdisc_ledger_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 28.5,
+) -> None:
+    """One ``incremental_absdisc_state`` micro-batch: per source,
+    the additive keep/drop/short counters of the fixed-model
+    ABSOLUTE-DISCOUNTING perplexity filter (round 12, VERDICT r11
+    item 4 — the t46 deployment split applied to t48). The model is
+    the STORED two-table artifact (absdisc_fit_model -> parquet at
+    ``model_path``: one (kind, gram, c) table carrying both bigram
+    and unigram counts) — fixed for the life of the monitor (a
+    retrain writes a NEW model + state path), so the per-document
+    verdict depends only on the document and the counters are
+    exactly additive. The partial IS
+    operators/text.py::absdisc_ledger_with_model, so batch/stream
+    spelling drift is structurally impossible; redelivered batch
+    ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.text import absdisc_ledger_with_model
+
+    spark = batch_df.sparkSession
+    model = spark.read.parquet(model_path)
+    part = absdisc_ledger_with_model(
+        batch_df, "text", "doc_id", "source", model, ppl_cutoff
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _PPL_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_absdisc_state(
+    stream: DataFrame,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 28.5,
+) -> "Any":
+    """Streaming twin of t48's deploy side: the discounted-
+    perplexity drift monitor at a FIXED stored two-table model —
+    the estimator family production actually ships (t46's add-one
+    twin is the baseline sibling). Four integer counters per
+    source, mergeable forever, same MVCC rev-dir snapshot + replay
+    guard as the filter/stopword/kappa/piece-usage/ppl twins."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        absdisc_ledger_apply_batch(
+            batch_df, batch_id, state_path, model_path, ppl_cutoff
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def absdisc_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The fixed-model discounted-perplexity ledger over the
+    streaming-maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no absdisc-ledger state at {state_path}")
+    return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
