@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import duckdb
 
 from zappy_spark.canon import canon_cell
+from zappy_spark.ramcap import apply_duckdb_caps
 from zappy_spark.queries import ORACLE, QUERIES
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -42,19 +43,10 @@ def main() -> int:
 
     spark = get_session(app_name="check_queries")
     duck = duckdb.connect()
-    # same spill posture as scale_sweep.py: pointed at a big synth
-    # fixture, a heavy oracle twin should get slow, not OOM (the
-    # un-spilled t43 run died allocating at the 100x vocab agg).
-    # Cap at ~80% of physical RAM (round-11 ADVICE): a hardcoded
-    # 60GB above physical memory invites the OS OOM-killer, the
-    # opposite of the spill intent.
-    try:
-        page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-        cap_gb = max(1, min(60, int(page * 0.8 / 2**30)))
-    except (ValueError, OSError):
-        cap_gb = 4
-    duck.execute(f"SET memory_limit='{cap_gb}GB'")
-    duck.execute("SET temp_directory='/tmp/duck_spill'")
+    # shared cap + spill posture (zappy_spark/ramcap.py — one
+    # definition for this script and scale_sweep.py): a heavy
+    # oracle twin should get slow, not OOM.
+    apply_duckdb_caps(duck)
     for tbl in TABLES:
         p = f"{SF_DIR}/{tbl}.parquet"
         # Spark-written tables are directories of part files

@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import duckdb
 
 from tests.conftest import QUADRATIC_ORACLES
+from zappy_spark.ramcap import apply_duckdb_caps  # noqa: E402
 from zappy_spark.canon import canon_cell
 from zappy_spark.queries import ORACLE, QUERIES
 
@@ -71,21 +72,10 @@ def main() -> int:
         # spill so a heavy oracle gets slow, not OOM-killed (the
         # un-capped run died at 115 GB RSS inside d37's oracle).
         d = duckdb.connect()
-        # 60GB: some oracle operators (list aggregates, recursive
-        # CTE state) cannot spill, and several 100× twins need
-        # >24GB legitimately; the box holds 125GB with Spark's
-        # driver capped at 16GB, so 60GB still leaves the OOM
-        # killer out of reach. On smaller hosts cap at ~80% of
-        # physical RAM instead (round-11 ADVICE on the
-        # check_queries twin of this setting).
-        try:
-            page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            cap_gb = max(1, min(60, int(page * 0.8 / 2**30)))
-        except (ValueError, OSError):
-            cap_gb = 4
-        d.execute(f"SET memory_limit='{cap_gb}GB'")
-        d.execute("SET threads=8")
-        d.execute("SET temp_directory='/tmp/duck_spill'")
+        # shared cap + spill posture (zappy_spark/ramcap.py — one
+        # definition for this script and check_queries.py; the
+        # policy rationale lives there)
+        apply_duckdb_caps(d, threads=8)
         for tbl in TABLES:
             p = f"{SF_DIR}/{tbl}.parquet"
             src = f"{p}/*.parquet" if os.path.isdir(p) else p

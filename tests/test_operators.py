@@ -4506,6 +4506,36 @@ def test_unigram_segment_concat_identity(spark):
     assert got["abab"] == ["ab", "ab"]
 
 
+def test_unigram_viterbi_word_length_cap(spark):
+    """Round-12 ADVICE: the DP's best-cost array grows by up to one
+    UNIGRAM_INF per character, so words past UNIGRAM_MAX_WORD_LEN
+    would overflow BIGINT — the cap must RAISE loudly (not wrap),
+    while a long-but-in-bounds all-missing word still segments with
+    the concat identity intact."""
+    import pytest
+
+    from zappy_spark.operators.text import (
+        UNIGRAM_MAX_WORD_LEN,
+        _unigram_costs,
+        unigram_segment,
+    )
+
+    costs = _unigram_costs({"a": 5, "b": 3, "ab": 9})
+    ok_word = "z" * 300  # every char off-table: 300 stacked INFs
+    rows = unigram_segment(
+        spark.createDataFrame([(f"ab {ok_word}",)], ["text"]),
+        "text", costs, max_piece_len=2,
+    ).collect()
+    got = {r["word"]: list(r["pieces"]) for r in rows}
+    assert "".join(got[ok_word]) == ok_word
+    too_long = "z" * (UNIGRAM_MAX_WORD_LEN + 1)
+    with pytest.raises(Exception, match="UNIGRAM_MAX_WORD_LEN"):
+        unigram_segment(
+            spark.createDataFrame([(too_long,)], ["text"]),
+            "text", costs, max_piece_len=2,
+        ).collect()
+
+
 def test_unigram_lm_cost_formula_twin(spark):
     """cost_next must equal the Python fixed-point twin recomputed
     from the SAME integer counts — pinning the M-step spelling the
@@ -4617,6 +4647,75 @@ def test_absdisc_perplexity_cutoff_margin(spark):
         f"SELECT MIN(ABS(nll - {cut!r})) FROM sc"
     ).fetchone()[0]
     assert margin > 1e-6, f"doc too close to t48 cutoff: {margin}"
+
+
+def test_filter_agreement_cube_marginals(spark):
+    """v32's accounting pins: (1) the eight cube cells partition
+    the scored set per source; (2) collapsing the kn axis
+    reproduces v31's 2x2 grid exactly (same classifier, same t46
+    verdicts — the cube is a strict refinement); (3) collapsing
+    clf+lm reproduces t49's per-source (n_keep, n_drop) on the
+    scored population."""
+    from zappy_spark.operators.text import (
+        T46_PARAMS,
+        T49_PARAMS,
+        kneser_ney_perplexity_ledger,
+    )
+    from zappy_spark.operators.training import (
+        filter_agreement_cube,
+        filter_agreement_ledger,
+    )
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cube = {
+        r["source"]: r
+        for r in filter_agreement_cube(
+            docs, "text", "doc_id", "source",
+            ref_frac=T46_PARAMS["ref_frac"],
+            cutoff_lm=T46_PARAMS["ppl_cutoff"],
+            cutoff_kn=T49_PARAMS["ppl_cutoff"],
+        ).collect()
+    }
+    cells = [
+        "n_kkk", "n_kkd", "n_kdk", "n_kdd",
+        "n_dkk", "n_dkd", "n_ddk", "n_ddd",
+    ]
+    assert len(cube) > 0
+    for r in cube.values():
+        assert sum(r[c] for c in cells) == r["n_scored"]
+    grid = {
+        r["source"]: r
+        for r in filter_agreement_ledger(
+            docs, "text", "doc_id", "source",
+            ref_frac=T46_PARAMS["ref_frac"],
+            ppl_cutoff=T46_PARAMS["ppl_cutoff"],
+        ).collect()
+    }
+    for src, r in cube.items():
+        g = grid[src]
+        assert r["n_scored"] == g["n_scored"]
+        # cube order is (clf, lm, kn); v31's grid is (lm, clf)
+        assert r["n_kkk"] + r["n_kkd"] == g["n_both_keep"]
+        assert r["n_dkk"] + r["n_dkd"] == g["n_lm_only"]
+        assert r["n_kdk"] + r["n_kdd"] == g["n_clf_only"]
+        assert r["n_ddk"] + r["n_ddd"] == g["n_both_drop"]
+    kn = {
+        r["source"]: r
+        for r in kneser_ney_perplexity_ledger(
+            docs, "text", "doc_id", "source",
+            ref_frac=T49_PARAMS["ref_frac"],
+            ppl_cutoff=T49_PARAMS["ppl_cutoff"],
+        ).collect()
+    }
+    for src, r in cube.items():
+        k = kn[src]
+        assert r["n_kkk"] + r["n_kdk"] + r["n_dkk"] + r["n_ddk"] == (
+            k["n_keep"]
+        )
+        assert r["n_kkd"] + r["n_kdd"] + r["n_dkd"] + r["n_ddd"] == (
+            k["n_drop"]
+        )
 
 
 def test_absdisc_fixed_model_matches_t48_on_eval_slice(spark):

@@ -1088,6 +1088,35 @@ def xcorpus_perplexity_ledger(
     )
 
 
+def _xcorpus_docs_ws(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float,
+) -> "DataFrame":
+    """t48/t49's base frame: ``_xcorpus_docs`` plus the raw token
+    array ``_ws`` (the discounted estimators also need unigram /
+    vocabulary counts, which the add-one chain derives from
+    contexts instead) — one scan-side select, shared by both
+    in-one-pass ledgers and the v32 agreement cube."""
+    from zappy_spark.operators.dedup import word_shingles
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
+        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+            "_ws"
+        ),
+    )
+
+
 def _positive_or_raise(col, what: str):
     """Lazy degenerate-case guard (round-12 ADVICE): pass the model
     size through when positive, raise loudly when the trained
@@ -1324,22 +1353,8 @@ def absdisc_perplexity_ledger(
     Returns (group, n_ref, n_eval, n_short, n_keep, n_drop)."""
     import math
 
-    from zappy_spark.operators.dedup import word_shingles
-    from zappy_spark.operators.sampling import (
-        _hash_key,
-        sample_threshold,
-    )
-
     lncut = math.log(ppl_cutoff)
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_grp"),
-        (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
-        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
-            "_ws"
-        ),
-    )
+    docs = _xcorpus_docs_ws(df, text_col, id_col, group_col, ref_frac)
     cnt = (
         docs.select("_id", "_grp", "_ref", F.explode("_gs").alias("_g"))
         .groupBy("_id", "_grp", "_ref", "_g")
@@ -1620,22 +1635,29 @@ def kneser_ney_perplexity_ledger(
     Returns (group, n_ref, n_eval, n_short, n_keep, n_drop)."""
     import math
 
-    from zappy_spark.operators.dedup import word_shingles
-    from zappy_spark.operators.sampling import (
-        _hash_key,
-        sample_threshold,
+    lncut = math.log(ppl_cutoff)
+    docs = _xcorpus_docs_ws(df, text_col, id_col, group_col, ref_frac)
+    sc = _kn_doc_nll(docs)
+    counts = docs.groupBy("_grp").agg(
+        F.sum(F.col("_ref").cast("bigint")).alias("n_ref"),
+        F.sum((~F.col("_ref")).cast("bigint")).alias("n_eval"),
+        F.sum(
+            ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
+        ).alias("n_short"),
+    )
+    return _keep_drop_ledger(
+        counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
     )
 
-    lncut = math.log(ppl_cutoff)
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_grp"),
-        (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
-        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
-            "_ws"
-        ),
-    )
+
+def _kn_doc_nll(docs: "DataFrame") -> "DataFrame":
+    """t49's per-document scores: (_id, _grp, _nll) over the
+    NON-reference slice under the reference-only interpolated-KN
+    bigram LM (exact BIGINT model / context / continuation /
+    vocabulary counts; continuation distribution p_c = (N1+(.w2)+1)
+    / (N1+(..)+V) with the V=0 degenerate guard; unseen context ->
+    p_c entirely). Shared verbatim by the t49 ledger and the v32
+    three-filter agreement cube — one definition, zero drift."""
     cnt = (
         docs.select("_id", "_grp", "_ref", F.explode("_gs").alias("_g"))
         .groupBy("_id", "_grp", "_ref", "_g")
@@ -1683,7 +1705,7 @@ def kneser_ney_perplexity_ledger(
         )
         / F.col("_cc")
     )
-    sc = (
+    return (
         cnt.filter(~F.col("_ref"))
         .withColumn("_w1", F.split("_g", " ").getItem(0))
         .withColumn("_w2", F.split("_g", " ").getItem(1))
@@ -1695,16 +1717,6 @@ def kneser_ney_perplexity_ledger(
         .agg(
             ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")
         )
-    )
-    counts = docs.groupBy("_grp").agg(
-        F.sum(F.col("_ref").cast("bigint")).alias("n_ref"),
-        F.sum((~F.col("_ref")).cast("bigint")).alias("n_eval"),
-        F.sum(
-            ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
-        ).alias("n_short"),
-    )
-    return _keep_drop_ledger(
-        counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
     )
 
 
@@ -2275,8 +2287,21 @@ def decode_token_ids(
 # whole E-step trajectory is a deterministic integer sequence.
 UNIGRAM_SCALE = 1_000_000
 # Large enough that any path through a missing piece loses to any
-# real path, small enough that 64 stacked INFs stay inside BIGINT.
+# real path, small enough that stacked INFs stay inside BIGINT up
+# to the enforced word-length cap below.
 UNIGRAM_INF = 10**15
+
+# int64 safety bound (round-12 ADVICE — previously a comment's
+# unenforced "64 stacked INFs" claim): the DP's best-cost array
+# grows by at most one UNIGRAM_INF (+ one real piece cost) per
+# character, so best[n] <= n·(1e15 + ~2e7); at 4096 characters
+# that is ~4.1e18, safely inside int64's 9.22e18, while 9300+
+# all-missing characters would overflow. _viterbi_pieces RAISES on
+# longer words (the loud-rejection doctrine) — a 4 KB single word
+# is corpus garbage upstream filters should have dropped, and a
+# silent wrong cost is the one outcome the exact-integer DP
+# contract cannot absorb.
+UNIGRAM_MAX_WORD_LEN = 4096
 
 
 def _viterbi_pieces(
@@ -2297,7 +2322,22 @@ def _viterbi_pieces(
             F.element_at(cmap, F.substring(word, start_1idx, ln)), inf
         )
 
-    n = F.length(word)
+    # enforced int64 bound (see UNIGRAM_MAX_WORD_LEN): raise before
+    # the DP rather than overflow inside it
+    n = F.when(
+        F.length(word) <= F.lit(UNIGRAM_MAX_WORD_LEN), F.length(word)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "unigram Viterbi: word exceeds "
+                    f"UNIGRAM_MAX_WORD_LEN={UNIGRAM_MAX_WORD_LEN} "
+                    "(BIGINT best-cost overflow bound); length="
+                ),
+                F.length(word).cast("string"),
+            )
+        )
+    )
     best = F.aggregate(
         F.sequence(F.lit(1), n),
         F.array(F.lit(0).cast("bigint")),

@@ -392,6 +392,111 @@ def filter_agreement_ledger(
     )
 
 
+def filter_agreement_cube(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float = 0.25,
+    cutoff_lm: float = 30.5,
+    cutoff_kn: float = 45.5,
+    n_iter: int = 8,
+    lr_den: int = 2,
+) -> DataFrame:
+    """Three-filter agreement audit (round 12, VERDICT r11 item 6 —
+    the decision artifact that picks WHICH perplexity family drives
+    mixture weights once three filters are deployed): the v28
+    trained logistic classifier, the t46 add-one LM, and the t49
+    interpolated-KN LM each verdict every document both LMs score
+    (the shared md5-keyed non-reference slice — identical for both
+    since ref_frac is shared); output = the per-source 2x2x2 cube
+    (group, n_scored, n_kkk … n_ddd; cell order clf, lm, kn;
+    k=keep, d=drop), all exact BIGINTs. A large n_kdk/n_kkd face
+    means the two smoothing families disagree on that source — the
+    signal that the backoff distribution (raw frequency vs
+    continuation counts) matters there, exactly what the 'San
+    Francisco' unit pin demonstrates at document scale.
+
+    Zero re-spelling: the classifier verdict is the shared
+    ``_logreg_z``/``_hard_sigmoid_keep`` chain, the LM scores are
+    ``_xcorpus_doc_nll`` and ``_kn_doc_nll`` verbatim (the same
+    helpers t46/t49 build their ledgers from), and the oracle
+    concatenates the logistic-GD prefix with the VERBATIM
+    ``_t46_chain`` and ``_t49_chain``. The only doc-keyed ops are
+    two narrow (id, verdict) equi-joins — both sides 2–3 column
+    frames hash-partitioned on the id."""
+    import math
+
+    from zappy_spark.operators.text import (
+        _kn_doc_nll,
+        _xcorpus_doc_nll,
+        _xcorpus_docs,
+        _xcorpus_docs_ws,
+    )
+
+    feat = logreg_features(df, text_col, extra=(id_col,))
+    w = logreg_fit_weights(
+        feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+    )
+    z = _logreg_z(w[-1])
+    p = _hard_sigmoid_p()
+    clf = (
+        feat.select(F.col(id_col).alias("_id"), z.alias("_z"))
+        .select("_id", _hard_sigmoid_keep(p).cast("int").alias("_kc"))
+    )
+    lm = _xcorpus_doc_nll(
+        _xcorpus_docs(df, text_col, id_col, group_col, ref_frac)
+    ).select(
+        "_id",
+        "_grp",
+        (F.col("_nll") < F.lit(math.log(cutoff_lm)))
+        .cast("int")
+        .alias("_kl"),
+    )
+    kn = _kn_doc_nll(
+        _xcorpus_docs_ws(df, text_col, id_col, group_col, ref_frac)
+    ).select(
+        "_id",
+        (F.col("_nll") < F.lit(math.log(cutoff_kn)))
+        .cast("int")
+        .alias("_kk"),
+    )
+    cube = lm.join(kn, "_id").join(clf, "_id")
+
+    def _n(c: int, l: int, k: int) -> Column:
+        cond = (
+            (F.col("_kc") == c) & (F.col("_kl") == l) & (F.col("_kk") == k)
+        )
+        return F.sum(cond.cast("bigint"))
+
+    cells = [
+        (name, c, l, k)
+        for name, c, l, k in (
+            ("n_kkk", 1, 1, 1),
+            ("n_kkd", 1, 1, 0),
+            ("n_kdk", 1, 0, 1),
+            ("n_kdd", 1, 0, 0),
+            ("n_dkk", 0, 1, 1),
+            ("n_dkd", 0, 1, 0),
+            ("n_ddk", 0, 0, 1),
+            ("n_ddd", 0, 0, 0),
+        )
+    ]
+    return (
+        cube.groupBy("_grp")
+        .agg(
+            F.count("*").alias("n_scored"),
+            *[_n(c, l, k).alias(name) for name, c, l, k in cells],
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_scored",
+            *[name for name, _, _, _ in cells],
+        )
+        .orderBy(group_col)
+    )
+
+
 def logreg_holdout_eval(
     df: DataFrame,
     text_col: str,

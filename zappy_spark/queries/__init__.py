@@ -1006,7 +1006,9 @@ _R6_TIER_R12 = [
 # Entries built in round 12 AFTER the window composition froze:
 # they queue at positions 51+ and lead the round-13 window (the
 # standing overflow pattern).
-_NEW_R13: list[str] = []
+_NEW_R13: list[str] = [
+    "v32_filter_agreement_cube",  # NEW r12: clf x t46 x t49 cube
+]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order
 # EXECUTES the plan round 11 wrote — the 4 never-driver-checked

@@ -3740,6 +3740,27 @@ def t49(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def v32(spark: SparkSession, d: str) -> DataFrame:
+    """Three-filter agreement cube (round 12, VERDICT r11 item 6;
+    operators/training.py::filter_agreement_cube): the v28 trained
+    classifier, the t46 add-one LM, and the t49 interpolated-KN LM
+    each verdict every LM-scored document; output = the per-source
+    2x2x2 cube (cell order clf/lm/kn, k=keep d=drop) — the artifact
+    that decides WHICH perplexity family drives mixture weights.
+    Zero re-spelling: Spark side reuses the shared verdict/nll
+    helpers, the oracle concatenates the logistic-GD prefix with
+    the VERBATIM _t46_chain and _t49_chain."""
+    from zappy_spark.operators.text import T46_PARAMS, T49_PARAMS
+    from zappy_spark.operators.training import filter_agreement_cube
+
+    return filter_agreement_cube(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        ref_frac=T46_PARAMS["ref_frac"],
+        cutoff_lm=T46_PARAMS["ppl_cutoff"],
+        cutoff_kn=T49_PARAMS["ppl_cutoff"],
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3825,6 +3846,7 @@ QUERIES = {
     "t48_absdisc_perplexity": t48,
     "t49_kneser_ney_perplexity": t49,
     "v31_filter_agreement": v31,
+    "v32_filter_agreement_cube": v32,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4857,63 +4879,80 @@ def _t48_oracle() -> str:
     )
 
 
-def _t49_oracle() -> str:
-    """Interpolated Kneser–Ney perplexity replay (t49): the t48 CTE
-    prefix with the backoff distribution switched to continuation
-    counts — cont = N1+(·w2) = COUNT(*) per w2 over the deduped
-    model table, bt = N1+(··) = COUNT(*) of the model, vu = the
-    reference unigram vocabulary (COUNT DISTINCT) — and the
-    interpolated-KN probability in the SAME operator order as the
-    Spark expression; every model CTE reads WHERE is_ref —
-    structural isolation."""
+def _t49_chain() -> str:
+    """The t49 CTE chain (d9 → … → sc9), WITHOUT the leading WITH —
+    reused verbatim by the t49 oracle and the v32 agreement-cube
+    oracle (one definition, zero drift; CTE names carry a 9 suffix
+    so the chain composes with _t46_chain and the logistic-GD
+    prefix in one statement): tokenize + md5 ref flag, bigram
+    counts, the ref-only model with context totals/continuation
+    funding N1+(w1·), the continuation counts N1+(·w2), the
+    reference vocabulary, and the per-document interpolated-KN NLL
+    over the non-ref slice in the SAME operator order as the Spark
+    expression."""
     import math
 
     from zappy_spark.operators.sampling import sample_threshold
     from zappy_spark.operators.text import T49_PARAMS
 
     thr = sample_threshold(T49_PARAMS["ref_frac"])
-    cut = repr(math.log(T49_PARAMS["ppl_cutoff"]))
     pc = "((COALESCE(cw2, 0) + 1.0) / (bt + vu))"
     return (
-        "WITH d AS (SELECT doc_id, source, "
+        "d9 AS (SELECT doc_id, source, "
         "list_filter(string_split(text, ' '), x -> x <> '') tks, "
         "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
         f"< '{thr}') is_ref FROM documents), "
-        "n AS (SELECT doc_id, source, is_ref, tks, "
+        "n9 AS (SELECT doc_id, source, is_ref, tks, "
         "unnest(generate_series(1, len(tks) - 1)) i "
-        "FROM d WHERE len(tks) >= 2), "
-        "bg AS (SELECT doc_id, source, is_ref, "
-        "tks[i] || ' ' || tks[i+1] g FROM n), "
-        "cnt AS (SELECT doc_id, source, is_ref, g, COUNT(*) c "
-        "FROM bg GROUP BY ALL), "
-        "model AS (SELECT g, SUM(c) bc FROM cnt WHERE is_ref "
+        "FROM d9 WHERE len(tks) >= 2), "
+        "bg9 AS (SELECT doc_id, source, is_ref, "
+        "tks[i] || ' ' || tks[i+1] g FROM n9), "
+        "cnt9 AS (SELECT doc_id, source, is_ref, g, COUNT(*) c "
+        "FROM bg9 GROUP BY ALL), "
+        "model9 AS (SELECT g, SUM(c) bc FROM cnt9 WHERE is_ref "
         "GROUP BY 1), "
-        "ctx AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc, "
-        "COUNT(*) n1p FROM model GROUP BY 1), "
-        "cont AS (SELECT string_split(g, ' ')[2] w2, COUNT(*) cw2 "
-        "FROM model GROUP BY 1), "
-        "toks AS (SELECT unnest(tks) w FROM d WHERE is_ref), "
-        "uv AS (SELECT COUNT(DISTINCT w) vu FROM toks), "
-        "btc AS (SELECT COUNT(*) bt FROM model), "
-        "sc AS (SELECT doc_id, source, "
+        "ctx9 AS (SELECT string_split(g, ' ')[1] w1, SUM(bc) cc, "
+        "COUNT(*) n1p FROM model9 GROUP BY 1), "
+        "cont9 AS (SELECT string_split(g, ' ')[2] w2, COUNT(*) cw2 "
+        "FROM model9 GROUP BY 1), "
+        "toks9 AS (SELECT unnest(tks) w FROM d9 WHERE is_ref), "
+        "uv9 AS (SELECT COUNT(DISTINCT w) vu FROM toks9), "
+        "btc9 AS (SELECT COUNT(*) bt FROM model9), "
+        "sc9 AS (SELECT doc_id, source, "
         "-SUM(c * ln(CASE WHEN cc IS NULL THEN "
         f"{pc} "
         "ELSE (GREATEST(COALESCE(bc, 0) - 0.75, 0.0) + "
         f"0.75 * n1p * {pc}) / cc END)) / SUM(c) nll "
-        "FROM cnt LEFT JOIN model USING (g) "
-        "LEFT JOIN ctx ON string_split(cnt.g, ' ')[1] = ctx.w1 "
-        "LEFT JOIN cont ON string_split(cnt.g, ' ')[2] = cont.w2 "
-        "CROSS JOIN uv CROSS JOIN btc "
-        "WHERE NOT is_ref GROUP BY 1, 2), "
-        "counts AS (SELECT source, "
+        "FROM cnt9 LEFT JOIN model9 USING (g) "
+        "LEFT JOIN ctx9 ON string_split(cnt9.g, ' ')[1] = ctx9.w1 "
+        "LEFT JOIN cont9 ON string_split(cnt9.g, ' ')[2] = cont9.w2 "
+        "CROSS JOIN uv9 CROSS JOIN btc9 "
+        "WHERE NOT is_ref GROUP BY 1, 2)"
+    )
+
+
+def _t49_oracle() -> str:
+    """Interpolated Kneser–Ney perplexity replay (t49): the shared
+    _t49_chain (the same string the v32 cube oracle embeds) plus
+    the per-source keep/drop ledger at the calibrated cutoff;
+    every model CTE reads WHERE is_ref — structural isolation."""
+    import math
+
+    from zappy_spark.operators.text import T49_PARAMS
+
+    cut = repr(math.log(T49_PARAMS["ppl_cutoff"]))
+    return (
+        "WITH "
+        + _t49_chain()
+        + ", counts AS (SELECT source, "
         "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) n_ref, "
         "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) n_eval, "
         "SUM(CASE WHEN NOT is_ref AND len(tks) < 2 THEN 1 ELSE 0 END) "
-        "n_short FROM d GROUP BY 1), "
+        "n_short FROM d9 GROUP BY 1), "
         "scored AS (SELECT source, "
         f"SUM(CASE WHEN nll < {cut} THEN 1 ELSE 0 END) nk, "
         f"SUM(CASE WHEN nll >= {cut} THEN 1 ELSE 0 END) nd "
-        "FROM sc GROUP BY 1) "
+        "FROM sc9 GROUP BY 1) "
         "SELECT counts.source, CAST(n_ref AS BIGINT) n_ref, "
         "CAST(n_eval AS BIGINT) n_eval, "
         "CAST(n_short AS BIGINT) n_short, "
@@ -4921,6 +4960,57 @@ def _t49_oracle() -> str:
         "CAST(COALESCE(nd, 0) AS BIGINT) n_drop "
         "FROM counts LEFT JOIN scored ON counts.source = scored.source "
         "ORDER BY counts.source"
+    )
+
+
+def _v32_oracle(k: int = 8, lr_den: int = 2) -> str:
+    """Three-filter agreement-cube replay (v32): the logistic-GD
+    prefix + the VERBATIM _t46_chain + the VERBATIM _t49_chain
+    (each one definition, shared with its own oracle — zero
+    re-spelling), then the 2x2x2 cube over the two narrow verdict
+    joins. Cell order (clf, lm46, kn49), k=keep, d=drop."""
+    import math
+
+    from zappy_spark.operators.text import T46_PARAMS, T49_PARAMS
+
+    s = 1_000_000
+    cut46 = repr(math.log(T46_PARAMS["ppl_cutoff"]))
+    cut49 = repr(math.log(T49_PARAMS["ppl_cutoff"]))
+    cells = []
+    for name, c, l, kk in (
+        ("n_kkk", 1, 1, 1),
+        ("n_kkd", 1, 1, 0),
+        ("n_kdk", 1, 0, 1),
+        ("n_kdd", 1, 0, 0),
+        ("n_dkk", 0, 1, 1),
+        ("n_dkd", 0, 1, 0),
+        ("n_ddk", 0, 0, 1),
+        ("n_ddd", 0, 0, 0),
+    ):
+        cells.append(
+            f"CAST(SUM(CASE WHEN kc = {c} AND kl = {l} AND kk = {kk} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) {name}"
+        )
+    return (
+        _logreg_ctes(k, lr_den, extra="doc_id, source, ")
+        + ", "
+        + _t46_chain()
+        + ", "
+        + _t49_chain()
+        + ", ev AS (SELECT doc_id, "
+        f"CASE WHEN 2 * LEAST({s}, GREATEST(0, {s // 2} + "
+        "(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) "
+        f"> {s} THEN 1 ELSE 0 END kc "
+        f"FROM f, i{k}), "
+        f"lm AS (SELECT doc_id, source, CASE WHEN nll < {cut46} "
+        "THEN 1 ELSE 0 END kl FROM sc), "
+        f"knv AS (SELECT doc_id, CASE WHEN nll < {cut49} "
+        "THEN 1 ELSE 0 END kk FROM sc9) "
+        "SELECT lm.source, CAST(COUNT(*) AS BIGINT) n_scored, "
+        + ", ".join(cells)
+        + " FROM lm JOIN knv ON lm.doc_id = knv.doc_id "
+        "JOIN ev ON lm.doc_id = ev.doc_id "
+        "GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -5375,6 +5465,7 @@ ORACLE = {
     "t47_unigram_lm_tokenizer": _t47_oracle(),
     "t48_absdisc_perplexity": _t48_oracle(),
     "t49_kneser_ney_perplexity": _t49_oracle(),
+    "v32_filter_agreement_cube": _v32_oracle(),
     "v31_filter_agreement": _v31_oracle(),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
