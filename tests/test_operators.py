@@ -4762,6 +4762,47 @@ def test_absdisc_fixed_model_matches_t48_on_eval_slice(spark):
     assert got == want and len(got) > 0
 
 
+def test_kn_fixed_model_matches_t49_on_eval_slice(spark):
+    """t49's train/deploy split must be CONSISTENT — and it shares
+    its stored artifact with t48 (ONE (kind, gram, c) parquet, two
+    estimator families): scoring the non-reference slice with the
+    stored model via kn_ledger_with_model must reproduce t49's
+    in-one-pass (n_keep, n_drop, n_short) per source exactly."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.text import (
+        T49_PARAMS,
+        absdisc_fit_model,
+        kn_ledger_with_model,
+        kneser_ney_perplexity_ledger,
+    )
+    from zappy_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frac = T49_PARAMS["ref_frac"]
+    cut = T49_PARAMS["ppl_cutoff"]
+    model = absdisc_fit_model(docs, "text", "doc_id", ref_frac=frac)
+    ev = docs.filter(
+        ~(_hash_key("doc_id") < sample_threshold(frac))
+    )
+    got = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["n_short"])
+        for r in kn_ledger_with_model(
+            ev, "text", "doc_id", "source", model, ppl_cutoff=cut
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["n_short"])
+        for r in kneser_ney_perplexity_ledger(
+            docs, "text", "doc_id", "source",
+            ref_frac=frac, ppl_cutoff=cut,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_kneser_ney_planted_separation(spark):
     """t49's planted pin (the t46/t48 shape under interpolated KN):
     in-pattern eval docs keep near-ML discounted probability

@@ -1580,6 +1580,52 @@ def test_incremental_absdisc_ledger_equals_batch(spark, tmp_path):
     assert _rows(jobs.absdisc_from_state(spark, state), *cols) == got
 
 
+def test_incremental_kn_ledger_equals_batch(spark, tmp_path):
+    """Round 12: the documents changelog drained through
+    incremental_kn_state (t49's deploy side at the SAME stored
+    artifact the absdisc twin uses) must equal the batch
+    fixed-model KN ledger EXACTLY; replay guard: re-applying the
+    last batch id is a no-op."""
+    from zappy_spark.operators.text import (
+        T49_PARAMS,
+        absdisc_fit_model,
+        kn_ledger_with_model,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    model_path = str(tmp_path / "kn_model")
+    absdisc_fit_model(
+        docs, "text", "doc_id", ref_frac=T49_PARAMS["ref_frac"]
+    ).write.parquet(model_path)
+
+    replay = str(tmp_path / "docs_replay_kn")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "kn_state")
+    q = jobs.incremental_kn_state(
+        jobs.stream_events(spark, replay), state, model_path,
+        ppl_cutoff=T49_PARAMS["ppl_cutoff"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "n_docs", "n_short", "n_keep", "n_drop")
+    got = _rows(jobs.kn_from_state(spark, state), *cols)
+    batch = _rows(
+        kn_ledger_with_model(
+            docs, "text", "doc_id", "source",
+            spark.read.parquet(model_path),
+            ppl_cutoff=T49_PARAMS["ppl_cutoff"],
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.kn_ledger_apply_batch(
+        docs.limit(10), rev, state, model_path
+    )
+    assert _rows(jobs.kn_from_state(spark, state), *cols) == got
+
+
 def test_incremental_ppl_ledger_equals_batch(spark, tmp_path):
     """Round 11: the documents changelog drained through
     incremental_ppl_state (t46's deploy side at a FIXED stored

@@ -1563,6 +1563,108 @@ def absdisc_ledger_with_model(
     )
 
 
+def kn_ledger_with_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    model: DataFrame,
+    ppl_cutoff: float = 45.5,
+) -> DataFrame:
+    """Score EVERY document against a FIXED stored model under
+    INTERPOLATED KNESER–NEY smoothing (the deployment half of t49 —
+    round 12): the artifact is the SAME (kind, gram, c) table
+    ``absdisc_fit_model`` writes — bigram counts give the contexts
+    (c(w1·), N1+(w1·)), the continuation counts (N1+(·w2)), and the
+    bigram-type total N1+(··); unigram rows give V — so ONE stored
+    artifact serves BOTH discounted estimator families, and
+    switching families is a scoring-time decision, not a retrain.
+    Per-group keep/drop ledger (group, n_docs, n_short, n_keep,
+    n_drop), all exact BIGINTs; verdicts depend only on the
+    document and the fixed artifact, so the counters are ADDITIVE —
+    the streaming drift monitor's micro-batch partial IS this
+    operator.
+
+    The probability is t49's spelling exactly — p_c = (cw2+1)/
+    (bt+V), p = (max(bc−0.75, 0) + 0.75·N1+(w1)·p_c)/cc, full
+    backoff to p_c on unseen contexts — with every model quantity
+    re-derived from the stored rows by bounded aggregates; the V=0
+    degenerate guard raises loudly."""
+    import math
+
+    from zappy_spark.operators.dedup import word_shingles
+
+    lncut = math.log(ppl_cutoff)
+    docs = df.select(
+        F.col(group_col).alias("_grp"),
+        word_shingles(F.col(text_col), 2, filter_empty=True).alias("_gs"),
+        F.col(id_col).alias("_rid"),
+    )
+    bgm = model.filter(F.col("kind") == "bg").select(
+        F.col("gram").alias("_g"), F.col("c").alias("_bc")
+    )
+    ctx = bgm.groupBy(
+        F.split("_g", " ").getItem(0).alias("_w1")
+    ).agg(
+        F.sum("_bc").alias("_cc"),
+        F.count("*").cast("bigint").alias("_n1p"),
+    )
+    cont = bgm.groupBy(
+        F.split("_g", " ").getItem(1).alias("_w2")
+    ).agg(F.count("*").cast("bigint").alias("_cw2"))
+    vocab = (
+        model.filter(F.col("kind") == "ug")
+        .agg(F.count("*").cast("bigint").alias("_vu"))
+    )
+    bv = (
+        bgm.agg(F.count("*").cast("bigint").alias("_bt"))
+        .crossJoin(vocab)
+        .select(
+            "_bt",
+            _positive_or_raise(F.col("_vu"), "kn_ledger_with_model").alias(
+                "_vu"
+            ),
+        )
+    )
+    cnt = (
+        docs.select("_rid", "_grp", F.explode("_gs").alias("_g"))
+        .groupBy("_rid", "_grp", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    pc = (F.coalesce(F.col("_cw2"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_bt") + F.col("_vu")
+    )
+    p = F.when(F.col("_cc").isNull(), pc).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_bc"), F.lit(0)) - F.lit(0.75),
+                F.lit(0.0),
+            )
+            + F.lit(0.75) * F.col("_n1p") * pc
+        )
+        / F.col("_cc")
+    )
+    sc = (
+        cnt.withColumn("_w1", F.split("_g", " ").getItem(0))
+        .withColumn("_w2", F.split("_g", " ").getItem(1))
+        .join(bgm, "_g", "left")
+        .join(ctx, "_w1", "left")
+        .join(cont, "_w2", "left")
+        .crossJoin(F.broadcast(bv))
+        .groupBy("_rid", "_grp")
+        .agg(
+            ((-F.sum(F.col("_c") * F.log(p))) / F.sum("_c")).alias("_nll")
+        )
+    )
+    base = docs.groupBy("_grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.size("_gs") == 0).cast("bigint")).alias("n_short"),
+    )
+    return _keep_drop_ledger(
+        base, sc, group_col, lncut, ["n_docs", "n_short"]
+    )
+
+
 # t49 interpolated Kneser–Ney perplexity filter: shared parameters
 # (the T46/T48 precedent — one definition for the operator default,
 # the corpus entry, its oracle, and the margin pin). D is the

@@ -2398,3 +2398,94 @@ def absdisc_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if per is None:
         raise ValueError(f"no absdisc-ledger state at {state_path}")
     return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
+
+
+# ---- streaming twin of t49's fixed-model Kneser–Ney ledger ----
+
+
+def kn_ledger_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 45.5,
+) -> None:
+    """One ``incremental_kn_state`` micro-batch: per source, the
+    additive keep/drop/short counters of the fixed-model
+    INTERPOLATED-KN perplexity filter (round 12 — completing the
+    deployment story for the whole perplexity ladder: t46 add-one,
+    t48 absolute discounting, t49 KN all monitor from stored
+    artifacts). The model is the SAME (kind, gram, c) parquet
+    ``absdisc_fit_model`` writes — one artifact, two estimator
+    families. The partial IS
+    operators/text.py::kn_ledger_with_model, so batch/stream
+    spelling drift is structurally impossible; redelivered batch
+    ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.text import kn_ledger_with_model
+
+    spark = batch_df.sparkSession
+    model = spark.read.parquet(model_path)
+    part = kn_ledger_with_model(
+        batch_df, "text", "doc_id", "source", model, ppl_cutoff
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _PPL_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_kn_state(
+    stream: DataFrame,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 45.5,
+) -> "Any":
+    """Streaming twin of t49's deploy side: the interpolated-KN
+    perplexity drift monitor at the FIXED stored two-table model —
+    the last rung of the ladder, sharing its artifact with the
+    absdisc twin so 'which smoothing family' is a monitor config,
+    not a retrain. Four integer counters per source, mergeable
+    forever, same MVCC rev-dir snapshot + replay guard as every
+    twin."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kn_ledger_apply_batch(
+            batch_df, batch_id, state_path, model_path, ppl_cutoff
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def kn_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The fixed-model interpolated-KN ledger over the streaming-
+    maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no kn-ledger state at {state_path}")
+    return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
