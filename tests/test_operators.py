@@ -5043,3 +5043,126 @@ def test_xcorpus_fixed_model_matches_t46_on_eval_slice(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _ref_winnow(txt: str, k: int, w: int) -> set:
+    """Pure-Python robust winnowing (Schleimer et al. fig. 5
+    semantics: window min, RIGHTMOST on hash ties) — the
+    independent reference the Spark operator must reproduce."""
+    import hashlib
+    import re
+
+    c = re.sub("[^a-z0-9]", "", txt.lower())
+    if len(c) < k + w - 1:
+        return set()
+    grams = [c[i : i + k] for i in range(len(c) - k + 1)]
+    keys = [hashlib.md5(g.encode()).hexdigest()[:10] for g in grams]
+    fps = set()
+    for p in range(len(grams) - w + 1):
+        best = p
+        for q in range(p + 1, p + w):
+            if keys[q] <= keys[best]:  # <= : rightmost wins ties
+                best = q
+        fps.add((keys[best], best + 1))
+    return fps
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Bit-exact vs the pure-Python reference, including a
+    repeated-gram document where every window is a hash TIE (the
+    rightmost rule does all the work) and punctuation/case noise
+    the normalization must strip."""
+    from zappy_spark.operators.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog again"),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # all grams identical
+        (3, "Lorem, IPSUM; dolor sit amet 42!"),
+        (4, "short"),  # below k+w-1 -> no fingerprints
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got: dict = {i: set() for i, _ in docs}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=8, w=4).collect():
+        got[r["doc_id"]].add((r["fp_hash"], r["fp_pos"]))
+    for i, txt in docs:
+        assert got[i] == _ref_winnow(txt, 8, 4), f"doc {i}"
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The winnowing theorem: any shared substring of length
+    >= k + w - 1 yields at least one SHARED selected fingerprint —
+    here a 20-char block pasted into otherwise-disjoint documents
+    (k=8, w=4: guarantee threshold 11)."""
+    from zappy_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    block = "thesharedplagiarizedblock"
+    df = spark.createDataFrame(
+        [
+            (1, "completely unrelated opening text " + block),
+            (2, block + " followed by a different unrelated tail"),
+            (3, "nothing in common with either document here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        i: set()
+        for i in (1, 2, 3)
+    }
+    for r in winnow_fingerprints(df, "text", "doc_id", k=8, w=4).collect():
+        fps[r["doc_id"]].add(r["fp_hash"])
+    assert fps[1] & fps[2], "shared block must share a fingerprint"
+    pairs = {
+        (r["i"], r["j"]): r["n_shared"]
+        for r in winnow_dup_pairs(
+            df, "text", "doc_id", k=8, w=4, min_overlap=0.1
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_identical_docs_full_overlap(spark):
+    """Identical documents (modulo case/punctuation, which the MOSS
+    normalization erases) must pair at ovl == 1.0; the flood guard
+    must drop a fingerprint shared by every document when capped
+    below the corpus size."""
+    from zappy_spark.operators.dedup import winnow_dup_pairs
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, same), (2, same.upper().replace(" ", "  ")), (3, "x" + same)],
+        ["doc_id", "text"],
+    )
+    rows = winnow_dup_pairs(
+        df, "text", "doc_id", k=8, w=4, min_overlap=0.99
+    ).collect()
+    got = {(r["i"], r["j"]): float(r["ovl"]) for r in rows}
+    assert got[(1, 2)] == 1.0
+    # flood guard: cap 2 keeps pair hashes, cap 0 drops everything
+    assert (
+        winnow_dup_pairs(
+            df, "text", "doc_id", k=8, w=4,
+            min_overlap=0.1, max_fp_df=1,
+        ).count()
+        == 0
+    )
+
+
+def test_winnow_pos_cap_guard_raises(spark):
+    """A document longer than WINNOW_POS_CAP cleaned chars must
+    raise loudly (fixed-width position packing would silently
+    mis-order beyond it), per the UNIGRAM_MAX_WORD_LEN doctrine."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from zappy_spark.operators.dedup import (
+        WINNOW_POS_CAP,
+        winnow_fingerprints,
+    )
+
+    big = "a" * (WINNOW_POS_CAP + 8)
+    df = spark.createDataFrame([(1, big)], ["doc_id", "text"])
+    with pytest.raises(SparkRuntimeException):
+        winnow_fingerprints(df, "text", "doc_id").count()

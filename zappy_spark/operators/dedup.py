@@ -1586,3 +1586,172 @@ def dedup_cluster_ledger(
             "chars_removed"
         ),
     )
+
+
+# ---------------------------------------------------------------
+# Winnowing fingerprints (round 12, d51) — the MOSS algorithm
+# (Schleimer/Wilkerson/Aiken, SIGMOD 2003): local-window minimum
+# selection over k-gram hashes. Guarantees: any shared substring of
+# length >= k + w - 1 produces at least one SHARED selected
+# fingerprint (the winnowing coverage theorem), while the expected
+# density of selected positions is 2/(w+1) — a sketch that is both
+# complete for long matches and sparse, unlike full k-gram sets.
+# ---------------------------------------------------------------
+
+# Fixed-width position packing bound: selection keys append the
+# 7-digit zero-padded (CAP - pos) to the 10-hex-char gram hash so a
+# single lexicographic MIN implements "min hash, rightmost on ties"
+# (the MOSS robust-winnowing tie rule). Positions past the cap
+# would need an 8th digit and break the fixed-width ordering, so
+# the operator raises loudly instead of mis-selecting.
+WINNOW_POS_CAP = 2_097_152  # ~2M cleaned chars per document
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint sketch: lowercase, strip
+    non-[a-z0-9] (the MOSS normalization), hash every k-char gram
+    (md5 prefix, compared lexically — the portable d06 convention),
+    slide a w-gram window, and keep each window's minimum with
+    RIGHTMOST tie-break. Returns DISTINCT (id, fp_hash, fp_pos).
+
+    Exactness: the selection key is ``substr(md5(gram),1,10) ||
+    lpad(CAP - pos, 7, '0')`` — both halves fixed-width, so ONE
+    string MIN over the window frame is exactly (hash ASC, pos
+    DESC): min hash, rightmost position on hash ties. DuckDB's
+    md5/substr/lpad/windowed MIN have identical semantics, so the
+    oracle replays the whole selection bit-for-bit.
+
+    Scale (100 TB): grams never leave their document — the only
+    wide stage is the per-document window (PARTITION BY id ORDER BY
+    pos), which shuffles (id, pos, 17-char key) rows once and sorts
+    within documents; output is the sparse 2/(w+1)-density sketch,
+    not the full gram set. No joins, no driver state."""
+    if k < 2 or w < 2:
+        raise ValueError(f"winnowing needs k >= 2 and w >= 2, got {k=} {w=}")
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = (
+        df.select(F.col(id_col).alias("_id"), clean.alias("_c"))
+        .withColumn("_L", F.length("_c"))
+        .filter(F.col("_L") >= k + w - 1)
+        .withColumn(
+            "_L",
+            F.when(F.col("_L") <= WINNOW_POS_CAP, F.col("_L")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "winnow_fingerprints: document exceeds "
+                        f"WINNOW_POS_CAP={WINNOW_POS_CAP} cleaned chars "
+                        "— fixed-width position packing would break"
+                    )
+                )
+            ),
+        )
+    )
+    grams = base.select(
+        "_id",
+        "_L",
+        F.explode(
+            F.sequence(F.lit(1), F.col("_L") - F.lit(k - 1))
+        ).alias("_pos"),
+        "_c",
+    ).select(
+        "_id",
+        "_L",
+        "_pos",
+        F.concat(
+            F.substring(F.md5(F.substring("_c", F.col("_pos"), k)), 1, 10),
+            F.lpad(
+                (F.lit(WINNOW_POS_CAP) - F.col("_pos")).cast("string"),
+                7,
+                "0",
+            ),
+        ).alias("_key"),
+    )
+    win = (
+        Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    )
+    sel = grams.withColumn("_sel", F.min("_key").over(win)).filter(
+        # only FULL windows select (the last w-1 starts are partial)
+        F.col("_pos") <= F.col("_L") - F.lit(k - 1) - F.lit(w - 1)
+    )
+    return sel.select(
+        F.col("_id").alias(id_col),
+        F.substring("_sel", 1, 10).alias("fp_hash"),
+        (
+            F.lit(WINNOW_POS_CAP)
+            - F.substring("_sel", 11, 7).cast("int")
+        ).alias("fp_pos"),
+    ).distinct()
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    w: int = 4,
+    min_overlap: float = 0.5,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Cross-document near-dup pairs by SHARED winnowing
+    fingerprints — the fifth near-dup tier beside MinHash-LSH
+    (probabilistic set-Jaccard), containment (asymmetric), prefix-
+    filtered AllPairs (exact Jaccard) and SimHash (Hamming): the
+    winnowing theorem makes this tier COMPLETE for any shared run
+    of >= k + w - 1 chars, so it targets block-level plagiarism /
+    template reuse rather than bag-of-words similarity.
+
+    Returns (i, j, n_shared, n_fp_i, n_fp_j, ovl) for pairs with
+    ovl = n_shared / least(n_fp_i, n_fp_j) >= ``min_overlap`` —
+    overlap is normalized by the SMALLER sketch so a short document
+    pasted into a long one still scores 1.0 (the containment
+    convention, d13).
+
+    Scale: matching joins the sparse sketch on fp_hash — the
+    classic generate-and-verify split where bucket key cardinality
+    grows with the corpus. ``max_fp_df`` drops boilerplate hashes
+    shared by more than that many documents before the self-join
+    (the d06/d50 flood-guard doctrine: a stop-gram shared by 10^5
+    docs would otherwise fan out 10^10 candidate rows)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("_doc"), "fp_hash"
+    ).distinct()
+    sizes = fps.groupBy("_doc").agg(F.count("*").alias("_n"))
+    if max_fp_df is not None:
+        ok = fps.groupBy("fp_hash").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_fp_df
+        )
+        fps = fps.join(ok.select("fp_hash"), "fp_hash", "left_semi")
+    a = fps.select(F.col("_doc").alias("i"), "fp_hash")
+    b = fps.select(F.col("_doc").alias("j"), "fp_hash")
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    si = sizes.select(F.col("_doc").alias("i"), F.col("_n").alias("n_fp_i"))
+    sj = sizes.select(F.col("_doc").alias("j"), F.col("_n").alias("n_fp_j"))
+    ovl = F.round(
+        F.col("n_shared")
+        / F.least(F.col("n_fp_i"), F.col("n_fp_j")),
+        6,
+    )
+    return (
+        shared.join(si, "i")
+        .join(sj, "j")
+        .select(
+            "i",
+            "j",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_fp_i").cast("bigint").alias("n_fp_i"),
+            F.col("n_fp_j").cast("bigint").alias("n_fp_j"),
+            ovl.alias("ovl"),
+        )
+        .filter(F.col("ovl") >= min_overlap)
+    )

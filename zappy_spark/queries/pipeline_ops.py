@@ -2980,6 +2980,33 @@ def d50(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d51(spark: SparkSession, d: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (round 12;
+    operators/dedup.py::winnow_dup_pairs — the MOSS algorithm,
+    Schleimer/Wilkerson/Aiken SIGMOD 2003): k=12-char-gram md5
+    hashes, w=4 local-window minimum with rightmost tie-break, then
+    pairs sharing >= 50% of the smaller sketch. The SIXTH near-dup
+    tier: unlike MinHash (d06, bag-of-shingles Jaccard) or SimHash
+    (d03, global bit vote), winnowing is COMPLETE for any shared
+    run of >= k+w-1 = 15 chars — the plagiarism/template-reuse
+    detector. At sf0.01 the planted replica pairs separate cleanly:
+    every selected pair has ovl >= 0.9 while background 40-word-
+    vocab gram noise stays under 0.5. Instrument bounded to
+    ``doc_id < 2000`` (a no-op at sf0.01; the d06/d13/d37
+    bound-the-instrument doctrine). The oracle replays the ENTIRE
+    selection — same md5-prefix keys, same fixed-width position
+    packing, same windowed MIN — not just the pair join."""
+    pairs = dedup.winnow_dup_pairs(
+        t(spark, d, "documents").filter(F.col("doc_id") < 2000),
+        "text",
+        "doc_id",
+        k=12,
+        w=4,
+        min_overlap=0.5,
+    )
+    return pairs.orderBy(F.desc("ovl"), "i", "j").limit(50)
+
+
 def d49(spark: SparkSession, d: str) -> DataFrame:
     """Public-suffix registrable-domain audit (round 9;
     operators/text.py::registrable_domain + domain_suffix_audit)
@@ -3847,6 +3874,7 @@ QUERIES = {
     "t49_kneser_ney_perplexity": t49,
     "v31_filter_agreement": v31,
     "v32_filter_agreement_cube": v32,
+    "d51_winnow_neardup": d51,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -5467,6 +5495,37 @@ ORACLE = {
     "t49_kneser_ney_perplexity": _t49_oracle(),
     "v32_filter_agreement_cube": _v32_oracle(),
     "v31_filter_agreement": _v31_oracle(),
+    # d51: full winnowing replay — identical md5-prefix || lpad
+    # fixed-width keys, identical ROWS-frame windowed MIN (min
+    # hash, rightmost position on ties), identical pair join;
+    # constants (k=12, w=4, cap 2097152, ovl >= 0.5) hardcoded on
+    # both sides.
+    "d51_winnow_neardup": (
+        "WITH c AS (SELECT doc_id doc, "
+        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') c "
+        "FROM documents WHERE doc_id < 2000), "
+        "b AS (SELECT doc, c, len(c) L FROM c WHERE len(c) >= 15), "
+        "p AS (SELECT doc, L, i pos, substr(c, CAST(i AS INT), 12) g "
+        "FROM (SELECT doc, c, L, "
+        "unnest(generate_series(1, L - 11)) i FROM b) x), "
+        "kk AS (SELECT doc, L, pos, substr(md5(g), 1, 10) || "
+        "lpad(CAST(2097152 - pos AS VARCHAR), 7, '0') ks FROM p), "
+        "sel AS (SELECT doc, L, pos, MIN(ks) OVER "
+        "(PARTITION BY doc ORDER BY pos "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) s FROM kk), "
+        "fp AS (SELECT DISTINCT doc, substr(s, 1, 10) h FROM sel "
+        "WHERE pos <= L - 11 - 3), "
+        "sz AS (SELECT doc, COUNT(*) n FROM fp GROUP BY doc), "
+        "pr AS (SELECT a.doc i, b.doc j, COUNT(*) shared FROM fp a "
+        "JOIN fp b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2), "
+        "r AS (SELECT i, j, CAST(shared AS BIGINT) n_shared, "
+        "CAST(si.n AS BIGINT) n_fp_i, CAST(sj.n AS BIGINT) n_fp_j, "
+        "ROUND(shared * 1.0 / LEAST(si.n, sj.n), 6) ovl "
+        "FROM pr JOIN sz si ON si.doc = pr.i "
+        "JOIN sz sj ON sj.doc = pr.j) "
+        "SELECT * FROM r WHERE ovl >= 0.5 "
+        "ORDER BY ovl DESC, i, j LIMIT 50"
+    ),
     # d48: the naive global ROW_NUMBER spelling — the semantic
     # contract the two-pass bucketed ranker must reproduce exactly.
     "d48_epoch_shuffle": (
