@@ -5166,3 +5166,121 @@ def test_winnow_pos_cap_guard_raises(spark):
     df = spark.createDataFrame([(1, big)], ["doc_id", "text"])
     with pytest.raises(SparkRuntimeException):
         winnow_fingerprints(df, "text", "doc_id").count()
+
+
+def _ref_wordpiece(texts: list, n_merges: int):
+    """Pure-Python WordPiece trainer (exact Fraction scores, ## 
+    continuation marking, (score, pair_n, lhs, rhs) tie order) —
+    the independent reference for the quantized Spark operator.
+    Quantized and exact scores pick the same argmax whenever the
+    quantization gap doesn't collapse distinct leaders onto equal
+    keys with a different secondary order — the crafted corpora
+    below keep leaders separated, so the two orders agree."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    vocab = Counter()
+    for txt in texts:
+        for w in txt.lower().split():
+            if re.fullmatch("[a-z0-9]+", w):
+                vocab[w] += 1
+    state = {
+        w: tuple([w[0]] + ["##" + c for c in w[1:]]) for w in vocab
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs, syms = Counter(), Counter()
+        for w, f in vocab.items():
+            s = state[w]
+            for a in s:
+                syms[a] += f
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = max(
+            pairs,
+            key=lambda p: (
+                Fraction(pairs[p], syms[p[0]] * syms[p[1]]),
+                pairs[p],
+                [-ord(c) for c in p[0]],
+                [-ord(c) for c in p[1]],
+            ),
+        )
+        # max with negated ords == min lexicographic on ties
+        merges.append(best)
+        l, r = best
+        prod = l + (r[2:] if r.startswith("##") else r)
+        for w in state:
+            s, out, i = state[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(prod)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            state[w] = tuple(out)
+    return merges
+
+
+def test_wordpiece_matches_reference(spark):
+    """Merge schedule parity with the pure-Python exact-Fraction
+    reference on a corpus exercising marking, ties, and repeated
+    merges."""
+    from zappy_spark.operators.text import wordpiece_train_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat and a bat",
+        "banana bandana anagrams abound",
+        "ratatat drumming on a tin can",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["lhs"], r["rhs"])
+        for r in wordpiece_train_merges(df, "text", 6).collect()
+    ]
+    assert got == _ref_wordpiece(texts, 6)
+
+
+def test_wordpiece_prefers_rare_pair_over_frequent(spark):
+    """The family separator: 'xy' appears 3x but x/y appear ONLY
+    together (score 3/(3*3)=1/3); 'ab' appears 6x but a and b are
+    everywhere (score 6/(14*10)). BPE merges (a,##b) first;
+    WordPiece must merge (x,##y) first."""
+    from zappy_spark.operators.text import (
+        bpe_train_merges,
+        wordpiece_train_merges,
+    )
+
+    corpus = (
+        ["ab"] * 6 + ["a"] * 8 + ["b"] * 4 + ["xy"] * 3
+    )
+    df = spark.createDataFrame(
+        [(0, " ".join(corpus))], ["doc_id", "text"]
+    )
+    wp = wordpiece_train_merges(df, "text", 1).collect()[0]
+    bp = bpe_train_merges(df, "text", 1).collect()[0]
+    assert (wp["lhs"], wp["rhs"]) == ("x", "##y")
+    # BPE's alphabet carries no ## marking — its most-frequent pair
+    assert (bp["lhs"], bp["rhs"]) == ("a", "b")
+
+
+def test_wordpiece_marking_distinguishes_position(spark):
+    """'ab' word-initially and 'ab' mid-word are DIFFERENT pairs:
+    (a,##b) vs (##a,##b). A corpus where 'ab' only ever occurs
+    mid-word must train a ##a+##b merge, never a+##b."""
+    from zappy_spark.operators.text import wordpiece_train_merges
+
+    df = spark.createDataFrame(
+        [(0, "zab zab zab wab wab")], ["doc_id", "text"]
+    )
+    rows = wordpiece_train_merges(df, "text", 2).collect()
+    # all three pairs tie at score 0.2 -> pair_n DESC picks ##a+##b
+    first = (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"])
+    assert first == ("##a", "##b", "##ab")
+    assert all(r["lhs"] != "a" for r in rows)

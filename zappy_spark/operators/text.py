@@ -2877,3 +2877,204 @@ def vocab_coverage_curve(
             "total_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------
+# WordPiece tokenizer training (round 12, t50) — the THIRD
+# mainstream subword family beside BPE (t37: merge the most
+# FREQUENT pair) and unigram-LM (t47: prune by likelihood):
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) merges
+# the pair maximizing the likelihood GAIN score
+# count(l,r) / (count(l) * count(r)) — a frequent pair of already-
+# frequent symbols loses to a rarer pair of rare symbols.
+# ---------------------------------------------------------------
+
+# Fixed-point score scale: score = pair_n / (cnt_l * cnt_r) <= 1
+# (pair_n <= min(cnt_l, cnt_r)), so the quantized
+# (pair_n * SCALE) div (cnt_l * cnt_r) fits BIGINT for ANY corpus.
+# Both engines compute it in 128-bit integer arithmetic
+# (DECIMAL(19,0) products in Spark, HUGEINT in DuckDB), so the
+# quantization — PART OF THE DEFINED OPERATOR SEMANTICS, the t47
+# fixed-point precedent — is bit-identical; ties break on
+# (pair_n DESC, lhs, rhs), fully deterministic.
+WORDPIECE_SCALE = 10**12
+
+
+def _wp_strip(sym: str) -> str:
+    """Drop the leading continuation marker of a symbol."""
+    return sym[2:] if sym.startswith("##") else sym
+
+
+def _wp_base_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(freq, symbol-string) vocabulary for the WordPiece loop —
+    the _bpe_base_vocab shape with the BERT continuation marking:
+    word-INITIAL chars are plain symbols, every later char is
+    ##-prefixed (``cat`` → ``|c||##a||##t|``), so "a at word start"
+    and "a mid-word" are DISTINCT symbols with distinct counts —
+    the marking changes training dynamics, it is not rendering.
+    '#' cannot occur in the ^[a-z0-9]+$ vocab, so markers can't
+    collide with content."""
+    tail = F.expr("substring(_w, 2)")
+    return (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("_w0")
+        )
+        .select(F.lower("_w0").alias("_w"))
+        .filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+        .select(
+            "_f",
+            F.concat(
+                F.lit("|"),
+                F.substring("_w", 1, 1),
+                F.lit("|"),
+                F.regexp_replace(tail, "(.)", "|##$1|"),
+            ).alias("_s"),
+        )
+    )
+
+
+def wordpiece_apply_merges(
+    sym_string: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a WordPiece merge schedule to a ``|s1||s2||…|`` symbol
+    string: merging (l, r) yields symbol ``l + strip_##(r)`` — the
+    product keeps l's position marking (plain at word start,
+    ##-prefixed mid-word) and absorbs r's content."""
+    out = sym_string
+    for lhs, rhs in merges:
+        out = F.replace(
+            out,
+            F.lit(f"|{lhs}||{rhs}|"),
+            F.lit(f"|{lhs}{_wp_strip(rhs)}|"),
+        )
+    return out
+
+
+def _wp_pair_top1(state: DataFrame) -> DataFrame:
+    """Best pair of a WordPiece state frame by the quantized
+    likelihood-gain score: ONE explode feeds BOTH the adjacent-pair
+    aggregate and the per-symbol count aggregate; the score join is
+    two broadcasts of the Heaps-bounded symbol-count table. Argmax
+    = TakeOrderedAndProject on (score DESC, pair_n DESC, lhs, rhs)."""
+    arr = F.filter(F.split("_s", "\\|"), lambda x: x != "")
+    pairs_col = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    pairs = (
+        state.select("_f", F.explode(pairs_col).alias("_p"))
+        .groupBy(F.col("_p.l").alias("lhs"), F.col("_p.r").alias("rhs"))
+        .agg(F.sum("_f").alias("pair_n"))
+    )
+    syms = (
+        state.select("_f", F.explode(arr).alias("_a"))
+        .groupBy("_a")
+        .agg(F.sum("_f").alias("_c"))
+    )
+    d19 = "decimal(19,0)"
+    score = F.expr(
+        f"CAST(pair_n AS {d19}) * CAST({WORDPIECE_SCALE} AS {d19}) "
+        f"div (CAST(_cl AS {d19}) * CAST(_cr AS {d19}))"
+    ).cast("bigint")
+    return (
+        pairs.join(
+            F.broadcast(syms.select(F.col("_a").alias("lhs"),
+                                    F.col("_c").alias("_cl"))),
+            "lhs",
+        )
+        .join(
+            F.broadcast(syms.select(F.col("_a").alias("rhs"),
+                                    F.col("_c").alias("_cr"))),
+            "rhs",
+        )
+        .select("lhs", "rhs", "pair_n", score.alias("score_fp"))
+        .orderBy(
+            F.col("score_fp").desc(), F.col("pair_n").desc(), "lhs", "rhs"
+        )
+        .limit(1)
+    )
+
+
+def wordpiece_discover_merges(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[str, str]]:
+    """Run the WordPiece training loop and return the merge
+    schedule as driver literals — n_merges jobs, each a vocab-sized
+    agg collecting exactly ONE row (the t37/v09 precedent)."""
+    merges: list[tuple[str, str]] = []
+    state = _wp_base_vocab(df, text_col)
+    for _ in range(n_merges):
+        top = _wp_pair_top1(state).collect()
+        if not top:
+            break
+        lhs, rhs = top[0]["lhs"], top[0]["rhs"]
+        merges.append((lhs, rhs))
+        state = state.withColumn(
+            "_s", wordpiece_apply_merges(F.col("_s"), [(lhs, rhs)])
+        )
+    return merges
+
+
+def wordpiece_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Iterative WordPiece merge-loop training (round 12 — the BERT
+    tokenizer's trainer): n_merges iterations of count adjacent
+    pairs AND per-symbol totals → pick the pair maximizing the
+    quantized likelihood-gain score (pair_n * 10^12) div
+    (cnt_l * cnt_r) → merge every left-to-right occurrence.
+    Returns one row per step: (step, lhs, rhs, merged, pair_n,
+    score_fp) — the schedule, all integer-exact.
+
+    vs BPE (t37): same |…|-wrapped replace trick, same Heaps-
+    bounded vocab collapse, same linear lineage with merges re-
+    entering as literals — but the alphabet carries the real ##
+    continuation marking (word-initial 'a' and mid-word '##a' are
+    different symbols with different counts), the winner divides by
+    BOTH symbol frequencies, and the merged product strips r's ##
+    (keeping l's position class).
+
+    Exactness: the score is 128-bit integer arithmetic on both
+    engines (DECIMAL(19,0) products + div here, HUGEINT + // in
+    the oracle) — floor of the same rational, bit-identical; the
+    quantization is part of the operator's declared semantics (the
+    t47 fixed-point doctrine) and ties break on (pair_n DESC, lhs,
+    rhs) either way.
+
+    Scale: identical topology to t37 — the corpus collapses once to
+    the (word, freq) vocab; each iteration is one pair agg + one
+    symbol agg over the vocab (map-side combinable), two broadcast
+    joins of the tiny symbol-count table, and a 1-ROW collect; the
+    returned plan re-derives each step's winner distributed with
+    merges 1..k−1 as literal replaces."""
+    base = _wp_base_vocab(df, text_col)
+    merges = wordpiece_discover_merges(df, text_col, n_merges)
+    out = None
+    state = base
+    for step, (lhs, rhs) in enumerate(merges, start=1):
+        branch = _wp_pair_top1(state).select(
+            F.lit(step).cast("int").alias("step"),
+            "lhs",
+            "rhs",
+            F.concat(F.col("lhs"), F.lit(_wp_strip(rhs))).alias("merged"),
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            "score_fp",
+        )
+        out = branch if out is None else out.unionAll(branch)
+        state = state.withColumn(
+            "_s", wordpiece_apply_merges(F.col("_s"), [(lhs, rhs)])
+        )
+    if out is None:
+        schema = (
+            "step int, lhs string, rhs string, merged string, "
+            "pair_n bigint, score_fp bigint"
+        )
+        return df.sparkSession.createDataFrame([], schema)
+    return out.orderBy("step")

@@ -3788,6 +3788,28 @@ def v32(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t50(spark: SparkSession, d: str) -> DataFrame:
+    """WordPiece merge-loop tokenizer training (round 12;
+    operators/text.py::wordpiece_train_merges) — the THIRD
+    mainstream subword family, completing the triad: BPE (t37,
+    most-frequent pair), unigram-LM (t47, likelihood pruning),
+    WordPiece (the BERT trainer: merge the pair maximizing
+    pair_n / (cnt_l * cnt_r), so rare-symbol pairs beat frequent-
+    symbol pairs). The alphabet carries the REAL ## continuation
+    marking (word-initial 'a' and mid-word '##a' are distinct
+    symbols with distinct counts — marking changes dynamics, not
+    rendering). The score is quantized 128-bit integer arithmetic
+    on both engines — (pair_n * 10^12) div (cnt_l * cnt_r) via
+    DECIMAL(19,0) products here, HUGEINT // in the oracle — floor
+    of the same rational, bit-identical (the t47 fixed-point
+    doctrine); ties break (pair_n DESC, lhs, rhs). The oracle
+    replays the ENTIRE 6-step loop with the t37 unrolled-CTE
+    pattern (materialized states, linear lineage)."""
+    from zappy_spark.operators.text import wordpiece_train_merges
+
+    return wordpiece_train_merges(t(spark, d, "documents"), "text", 6)
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -3875,6 +3897,7 @@ QUERIES = {
     "v31_filter_agreement": v31,
     "v32_filter_agreement_cube": v32,
     "d51_winnow_neardup": d51,
+    "t50_wordpiece_merges": t50,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4405,6 +4428,56 @@ def _bpe_oracle(k: int = 6) -> str:
         for i in range(1, k + 1)
     )
     return _bpe_train_ctes(k) + f" SELECT * FROM ({unions}) ORDER BY step"
+
+
+def _wp_oracle(k: int = 6) -> str:
+    """Unrolled fixed-iteration WordPiece replay (t50): the t37
+    pattern — step i recomputes pair counts AND per-symbol totals
+    from state i−1, scores each pair with the identical 128-bit
+    fixed-point (n * 10^12) // (cnt_l * cnt_r) (HUGEINT here,
+    DECIMAL(19,0) div on the Spark side — floor of the same
+    rational), takes the (score DESC, n DESC, l, r) argmax, and
+    applies the merge with the ##-stripping replace. States are
+    MATERIALIZED (each s{i} is referenced twice — the t37 2^k
+    inlining lesson). The base state carries the BERT continuation
+    marking: '|' || first char || '|##c2||##c3…'."""
+    parts = [
+        "WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents), "
+        "v AS (SELECT lower(t) w, COUNT(*) f FROM tok "
+        "WHERE regexp_matches(lower(t), '^[a-z0-9]+$') GROUP BY 1), "
+        "s0 AS MATERIALIZED (SELECT w, f, "
+        "'|' || substr(w, 1, 1) || '|' || "
+        "regexp_replace(substr(w, 2), '(.)', '|##\\1|', 'g') s FROM v)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", a{i} AS (SELECT w, f, list_filter(string_split(s,'|'), "
+            f"x -> x<>'') arr FROM s{i - 1})"
+            f", e{i} AS MATERIALIZED (SELECT w, f, "
+            f"generate_subscripts(arr,1) i, unnest(arr) a FROM a{i})"
+            f", c{i} AS (SELECT a sym, SUM(f) c FROM e{i} GROUP BY 1)"
+            f", p{i} AS (SELECT x.a l, y.a r, SUM(x.f) n "
+            f"FROM e{i} x JOIN e{i} y ON x.w = y.w AND y.i = x.i + 1 "
+            f"GROUP BY 1, 2)"
+            f", b{i} AS (SELECT l, r, n, "
+            f"CAST(CAST(n AS HUGEINT) * 1000000000000 // "
+            f"(CAST(cl.c AS HUGEINT) * CAST(cr.c AS HUGEINT)) AS BIGINT) "
+            f"sc FROM p{i} JOIN c{i} cl ON cl.sym = p{i}.l "
+            f"JOIN c{i} cr ON cr.sym = p{i}.r "
+            f"ORDER BY sc DESC, n DESC, l, r LIMIT 1)"
+            f", s{i} AS MATERIALIZED (SELECT w, f, replace(s, "
+            f"'|' || b.l || '||' || b.r || '|', "
+            f"'|' || b.l || regexp_replace(b.r, '^##', '') || '|') s "
+            f"FROM s{i - 1}, b{i} b)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) step, l lhs, r rhs, "
+        f"l || regexp_replace(r, '^##', '') merged, "
+        f"CAST(n AS BIGINT) pair_n, sc score_fp FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({unions}) ORDER BY step"
 
 
 def _t39_oracle(k: int = 6) -> str:
@@ -5495,6 +5568,7 @@ ORACLE = {
     "t49_kneser_ney_perplexity": _t49_oracle(),
     "v32_filter_agreement_cube": _v32_oracle(),
     "v31_filter_agreement": _v31_oracle(),
+    "t50_wordpiece_merges": _wp_oracle(6),
     # d51: full winnowing replay — identical md5-prefix || lpad
     # fixed-width keys, identical ROWS-frame windowed MIN (min
     # hash, rightmost position on ties), identical pair join;
