@@ -5284,3 +5284,97 @@ def test_wordpiece_marking_distinguishes_position(spark):
     first = (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"])
     assert first == ("##a", "##b", "##ab")
     assert all(r["lhs"] != "a" for r in rows)
+
+
+def test_cdc_chunks_tile_documents_exactly(spark):
+    """Chunk spans must partition [1, L] with no gaps or overlaps
+    for long, boundary-dense, and shorter-than-window documents;
+    concatenating the chunk substrings must rebuild the text."""
+    from zappy_spark.operators.dedup import cdc_chunks
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "abcdefghijklmnop"),  # exactly k chars
+        (3, "tiny"),  # below k -> one whole-doc chunk
+        (4, "x" * 200),  # degenerate repeated content
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = cdc_chunks(df, "text", "doc_id", k=16, mask="0").collect()
+    by: dict = {i: [] for i, _ in docs}
+    for r in rows:
+        by[r["doc_id"]].append((r["chunk_start"], r["chunk_end"]))
+    for i, txt in docs:
+        spans = sorted(by[i])
+        assert spans[0][0] == 1 and spans[-1][1] == len(txt), (i, spans)
+        for (a, b), (c, _) in zip(spans, spans[1:]):
+            assert c == b + 1, (i, spans)
+
+
+def test_cdc_shift_robustness(spark):
+    """The CDC property d46's fixed blocks lack: prepending bytes
+    re-aligns every chunk after the first boundary — the original
+    doc's suffix chunk hashes must all reappear in the prefixed
+    doc (fixed-offset blocking would shift and miss them all)."""
+    from zappy_spark.operators.dedup import cdc_chunks
+
+    base = (
+        "content defined chunking finds the same cut points after "
+        "an insertion because boundaries depend on local bytes only "
+        "and never on absolute offsets within the document stream"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED-PREFIX-" + base)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, "text", "doc_id", k=16, mask="0").collect()
+    h1 = [
+        r["chunk_hash"]
+        for r in sorted(rows, key=lambda r: r["chunk_start"])
+        if r["doc_id"] == 1
+    ]
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    assert len(h1) >= 2, "test text must produce at least one boundary"
+    assert set(h1[1:]) <= h2, "all suffix chunks must re-align"
+
+
+def test_cdc_dedup_ledger_counts(spark):
+    """Two identical docs in group A and one disjoint doc in group
+    B: every A chunk instance is duplicated (occ == 2), no B chunk
+    is; bytes columns must sum the exact chunk lengths."""
+    from zappy_spark.operators.dedup import cdc_dedup_ledger
+
+    same = "identical replicated document body for chunk dedup " * 3
+    df = spark.createDataFrame(
+        [
+            (1, same, "A"),
+            (2, same, "A"),
+            (3, "completely different text with no shared runs at all", "B"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["source"]: (
+            r["n_chunks"], r["n_bytes"], r["dup_chunks"], r["dup_bytes"]
+        )
+        for r in cdc_dedup_ledger(
+            df, "text", "doc_id", "source", k=16, mask="0"
+        ).collect()
+    }
+    na, ba, da, dba = got["A"]
+    assert da == na and dba == ba == 2 * len(same)
+    nb, bb, db2, dbb = got["B"]
+    assert db2 == 0 and dbb == 0
+    assert bb == len(
+        "completely different text with no shared runs at all"
+    )
+
+
+def test_cdc_mask_validation(spark):
+    """Bad masks must be rejected before any job runs."""
+    import pytest
+
+    from zappy_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    for bad in ("", "G", "0Z", "000000000"):
+        with pytest.raises(ValueError):
+            cdc_chunks(df, "text", "doc_id", mask=bad)

@@ -1755,3 +1755,141 @@ def winnow_dup_pairs(
         )
         .filter(F.col("ovl") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------
+# Content-defined chunking (round 12, d52) — the rsync/LBFS cut
+# rule behind every storage dedup system: a chunk boundary falls
+# AFTER any k-gram whose hash lands in a 1/D slice of hash space.
+# Boundaries move with CONTENT, not offsets, so inserting a prefix
+# shifts only the first chunk — every later chunk re-aligns and
+# dedups (the property d46's fixed-size blocks structurally lack).
+# ---------------------------------------------------------------
+
+# Cut rule: md5(k-gram) ends the chunk when its CDC_MASK_LEN-char
+# hex suffix (of an 8-char prefix) is all '0' — D = 16^mask_len,
+# expected chunk length D + k. Pure string comparison, so both
+# engines apply the identical rule with no integer conversion.
+# Test-scale default: mask '0' (D=16, ~30-char chunks on ~500-char
+# docs); production would use '000' (D=4096, ~4 KB chunks).
+CDC_HASH_PREFIX = 8
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    mask: str = "0",
+) -> DataFrame:
+    """Split each document into content-defined chunks. Returns
+    (id, chunk_start, chunk_end, chunk_len, chunk_hash) — 1-based
+    inclusive character spans covering the document exactly.
+
+    Mechanics (all engine-portable column expressions): every
+    position i in 1..L-k+1 contributes gram = substr(text, i, k);
+    the chunk ENDS at i+k-1 when substr(md5(gram), 1, 8) ends with
+    ``mask`` (the LBFS convention: the window that fires belongs to
+    the chunk it closes). A per-document synthetic end at L closes
+    the tail; DISTINCT absorbs the case where a real boundary
+    already ends at L. Chunk starts come from ONE lag window per
+    document (prev end + 1, first chunk starts at 1).
+
+    Scale (100 TB): the gram explode is scan-side and never leaves
+    its document; the only per-doc wide stage is the lag window
+    over ~L/D boundary rows (PARTITION BY id — tiny after the
+    boundary filter); chunk hashing is scan-side. Nothing here
+    shuffles the corpus — downstream dedup aggregates on
+    chunk_hash, whose cardinality grows with content volume,
+    keeping partitions balanced."""
+    if not mask or any(c not in "0123456789abcdef" for c in mask):
+        raise ValueError(f"mask must be non-empty lowercase hex, got {mask!r}")
+    if len(mask) >= CDC_HASH_PREFIX:
+        raise ValueError(f"mask longer than the {CDC_HASH_PREFIX}-char prefix")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_L"),
+    ).filter(F.col("_L") >= 1)
+    fire = (
+        F.substring(
+            F.md5(F.expr(f"substring(_t, _i, {k})")),
+            CDC_HASH_PREFIX - len(mask) + 1,
+            len(mask),
+        )
+        == mask
+    )
+    ends = base.select(
+        "_id",
+        "_t",
+        "_L",
+        # guard: Spark's sequence(1, n) DESCENDS for n < 1, so a
+        # doc shorter than k must yield an empty position array
+        # (its whole-doc chunk comes from the synthetic tail end)
+        F.explode(
+            F.when(
+                F.col("_L") >= k,
+                F.sequence(F.lit(1), F.col("_L") - F.lit(k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+    ).filter(fire).select(
+        "_id", "_t", "_L", (F.col("_i") + F.lit(k - 1)).alias("_end")
+    )
+    ends = ends.unionByName(
+        base.select("_id", "_t", "_L", F.col("_L").alias("_end"))
+    ).distinct()
+    w = Window.partitionBy("_id").orderBy("_end")
+    spans = ends.select(
+        "_id",
+        "_t",
+        "_end",
+        (F.coalesce(F.lag("_end").over(w), F.lit(0)) + 1).alias("_start"),
+    )
+    chunk = F.col("_t").substr(
+        F.col("_start"), F.col("_end") - F.col("_start") + 1
+    )
+    return spans.select(
+        F.col("_id").alias(id_col),
+        F.col("_start").alias("chunk_start"),
+        F.col("_end").alias("chunk_end"),
+        (F.col("_end") - F.col("_start") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 16,
+    mask: str = "0",
+) -> DataFrame:
+    """Per-group content-defined dedup ledger: chunk every document,
+    mark each chunk INSTANCE duplicated when its hash occurs more
+    than once in the WHOLE corpus, and aggregate per ``group_col``:
+    (group, n_chunks, n_bytes, dup_chunks, dup_bytes) — all exact
+    BIGINTs; the storage-savings view (dup_bytes / n_bytes is one
+    division away for consumers holding the integers).
+
+    Scale: one corpus-wide hash agg on chunk_hash builds the global
+    occurrence counts (carrying only hash + count); the instances
+    join back on the same key — co-partitioned, no second shuffle
+    topology; the final agg is |groups|-sized."""
+    chunks = cdc_chunks(df, text_col, id_col, k=k, mask=mask).join(
+        df.select(F.col(id_col).alias("_jid"), F.col(group_col).alias("grp")),
+        F.col(id_col) == F.col("_jid"),
+    )
+    occ = chunks.groupBy("chunk_hash").agg(F.count("*").alias("_occ"))
+    inst = chunks.join(occ, "chunk_hash")
+    dup = (F.col("_occ") > 1).cast("bigint")
+    return (
+        inst.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("n_bytes"),
+            F.sum(dup).alias("dup_chunks"),
+            F.sum(dup * F.col("chunk_len")).cast("bigint").alias("dup_bytes"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

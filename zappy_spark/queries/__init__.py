@@ -1010,6 +1010,7 @@ _NEW_R13: list[str] = [
     "v32_filter_agreement_cube",  # NEW r12: clf x t46 x t49 cube
     "d51_winnow_neardup",  # NEW r12: MOSS winnowing fingerprint pairs
     "t50_wordpiece_merges",  # NEW r12: WordPiece trainer (tokenizer triad)
+    "d52_cdc_dedup",  # NEW r12: content-defined chunking dedup ledger
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

@@ -3788,6 +3788,32 @@ def v32(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def d52(spark: SparkSession, d: str) -> DataFrame:
+    """Content-defined chunking dedup ledger (round 12;
+    operators/dedup.py::cdc_chunks + cdc_dedup_ledger — the
+    rsync/LBFS cut rule behind storage dedup): a chunk ends after
+    any 16-gram whose md5 8-char prefix ends in '0' (D=16, a pure
+    string comparison both engines apply identically), boundaries
+    move with CONTENT so an insertion re-aligns every later chunk —
+    the shift-robust complement to d46's fixed-size blocks. Output:
+    per-source (n_chunks, n_bytes, dup_chunks, dup_bytes), a chunk
+    instance counting as duplicated when its hash occurs >1 time
+    corpus-wide — all exact BIGINTs; non-vacuous at every SF (the
+    planted replicas share nearly all chunks). Instrument bounded
+    to ``doc_id < 20000`` (a no-op at all testdata SFs; bounds the
+    gram explode at the synth fixtures — the d06/d37 doctrine).
+    The oracle replays boundary detection, the lag-window span
+    assembly, and the occurrence join bit-for-bit."""
+    return dedup.cdc_dedup_ledger(
+        t(spark, d, "documents").filter(F.col("doc_id") < 20000),
+        "text",
+        "doc_id",
+        "source",
+        k=16,
+        mask="0",
+    ).orderBy("source")
+
+
 def t50(spark: SparkSession, d: str) -> DataFrame:
     """WordPiece merge-loop tokenizer training (round 12;
     operators/text.py::wordpiece_train_merges) — the THIRD
@@ -3898,6 +3924,7 @@ QUERIES = {
     "v32_filter_agreement_cube": v32,
     "d51_winnow_neardup": d51,
     "t50_wordpiece_merges": t50,
+    "d52_cdc_dedup": d52,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -5569,6 +5596,38 @@ ORACLE = {
     "v32_filter_agreement_cube": _v32_oracle(),
     "v31_filter_agreement": _v31_oracle(),
     "t50_wordpiece_merges": _wp_oracle(6),
+    # d52: full CDC replay — identical md5-suffix cut rule,
+    # identical synthetic-tail + DISTINCT end set, identical lag
+    # window, identical occurrence join; k=16, mask '0', bound
+    # doc_id < 20000 hardcoded on both sides.
+    "d52_cdc_dedup": (
+        "WITH base AS (SELECT doc_id id, source grp, text t, "
+        "len(text) L FROM documents "
+        "WHERE doc_id < 20000 AND len(text) >= 1), "
+        "pos AS (SELECT id, t, L, "
+        "unnest(generate_series(1, L - 15)) i FROM base WHERE L >= 16), "
+        "bnd AS (SELECT id, t, L, i + 15 e FROM pos WHERE "
+        "substr(md5(substr(t, CAST(i AS INT), 16)), 8, 1) = '0'), "
+        "ends AS (SELECT DISTINCT id, t, e FROM "
+        "(SELECT id, t, e FROM bnd "
+        "UNION ALL SELECT id, t, L e FROM base) u), "
+        "spans AS (SELECT id, t, e, "
+        "COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY e), 0) + 1 s "
+        "FROM ends), "
+        "chunks AS (SELECT id, e - s + 1 clen, "
+        "md5(substr(t, CAST(s AS INT), CAST(e - s + 1 AS INT))) h "
+        "FROM spans), "
+        "withg AS (SELECT c.clen, c.h, b.grp FROM chunks c "
+        "JOIN base b ON b.id = c.id), "
+        "occ AS (SELECT h, COUNT(*) occ FROM withg GROUP BY h) "
+        "SELECT grp source, CAST(COUNT(*) AS BIGINT) n_chunks, "
+        "CAST(SUM(clen) AS BIGINT) n_bytes, "
+        "CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "dup_chunks, "
+        "CAST(SUM(CASE WHEN occ > 1 THEN clen ELSE 0 END) AS BIGINT) "
+        "dup_bytes "
+        "FROM withg JOIN occ USING (h) GROUP BY grp ORDER BY grp"
+    ),
     # d51: full winnowing replay — identical md5-prefix || lpad
     # fixed-width keys, identical ROWS-frame windowed MIN (min
     # hash, rightmost position on ties), identical pair join;
