@@ -5378,3 +5378,58 @@ def test_cdc_mask_validation(spark):
     for bad in ("", "G", "0Z", "000000000"):
         with pytest.raises(ValueError):
             cdc_chunks(df, "text", "doc_id", mask=bad)
+
+
+def test_mfcc_attest_matches_simulation_and_closed_form(spark):
+    """The m09 kernel: the full wav → FFT → mel → log → DCT-II
+    pipeline must equal a brute-force numpy replay AND the
+    spec-constant closed form c_j = S_j·log10(nf·A²) + D_j the
+    DuckDB oracle uses; the argmax/sign constants and the measured
+    safety margins are regression-pinned."""
+    import math
+
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import (
+        MFCC_N,
+        MFCC_SCALE,
+        _m09_dct_terms,
+        mel_filterbank,
+        mfcc_attest_features,
+    )
+
+    ids = [0, 1, 2, 13, 64, 99]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    got = {r["media_id"]: r for r in mfcc_attest_features(df).collect()}
+    w = mel_filterbank()
+    dctm = np.cos(
+        np.pi * np.arange(MFCC_N)[:, None]
+        * (np.arange(MFCC_N)[None, :] + 0.5) / MFCC_N
+    )
+    terms = _m09_dct_terms()
+    for mid in ids:
+        a = 1000 + 4 * mid
+        b = 2 * a if mid % 2 else a // 4
+        n = 800 + (mid % 7) * 160
+        x = np.tile([a + b, -b, b - a, -b], n // 4).astype(np.float64)
+        spec = np.fft.fft(x.reshape(n // 160, 160), axis=1)
+        half = (spec.real**2 + spec.imag**2)[:, :81].sum(axis=0)
+        c = dctm @ np.log10(np.maximum(w @ half, 1.0))
+        t = math.log10((n // 160) * a * a)
+        closed = np.array([s * t + d for _, s, d in terms])
+        # pipeline vs closed form: machine precision (measured
+        # panel max 3.6e-15); boundary distance >= 3.3e-9 c-units
+        assert np.abs(c - closed).max() < 1e-12
+        r = got[mid]
+        assert r["c0_fp"] == math.floor(c[0] * MFCC_SCALE + 0.5)
+        assert r["c1_fp"] == math.floor(c[1] * MFCC_SCALE + 0.5)
+        jmax = 1 + int(np.abs(c[1:]).argmax())
+        assert r["cmax_j"] == jmax
+        assert r["cmax_sign"] == (1 if c[jmax] > 0 else -1)
+        # margin pins: quantization boundaries and the argmax gap
+        for v in (c[0], c[1]):
+            y = v * MFCC_SCALE + 0.5
+            assert min(y - math.floor(y), math.ceil(y) - y) > 1e-4
+        top2 = np.sort(np.abs(c[1:]))[-2:]
+        assert top2[1] - top2[0] > 3.0
+        assert (r["n_mel"], r["n_mfcc"]) == (12, 12)

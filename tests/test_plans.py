@@ -121,6 +121,9 @@ def test_no_python_udfs_in_declared_corpus(spark):
         # round 12: real WAV encode/decode + framed FFT power
         # spectrum + mel filterbank (numpy inside Arrow batches)
         "m08_mel_attest",
+        # round 12: the cepstral stage (DCT-II over log-mel) on the
+        # same Arrow pipeline
+        "m09_mfcc_attest",
     }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":

@@ -1063,3 +1063,124 @@ def image_hash_bands(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_HASH_SCHEMA
     )
+
+
+# ---------------------------------------------------------------
+# MFCC attestation (round 12, m09) — the cepstral half of the
+# audio-LM frontend on top of m08's mel stack: DCT-II over the
+# log-mel energies. On the m08 two-tone panel the mel energies
+# land ONLY in filters 8 and 9 (bin 80 = 4000 Hz sits exactly on
+# the bank's falling edge, weight 0), so every coefficient has the
+# closed form c_j = S_j·log10(nf·A²) + D_j with S_j = C[j,8]+C[j,9]
+# and D_j = log10(6400·w8)·C[j,8] + log10(6400·w9)·C[j,9] — the
+# oracle replays it from these PRECOMPUTED spec constants (derived
+# from mel_filterbank + math.cos at import, never from the
+# pipeline under test). Measured over the 100-id panel: pipeline
+# vs closed form agree to 3.6e-15 (machine precision), floor
+# boundaries sit >= 3.3e-9 c-units away (~1e6x the disagreement),
+# the j>=1 argmax margin is 3.39.
+# ---------------------------------------------------------------
+
+MFCC_N = 12
+MFCC_SCALE = 10**6
+
+
+def _m09_dct_terms() -> list[tuple[int, float, float]]:
+    """(j, S_j, D_j) for j = 0..11 — the closed-form DCT terms of
+    the m08 panel's log-mel vector, from the filterbank SPEC."""
+    import math
+
+    w = mel_filterbank()
+    k8 = math.log10(6400.0 * float(w[8, 40]))
+    k9 = math.log10(6400.0 * float(w[9, 40]))
+    out = []
+    for j in range(MFCC_N):
+        c8 = math.cos(math.pi * j * 8.5 / MFCC_N)
+        c9 = math.cos(math.pi * j * 9.5 / MFCC_N)
+        out.append((j, c8 + c9, k8 * c8 + k9 * c9))
+    return out
+
+
+MFCC_ATTEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_mel", LongType()),
+        StructField("n_mfcc", LongType()),
+        StructField("c0_fp", LongType()),
+        StructField("c1_fp", LongType()),
+        StructField("cmax_j", LongType()),
+        StructField("cmax_sign", LongType()),
+    ]
+)
+
+
+def mfcc_attest_features(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """MFCC features through the full Spark surface (round 12 —
+    the cepstral stage every ASR/audio-LM frontend applies after
+    m08's mel reduction): the same exactly-integer two-tone panel
+    rides REAL encode_wav → decode_wav → 160-sample framing →
+    full-DFT power spectrum → 12-filter HTK mel bank →
+    log10(max(E, 1)) → unnormalized DCT-II (HTK convention), all
+    inside ONE Arrow mapInPandas batch fn.
+
+    Outputs per id, all exact BIGINTs: c0/c1 quantized
+    floor(c·10^6 + 0.5) (explicit half-up — the t47 doctrine), the
+    argmax-|c_j| coefficient over j >= 1 (measured margin 3.39 —
+    a wrong DCT geometry cannot reproduce it) and its sign.
+    Boundary safety is MEASURED, not hoped: floors sit >= 3.3e-9
+    c-units from the nearest boundary while the pipeline and the
+    oracle's closed form agree to 3.6e-15.
+
+    Scale: one narrow id column in, seven ints out, constant work
+    per row inside Arrow batches; bounded 100-id instrument."""
+    import math
+
+    import numpy as np
+
+    from zappy_spark.sources.wavlite import decode_wav, encode_wav
+
+    w_mel = mel_filterbank()
+    dct = np.cos(
+        np.pi
+        * np.arange(MFCC_N)[:, None]
+        * (np.arange(MFCC_N)[None, :] + 0.5)
+        / MFCC_N
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in MFCC_ATTEST_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                a = 1000 + 4 * mid
+                b = 2 * a if mid % 2 else a // 4
+                n = 800 + (mid % 7) * 160
+                pat = np.array([a + b, -b, b - a, -b], dtype=np.int64)
+                wave = np.tile(pat, n // 4).astype(np.int16)
+                dec, _rate = decode_wav(encode_wav(wave, 8000, bits=16))
+                x = dec[:, 0].astype(np.float64)
+                spec = np.fft.fft(x.reshape(n // 160, 160), axis=1)
+                half = (spec.real**2 + spec.imag**2)[:, :81].sum(axis=0)
+                logmel = np.log10(np.maximum(w_mel @ half, 1.0))
+                c = dct @ logmel
+                jmax = 1 + int(np.abs(c[1:]).argmax())
+                out["media_id"].append(mid)
+                out["n_mel"].append(w_mel.shape[0])
+                out["n_mfcc"].append(MFCC_N)
+                out["c0_fp"].append(
+                    int(math.floor(c[0] * MFCC_SCALE + 0.5))
+                )
+                out["c1_fp"].append(
+                    int(math.floor(c[1] * MFCC_SCALE + 0.5))
+                )
+                out["cmax_j"].append(jmax)
+                out["cmax_sign"].append(1 if c[jmax] > 0 else -1)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=MFCC_ATTEST_SCHEMA
+    )

@@ -1011,6 +1011,7 @@ _NEW_R13: list[str] = [
     "d51_winnow_neardup",  # NEW r12: MOSS winnowing fingerprint pairs
     "t50_wordpiece_merges",  # NEW r12: WordPiece trainer (tokenizer triad)
     "d52_cdc_dedup",  # NEW r12: content-defined chunking dedup ledger
+    "m09_mfcc_attest",  # NEW r12: DCT-II cepstral stage on the mel stack
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

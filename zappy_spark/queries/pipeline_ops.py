@@ -3738,6 +3738,30 @@ def m08(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def m09(spark: SparkSession, d: str) -> DataFrame:
+    """MFCC attestation (round 12;
+    operators/multimodal.py::mfcc_attest_features) — the cepstral
+    stage on top of m08's mel stack: the same exactly-bin-aligned
+    two-tone panel rides real wavlite both ways → framed FFT power
+    spectrum → HTK mel bank → log10(max(E,1)) → unnormalized DCT-II
+    in Arrow mapInPandas. On this panel the mel energy lands ONLY
+    in filters 8/9 (bin 80 is the bank's zero-weight edge), so
+    every coefficient has the closed form c_j = S_j·log10(nf·A²) +
+    D_j; the oracle replays it from spec-derived constants
+    (_m09_dct_terms — filterbank + cos, never the pipeline under
+    test). Margins MEASURED over the panel: pipeline vs closed form
+    3.6e-15, floor boundaries >= 3.3e-9 c-units (~1e6x), argmax
+    margin 3.39. Bounded 100-id instrument."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return multimodal.mfcc_attest_features(ids, "doc_id").orderBy(
+        "media_id"
+    )
+
+
 def t49(spark: SparkSession, d: str) -> DataFrame:
     """Interpolated Kneser–Ney perplexity filter (round 12, VERDICT
     r11 item 3; operators/text.py::kneser_ney_perplexity_ledger) —
@@ -3925,6 +3949,7 @@ QUERIES = {
     "d51_winnow_neardup": d51,
     "t50_wordpiece_merges": t50,
     "d52_cdc_dedup": d52,
+    "m09_mfcc_attest": m09,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4455,6 +4480,41 @@ def _bpe_oracle(k: int = 6) -> str:
         for i in range(1, k + 1)
     )
     return _bpe_train_ctes(k) + f" SELECT * FROM ({unions}) ORDER BY step"
+
+
+def _m09_oracle() -> str:
+    """Closed-form MFCC replay (m09): per id, t = log10(nf·A²) from
+    the fabrication closed forms, then c_j = S_j·t + D_j with the
+    spec-derived (j, S, D) literals (full-precision repr doubles —
+    bit round-trip), the same floor(c·10^6 + 0.5) half-up
+    quantization, and the (|c| DESC, j) argmax over j >= 1. The
+    Spark numbers came through wav encode/decode, FFT, mel, log and
+    DCT — equality attests the whole frontend."""
+    from zappy_spark.operators.multimodal import _m09_dct_terms
+
+    vals = ", ".join(
+        f"({j}, {s!r}, {dd!r})" for j, s, dd in _m09_dct_terms()
+    )
+    return (
+        "WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100), "
+        "p AS (SELECT doc_id, CAST(1000 + 4*doc_id AS DOUBLE) a, "
+        "CAST((800 + (doc_id % 7) * 160) // 160 AS DOUBLE) nf FROM ids), "
+        "tt AS (SELECT doc_id, log10(nf * a * a) t FROM p), "
+        f"cv AS (SELECT doc_id, v.j, v.s * t + v.d c FROM tt, "
+        f"(VALUES {vals}) v(j, s, d)), "
+        "agg AS (SELECT doc_id, MAX(CASE WHEN j = 0 THEN c END) c0, "
+        "MAX(CASE WHEN j = 1 THEN c END) c1 FROM cv GROUP BY doc_id), "
+        "best AS (SELECT doc_id, j, c FROM cv WHERE j >= 1 "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY ABS(c) DESC, j) = 1) "
+        "SELECT a.doc_id media_id, CAST(12 AS BIGINT) n_mel, "
+        "CAST(12 AS BIGINT) n_mfcc, "
+        "CAST(FLOOR(a.c0 * 1000000 + 0.5) AS BIGINT) c0_fp, "
+        "CAST(FLOOR(a.c1 * 1000000 + 0.5) AS BIGINT) c1_fp, "
+        "CAST(b.j AS BIGINT) cmax_j, "
+        "CAST(CASE WHEN b.c > 0 THEN 1 ELSE -1 END AS BIGINT) cmax_sign "
+        "FROM agg a JOIN best b USING (doc_id) ORDER BY media_id"
+    )
 
 
 def _wp_oracle(k: int = 6) -> str:
@@ -5596,6 +5656,7 @@ ORACLE = {
     "v32_filter_agreement_cube": _v32_oracle(),
     "v31_filter_agreement": _v31_oracle(),
     "t50_wordpiece_merges": _wp_oracle(6),
+    "m09_mfcc_attest": _m09_oracle(),
     # d52: full CDC replay — identical md5-suffix cut rule,
     # identical synthetic-tail + DISTINCT end set, identical lag
     # window, identical occurrence join; k=16, mask '0', bound
