@@ -5433,3 +5433,74 @@ def test_mfcc_attest_matches_simulation_and_closed_form(spark):
         top2 = np.sort(np.abs(c[1:]))[-2:]
         assert top2[1] - top2[0] > 3.0
         assert (r["n_mel"], r["n_mfcc"]) == (12, 12)
+
+
+def test_wordpiece_greedy_segmentation_reference(spark):
+    """The greedy walk must match a pure-Python longest-match-first
+    replay (position classes enforced) on every in-scope word of a
+    small corpus, trained merges shared between both paths."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import (
+        _wp_strip,
+        wordpiece_discover_merges,
+        wordpiece_piece_count,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat and a bat",
+        "thematic threads thread the theme",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = wordpiece_discover_merges(df, "text", 6)
+    pieces = [
+        (_wp_strip(l) + _wp_strip(r), not l.startswith("##"))
+        for l, r in merges
+    ]
+
+    def ref_count(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            best = 1
+            for content, initial in pieces:
+                if (pos == 0) == initial and w[pos : pos + len(content)] == content:
+                    best = max(best, len(content))
+            pos += best
+            n += 1
+        return n
+
+    words = sorted({w for t in texts for w in t.split()})
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: r["np"]
+        for r in wdf.select(
+            "word",
+            wordpiece_piece_count(F.col("word"), merges).alias("np"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == ref_count(w), (w, got[w], ref_count(w))
+
+
+def test_wordpiece_greedy_respects_position_class(spark):
+    """A merge product trained mid-word (##-marked lhs) must not
+    match at a word start: with only the merge (##a, ##b) trained,
+    'zab' segments as z|ab (2 pieces) but 'abz' as a|b|z (3) —
+    content 'ab' exists in both words, class gates the match."""
+    from pyspark.sql import functions as F
+
+    from zappy_spark.operators.text import wordpiece_piece_count
+
+    merges = [("##a", "##b")]
+    wdf = spark.createDataFrame([("zab",), ("abz",)], ["word"])
+    got = {
+        r["word"]: r["np"]
+        for r in wdf.select(
+            "word",
+            wordpiece_piece_count(F.col("word"), merges).alias("np"),
+        ).collect()
+    }
+    assert got == {"zab": 2, "abz": 3}

@@ -3078,3 +3078,116 @@ def wordpiece_train_merges(
         )
         return df.sparkSession.createDataFrame([], schema)
     return out.orderBy("step")
+
+
+def _wp_jump(word: Column, pieces: list[tuple[str, bool, int]]) -> "callable":
+    """Factory: jump(pos) = greedy longest-match piece CONTENT
+    length at 1-based position ``pos`` of ``word`` under the
+    trained WordPiece vocab. ``pieces`` holds the merge products as
+    (content, is_initial, content_len); single chars always match
+    (the base alphabet covers both position classes), so the jump
+    is >= 1 and the walk always terminates."""
+
+    def jump(pos: Column) -> Column:
+        arms = [F.lit(1)]
+        for content, is_initial, ln in pieces:
+            cls = (pos == 1) if is_initial else (pos > 1)
+            arms.append(
+                F.when(
+                    cls & (F.substring(word, pos, ln) == content),
+                    F.lit(ln),
+                ).otherwise(1)
+            )
+        return F.greatest(*arms) if len(arms) > 1 else arms[0]
+
+    return jump
+
+
+def wordpiece_piece_count(
+    word: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Number of WordPiece tokens the greedy longest-match-first
+    algorithm (the HF WordpieceTokenizer inference rule: at each
+    position take the LONGEST vocab piece of the right position
+    class) emits for ``word`` — as ONE column expression (no UDF,
+    the t47 walk machinery): an F.aggregate struct accumulator
+    advances pos by the jump until past the end, counting steps.
+    Position classes are real: a merge product whose lhs is
+    ##-marked only matches mid-word, an unmarked one only at the
+    word start."""
+    pieces = []
+    for lhs, rhs in merges:
+        content = _wp_strip(lhs) + _wp_strip(rhs)
+        pieces.append((content, not lhs.startswith("##"), len(content)))
+    jump = _wp_jump(word, pieces)
+    n = F.length(word)
+    walk = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"),
+            F.lit(0).cast("int").alias("np"),
+        ),
+        lambda acc, _: F.when(acc["pos"] > n, acc).otherwise(
+            F.struct(
+                (acc["pos"] + jump(acc["pos"])).cast("int").alias("pos"),
+                (acc["np"] + 1).cast("int").alias("np"),
+            )
+        ),
+    )
+    return walk["np"]
+
+
+def wordpiece_segment_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """WordPiece segmentation audit (round 12) — the APPLY half of
+    t50, completing the train→apply story the other two families
+    already have (BPE: t37→t39; unigram-LM: t47→usage ledger):
+    train the merge schedule, then per ``group_col`` count the
+    corpus token economics under greedy longest-match-first
+    inference. Returns (group, n_words, n_chars, n_pieces,
+    n_oov_words) — all exact BIGINTs; fertility = n_pieces/n_words
+    is one division away for consumers holding the integers.
+    Out-of-scope words (not ^[a-z0-9]+$ after lowering) are counted
+    separately, not segmented — t43's UNK policy.
+
+    IMPORTANT semantic note: training applies merges as REPLACES
+    (symbol-pair contraction) while inference is greedy
+    longest-match — the two can disagree on words the training
+    corpus never saw whole (the known BPE-vs-WordPiece deploy
+    asymmetry); this operator measures the INFERENCE economics,
+    which is what serving actually pays.
+
+    Scale: after the discovery jobs (vocab-sized, 1-row collects),
+    ONE corpus scan with NO join — the trained pieces compile INTO
+    the scan as literals (the t39 trick), the greedy walk is a
+    bounded column-expression aggregate per word, and the only
+    shuffle is the |groups|-row final agg."""
+    merges = wordpiece_discover_merges(df, text_col, n_merges)
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_w0"),
+    ).select("grp", F.lower("_w0").alias("_w"))
+    in_scope = F.col("_w").rlike("^[a-z0-9]+$")
+    npieces = wordpiece_piece_count(F.col("_w"), merges)
+    return (
+        tok.select(
+            "grp",
+            in_scope.cast("bigint").alias("_in"),
+            F.when(in_scope, F.length("_w")).otherwise(0).alias("_ch"),
+            F.when(in_scope, npieces).otherwise(0).alias("_np"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("_in").alias("n_words"),
+            F.sum("_ch").cast("bigint").alias("n_chars"),
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+            (F.count("*") - F.sum("_in")).alias("n_oov_words"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

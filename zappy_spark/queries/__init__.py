@@ -1012,6 +1012,7 @@ _NEW_R13: list[str] = [
     "t50_wordpiece_merges",  # NEW r12: WordPiece trainer (tokenizer triad)
     "d52_cdc_dedup",  # NEW r12: content-defined chunking dedup ledger
     "m09_mfcc_attest",  # NEW r12: DCT-II cepstral stage on the mel stack
+    "t51_wordpiece_segment",  # NEW r12: WordPiece greedy apply audit
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

@@ -3762,6 +3762,25 @@ def m09(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def t51(spark: SparkSession, d: str) -> DataFrame:
+    """WordPiece segmentation audit (round 12;
+    operators/text.py::wordpiece_segment_stats) — t50's APPLY half,
+    completing the train→apply story for the third tokenizer family
+    (BPE has t37→t39, unigram-LM has t47→usage ledger): train 6
+    merges, then per source count the token economics under greedy
+    longest-match-first inference (the HF WordpieceTokenizer rule),
+    position classes enforced (an ##-lhs product only matches
+    mid-word). The greedy walk is a bounded column-expression
+    aggregate (no UDF); the oracle re-trains via the _wp_oracle
+    chain and replays inference as a per-(word,pos) jump table +
+    recursive walk. All outputs exact BIGINTs."""
+    from zappy_spark.operators.text import wordpiece_segment_stats
+
+    return wordpiece_segment_stats(
+        t(spark, d, "documents"), "text", "source", 6
+    ).orderBy("source")
+
+
 def t49(spark: SparkSession, d: str) -> DataFrame:
     """Interpolated Kneser–Ney perplexity filter (round 12, VERDICT
     r11 item 3; operators/text.py::kneser_ney_perplexity_ledger) —
@@ -3950,6 +3969,7 @@ QUERIES = {
     "t50_wordpiece_merges": t50,
     "d52_cdc_dedup": d52,
     "m09_mfcc_attest": m09,
+    "t51_wordpiece_segment": t51,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4565,6 +4585,64 @@ def _wp_oracle(k: int = 6) -> str:
         for i in range(1, k + 1)
     )
     return "".join(parts) + f" SELECT * FROM ({unions}) ORDER BY step"
+
+
+def _t51_oracle(k: int = 6) -> str:
+    """WordPiece train→apply replay (t51): the _wp_oracle chain
+    re-trains the schedule, then greedy longest-match-first
+    inference replays as (1) a per-(word, pos) JUMP table — the
+    longest matching merge-product content of the right position
+    class, single chars falling back to 1 — and (2) a recursive
+    walk advancing pos by the jump, counting steps; the walk's
+    termination is structural (jump >= 1, the join dies past the
+    word end). Degenerate-corpus guard: each step's content comes
+    from a scalar subquery with a '~' fallback that can never match
+    a ^[a-z0-9]+$ word (the t39 pattern). Position classes are
+    real: class flag = 1 only when the winning lhs is unmarked."""
+    content = "regexp_replace(l, '^##', '') || regexp_replace(r, '^##', '')"
+    m_cols = ", ".join(
+        f"COALESCE((SELECT {content} FROM b{i}), '~') c{i}, "
+        f"COALESCE((SELECT CASE WHEN l LIKE '##%' THEN 0 ELSE 1 END "
+        f"FROM b{i}), 0) i{i}"
+        for i in range(1, k + 1)
+    )
+    arms = ", ".join(
+        f"CASE WHEN (CASE WHEN i{i} = 1 THEN p.i = 1 ELSE p.i > 1 END) "
+        f"AND substr(w, CAST(p.i AS INT), len(c{i})) = c{i} "
+        f"THEN len(c{i}) ELSE 1 END"
+        for i in range(1, k + 1)
+    )
+    chain = _wp_oracle(k)
+    prefix = chain[: chain.index(" SELECT * FROM (")]
+    return (
+        "WITH RECURSIVE "
+        + prefix[len("WITH ") :]
+        + f", m AS (SELECT {m_cols})"
+        ", tokx AS (SELECT source grp, lower(t) w FROM "
+        "(SELECT source, unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents))"
+        ", wrd AS (SELECT DISTINCT w FROM tokx "
+        "WHERE regexp_matches(w, '^[a-z0-9]+$'))"
+        ", jp AS (SELECT w, p.i pos, "
+        f"GREATEST(1, {arms}) j "
+        "FROM wrd, m, LATERAL (SELECT unnest(generate_series(1, "
+        "len(w))) i) p)"
+        ", wk AS (SELECT w, 1 pos, 0 np FROM wrd "
+        "UNION ALL SELECT wk.w, wk.pos + jp.j, wk.np + 1 "
+        "FROM wk JOIN jp ON jp.w = wk.w AND jp.pos = wk.pos)"
+        ", done AS (SELECT w, MAX(np) np FROM wk GROUP BY w)"
+        ", segd AS (SELECT grp, tokx.w, "
+        "regexp_matches(tokx.w, '^[a-z0-9]+$') ins, done.np "
+        "FROM tokx LEFT JOIN done ON done.w = tokx.w) "
+        "SELECT grp source, "
+        "CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) n_words, "
+        "CAST(SUM(CASE WHEN ins THEN len(w) ELSE 0 END) AS BIGINT) "
+        "n_chars, "
+        "CAST(SUM(CASE WHEN ins THEN np ELSE 0 END) AS BIGINT) n_pieces, "
+        "CAST(SUM(CASE WHEN ins THEN 0 ELSE 1 END) AS BIGINT) "
+        "n_oov_words "
+        "FROM segd GROUP BY grp ORDER BY grp"
+    )
 
 
 def _t39_oracle(k: int = 6) -> str:
@@ -5657,6 +5735,7 @@ ORACLE = {
     "v31_filter_agreement": _v31_oracle(),
     "t50_wordpiece_merges": _wp_oracle(6),
     "m09_mfcc_attest": _m09_oracle(),
+    "t51_wordpiece_segment": _t51_oracle(6),
     # d52: full CDC replay — identical md5-suffix cut rule,
     # identical synthetic-tail + DISTINCT end set, identical lag
     # window, identical occurrence join; k=16, mask '0', bound
