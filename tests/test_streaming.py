@@ -1672,3 +1672,37 @@ def test_incremental_ppl_ledger_equals_batch(spark, tmp_path):
         docs.limit(10), rev, state, model_path
     )
     assert _rows(jobs.ppl_from_state(spark, state), *cols) == got
+
+
+def test_incremental_cdc_ledger_equals_batch(spark, tmp_path):
+    """Round 12: the documents changelog drained through
+    incremental_cdc_state (d52's chunk index at the FIXED (k, mask)
+    chunking config) must reproduce the batch dedup ledger EXACTLY
+    — four integer columns per source, no tolerance; the micro-
+    batch partial IS cdc_chunks, so batch/stream spelling drift is
+    impossible. Replay guard: re-applying the last batch id is a
+    no-op."""
+    from zappy_spark.operators.dedup import cdc_dedup_ledger
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    replay = str(tmp_path / "docs_replay_cdc")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "cdc_state")
+    q = jobs.incremental_cdc_state(
+        jobs.stream_events(spark, replay), state
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "n_chunks", "n_bytes", "dup_chunks", "dup_bytes")
+    got = _rows(jobs.cdc_ledger_from_state(spark, state), *cols)
+    batch = _rows(
+        cdc_dedup_ledger(docs, "text", "doc_id", "source").orderBy(
+            "source"
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.cdc_apply_batch(docs.limit(10), rev, state)
+    assert _rows(jobs.cdc_ledger_from_state(spark, state), *cols) == got

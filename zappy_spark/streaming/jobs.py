@@ -2489,3 +2489,119 @@ def kn_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if per is None:
         raise ValueError(f"no kn-ledger state at {state_path}")
     return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
+
+
+# ---- streaming twin of d52's content-defined chunk dedup ----
+
+
+def cdc_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    k: int = 16,
+    mask: str = "0",
+) -> None:
+    """One ``incremental_cdc_state`` micro-batch: per (source,
+    chunk_hash), the additive occurrence count + the chunk length —
+    a streaming CHUNK INDEX, which is exactly the state a
+    production CDC dedup system maintains. Chunking is per-document
+    (no cross-doc dependency), so the counters are additive by
+    construction; the partial IS operators/dedup.py::cdc_chunks, so
+    batch/stream spelling drift is structurally impossible.
+    Redelivered batch ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.dedup import cdc_chunks
+
+    spark = batch_df.sparkSession
+    part = (
+        cdc_chunks(batch_df, "text", "doc_id", k=k, mask=mask)
+        .join(
+            batch_df.select(
+                F.col("doc_id").alias("_jid"), F.col("source")
+            ),
+            F.col("doc_id") == F.col("_jid"),
+        )
+        .groupBy("source", "chunk_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+        )
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source", "chunk_hash")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.min("chunk_len").cast("bigint").alias("chunk_len"),
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_cdc_state(
+    stream: DataFrame,
+    state_path: str,
+    k: int = 16,
+    mask: str = "0",
+) -> "Any":
+    """Streaming twin of d52: the dedup-drift monitor a corpus
+    pipeline runs as documents arrive — a rising duplicated-bytes
+    share means the crawl is re-fetching content (or a mirror
+    joined the feed) and the dedup stage ahead of training must
+    tighten. State = the (source, chunk_hash) occurrence index with
+    exact BIGINT counters, mergeable forever under the FIXED (k,
+    mask) chunking config (a re-chunk is a NEW state path); same
+    MVCC rev-dir snapshot + replay guard as every twin."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_apply_batch(batch_df, batch_id, state_path, k=k, mask=mask)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def cdc_ledger_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """d52's per-source dedup ledger REPRODUCED from the streaming
+    chunk index: global occurrence = the cross-source sum per
+    chunk_hash, an instance duplicated when that sum > 1 — the same
+    definition the batch operator applies, so a drained changelog
+    equals the batch ledger exactly."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no cdc state at {state_path}")
+    occ = per.groupBy("chunk_hash").agg(F.sum("n").alias("_occ"))
+    j = per.join(occ, "chunk_hash")
+    dup = (F.col("_occ") > 1).cast("bigint")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_chunks"),
+            F.sum(F.col("n") * F.col("chunk_len")).cast("bigint").alias(
+                "n_bytes"
+            ),
+            F.sum(dup * F.col("n")).cast("bigint").alias("dup_chunks"),
+            F.sum(dup * F.col("n") * F.col("chunk_len")).cast(
+                "bigint"
+            ).alias("dup_bytes"),
+        )
+        .orderBy("source")
+    )
