@@ -5504,3 +5504,51 @@ def test_wordpiece_greedy_respects_position_class(spark):
         ).collect()
     }
     assert got == {"zab": 2, "abz": 3}
+
+
+def test_tokenizer_bakeoff_integer_verdict(spark):
+    """v33's winner must be a pure function of the two family
+    counts, and the per-group counts must equal each family's own
+    audit run independently (composition adds nothing)."""
+    from zappy_spark.operators.text import (
+        bpe_segment_stats,
+        tokenizer_fertility_compare,
+        wordpiece_segment_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "A"),
+            (2, "the cat ate the rat and a bat", "A"),
+            (3, "thematic threads thread the theme", "B"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["source"]: r
+        for r in tokenizer_fertility_compare(
+            df, "text", "source", 4
+        ).collect()
+    }
+    bpe = {
+        r["source"]: r
+        for r in bpe_segment_stats(df, "text", "source", 4).collect()
+    }
+    wp = {
+        r["source"]: r
+        for r in wordpiece_segment_stats(df, "text", "source", 4).collect()
+    }
+    for g in ("A", "B"):
+        r = got[g]
+        assert r["bpe_subwords"] == bpe[g]["n_subwords"]
+        assert r["wp_pieces"] == wp[g]["n_pieces"]
+        assert r["n_words"] == bpe[g]["n_words"]
+        assert r["delta"] == r["bpe_subwords"] - r["wp_pieces"]
+        want = (
+            "wordpiece"
+            if r["wp_pieces"] < r["bpe_subwords"]
+            else "bpe"
+            if r["wp_pieces"] > r["bpe_subwords"]
+            else "tie"
+        )
+        assert r["winner"] == want

@@ -3191,3 +3191,55 @@ def wordpiece_segment_stats(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def tokenizer_fertility_compare(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Tokenizer bake-off ledger (round 12, v33) — the artifact
+    that decides WHICH subword family ships: train BPE (t37) and
+    WordPiece (t50) on the SAME corpus with the SAME merge budget,
+    segment every in-scope token under each family's own inference
+    rule (BPE: the trained replaces; WordPiece: greedy longest-
+    match-first with position classes), and compare per-group
+    fertility. Returns (group, n_words, n_chars, bpe_subwords,
+    wp_pieces, delta, winner) — the counts exact BIGINTs, the
+    winner a pure function of two of them, so the whole comparison
+    is integer-decided (no float enters the verdict).
+
+    Scale: two discovery loops (each K one-agg jobs on the Heaps-
+    bounded vocab), then each family's audit is ONE corpus scan
+    with its schedule compiled in as literals; the final join is
+    |groups|-sized."""
+    bpe = bpe_segment_stats(df, text_col, group_col, n_merges).select(
+        F.col(group_col).alias("_g"),
+        "n_words",
+        "n_chars",
+        F.col("n_subwords").alias("bpe_subwords"),
+    )
+    wp = wordpiece_segment_stats(
+        df, text_col, group_col, n_merges
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col("n_pieces").alias("wp_pieces"),
+    )
+    j = bpe.join(wp, "_g")
+    winner = (
+        F.when(F.col("wp_pieces") < F.col("bpe_subwords"), "wordpiece")
+        .when(F.col("wp_pieces") > F.col("bpe_subwords"), "bpe")
+        .otherwise("tie")
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_words",
+        "n_chars",
+        "bpe_subwords",
+        "wp_pieces",
+        (F.col("bpe_subwords") - F.col("wp_pieces")).cast("bigint").alias(
+            "delta"
+        ),
+        winner.alias("winner"),
+    )

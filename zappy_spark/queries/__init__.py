@@ -1013,6 +1013,7 @@ _NEW_R13: list[str] = [
     "d52_cdc_dedup",  # NEW r12: content-defined chunking dedup ledger
     "m09_mfcc_attest",  # NEW r12: DCT-II cepstral stage on the mel stack
     "t51_wordpiece_segment",  # NEW r12: WordPiece greedy apply audit
+    "v33_tokenizer_bakeoff",  # NEW r12: BPE vs WordPiece fertility ledger
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

@@ -3781,6 +3781,25 @@ def t51(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("source")
 
 
+def v33(spark: SparkSession, d: str) -> DataFrame:
+    """Tokenizer bake-off ledger (round 12;
+    operators/text.py::tokenizer_fertility_compare): BPE (t37) vs
+    WordPiece (t50) trained on the SAME corpus with the SAME
+    6-merge budget, each applied with its own inference rule, per
+    source — the artifact that decides which subword family ships.
+    The winner column is a pure function of two exact BIGINTs
+    (no float enters the verdict). The oracle re-trains BOTH
+    families inside one WITH RECURSIVE (the BPE chain unprefixed,
+    byte-identical to t39's; the WordPiece chain namespaced wp_)
+    and replays both inference rules — the full double-train
+    bake-off, end to end."""
+    from zappy_spark.operators.text import tokenizer_fertility_compare
+
+    return tokenizer_fertility_compare(
+        t(spark, d, "documents"), "text", "source", 6
+    ).orderBy("source")
+
+
 def t49(spark: SparkSession, d: str) -> DataFrame:
     """Interpolated Kneser–Ney perplexity filter (round 12, VERDICT
     r11 item 3; operators/text.py::kneser_ney_perplexity_ledger) —
@@ -3970,6 +3989,7 @@ QUERIES = {
     "d52_cdc_dedup": d52,
     "m09_mfcc_attest": m09,
     "t51_wordpiece_segment": t51,
+    "v33_tokenizer_bakeoff": v33,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -4537,6 +4557,45 @@ def _m09_oracle() -> str:
     )
 
 
+def _wp_train_ctes(k: int, prefix: str = "") -> list[str]:
+    """The unrolled WordPiece training chain as CTE fragments (no
+    leading WITH): ``prefix`` namespaces every CTE so the chain can
+    coexist with the BPE chain inside one oracle (v33). The default
+    "" emits byte-identical SQL to the original t50 spelling."""
+    q = prefix
+    parts = [
+        f"{q}tok AS (SELECT unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents), "
+        f"{q}v AS (SELECT lower(t) w, COUNT(*) f FROM {q}tok "
+        "WHERE regexp_matches(lower(t), '^[a-z0-9]+$') GROUP BY 1), "
+        f"{q}s0 AS MATERIALIZED (SELECT w, f, "
+        "'|' || substr(w, 1, 1) || '|' || "
+        f"regexp_replace(substr(w, 2), '(.)', '|##\\1|', 'g') s FROM {q}v)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", {q}a{i} AS (SELECT w, f, list_filter(string_split(s,'|'), "
+            f"x -> x<>'') arr FROM {q}s{i - 1})"
+            f", {q}e{i} AS MATERIALIZED (SELECT w, f, "
+            f"generate_subscripts(arr,1) i, unnest(arr) a FROM {q}a{i})"
+            f", {q}c{i} AS (SELECT a sym, SUM(f) c FROM {q}e{i} GROUP BY 1)"
+            f", {q}p{i} AS (SELECT x.a l, y.a r, SUM(x.f) n "
+            f"FROM {q}e{i} x JOIN {q}e{i} y ON x.w = y.w AND y.i = x.i + 1 "
+            f"GROUP BY 1, 2)"
+            f", {q}b{i} AS (SELECT l, r, n, "
+            f"CAST(CAST(n AS HUGEINT) * 1000000000000 // "
+            f"(CAST(cl.c AS HUGEINT) * CAST(cr.c AS HUGEINT)) AS BIGINT) "
+            f"sc FROM {q}p{i} JOIN {q}c{i} cl ON cl.sym = {q}p{i}.l "
+            f"JOIN {q}c{i} cr ON cr.sym = {q}p{i}.r "
+            f"ORDER BY sc DESC, n DESC, l, r LIMIT 1)"
+            f", {q}s{i} AS MATERIALIZED (SELECT w, f, replace(s, "
+            f"'|' || b.l || '||' || b.r || '|', "
+            f"'|' || b.l || regexp_replace(b.r, '^##', '') || '|') s "
+            f"FROM {q}s{i - 1}, {q}b{i} b)"
+        )
+    return parts
+
+
 def _wp_oracle(k: int = 6) -> str:
     """Unrolled fixed-iteration WordPiece replay (t50): the t37
     pattern — step i recomputes pair counts AND per-symbol totals
@@ -4548,36 +4607,7 @@ def _wp_oracle(k: int = 6) -> str:
     MATERIALIZED (each s{i} is referenced twice — the t37 2^k
     inlining lesson). The base state carries the BERT continuation
     marking: '|' || first char || '|##c2||##c3…'."""
-    parts = [
-        "WITH tok AS (SELECT unnest(list_filter(string_split(text,' '), "
-        "x -> x<>'')) t FROM documents), "
-        "v AS (SELECT lower(t) w, COUNT(*) f FROM tok "
-        "WHERE regexp_matches(lower(t), '^[a-z0-9]+$') GROUP BY 1), "
-        "s0 AS MATERIALIZED (SELECT w, f, "
-        "'|' || substr(w, 1, 1) || '|' || "
-        "regexp_replace(substr(w, 2), '(.)', '|##\\1|', 'g') s FROM v)"
-    ]
-    for i in range(1, k + 1):
-        parts.append(
-            f", a{i} AS (SELECT w, f, list_filter(string_split(s,'|'), "
-            f"x -> x<>'') arr FROM s{i - 1})"
-            f", e{i} AS MATERIALIZED (SELECT w, f, "
-            f"generate_subscripts(arr,1) i, unnest(arr) a FROM a{i})"
-            f", c{i} AS (SELECT a sym, SUM(f) c FROM e{i} GROUP BY 1)"
-            f", p{i} AS (SELECT x.a l, y.a r, SUM(x.f) n "
-            f"FROM e{i} x JOIN e{i} y ON x.w = y.w AND y.i = x.i + 1 "
-            f"GROUP BY 1, 2)"
-            f", b{i} AS (SELECT l, r, n, "
-            f"CAST(CAST(n AS HUGEINT) * 1000000000000 // "
-            f"(CAST(cl.c AS HUGEINT) * CAST(cr.c AS HUGEINT)) AS BIGINT) "
-            f"sc FROM p{i} JOIN c{i} cl ON cl.sym = p{i}.l "
-            f"JOIN c{i} cr ON cr.sym = p{i}.r "
-            f"ORDER BY sc DESC, n DESC, l, r LIMIT 1)"
-            f", s{i} AS MATERIALIZED (SELECT w, f, replace(s, "
-            f"'|' || b.l || '||' || b.r || '|', "
-            f"'|' || b.l || regexp_replace(b.r, '^##', '') || '|') s "
-            f"FROM s{i - 1}, b{i} b)"
-        )
+    parts = ["WITH "] + _wp_train_ctes(k)
     unions = " UNION ALL ".join(
         f"SELECT CAST({i} AS INT) step, l lhs, r rhs, "
         f"l || regexp_replace(r, '^##', '') merged, "
@@ -4685,6 +4715,82 @@ def _t39_oracle(k: int = 6) -> str:
         "CAST(SUM(CASE WHEN ins THEN ns ELSE 0 END) AS BIGINT) n_subwords, "
         "CAST(SUM(CASE WHEN ins THEN 0 ELSE 1 END) AS BIGINT) n_oov_words "
         "FROM segd GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _v33_oracle(k: int = 6) -> str:
+    """Tokenizer bake-off replay (v33): re-train BOTH merge
+    families inside one WITH RECURSIVE — the t37 BPE chain
+    (unprefixed, byte-identical to t39's) and the t50 WordPiece
+    chain namespaced wp_ — then segment every in-scope token under
+    both (BPE: t39's chained replaces; WordPiece: t51's jump table
+    + recursive greedy walk) and compare per-source fertility. The
+    winner column is a pure function of two exact BIGINTs, so the
+    whole bake-off is integer-decided."""
+    merge_cols = ", ".join(
+        f"COALESCE((SELECT l FROM b{i}), '#') l{i}, "
+        f"COALESCE((SELECT r FROM b{i}), '#') r{i}"
+        for i in range(1, k + 1)
+    )
+    seg = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for i in range(1, k + 1):
+        seg = (
+            f"replace({seg}, '|' || l{i} || '||' || r{i} || '|', "
+            f"'|' || l{i} || r{i} || '|')"
+        )
+    content = "regexp_replace(l, '^##', '') || regexp_replace(r, '^##', '')"
+    wm_cols = ", ".join(
+        f"COALESCE((SELECT {content} FROM wp_b{i}), '~') c{i}, "
+        f"COALESCE((SELECT CASE WHEN l LIKE '##%' THEN 0 ELSE 1 END "
+        f"FROM wp_b{i}), 0) i{i}"
+        for i in range(1, k + 1)
+    )
+    arms = ", ".join(
+        f"CASE WHEN (CASE WHEN i{i} = 1 THEN p.i = 1 ELSE p.i > 1 END) "
+        f"AND substr(w, CAST(p.i AS INT), len(c{i})) = c{i} "
+        f"THEN len(c{i}) ELSE 1 END"
+        for i in range(1, k + 1)
+    )
+    bpe_chain = _bpe_train_ctes(k)[len("WITH ") :]
+    wp_chain = "".join(_wp_train_ctes(k, "wp_"))
+    return (
+        "WITH RECURSIVE "
+        + bpe_chain
+        + ", "
+        + wp_chain
+        + f", m AS (SELECT {merge_cols})"
+        + f", wm AS (SELECT {wm_cols})"
+        ", tokx AS (SELECT source grp, lower(t) w FROM "
+        "(SELECT source, unnest(list_filter(string_split(text,' '), "
+        "x -> x<>'')) t FROM documents))"
+        ", segd AS (SELECT grp, w, "
+        "regexp_matches(w, '^[a-z0-9]+$') ins, "
+        f"len(list_filter(string_split({seg}, '|'), x -> x<>'')) ns "
+        "FROM tokx, m)"
+        ", wrd AS (SELECT DISTINCT w FROM tokx "
+        "WHERE regexp_matches(w, '^[a-z0-9]+$'))"
+        ", jp AS (SELECT w, p.i pos, "
+        f"GREATEST(1, {arms}) j "
+        "FROM wrd, wm, LATERAL (SELECT unnest(generate_series(1, "
+        "len(w))) i) p)"
+        ", wk AS (SELECT w, 1 pos, 0 np FROM wrd "
+        "UNION ALL SELECT wk.w, wk.pos + jp.j, wk.np + 1 "
+        "FROM wk JOIN jp ON jp.w = wk.w AND jp.pos = wk.pos)"
+        ", done AS (SELECT w, MAX(np) np FROM wk GROUP BY w)"
+        ", ab AS (SELECT grp, "
+        "CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) n_words, "
+        "CAST(SUM(CASE WHEN ins THEN len(w) ELSE 0 END) AS BIGINT) "
+        "n_chars, "
+        "CAST(SUM(CASE WHEN ins THEN ns ELSE 0 END) AS BIGINT) bsub "
+        "FROM segd GROUP BY grp)"
+        ", aw AS (SELECT grp, CAST(SUM(np) AS BIGINT) wpp FROM "
+        "(SELECT tokx.grp, done.np FROM tokx "
+        "JOIN done ON done.w = tokx.w) GROUP BY grp) "
+        "SELECT ab.grp source, n_words, n_chars, "
+        "bsub bpe_subwords, wpp wp_pieces, bsub - wpp delta, "
+        "CASE WHEN wpp < bsub THEN 'wordpiece' "
+        "WHEN wpp > bsub THEN 'bpe' ELSE 'tie' END winner "
+        "FROM ab JOIN aw ON aw.grp = ab.grp ORDER BY source"
     )
 
 
@@ -5736,6 +5842,7 @@ ORACLE = {
     "t50_wordpiece_merges": _wp_oracle(6),
     "m09_mfcc_attest": _m09_oracle(),
     "t51_wordpiece_segment": _t51_oracle(6),
+    "v33_tokenizer_bakeoff": _v33_oracle(6),
     # d52: full CDC replay — identical md5-suffix cut rule,
     # identical synthetic-tail + DISTINCT end set, identical lag
     # window, identical occurrence join; k=16, mask '0', bound
