@@ -5552,3 +5552,75 @@ def test_tokenizer_bakeoff_integer_verdict(spark):
             else "tie"
         )
         assert r["winner"] == want
+
+
+def test_hilbert_bijective_locality_and_reference(spark):
+    """The Hilbert kernel on the full 8x8 grid (bits=3): a
+    bijection onto 0..63 whose CONSECUTIVE positions are always
+    Manhattan-adjacent cells — the locality property Z-order lacks
+    (its power-of-two seam jumps) — and bit-exact parity with the
+    standard iterative xy2d reference."""
+    from zappy_spark.operators.layout import with_hilbert
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    )
+    rows = with_hilbert(df, "x", "y", bits=3).collect()
+    pos = {r["hv"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(pos) == list(range(64))
+    for d in range(63):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for r in rows:
+        assert xy2d(8, r["x"], r["y"]) == r["hv"]
+
+
+def test_hilbert_write_clusters_both_dims(spark, tmp_path):
+    """Hilbert-clustered files must keep BOTH dimensions' per-file
+    min-max boxes tight (the parquet-skipping property), like the
+    z-order test — and at the same grid, Hilbert's average box
+    must be no worse than Z-order's."""
+    import glob
+
+    from zappy_spark.operators.layout import hilbert_write, zorder_write
+
+    df = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("bigint").alias("y"),
+    )
+    hp = str(tmp_path / "hilberted")
+    zp = str(tmp_path / "zordered")
+    hilbert_write(df, hp, "x", "y", bits=8, num_files=16)
+    zorder_write(df, zp, ["x", "y"], bits=8, num_files=16)
+
+    def avg_widths(p):
+        wx, wy = [], []
+        for f in glob.glob(f"{p}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                (F.max("x") - F.min("x")).alias("wx"),
+                (F.max("y") - F.min("y")).alias("wy"),
+            ).collect()[0]
+            wx.append(r["wx"])
+            wy.append(r["wy"])
+        assert len(wx) > 4
+        return sum(wx) / len(wx), sum(wy) / len(wy)
+
+    hx, hy = avg_widths(hp)
+    zx, zy = avg_widths(zp)
+    # both dims clustered, and no worse than Z-order on the sum
+    assert hx < 0.5 * 255 and hy < 0.5 * 255
+    assert hx + hy <= (zx + zy) * 1.05

@@ -177,3 +177,99 @@ def rendezvous_shard(
     return df.withColumn(
         out_col, F.array_max(F.array(*entries))["s"]
     )
+
+
+# ---------------------------------------------------------------
+# Hilbert-curve clustering (round 12, r94) — the locality curve
+# modern lakehouse clustering uses in place of Z-order: consecutive
+# curve positions are ALWAYS Manhattan-adjacent cells (Z-order
+# jumps across the grid at power-of-two seams), so range-
+# partitioned files get strictly tighter per-dimension min-max
+# boxes at the same write cost.
+# ---------------------------------------------------------------
+
+
+def hilbert_level_exprs(bits: int) -> list[tuple[str, str, str]]:
+    """Per-level SQL expression triples (hd, hx, hy) of the
+    standard iterative xy→d Hilbert transform over a 2^bits grid
+    (high bit first): each level reads the PREVIOUS level's
+    hd/hx/hy columns and emits the next. Plain CASE/AND/arithmetic
+    — Spark SQL and DuckDB parse the identical text, so the layout
+    kernel itself is oracle-checkable (the r42 doctrine). The
+    (3*rx) XOR ry quadrant addend is spelled as an explicit CASE on
+    (rx, ry) because DuckDB's ``^`` is POWER, not XOR — the one
+    operator the two dialects disagree on."""
+    if bits < 1 or bits > 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    n1 = (1 << bits) - 1
+    out = []
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx0 = f"(hx & {s}) = 0"
+        ry0 = f"(hy & {s}) = 0"
+        dadd = (
+            f"CASE WHEN {rx0} AND {ry0} THEN 0 WHEN {rx0} THEN 1 "
+            f"WHEN NOT {ry0} THEN 2 ELSE 3 END"
+        )
+        out.append(
+            (
+                f"CAST(hd + {s * s} * ({dadd}) AS BIGINT)",
+                f"CAST(CASE WHEN {ry0} THEN (CASE WHEN NOT {rx0} "
+                f"THEN {n1} - hy ELSE hy END) ELSE hx END AS BIGINT)",
+                f"CAST(CASE WHEN {ry0} THEN (CASE WHEN NOT {rx0} "
+                f"THEN {n1} - hx ELSE hx END) ELSE hy END AS BIGINT)",
+            )
+        )
+    return out
+
+
+def with_hilbert(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = DEFAULT_BITS,
+    out_col: str = "hv",
+) -> DataFrame:
+    """Add the Hilbert curve position of (xcol, ycol) on a 2^bits ×
+    2^bits grid. Inputs must be non-negative integers below
+    2^bits. The per-level columns are computed SIMULTANEOUSLY
+    (withColumns — each level is one projection reading the
+    previous level's values), so lineage is linear in ``bits`` and
+    Catalyst collapses the chain into one whole-stage projection.
+
+    Scale: a pure scan-side integer expression — clustering by it
+    costs exactly one repartitionByRange, same as Z-order, but
+    consecutive positions are always Manhattan-adjacent so the
+    per-file min-max boxes it buys are tighter on both dimensions."""
+    cur = df.withColumns(
+        {
+            "hd": F.lit(0).cast("bigint"),
+            "hx": F.col(xcol).cast("bigint"),
+            "hy": F.col(ycol).cast("bigint"),
+        }
+    )
+    for hd, hx, hy in hilbert_level_exprs(bits):
+        cur = cur.withColumns(
+            {"hd": F.expr(hd), "hx": F.expr(hx), "hy": F.expr(hy)}
+        )
+    return cur.withColumn(out_col, F.col("hd")).drop("hd", "hx", "hy")
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    bits: int = DEFAULT_BITS,
+    num_files: int = 32,
+) -> None:
+    """Cluster ``df`` by the Hilbert position of (xcol, ycol) and
+    write parquet — zorder_write's shape with the better curve."""
+    out = with_hilbert(df, xcol, ycol, bits=bits, out_col="_hv")
+    (
+        out.repartitionByRange(num_files, "_hv")
+        .sortWithinPartitions("_hv")
+        .drop("_hv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

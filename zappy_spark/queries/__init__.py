@@ -1014,6 +1014,7 @@ _NEW_R13: list[str] = [
     "m09_mfcc_attest",  # NEW r12: DCT-II cepstral stage on the mel stack
     "t51_wordpiece_segment",  # NEW r12: WordPiece greedy apply audit
     "v33_tokenizer_bakeoff",  # NEW r12: BPE vs WordPiece fertility ledger
+    "r94_hilbert_key",  # NEW r12: Hilbert-curve clustering key
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

@@ -842,6 +842,34 @@ def r42(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r94(spark: SparkSession, d: str) -> DataFrame:
+    """Hilbert-curve clustering key (round 12;
+    operators/layout.py::with_hilbert) — the locality curve modern
+    lakehouse clustering uses in place of r42's Z-order: consecutive
+    curve positions are ALWAYS Manhattan-adjacent cells (Z-order
+    jumps across power-of-two seams), so the same
+    repartitionByRange write buys strictly tighter per-file min-max
+    boxes on both dimensions. Same (p_partkey % 256, p_size) grid
+    as r42 at bits=8. The oracle replays the IDENTICAL generated
+    per-level CASE/AND/arithmetic expressions (hilbert_level_exprs
+    — one source of truth, the r42 doctrine; the quadrant addend is
+    an explicit CASE because DuckDB's ^ is POWER, not XOR), nested
+    one subquery per bit level."""
+    from zappy_spark.operators.layout import with_hilbert
+
+    p = (
+        t(spark, d, "part")
+        .withColumn("x", (F.col("p_partkey") % 256).cast("bigint"))
+        .withColumn("y", F.col("p_size").cast("bigint"))
+    )
+    return (
+        with_hilbert(p, "x", "y", bits=8)
+        .select("p_partkey", "hv")
+        .orderBy("hv", "p_partkey")
+        .limit(100)
+    )
+
+
 def r44(spark: SparkSession, d: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier order — the classic EXISTS + NOT EXISTS pair over
@@ -2506,6 +2534,7 @@ QUERIES = {
     "r90_basket_lift": r90,
     "r91_mom_growth": r91,
     "r92_pareto_abc": r92,
+    "r94_hilbert_key": r94,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -3321,3 +3350,29 @@ from zappy_spark.operators.layout import zvalue_sql as _zvalue_sql  # noqa: E402
 ORACLE["r42_zorder_key"] = ORACLE["r42_zorder_key"].format(
     zv=_zvalue_sql(["x", "y"], bits=[8, 6])
 )
+
+
+def _r94_oracle(bits: int = 8) -> str:
+    """Nested-subquery replay of the generated Hilbert transform —
+    the same hilbert_level_exprs text the Spark builder projects,
+    one subquery per bit level (linear text, no alias-resolution
+    dependence: every level reads only its FROM row)."""
+    from zappy_spark.operators.layout import hilbert_level_exprs
+
+    sql = (
+        "(SELECT p_partkey, CAST(0 AS BIGINT) hd, "
+        "CAST(p_partkey % 256 AS BIGINT) hx, "
+        "CAST(p_size AS BIGINT) hy FROM part)"
+    )
+    for hd, hx, hy in hilbert_level_exprs(bits):
+        sql = (
+            f"(SELECT p_partkey, {hd} AS hd, {hx} AS hx, {hy} AS hy "
+            f"FROM {sql})"
+        )
+    return (
+        f"SELECT p_partkey, hd AS hv FROM {sql} "
+        "ORDER BY hv, p_partkey LIMIT 100"
+    )
+
+
+ORACLE["r94_hilbert_key"] = _r94_oracle(8)
