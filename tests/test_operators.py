@@ -5624,3 +5624,50 @@ def test_hilbert_write_clusters_both_dims(spark, tmp_path):
     # both dims clustered, and no worse than Z-order on the sum
     assert hx < 0.5 * 255 and hy < 0.5 * 255
     assert hx + hy <= (zx + zy) * 1.05
+
+
+def test_homoglyph_skeleton_catches_spoofed_twin(spark):
+    """A Cyrillic-substituted twin is NOT an exact duplicate but
+    MUST be a skeleton duplicate; a verbatim twin is both; an
+    unrelated doc is neither — and the ledger separates the three
+    populations exactly."""
+    from zappy_spark.operators.dedup import (
+        confusable_skeleton,
+        homoglyph_dedup_ledger,
+    )
+
+    orig = "free cheap meds on sale today"
+    spoofed = orig.replace("e", "е").replace("o", "о")  # Cyrillic
+    assert spoofed != orig
+    df = spark.createDataFrame(
+        [
+            (1, orig, "A"),
+            (2, spoofed, "A"),
+            (3, orig, "A"),  # verbatim twin
+            (4, "something entirely unrelated here", "B"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    # the skeleton folds the spoof back onto the original
+    skels = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", confusable_skeleton("text").alias("s")
+        ).collect()
+    }
+    assert skels[1] == skels[2] == skels[3] == orig
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["exact_dup_docs"],
+            r["skeleton_dup_docs"],
+            r["hidden_dup_docs"],
+        )
+        for r in homoglyph_dedup_ledger(
+            df, "text", "doc_id", "source"
+        ).collect()
+    }
+    # A: 3 docs, 2 raw hashes (orig x2 + spoof) -> 1 exact dup,
+    # 1 skeleton hash -> 2 skeleton dups, 1 hidden
+    assert got["A"] == (3, 1, 2, 1)
+    assert got["B"] == (1, 0, 0, 0)

@@ -1893,3 +1893,72 @@ def cdc_dedup_ledger(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+# ---------------------------------------------------------------
+# Homoglyph-skeleton dedup (round 12, d53) — the UTS #39
+# confusables idea at corpus-dedup scale: spam and SEO farms evade
+# exact dedup by swapping Latin letters for visually identical
+# Cyrillic/Greek code points; folding every confusable to its
+# ASCII skeleton BEFORE hashing catches the spoofed duplicate the
+# raw hash misses.
+# ---------------------------------------------------------------
+
+# Minimal high-hit confusable map (the UTS #39 pairs that actually
+# appear in crawl spam): Cyrillic а/е/о/с/р/х and Greek ο/ν folded
+# to their Latin skeletons. One translate() — identical semantics
+# in Spark and DuckDB (both operate on code points).
+CONFUSABLE_FROM = "аеосрхον"
+CONFUSABLE_TO = "aeocpxov"
+
+
+def confusable_skeleton(text_col: "str | Column") -> Column:
+    """Fold confusable code points to their ASCII skeleton (after
+    lowercasing, so capital homoglyphs fold through their own
+    lowercase forms where the engines agree)."""
+    return F.translate(
+        F.lower(text_col if isinstance(text_col, Column) else F.col(text_col)),
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+    )
+
+
+def homoglyph_dedup_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group spoofed-duplicate audit: how many documents are
+    duplicates under the RAW hash vs under the confusable-skeleton
+    hash — the gap is the population evading exact dedup through
+    homoglyph substitution. Returns (group, n_docs, exact_dup_docs,
+    skeleton_dup_docs, hidden_dup_docs) — all exact BIGINTs;
+    dup_docs counts group members beyond each hash-group's first
+    (n_docs − distinct hashes), so a clean corpus scores 0.
+
+    Scale: two hash aggregates per group over (16-byte hash, group)
+    pairs — the d01 shuffle shape twice; the skeleton is a
+    scan-side translate, no joins anywhere."""
+    skel = confusable_skeleton(text_col)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.md5(text_col).alias("_hraw"),
+            F.md5(skel).alias("_hskel"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.countDistinct("_hraw"))
+            .cast("bigint")
+            .alias("exact_dup_docs"),
+            (F.count("*") - F.countDistinct("_hskel"))
+            .cast("bigint")
+            .alias("skeleton_dup_docs"),
+            (F.countDistinct("_hraw") - F.countDistinct("_hskel"))
+            .cast("bigint")
+            .alias("hidden_dup_docs"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -1015,6 +1015,7 @@ _NEW_R13: list[str] = [
     "t51_wordpiece_segment",  # NEW r12: WordPiece greedy apply audit
     "v33_tokenizer_bakeoff",  # NEW r12: BPE vs WordPiece fertility ledger
     "r94_hilbert_key",  # NEW r12: Hilbert-curve clustering key
+    "d53_homoglyph_dedup",  # NEW r12: confusable-skeleton spoof audit
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

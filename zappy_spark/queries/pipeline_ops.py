@@ -3876,6 +3876,45 @@ def d52(spark: SparkSession, d: str) -> DataFrame:
     ).orderBy("source")
 
 
+def d53(spark: SparkSession, d: str) -> DataFrame:
+    """Homoglyph-skeleton dedup audit (round 12;
+    operators/dedup.py::homoglyph_dedup_ledger — the UTS #39
+    confusables idea at dedup scale): spam evades exact dedup by
+    swapping Latin letters for Cyrillic/Greek lookalikes; folding
+    confusables to their ASCII skeleton before hashing catches the
+    spoofed twin. The ASCII test corpus has no confusables, so the
+    spoofed population is PLANTED in the query (the d49/t12
+    precedent): every doc_id % 7 == 3 document re-enters with
+    Latin a/e/o swapped for Cyrillic а/е/о under a shifted id —
+    not an exact duplicate (different bytes), exactly a skeleton
+    duplicate. Ledger per source: n_docs, exact_dup_docs (the
+    corpus's own planted replicas keep this branch non-vacuous),
+    skeleton_dup_docs, hidden_dup_docs (the homoglyph catches).
+    An EXACT byte-identical twin is planted too (doc_id % 11 == 5,
+    id + 2e6) so every ledger column is exercised at every SF:
+    exact dedup catches the verbatim twin, only the skeleton
+    catches the homoglyph one, and hidden_dup_docs isolates the
+    difference. One translate() + two hash aggs; both engines fold
+    code points identically."""
+    base = t(spark, d, "documents").filter(F.col("doc_id") < 20000)
+    spoof = base.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate("text", "aeo", "аео").alias("text"),
+        "source",
+    )
+    verbatim = base.filter(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "source"
+    )
+    both = (
+        base.select("doc_id", "text", "source")
+        .unionByName(spoof)
+        .unionByName(verbatim)
+    )
+    return dedup.homoglyph_dedup_ledger(
+        both, "text", "doc_id", "source"
+    ).orderBy("source")
+
+
 def t50(spark: SparkSession, d: str) -> DataFrame:
     """WordPiece merge-loop tokenizer training (round 12;
     operators/text.py::wordpiece_train_merges) — the THIRD
@@ -3990,6 +4029,7 @@ QUERIES = {
     "m09_mfcc_attest": m09,
     "t51_wordpiece_segment": t51,
     "v33_tokenizer_bakeoff": v33,
+    "d53_homoglyph_dedup": d53,
     "d45_phash_neardup": d45,
     "t32_charset_audit": t32,
     "d46_block_dedup": d46,
@@ -5843,6 +5883,32 @@ ORACLE = {
     "m09_mfcc_attest": _m09_oracle(),
     "t51_wordpiece_segment": _t51_oracle(6),
     "v33_tokenizer_bakeoff": _v33_oracle(6),
+    # d53: identical planting (doc_id % 7 == 3 re-entering with
+    # Latin aeo -> Cyrillic аео under id + 1e6), identical skeleton
+    # fold (lower + translate back to ASCII), two exact distinct
+    # aggs; both engines translate code points identically.
+    "d53_homoglyph_dedup": (
+        "WITH base AS (SELECT doc_id, text, source FROM documents "
+        "WHERE doc_id < 20000), "
+        "spoof AS (SELECT doc_id + 1000000 AS doc_id, "
+        "translate(text, 'aeo', 'аео') AS text, source FROM base "
+        "WHERE doc_id % 7 = 3), "
+        "verbatim AS (SELECT doc_id + 2000000 AS doc_id, text, source "
+        "FROM base WHERE doc_id % 11 = 5), "
+        "b AS (SELECT * FROM base UNION ALL SELECT * FROM spoof "
+        "UNION ALL SELECT * FROM verbatim), "
+        "h AS (SELECT source grp, md5(text) hraw, "
+        "md5(translate(lower(text), 'аеосрхον', 'aeocpxov')) hskel "
+        "FROM b) "
+        "SELECT grp source, CAST(COUNT(*) AS BIGINT) n_docs, "
+        "CAST(COUNT(*) - COUNT(DISTINCT hraw) AS BIGINT) "
+        "exact_dup_docs, "
+        "CAST(COUNT(*) - COUNT(DISTINCT hskel) AS BIGINT) "
+        "skeleton_dup_docs, "
+        "CAST(COUNT(DISTINCT hraw) - COUNT(DISTINCT hskel) AS BIGINT) "
+        "hidden_dup_docs "
+        "FROM h GROUP BY grp ORDER BY grp"
+    ),
     # d52: full CDC replay — identical md5-suffix cut rule,
     # identical synthetic-tail + DISTINCT end set, identical lag
     # window, identical occurrence join; k=16, mask '0', bound
