@@ -1290,3 +1290,106 @@ def test_strip_markup_idempotent_and_tagfree(spark):
         assert twice == once, (s, once, twice)
 
     check()
+
+
+def test_winnow_reference_hypothesis(spark):
+    """Property (round 12): for random lowercase strings the Spark
+    winnowing selection equals the pure-Python robust-winnowing
+    reference — one batched Spark job over all generated examples
+    (hypothesis drives generation, the comparison is per-row)."""
+    import hashlib
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.dedup import winnow_fingerprints
+
+    def ref(txt: str, k: int, w: int) -> set:
+        c = re.sub("[^a-z0-9]", "", txt.lower())
+        if len(c) < k + w - 1:
+            return set()
+        keys = [
+            hashlib.md5(c[i : i + k].encode()).hexdigest()[:10]
+            for i in range(len(c) - k + 1)
+        ]
+        out = set()
+        for p in range(len(keys) - w + 1):
+            best = p
+            for q in range(p + 1, p + w):
+                if keys[q] <= keys[best]:
+                    best = q
+            out.add((keys[best], best + 1))
+        return out
+
+    cases: list[str] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(alphabet="ab c1.", min_size=0, max_size=40))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["doc_id", "text"]
+    )
+    got: dict = {i: set() for i in range(len(cases))}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=4, w=3).collect():
+        got[r["doc_id"]].add((r["fp_hash"], r["fp_pos"]))
+    for i, s in enumerate(cases):
+        assert got[i] == ref(s, 4, 3), (i, s)
+
+
+def test_cdc_tiling_hypothesis(spark):
+    """Property (round 12): CDC chunk spans tile [1, L] exactly and
+    chunk hashes re-derive from the text for arbitrary strings
+    (including empty-after-filter and shorter-than-window)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.dedup import cdc_chunks
+
+    cases: list[str] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(alphabet="abcde fgh.XY", min_size=1, max_size=80))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, "text", "doc_id", k=8, mask="0").collect()
+    by: dict = {i: [] for i in range(len(cases))}
+    for r in rows:
+        by[r["doc_id"]].append(r)
+    for i, s in enumerate(cases):
+        spans = sorted((r["chunk_start"], r["chunk_end"]) for r in by[i])
+        assert spans[0][0] == 1 and spans[-1][1] == len(s), (i, s, spans)
+        for (a, b), (c, _) in zip(spans, spans[1:]):
+            assert c == b + 1
+        for r in by[i]:
+            seg = s[r["chunk_start"] - 1 : r["chunk_end"]]
+            assert (
+                hashlib.md5(seg.encode()).hexdigest() == r["chunk_hash"]
+            )
+
+
+def test_hilbert_bijection_hypothesis(spark):
+    """Property (round 12): with_hilbert is a bijection onto
+    [0, 4^bits) for every bits in 2..4 (full-grid check — stronger
+    than sampling)."""
+    from zappy_spark.operators.layout import with_hilbert
+
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        df = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+        )
+        hv = [
+            r["hv"] for r in with_hilbert(df, "x", "y", bits=bits).collect()
+        ]
+        assert sorted(hv) == list(range(n * n)), bits
