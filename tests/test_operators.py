@@ -5671,3 +5671,89 @@ def test_homoglyph_skeleton_catches_spoofed_twin(spark):
     # 1 skeleton hash -> 2 skeleton dups, 1 hidden
     assert got["A"] == (3, 1, 2, 1)
     assert got["B"] == (1, 0, 0, 0)
+
+
+def test_auc_rank_eval_bruteforce_pairs(spark):
+    """v34's pair counts vs the quadratic Mann-Whitney definition:
+    rebuild the holdout (grp, y, z) rows with the operator's own
+    deterministic pieces, count concordant/tied (pos, neg) pairs by
+    brute force, and require exact equality — including a group
+    engineered all-positive (auc_den == 0, no hidden NaN)."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import (
+        _logreg_z,
+        auc_rank_eval,
+        logreg_features,
+        logreg_fit_weights,
+    )
+
+    texts = [
+        "the quick the text data word",
+        "data data noise word filler junk",
+        "the the data data one two three",
+        "plain filler words only here",
+        "the word the data the again",
+    ]
+    rows = [
+        (i, "gpos" if i % 5 == 0 else f"g{i % 2}",
+         "the best the data" if i % 5 == 0 else texts[i % len(texts)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = {
+        r["src"]: r
+        for r in auc_rank_eval(
+            df, "text", "doc_id", "src", holdout_frac=0.5
+        ).collect()
+    }
+
+    # reference: same split, same training pieces, quadratic pairs
+    ho = _hash_key("doc_id") < sample_threshold(0.5)
+    feat = logreg_features(df, "text", extra=("src", "doc_id"))
+    w = logreg_fit_weights(
+        feat.filter(~ho).select("y", "x1", "x2", "x3")
+    )[-1]
+    hold = [
+        (r["src"], r["y"], r["_z"])
+        for r in feat.filter(ho)
+        .select("src", "y", _logreg_z(w).alias("_z"))
+        .collect()
+    ]
+    srcs = sorted({s for s, _, _ in hold})
+    assert set(got) == set(srcs) and "gpos" in srcs
+    for s in srcs:
+        pos = [z for g, y, z in hold if g == s and y == 1]
+        neg = [z for g, y, z in hold if g == s and y == 0]
+        conc = sum(1 for zp in pos for zn in neg if zp > zn)
+        tied = sum(1 for zp in pos for zn in neg if zp == zn)
+        r = got[s]
+        assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+        assert r["concordant"] == conc and r["tied"] == tied
+        assert r["auc_num"] == 2 * conc + tied
+        assert r["auc_den"] == 2 * len(pos) * len(neg)
+    # the engineered group is single-class: exact zeros, no NaN
+    assert got["gpos"]["auc_den"] == 0 and got["gpos"]["auc_num"] == 0
+
+
+def test_auc_rank_eval_tie_and_perfect_bounds(spark):
+    """AUC invariants on the operator output at a mixed corpus:
+    0 <= auc_num <= auc_den, concordant + tied <= n_pos * n_neg,
+    and a perfectly separable group scores auc_num == auc_den."""
+    from zappy_spark.operators.training import auc_rank_eval
+
+    rows = [
+        (i, "sep",
+         "the quick the text data word"
+         if i % 2 == 0 else "data data noise word filler junk")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    r = auc_rank_eval(df, "text", "doc_id", "src").collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0 <= r["auc_num"] <= r["auc_den"]
+    assert r["concordant"] + r["tied"] <= r["n_pos"] * r["n_neg"]
+    # the rule is linearly separable and the trainer re-learns it
+    assert r["auc_num"] == r["auc_den"]

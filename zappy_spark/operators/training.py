@@ -556,3 +556,92 @@ def logreg_holdout_eval(
             _n((F.col("_pr") == 0) & (F.col("y") == 0)).alias("tn"),
         )
     )
+
+
+def auc_rank_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    holdout_frac: float = 0.25,
+    n_iter: int = 8,
+    lr_den: int = 2,
+) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier on the
+    held-out slice, per group — the threshold-free companion to
+    v30's confusion counts (a confusion matrix scores ONE cutoff;
+    AUC scores the whole ranking, which is what a filter whose
+    cutoff will be tuned later actually needs). Uses the
+    Mann-Whitney pair formulation on the RAW integer score z
+    (finer-grained than the clamped hard-sigmoid p, and monotone in
+    it): AUC = (concordant + tied/2) / (n_pos * n_neg), where
+    concordant counts (pos, neg) pairs with z_pos > z_neg and tied
+    counts pairs with equal z. Emits per group the exact BIGINTs
+    (n_pos, n_neg, concordant, tied, auc_num = 2*concordant + tied,
+    auc_den = 2*n_pos*n_neg) — AUC and Gini (2*AUC - 1) are one
+    division away, and a degenerate group (no positives or no
+    negatives) shows up as auc_den = 0 instead of a hidden NaN.
+
+    All-integer arithmetic end to end: z is the fixed-point logreg
+    score (BIGINT), the pair counts come from one cumulative window
+    over the per-(group, z) count table — never from an O(n^2)
+    pair join — so the result is bit-exact on any partitioning.
+
+    Scale: split = scan-side md5 filter; training = n_iter one-agg
+    jobs over the complement (the v28 chain); scoring = ONE holdout
+    scan into a (group, z) agg whose size is bounded by the score
+    range (z has ~dozens of distinct values — the clipped integer
+    features admit few sums), then a group-partitioned cumulative
+    window over that tiny table and a |groups|-row agg. No doc-keyed
+    join, no unpartitioned window, nothing quadratic."""
+    from pyspark.sql.window import Window
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    ho = _hash_key(id_col) < sample_threshold(holdout_frac)
+    feat = logreg_features(df, text_col, extra=(group_col, id_col))
+    feat = feat.withColumn("_ho", ho)
+    w = logreg_fit_weights(
+        feat.filter(~F.col("_ho")).select("y", "x1", "x2", "x3"),
+        n_iter,
+        lr_den,
+    )[-1]
+    z = _logreg_z(w)
+    by_z = (
+        feat.filter(F.col("_ho"))
+        .select(group_col, "y", z.alias("_z"))
+        .groupBy(group_col, "_z")
+        .agg(
+            F.sum("y").cast("bigint").alias("_n1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("_n0"),
+        )
+    )
+    # negatives strictly below this score, within the group: the
+    # per-(group, z) rows are distinct in z, so a ROWS frame is the
+    # RANGE frame here (and matches the oracle's spelling exactly)
+    below = (
+        Window.partitionBy(group_col)
+        .orderBy("_z")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    by_z = by_z.withColumn(
+        "_c0", F.coalesce(F.sum("_n0").over(below), F.lit(0))
+    )
+    agg = by_z.groupBy(group_col).agg(
+        F.sum("_n1").alias("n_pos"),
+        F.sum("_n0").alias("n_neg"),
+        F.sum(F.col("_n1") * F.col("_c0")).alias("concordant"),
+        F.sum(F.col("_n1") * F.col("_n0")).alias("tied"),
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        "concordant",
+        "tied",
+        (2 * F.col("concordant") + F.col("tied")).alias("auc_num"),
+        (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den"),
+    )

@@ -1019,6 +1019,7 @@ _NEW_R13: list[str] = [
     "v33_tokenizer_bakeoff",  # NEW r12: BPE vs WordPiece fertility ledger
     "r94_hilbert_key",  # NEW r12: Hilbert-curve clustering key
     "d53_homoglyph_dedup",  # NEW r12: confusable-skeleton spoof audit
+    "v34_auc_rank_eval",  # NEW r12: exact Mann-Whitney ROC-AUC holdout
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

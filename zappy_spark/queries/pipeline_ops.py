@@ -3937,6 +3937,38 @@ def t50(spark: SparkSession, d: str) -> DataFrame:
     return wordpiece_train_merges(t(spark, d, "documents"), "text", 6)
 
 
+def v34(spark: SparkSession, d: str) -> DataFrame:
+    """Exact ROC-AUC holdout evaluation (round 12;
+    operators/training.py::auc_rank_eval) — the threshold-free
+    companion to v30's confusion counts: rank quality of the v28
+    trained classifier on the md5-keyed 25% holdout, per source,
+    via the Mann-Whitney pair formulation on the RAW fixed-point
+    score z. Emits exact BIGINTs (n_pos, n_neg, concordant, tied,
+    auc_num = 2*concordant + tied, auc_den = 2*n_pos*n_neg) — AUC
+    and Gini are one division away, and a degenerate group surfaces
+    as auc_den = 0 instead of a hidden NaN.
+
+    Oracle: the shared logistic-GD CTE prefix (training stages
+    WHERE NOT ho — the holdout structurally cannot reach the
+    weights), then the identical (source, z) count table, the
+    identical ROWS-frame cumulative-negatives window, and the same
+    final pair-count aggregate. All-integer arithmetic end to end,
+    so the replay is bit-exact, not approximately-equal.
+
+    Scale: split = scan-side md5 filter; scoring = ONE holdout scan
+    into a (source, z) agg bounded by the score range (dozens of
+    rows — clipped integer features admit few sums); the window is
+    group-partitioned over that tiny table. No doc-keyed join,
+    nothing quadratic."""
+    from zappy_spark.operators.training import auc_rank_eval
+
+    return auc_rank_eval(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        holdout_frac=0.25, n_iter=8, lr_den=2,
+    ).orderBy("source")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4016,6 +4048,7 @@ QUERIES = {
     "v29_logreg_filter_ledger": v29,
     "t44_vocab_growth": t44,
     "v30_logreg_holdout_eval": v30,
+    "v34_auc_rank_eval": v34,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
@@ -5034,6 +5067,49 @@ def _v30_oracle(
     )
 
 
+
+def _v34_oracle(
+    k: int = 8, lr_den: int = 2, frac: float = 0.25
+) -> str:
+    """ROC-AUC replay (v34): the v30 prefix (training stages WHERE
+    NOT ho), then the raw-z holdout scores grouped per (source, z),
+    a cumulative strictly-below-negatives window (ROWS frame over
+    rows distinct in z == the Spark spelling), and the exact
+    Mann-Whitney pair counts. All BIGINT — no ROUND cells."""
+    from zappy_spark.operators.sampling import sample_threshold
+
+    thr = sample_threshold(frac)
+    ho = (
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') ho, "
+    )
+    return (
+        _logreg_ctes(
+            k, lr_den, extra="source, ho, ",
+            train_where="WHERE NOT ho",
+            extra_fw="source, " + ho,
+        )
+        + f", ev AS (SELECT source, y, "
+        f"(w0 + w1 * x1 + w2 * x2 + w3 * x3) z "
+        f"FROM f, i{k} WHERE ho), "
+        "gz AS (SELECT source, z, "
+        "SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) n1, "
+        "SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) n0 "
+        "FROM ev GROUP BY 1, 2), "
+        "cz AS (SELECT source, n1, n0, "
+        "COALESCE(SUM(n0) OVER (PARTITION BY source ORDER BY z "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c0 "
+        "FROM gz) "
+        "SELECT source, CAST(SUM(n1) AS BIGINT) n_pos, "
+        "CAST(SUM(n0) AS BIGINT) n_neg, "
+        "CAST(SUM(n1 * c0) AS BIGINT) concordant, "
+        "CAST(SUM(n1 * n0) AS BIGINT) tied, "
+        "CAST(2 * SUM(n1 * c0) + SUM(n1 * n0) AS BIGINT) auc_num, "
+        "CAST(2 * SUM(n1) * SUM(n0) AS BIGINT) auc_den "
+        "FROM cz GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -5872,6 +5948,7 @@ ORACLE = {
     # v30: training stages restricted to the md5 complement INSIDE
     # the shared prefix, eval block over the holdout at i8.
     "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
+    "v34_auc_rank_eval": _v34_oracle(8, 2, 0.25),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
