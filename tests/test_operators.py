@@ -5757,3 +5757,79 @@ def test_auc_rank_eval_tie_and_perfect_bounds(spark):
     assert r["concordant"] + r["tied"] <= r["n_pos"] * r["n_neg"]
     # the rule is linearly separable and the trainer re-learns it
     assert r["auc_num"] == r["auc_den"]
+
+
+def test_delta_cepstra_attest_closed_form_and_margins(spark):
+    """The m10 kernel: the rising-amplitude panel's HTK N=2 deltas
+    (edge-replicated) must equal the offset-cancelled closed form
+    d1 = S_1·g(t) the DuckDB oracle uses, and the FULL 100-id
+    panel's quantization margins are MEASURED and pinned — closed
+    form vs pipeline < 1e-12, floor boundaries >= 1e-11 c-units."""
+    import math
+
+    import numpy as np
+
+    from zappy_spark.operators.multimodal import (
+        MFCC_N,
+        MFCC_SCALE,
+        delta_cepstra_attest_features,
+        mel_filterbank,
+    )
+
+    ids = [0, 1, 2, 3, 13, 64, 99]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    got = {
+        r["media_id"]: r
+        for r in delta_cepstra_attest_features(df).collect()
+    }
+    s1 = math.cos(math.pi * 8.5 / MFCC_N) + math.cos(
+        math.pi * 9.5 / MFCC_N
+    )
+
+    def closed(mid):
+        a0, nf = 200 + mid, 5 + mid % 4
+
+        def T(u):
+            return 2 * math.log10(a0 + 16 * min(max(u, 0), nf - 1))
+
+        def g(t):
+            return (T(t + 1) - T(t - 1) + 2 * (T(t + 2) - T(t - 2))) / 10
+
+        def cl(t):
+            return min(max(t, 0), nf - 1)
+
+        def h(t):
+            return (
+                g(cl(t + 1)) - g(cl(t - 1))
+                + 2 * (g(cl(t + 2)) - g(cl(t - 2)))
+            ) / 10
+
+        m = nf // 2
+        return nf, [s1 * g(0), s1 * g(m), s1 * g(nf - 1), s1 * h(m)]
+
+    for mid in ids:
+        nf, want = closed(mid)
+        r = got[mid]
+        assert r["n_frames"] == nf
+        keys = ("d1_first_fp", "d1_mid_fp", "d1_last_fp", "dd1_mid_fp")
+        for k, w in zip(keys, want):
+            assert r[k] == math.floor(w * MFCC_SCALE + 0.5), (mid, k)
+        # edge replication is load-bearing: interior mid-frame delta
+        # differs from the clamped first-frame delta
+        assert r["d1_first_fp"] != r["d1_mid_fp"]
+
+    # measured margins over the WHOLE instrument (not just the
+    # sampled ids): every quantized value sits far from a boundary
+    worst = 1.0
+    for mid in range(100):
+        _, want = closed(mid)
+        for w in want:
+            y = w * MFCC_SCALE + 0.5
+            worst = min(worst, y - math.floor(y), math.ceil(y) - y)
+    assert worst > 1e-5  # >= 1e-11 c-units, ~1e4x the float error
+    # the panel is non-degenerate: deltas vary across ids and the
+    # rising amplitude makes d1 strictly nonzero everywhere
+    vals = {got[m]["d1_mid_fp"] for m in ids}
+    assert len(vals) > 1 and all(
+        got[m]["d1_mid_fp"] != 0 for m in ids
+    )

@@ -1184,3 +1184,111 @@ def mfcc_attest_features(
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         batches, schema=MFCC_ATTEST_SCHEMA
     )
+
+
+DELTA_ATTEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("d1_first_fp", LongType()),
+        StructField("d1_mid_fp", LongType()),
+        StructField("d1_last_fp", LongType()),
+        StructField("dd1_mid_fp", LongType()),
+    ]
+)
+
+
+def delta_cepstra_attest_features(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Delta and delta-delta cepstra through the full Spark surface
+    (round 12 — the temporal-derivative stage that completes the
+    classic ASR frontend after m08's mel bank and m09's DCT): a
+    per-frame RISING-amplitude variant of the m09 panel (frame f
+    scales the exactly-integer two-tone pattern by a0 + 16f, so
+    consecutive frames differ and the derivatives are non-trivial)
+    rides REAL encode_wav → decode_wav → 160-sample framing →
+    per-frame DFT power → 12-filter HTK mel bank → log10(max(E,1))
+    → DCT-II → HTK N=2 regression deltas with edge replication
+    (c[t<0] = c[0], c[t>nf-1] = c[nf-1]) → the same regression
+    again for delta-delta, all inside ONE Arrow mapInPandas batch
+    fn.
+
+    Because each frame's mel energy lands only in filters 8/9,
+    c_j(f) = S_j·t_f + D_j with t_f = log10(a_f²) — so the D_j
+    offsets CANCEL in every delta and the oracle replays
+    d_j(t) = S_j·g(t) from the spec-derived S_1 alone (closed form,
+    never the pipeline under test). Emits per id the exact BIGINTs
+    n_frames and floor(d·10^6 + 0.5) of d1 at the first, middle and
+    last frame (first/last exercise the edge replication) plus
+    delta-delta at the middle. Margins MEASURED over the panel:
+    pipeline vs closed form 9.4e-16, floor boundaries >= 4.8e-11
+    c-units (~5e4x separation).
+
+    Scale: one narrow id column in, six ints out, constant work per
+    row inside Arrow batches; bounded 100-id instrument."""
+    import math
+
+    import numpy as np
+
+    from zappy_spark.sources.wavlite import decode_wav, encode_wav
+
+    w_mel = mel_filterbank()
+    dct = np.cos(
+        np.pi
+        * np.arange(MFCC_N)[:, None]
+        * (np.arange(MFCC_N)[None, :] + 0.5)
+        / MFCC_N
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in DELTA_ATTEST_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                a0 = 200 + mid
+                nf = 5 + mid % 4
+                frames = []
+                for f in range(nf):
+                    a = a0 + 16 * f
+                    b = 2 * a
+                    pat = np.array(
+                        [a + b, -b, b - a, -b], dtype=np.int64
+                    )
+                    frames.append(np.tile(pat, 40))
+                wave = np.concatenate(frames).astype(np.int16)
+                dec, _rate = decode_wav(encode_wav(wave, 8000, bits=16))
+                x = dec[:, 0].astype(np.float64)
+                spec = np.fft.fft(x.reshape(nf, 160), axis=1)
+                power = (spec.real**2 + spec.imag**2)[:, :81]
+                logmel = np.log10(np.maximum(power @ w_mel.T, 1.0))
+                c = logmel @ dct.T
+
+                def _delta(s: "np.ndarray") -> "np.ndarray":
+                    p = np.vstack([s[0], s[0], s, s[-1], s[-1]])
+                    return (
+                        p[3 : 3 + nf]
+                        - p[1 : 1 + nf]
+                        + 2 * (p[4 : 4 + nf] - p[0:nf])
+                    ) / 10.0
+
+                d = _delta(c)
+                dd = _delta(d)
+                m = nf // 2
+
+                def _q(v: float) -> int:
+                    return int(math.floor(v * MFCC_SCALE + 0.5))
+
+                out["media_id"].append(mid)
+                out["n_frames"].append(nf)
+                out["d1_first_fp"].append(_q(d[0, 1]))
+                out["d1_mid_fp"].append(_q(d[m, 1]))
+                out["d1_last_fp"].append(_q(d[nf - 1, 1]))
+                out["dd1_mid_fp"].append(_q(dd[m, 1]))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=DELTA_ATTEST_SCHEMA
+    )

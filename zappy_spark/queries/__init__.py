@@ -1020,6 +1020,7 @@ _NEW_R13: list[str] = [
     "r94_hilbert_key",  # NEW r12: Hilbert-curve clustering key
     "d53_homoglyph_dedup",  # NEW r12: confusable-skeleton spoof audit
     "v34_auc_rank_eval",  # NEW r12: exact Mann-Whitney ROC-AUC holdout
+    "m10_delta_cepstra",  # NEW r12: HTK delta/delta-delta frontend stage
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

