@@ -5833,3 +5833,91 @@ def test_delta_cepstra_attest_closed_form_and_margins(spark):
     assert len(vals) > 1 and all(
         got[m]["d1_mid_fp"] != 0 for m in ids
     )
+
+
+def test_nb_holdout_eval_hand_scores(spark):
+    """v35's arithmetic vs a pure-Python naive-Bayes replay on a
+    small corpus: same tokenization, same md5 split, same add-one
+    log-odds — confusion counts must match exactly, and every
+    holdout doc (including a ZERO-TOKEN one) must be accounted for
+    in n_eval."""
+    import math
+    from collections import Counter
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import nb_holdout_eval
+
+    texts = [
+        "the quick the text data word",
+        "data data noise word filler junk",
+        "the the data one two",
+        "plain filler words only",
+        "",  # zero-token doc: still a ledger row if held out
+        "the word the data the again",
+    ]
+    rows = [
+        (i, f"g{i % 2}", texts[i % len(texts)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = {
+        r["src"]: r
+        for r in nb_holdout_eval(
+            df, "text", "doc_id", "src", holdout_frac=0.5
+        ).collect()
+    }
+
+    # pure-Python replay
+    ho_ids = {
+        r["doc_id"]
+        for r in df.filter(
+            _hash_key("doc_id") < sample_threshold(0.5)
+        ).collect()
+    }
+    toks = {i: [w for w in texts[i % len(texts)].split(" ") if w]
+            for i, _, _ in rows}
+    y = {i: int(toks[i].count("the") >= 2) for i in toks}
+    tr = [i for i in toks if i not in ho_ids]
+    n1 = sum(y[i] for i in tr)
+    n0 = len(tr) - n1
+    cw1, cw0 = Counter(), Counter()
+    for i in tr:
+        (cw1 if y[i] else cw0).update(toks[i])
+    vocab = set(cw1) | set(cw0)
+    t1, t0, v = sum(cw1.values()), sum(cw0.values()), len(vocab)
+    conf = {}
+    n_empty_ho = 0
+    for i in sorted(ho_ids):
+        s = math.log(n1 / n0)
+        for w, c in Counter(toks[i]).items():
+            s += c * (
+                math.log(cw1[w] + 1.0) - math.log(t1 + v)
+                - math.log(cw0[w] + 1.0) + math.log(t0 + v)
+            )
+        if not toks[i]:
+            n_empty_ho += 1
+        g = f"g{i % 2}"
+        k = ("p" if s > 0 else "n") + str(y[i])
+        conf.setdefault(g, Counter())[k] += 1
+    assert n_empty_ho > 0, "fixture must hold out a zero-token doc"
+    for g, c in conf.items():
+        r = got[g]
+        assert r["n_eval"] == sum(c.values())
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+            c["p1"], c["p0"], c["n1"], c["n0"]
+        ), g
+
+
+def test_nb_holdout_eval_degenerate_raises(spark):
+    """The round-12 ADVICE doctrine: a training slice missing a
+    class must raise loudly, never score garbage."""
+    import pytest
+
+    from zappy_spark.operators.training import nb_holdout_eval
+
+    rows = [(i, "g", "the quick the data") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    with pytest.raises(Exception, match="lacks a class"):
+        nb_holdout_eval(df, "text", "doc_id", "src").collect()

@@ -124,6 +124,9 @@ def test_no_python_udfs_in_declared_corpus(spark):
         # round 12: the cepstral stage (DCT-II over log-mel) on the
         # same Arrow pipeline
         "m09_mfcc_attest",
+        # round 12: HTK delta/delta-delta regressions on the same
+        # Arrow pipeline (per-frame FFT + two numpy regressions)
+        "m10_delta_cepstra",
     }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":

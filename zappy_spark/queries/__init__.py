@@ -1021,6 +1021,7 @@ _NEW_R13: list[str] = [
     "d53_homoglyph_dedup",  # NEW r12: confusable-skeleton spoof audit
     "v34_auc_rank_eval",  # NEW r12: exact Mann-Whitney ROC-AUC holdout
     "m10_delta_cepstra",  # NEW r12: HTK delta/delta-delta frontend stage
+    "v35_nb_holdout_eval",  # NEW r12: multinomial naive-Bayes bake-off
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

@@ -3994,6 +3994,33 @@ def m10(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def v35(spark: SparkSession, d: str) -> DataFrame:
+    """Multinomial naive-Bayes holdout evaluation (round 12;
+    operators/training.py::nb_holdout_eval) — the fastText-family
+    lightweight text classifier beside v28's fixed-point logreg:
+    trained on the SAME deterministic label, evaluated on the SAME
+    md5-keyed 25% holdout, emitting the SAME confusion-count shape
+    as v30 so the two model families compare row for row. Add-one
+    smoothing over the training vocabulary; keep ⇔ log-odds > 0;
+    a zero-token holdout doc still enters the ledger at s = prior.
+    Emitted values are pure BIGINT counts; the cutoff-0 margin is
+    MEASURED, not hoped: min |s| = 6.4e-3 / 1.5e-3 / 9.2e-5 /
+    2.0e-5 at sf0.01 / sf0.1 / 10x / 100x — every one >= 7 orders
+    above double noise.
+
+    Scale: one training scan into the Heaps-bounded word-count agg
+    (broadcast), 1-row prior/total aggs, one holdout scan into
+    (doc, word) counts, and a narrow doc-keyed left join carrying
+    counts only — never text."""
+    from zappy_spark.operators.training import nb_holdout_eval
+
+    return nb_holdout_eval(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        holdout_frac=0.25,
+    ).orderBy("source")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4074,6 +4101,7 @@ QUERIES = {
     "t44_vocab_growth": t44,
     "v30_logreg_holdout_eval": v30,
     "v34_auc_rank_eval": v34,
+    "v35_nb_holdout_eval": v35,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
@@ -5191,6 +5219,54 @@ def _v34_oracle(
     )
 
 
+
+def _v35_oracle(frac: float = 0.25) -> str:
+    """Naive-Bayes holdout replay (v35): identical tokenization and
+    md5 split, class priors and per-word class counts from the
+    NOT-ho slice only (structural isolation), the identical
+    add-one log-odds spelling, term sums LEFT-joined back onto the
+    holdout doc list so zero-token docs score s = prior, then the
+    confusion agg. Emitted cells are exact BIGINTs; the cutoff-0
+    margin is measured in the operator docstring."""
+    from zappy_spark.operators.sampling import sample_threshold
+
+    thr = sample_threshold(frac)
+    return (
+        "WITH lab AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') ho, "
+        "CASE WHEN len(list_filter(string_split(text, ' '), "
+        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
+        "tr AS (SELECT * FROM lab WHERE NOT ho), "
+        "pri AS (SELECT SUM(y) n1, SUM(1 - y) n0 FROM tr), "
+        "tw AS (SELECT unnest(ws) w, y FROM tr), "
+        "wc AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
+        "GROUP BY 1), "
+        "tot AS (SELECT SUM(c1) t1, SUM(c0) t0, COUNT(*) v FROM wc), "
+        "evc AS (SELECT doc_id, w, COUNT(*) c FROM "
+        "(SELECT doc_id, unnest(ws) w FROM lab WHERE ho) "
+        "GROUP BY 1, 2), "
+        "sums AS (SELECT doc_id, "
+        "SUM(c * (ln(COALESCE(c1, 0) + 1.0) - ln(CAST(t1 + v AS DOUBLE)) "
+        "- ln(COALESCE(c0, 0) + 1.0) + ln(CAST(t0 + v AS DOUBLE)))) tsum "
+        "FROM evc LEFT JOIN wc USING (w), tot GROUP BY 1), "
+        "sc AS (SELECT l.source, l.y, "
+        "ln(CAST(n1 AS DOUBLE) / n0) + COALESCE(tsum, 0) s "
+        "FROM lab l LEFT JOIN sums USING (doc_id), pri WHERE l.ho) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) n_eval, "
+        "CAST(SUM(CASE WHEN s > 0 AND y = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) tp, "
+        "CAST(SUM(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) fp, "
+        "CAST(SUM(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) fn, "
+        "CAST(SUM(CASE WHEN s <= 0 AND y = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) tn "
+        "FROM sc GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -6030,6 +6106,7 @@ ORACLE = {
     # the shared prefix, eval block over the holdout at i8.
     "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
     "v34_auc_rank_eval": _v34_oracle(8, 2, 0.25),
+    "v35_nb_holdout_eval": _v35_oracle(0.25),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
