@@ -5921,3 +5921,76 @@ def test_nb_holdout_eval_degenerate_raises(spark):
     df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
     with pytest.raises(Exception, match="lacks a class"):
         nb_holdout_eval(df, "text", "doc_id", "src").collect()
+
+
+def test_textrank_keywords_pure_python_replay(spark):
+    """t52's whole fixed-point trajectory vs a pure-Python replay
+    on a hand corpus: same token filter, same symmetrized weighted
+    graph, same integer-floor update — rank_fp must match exactly,
+    and the hub of a star-shaped corpus must rank first."""
+    from collections import Counter, defaultdict
+
+    from zappy_spark.operators.text import (
+        T52_PARAMS,
+        textrank_keywords,
+    )
+
+    rows = [
+        (0, "g", "hub alpha hub beta hub gamma"),
+        (1, "g", "hub delta Xx! hub alpha"),
+        (2, "g", "alpha beta"),
+        (3, "h", "solo pair solo pair solo"),
+        (4, "h", "x"),  # single token: no edges, ignored
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = textrank_keywords(df, "text", "src").collect()
+
+    S, dn, dd = (
+        T52_PARAMS["scale"],
+        T52_PARAMS["damp_num"],
+        T52_PARAMS["damp_den"],
+    )
+    import re
+
+    def replay(texts):
+        w = Counter()
+        for t in texts:
+            ws = [
+                x for x in (y.lower() for y in t.split(" "))
+                if re.fullmatch("[a-z0-9]+", x)
+            ]
+            if len(ws) < 2:
+                continue
+            for a, b in zip(ws, ws[1:]):
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+        strength = defaultdict(int)
+        for (a, _b), c in w.items():
+            strength[a] += c
+        nodes = sorted(strength)
+        n = len(nodes)
+        r = {v: S // n for v in nodes}
+        for _ in range(T52_PARAMS["iters"]):
+            inflow = defaultdict(int)
+            for (a, b), c in w.items():
+                inflow[b] += (r[a] * c) // strength[a]
+            r = {
+                v: ((dd - dn) * (S // n)) // dd
+                + (dn * inflow[v]) // dd
+                for v in nodes
+            }
+        ranked = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[: T52_PARAMS["topk"]]
+
+    want = {
+        "g": replay([t for _, s, t in rows if s == "g"]),
+        "h": replay([t for _, s, t in rows if s == "h"]),
+    }
+    by = defaultdict(list)
+    for rrow in sorted(got, key=lambda x: (x["src"], x["rk"])):
+        by[rrow["src"]].append((rrow["word"], rrow["rank_fp"]))
+    assert dict(by) == want
+    # centrality sanity: the hub out-ranks its spokes
+    assert by["g"][0][0] == "hub"
+    # the token filter held: no 'Xx!' variant ever ranked
+    assert all(w.isalnum() for ws in by.values() for w, _ in ws)

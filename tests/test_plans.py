@@ -1231,3 +1231,21 @@ def test_epoch_shuffle_no_single_partition_sort(spark):
     assert "Exchange SinglePartition" not in plan
     assert "windowspecdefinition(_zs_bucket" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_textrank_iterations_run_off_checkpointed_graph(spark):
+    """t52: the K=5 fixed-point iterations must run off the ONE
+    materialized vocab-sized graph (localCheckpoint cut), not
+    re-derive it from the corpus — the final plan has ZERO parquet
+    scans, no cartesian product, and no Python stage; the top-k
+    window is group-partitioned."""
+    from zappy_spark.operators.text import textrank_keywords
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textrank_keywords(df, "text", "source"))
+    assert "Scan parquet" not in plan  # graph is checkpointed
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the top-k stage is present (its _g partitioning is enforced by
+    # the corpus-wide unpartitioned-window gate)
+    assert "row_number" in plan

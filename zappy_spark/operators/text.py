@@ -3243,3 +3243,176 @@ def tokenizer_fertility_compare(
         ),
         winner.alias("winner"),
     )
+
+
+# t52 TextRank constants — ONE definition imported by the Spark
+# operator, the oracle builder, and the tests (the D50/T46 shared-
+# params doctrine): fixed-point scale, damping as an integer
+# rational, iteration count, and the emitted top-k.
+T52_PARAMS: dict[str, int] = {
+    "scale": 1_000_000_000,  # 1e9: rank*weight stays well inside int64
+    "damp_num": 85,  # damping d = 85/100
+    "damp_den": 100,
+    "iters": 5,
+    "topk": 5,
+}
+
+
+def _textrank_tokens(text_col: str):
+    """Lowercased [a-z0-9]+ tokens — the t45 keyword alphabet; the
+    co-occurrence window runs over the FILTERED sequence on both
+    engines (dropped punctuation does not create false adjacency
+    asymmetries between the engines)."""
+    return F.filter(
+        F.transform(
+            F.split(F.col(text_col), " "), lambda x: F.lower(x)
+        ),
+        lambda x: x.rlike("^[a-z0-9]+$"),
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) per
+    group: weighted PageRank over the word co-occurrence graph
+    (adjacent filtered tokens, undirected via both directed
+    edges, edge weight = corpus co-occurrence count), then the
+    top-k words per group by final rank. The graph-centrality
+    keyword scorer a curation pipeline runs beside frequency-based
+    t07/t34 — centrality surfaces connective vocabulary that raw
+    counts miss.
+
+    Every iteration is FIXED-POINT BIGINT arithmetic (the t47
+    doctrine): r0 = S div n; r' = (15·S div n) div 100 +
+    (85·inflow) div 100 with inflow = Σ_u (r_u·w_uv div str_u) —
+    integer floors make the whole trajectory order-independent and
+    bit-exact on any partitioning, so the oracle (unrolled CTEs,
+    one per iteration) replays it hash-exactly; no convergence
+    tolerance, no float drift. The co-occurrence graph has no
+    dangling nodes by construction (vocab is built FROM edges).
+
+    Output: (group, rk, word, rank_fp) — top-k by (rank DESC,
+    word), exact BIGINT ranks at scale 1e9.
+
+    Scale: ONE corpus scan into the (group, a, b) edge-count agg
+    (the shuffle key is the Heaps-bounded word-pair set, not docs);
+    K=5 joins of the (group, word) rank table onto edges — both
+    sides bounded by vocabulary size, co-partitioned on the same
+    key across iterations; the final top-k window partitions by
+    group over the vocab-sized rank table. Nothing doc-keyed after
+    the first agg, nothing quadratic."""
+    S = T52_PARAMS["scale"]
+    dn, dd = T52_PARAMS["damp_num"], T52_PARAMS["damp_den"]
+
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        _textrank_tokens(text_col).alias("_ws"),
+    ).filter(F.size("_ws") >= 2)
+    pairs = toks.select(
+        "_g",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_ws) - 1), "
+                "i -> struct(_ws[i-1] AS a, _ws[i] AS b))"
+            )
+        ).alias("_p"),
+    ).select("_g", "_p.a", "_p.b")
+    # symmetrize AFTER the first aggregation: the union runs over
+    # the Heaps-bounded directed-pair count table, not the raw
+    # corpus-sized pair stream — one corpus scan, not two
+    dirw = pairs.groupBy("_g", "a", "b").agg(
+        F.count("*").cast("bigint").alias("w")
+    )
+    edges = (
+        dirw.union(
+            dirw.select(
+                "_g", F.col("b").alias("a"), F.col("a").alias("b"), "w"
+            )
+        )
+        .groupBy("_g", "a", "b")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    strength = edges.groupBy("_g", "a").agg(
+        F.sum("w").alias("str")
+    )
+    # materialize the vocab-sized graph ONCE (the v16-pagerank
+    # localCheckpoint discipline): without the cut, each unrolled
+    # iteration re-derives edges/strength from the corpus — 44
+    # parquet scans at K=5; with it, ONE corpus scan builds the
+    # Heaps-bounded tables and every iteration runs off them
+    ew = edges.join(strength, ["_g", "a"]).localCheckpoint()
+    nodes_n = (
+        strength.select("_g", F.col("a").alias("node"))
+        .join(
+            strength.groupBy("_g").agg(
+                F.count("*").cast("bigint").alias("n")
+            ),
+            "_g",
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes_n.select(
+        "_g", "node", F.expr(f"{S} div n").alias("r")
+    )
+    for _ in range(T52_PARAMS["iters"]):
+        # rename the rank table's columns before re-joining it onto
+        # the edge lineage it descends from (self-join hygiene)
+        rr = ranks.select(
+            F.col("_g").alias("_rg"),
+            F.col("node").alias("_rn"),
+            F.col("r").alias("_rr"),
+        )
+        inflow = (
+            ew.join(
+                rr,
+                (F.col("_g") == F.col("_rg"))
+                & (F.col("a") == F.col("_rn")),
+            )
+            .select(
+                "_g",
+                F.col("b").alias("node"),
+                F.expr("(_rr * w) div str").alias("c"),
+            )
+            .groupBy("_g", "node")
+            .agg(F.sum("c").alias("inflow"))
+            .select(
+                F.col("_g").alias("_ig"),
+                F.col("node").alias("_in"),
+                "inflow",
+            )
+        )
+        ranks = (
+            nodes_n
+            .join(
+                inflow,
+                (F.col("_g") == F.col("_ig"))
+                & (F.col("node") == F.col("_in")),
+                "left",
+            )
+            .select(
+                "_g",
+                "node",
+                F.expr(
+                    f"(({dd - dn} * ({S} div n)) div {dd}) + "
+                    f"(({dn} * coalesce(inflow, 0)) div {dd})"
+                ).alias("r"),
+            )
+        )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("_g").orderBy(
+        F.col("r").desc(), F.col("node")
+    )
+    return (
+        ranks.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= T52_PARAMS["topk"])
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("node").alias("word"),
+            F.col("r").alias("rank_fp"),
+        )
+    )

@@ -1022,6 +1022,7 @@ _NEW_R13: list[str] = [
     "v34_auc_rank_eval",  # NEW r12: exact Mann-Whitney ROC-AUC holdout
     "m10_delta_cepstra",  # NEW r12: HTK delta/delta-delta frontend stage
     "v35_nb_holdout_eval",  # NEW r12: multinomial naive-Bayes bake-off
+    "t52_textrank_keywords",  # NEW r12: fixed-point TextRank centrality
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

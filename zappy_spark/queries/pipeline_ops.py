@@ -4021,6 +4021,26 @@ def v35(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def t52(spark: SparkSession, d: str) -> DataFrame:
+    """TextRank keyword extraction (round 12;
+    operators/text.py::textrank_keywords): weighted PageRank over
+    the per-source word co-occurrence graph (adjacent lowercased
+    [a-z0-9]+ tokens, undirected, weight = co-occurrence count),
+    K=5 fixed-point BIGINT iterations (scale 1e9, damping 85/100,
+    integer floors — bit-exact on any partitioning, the t47
+    doctrine), then the top-5 words per source by (rank DESC,
+    word). The graph-centrality keyword scorer beside the
+    frequency-based t07 TF-IDF and t34 PMI. The oracle replays the
+    ENTIRE trajectory with one unrolled CTE pair per iteration —
+    nothing enters as a literal."""
+    from zappy_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(
+        t(spark, d, "documents"), "text", "source"
+    ).orderBy("source", "rk")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4102,6 +4122,7 @@ QUERIES = {
     "v30_logreg_holdout_eval": v30,
     "v34_auc_rank_eval": v34,
     "v35_nb_holdout_eval": v35,
+    "t52_textrank_keywords": t52,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
@@ -5267,6 +5288,60 @@ def _v35_oracle(frac: float = 0.25) -> str:
     )
 
 
+
+def _t52_oracle() -> str:
+    """TextRank replay (t52): identical token filter, identical
+    symmetrized edge-count graph, r0 = S // n, then one
+    (inflow, rank) CTE pair per iteration with the identical
+    integer-floor update — the whole trajectory is BIGINT, so the
+    replay is bit-exact; final top-k by (rank DESC, word)."""
+    from zappy_spark.operators.text import T52_PARAMS
+
+    S = T52_PARAMS["scale"]
+    dn, dd = T52_PARAMS["damp_num"], T52_PARAMS["damp_den"]
+    base = f"(({dd - dn} * ({S} // n)) // {dd})"
+    parts = [
+        "WITH tok AS (SELECT source g, "
+        "list_filter(list_transform(string_split(text, ' '), "
+        "x -> lower(x)), x -> regexp_matches(x, '^[a-z0-9]+$')) ws "
+        "FROM documents), "
+        "tk AS (SELECT g, ws FROM tok WHERE len(ws) >= 2), "
+        "pr AS (SELECT g, ws[i] a, ws[i+1] b FROM "
+        "(SELECT g, ws, unnest(generate_series(1, len(ws) - 1)) i "
+        "FROM tk)), "
+        "ed AS (SELECT g, a, b, CAST(COUNT(*) AS BIGINT) w FROM "
+        "(SELECT g, a, b FROM pr "
+        "UNION ALL SELECT g, b a, a b FROM pr) GROUP BY 1, 2, 3), "
+        "st AS (SELECT g, a, CAST(SUM(w) AS BIGINT) str FROM ed "
+        "GROUP BY 1, 2), "
+        "nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) n FROM st "
+        "GROUP BY 1), "
+        f"r0 AS (SELECT st.g, st.a node, {S} // n r "
+        "FROM st JOIN nn USING (g))"
+    ]
+    for k in range(1, T52_PARAMS["iters"] + 1):
+        parts.append(
+            f", i{k} AS (SELECT e.g, e.b node, "
+            "SUM((r.r * e.w) // s.str) inflow "
+            "FROM ed e JOIN st s ON s.g = e.g AND s.a = e.a "
+            f"JOIN r{k - 1} r ON r.g = e.g AND r.node = e.a "
+            "GROUP BY 1, 2)"
+            f", r{k} AS (SELECT s.g, s.a node, "
+            f"{base} + (({dn} * COALESCE(i.inflow, 0)) // {dd}) r "
+            "FROM st s JOIN nn USING (g) "
+            f"LEFT JOIN i{k} i ON i.g = s.g AND i.node = s.a)"
+        )
+    K, topk = T52_PARAMS["iters"], T52_PARAMS["topk"]
+    parts.append(
+        " SELECT g source, CAST(rk AS BIGINT) rk, node word, "
+        "CAST(r AS BIGINT) rank_fp FROM "
+        "(SELECT g, node, r, ROW_NUMBER() OVER (PARTITION BY g "
+        f"ORDER BY r DESC, node) rk FROM r{K}) "
+        f"WHERE rk <= {topk} ORDER BY source, rk"
+    )
+    return "".join(parts)
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -6107,6 +6182,7 @@ ORACLE = {
     "v30_logreg_holdout_eval": _v30_oracle(8, 2, 0.25),
     "v34_auc_rank_eval": _v34_oracle(8, 2, 0.25),
     "v35_nb_holdout_eval": _v35_oracle(0.25),
+    "t52_textrank_keywords": _t52_oracle(),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
