@@ -5994,3 +5994,69 @@ def test_textrank_keywords_pure_python_replay(spark):
     assert by["g"][0][0] == "hub"
     # the token filter held: no 'Xx!' variant ever ranked
     assert all(w.isalnum() for ws in by.values() for w, _ in ws)
+
+
+def test_nb_fit_model_roundtrip_equals_in_pass(spark, tmp_path):
+    """v35's deployment split: nb_fit_model written to parquet and
+    scored through nb_eval_with_model must equal nb_holdout_eval
+    EXACTLY on the same docs (store-then-score == in-one-pass) —
+    the artifact round-trip pin every fixed-model twin carries."""
+    from zappy_spark.operators.training import (
+        nb_eval_with_model,
+        nb_fit_model,
+        nb_holdout_eval,
+    )
+
+    texts = [
+        "the quick the text data word",
+        "data data noise word filler junk",
+        "the the data one two",
+        "plain filler words only",
+        "the word the data the again",
+    ]
+    rows = [
+        (i, f"g{i % 3}", texts[i % len(texts)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    path = str(tmp_path / "nb_model")
+    nb_fit_model(df, "text", "doc_id", holdout_frac=0.25).write.parquet(
+        path
+    )
+    got = sorted(
+        tuple(r)
+        for r in nb_eval_with_model(
+            df, "text", "doc_id", "source",
+            spark.read.parquet(path), holdout_frac=0.25,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in nb_holdout_eval(
+            df, "text", "doc_id", "source", holdout_frac=0.25
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_nb_eval_with_empty_model_raises(spark):
+    """An EMPTY stored model must hit the loud prior guard (NULL
+    aggregate sums), never silently empty the ledger through a
+    0-row cross join."""
+    import pytest
+
+    from zappy_spark.operators.training import nb_eval_with_model
+
+    df = spark.createDataFrame(
+        [(i, "g", "the quick the data" if i % 2 else "noise word")
+         for i in range(30)],
+        ["doc_id", "source", "text"],
+    )
+    empty = spark.createDataFrame(
+        [], "kind string, w string, k1 bigint, k0 bigint"
+    )
+    with pytest.raises(
+        Exception, match="empty training vocabulary|lacks a class"
+    ):
+        nb_eval_with_model(
+            df, "text", "doc_id", "source", empty
+        ).collect()

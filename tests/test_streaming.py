@@ -1706,3 +1706,49 @@ def test_incremental_cdc_ledger_equals_batch(spark, tmp_path):
     rev = jobs.applied_revision(state)
     jobs.cdc_apply_batch(docs.limit(10), rev, state)
     assert _rows(jobs.cdc_ledger_from_state(spark, state), *cols) == got
+
+
+def test_incremental_nb_ledger_equals_batch(spark, tmp_path):
+    """Round 12: the documents changelog drained through
+    incremental_nb_state (v35's deploy side at a FIXED stored
+    naive-Bayes model) must equal the batch fixed-model confusion
+    ledger EXACTLY — five integer counters per source, no
+    tolerance; the micro-batch partial IS nb_eval_with_model, so
+    batch/stream spelling drift is impossible. Replay guard:
+    re-applying the last batch id is a no-op."""
+    from zappy_spark.operators.training import (
+        nb_eval_with_model,
+        nb_fit_model,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    model_path = str(tmp_path / "nb_model")
+    nb_fit_model(docs, "text", "doc_id", holdout_frac=0.25).write.parquet(
+        model_path
+    )
+
+    replay = str(tmp_path / "docs_replay_nb")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "nb_state")
+    q = jobs.incremental_nb_state(
+        jobs.stream_events(spark, replay), state, model_path,
+        holdout_frac=0.25,
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "n_eval", "tp", "fp", "fn", "tn")
+    got = _rows(jobs.nb_from_state(spark, state), *cols)
+    batch = _rows(
+        nb_eval_with_model(
+            docs, "text", "doc_id", "source",
+            spark.read.parquet(model_path), holdout_frac=0.25,
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.nb_ledger_apply_batch(
+        docs.limit(10), rev, state, model_path
+    )
+    assert _rows(jobs.nb_from_state(spark, state), *cols) == got

@@ -647,6 +647,123 @@ def auc_rank_eval(
     )
 
 
+def _nb_lab(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    holdout_frac: float,
+) -> DataFrame:
+    """The shared NB labeling frame: tokenized words, the house
+    md5-keyed holdout flag, and the deterministic label — ONE
+    definition for the trainer, the fixed-model scorer, and the
+    streaming twin (the hard-sigmoid-dedup doctrine)."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        words.alias("_ws"),
+        (_hash_key(id_col) < sample_threshold(holdout_frac)).alias(
+            "_ho"
+        ),
+        (
+            F.size(F.filter(words, lambda x: x == F.lit("the"))) >= 2
+        )
+        .cast("int")
+        .alias("y"),
+    )
+
+
+def _nb_confusion(
+    lab_ho: DataFrame,
+    wc: DataFrame,
+    pri: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """The shared NB scoring tail: add-one log-odds against the
+    (word, c1, c0) count table and the 1-row prior frame, verdicts
+    folded into per-group confusion counts. Totals (T1, T0, V)
+    re-derive from the count table; degenerate models raise loudly
+    (NULL/zero priors or an empty vocabulary — the round-12 ADVICE
+    doctrine). Every holdout doc enters the ledger — a zero-token
+    doc scores s = prior via the LEFT join."""
+    tot = wc.agg(
+        F.sum("_c1").alias("_t1"),
+        F.sum("_c0").alias("_t0"),
+        F.count("*").cast("bigint").alias("_v"),
+    )
+    evc = (
+        lab_ho.select("_id", F.explode("_ws").alias("_w"))
+        .groupBy("_id", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    prior = F.when(
+        (F.col("_n1") > 0) & (F.col("_n0") > 0),
+        F.ln(F.col("_n1").cast("double") / F.col("_n0")),
+    ).otherwise(
+        F.raise_error(
+            "nb model: training slice lacks a class — "
+            "priors are undefined; check the corpus/split"
+        )
+    )
+    floor_ok = F.when(F.col("_v") > 0, F.lit(1.0)).otherwise(
+        F.raise_error(
+            "nb model: empty training vocabulary — "
+            "the smoothed floor is ln(0); check the corpus/split"
+        )
+    )
+    term = F.col("_c") * (
+        F.ln(F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(1.0))
+        - F.ln((F.col("_t1") + F.col("_v")) * floor_ok)
+        - F.ln(F.coalesce(F.col("_c0"), F.lit(0)) + F.lit(1.0))
+        + F.ln((F.col("_t0") + F.col("_v")) * floor_ok)
+    )
+    sums = (
+        evc.join(F.broadcast(wc), "_w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("_id")
+        .agg(F.sum(term).alias("_tsum"))
+    )
+    # narrow doc-keyed LEFT join (id, grp, y) ⋈ (id, tsum) — the
+    # v31-sanctioned 2-column shape — so a holdout doc with ZERO
+    # tokens still enters the ledger at s = prior instead of
+    # silently vanishing from n_eval (the t46 ADVICE invariant)
+    sc = (
+        lab_ho.select("_id", "_grp", "y")
+        .join(sums, "_id", "left")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "_grp",
+            "y",
+            (prior + F.coalesce(F.col("_tsum"), F.lit(0.0))).alias(
+                "_s"
+            ),
+        )
+    )
+
+    def _n(cond) -> Column:
+        return F.sum(cond.cast("bigint"))
+
+    keep = F.col("_s") > 0
+    return (
+        sc.groupBy(F.col("_grp").alias(group_col))
+        .agg(
+            F.count("*").alias("n_eval"),
+            _n(keep & (F.col("y") == 1)).alias("tp"),
+            _n(keep & (F.col("y") == 0)).alias("fp"),
+            _n(~keep & (F.col("y") == 1)).alias("fn"),
+            _n(~keep & (F.col("y") == 0)).alias("tn"),
+        )
+    )
+
+
 def nb_holdout_eval(
     df: DataFrame,
     text_col: str,
@@ -676,7 +793,8 @@ def nb_holdout_eval(
     Degenerate slices raise loudly instead of silently scoring
     garbage (the round-12 ADVICE doctrine): a training slice
     missing a class would make the prior ln(0)/ln(∞), an empty
-    vocabulary a ln(0) smoothing floor — both guarded.
+    vocabulary a ln(0) smoothing floor — both guarded in the
+    shared scoring tail.
 
     Scale: ONE training scan into a word-keyed count agg (the
     Heaps-bounded vocab — broadcast to the scorers), 1-row prior
@@ -685,104 +803,90 @@ def nb_holdout_eval(
     (never text), and a |groups|-row confusion agg. The holdout
     structurally cannot reach the model — every training aggregate
     reads the NOT-ho slice."""
-    from zappy_spark.operators.sampling import (
-        _hash_key,
-        sample_threshold,
-    )
-
-    words = F.filter(
-        F.split(F.col(text_col), " "), lambda x: x != ""
-    )
-    lab = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_grp"),
-        words.alias("_ws"),
-        (_hash_key(id_col) < sample_threshold(holdout_frac)).alias(
-            "_ho"
-        ),
-        (
-            F.size(F.filter(words, lambda x: x == F.lit("the"))) >= 2
-        )
-        .cast("int")
-        .alias("y"),
-    )
+    lab = _nb_lab(df, text_col, id_col, group_col, holdout_frac)
     tr = lab.filter(~F.col("_ho"))
     pri = tr.agg(
         F.sum("y").cast("bigint").alias("_n1"),
         F.sum(1 - F.col("y")).cast("bigint").alias("_n0"),
     )
-    tw = tr.select(F.explode("_ws").alias("_w"), "y")
-    wc = tw.groupBy("_w").agg(
-        F.sum("y").cast("bigint").alias("_c1"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("_c0"),
-    )
-    tot = wc.agg(
-        F.sum("_c1").alias("_t1"),
-        F.sum("_c0").alias("_t0"),
-        F.count("*").cast("bigint").alias("_v"),
-    )
-    evc = (
-        lab.filter(F.col("_ho"))
-        .select("_id", "_grp", "y", F.explode("_ws").alias("_w"))
-        .groupBy("_id", "_grp", "y", "_w")
-        .agg(F.count("*").alias("_c"))
-    )
-    prior = F.when(
-        (F.col("_n1") > 0) & (F.col("_n0") > 0),
-        F.ln(F.col("_n1").cast("double") / F.col("_n0")),
-    ).otherwise(
-        F.raise_error(
-            "nb_holdout_eval: training slice lacks a class — "
-            "priors are undefined; check the corpus/split"
-        )
-    )
-    floor_ok = F.when(F.col("_v") > 0, F.lit(1.0)).otherwise(
-        F.raise_error(
-            "nb_holdout_eval: empty training vocabulary — "
-            "the smoothed floor is ln(0); check the corpus/split"
-        )
-    )
-    term = F.col("_c") * (
-        F.ln(F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(1.0))
-        - F.ln((F.col("_t1") + F.col("_v")) * floor_ok)
-        - F.ln(F.coalesce(F.col("_c0"), F.lit(0)) + F.lit(1.0))
-        + F.ln((F.col("_t0") + F.col("_v")) * floor_ok)
-    )
-    sums = (
-        evc.join(F.broadcast(wc), "_w", "left")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("_id")
-        .agg(F.sum(term).alias("_tsum"))
-    )
-    # narrow doc-keyed LEFT join (id, grp, y) ⋈ (id, tsum) — the
-    # v31-sanctioned 2-column shape — so a holdout doc with ZERO
-    # tokens still enters the ledger at s = prior instead of
-    # silently vanishing from n_eval (the t46 ADVICE invariant)
-    sc = (
-        lab.filter(F.col("_ho"))
-        .select("_id", "_grp", "y")
-        .join(sums, "_id", "left")
-        .crossJoin(F.broadcast(pri))
-        .select(
-            "_grp",
-            "y",
-            (prior + F.coalesce(F.col("_tsum"), F.lit(0.0))).alias(
-                "_s"
-            ),
-        )
-    )
-
-    def _n(cond) -> Column:
-        return F.sum(cond.cast("bigint"))
-
-    keep = F.col("_s") > 0
-    return (
-        sc.groupBy(F.col("_grp").alias(group_col))
+    wc = (
+        tr.select(F.explode("_ws").alias("_w"), "y")
+        .groupBy("_w")
         .agg(
-            F.count("*").alias("n_eval"),
-            _n(keep & (F.col("y") == 1)).alias("tp"),
-            _n(keep & (F.col("y") == 0)).alias("fp"),
-            _n(~keep & (F.col("y") == 1)).alias("fn"),
-            _n(~keep & (F.col("y") == 0)).alias("tn"),
+            F.sum("y").cast("bigint").alias("_c1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("_c0"),
         )
+    )
+    return _nb_confusion(
+        lab.filter(F.col("_ho")), wc, pri, group_col
+    )
+
+
+def nb_fit_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    holdout_frac: float = 0.25,
+) -> DataFrame:
+    """The DEPLOYABLE artifact of v35's training half: ONE table
+    (kind, w, k1, k0) carrying the per-word class-conditional
+    token counts (kind='word') and the class priors as doc counts
+    (kind='prior', w NULL) — everything scoring needs (T1, T0, V)
+    re-derives from the word rows with one aggregate, so this one
+    parquet IS the whole model (write it, ship it; the
+    xcorpus/absdisc train-offline pattern)."""
+    lab = _nb_lab(df, text_col, id_col, id_col, holdout_frac)
+    tr = lab.filter(~F.col("_ho"))
+    wc = (
+        tr.select(F.explode("_ws").alias("_w"), "y")
+        .groupBy("_w")
+        .agg(
+            F.sum("y").cast("bigint").alias("k1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("k0"),
+        )
+    )
+    words = wc.select(
+        F.lit("word").alias("kind"), F.col("_w").alias("w"),
+        "k1", "k0",
+    )
+    pri = tr.agg(
+        F.sum("y").cast("bigint").alias("k1"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("k0"),
+    ).select(
+        F.lit("prior").alias("kind"),
+        F.lit(None).cast("string").alias("w"),
+        "k1",
+        "k0",
+    )
+    return words.unionByName(pri)
+
+
+def nb_eval_with_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    model: DataFrame,
+    holdout_frac: float = 0.25,
+) -> DataFrame:
+    """v35's deploy side: the SAME holdout confusion ledger scored
+    against a STORED model table (nb_fit_model → parquet) instead
+    of counts trained in-pass — the artifact round-trip must equal
+    nb_holdout_eval exactly on the same docs (pinned in tests).
+    The scoring tail is the SAME helper the trainer uses, so
+    batch/deploy spelling drift is structurally impossible. Prior
+    extraction aggregates (never a bare filter), so an EMPTY model
+    reaches the loud guards as NULL sums instead of silently
+    emptying the ledger via a 0-row cross join."""
+    wc = model.filter(F.col("kind") == "word").select(
+        F.col("w").alias("_w"),
+        F.col("k1").alias("_c1"),
+        F.col("k0").alias("_c0"),
+    )
+    pri = model.filter(F.col("kind") == "prior").agg(
+        F.sum("k1").alias("_n1"), F.sum("k0").alias("_n0")
+    )
+    lab = _nb_lab(df, text_col, id_col, group_col, holdout_frac)
+    return _nb_confusion(
+        lab.filter(F.col("_ho")), wc, pri, group_col
     )

@@ -2605,3 +2605,97 @@ def cdc_ledger_from_state(
         )
         .orderBy("source")
     )
+
+
+# ---- streaming twin of v35's fixed-model naive-Bayes ledger ----
+
+_NB_COUNT_COLS = ("n_eval", "tp", "fp", "fn", "tn")
+
+
+def nb_ledger_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    model_path: str,
+    holdout_frac: float = 0.25,
+) -> None:
+    """One ``incremental_nb_state`` micro-batch: per source, the
+    additive confusion counters of the fixed-model naive-Bayes
+    filter (round 12 — the t46/t48 deployment split applied to
+    v35). The model is the STORED one-table artifact
+    (nb_fit_model → parquet at ``model_path``: word counts +
+    priors in one (kind, w, k1, k0) frame) — fixed for the life of
+    the monitor (a retrain writes a NEW model + state path), so
+    the per-document verdict depends only on the document and the
+    counters are exactly additive. The partial IS
+    operators/training.py::nb_eval_with_model, so batch/stream
+    spelling drift is structurally impossible; redelivered batch
+    ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.training import nb_eval_with_model
+
+    spark = batch_df.sparkSession
+    model = spark.read.parquet(model_path)
+    part = nb_eval_with_model(
+        batch_df, "text", "doc_id", "source", model, holdout_frac
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _NB_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_nb_state(
+    stream: DataFrame,
+    state_path: str,
+    model_path: str,
+    holdout_frac: float = 0.25,
+) -> "Any":
+    """Streaming twin of v35's deploy side: the classifier-quality
+    drift monitor at a FIXED stored naive-Bayes model — if a
+    source's holdout confusion moves under the fixed model, the
+    upstream text distribution changed and the model is due a
+    retrain. Five integer counters per source, mergeable forever,
+    same MVCC rev-dir snapshot + replay guard as the
+    filter/stopword/kappa/piece-usage/ppl twins."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nb_ledger_apply_batch(
+            batch_df, batch_id, state_path, model_path, holdout_frac
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def nb_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The fixed-model naive-Bayes confusion ledger over the
+    streaming-maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no nb state at {state_path}")
+    return per.select("source", *_NB_COUNT_COLS).orderBy("source")
