@@ -6060,3 +6060,61 @@ def test_nb_eval_with_empty_model_raises(spark):
         nb_eval_with_model(
             df, "text", "doc_id", "source", empty
         ).collect()
+
+
+def test_auc_weights_roundtrip_equals_in_pass(spark, tmp_path):
+    """v34's deployment split: the trained weights written through
+    logreg_weights_table → parquet and scored through
+    auc_eval_with_weights must equal auc_rank_eval EXACTLY on the
+    same docs (store-then-score == in-one-pass); a malformed
+    weights table raises."""
+    import pytest
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import (
+        auc_eval_with_weights,
+        auc_rank_eval,
+        logreg_features,
+        logreg_fit_weights,
+        logreg_weights_table,
+    )
+
+    texts = [
+        "the quick the text data word",
+        "data data noise word filler junk",
+        "the the data one two",
+        "plain filler words only",
+    ]
+    rows = [
+        (i, f"g{i % 3}", texts[i % len(texts)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    ho = _hash_key("doc_id") < sample_threshold(0.25)
+    feat = logreg_features(df, "text")
+    w = logreg_fit_weights(
+        feat.filter(~ho).select("y", "x1", "x2", "x3"), 8, 2
+    )[-1]
+    path = str(tmp_path / "w")
+    logreg_weights_table(spark, w).write.parquet(path)
+    got = sorted(
+        tuple(r)
+        for r in auc_eval_with_weights(
+            df, "text", "doc_id", "source",
+            spark.read.parquet(path), 0.25,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in auc_rank_eval(
+            df, "text", "doc_id", "source", 0.25, 8, 2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    two = spark.createDataFrame(
+        [(0, 0, 0, 0), (1, 1, 1, 1)], "w0 long, w1 long, w2 long, w3 long"
+    )
+    with pytest.raises(ValueError, match="exactly 1 row"):
+        auc_eval_with_weights(df, "text", "doc_id", "source", two)

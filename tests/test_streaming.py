@@ -1752,3 +1752,64 @@ def test_incremental_nb_ledger_equals_batch(spark, tmp_path):
         docs.limit(10), rev, state, model_path
     )
     assert _rows(jobs.nb_from_state(spark, state), *cols) == got
+
+
+def test_incremental_auc_hist_equals_batch(spark, tmp_path):
+    """Round 12: the documents changelog drained through
+    incremental_auc_state (v34's deploy side at FIXED stored
+    weights) must yield the SAME exact AUC ledger as the batch
+    fixed-weight evaluator — the state is the additive (source, z)
+    histogram; the pair counts derive at read time through the
+    shared auc_from_hist. Replay guard: re-applying the last batch
+    id is a no-op."""
+    from zappy_spark.operators.training import (
+        auc_eval_with_weights,
+        logreg_features,
+        logreg_fit_weights,
+        logreg_weights_table,
+    )
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    ho = _hash_key("doc_id") < sample_threshold(0.25)
+    w = logreg_fit_weights(
+        logreg_features(docs.filter(~ho), "text").select(
+            "y", "x1", "x2", "x3"
+        ),
+        8,
+        2,
+    )[-1]
+    weights_path = str(tmp_path / "auc_w")
+    logreg_weights_table(spark, w).write.parquet(weights_path)
+
+    replay = str(tmp_path / "docs_replay_auc")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "auc_state")
+    q = jobs.incremental_auc_state(
+        jobs.stream_events(spark, replay), state, weights_path,
+        holdout_frac=0.25,
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = (
+        "source", "n_pos", "n_neg", "concordant", "tied",
+        "auc_num", "auc_den",
+    )
+    got = _rows(jobs.auc_from_state(spark, state), *cols)
+    batch = _rows(
+        auc_eval_with_weights(
+            docs, "text", "doc_id", "source",
+            spark.read.parquet(weights_path), 0.25,
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.auc_hist_apply_batch(
+        docs.limit(10), rev, state, weights_path
+    )
+    assert _rows(jobs.auc_from_state(spark, state), *cols) == got

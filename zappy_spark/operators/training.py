@@ -594,56 +594,26 @@ def auc_rank_eval(
     features admit few sums), then a group-partitioned cumulative
     window over that tiny table and a |groups|-row agg. No doc-keyed
     join, no unpartitioned window, nothing quadratic."""
-    from pyspark.sql.window import Window
-
+    ho_frac = holdout_frac
+    feat = logreg_features(df, text_col, extra=(group_col, id_col))
     from zappy_spark.operators.sampling import (
         _hash_key,
         sample_threshold,
     )
 
-    ho = _hash_key(id_col) < sample_threshold(holdout_frac)
-    feat = logreg_features(df, text_col, extra=(group_col, id_col))
-    feat = feat.withColumn("_ho", ho)
+    ho = _hash_key(id_col) < sample_threshold(ho_frac)
     w = logreg_fit_weights(
-        feat.filter(~F.col("_ho")).select("y", "x1", "x2", "x3"),
+        feat.filter(~ho).select("y", "x1", "x2", "x3"),
         n_iter,
         lr_den,
     )[-1]
-    z = _logreg_z(w)
-    by_z = (
-        feat.filter(F.col("_ho"))
-        .select(group_col, "y", z.alias("_z"))
-        .groupBy(group_col, "_z")
-        .agg(
-            F.sum("y").cast("bigint").alias("_n1"),
-            F.sum(1 - F.col("y")).cast("bigint").alias("_n0"),
-        )
-    )
-    # negatives strictly below this score, within the group: the
-    # per-(group, z) rows are distinct in z, so a ROWS frame is the
-    # RANGE frame here (and matches the oracle's spelling exactly)
-    below = (
-        Window.partitionBy(group_col)
-        .orderBy("_z")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    by_z = by_z.withColumn(
-        "_c0", F.coalesce(F.sum("_n0").over(below), F.lit(0))
-    )
-    agg = by_z.groupBy(group_col).agg(
-        F.sum("_n1").alias("n_pos"),
-        F.sum("_n0").alias("n_neg"),
-        F.sum(F.col("_n1") * F.col("_c0")).alias("concordant"),
-        F.sum(F.col("_n1") * F.col("_n0")).alias("tied"),
-    )
-    return agg.select(
+    # score + derive through the SHARED fixed-weight halves (the
+    # deployment split reuses them verbatim — no spelling drift)
+    return auc_from_hist(
+        auc_score_hist(
+            df, text_col, id_col, group_col, w, ho_frac
+        ),
         group_col,
-        "n_pos",
-        "n_neg",
-        "concordant",
-        "tied",
-        (2 * F.col("concordant") + F.col("tied")).alias("auc_num"),
-        (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den"),
     )
 
 
@@ -889,4 +859,109 @@ def nb_eval_with_model(
     lab = _nb_lab(df, text_col, id_col, group_col, holdout_frac)
     return _nb_confusion(
         lab.filter(F.col("_ho")), wc, pri, group_col
+    )
+
+
+def logreg_weights_table(
+    spark: SparkSession, w: list[int]
+) -> DataFrame:
+    """The DEPLOYABLE artifact of the trained logreg: the 1-row
+    scale-S integer weight table (w0..w3) — write it to parquet,
+    ship it (the nb_fit_model pattern for the fixed-point GD
+    family)."""
+    return spark.createDataFrame(
+        [tuple(int(x) for x in w)],
+        "w0 long, w1 long, w2 long, w3 long",
+    )
+
+
+def auc_score_hist(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    w: list[int],
+    holdout_frac: float = 0.25,
+) -> DataFrame:
+    """The ADDITIVE half of the fixed-weight AUC evaluation: the
+    per-(group, z) class histogram (n1, n0) of the holdout slice
+    under FIXED weights ``w``. Per-doc scores depend only on the
+    doc and the weights, so histograms from disjoint batches sum —
+    this is the streaming twin's state shape, and
+    ``auc_from_hist`` derives the exact pair-count ledger from it."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    ho = _hash_key(id_col) < sample_threshold(holdout_frac)
+    feat = logreg_features(df, text_col, extra=(group_col, id_col))
+    z = _logreg_z([int(x) for x in w])
+    return (
+        feat.filter(ho)
+        .select(group_col, "y", z.alias("_z"))
+        .groupBy(group_col, "_z")
+        .agg(
+            F.sum("y").cast("bigint").alias("_n1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("_n0"),
+        )
+    )
+
+
+def auc_from_hist(hist: DataFrame, group_col: str) -> DataFrame:
+    """The exact Mann-Whitney pair-count ledger from a (group, z,
+    n1, n0) histogram — the same cumulative-window derivation
+    auc_rank_eval uses, shared verbatim by the batch evaluator and
+    the streaming twin's from_state (no spelling drift)."""
+    from pyspark.sql.window import Window
+
+    below = (
+        Window.partitionBy(group_col)
+        .orderBy("_z")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    by_z = hist.withColumn(
+        "_c0", F.coalesce(F.sum("_n0").over(below), F.lit(0))
+    )
+    agg = by_z.groupBy(group_col).agg(
+        F.sum("_n1").alias("n_pos"),
+        F.sum("_n0").alias("n_neg"),
+        F.sum(F.col("_n1") * F.col("_c0")).alias("concordant"),
+        F.sum(F.col("_n1") * F.col("_n0")).alias("tied"),
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        "concordant",
+        "tied",
+        (2 * F.col("concordant") + F.col("tied")).alias("auc_num"),
+        (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den"),
+    )
+
+
+def auc_eval_with_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    weights: DataFrame,
+    holdout_frac: float = 0.25,
+) -> DataFrame:
+    """v34's deploy side: the exact AUC ledger under a STORED
+    weight table (logreg_weights_table → parquet) — when the
+    stored weights are the trained trajectory's last element this
+    equals auc_rank_eval EXACTLY (pinned in tests). The 1-row
+    weight frame is a bounded driver collect by construction."""
+    row = weights.select("w0", "w1", "w2", "w3").collect()
+    if len(row) != 1:
+        raise ValueError(
+            f"weights table must have exactly 1 row, got {len(row)}"
+        )
+    w = [row[0]["w0"], row[0]["w1"], row[0]["w2"], row[0]["w3"]]
+    return auc_from_hist(
+        auc_score_hist(
+            df, text_col, id_col, group_col, w, holdout_frac
+        ),
+        group_col,
     )

@@ -2699,3 +2699,100 @@ def nb_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if per is None:
         raise ValueError(f"no nb state at {state_path}")
     return per.select("source", *_NB_COUNT_COLS).orderBy("source")
+
+
+# ---- streaming twin of v34's fixed-weight AUC evaluation ----
+
+
+def auc_hist_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    weights_path: str,
+    holdout_frac: float = 0.25,
+) -> None:
+    """One ``incremental_auc_state`` micro-batch: the per-(source,
+    z) class histogram of the holdout slice under FIXED stored
+    weights (round 12 — v34's deployment split). Per-doc scores
+    depend only on the doc and the weights, so histograms from
+    disjoint batches are exactly additive; the AUC pair counts are
+    NOT additive and are therefore derived from state at read time
+    (auc_from_hist — the same helper the batch evaluator uses).
+    The partial IS operators/training.py::auc_score_hist, so
+    batch/stream spelling drift is structurally impossible;
+    redelivered batch ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.training import auc_score_hist
+
+    spark = batch_df.sparkSession
+    wrow = spark.read.parquet(weights_path).collect()
+    if len(wrow) != 1:
+        raise ValueError(
+            f"weights table must have exactly 1 row, got {len(wrow)}"
+        )
+    w = [wrow[0]["w0"], wrow[0]["w1"], wrow[0]["w2"], wrow[0]["w3"]]
+    part = auc_score_hist(
+        batch_df, "text", "doc_id", "source", w, holdout_frac
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source", "_z")
+            .agg(
+                F.sum("_n1").cast("bigint").alias("_n1"),
+                F.sum("_n0").cast("bigint").alias("_n0"),
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_auc_state(
+    stream: DataFrame,
+    state_path: str,
+    weights_path: str,
+    holdout_frac: float = 0.25,
+) -> "Any":
+    """Streaming twin of v34's deploy side: the ranking-quality
+    drift monitor at FIXED stored logreg weights — if a source's
+    AUC moves under the fixed model, the upstream text distribution
+    changed and the model is due a retrain. State is the additive
+    (source, z) class histogram (score range ≅ dozens of rows, the
+    clipped-feature bound), mergeable forever; same MVCC rev-dir
+    snapshot + replay guard as every twin."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        auc_hist_apply_batch(
+            batch_df, batch_id, state_path, weights_path,
+            holdout_frac,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def auc_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The exact fixed-weight AUC ledger derived from the
+    streaming-maintained histogram (auc_from_hist — the shared
+    derivation, no spelling drift)."""
+    from zappy_spark.operators.training import auc_from_hist
+
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no auc state at {state_path}")
+    return auc_from_hist(per, "source").orderBy("source")
