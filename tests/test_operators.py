@@ -6118,3 +6118,77 @@ def test_auc_weights_roundtrip_equals_in_pass(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="exactly 1 row"):
         auc_eval_with_weights(df, "text", "doc_id", "source", two)
+
+
+def test_nb_crossval_equals_train_on_complement(spark):
+    """v36's subtraction-derived fold models must equal a literal
+    train-on-complement naive-Bayes replay, fold by fold — the
+    pure-Python reference trains K separate models and must match
+    the once-aggregated-then-subtracted Spark confusion exactly
+    (including a zero-token doc and fold-partition coverage)."""
+    import math
+    from collections import Counter
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import nb_crossval
+
+    texts = [
+        "the quick the text data word",
+        "data data noise word filler junk",
+        "the the data one two",
+        "plain filler words only",
+        "",
+        "the word the data the again",
+    ]
+    rows = [(i, texts[i % len(texts)]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["fold"]: r
+        for r in nb_crossval(df, "text", "doc_id", k=4).collect()
+    }
+
+    # fold assignment via the same md5 rule
+    keys = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", _hash_key("doc_id").alias("k")
+        ).collect()
+    }
+    thr = [sample_threshold(f / 4) for f in (1, 2, 3)]
+
+    def fold_of(i):
+        k = keys[i]
+        return 0 if k < thr[0] else 1 if k < thr[1] else \
+            2 if k < thr[2] else 3
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in rows}
+    y = {i: int(toks[i].count("the") >= 2) for i, _ in rows}
+    folds = {i: fold_of(i) for i, _ in rows}
+    assert set(folds.values()) == {0, 1, 2, 3}
+
+    for f in range(4):
+        tr = [i for i in toks if folds[i] != f]
+        n1 = sum(y[i] for i in tr)
+        n0 = len(tr) - n1
+        cw1, cw0 = Counter(), Counter()
+        for i in tr:
+            (cw1 if y[i] else cw0).update(toks[i])
+        vocab = set(cw1) | set(cw0)
+        t1, t0, v = sum(cw1.values()), sum(cw0.values()), len(vocab)
+        conf = Counter()
+        for i in (i for i in toks if folds[i] == f):
+            s = math.log(n1 / n0)
+            for w, c in Counter(toks[i]).items():
+                s += c * (
+                    math.log(cw1[w] + 1.0) - math.log(t1 + v)
+                    - math.log(cw0[w] + 1.0) + math.log(t0 + v)
+                )
+            conf[("p" if s > 0 else "n") + str(y[i])] += 1
+        r = got[f]
+        assert r["n_eval"] == sum(conf.values()) > 0
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+            conf["p1"], conf["p0"], conf["n1"], conf["n0"]
+        ), f

@@ -1023,6 +1023,7 @@ _NEW_R13: list[str] = [
     "m10_delta_cepstra",  # NEW r12: HTK delta/delta-delta frontend stage
     "v35_nb_holdout_eval",  # NEW r12: multinomial naive-Bayes bake-off
     "t52_textrank_keywords",  # NEW r12: fixed-point TextRank centrality
+    "v36_nb_crossval",  # NEW r12: K-fold CV by complement subtraction
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

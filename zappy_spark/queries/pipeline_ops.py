@@ -4041,6 +4041,26 @@ def t52(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def v36(spark: SparkSession, d: str) -> DataFrame:
+    """Naive-Bayes K-fold cross-validation (round 12;
+    operators/training.py::nb_crossval): md5-keyed hex quartiles,
+    every document scored once by the model trained on its
+    complement — and the K models are never trained K times:
+    training counts aggregate ONCE per (fold, word, class) and
+    each complement model derives by SUBTRACTION (total − fold),
+    exactly equal to a train-on-complement run at 2 corpus scans
+    total. Per-fold confusion counts (fold, n_eval, tp, fp, fn,
+    tn) — the model-stability artifact the single-holdout v35
+    cannot answer. Cutoff-0 margin measured ≥ 9.0e-6 through the
+    100× fixture."""
+    from zappy_spark.operators.training import nb_crossval
+
+    return nb_crossval(
+        t(spark, d, "documents"), "text", "doc_id", k=4
+    ).orderBy("fold")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4123,6 +4143,7 @@ QUERIES = {
     "v34_auc_rank_eval": v34,
     "v35_nb_holdout_eval": v35,
     "t52_textrank_keywords": t52,
+    "v36_nb_crossval": v36,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
@@ -5342,6 +5363,75 @@ def _t52_oracle() -> str:
     return "".join(parts)
 
 
+
+def _v36_oracle(k: int = 4) -> str:
+    """Cross-validation replay (v36): identical md5 fold CASE,
+    identical once-aggregated (fold, word, class) counts with the
+    complement-by-subtraction derivation, identical add-one
+    log-odds and zero-token accounting, then the per-fold
+    confusion agg. Emitted cells are exact BIGINTs; the cutoff-0
+    margin is measured in the operator docstring."""
+    from zappy_spark.operators.sampling import sample_threshold
+
+    key = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    case = "CASE " + " ".join(
+        f"WHEN {key} < '{sample_threshold(f / k)}' THEN {f - 1}"
+        for f in range(1, k)
+    ) + f" ELSE {k - 1} END"
+    return (
+        "WITH lab AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
+        f"{case} fold, "
+        "CASE WHEN len(list_filter(string_split(text, ' '), "
+        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
+        "prif AS (SELECT fold, SUM(y) n1, SUM(1 - y) n0 FROM lab "
+        "GROUP BY 1), "
+        "prit AS (SELECT SUM(n1) n1t, SUM(n0) n0t FROM prif), "
+        "twf AS (SELECT fold, unnest(ws) w, y FROM lab), "
+        "wcf AS (SELECT fold, w, SUM(y) c1, SUM(1 - y) c0 FROM twf "
+        "GROUP BY 1, 2), "
+        "wct AS (SELECT w, SUM(c1) c1t, SUM(c0) c0t FROM wcf "
+        "GROUP BY 1), "
+        f"folds AS (SELECT unnest(generate_series(0, {k - 1})) fold), "
+        "wfc AS (SELECT f.fold, t.w, "
+        "t.c1t - COALESCE(c.c1, 0) c1c, "
+        "t.c0t - COALESCE(c.c0, 0) c0c "
+        "FROM wct t CROSS JOIN folds f "
+        "LEFT JOIN wcf c ON c.fold = f.fold AND c.w = t.w), "
+        "totf AS (SELECT fold, SUM(c1c) t1c, SUM(c0c) t0c, "
+        "SUM(CASE WHEN c1c + c0c > 0 THEN 1 ELSE 0 END) vc "
+        "FROM wfc GROUP BY 1), "
+        "prc AS (SELECT p.fold, n1t - p.n1 n1c, n0t - p.n0 n0c "
+        "FROM prif p, prit), "
+        "evc AS (SELECT fold, doc_id, w, COUNT(*) c FROM "
+        "(SELECT fold, doc_id, unnest(ws) w FROM lab) "
+        "GROUP BY ALL), "
+        "sums AS (SELECT e.fold, e.doc_id, "
+        "SUM(c * (ln(COALESCE(m.c1c, 0) + 1.0) "
+        "- ln(CAST(t.t1c + t.vc AS DOUBLE)) "
+        "- ln(COALESCE(m.c0c, 0) + 1.0) "
+        "+ ln(CAST(t.t0c + t.vc AS DOUBLE)))) tsum "
+        "FROM evc e LEFT JOIN wfc m ON m.fold = e.fold AND m.w = e.w "
+        "JOIN totf t ON t.fold = e.fold GROUP BY 1, 2), "
+        "sc AS (SELECT l.fold, l.y, "
+        "ln(CAST(p.n1c AS DOUBLE) / p.n0c) + COALESCE(s.tsum, 0) s "
+        "FROM lab l LEFT JOIN sums s "
+        "ON s.fold = l.fold AND s.doc_id = l.doc_id "
+        "JOIN prc p ON p.fold = l.fold) "
+        "SELECT CAST(fold AS BIGINT) fold, "
+        "CAST(COUNT(*) AS BIGINT) n_eval, "
+        "CAST(SUM(CASE WHEN s > 0 AND y = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) tp, "
+        "CAST(SUM(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) fp, "
+        "CAST(SUM(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) fn, "
+        "CAST(SUM(CASE WHEN s <= 0 AND y = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) tn "
+        "FROM sc GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -6183,6 +6273,7 @@ ORACLE = {
     "v34_auc_rank_eval": _v34_oracle(8, 2, 0.25),
     "v35_nb_holdout_eval": _v35_oracle(0.25),
     "t52_textrank_keywords": _t52_oracle(),
+    "v36_nb_crossval": _v36_oracle(4),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
