@@ -6192,3 +6192,45 @@ def test_nb_crossval_equals_train_on_complement(spark):
         assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
             conf["p1"], conf["p0"], conf["n1"], conf["n0"]
         ), f
+
+
+def test_shot_boundary_ledger_hand_payloads(spark):
+    """m11 on crafted payloads: a sharp mid-clip content change
+    fires exactly one boundary at the right frame; a uniform clip
+    and a single-frame clip fire none; a short tail frame is
+    compared exactly via the cross-multiplied rule."""
+    from zappy_spark.operators.multimodal import shot_boundary_ledger
+
+    # frame_bytes=4 for hand-checkable frames
+    rows = [
+        # two 'a' frames then two 'z' frames: mean jumps 97 -> 122
+        (0, b"aaaa" + b"aaaa" + b"zzzz" + b"zzzz"),
+        # uniform: no boundary
+        (1, b"mmmm" * 4),
+        # single frame: no previous, no boundary
+        (2, b"abcd"),
+        # tail frame of 2 bytes, big jump: 'a'*4 then 'z'*2
+        (3, b"aaaa" + b"zz"),
+        # tail jump below tau: 'a'*4 then 'b'*2 (mean 97 -> 98)
+        (4, b"aaaa" + b"bb"),
+    ]
+    df = spark.createDataFrame(
+        [(i, "video", p) for i, p in rows],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        r["media_id"]: r
+        for r in shot_boundary_ledger(
+            df, tau=8, frame_bytes=4
+        ).collect()
+    }
+    assert (got[0]["n_frames"], got[0]["n_boundaries"],
+            got[0]["first_boundary_idx"]) == (4, 1, 2)
+    assert (got[1]["n_boundaries"], got[1]["first_boundary_idx"]) \
+        == (0, -1)
+    assert (got[2]["n_frames"], got[2]["n_boundaries"]) == (1, 0)
+    # |122*2*4 - 97*4*2| = 200 > 8*2*4 = 64 -> boundary at tail
+    assert (got[3]["n_boundaries"], got[3]["first_boundary_idx"]) \
+        == (1, 1)
+    # mean jump 1 < 8 -> no boundary despite the length change
+    assert got[4]["n_boundaries"] == 0

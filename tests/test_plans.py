@@ -127,6 +127,9 @@ def test_no_python_udfs_in_declared_corpus(spark):
         # round 12: HTK delta/delta-delta regressions on the same
         # Arrow pipeline (per-frame FFT + two numpy regressions)
         "m10_delta_cepstra",
+        # round 12: every-frame decode via the m03 Arrow flatMap
+        # feeding the shot-boundary window
+        "m11_shot_boundaries",
     }
     for name, q in QUERIES.items():
         if name == "v02_rp_lsh_ann":

@@ -1292,3 +1292,68 @@ def delta_cepstra_attest_features(
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         batches, schema=DELTA_ATTEST_SCHEMA
     )
+
+
+def shot_boundary_ledger(
+    df: DataFrame,
+    tau: int = 8,
+    frame_bytes: int = 32,
+) -> DataFrame:
+    """Shot-boundary detection over frame-decoded video payloads —
+    the scene-segmentation pass a video training pipeline runs to
+    cut clips at content changes: decode EVERY frame (the m03
+    Arrow flatMap, every_n=1), then flag a boundary wherever the
+    mean byte value jumps by more than ``tau`` between consecutive
+    frames. The comparison is integer CROSS-MULTIPLIED —
+    |sum_f·len_prev − sum_prev·len_f| > tau·len_f·len_prev — so a
+    short tail frame is handled exactly and NO float ever enters
+    (no margin discipline needed; both engines compare the same
+    BIGINTs).
+
+    Output per media, all exact BIGINTs: (media_id, n_frames,
+    n_boundaries, first_boundary_idx) with -1 when no boundary —
+    a degenerate clip is visible, not NULL.
+
+    Scale: the Arrow stage visits each payload once and fans out
+    to frame rows; the boundary pass is ONE media-partitioned LAG
+    window over (frame_idx, len, sum) — never the payload — and a
+    |media|-row agg. Bound the instrument with a scan-side id
+    filter (the d52 doctrine) when fixtures grow."""
+    from pyspark.sql.window import Window
+
+    feats = sample_frame_features(
+        df, frame_bytes=frame_bytes, every_n=1
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev_sum = F.lag("frame_sum").over(w)
+    prev_len = F.lag("frame_len").over(w)
+    jump = F.abs(
+        F.col("frame_sum") * prev_len - prev_sum * F.col("frame_len")
+    )
+    bnd = (
+        F.when(prev_sum.isNull(), F.lit(0))
+        .when(
+            jump
+            > F.lit(tau) * F.col("frame_len") * prev_len,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    marked = feats.select(
+        "media_id",
+        "frame_idx",
+        bnd.cast("bigint").alias("_b"),
+    )
+    return (
+        marked.groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum("_b").alias("n_boundaries"),
+            F.coalesce(
+                F.min(
+                    F.when(F.col("_b") == 1, F.col("frame_idx"))
+                ).cast("bigint"),
+                F.lit(-1).cast("bigint"),
+            ).alias("first_boundary_idx"),
+        )
+    )

@@ -1024,6 +1024,7 @@ _NEW_R13: list[str] = [
     "v35_nb_holdout_eval",  # NEW r12: multinomial naive-Bayes bake-off
     "t52_textrank_keywords",  # NEW r12: fixed-point TextRank centrality
     "v36_nb_crossval",  # NEW r12: K-fold CV by complement subtraction
+    "m11_shot_boundaries",  # NEW r12: frame-delta scene segmentation
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

@@ -4061,6 +4061,36 @@ def v36(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def m11(spark: SparkSession, d: str) -> DataFrame:
+    """Shot-boundary detection (round 12;
+    operators/multimodal.py::shot_boundary_ledger) — the
+    scene-segmentation pass on the m03 video plumbing: document
+    bytes stand in for clip payloads (32-byte frames), EVERY frame
+    decodes through the real Arrow flatMap, and a boundary fires
+    where the mean byte value jumps by > 8 between consecutive
+    frames — compared integer CROSS-MULTIPLIED so short tail
+    frames are exact and no float ever enters. Per media:
+    (n_frames, n_boundaries, first_boundary_idx | -1), all exact
+    BIGINTs. Instrument bounded to doc_id < 5000 (a no-op at all
+    testdata SFs; bounds the frame fan-out at the synth fixtures —
+    the d52 doctrine)."""
+    from zappy_spark.operators import multimodal
+
+    media = (
+        t(spark, d, "documents")
+        .filter(F.col("doc_id") < 5000)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    return multimodal.shot_boundary_ledger(
+        media, tau=8, frame_bytes=32
+    ).orderBy("media_id")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4156,6 +4186,7 @@ QUERIES = {
     "d52_cdc_dedup": d52,
     "m09_mfcc_attest": m09,
     "m10_delta_cepstra": m10,
+    "m11_shot_boundaries": m11,
     "t51_wordpiece_segment": t51,
     "v33_tokenizer_bakeoff": v33,
     "d53_homoglyph_dedup": d53,
@@ -7638,6 +7669,33 @@ ORACLE = {
     ),
     # m03: replay the sampled-frame byte sums char-by-char (ASCII,
     # the m02 precedent); generate_series with step 4 = the sampler.
+    # m11: full frame-sum replay (the m03 character arithmetic,
+    # every frame), the identical LAG window, and the identical
+    # integer cross-multiplied boundary rule — all BIGINT, no
+    # ROUND cells anywhere.
+    "m11_shot_boundaries": (
+        "WITH b AS (SELECT doc_id media_id, text, length(text) n, "
+        "CAST(ceil(length(text)/32.0) AS INT) nf FROM documents "
+        "WHERE doc_id < 5000), "
+        "s AS (SELECT media_id, text, n, nf, "
+        "unnest(generate_series(0, nf-1, 1)) fi FROM b WHERE nf > 0), "
+        "f AS (SELECT media_id, fi, LEAST(32, n - fi*32) flen, "
+        "list_sum(list_transform(range(CAST(fi*32+1 AS INT), "
+        "CAST(fi*32 + LEAST(32, n - fi*32) + 1 AS INT)), "
+        "x -> ord(substr(text, x, 1)))) fsum FROM s), "
+        "l AS (SELECT media_id, fi, flen, fsum, "
+        "LAG(fsum) OVER (PARTITION BY media_id ORDER BY fi) psum, "
+        "LAG(flen) OVER (PARTITION BY media_id ORDER BY fi) plen "
+        "FROM f), "
+        "j AS (SELECT media_id, fi, CASE WHEN psum IS NULL THEN 0 "
+        "WHEN ABS(fsum*plen - psum*flen) > 8*flen*plen THEN 1 "
+        "ELSE 0 END bnd FROM l) "
+        "SELECT media_id, CAST(COUNT(*) AS BIGINT) n_frames, "
+        "CAST(SUM(bnd) AS BIGINT) n_boundaries, "
+        "CAST(COALESCE(MIN(CASE WHEN bnd = 1 THEN fi END), -1) "
+        "AS BIGINT) first_boundary_idx "
+        "FROM j GROUP BY 1 ORDER BY 1"
+    ),
     "m03_frame_features": (
         "WITH b AS (SELECT doc_id media_id, text, length(text) n, "
         "CAST(ceil(length(text)/32.0) AS INT) nf FROM documents), "
