@@ -6234,3 +6234,73 @@ def test_shot_boundary_ledger_hand_payloads(spark):
         == (1, 1)
     # mean jump 1 < 8 -> no boundary despite the length change
     assert got[4]["n_boundaries"] == 0
+
+
+def test_mcnemar_marginals_collapse_to_both_evals(spark):
+    """v37's cells must collapse onto the two single-model ledgers
+    on the same corpus: both_right + nb_only == NB's correct count
+    (v35 tp+tn) and both_right + lr_only == logreg's correct count
+    (v30 tp+tn), per group; the χ² spelling is the exact identity
+    (b−c)²/(b+c); and the fixture makes the models actually
+    disagree somewhere (chi2_den > 0 for some group)."""
+    from zappy_spark.operators.training import (
+        logreg_holdout_eval,
+        mcnemar_nb_vs_logreg,
+        nb_holdout_eval,
+    )
+
+    texts = [
+        "the quick the text data word",
+        "data data noise word filler junk",
+        "the the data one two",
+        "plain filler words only",
+        "the word data data data junk",
+        "the data word the odd the mix",
+        # y=0 (single 'the') but saturated with class-1 vocabulary:
+        # NB's word evidence says keep, the feature rule says drop —
+        # the discordant population McNemar exists to count
+        "the quick text word quick text word quick text",
+    ]
+    rows = [
+        (i, f"g{i % 2}", texts[i % len(texts)]) for i in range(140)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    mc = {
+        r["src"]: r
+        for r in mcnemar_nb_vs_logreg(
+            df, "text", "doc_id", "src", 0.25, 8, 2
+        ).collect()
+    }
+    nb = {
+        r["src"]: r
+        for r in nb_holdout_eval(
+            df, "text", "doc_id", "src", 0.25
+        ).collect()
+    }
+    lr = {
+        r["src"]: r
+        for r in logreg_holdout_eval(
+            df, "text", "doc_id", "src", 0.25, 8, 2
+        ).collect()
+    }
+    assert set(mc) == set(nb) == set(lr)
+    for g, r in mc.items():
+        assert r["n_eval"] == nb[g]["n_eval"] == lr[g]["n_eval"]
+        assert (
+            r["both_right"] + r["nb_only"]
+            == nb[g]["tp"] + nb[g]["tn"]
+        ), g
+        assert (
+            r["both_right"] + r["lr_only"]
+            == lr[g]["tp"] + lr[g]["tn"]
+        ), g
+        assert (
+            r["both_right"] + r["both_wrong"]
+            + r["nb_only"] + r["lr_only"] == r["n_eval"]
+        )
+        d = r["nb_only"] - r["lr_only"]
+        assert r["chi2_num"] == d * d
+        assert r["chi2_den"] == r["nb_only"] + r["lr_only"]
+    assert any(r["chi2_den"] > 0 for r in mc.values()), (
+        "fixture must produce discordant verdicts"
+    )

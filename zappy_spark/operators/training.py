@@ -651,19 +651,15 @@ def _nb_lab(
     )
 
 
-def _nb_confusion(
+def _nb_doc_scores(
     lab_ho: DataFrame,
     wc: DataFrame,
     pri: DataFrame,
-    group_col: str,
 ) -> DataFrame:
-    """The shared NB scoring tail: add-one log-odds against the
-    (word, c1, c0) count table and the 1-row prior frame, verdicts
-    folded into per-group confusion counts. Totals (T1, T0, V)
-    re-derive from the count table; degenerate models raise loudly
-    (NULL/zero priors or an empty vocabulary — the round-12 ADVICE
-    doctrine). Every holdout doc enters the ledger — a zero-token
-    doc scores s = prior via the LEFT join."""
+    """Per-doc NB log-odds over the holdout frame: (_id, _grp, y,
+    _s) — the doc-level half _nb_confusion aggregates, exposed so
+    the McNemar comparison (v37) can join verdicts per doc without
+    re-spelling the scoring arithmetic."""
     tot = wc.agg(
         F.sum("_c1").alias("_t1"),
         F.sum("_c0").alias("_t0"),
@@ -705,11 +701,12 @@ def _nb_confusion(
     # v31-sanctioned 2-column shape — so a holdout doc with ZERO
     # tokens still enters the ledger at s = prior instead of
     # silently vanishing from n_eval (the t46 ADVICE invariant)
-    sc = (
+    return (
         lab_ho.select("_id", "_grp", "y")
         .join(sums, "_id", "left")
         .crossJoin(F.broadcast(pri))
         .select(
+            "_id",
             "_grp",
             "y",
             (prior + F.coalesce(F.col("_tsum"), F.lit(0.0))).alias(
@@ -717,6 +714,22 @@ def _nb_confusion(
             ),
         )
     )
+
+
+def _nb_confusion(
+    lab_ho: DataFrame,
+    wc: DataFrame,
+    pri: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """The shared NB scoring tail: add-one log-odds against the
+    (word, c1, c0) count table and the 1-row prior frame, verdicts
+    folded into per-group confusion counts. Totals (T1, T0, V)
+    re-derive from the count table; degenerate models raise loudly
+    (NULL/zero priors or an empty vocabulary — the round-12 ADVICE
+    doctrine). Every holdout doc enters the ledger — a zero-token
+    doc scores s = prior via the LEFT join."""
+    sc = _nb_doc_scores(lab_ho, wc, pri)
 
     def _n(cond) -> Column:
         return F.sum(cond.cast("bigint"))
@@ -1128,4 +1141,108 @@ def nb_crossval(
             _n(~keep & (F.col("y") == 1)).alias("fn"),
             _n(~keep & (F.col("y") == 0)).alias("tn"),
         )
+    )
+
+
+def mcnemar_nb_vs_logreg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    holdout_frac: float = 0.25,
+    n_iter: int = 8,
+    lr_den: int = 2,
+) -> DataFrame:
+    """McNemar's paired test between the v35 naive-Bayes and the
+    v28/v30 logistic classifier on the SHARED md5-keyed holdout —
+    the statistical layer over the bake-off: v35 and v30 say how
+    often each model is right; this says whether their DISAGREEMENT
+    is lopsided enough to matter. The test statistic is
+    χ² = (b − c)²/(b + c) over the discordant pairs (b = NB right
+    where logreg is wrong, c = the reverse) — all counts are exact
+    BIGINTs, and χ² is emitted as the (chi2_num, chi2_den) pair so
+    no float enters the ledger and a zero-discordance group shows
+    chi2_den = 0 instead of NaN (≥ 3.84 at 1 dof ⇒ the models
+    differ at p < 0.05).
+
+    Both models train on the SAME complement and verdict the SAME
+    holdout docs; the only doc-keyed op is ONE narrow (id, verdict)
+    equi-join of the two per-doc verdict frames — the
+    v31-sanctioned shape. NB scoring reuses the shared
+    _nb_doc_scores helper; the logreg verdict reuses
+    _logreg_z/_hard_sigmoid_keep — zero re-spelling on either side.
+
+    Output per group: (n_eval, both_right, both_wrong, nb_only,
+    lr_only, chi2_num, chi2_den)."""
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    # NB side
+    lab = _nb_lab(df, text_col, id_col, group_col, holdout_frac)
+    tr = lab.filter(~F.col("_ho"))
+    pri = tr.agg(
+        F.sum("y").cast("bigint").alias("_n1"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("_n0"),
+    )
+    wc = (
+        tr.select(F.explode("_ws").alias("_w"), "y")
+        .groupBy("_w")
+        .agg(
+            F.sum("y").cast("bigint").alias("_c1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("_c0"),
+        )
+    )
+    nb = _nb_doc_scores(lab.filter(F.col("_ho")), wc, pri).select(
+        "_id",
+        "_grp",
+        "y",
+        ((F.col("_s") > 0).cast("int") == F.col("y")).alias("_nbr"),
+    )
+
+    # logreg side (same split, same complement)
+    ho = _hash_key(id_col) < sample_threshold(holdout_frac)
+    feat = logreg_features(df, text_col, extra=(id_col,))
+    feat = feat.withColumn("_ho", ho)
+    w = logreg_fit_weights(
+        feat.filter(~F.col("_ho")).select("y", "x1", "x2", "x3"),
+        n_iter,
+        lr_den,
+    )[-1]
+    z = _logreg_z(w)
+    rows = feat.filter(F.col("_ho")).select(
+        F.col(id_col).alias("_id"), "y", z.alias("_z")
+    )
+    p = _hard_sigmoid_p()
+    lr = rows.select(
+        "_id",
+        (
+            _hard_sigmoid_keep(p).cast("int") == F.col("y")
+        ).alias("_lrr"),
+    )
+
+    # ONE narrow (id, verdict) equi-join — the v31 shape
+    j = nb.join(lr, "_id")
+
+    def _n(cond) -> Column:
+        return F.sum(cond.cast("bigint"))
+
+    agg = j.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.count("*").alias("n_eval"),
+        _n(F.col("_nbr") & F.col("_lrr")).alias("both_right"),
+        _n(~F.col("_nbr") & ~F.col("_lrr")).alias("both_wrong"),
+        _n(F.col("_nbr") & ~F.col("_lrr")).alias("nb_only"),
+        _n(~F.col("_nbr") & F.col("_lrr")).alias("lr_only"),
+    )
+    d = F.col("nb_only") - F.col("lr_only")
+    return agg.select(
+        group_col,
+        "n_eval",
+        "both_right",
+        "both_wrong",
+        "nb_only",
+        "lr_only",
+        (d * d).alias("chi2_num"),
+        (F.col("nb_only") + F.col("lr_only")).alias("chi2_den"),
     )

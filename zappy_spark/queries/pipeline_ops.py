@@ -4091,6 +4091,26 @@ def m11(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def v37(spark: SparkSession, d: str) -> DataFrame:
+    """McNemar's paired test, NB vs logreg (round 12;
+    operators/training.py::mcnemar_nb_vs_logreg): both families
+    train on the SAME md5 complement and verdict the SAME holdout;
+    per-source discordant-pair counts (nb_only, lr_only) and the
+    exact-integer χ² spelling (chi2_num = (b−c)², chi2_den = b+c)
+    — the statistical layer that says whether the v35-vs-v30
+    bake-off difference is lopsided enough to matter. The only
+    doc-keyed op is ONE narrow (id, verdict) equi-join; NB scoring
+    reuses _nb_doc_scores, the logreg verdict reuses the shared
+    _logreg_z/_hard_sigmoid helpers — zero re-spelling."""
+    from zappy_spark.operators.training import mcnemar_nb_vs_logreg
+
+    return mcnemar_nb_vs_logreg(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        holdout_frac=0.25, n_iter=8, lr_den=2,
+    ).orderBy("source")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4174,6 +4194,7 @@ QUERIES = {
     "v35_nb_holdout_eval": v35,
     "t52_textrank_keywords": t52,
     "v36_nb_crossval": v36,
+    "v37_mcnemar_models": v37,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
@@ -5463,6 +5484,80 @@ def _v36_oracle(k: int = 4) -> str:
     )
 
 
+
+def _v37_oracle(
+    k: int = 8, lr_den: int = 2, frac: float = 0.25
+) -> str:
+    """McNemar replay (v37): the logistic-GD prefix (training
+    stages WHERE NOT ho, doc_id carried through f) + the verbatim
+    v35 NB chain (doc_id carried through sc), one per-doc verdict
+    join, and the per-source discordance agg with the
+    integer-exact χ² spelling."""
+    from zappy_spark.operators.sampling import sample_threshold
+
+    s = 1_000_000
+    thr = sample_threshold(frac)
+    ho = (
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') ho, "
+    )
+    return (
+        _logreg_ctes(
+            k, lr_den, extra="doc_id, source, ho, ",
+            train_where="WHERE NOT ho",
+            extra_fw="doc_id, source, " + ho,
+        )
+        + f", lr AS (SELECT doc_id, y lry, CASE WHEN "
+        f"2 * LEAST({s}, GREATEST(0, {s // 2} + "
+        f"(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) > {s} "
+        f"THEN 1 ELSE 0 END lrp FROM f, i{k} WHERE ho), "
+        "lab AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') nho, "
+        "CASE WHEN len(list_filter(string_split(text, ' '), "
+        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
+        "tr AS (SELECT * FROM lab WHERE NOT nho), "
+        "pri AS (SELECT SUM(y) n1, SUM(1 - y) n0 FROM tr), "
+        "tw AS (SELECT unnest(ws) w, y FROM tr), "
+        "wcn AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
+        "GROUP BY 1), "
+        "tot AS (SELECT SUM(c1) t1, SUM(c0) t0, COUNT(*) v "
+        "FROM wcn), "
+        "evc AS (SELECT doc_id, w, COUNT(*) c FROM "
+        "(SELECT doc_id, unnest(ws) w FROM lab WHERE nho) "
+        "GROUP BY 1, 2), "
+        "sums AS (SELECT doc_id, "
+        "SUM(c * (ln(COALESCE(c1, 0) + 1.0) "
+        "- ln(CAST(t1 + v AS DOUBLE)) "
+        "- ln(COALESCE(c0, 0) + 1.0) "
+        "+ ln(CAST(t0 + v AS DOUBLE)))) tsum "
+        "FROM evc LEFT JOIN wcn USING (w), tot GROUP BY 1), "
+        "nb AS (SELECT l.doc_id, l.source, l.y, "
+        "CASE WHEN ln(CAST(n1 AS DOUBLE) / n0) "
+        "+ COALESCE(tsum, 0) > 0 THEN 1 ELSE 0 END nbp "
+        "FROM lab l LEFT JOIN sums USING (doc_id), pri "
+        "WHERE l.nho), "
+        "j AS (SELECT n.source, "
+        "CASE WHEN n.nbp = n.y THEN 1 ELSE 0 END nbr, "
+        "CASE WHEN l.lrp = l.lry THEN 1 ELSE 0 END lrr "
+        "FROM nb n JOIN lr l USING (doc_id)), "
+        "ag AS (SELECT source, COUNT(*) n_eval, "
+        "SUM(CASE WHEN nbr = 1 AND lrr = 1 THEN 1 ELSE 0 END) br, "
+        "SUM(CASE WHEN nbr = 0 AND lrr = 0 THEN 1 ELSE 0 END) bw, "
+        "SUM(CASE WHEN nbr = 1 AND lrr = 0 THEN 1 ELSE 0 END) b, "
+        "SUM(CASE WHEN nbr = 0 AND lrr = 1 THEN 1 ELSE 0 END) c "
+        "FROM j GROUP BY 1) "
+        "SELECT source, CAST(n_eval AS BIGINT) n_eval, "
+        "CAST(br AS BIGINT) both_right, CAST(bw AS BIGINT) "
+        "both_wrong, CAST(b AS BIGINT) nb_only, "
+        "CAST(c AS BIGINT) lr_only, "
+        "CAST((b - c) * (b - c) AS BIGINT) chi2_num, "
+        "CAST(b + c AS BIGINT) chi2_den "
+        "FROM ag ORDER BY 1"
+    )
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -6305,6 +6400,7 @@ ORACLE = {
     "v35_nb_holdout_eval": _v35_oracle(0.25),
     "t52_textrank_keywords": _t52_oracle(),
     "v36_nb_crossval": _v36_oracle(4),
+    "v37_mcnemar_models": _v37_oracle(8, 2, 0.25),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),
