@@ -6304,3 +6304,43 @@ def test_mcnemar_marginals_collapse_to_both_evals(spark):
     assert any(r["chi2_den"] > 0 for r in mc.values()), (
         "fixture must produce discordant verdicts"
     )
+
+
+def test_nb_top_features_hand_ranking(spark):
+    """v38 on a hand corpus: the keep side must surface the words
+    that co-occur with the label, the drop side the anti-words;
+    the min-support floor excludes a hapax that would otherwise
+    top the keep chart; ranks are 1..k with the word tiebreak."""
+    from zappy_spark.operators.training import nb_top_features
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            # y=1 docs: 'good' saturates the keep side
+            rows.append((i, "the best the good good good"))
+        else:
+            # y=0 docs: 'bad' saturates the drop side
+            rows.append((i, "bad bad bad noise word"))
+    # a single y=1 doc with a hapax: ratio (1+1)/(0+1)=2 but
+    # support 1 < 5 — must NOT appear
+    rows.append((1000, "the rarest the word"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = nb_top_features(
+        df, "text", "doc_id", holdout_frac=0.25,
+        min_support=5, topk=3,
+    ).collect()
+    by_side = {}
+    for r in got:
+        by_side.setdefault(r["side"], []).append(r)
+    for side, rs in by_side.items():
+        assert [r["rk"] for r in sorted(rs, key=lambda x: x["rk"])] \
+            == list(range(1, len(rs) + 1))
+    keep_words = {r["word"] for r in by_side["keep"]}
+    drop_words = {r["word"] for r in by_side["drop"]}
+    assert "good" in keep_words
+    assert "bad" in drop_words
+    assert "rarest" not in keep_words | drop_words
+    # counts are the exact class-conditional token counts
+    for r in got:
+        assert r["c_keep"] >= 0 and r["c_drop"] >= 0
+        assert r["c_keep"] + r["c_drop"] >= 5

@@ -1246,3 +1246,79 @@ def mcnemar_nb_vs_logreg(
         (d * d).alias("chi2_num"),
         (F.col("nb_only") + F.col("lr_only")).alias("chi2_den"),
     )
+
+
+def nb_top_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    holdout_frac: float = 0.25,
+    min_support: int = 5,
+    topk: int = 10,
+) -> DataFrame:
+    """The interpretability artifact of the deployed NB filter —
+    WHICH words drive keep vs drop: the top-k most discriminative
+    vocabulary entries on each side of the trained model, ranked by
+    the smoothed class ratio (c1+1)/(c0+1) (the add-one log-odds is
+    monotone in it, so the ranking is identical and the constants
+    T/V cancel — no smoothing totals enter the sort). Low-support
+    words are floored out (c1 + c0 >= min_support) so a hapax can't
+    top the chart.
+
+    Determinism across engines: the ratio is one IEEE double
+    division of exact ints — correctly rounded and bit-identical on
+    both engines — with the word as tiebreak; emitted columns are
+    the exact BIGINT counts, never the ratio.
+
+    Output: (side, rk, word, c_keep, c_drop) with side in
+    ('keep', 'drop'), rk 1..k per side.
+
+    Scale: the model is the Heaps-bounded (word, c1, c0) table
+    (one training scan — the v35 shape); each side is ONE
+    TakeOrderedAndProject over it (top-k heap, never a global
+    sort); the rank window runs over the 2k selected rows,
+    partitioned by side."""
+    from pyspark.sql.window import Window
+
+    lab = _nb_lab(df, text_col, id_col, id_col, holdout_frac)
+    tr = lab.filter(~F.col("_ho"))
+    wc = (
+        tr.select(F.explode("_ws").alias("_w"), "y")
+        .groupBy("_w")
+        .agg(
+            F.sum("y").cast("bigint").alias("_c1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("_c0"),
+        )
+        .filter(F.col("_c1") + F.col("_c0") >= min_support)
+    )
+    ratio = (F.col("_c1") + 1).cast("double") / (
+        (F.col("_c0") + 1).cast("double")
+    )
+    wc = wc.withColumn("_r", ratio)
+    keep = (
+        wc.orderBy(F.col("_r").desc(), F.col("_w"))
+        .limit(topk)
+        .withColumn("side", F.lit("keep"))
+    )
+    drop = (
+        wc.orderBy(F.col("_r").asc(), F.col("_w"))
+        .limit(topk)
+        .withColumn("side", F.lit("drop"))
+    )
+    both = keep.unionByName(drop)
+    win = Window.partitionBy("side").orderBy(
+        F.when(F.col("side") == "keep", -F.col("_r")).otherwise(
+            F.col("_r")
+        ),
+        F.col("_w"),
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(win))
+        .select(
+            "side",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("_w").alias("word"),
+            F.col("_c1").alias("c_keep"),
+            F.col("_c0").alias("c_drop"),
+        )
+    )

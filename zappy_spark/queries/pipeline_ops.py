@@ -4111,6 +4111,27 @@ def v37(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def v38(spark: SparkSession, d: str) -> DataFrame:
+    """NB feature interpretability (round 12;
+    operators/training.py::nb_top_features): the top-10 most
+    discriminative vocabulary entries on each side of the trained
+    filter, ranked by the smoothed class ratio (c1+1)/(c0+1) —
+    monotone in the add-one log-odds, constants cancel — with a
+    min-support floor of 5 so a hapax can't top the chart. The
+    ratio is one IEEE double division of exact ints (bit-identical
+    on both engines, word tiebreak); emitted columns are the exact
+    BIGINT counts. Each side is one TakeOrderedAndProject over the
+    Heaps-bounded model table; the rank window runs over the 20
+    selected rows, partitioned by side."""
+    from zappy_spark.operators.training import nb_top_features
+
+    return nb_top_features(
+        t(spark, d, "documents"), "text", "doc_id",
+        holdout_frac=0.25, min_support=5, topk=10,
+    ).orderBy("side", "rk")
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4195,6 +4216,7 @@ QUERIES = {
     "t52_textrank_keywords": t52,
     "v36_nb_crossval": v36,
     "v37_mcnemar_models": v37,
+    "v38_nb_top_features": v38,
     "t45_vocab_coverage": t45,
     "t46_xcorpus_perplexity": t46,
     "t47_unigram_lm_tokenizer": t47,
@@ -5558,6 +5580,41 @@ def _v37_oracle(
     )
 
 
+
+def _v38_oracle(frac: float = 0.25) -> str:
+    """Top-features replay (v38): identical training counts over
+    the md5 complement, identical min-support floor, identical
+    (ratio, word) orderings via two LIMITed subqueries, and a
+    side-partitioned row_number."""
+    from zappy_spark.operators.sampling import sample_threshold
+
+    thr = sample_threshold(frac)
+    return (
+        "WITH lab AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') ho, "
+        "CASE WHEN len(list_filter(string_split(text, ' '), "
+        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
+        "tw AS (SELECT unnest(ws) w, y FROM lab WHERE NOT ho), "
+        "wc AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
+        "GROUP BY 1 HAVING SUM(y) + SUM(1 - y) >= 5), "
+        "r AS (SELECT w, c1, c0, "
+        "CAST(c1 + 1 AS DOUBLE) / CAST(c0 + 1 AS DOUBLE) rr "
+        "FROM wc), "
+        "keep AS (SELECT 'keep' side, w, c1, c0, rr FROM r "
+        "ORDER BY rr DESC, w LIMIT 10), "
+        "dropp AS (SELECT 'drop' side, w, c1, c0, rr FROM r "
+        "ORDER BY rr ASC, w LIMIT 10), "
+        "u AS (SELECT * FROM keep UNION ALL SELECT * FROM dropp) "
+        "SELECT side, CAST(ROW_NUMBER() OVER (PARTITION BY side "
+        "ORDER BY CASE WHEN side = 'keep' THEN -rr ELSE rr END, w) "
+        "AS BIGINT) rk, w word, CAST(c1 AS BIGINT) c_keep, "
+        "CAST(c0 AS BIGINT) c_drop "
+        "FROM u ORDER BY side, rk"
+    )
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -6401,6 +6458,7 @@ ORACLE = {
     "t52_textrank_keywords": _t52_oracle(),
     "v36_nb_crossval": _v36_oracle(4),
     "v37_mcnemar_models": _v37_oracle(8, 2, 0.25),
+    "v38_nb_top_features": _v38_oracle(0.25),
     "t45_vocab_coverage": _t45_oracle(),
     "t46_xcorpus_perplexity": _t46_oracle(),
     "t47_unigram_lm_tokenizer": _t47_oracle(),

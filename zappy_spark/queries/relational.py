@@ -2450,6 +2450,49 @@ def r92(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def r95(spark: SparkSession, d: str) -> DataFrame:
+    """Ordered string aggregation (round 12) — the LISTAGG /
+    string_agg surface every reporting workload leans on: per
+    nation, its customers' DISTINCT market segments concatenated in
+    alphabetical order. Determinism is the whole point of the
+    spelling: Spark's collect_list is order-nondeterministic, so
+    the array is sort_array'd BEFORE the join — matching DuckDB's
+    string_agg(... ORDER BY ...) exactly; distinctness comes from
+    collect_set semantics via array_distinct after sort (stable on
+    a sorted array).
+
+    Scale: the heavy side aggregates per nation BEFORE the
+    dimension join (25 rows out), then the nation name broadcasts
+    in — never a row-level join followed by a giant regroup."""
+    cust = t(spark, d, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_distinct(
+                    F.sort_array(F.collect_list("c_mktsegment"))
+                ),
+                ",",
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment")
+            .cast("bigint")
+            .alias("n_segments"),
+        )
+    )
+    nation = t(spark, d, "nation").select("n_nationkey", "n_name")
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("n_name", "n_segments", "segments")
+        .orderBy("n_name")
+    )
+
+
+
 QUERIES = {
     "r01_pricing_summary": r1,
     "r02_join5_agg": r2,
@@ -2535,6 +2578,7 @@ QUERIES = {
     "r91_mom_growth": r91,
     "r92_pareto_abc": r92,
     "r94_hilbert_key": r94,
+    "r95_string_agg": r95,
     "b04_global_topk": b4,
     "b05_distinct_counts": b5,
     "b07_string_filter_agg": b7,
@@ -3376,3 +3420,15 @@ def _r94_oracle(bits: int = 8) -> str:
 
 
 ORACLE["r94_hilbert_key"] = _r94_oracle(8)
+
+ORACLE["r95_string_agg"] = (
+    # identical ordered-distinct spelling: DISTINCT segments per
+    # nation concatenated ORDER BY value — determinism is the point
+    "WITH per AS (SELECT c_nationkey, "
+    "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) "
+    "segments, "
+    "CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) n_segments "
+    "FROM customer GROUP BY 1) "
+    "SELECT n_name, n_segments, segments FROM per "
+    "JOIN nation ON n_nationkey = c_nationkey ORDER BY n_name"
+)
