@@ -1393,3 +1393,94 @@ def test_hilbert_bijection_hypothesis(spark):
             r["hv"] for r in with_hilbert(df, "x", "y", bits=bits).collect()
         ]
         assert sorted(hv) == list(range(n * n)), bits
+
+
+def test_auc_from_hist_brute_force_and_class_swap(spark):
+    """Property (round 12): for random (group, z, n1, n0)
+    histograms the shared auc_from_hist derivation equals the
+    quadratic pair count, and swapping the classes maps
+    auc_num -> auc_den - auc_num (AUC antisymmetry) with auc_den
+    invariant — one batched Spark job over all generated
+    examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.training import auc_from_hist
+
+    cases: list[list] = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-5, 5),
+                st.integers(0, 3),
+                st.integers(0, 3),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def collect(h):
+        cases.append(h)
+
+    collect()
+    rows = []
+    for gi, h in enumerate(cases):
+        for z, n1, n0 in h:
+            rows.append((f"g{gi}", z, n1, n0))
+        rows += [(f"s{gi}", z, n0, n1) for z, n1, n0 in h]
+    df = spark.createDataFrame(rows, ["grp", "_z", "_n1", "_n0"])
+    got = {r["grp"]: r for r in auc_from_hist(df, "grp").collect()}
+    for gi, h in enumerate(cases):
+        # brute force over expanded individuals
+        pos = [z for z, n1, _ in h for _i in range(n1)]
+        neg = [z for z, _, n0 in h for _i in range(n0)]
+        conc = sum(1 for p in pos for n in neg if p > n)
+        tied = sum(1 for p in pos for n in neg if p == n)
+        r = got[f"g{gi}"]
+        assert (r["concordant"], r["tied"]) == (conc, tied)
+        assert r["auc_num"] == 2 * conc + tied
+        assert r["auc_den"] == 2 * len(pos) * len(neg)
+        s = got[f"s{gi}"]
+        assert s["auc_den"] == r["auc_den"]
+        assert s["auc_num"] == r["auc_den"] - r["auc_num"]
+
+
+def test_nb_ledger_accounts_for_every_holdout_doc(spark):
+    """Property (round 12): whatever the corpus (including empty
+    and one-token texts), v35's ledger rows sum exactly to the
+    holdout population — no document ever silently vanishes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.training import nb_holdout_eval
+
+    word = st.sampled_from(["the", "data", "word", "junk", "x"])
+    text = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    cases: list[str] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(text)
+    def collect(t):
+        cases.append(t)
+
+    collect()
+    # ensure both classes exist in training (guard would fire)
+    cases += ["the a the"] * 5 + ["junk only"] * 5
+    rows = [(i, f"g{i % 3}", t) for i, t in enumerate(cases)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    out = nb_holdout_eval(
+        df, "text", "doc_id", "src", holdout_frac=0.5
+    ).collect()
+    n_ho = df.filter(
+        _hash_key("doc_id") < sample_threshold(0.5)
+    ).count()
+    assert sum(r["n_eval"] for r in out) == n_ho > 0
+    for r in out:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_eval"]
