@@ -6344,3 +6344,110 @@ def test_nb_top_features_hand_ranking(spark):
     for r in got:
         assert r["c_keep"] >= 0 and r["c_drop"] >= 0
         assert r["c_keep"] + r["c_drop"] >= 5
+
+
+def test_kn3_doc_nll_pure_python_replay(spark):
+    """t53's two-level KN recursion vs a pure-Python replay on a
+    hand corpus engineered to exercise ALL THREE tiers: a scored
+    trigram seen in the reference (discounted raw count), one with
+    an unseen trigram context but a known bigram continuation
+    (backs off to p2), and one whose w2 never appears as a bigram
+    context (falls through to the continuation floor p_c)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.text import (
+        T53_PARAMS,
+        _kn3_doc_nll,
+        _kn3_docs,
+    )
+
+    texts = [
+        "a b c a b c a b d",
+        "x y z x y z q a b",
+        "a b c x y z w w w",
+        "q q a b c z x y",
+        "m n o p m n o p q",
+    ]
+    rows = [
+        (
+            i,
+            "g",
+            texts[i % len(texts)]
+            # per-doc-unique tail: a non-ref doc's unique trigrams
+            # are unseen by construction (each doc's words differ),
+            # forcing the p2 and pc backoff tiers
+            + (f" u{i} v{i} w{i}" if i >= 30 else ""),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    docs = _kn3_docs(df, "text", "doc_id", "src", 0.5)
+    got = {
+        r["_id"]: r["_nll"] for r in _kn3_doc_nll(docs).collect()
+    }
+
+    # pure-Python replay with the same split
+    thr = sample_threshold(0.5)
+    ref_ids = {
+        r["doc_id"]
+        for r in df.filter(
+            _hash_key("doc_id") < sample_threshold(0.5)
+        ).collect()
+    }
+    D = float(T53_PARAMS["discount"])
+    toks = {i: t.split(" ") for i, _, t in rows}
+    tris = {
+        i: list(zip(toks[i], toks[i][1:], toks[i][2:]))
+        for i in toks
+    }
+    tri = Counter()
+    for i in ref_ids:
+        tri.update(tris[i])
+    ctx3 = defaultdict(lambda: [0, 0])
+    bgc = Counter()
+    for (w1, w2, w3), c in tri.items():
+        ctx3[(w1, w2)][0] += c
+        ctx3[(w1, w2)][1] += 1
+        bgc[(w2, w3)] += 1
+    ctx2 = defaultdict(lambda: [0, 0])
+    uc = Counter()
+    for (w2, w3), n in bgc.items():
+        ctx2[w2][0] += n
+        ctx2[w2][1] += 1
+        uc[w3] += 1
+    bt = len(bgc)
+    vu = len({w for i in ref_ids for w in toks[i]})
+    tiers = set()
+
+    def prob(w1, w2, w3):
+        pc = (uc.get(w3, 0) + 1.0) / (bt + vu)
+        if w2 in ctx2:
+            cb, n1p2 = ctx2[w2]
+            p2 = (max(bgc.get((w2, w3), 0) - D, 0)
+                  + D * n1p2 * pc) / cb
+        else:
+            p2 = pc
+            tiers.add("pc")
+        if (w1, w2) in ctx3:
+            c3, n1p3 = ctx3[(w1, w2)]
+            tiers.add("tri" if (w1, w2, w3) in tri else "p2seen")
+            return (max(tri.get((w1, w2, w3), 0) - D, 0)
+                    + D * n1p3 * p2) / c3
+        tiers.add("p2")
+        return p2
+
+    for i in toks:
+        if i in ref_ids:
+            continue
+        cs = Counter(tris[i])
+        nll = -sum(
+            c * math.log(prob(*g)) for g, c in cs.items()
+        ) / sum(cs.values())
+        assert abs(got[i] - nll) < 1e-9, i
+    # the fixture must actually exercise every tier
+    assert {"tri", "p2"} <= tiers, tiers

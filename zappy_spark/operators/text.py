@@ -3416,3 +3416,203 @@ def textrank_keywords(
             F.col("r").alias("rank_fp"),
         )
     )
+
+
+# t53 trigram interpolated Kneser–Ney — ONE definition imported by
+# the Spark operator, the oracle builder, and the tests (the
+# T46/T49 shared-params doctrine). Cutoff 39.048 (perplexity) was
+# chosen BY the round-12 gap scan over the merged non-ref nll
+# distribution of all 3 SFs + both synth fixtures (~416k docs):
+# the widest interior gap is nll (3.6647322, 3.6648348) and
+# ln(39.048) = 3.66479166 sits inside it with measured distance
+# >= 4.3e-5 to the nearest document at EVERY scale — ~8 orders
+# above the per-doc sum's partial-order residue (~1e-13). Keeps
+# and drops are both non-empty at every SF (209/151 at sf0.01,
+# 369378/5265 at 100x).
+T53_PARAMS: dict[str, float] = {
+    "ref_frac": 0.25,
+    "ppl_cutoff": 39.048,
+    "discount": 0.75,
+}
+
+
+def _kn3_docs(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float,
+) -> "DataFrame":
+    """t53's base frame: md5-keyed ref flag, TRIGRAM shingles and
+    the raw token array (for the reference vocabulary) — one
+    scan-side select."""
+    from zappy_spark.operators.dedup import word_shingles
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        (_hash_key(id_col) < sample_threshold(ref_frac)).alias("_ref"),
+        word_shingles(F.col(text_col), 3, filter_empty=True).alias("_gs"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+            "_ws"
+        ),
+    )
+
+
+def _kn3_doc_nll(docs: "DataFrame") -> "DataFrame":
+    """t53's per-document scores: (_id, _grp, _nll) over the
+    NON-reference slice under the reference-only TRIGRAM
+    interpolated-KN LM — the full two-level KN recursion:
+
+        p(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2·)·p2) / c(w1w2·)
+        p2(w3|w2)  = (max(N1+(·w2w3)−D, 0) + D·N1+(w2·)·p_c) / N1+(·w2·)
+        p_c(w3)    = (N1+(·w3) + 1) / (N1+(··) + V)
+
+    where the bigram level runs entirely on CONTINUATION counts
+    derived from the deduped trigram-type table (the KN insight
+    applied at order 2), the unigram floor is t49's add-one
+    continuation, unseen trigram contexts back off to p2, unseen
+    bigram contexts to p_c. Every model quantity is an exact
+    BIGINT; the probability is IEEE ops in ONE shared spelling on
+    both engines; the per-doc sum residue is absorbed by the gap
+    margin (T53_PARAMS).
+
+    Scale: ONE corpus scan feeds the (doc, trigram) hash agg; tri /
+    ctx3 / bgc / ctx2 / uc are successive aggregates on gram-part
+    keys of the already-deduped model table (no extra corpus
+    pass); (N1+(··), V) is a 1-row broadcast; scoring joins carry
+    counts only, never text; no doc-keyed join anywhere."""
+    D = float(T53_PARAMS["discount"])
+    cnt = (
+        docs.select(
+            "_id", "_grp", "_ref", F.explode("_gs").alias("_g")
+        )
+        .groupBy("_id", "_grp", "_ref", "_g")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "_id",
+            "_grp",
+            "_ref",
+            "_c",
+            F.split("_g", " ").getItem(0).alias("_w1"),
+            F.split("_g", " ").getItem(1).alias("_w2"),
+            F.split("_g", " ").getItem(2).alias("_w3"),
+        )
+    )
+    tri = (
+        cnt.filter(F.col("_ref"))
+        .groupBy("_w1", "_w2", "_w3")
+        .agg(F.sum("_c").alias("_tc"))
+    )
+    ctx3 = tri.groupBy("_w1", "_w2").agg(
+        F.sum("_tc").alias("_c3"),
+        F.count("*").cast("bigint").alias("_n1p3"),
+    )
+    bgc = tri.groupBy("_w2", "_w3").agg(
+        F.count("*").cast("bigint").alias("_n1pb")
+    )
+    ctx2 = bgc.groupBy("_w2").agg(
+        F.sum("_n1pb").alias("_cb"),
+        F.count("*").cast("bigint").alias("_n1p2"),
+    )
+    uc = bgc.groupBy("_w3").agg(
+        F.count("*").cast("bigint").alias("_cw")
+    )
+    vocab = (
+        docs.filter(F.col("_ref"))
+        .select(F.explode("_ws").alias("_w"))
+        .agg(F.count_distinct("_w").cast("bigint").alias("_vu"))
+    )
+    bv = (
+        bgc.agg(F.count("*").cast("bigint").alias("_bt"))
+        .crossJoin(vocab)
+        .select(
+            "_bt",
+            _positive_or_raise(
+                F.col("_vu"), "kn3_perplexity"
+            ).alias("_vu"),
+        )
+    )
+    pc = (F.coalesce(F.col("_cw"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_bt") + F.col("_vu")
+    )
+    p2 = F.when(F.col("_cb").isNull(), pc).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_n1pb"), F.lit(0)) - F.lit(D),
+                F.lit(0.0),
+            )
+            + F.lit(D) * F.col("_n1p2") * pc
+        )
+        / F.col("_cb")
+    )
+    p = F.when(F.col("_c3").isNull(), p2).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_tc"), F.lit(0)) - F.lit(D),
+                F.lit(0.0),
+            )
+            + F.lit(D) * F.col("_n1p3") * p2
+        )
+        / F.col("_c3")
+    )
+    return (
+        cnt.filter(~F.col("_ref"))
+        .join(tri, ["_w1", "_w2", "_w3"], "left")
+        .join(ctx3, ["_w1", "_w2"], "left")
+        .join(bgc, ["_w2", "_w3"], "left")
+        .join(ctx2, ["_w2"], "left")
+        .join(uc, ["_w3"], "left")
+        .crossJoin(F.broadcast(bv))
+        .groupBy("_id", "_grp")
+        .agg(
+            (
+                -F.sum(F.col("_c") * F.ln(p)) / F.sum("_c")
+            ).alias("_nll")
+        )
+    )
+
+
+def kn3_perplexity_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    ref_frac: float = 0.25,
+    ppl_cutoff: float = 39.048,
+) -> DataFrame:
+    """Cross-corpus perplexity filtering with TRIGRAM interpolated
+    Kneser–Ney smoothing (round 12 — the order-3 rung of the
+    ladder t46 add-one → t48 absolute discounting → t49 bigram KN
+    → this; production KenLM ships order 4–5, and order 3 is where
+    the RECURSION — discounted raw counts at the top, continuation
+    counts at every lower level — first fully exercises): the
+    reference-slice trigram LM scores every non-reference document
+    and the per-source keep/drop ledger comes back all-BIGINT.
+
+    Split/exactness contract identical to t46/t48/t49 (same
+    md5-keyed structural slice isolation on both engines, same
+    all-BIGINT ledger, cutoff chosen BY the gap scan — see
+    T53_PARAMS for the calibration record). n_short counts docs
+    with no trigram (fewer than 3 tokens).
+
+    Returns (group, n_ref, n_eval, n_short, n_keep, n_drop)."""
+    import math
+
+    lncut = math.log(ppl_cutoff)
+    docs = _kn3_docs(df, text_col, id_col, group_col, ref_frac)
+    sc = _kn3_doc_nll(docs)
+    counts = docs.groupBy("_grp").agg(
+        F.sum(F.col("_ref").cast("bigint")).alias("n_ref"),
+        F.sum((~F.col("_ref")).cast("bigint")).alias("n_eval"),
+        F.sum(
+            ((~F.col("_ref")) & (F.size("_gs") == 0)).cast("bigint")
+        ).alias("n_short"),
+    )
+    return _keep_drop_ledger(
+        counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
+    )

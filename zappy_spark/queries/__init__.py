@@ -217,17 +217,17 @@ cube etc.) join _NEW_R13 at positions 51+ per the displacement
 rule and lead round 13.
 
 ROUND-13 ROTATION PLAN (written in round 12; composition
-RE-RESOLVED at the second late session, when |_NEW_R13| reached 18
+RE-RESOLVED at the second late session, when |_NEW_R13| reached 19
 — v32 + the eight post-gate builds d51/t50/d52/m09/t51/v33/r94/d53
-+ the nine second-session builds v34/m10/v35/t52/v36/m11/v37/r95/
-v38): head = any round-13 re-spells, then the 18 _NEW_R13 entries
-(zero driver
++ the ten second-session builds v34/m10/v35/t52/v36/m11/v37/r95/
+v38/t53): head = any round-13 re-spells, then the 19 _NEW_R13
+entries (zero driver
 rows — the only such entries in the corpus), then any further
 round-13 new entries, then the r7-green tier (alphabetical:
 d38_url_canonical, d40_substring_dedup, d41_crosslingual_align,
 d43_rag_chunk_overlap, d44_minhash_containment_est,
 r03_topk_per_group, …) CUT at slot 50 — with no re-spells that is
-18 + the first 32 of the 48-entry r7 tier; the remaining 16 r7
+19 + the first 31 of the 48-entry r7 tier; the remaining 17 r7
 entries lead the round-14 window (the overflow pattern — never
 displaced, only deferred). The r8-tier fill of the original plan
 is fully displaced this round.
@@ -1031,6 +1031,7 @@ _NEW_R13: list[str] = [
     "v37_mcnemar_models",  # NEW r12: paired-discordance model test
     "r95_string_agg",  # NEW r12: ordered LISTAGG surface
     "v38_nb_top_features",  # NEW r12: model interpretability chart
+    "t53_kn3_perplexity",  # NEW r12: order-3 KN perplexity rung
 ]
 
 # First occurrence wins (dict.fromkeys dedup): ROUND-12 order

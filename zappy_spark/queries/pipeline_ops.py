@@ -4132,6 +4132,32 @@ def v38(spark: SparkSession, d: str) -> DataFrame:
 
 
 
+def t53(spark: SparkSession, d: str) -> DataFrame:
+    """Trigram interpolated Kneser–Ney perplexity filter (round
+    12; operators/text.py::kn3_perplexity_ledger) — the order-3
+    rung of the perplexity ladder (t46 add-one → t48 absolute
+    discounting → t49 bigram KN → this): discounted RAW counts at
+    the trigram top, CONTINUATION counts at the bigram level,
+    t49's add-one continuation floor at the bottom — the full KN
+    recursion production KenLM runs at order 4–5, first fully
+    exercised at order 3. Same md5-keyed structural slice
+    isolation, same all-BIGINT ledger; cutoff 39.048 chosen BY the
+    round-12 gap scan over the merged ~416k-doc nll distribution
+    (margin ≥ 4.3e-5 at all 3 SFs + both fixtures; keeps and
+    drops both non-empty everywhere)."""
+    from zappy_spark.operators.text import (
+        T53_PARAMS,
+        kn3_perplexity_ledger,
+    )
+
+    return kn3_perplexity_ledger(
+        t(spark, d, "documents"), "text", "doc_id", "source",
+        ref_frac=T53_PARAMS["ref_frac"],
+        ppl_cutoff=T53_PARAMS["ppl_cutoff"],
+    )
+
+
+
 QUERIES = {
     "d01_exact_dedup_groups": d01,
     "d02_minhash_signature": d02,
@@ -4222,6 +4248,7 @@ QUERIES = {
     "t47_unigram_lm_tokenizer": t47,
     "t48_absdisc_perplexity": t48,
     "t49_kneser_ney_perplexity": t49,
+    "t53_kn3_perplexity": t53,
     "v31_filter_agreement": v31,
     "v32_filter_agreement_cube": v32,
     "d51_winnow_neardup": d51,
@@ -5615,6 +5642,86 @@ def _v38_oracle(frac: float = 0.25) -> str:
     )
 
 
+
+def _t53_oracle() -> str:
+    """Trigram interpolated-KN replay (t53): identical trigram
+    shingling, identical two-level KN recursion (raw counts at the
+    top, continuation counts below, add-one continuation floor),
+    identical probability spelling, then the per-source keep/drop
+    ledger at the calibrated cutoff. Every model CTE reads WHERE
+    is_ref — structural isolation."""
+    import math
+
+    from zappy_spark.operators.sampling import sample_threshold
+    from zappy_spark.operators.text import T53_PARAMS
+
+    thr = sample_threshold(T53_PARAMS["ref_frac"])
+    cut = repr(math.log(T53_PARAMS["ppl_cutoff"]))
+    D = repr(float(T53_PARAMS["discount"]))
+    pc = "(COALESCE(u.cw, 0) + 1.0) / (t.bt + v.v)"
+    p2 = (
+        f"CASE WHEN x2.cb IS NULL THEN {pc} "
+        f"ELSE (GREATEST(COALESCE(b.n1pb, 0) - {D}, 0) + "
+        f"{D} * x2.n1p2 * ({pc})) / x2.cb END"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
+        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{thr}') is_ref FROM documents), "
+        "n AS (SELECT doc_id, source, is_ref, ws, "
+        "unnest(generate_series(1, len(ws) - 2)) i "
+        "FROM d WHERE len(ws) >= 3), "
+        "tg AS (SELECT doc_id, source, is_ref, ws[i] w1, "
+        "ws[i+1] w2, ws[i+2] w3 FROM n), "
+        "cnt AS (SELECT doc_id, source, is_ref, w1, w2, w3, "
+        "COUNT(*) c FROM tg GROUP BY ALL), "
+        "tri AS (SELECT w1, w2, w3, SUM(c) tc FROM cnt "
+        "WHERE is_ref GROUP BY 1, 2, 3), "
+        "ctx3 AS (SELECT w1, w2, SUM(tc) c3, COUNT(*) n1p3 "
+        "FROM tri GROUP BY 1, 2), "
+        "bgc AS (SELECT w2, w3, COUNT(*) n1pb FROM tri "
+        "GROUP BY 1, 2), "
+        "ctx2 AS (SELECT w2, SUM(n1pb) cb, COUNT(*) n1p2 "
+        "FROM bgc GROUP BY 1), "
+        "uc AS (SELECT w3, COUNT(*) cw FROM bgc GROUP BY 1), "
+        "ut AS (SELECT COUNT(*) bt FROM bgc), "
+        "vv AS (SELECT COUNT(DISTINCT w) v FROM "
+        "(SELECT unnest(ws) w FROM d WHERE is_ref)), "
+        "sc AS (SELECT c.doc_id, c.source, "
+        "-SUM(c.c * ln("
+        f"CASE WHEN x3.c3 IS NULL THEN {p2} "
+        f"ELSE (GREATEST(COALESCE(tr.tc, 0) - {D}, 0) + "
+        f"{D} * x3.n1p3 * ({p2})) / x3.c3 END"
+        ")) / SUM(c.c) nll "
+        "FROM cnt c "
+        "LEFT JOIN tri tr ON tr.w1 = c.w1 AND tr.w2 = c.w2 "
+        "AND tr.w3 = c.w3 "
+        "LEFT JOIN ctx3 x3 ON x3.w1 = c.w1 AND x3.w2 = c.w2 "
+        "LEFT JOIN bgc b ON b.w2 = c.w2 AND b.w3 = c.w3 "
+        "LEFT JOIN ctx2 x2 ON x2.w2 = c.w2 "
+        "LEFT JOIN uc u ON u.w3 = c.w3 "
+        "CROSS JOIN ut t CROSS JOIN vv v "
+        "WHERE NOT c.is_ref GROUP BY 1, 2), "
+        "counts AS (SELECT source, "
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) n_ref, "
+        "SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) n_eval, "
+        "SUM(CASE WHEN NOT is_ref AND len(ws) < 3 THEN 1 ELSE 0 END) "
+        "n_short FROM d GROUP BY 1), "
+        "scored AS (SELECT source, "
+        f"SUM(CASE WHEN nll < {cut} THEN 1 ELSE 0 END) nk, "
+        f"SUM(CASE WHEN nll >= {cut} THEN 1 ELSE 0 END) nd "
+        "FROM sc GROUP BY 1) "
+        "SELECT counts.source, CAST(n_ref AS BIGINT) n_ref, "
+        "CAST(n_eval AS BIGINT) n_eval, "
+        "CAST(n_short AS BIGINT) n_short, "
+        "CAST(COALESCE(nk, 0) AS BIGINT) n_keep, "
+        "CAST(COALESCE(nd, 0) AS BIGINT) n_drop "
+        "FROM counts LEFT JOIN scored ON counts.source = scored.source "
+        "ORDER BY counts.source"
+    )
+
+
 def _t45_oracle(ks: tuple = (1, 5, 10, 20, 50)) -> str:
     """Coverage-curve replay (t45): identical (count DESC, word)
     ranking and conditional sums; the k rows come from a VALUES
@@ -6464,6 +6571,7 @@ ORACLE = {
     "t47_unigram_lm_tokenizer": _t47_oracle(),
     "t48_absdisc_perplexity": _t48_oracle(),
     "t49_kneser_ney_perplexity": _t49_oracle(),
+    "t53_kn3_perplexity": _t53_oracle(),
     "v32_filter_agreement_cube": _v32_oracle(),
     "v31_filter_agreement": _v31_oracle(),
     "t50_wordpiece_merges": _wp_oracle(6),
