@@ -5363,38 +5363,71 @@ def _v34_oracle(
 
 
 
-def _v35_oracle(frac: float = 0.25) -> str:
-    """Naive-Bayes holdout replay (v35): identical tokenization and
-    md5 split, class priors and per-word class counts from the
-    NOT-ho slice only (structural isolation), the identical
-    add-one log-odds spelling, term sums LEFT-joined back onto the
-    holdout doc list so zero-token docs score s = prior, then the
-    confusion agg. Emitted cells are exact BIGINTs; the cutoff-0
-    margin is measured in the operator docstring."""
+
+def _nb_lab_cte(flag: str = "ho", frac: float = 0.25) -> str:
+    """The shared NB labeling CTE (tokenize + md5 split flag +
+    deterministic label) — ONE definition for the v35/v37/v38
+    oracles (the _t46_chain doctrine; the flag name is
+    parameterized because v37 embeds this beside the logistic-GD
+    prefix whose own CTEs already use `ho`)."""
     from zappy_spark.operators.sampling import sample_threshold
 
     thr = sample_threshold(frac)
     return (
-        "WITH lab AS (SELECT doc_id, source, "
+        "lab AS (SELECT doc_id, source, "
         "list_filter(string_split(text, ' '), x -> x <> '') ws, "
         "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-        f"< '{thr}') ho, "
+        f"< '{thr}') {flag}, "
         "CASE WHEN len(list_filter(string_split(text, ' '), "
-        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
-        "tr AS (SELECT * FROM lab WHERE NOT ho), "
+        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents)"
+    )
+
+
+def _nb_model_ctes(flag: str = "ho", wc: str = "wc") -> str:
+    """The shared NB training-count CTEs over the NOT-{flag}
+    complement: priors + per-word class counts + totals. The
+    word-count CTE name is parameterized (v37 uses `wcn` beside
+    the logistic prefix)."""
+    return (
+        f"tr AS (SELECT * FROM lab WHERE NOT {flag}), "
         "pri AS (SELECT SUM(y) n1, SUM(1 - y) n0 FROM tr), "
         "tw AS (SELECT unnest(ws) w, y FROM tr), "
-        "wc AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
+        f"{wc} AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
         "GROUP BY 1), "
-        "tot AS (SELECT SUM(c1) t1, SUM(c0) t0, COUNT(*) v FROM wc), "
+        "tot AS (SELECT SUM(c1) t1, SUM(c0) t0, COUNT(*) v "
+        f"FROM {wc})"
+    )
+
+
+def _nb_score_ctes(flag: str = "ho", wc: str = "wc") -> str:
+    """The shared NB scoring CTEs: per-(holdout doc, word) counts,
+    add-one log-odds term sums, LEFT-joined back onto the holdout
+    doc list (zero-token docs score s = prior)."""
+    return (
         "evc AS (SELECT doc_id, w, COUNT(*) c FROM "
-        "(SELECT doc_id, unnest(ws) w FROM lab WHERE ho) "
+        f"(SELECT doc_id, unnest(ws) w FROM lab WHERE {flag}) "
         "GROUP BY 1, 2), "
         "sums AS (SELECT doc_id, "
-        "SUM(c * (ln(COALESCE(c1, 0) + 1.0) - ln(CAST(t1 + v AS DOUBLE)) "
-        "- ln(COALESCE(c0, 0) + 1.0) + ln(CAST(t0 + v AS DOUBLE)))) tsum "
-        "FROM evc LEFT JOIN wc USING (w), tot GROUP BY 1), "
-        "sc AS (SELECT l.source, l.y, "
+        "SUM(c * (ln(COALESCE(c1, 0) + 1.0) "
+        "- ln(CAST(t1 + v AS DOUBLE)) "
+        "- ln(COALESCE(c0, 0) + 1.0) "
+        "+ ln(CAST(t0 + v AS DOUBLE)))) tsum "
+        f"FROM evc LEFT JOIN {wc} USING (w), tot GROUP BY 1)"
+    )
+
+
+def _v35_oracle(frac: float = 0.25) -> str:
+    """Naive-Bayes holdout replay (v35): the shared NB lab /
+    model / scoring CTEs (one definition with v37/v38 — zero
+    drift), then the per-source confusion agg."""
+    return (
+        "WITH "
+        + _nb_lab_cte("ho", frac)
+        + ", "
+        + _nb_model_ctes("ho")
+        + ", "
+        + _nb_score_ctes("ho")
+        + ", sc AS (SELECT l.source, l.y, "
         "ln(CAST(n1 AS DOUBLE) / n0) + COALESCE(tsum, 0) s "
         "FROM lab l LEFT JOIN sums USING (doc_id), pri WHERE l.ho) "
         "SELECT source, CAST(COUNT(*) AS BIGINT) n_eval, "
@@ -5408,7 +5441,6 @@ def _v35_oracle(frac: float = 0.25) -> str:
         "AS BIGINT) tn "
         "FROM sc GROUP BY 1 ORDER BY 1"
     )
-
 
 
 def _t52_oracle() -> str:
@@ -5538,10 +5570,10 @@ def _v37_oracle(
     k: int = 8, lr_den: int = 2, frac: float = 0.25
 ) -> str:
     """McNemar replay (v37): the logistic-GD prefix (training
-    stages WHERE NOT ho, doc_id carried through f) + the verbatim
-    v35 NB chain (doc_id carried through sc), one per-doc verdict
-    join, and the per-source discordance agg with the
-    integer-exact χ² spelling."""
+    stages WHERE NOT ho, doc_id carried through f) + the shared NB
+    chain (flag renamed nho, word counts wcn — the logistic prefix
+    owns `ho`), one per-doc verdict join, and the per-source
+    discordance agg with the integer-exact χ² spelling."""
     from zappy_spark.operators.sampling import sample_threshold
 
     s = 1_000_000
@@ -5560,29 +5592,12 @@ def _v37_oracle(
         f"2 * LEAST({s}, GREATEST(0, {s // 2} + "
         f"(w0 + w1 * x1 + w2 * x2 + w3 * x3) // 4)) > {s} "
         f"THEN 1 ELSE 0 END lrp FROM f, i{k} WHERE ho), "
-        "lab AS (SELECT doc_id, source, "
-        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
-        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-        f"< '{thr}') nho, "
-        "CASE WHEN len(list_filter(string_split(text, ' '), "
-        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
-        "tr AS (SELECT * FROM lab WHERE NOT nho), "
-        "pri AS (SELECT SUM(y) n1, SUM(1 - y) n0 FROM tr), "
-        "tw AS (SELECT unnest(ws) w, y FROM tr), "
-        "wcn AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
-        "GROUP BY 1), "
-        "tot AS (SELECT SUM(c1) t1, SUM(c0) t0, COUNT(*) v "
-        "FROM wcn), "
-        "evc AS (SELECT doc_id, w, COUNT(*) c FROM "
-        "(SELECT doc_id, unnest(ws) w FROM lab WHERE nho) "
-        "GROUP BY 1, 2), "
-        "sums AS (SELECT doc_id, "
-        "SUM(c * (ln(COALESCE(c1, 0) + 1.0) "
-        "- ln(CAST(t1 + v AS DOUBLE)) "
-        "- ln(COALESCE(c0, 0) + 1.0) "
-        "+ ln(CAST(t0 + v AS DOUBLE)))) tsum "
-        "FROM evc LEFT JOIN wcn USING (w), tot GROUP BY 1), "
-        "nb AS (SELECT l.doc_id, l.source, l.y, "
+        + _nb_lab_cte("nho", frac)
+        + ", "
+        + _nb_model_ctes("nho", "wcn")
+        + ", "
+        + _nb_score_ctes("nho", "wcn")
+        + ", nb AS (SELECT l.doc_id, l.source, l.y, "
         "CASE WHEN ln(CAST(n1 AS DOUBLE) / n0) "
         "+ COALESCE(tsum, 0) > 0 THEN 1 ELSE 0 END nbp "
         "FROM lab l LEFT JOIN sums USING (doc_id), pri "
@@ -5607,23 +5622,15 @@ def _v37_oracle(
     )
 
 
-
 def _v38_oracle(frac: float = 0.25) -> str:
-    """Top-features replay (v38): identical training counts over
-    the md5 complement, identical min-support floor, identical
+    """Top-features replay (v38): the shared NB lab CTE + training
+    counts with the min-support HAVING floor, identical
     (ratio, word) orderings via two LIMITed subqueries, and a
     side-partitioned row_number."""
-    from zappy_spark.operators.sampling import sample_threshold
-
-    thr = sample_threshold(frac)
     return (
-        "WITH lab AS (SELECT doc_id, "
-        "list_filter(string_split(text, ' '), x -> x <> '') ws, "
-        "(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-        f"< '{thr}') ho, "
-        "CASE WHEN len(list_filter(string_split(text, ' '), "
-        "x -> x = 'the')) >= 2 THEN 1 ELSE 0 END y FROM documents), "
-        "tw AS (SELECT unnest(ws) w, y FROM lab WHERE NOT ho), "
+        "WITH "
+        + _nb_lab_cte("ho", frac)
+        + ", tw AS (SELECT unnest(ws) w, y FROM lab WHERE NOT ho), "
         "wc AS (SELECT w, SUM(y) c1, SUM(1 - y) c0 FROM tw "
         "GROUP BY 1 HAVING SUM(y) + SUM(1 - y) >= 5), "
         "r AS (SELECT w, c1, c0, "
@@ -5640,7 +5647,6 @@ def _v38_oracle(frac: float = 0.25) -> str:
         "CAST(c0 AS BIGINT) c_drop "
         "FROM u ORDER BY side, rk"
     )
-
 
 
 def _t53_oracle() -> str:
