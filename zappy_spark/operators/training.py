@@ -692,7 +692,7 @@ def _nb_doc_scores(
         + F.ln((F.col("_t0") + F.col("_v")) * floor_ok)
     )
     sums = (
-        evc.join(F.broadcast(wc), "_w", "left")
+        evc.join(wc, "_w", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("_id")
         .agg(F.sum(term).alias("_tsum"))
@@ -1101,7 +1101,7 @@ def nb_crossval(
         + F.ln((F.col("_t0c") + F.col("_vc")) * floor_ok)
     )
     sums = (
-        evc.join(F.broadcast(wfc), ["_f", "_w"], "left")
+        evc.join(wfc, ["_f", "_w"], "left")
         .join(F.broadcast(totf), "_f")
         .groupBy("_f", "_id")
         .agg(F.sum(term).alias("_tsum"))
