@@ -6451,3 +6451,73 @@ def test_kn3_doc_nll_pure_python_replay(spark):
         assert abs(got[i] - nll) < 1e-9, i
     # the fixture must actually exercise every tier
     assert {"tri", "p2"} <= tiers, tiers
+
+
+def test_kn3_fit_model_roundtrip_matches_in_pass_verdicts(
+    spark, tmp_path
+):
+    """t53's deployment split: kn3_fit_model written to parquet and
+    scored through kn3_ledger_with_model over ONLY the non-ref
+    slice must reproduce the in-one-pass t53 ledger's keep/drop
+    (and n_docs == n_eval, n_short == n_short) — store-then-score
+    == in-one-pass; an empty model hits the loud V guard."""
+    import pytest
+
+    from zappy_spark.operators.sampling import (
+        _hash_key,
+        sample_threshold,
+    )
+    from zappy_spark.operators.text import (
+        T53_PARAMS,
+        kn3_fit_model,
+        kn3_ledger_with_model,
+        kn3_perplexity_ledger,
+    )
+
+    texts = [
+        "a b c a b c a b d",
+        "x y z x y z q a b",
+        "a b c x y z w w w",
+        "q q a b c z x y",
+        "m n",  # sub-trigram doc: n_short path
+    ]
+    rows = [(i, f"g{i % 2}", texts[i % len(texts)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    frac = T53_PARAMS["ref_frac"]
+    cut = T53_PARAMS["ppl_cutoff"]
+
+    path = str(tmp_path / "kn3_model")
+    kn3_fit_model(df, "text", "doc_id", ref_frac=frac).write.parquet(
+        path
+    )
+    nonref = df.filter(
+        ~(_hash_key("doc_id") < sample_threshold(frac))
+    )
+    got = {
+        r["source"]: r
+        for r in kn3_ledger_with_model(
+            nonref, "text", "doc_id", "source",
+            spark.read.parquet(path), ppl_cutoff=cut,
+        ).collect()
+    }
+    want = {
+        r["source"]: r
+        for r in kn3_perplexity_ledger(
+            df, "text", "doc_id", "source",
+            ref_frac=frac, ppl_cutoff=cut,
+        ).collect()
+    }
+    assert set(got) == set(want) and got
+    for g in want:
+        assert got[g]["n_docs"] == want[g]["n_eval"]
+        assert got[g]["n_short"] == want[g]["n_short"]
+        assert got[g]["n_keep"] == want[g]["n_keep"]
+        assert got[g]["n_drop"] == want[g]["n_drop"]
+
+    empty = spark.createDataFrame(
+        [], "kind string, g string, c bigint"
+    )
+    with pytest.raises(Exception, match="kn3_ledger_with_model"):
+        kn3_ledger_with_model(
+            df, "text", "doc_id", "source", empty
+        ).collect()

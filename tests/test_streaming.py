@@ -1813,3 +1813,50 @@ def test_incremental_auc_hist_equals_batch(spark, tmp_path):
         docs.limit(10), rev, state, weights_path
     )
     assert _rows(jobs.auc_from_state(spark, state), *cols) == got
+
+
+def test_incremental_kn3_ledger_equals_batch(spark, tmp_path):
+    """Round 12: the documents changelog drained through
+    incremental_kn3_state (t53's deploy side at a FIXED stored
+    trigram-KN model) must equal the batch fixed-model ledger
+    EXACTLY — four integer counters per source, no tolerance; the
+    micro-batch partial IS kn3_ledger_with_model. Replay guard:
+    re-applying the last batch id is a no-op."""
+    from zappy_spark.operators.text import (
+        T53_PARAMS,
+        kn3_fit_model,
+        kn3_ledger_with_model,
+    )
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    model_path = str(tmp_path / "kn3_model")
+    kn3_fit_model(
+        docs, "text", "doc_id", ref_frac=T53_PARAMS["ref_frac"]
+    ).write.parquet(model_path)
+
+    replay = str(tmp_path / "docs_replay_kn3")
+    jobs.replay_documents_dir(spark, SF_SMOKE_DIR, replay, n_files=4)
+    state = str(tmp_path / "kn3_state")
+    q = jobs.incremental_kn3_state(
+        jobs.stream_events(spark, replay), state, model_path,
+        ppl_cutoff=T53_PARAMS["ppl_cutoff"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = ("source", "n_docs", "n_short", "n_keep", "n_drop")
+    got = _rows(jobs.kn3_from_state(spark, state), *cols)
+    batch = _rows(
+        kn3_ledger_with_model(
+            docs, "text", "doc_id", "source",
+            spark.read.parquet(model_path),
+            ppl_cutoff=T53_PARAMS["ppl_cutoff"],
+        ),
+        *cols,
+    )
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    rev = jobs.applied_revision(state)
+    jobs.kn3_ledger_apply_batch(
+        docs.limit(10), rev, state, model_path
+    )
+    assert _rows(jobs.kn3_from_state(spark, state), *cols) == got

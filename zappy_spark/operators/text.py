@@ -3616,3 +3616,166 @@ def kn3_perplexity_ledger(
     return _keep_drop_ledger(
         counts, sc, group_col, lncut, ["n_ref", "n_eval", "n_short"]
     )
+
+
+def kn3_fit_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_frac: float = 0.25,
+) -> DataFrame:
+    """The DEPLOYABLE artifact of t53's training half: ONE table
+    (kind, g, c) carrying the deduped reference trigram counts
+    (kind='tri', g = 'w1 w2 w3') and the reference unigram
+    vocabulary size (kind='vocab', g NULL) — every other model
+    quantity (ctx3, continuation tables, N1+(··)) re-derives from
+    the trigram rows with bounded aggregates, so this one parquet
+    IS the whole order-3 model (the xcorpus/absdisc train-offline
+    pattern; V must ship explicitly because words in sub-trigram
+    documents never reach the trigram table)."""
+    docs = _kn3_docs(df, text_col, id_col, id_col, ref_frac)
+    tri = (
+        docs.filter(F.col("_ref"))
+        .select(F.explode("_gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit("tri").alias("kind"), "g", "c")
+    )
+    vocab = (
+        docs.filter(F.col("_ref"))
+        .select(F.explode("_ws").alias("_w"))
+        .agg(F.count_distinct("_w").cast("bigint").alias("c"))
+        .select(
+            F.lit("vocab").alias("kind"),
+            F.lit(None).cast("string").alias("g"),
+            "c",
+        )
+    )
+    return tri.unionByName(vocab)
+
+
+def kn3_ledger_with_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    model: DataFrame,
+    ppl_cutoff: float = 39.048,
+) -> DataFrame:
+    """Score EVERY document against a FIXED trained trigram-KN
+    model (the deployment half of t53 — training happened offline
+    via ``kn3_fit_model``): per-group keep/drop ledger (group,
+    n_docs, n_short, n_keep, n_drop), all exact BIGINTs. The
+    per-document verdict depends only on the document and the
+    fixed model, so the counters are ADDITIVE — the streaming
+    drift monitor's micro-batch partial IS this operator.
+
+    The probability is t53's spelling exactly, with ctx3 / the
+    continuation tables / N1+(··) re-derived from the stored
+    trigram rows (bounded aggregates per call) and V read from the
+    stored vocab row; the V guard raises loudly on an empty or
+    degenerate model (aggregate extraction, never a bare filter —
+    the nb_eval_with_model discipline)."""
+    import math
+
+    D = float(T53_PARAMS["discount"])
+    lncut = math.log(ppl_cutoff)
+    from zappy_spark.operators.dedup import word_shingles
+
+    docs = df.select(
+        F.col(group_col).alias("_grp"),
+        word_shingles(F.col(text_col), 3, filter_empty=True).alias(
+            "_gs"
+        ),
+        F.col(id_col).alias("_rid"),
+    )
+    tri = model.filter(F.col("kind") == "tri").select(
+        F.split("g", " ").getItem(0).alias("_w1"),
+        F.split("g", " ").getItem(1).alias("_w2"),
+        F.split("g", " ").getItem(2).alias("_w3"),
+        F.col("c").alias("_tc"),
+    )
+    ctx3 = tri.groupBy("_w1", "_w2").agg(
+        F.sum("_tc").alias("_c3"),
+        F.count("*").cast("bigint").alias("_n1p3"),
+    )
+    bgc = tri.groupBy("_w2", "_w3").agg(
+        F.count("*").cast("bigint").alias("_n1pb")
+    )
+    ctx2 = bgc.groupBy("_w2").agg(
+        F.sum("_n1pb").alias("_cb"),
+        F.count("*").cast("bigint").alias("_n1p2"),
+    )
+    uc = bgc.groupBy("_w3").agg(
+        F.count("*").cast("bigint").alias("_cw")
+    )
+    vocab = (
+        model.filter(F.col("kind") == "vocab")
+        .agg(F.sum("c").alias("_vu"))
+        .select(
+            _positive_or_raise(
+                F.col("_vu"), "kn3_ledger_with_model"
+            ).alias("_vu")
+        )
+    )
+    bv = (
+        bgc.agg(F.count("*").cast("bigint").alias("_bt"))
+        .crossJoin(vocab)
+    )
+    cnt = (
+        docs.select("_rid", "_grp", F.explode("_gs").alias("_g"))
+        .groupBy("_rid", "_grp", "_g")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "_rid",
+            "_grp",
+            "_c",
+            F.split("_g", " ").getItem(0).alias("_w1"),
+            F.split("_g", " ").getItem(1).alias("_w2"),
+            F.split("_g", " ").getItem(2).alias("_w3"),
+        )
+    )
+    pc = (F.coalesce(F.col("_cw"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_bt") + F.col("_vu")
+    )
+    p2 = F.when(F.col("_cb").isNull(), pc).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_n1pb"), F.lit(0)) - F.lit(D),
+                F.lit(0.0),
+            )
+            + F.lit(D) * F.col("_n1p2") * pc
+        )
+        / F.col("_cb")
+    )
+    p = F.when(F.col("_c3").isNull(), p2).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("_tc"), F.lit(0)) - F.lit(D),
+                F.lit(0.0),
+            )
+            + F.lit(D) * F.col("_n1p3") * p2
+        )
+        / F.col("_c3")
+    )
+    sc = (
+        cnt.join(tri, ["_w1", "_w2", "_w3"], "left")
+        .join(ctx3, ["_w1", "_w2"], "left")
+        .join(bgc, ["_w2", "_w3"], "left")
+        .join(ctx2, ["_w2"], "left")
+        .join(uc, ["_w3"], "left")
+        .crossJoin(F.broadcast(bv))
+        .groupBy("_rid", "_grp")
+        .agg(
+            (
+                -F.sum(F.col("_c") * F.ln(p)) / F.sum("_c")
+            ).alias("_nll")
+        )
+    )
+    base = docs.groupBy("_grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.size("_gs") == 0).cast("bigint")).alias("n_short"),
+    )
+    return _keep_drop_ledger(
+        base, sc, group_col, lncut, ["n_docs", "n_short"]
+    )

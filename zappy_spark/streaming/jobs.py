@@ -2796,3 +2796,95 @@ def auc_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if per is None:
         raise ValueError(f"no auc state at {state_path}")
     return auc_from_hist(per, "source").orderBy("source")
+
+
+# ---- streaming twin of t53's fixed-model trigram-KN ledger ----
+
+
+def kn3_ledger_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 39.048,
+) -> None:
+    """One ``incremental_kn3_state`` micro-batch: per source, the
+    additive keep/drop/short counters of the fixed-model TRIGRAM
+    interpolated-KN perplexity filter (round 12 — the deployment
+    split for the order-3 rung, completing the whole ladder's
+    monitor story: t46 add-one, t48 absolute discounting, t49
+    bigram KN, t53 trigram KN all monitor from stored artifacts).
+    The model is the STORED one-table artifact (kn3_fit_model →
+    parquet: trigram counts + the vocab row) — fixed for the life
+    of the monitor (a retrain writes a NEW model + state path), so
+    the per-document verdict depends only on the document and the
+    counters are exactly additive. The partial IS
+    operators/text.py::kn3_ledger_with_model, so batch/stream
+    spelling drift is structurally impossible; redelivered batch
+    ids are guarded like every twin."""
+    import os
+
+    if batch_df.isEmpty():
+        return
+    last = applied_revision(state_path)
+    if last is not None and last >= batch_id:
+        return
+    from zappy_spark.operators.text import kn3_ledger_with_model
+
+    spark = batch_df.sparkSession
+    model = spark.read.parquet(model_path)
+    part = kn3_ledger_with_model(
+        batch_df, "text", "doc_id", "source", model, ppl_cutoff
+    )
+    cur = latest_snapshot(spark, state_path)
+    if cur is not None:
+        part = (
+            cur.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in _PPL_COUNT_COLS
+                ]
+            )
+        )
+    rev_dir = os.path.join(state_path, f"rev={batch_id}")
+    part.write.mode("overwrite").parquet(rev_dir)
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_path, "_LATEST"))
+
+
+def incremental_kn3_state(
+    stream: DataFrame,
+    state_path: str,
+    model_path: str,
+    ppl_cutoff: float = 39.048,
+) -> "Any":
+    """Streaming twin of t53's deploy side: the trigram-KN
+    perplexity drift monitor at a FIXED stored model — four
+    integer counters per source, mergeable forever, same MVCC
+    rev-dir snapshot + replay guard as the
+    filter/stopword/kappa/piece-usage/ppl/absdisc/kn twins."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kn3_ledger_apply_batch(
+            batch_df, batch_id, state_path, model_path, ppl_cutoff
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+
+
+def kn3_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The fixed-model trigram-KN ledger over the streaming-
+    maintained counters."""
+    per = latest_snapshot(spark, state_path)
+    if per is None:
+        raise ValueError(f"no kn3 state at {state_path}")
+    return per.select("source", *_PPL_COUNT_COLS).orderBy("source")
