@@ -118,12 +118,30 @@ def l5(spark: SparkSession, d: str) -> DataFrame:
 
 def l6(spark: SparkSession, d: str) -> DataFrame:
     """Cosine-threshold self-join (exact, O(n²)) — oracle for the LSH
-    near-dup path."""
+    near-dup path.
+
+    r12 shape (see d05): per-row norms projected before the pair
+    join — ``dot/(na·nb)`` is bit-identical to ``cosine`` but O(n)
+    norm evaluations instead of O(n²) — and the streamed side is
+    spread across cores (guide §2.5, single-row-group input)."""
+    from zappy_spark.queries._util import spread
+    from zappy_spark.operators.vecmath import EMBED_DIM, dot, norm
+
     emb = t(spark, d, "embeddings")
-    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    a = spread(emb).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+        norm("embedding").alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+        norm("embedding").alias("_nb"),
+    )
     pairs = a.join(b, F.col("i") < F.col("j"))
-    return pairs.filter(cosine("ea", "eb") > 0.3).agg(F.count("*").alias("c"))
+    return pairs.filter(
+        dot("ea", "eb", dim=EMBED_DIM) / (F.col("_na") * F.col("_nb")) > 0.3
+    ).agg(F.count("*").alias("c"))
 
 
 def l7(spark: SparkSession, d: str) -> DataFrame:

@@ -69,13 +69,37 @@ def d04(spark: SparkSession, d: str) -> DataFrame:
 
 
 def d05(spark: SparkSession, d: str) -> DataFrame:
-    """Embedding-cosine near-dup: top pairs by similarity (exact)."""
+    """Embedding-cosine near-dup: top pairs by similarity (exact).
+
+    r12 shape: per-row norms are projected BEFORE the pair join —
+    ``dot/(na·nb)`` is bit-identical to ``cosine(va, vb)`` (same
+    values through the same multiply and divide) but computes each
+    norm n times instead of n² — and the streamed side is spread
+    across cores (guide §2.5; single-row-group input would run the
+    whole O(n²) loop in one task)."""
+    from zappy_spark.queries._util import spread
+    from zappy_spark.operators.vecmath import EMBED_DIM, dot, norm
+
     emb = t(spark, d, "embeddings")
-    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    a = spread(emb).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("va"),
+        norm("embedding").alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("vb"),
+        norm("embedding").alias("_nb"),
+    )
     return (
         a.join(b, F.col("i") < F.col("j"))
-        .select("i", "j", F.round(cosine("va", "vb"), 4).alias("sim"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                dot("va", "vb", dim=EMBED_DIM) / (F.col("_na") * F.col("_nb")), 4
+            ).alias("sim"),
+        )
         .orderBy(F.desc("sim"), "i", "j")
         .limit(20)
     )

@@ -1628,11 +1628,24 @@ def r63(spark: SparkSession, d: str) -> DataFrame:
     form is an equi join on the 7-day bin id plus the exact
     residual; the oracle is DuckDB's native inequality join (IEJoin)
     over the same day arithmetic, so the rewrite's exactness — not
-    just its plan — is hash-checked."""
+    just its plan — is hash-checked.
+
+    r12: both sides pre-aggregate to day granularity BEFORE the
+    binned join (guide §2.3, aggregate before you shuffle) — the
+    join predicate only reads days, so pair multiplicity factors
+    exactly into |points on day p| × |intervals with (priority,
+    lo)|, and ``sum(np·ni)`` over matching day pairs equals
+    ``count(*)`` over row pairs. Shrinks the join from
+    |lineitem|·|orders| pair evaluations to |distinct days|² scale
+    while still exercising the binned-range-join operator; exact
+    BIGINT arithmetic, result hash unchanged."""
     from zappy_spark.operators.joins import binned_range_join
 
-    li = t(spark, d, "lineitem").select(
-        F.unix_date(F.col("l_shipdate").cast("date")).alias("p")
+    li = (
+        t(spark, d, "lineitem")
+        .select(F.unix_date(F.col("l_shipdate").cast("date")).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("np"))
     )
     o = (
         t(spark, d, "orders")
@@ -1641,11 +1654,13 @@ def r63(spark: SparkSession, d: str) -> DataFrame:
             F.unix_date(F.col("o_orderdate").cast("date")).alias("lo"),
         )
         .withColumn("hi", F.col("lo") + 7)
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(F.count("*").alias("ni"))
     )
     return (
         binned_range_join(li, o, "p", "lo", "hi", bin_width=7)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("pairs"))
+        .agg(F.sum(F.col("np") * F.col("ni")).alias("pairs"))
         .orderBy("o_orderpriority")
     )
 
