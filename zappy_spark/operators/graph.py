@@ -142,12 +142,20 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank of an empty graph")
     out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    # r12 (guide §2.4/§1.2): attach out-degrees to edges ONCE instead
+    # of re-joining out_deg inside every round, and keep the dangling
+    # mass IN-PLAN as a 1-row broadcast instead of a per-round
+    # .first() driver job — the loop had 2 actions per round (scalar
+    # collect + checkpoint); now it has 1. The arithmetic below
+    # spells the former Python constant-folding exactly
+    # ((d·dangling)/n, ((1−d)+d·dangling)/|seeds|), so ranks are
+    # bit-identical given identical partial-sum order.
+    e_deg = e.join(out_deg, "a").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     rounds = exact_iters if exact_iters is not None else max_iter
     for _ in range(rounds):
         contrib = (
-            e.join(ranks, e["a"] == ranks["node"])
-            .join(out_deg, "a")
+            e_deg.join(ranks, e_deg["a"] == ranks["node"])
             .select(
                 F.col("b").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -155,23 +163,29 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
+        # dangling mass: rank held by nodes with no out-edges —
+        # a 1-row aggregate broadcast into the update plan
+        dang = F.broadcast(
             ranks.join(out_deg, ranks["node"] == out_deg["a"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+            )
         )
         if restart is None:
-            base_col = F.lit((1.0 - damping) / n + damping * dangling / n)
+            base_col = F.lit((1.0 - damping) / n) + (
+                F.lit(damping) * F.col("_dangling")
+            ) / F.lit(float(n))
         else:
             seeds = [int(x) for x in restart]
-            per_seed = (1.0 - damping + damping * dangling) / len(seeds)
+            per_seed = (
+                F.lit(1.0 - damping) + F.lit(damping) * F.col("_dangling")
+            ) / F.lit(float(len(seeds)))
             base_col = F.when(
-                F.col("node").isin(seeds), F.lit(per_seed)
+                F.col("node").isin(seeds), per_seed
             ).otherwise(F.lit(0.0))
         new_ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(dang)
             .select(
                 "node",
                 (

@@ -554,42 +554,55 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     - ``rep_top_word_frac``:   occurrences of the most frequent word
                                / total words
 
-    All pure array-lambda expressions — scan-side, codegen'd, no
-    shuffle and no Python. The top-word count is O(distinct·total)
-    per row, bounded by document length (documents are capped by the
-    chunking stage upstream); this beats the explode+groupBy spelling
-    at scale because the token stream never leaves the row.
+    All pure array-lambda expressions — scan-side, no shuffle and no
+    Python. The top-word count is O(distinct·total) per row, bounded
+    by document length (documents are capped by the chunking stage
+    upstream); this beats the explode+groupBy spelling at scale
+    because the token stream never leaves the row.
+
+    r12 execution shape (guide §4.1; the word_shingles lesson):
+    array HOFs are interpreted with no CSE, so (a) the token array
+    is LET-BOUND once per row (the O(distinct·total) top-word scan
+    otherwise re-ran the split per distinct word), and (b) the three
+    features come out of ONE bound struct materialized in its own
+    projection — referenced 3×, so CollapseProject cannot inline it
+    back into three separate evaluations of the quadratic scan.
+    Same functions in the same order, bit-identical values.
     """
     from zappy_spark.operators.dedup import word_shingles
 
     text = F.col(text_col)
-    toks = tokens_ws(text)
-    n = F.size(toks)
-    nd = F.size(F.array_distinct(toks))
     grams = word_shingles(text, 3)
     ng = F.size(grams)
     ngd = F.size(F.array_distinct(grams))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+
+    def _feats(tk: Column) -> Column:
+        n = F.size(tk)
+        nd = F.size(F.array_distinct(tk))
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda w: F.size(F.filter(tk, lambda t_: t_ == w)),
+            )
         )
-    )
-    one = F.greatest(n, F.lit(1)).cast("double")
+        one = F.greatest(n, F.lit(1)).cast("double")
+        return F.struct(
+            F.round((n - nd) / one, 6).alias("dw"),
+            F.round(F.coalesce(top, F.lit(0)) / one, 6).alias("tw"),
+        )
+
+    bound = F.element_at(F.transform(F.array(tokens_ws(text)), _feats), 1)
     return (
-        df.withColumn(
-            "rep_dup_word_frac", F.round((n - nd) / one, 6)
-        )
+        df.withColumn("_rf", bound)
+        .withColumn("rep_dup_word_frac", F.col("_rf.dw"))
         .withColumn(
             "rep_dup_3gram_frac",
             F.round(
                 (ng - ngd) / F.greatest(ng, F.lit(1)).cast("double"), 6
             ),
         )
-        .withColumn(
-            "rep_top_word_frac",
-            F.round(F.coalesce(top, F.lit(0)) / one, 6),
-        )
+        .withColumn("rep_top_word_frac", F.col("_rf.tw"))
+        .drop("_rf")
     )
 
 
@@ -2091,14 +2104,20 @@ def bpe_apply_merges(
 
 
 def bpe_discover_merges(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame, text_col: str, n_merges: int, _state: DataFrame | None = None
 ) -> list[tuple[str, str]]:
     """Run the BPE training loop and return the merge schedule as
     driver literals — ``n_merges`` jobs, each a vocab-sized pair agg
     collecting exactly ONE row (the v09 Lloyd's centroids-as-
-    literals precedent)."""
+    literals precedent). ``_state``: a pre-materialized base vocab
+    (r12 — callers that also replay the loop share ONE checkpoint
+    instead of re-scanning the corpus per iteration)."""
     merges: list[tuple[str, str]] = []
-    state = _bpe_base_vocab(df, text_col)
+    state = (
+        _state
+        if _state is not None
+        else _bpe_base_vocab(df, text_col).localCheckpoint()
+    )
     for _ in range(n_merges):
         top = _bpe_pair_top1(state).collect()
         if not top:
@@ -2228,14 +2247,17 @@ def bpe_train_merges(
     applies merges 1..k−1 as literal replaces, so collecting it is
     n_merges one-agg jobs, each TakeOrderedAndProject (no global
     sort anywhere)."""
-    base = _bpe_base_vocab(df, text_col)
+    # r12 (guide §5): ONE corpus scan into the checkpointed vocab,
+    # shared by the discovery loop and the replay branches (was
+    # 2·n_merges scans). Integer-exact aggs -> identical schedule.
+    base = _bpe_base_vocab(df, text_col).localCheckpoint()
 
     def _apply(state: DataFrame, lhs: str, rhs: str) -> DataFrame:
         return state.withColumn(
             "_s", bpe_apply_merges(F.col("_s"), [(lhs, rhs)])
         )
 
-    merges = bpe_discover_merges(df, text_col, n_merges)
+    merges = bpe_discover_merges(df, text_col, n_merges, _state=base)
 
     # returned plan: the schedule recomputed distributed, one branch
     # per step with prior merges as literals (linear lineage)
@@ -2563,7 +2585,11 @@ def unigram_lm_train(
     bounded-instrument doctrine). Nothing joins on doc ids,
     nothing collects unbounded rows."""
     spark = df.sparkSession
-    vocab = _unigram_vocab(df, text_col)
+    # r12 (guide §5): materialize the Heaps-bounded vocab ONCE —
+    # seeding + every E-step + every replay branch otherwise re-ran
+    # the corpus scan through this agg (n_iter+2 scans). Integer
+    # counts, so results are identical on any partitioning.
+    vocab = _unigram_vocab(df, text_col).localCheckpoint()
     picked = _unigram_seed_counts(vocab, max_piece_len, n_pieces)
     if not picked:
         return spark.createDataFrame(
@@ -3001,13 +3027,18 @@ def _wp_pair_top1(state: DataFrame) -> DataFrame:
 
 
 def wordpiece_discover_merges(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame, text_col: str, n_merges: int, _state: DataFrame | None = None
 ) -> list[tuple[str, str]]:
     """Run the WordPiece training loop and return the merge
     schedule as driver literals — n_merges jobs, each a vocab-sized
-    agg collecting exactly ONE row (the t37/v09 precedent)."""
+    agg collecting exactly ONE row (the t37/v09 precedent).
+    ``_state``: pre-materialized base vocab (see bpe_discover_merges)."""
     merges: list[tuple[str, str]] = []
-    state = _wp_base_vocab(df, text_col)
+    state = (
+        _state
+        if _state is not None
+        else _wp_base_vocab(df, text_col).localCheckpoint()
+    )
     for _ in range(n_merges):
         top = _wp_pair_top1(state).collect()
         if not top:
@@ -3054,8 +3085,10 @@ def wordpiece_train_merges(
     joins of the tiny symbol-count table, and a 1-ROW collect; the
     returned plan re-derives each step's winner distributed with
     merges 1..k−1 as literal replaces."""
-    base = _wp_base_vocab(df, text_col)
-    merges = wordpiece_discover_merges(df, text_col, n_merges)
+    # r12: one corpus scan, checkpointed vocab shared by discovery
+    # and replay (see bpe_train_merges).
+    base = _wp_base_vocab(df, text_col).localCheckpoint()
+    merges = wordpiece_discover_merges(df, text_col, n_merges, _state=base)
     out = None
     state = base
     for step, (lhs, rhs) in enumerate(merges, start=1):

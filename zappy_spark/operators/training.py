@@ -109,23 +109,38 @@ def logreg_features(
     x1's clip keeps the boundary interior to the feature range).
     All columns int, all expressions scan-side, zero shuffles.
     ``extra`` columns pass through untouched (the scoring ledger
-    keeps its group/chars columns beside the features)."""
+    keeps its group/chars columns beside the features).
+
+    r12 execution shape (guide §4.1; the word_shingles lesson):
+    interpreted HOFs have no CSE, so the token array is LET-BOUND
+    once per row (each ``_cnt`` otherwise re-ran the split+filter),
+    and the bound struct is materialized in its own projection
+    (referenced 4×, so CollapseProject cannot inline it). Same
+    functions, same values — x3's truncating ``div`` unchanged."""
     words = F.filter(
         F.split(F.col(text_col), " "), lambda x: x != ""
     )
 
-    def _cnt(tok: str) -> Column:
-        return F.size(F.filter(words, lambda x: x == F.lit(tok)))
+    def _feats(ws: Column) -> Column:
+        def _cnt(tok: str) -> Column:
+            return F.size(F.filter(ws, lambda x: x == F.lit(tok)))
 
-    return df.select(
+        return F.struct(
+            (_cnt("the") >= 2).cast("int").alias("y"),
+            F.least(_cnt("the"), F.lit(x_cap)).alias("x1"),
+            F.least(_cnt("data"), F.lit(x_cap)).alias("x2"),
+            F.size(ws).alias("nw"),
+        )
+
+    bound = F.element_at(F.transform(F.array(words), _feats), 1)
+    return df.select(*extra, bound.alias("_f")).select(
         *extra,
-        (_cnt("the") >= 2).cast("int").alias("y"),
-        F.least(_cnt("the"), F.lit(x_cap)).alias("x1"),
-        F.least(_cnt("data"), F.lit(x_cap)).alias("x2"),
-        F.least(
-            F.expr(f"size(filter(split({text_col}, ' '), x -> x != '')) div 16"),
-            F.lit(x_cap),
-        ).cast("int").alias("x3"),
+        F.col("_f.y").alias("y"),
+        F.col("_f.x1").alias("x1"),
+        F.col("_f.x2").alias("x2"),
+        F.least(F.expr("_f.nw div 16"), F.lit(x_cap))
+        .cast("int")
+        .alias("x3"),
     )
 
 
@@ -168,7 +183,16 @@ def logreg_fit_weights(
     the weight TRAJECTORY [w^(0) .. w^(n_iter)] (w^(0) = zeros) as
     plain Python ints — n_iter driver collects of ONE row each (the
     bounded-instrument doctrine). The driver-side update uses _tdiv
-    so it matches the engines' truncating division exactly."""
+    so it matches the engines' truncating division exactly.
+
+    r12: the feature frame is localCheckpoint'ed ONCE before the
+    loop (guide §5: cut lineage for reused intermediates) — the GD
+    loop otherwise re-ran the corpus scan + featurization on every
+    iteration; the materialized frame is 4 ints per document. Same
+    deterministic feature values, exact integer aggregates, so the
+    trajectory is unchanged. Intermediate state within one query
+    run, not a cross-run cache."""
+    feat = feat.localCheckpoint()
     w = [0, 0, 0, 0]
     traj = [list(w)]
     for _ in range(n_iter):
