@@ -122,8 +122,16 @@ def l6(spark: SparkSession, d: str) -> DataFrame:
 
     r12 shape (see d05): per-row norms projected before the pair
     join — ``dot/(na·nb)`` is bit-identical to ``cosine`` but O(n)
-    norm evaluations instead of O(n²) — and the streamed side is
-    spread across cores (guide §2.5, single-row-group input)."""
+    norm evaluations instead of O(n²) — the streamed side is spread
+    across cores (guide §2.5, single-row-group input) and the
+    OTHER side is explicitly broadcast so the build side can never
+    flip onto the spread side (a flip serializes the whole O(n²)
+    loop into one task — observed 6 s vs 174 s run-to-run). The
+    cosine threshold is counted in the AGGREGATE
+    (``sum(cond::bigint)`` ≡ ``filter(cond).count(*)``) instead of
+    a filter, which Catalyst would push into the join condition —
+    one giant un-splittable generated predicate method; as an agg
+    projection it codegen-splits normally."""
     from zappy_spark.queries._util import spread
     from zappy_spark.operators.vecmath import EMBED_DIM, dot, norm
 
@@ -138,10 +146,16 @@ def l6(spark: SparkSession, d: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         norm("embedding").alias("_nb"),
     )
-    pairs = a.join(b, F.col("i") < F.col("j"))
-    return pairs.filter(
-        dot("ea", "eb", dim=EMBED_DIM) / (F.col("_na") * F.col("_nb")) > 0.3
-    ).agg(F.count("*").alias("c"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
+    hit = (
+        dot("ea", "eb", dim=EMBED_DIM) / (F.col("_na") * F.col("_nb"))
+        > 0.3
+    )
+    return pairs.agg(
+        F.coalesce(F.sum(hit.cast("bigint")), F.lit(0).cast("bigint")).alias(
+            "c"
+        )
+    )
 
 
 def l7(spark: SparkSession, d: str) -> DataFrame:

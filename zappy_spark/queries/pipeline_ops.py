@@ -74,9 +74,12 @@ def d05(spark: SparkSession, d: str) -> DataFrame:
     r12 shape: per-row norms are projected BEFORE the pair join —
     ``dot/(na·nb)`` is bit-identical to ``cosine(va, vb)`` (same
     values through the same multiply and divide) but computes each
-    norm n times instead of n² — and the streamed side is spread
+    norm n times instead of n² — the streamed side is spread
     across cores (guide §2.5; single-row-group input would run the
-    whole O(n²) loop in one task)."""
+    whole O(n²) loop in one task), and the other side is
+    explicitly broadcast so the nested-loop build side can never
+    flip onto the spread side (the l06 lesson: a flip serializes
+    the pair loop into one task)."""
     from zappy_spark.queries._util import spread
     from zappy_spark.operators.vecmath import EMBED_DIM, dot, norm
 
@@ -92,7 +95,7 @@ def d05(spark: SparkSession, d: str) -> DataFrame:
         norm("embedding").alias("_nb"),
     )
     return (
-        a.join(b, F.col("i") < F.col("j"))
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
         .select(
             "i",
             "j",
