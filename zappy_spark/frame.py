@@ -710,18 +710,28 @@ class ZappyFrame:
         expression, fully distributed."""
         def expr(v):
             n = F.size(v).cast("double")
-            m = (
+            m_expr = (
                 F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double"))
                 / n
             )
-            # centered sum of squares, not E[x²]−mean² (cancellation)
-            ssd = F.aggregate(
-                v,
-                F.lit(0.0),
-                lambda a, x: a + (x.cast("double") - m) * (x.cast("double") - m),
-            )
-            # numpy returns nan for n <= ddof; 0/0 reproduces that
-            return ssd / (n - F.lit(float(ddof)))
+
+            # r12: LET-BIND the mean — interpreted HOFs have no CSE,
+            # so referencing the mean fold inside the ssd lambda
+            # re-ran it per ELEMENT (O(n²) per row). Same value,
+            # bit-identical result.
+            def _ssd(m):
+                # centered sum of squares, not E[x²]−mean²
+                # (cancellation)
+                ssd = F.aggregate(
+                    v,
+                    F.lit(0.0),
+                    lambda a, x: a
+                    + (x.cast("double") - m) * (x.cast("double") - m),
+                )
+                # numpy returns nan for n <= ddof; 0/0 reproduces that
+                return ssd / (n - F.lit(float(ddof)))
+
+            return F.element_at(F.transform(F.array(m_expr), _ssd), 1)
 
         return expr
 

@@ -725,26 +725,41 @@ def semantic_dup_flags(
     cluster key, so total work is Σ|cluster|², never corpus-wide
     all-pairs, and no driver collect anywhere. Similarity is rounded
     before the threshold compare so the cut is engine-exact.
+
+    r12 shape: per-row norms are projected before the pair join
+    (``dot/(na·nb)`` is bit-identical to ``cosine`` — same multiply
+    and divide — but O(n) norm folds instead of O(pairs)), and the
+    threshold is decided by ``max(sim) > t`` in the per-id AGGREGATE
+    (∃ pair with sim > t ⟺ max sim > t — identical id set) instead
+    of a filter Catalyst would push into the join condition, where
+    the score would run inside one giant generated predicate method
+    (the l06 lesson).
     """
-    from zappy_spark.operators.vecmath import cosine
+    from zappy_spark.operators.vecmath import dot, norm
 
     a = df.select(
         F.col(cluster_col).alias("_c"),
         F.col(id_col).alias("_ia"),
         F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
     )
     b = df.select(
         F.col(cluster_col).alias("_c"),
         F.col(id_col).alias("_ib"),
         F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        round_digits,
+    )
     dup_of = (
         a.join(b, "_c")
         .filter(F.col("_ib") < F.col("_ia"))
-        .filter(sim > F.lit(threshold))
+        .groupBy("_ia")
+        .agg(F.max(sim).alias("_mx"))
+        .filter(F.col("_mx") > F.lit(threshold))
         .select(F.col("_ia").alias("_dup_id"))
-        .distinct()
     )
     return df.join(
         dup_of, F.col(id_col) == F.col("_dup_id"), "left"

@@ -19,7 +19,7 @@ Converges in O(diameter) rounds; near-dup clusters are shallow
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -154,8 +154,13 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     rounds = exact_iters if exact_iters is not None else max_iter
     for _ in range(rounds):
+        # ranks is |nodes|-sized — broadcast it so the edge table
+        # (checkpointed once, orders of magnitude larger) is never
+        # re-shuffled; the contrib agg's map-side partials reduce
+        # each scan partition to <= |nodes| rows before the only
+        # per-round exchange (guide §2.3/§2.4).
         contrib = (
-            e_deg.join(ranks, e_deg["a"] == ranks["node"])
+            e_deg.join(F.broadcast(ranks), e_deg["a"] == ranks["node"])
             .select(
                 F.col("b").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -314,19 +319,29 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    w = Window.partitionBy("node").orderBy(
-        F.desc("c"), F.asc("label")
-    )
     for _ in range(iters):
+        # r12: labels is |nodes|-sized — broadcast it so the edge
+        # table never re-shuffles, and pick the modal label with ONE
+        # aggregate (min over the (-count, label) struct ≡ the old
+        # row_number window's (count DESC, label ASC) pick — counts
+        # are exact ints, so the winner is identical) instead of a
+        # per-round shuffle+sort window (guide §2.3/§2.4).
         votes = sym.join(
-            labels, sym["b"] == labels["node"]
+            F.broadcast(labels), sym["b"] == labels["node"]
         ).select(F.col("a").alias("node"), "label")
         labels = (
             votes.groupBy("node", "label")
             .agg(F.count("*").alias("c"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("_nc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.label").alias("label"))
             .localCheckpoint()
         )
     return labels

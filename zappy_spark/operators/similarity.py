@@ -386,14 +386,22 @@ def similarity_join(
 def l2_normalize(vec: str | Column) -> Column:
     """Unit-normalize an embedding (all-zero vectors pass through
     unchanged rather than dividing by zero). Pure array-lambda
-    expression — scan-side, no Python."""
+    expression — scan-side, no Python.
+
+    r12: the norm is LET-BOUND once per row (interpreted HOFs have
+    no CSE — the fold was otherwise re-evaluated per ELEMENT,
+    O(dim²) per row). Same ops, bit-identical output."""
     from zappy_spark.operators.vecmath import norm
 
-    n = norm(vec)
-    return F.when(
-        n > 0,
-        F.transform(vec, lambda v: v.cast("double") / n),
-    ).otherwise(F.transform(vec, lambda v: v.cast("double")))
+    v = F.col(vec) if isinstance(vec, str) else vec
+
+    def _scaled(n: Column) -> Column:
+        return F.when(
+            n > 0,
+            F.transform(v, lambda x: x.cast("double") / n),
+        ).otherwise(F.transform(v, lambda x: x.cast("double")))
+
+    return F.element_at(F.transform(F.array(norm(v)), _scaled), 1)
 
 
 def quantize_int8(vec: str | Column) -> Column:
@@ -401,12 +409,19 @@ def quantize_int8(vec: str | Column) -> Column:
     (all-zero vectors map to all-zero). Returns array<tinyint> —
     a 4× (float32) / 8× (float64) storage cut for ANN candidate
     tiers; pair with ``dequantize_int8`` to recover within 1/254
-    of max|v| per component."""
-    mx = F.array_max(F.transform(vec, lambda v: F.abs(v.cast("double"))))
+    of max|v| per component.
+
+    r12: the scale is LET-BOUND once per row (see l2_normalize)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
-    return F.transform(
-        vec, lambda v: F.round(v.cast("double") * scale).cast("tinyint")
-    )
+
+    def _q(s: Column) -> Column:
+        return F.transform(
+            v, lambda x: F.round(x.cast("double") * s).cast("tinyint")
+        )
+
+    return F.element_at(F.transform(F.array(scale), _q), 1)
 
 
 def dequantize_int8(qvec: str | Column, max_abs: str | Column) -> Column:

@@ -700,12 +700,31 @@ def v19(spark: SparkSession, d: str) -> DataFrame:
     candidate generators; LPA's per-round cost is one edge join +
     one count aggregate, hash-partitioned on node ids."""
     from zappy_spark.operators.graph import label_propagation
+    from zappy_spark.operators.vecmath import EMBED_DIM, dot, norm
+    from zappy_spark.queries._util import spread
 
     emb = t(spark, d, "embeddings").filter(F.col("vec_id") < 500)
-    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    # r12: the d05 pair-loop shape — per-row norms before the
+    # quadratic join (dot/(na·nb) is bit-identical to cosine),
+    # spread streamed side, pinned broadcast side, opt-in unrolled
+    # dot (250k pair evaluations).
+    a = spread(emb).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+        norm("embedding").alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+        norm("embedding").alias("_nb"),
+    )
     scored = a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
-        "i", "j", F.round(cosine("ea", "eb"), 4).alias("sim")
+        "i",
+        "j",
+        F.round(
+            dot("ea", "eb", dim=EMBED_DIM) / (F.col("_na") * F.col("_nb")),
+            4,
+        ).alias("sim"),
     )
     w = Window.partitionBy("i").orderBy(F.desc("sim"), "j")
     knn = (

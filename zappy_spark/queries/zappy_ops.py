@@ -305,12 +305,19 @@ def z24(spark: SparkSession, d: str) -> DataFrame:
     emb = t(spark, d, "embeddings")
     v = F.col("embedding")
     n = F.size(v).cast("double")
-    m = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
-    ssd = F.aggregate(
-        v,
-        F.lit(0.0),
-        lambda a, x: a + (x.cast("double") - m) * (x.cast("double") - m),
-    )
+    m_expr = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+
+    # r12: let-bind the mean — referencing the mean fold inside the
+    # ssd lambda re-ran it per element (no CSE in interpreted HOFs).
+    # Same value, bit-identical result (mirrors ZappyFrame._row_var).
+    def _ssd(m):
+        return F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda a, x: a + (x.cast("double") - m) * (x.cast("double") - m),
+        )
+
+    ssd = F.element_at(F.transform(F.array(m_expr), _ssd), 1)
     return (
         emb.select(
             "vec_id",
