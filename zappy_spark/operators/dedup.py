@@ -1068,6 +1068,14 @@ def prefix_filter_pairs(
         )
         .filter(F.col("tok") != "")
     )
+    # r12 (guide §5; the near_dup_pairs persist precedent): the
+    # element table feeds FOUR consumers (sizes, df ranking, the
+    # ranked prefix, and both verify sides) — without a persist each
+    # re-runs the scan + shingle expansion + explode. MEMORY_AND_DISK
+    # spills gracefully at corpus scale; same rows either way.
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("tdf"))
     w = Window.partitionBy("doc").orderBy("tdf", "tok")

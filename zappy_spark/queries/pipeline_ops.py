@@ -3432,6 +3432,9 @@ def v26(spark: SparkSession, d: str) -> DataFrame:
     partial aggregation runs map-side and no window sorts the
     panel×corpus pairs; the panel broadcasts against a single
     corpus scan."""
+    from zappy_spark.operators.vecmath import EMBED_DIM, dot, norm
+    from zappy_spark.queries._util import spread
+
     emb = t(spark, d, "embeddings")
     q = emb.filter(
         (F.col("vec_id") < 500) & (F.col("vec_id") % 5 == 0)
@@ -3439,14 +3442,24 @@ def v26(spark: SparkSession, d: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        norm("embedding").alias("_nq"),
     )
+    # r12: d05 pair-loop shape — spread the streamed corpus scan,
+    # per-row norms, opt-in unrolled dot in the agg key
+    # (dot/(na·nq) is bit-identical to the cosine fold).
     pairs = (
-        emb.select("vec_id", "label", "embedding")
+        spread(emb)
+        .select(
+            "vec_id", "label", "embedding", norm("embedding").alias("_na")
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col("label") != F.col("qlabel"))
     )
     key = F.struct(
-        cosine("embedding", "qv").alias("c"),
+        (
+            dot("embedding", "qv", dim=EMBED_DIM)
+            / (F.col("_na") * F.col("_nq"))
+        ).alias("c"),
         (-F.col("vec_id")).alias("negid"),
     )
     best = pairs.groupBy("qid", "qlabel").agg(

@@ -67,7 +67,15 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # 32g default (was 16g): local[32] runs 32 concurrent tasks in
+        # ONE JVM; at 16g the interpreted-HOF-heavy corpus entries ran
+        # GC-bound in long sessions (r12 measurement: v32 10.5 s at
+        # 16g vs 6.0 s at 48g, and multi-query sessions showed 2–4×
+        # warm-run inflation). 32g = 1 GiB/core, 25% of the 128 GiB
+        # box — guide §5/§9 memory sizing; env-overridable for
+        # smaller hosts, and on a real cluster executor memory is
+        # set per-node anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
