@@ -1920,6 +1920,13 @@ def cdc_dedup_ledger(
         df.select(F.col(id_col).alias("_jid"), F.col(group_col).alias("grp")),
         F.col(id_col) == F.col("_jid"),
     )
+    # r12 (guide §5; the near_dup_pairs persist precedent): the chunk
+    # frame feeds BOTH the global occurrence agg and the instance
+    # join — without a persist the whole CDC chain (position explode,
+    # boundary filter, lag window, chunk hashing) runs twice.
+    from pyspark import StorageLevel
+
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     occ = chunks.groupBy("chunk_hash").agg(F.count("*").alias("_occ"))
     inst = chunks.join(occ, "chunk_hash")
     dup = (F.col("_occ") > 1).cast("bigint")

@@ -151,6 +151,21 @@ def pagerank(
     # ((d·dangling)/n, ((1−d)+d·dangling)/|seeds|), so ranks are
     # bit-identical given identical partial-sum order.
     e_deg = e.join(out_deg, "a").localCheckpoint()
+    # r12: if NO node dangles (checked once — one anti-join probe),
+    # the per-round dangling mass is the sum over an empty set
+    # ≡ 0.0 for every round regardless of ranks, and x + d·0.0/n
+    # == x bit-exactly in IEEE — so the whole per-round dangling
+    # broadcast subtree can be dropped up front. Symmetrized graphs
+    # (v16's trade graph, every CC/LPA-style sym edge set) always
+    # take this path.
+    has_dangling = (
+        nodes.join(
+            out_deg, nodes["node"] == out_deg["a"], "left_anti"
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     rounds = exact_iters if exact_iters is not None else max_iter
     for _ in range(rounds):
@@ -169,37 +184,41 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         # dangling mass: rank held by nodes with no out-edges —
-        # a 1-row aggregate broadcast into the update plan
-        dang = F.broadcast(
-            ranks.join(out_deg, ranks["node"] == out_deg["a"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        # a 1-row aggregate broadcast into the update plan (skipped
+        # when the probe above proved the set empty: the mass is
+        # 0.0 every round and x + d·0/n == x bit-exactly)
+        updated = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            dang = F.broadcast(
+                ranks.join(
+                    out_deg, ranks["node"] == out_deg["a"], "left_anti"
+                ).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+                )
             )
-        )
+            updated = updated.crossJoin(dang)
+            dangling_col = F.col("_dangling")
+        else:
+            dangling_col = F.lit(0.0)
         if restart is None:
             base_col = F.lit((1.0 - damping) / n) + (
-                F.lit(damping) * F.col("_dangling")
+                F.lit(damping) * dangling_col
             ) / F.lit(float(n))
         else:
             seeds = [int(x) for x in restart]
             per_seed = (
-                F.lit(1.0 - damping) + F.lit(damping) * F.col("_dangling")
+                F.lit(1.0 - damping) + F.lit(damping) * dangling_col
             ) / F.lit(float(len(seeds)))
             base_col = F.when(
                 F.col("node").isin(seeds), per_seed
             ).otherwise(F.lit(0.0))
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(dang)
-            .select(
-                "node",
-                (
-                    base_col
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        new_ranks = updated.select(
+            "node",
+            (
+                base_col
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint()
         if exact_iters is None:
             delta = (
                 new_ranks.alias("n")
