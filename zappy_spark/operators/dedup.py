@@ -201,6 +201,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows: int = 4,
     max_bucket: int | str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on all
     ``rows`` hashes of any band become a candidate pair (i < j).
@@ -250,6 +251,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+    # r12 (guide §5): the banded frame feeds BOTH self-join sides,
+    # plus the bucket-size agg / auto-cap quantile when a flood
+    # guard is set — each consumer otherwise re-runs the whole
+    # num_hashes-way MinHash aggregation upstream. Narrow
+    # (id, bucket) rows; MEMORY_AND_DISK spills gracefully.
+    # ``persist=False`` keeps the plan fully lazy (the
+    # near_dup_pairs contract, plan-pinned in test_plans).
+    if persist:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         if max_bucket == "auto":
             max_bucket = auto_max_bucket(banded)
@@ -328,7 +340,9 @@ def near_dup_pairs(
     sig = minhash_signature_from_grams(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows, max_bucket)
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands, rows, max_bucket, persist=persist
+    )
     # Exploded-gram verify (same rationale as containment_pairs):
     # narrow (doc, gram) rows instead of shuffling both full gram
     # arrays as one record per candidate. Jaccard = inter /
@@ -592,7 +606,9 @@ def containment_pairs(
     sig = minhash_signature_from_grams(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows, max_bucket)
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands, rows, max_bucket, persist=persist
+    )
     if anchors:
         cand = (
             cand.unionByName(
