@@ -49,27 +49,43 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    comp_t = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
         # each node's candidate label: min over its own label and its
-        # neighbors' labels
+        # neighbors' labels. r12 (guide §2.4): the previous label
+        # rides along as ``_old`` (non-null only on the own-label
+        # branch — exactly one row per node, so min() recovers it),
+        # which fuses the convergence check into the same aggregate:
+        # ``changed`` becomes a filter over the already-checkpointed
+        # node-sized frame instead of a per-round node-keyed
+        # join+count job. min(component) is over the identical
+        # own ∪ neighbors row multiset, so labels are unchanged.
         neighbor_labels = (
             sym.join(labels, sym["b"] == labels["node"])
-            .select(F.col("a").alias("node"), "component")
+            .select(
+                F.col("a").alias("node"),
+                "component",
+                F.lit(None).cast(comp_t).alias("_old"),
+            )
+        )
+        own_labels = labels.select(
+            "node", "component", F.col("component").alias("_old")
         )
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            own_labels.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
             .localCheckpoint()  # cut lineage each round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -187,7 +203,19 @@ def pagerank(
         # a 1-row aggregate broadcast into the update plan (skipped
         # when the probe above proved the set empty: the mass is
         # 0.0 every round and x + d·0/n == x bit-exactly)
-        updated = nodes.join(contrib, "node", "left")
+        # r12 (guide §2.4): in convergence mode the previous rank
+        # rides along as ``_prev`` so the L1-delta check aggregates
+        # over the checkpointed frame instead of re-joining old and
+        # new ranks per round (the CC changed-check fusion). ranks
+        # has exactly one row per node, so the join keys and the new
+        # rank expression are unchanged; exact_iters mode (the v16
+        # plan) keeps the node-only left side.
+        if exact_iters is None:
+            updated = ranks.select(
+                "node", F.col("rank").alias("_prev")
+            ).join(contrib, "node", "left")
+        else:
+            updated = nodes.join(contrib, "node", "left")
         if has_dangling:
             dang = F.broadcast(
                 ranks.join(
@@ -212,25 +240,23 @@ def pagerank(
             base_col = F.when(
                 F.col("node").isin(seeds), per_seed
             ).otherwise(F.lit(0.0))
-        new_ranks = updated.select(
-            "node",
-            (
-                base_col
-                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-            ).alias("rank"),
-        ).localCheckpoint()
+        rank_col = (
+            base_col + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+        ).alias("rank")
         if exact_iters is None:
+            new_ranks = updated.select(
+                "node", rank_col, "_prev"
+            ).localCheckpoint()
             delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "node")
-                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .first()[0]
+                new_ranks.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev")))
+                ).first()[0]
             )
-            ranks = new_ranks
+            ranks = new_ranks.select("node", "rank")
             if delta < tol:
                 return ranks
         else:
-            ranks = new_ranks
+            ranks = updated.select("node", rank_col).localCheckpoint()
     if exact_iters is not None:
         return ranks
     raise RuntimeError(
