@@ -1,12 +1,12 @@
 """Isolated-session timing for named corpus entries.
 
-Optimization-round tooling (guide §1: measure first; the r12
-'isolated-session median' methodology): one FRESH SparkSession per
-entry (separate python process via --child), three runs inside it —
-run 1 is cold (plan + JIT compile), runs 2-3 are warm; the reported
-number is the min of the warm runs (the settled data-path cost,
-robust to one-off GC/JIT pauses). collect() is the timed action,
-matching the driver and bench.
+Optimization-round tooling (guide §1: measure first): one FRESH
+SparkSession per entry (separate python process via --child), three
+runs inside it — run 1 is cold (plan + JIT compile), runs 2-3 are
+warm; the reported "warm" number is the MIN of the two warm runs
+(the settled data-path cost, robust to one-off GC/JIT pauses; the
+r13 ADVICE fix — earlier prose called this a median). collect() is
+the timed action, matching the driver and bench.
 
 Usage:
     CHECK_SF_DIR=/root/testdata/sf0.1 \
@@ -55,6 +55,13 @@ def child(name: str) -> int:
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(
+            "usage: [CHECK_SF_DIR=...] python scripts/time_isolated.py"
+            " name [name ...]",
+            file=sys.stderr,
+        )
+        return 2
     if sys.argv[1] == "--child":
         return child(sys.argv[2])
     for name in sys.argv[1:]:

@@ -6521,3 +6521,39 @@ def test_kn3_fit_model_roundtrip_matches_in_pass_verdicts(
         kn3_ledger_with_model(
             df, "text", "doc_id", "source", empty
         ).collect()
+
+
+def test_scoped_caches_release_blocks_after_collect(spark):
+    """r13 (VERDICT r12 item 5): the multi-consumer intermediates the
+    dedup/text ledger builders persist must be RELEASED when the
+    caller drops the result — a 316-entry sweep must not accumulate
+    MEMORY_AND_DISK blocks in the shared session (guide §5: caching
+    competes with execution memory; unpersist when done)."""
+    import gc
+    import time
+
+    from tests.conftest import SF_SMOKE_DIR
+    from zappy_spark.queries import QUERIES
+
+    sc = spark.sparkContext
+
+    def _blocks() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    for name in (
+        "d06_lsh_neardup_pipeline",  # banded + grams caches
+        "d37_prefix_jaccard",  # element-table cache
+        "d52_cdc_dedup",  # chunk-frame cache
+        "t07_tfidf",  # tf cache
+    ):
+        out = QUERIES[name](spark, SF_SMOKE_DIR)
+        assert out.collect()
+        # while the result frame is alive its caches may stay
+        del out
+        gc.collect()
+        # unpersist is non-blocking; give the JVM a moment
+        for _ in range(50):
+            if _blocks() == 0:
+                break
+            time.sleep(0.1)
+        assert _blocks() == 0, f"{name} leaked persisted blocks"

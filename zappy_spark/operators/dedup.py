@@ -258,10 +258,14 @@ def lsh_candidate_pairs(
     # (id, bucket) rows; MEMORY_AND_DISK spills gracefully.
     # ``persist=False`` keeps the plan fully lazy (the
     # near_dup_pairs contract, plan-pinned in test_plans).
+    # r13 (VERDICT r12 item 5): scope the cache to the returned
+    # frame's lifetime so the blocks are released when the caller
+    # drops the result instead of leaking into the session.
+    banded_c = None
     if persist:
-        from pyspark import StorageLevel
+        from zappy_spark.operators._scoped import cache_scoped
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = banded_c = cache_scoped(banded)
     if max_bucket is not None:
         if max_bucket == "auto":
             max_bucket = auto_max_bucket(banded)
@@ -275,14 +279,17 @@ def lsh_candidate_pairs(
     other = banded.select(
         F.col("_id").alias("_id2"), F.col("bucket").alias("bucket2")
     )
-    return (
+    from zappy_spark.operators._scoped import own
+
+    return own(
         banded.join(
             other,
             (F.col("bucket") == F.col("bucket2"))
             & (F.col("_id") < F.col("_id2")),
         )
         .select(F.col("_id").alias("i"), F.col("_id2").alias("j"))
-        .distinct()
+        .distinct(),
+        banded_c,
     )
 
 
@@ -333,10 +340,11 @@ def near_dup_pairs(
         F.col(id_col).alias("_gid"),
         word_shingles(F.col(text_col), k).alias("grams"),
     ).filter(F.size("grams") > 0)
+    grams_c = None
     if persist:
-        from pyspark import StorageLevel
+        from zappy_spark.operators._scoped import cache_scoped
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = grams_c = cache_scoped(grams)
     sig = minhash_signature_from_grams(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
@@ -360,7 +368,9 @@ def near_dup_pairs(
         .groupBy("i", "j")
         .agg(F.count("*").alias("_inter"))
     )
-    return (
+    from zappy_spark.operators._scoped import own
+
+    return own(
         inter.join(
             sizes.select(F.col("_gid").alias("i"), F.col("_n").alias("_na")),
             "i",
@@ -379,7 +389,9 @@ def near_dup_pairs(
                 )
             ).alias("jac"),
         )
-        .filter(F.col("jac") >= threshold)
+        .filter(F.col("jac") >= threshold),
+        grams_c,
+        cand,
     )
 
 
@@ -599,10 +611,11 @@ def containment_pairs(
         F.col(id_col).alias("_gid"),
         word_shingles(F.col(text_col), k).alias("grams"),
     ).filter(F.size("grams") > 0)
+    grams_c = None
     if persist:
-        from pyspark import StorageLevel
+        from zappy_spark.operators._scoped import cache_scoped
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = grams_c = cache_scoped(grams)
     sig = minhash_signature_from_grams(
         grams.select(F.col("_gid").alias(id_col), "grams"), id_col, num_hashes
     )
@@ -638,7 +651,9 @@ def containment_pairs(
         .groupBy("i", "j")
         .agg(F.count("*").alias("_inter"))
     )
-    return (
+    from zappy_spark.operators._scoped import own
+
+    return own(
         inter.join(
             sizes.select(F.col("_gid").alias("i"), F.col("_n").alias("_na")),
             "i",
@@ -655,7 +670,9 @@ def containment_pairs(
                 / F.least("_na", "_nb").cast("double")
             ).alias("cont"),
         )
-        .filter(F.col("cont") >= threshold)
+        .filter(F.col("cont") >= threshold),
+        grams_c,
+        cand,
     )
 
 
@@ -1089,9 +1106,10 @@ def prefix_filter_pairs(
     # ranked prefix, and both verify sides) — without a persist each
     # re-runs the scan + shingle expansion + explode. MEMORY_AND_DISK
     # spills gracefully at corpus scale; same rows either way.
-    from pyspark import StorageLevel
+    # r13: scoped — released when the caller drops the result.
+    from zappy_spark.operators._scoped import cache_scoped, own
 
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    toks = cache_scoped(toks)
     sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("tdf"))
     w = Window.partitionBy("doc").orderBy("tdf", "tok")
@@ -1122,7 +1140,7 @@ def prefix_filter_pairs(
     )
     sa = sizes.select(F.col("doc").alias("i"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc").alias("j"), F.col("sz").alias("szb"))
-    return (
+    return own(
         inter.join(sa, "i")
         .join(sb, "j")
         .select(
@@ -1135,7 +1153,8 @@ def prefix_filter_pairs(
                 6,
             ).alias("jac"),
         )
-        .filter(F.col("jac") >= theta)
+        .filter(F.col("jac") >= theta),
+        toks,
     )
 
 
@@ -1940,13 +1959,14 @@ def cdc_dedup_ledger(
     # frame feeds BOTH the global occurrence agg and the instance
     # join — without a persist the whole CDC chain (position explode,
     # boundary filter, lag window, chunk hashing) runs twice.
-    from pyspark import StorageLevel
+    # r13: scoped — released when the caller drops the result.
+    from zappy_spark.operators._scoped import cache_scoped, own
 
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = cache_scoped(chunks)
     occ = chunks.groupBy("chunk_hash").agg(F.count("*").alias("_occ"))
     inst = chunks.join(occ, "chunk_hash")
     dup = (F.col("_occ") > 1).cast("bigint")
-    return (
+    return own(
         inst.groupBy("grp")
         .agg(
             F.count("*").alias("n_chunks"),
@@ -1954,7 +1974,8 @@ def cdc_dedup_ledger(
             F.sum(dup).alias("dup_chunks"),
             F.sum(dup * F.col("chunk_len")).cast("bigint").alias("dup_bytes"),
         )
-        .withColumnRenamed("grp", group_col)
+        .withColumnRenamed("grp", group_col),
+        chunks,
     )
 
 

@@ -472,13 +472,17 @@ def tf_idf(
         F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf_c = None
     if persist:
-        from pyspark import StorageLevel
+        # r13: scoped — released when the caller drops the result
+        from zappy_spark.operators._scoped import cache_scoped
 
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        tf = tf_c = cache_scoped(tf)
+    from zappy_spark.operators._scoped import own
+
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("_n"))
-    return (
+    return own(
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -493,7 +497,8 @@ def tf_idf(
                     + F.lit(1.0)
                 )
             ).alias("tfidf"),
-        )
+        ),
+        tf_c,
     )
 
 
@@ -743,10 +748,12 @@ def boilerplate_fraction(
             F.array_distinct(word_shingles(F.col(text_col), k))
         ).alias("g"),
     )
+    per_doc_c = None
     if persist:
-        from pyspark import StorageLevel
+        # r13: scoped — released when the caller drops the result
+        from zappy_spark.operators._scoped import cache_scoped
 
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        per_doc = per_doc_c = cache_scoped(per_doc)
     freq = (
         per_doc.groupBy("g")
         .agg(F.count("*").alias("n_docs"))
@@ -764,7 +771,9 @@ def boilerplate_fraction(
             F.array_distinct(word_shingles(F.col(text_col), k))
         ).cast("bigint").alias("n_grams"),
     )
-    return (
+    from zappy_spark.operators._scoped import own
+
+    return own(
         base.join(hits, id_col, "left")
         .select(
             id_col,
@@ -775,7 +784,8 @@ def boilerplate_fraction(
                 / F.greatest(F.col("n_grams"), F.lit(1)),
                 6,
             ).alias("boilerplate_frac"),
-        )
+        ),
+        per_doc_c,
     )
 
 

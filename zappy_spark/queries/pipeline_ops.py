@@ -116,15 +116,20 @@ def d06(spark: SparkSession, d: str) -> DataFrame:
     same pair set. Instrument bounded to ``doc_id < 5000`` (a no-op
     at every testdata SF — see d14's docstring; at the 100x fixture
     the unbounded twin exceeded 1800 s in DuckDB)."""
+    from zappy_spark.operators._scoped import own
+
     pairs = dedup.near_dup_pairs(
         t(spark, d, "documents").filter(F.col("doc_id") < 5000),
         "text",
         "doc_id",
         threshold=0.5,
     )
-    return pairs.select(
-        "i", "j", F.round("jac", 6).alias("jac")
-    ).orderBy("i", "j")
+    return own(
+        pairs.select("i", "j", F.round("jac", 6).alias("jac")).orderBy(
+            "i", "j"
+        ),
+        pairs,
+    )
 
 
 # ----------------------------------------------------------- text ops
@@ -140,18 +145,22 @@ def d14(spark: SparkSession, d: str) -> DataFrame:
     ``doc_id < 5000`` (a no-op at every testdata SF): on the
     replica-dense synth fixtures the true pair count is ~1e8, not a
     collectable gate — the r26/v24 bound-the-instrument doctrine."""
-    return (
-        dedup.containment_pairs(
-            t(spark, d, "documents").filter(F.col("doc_id") < 5000),
-            "text",
-            "doc_id",
-            threshold=0.5,
-            num_hashes=16,
-            bands=4,
-            anchors=4,
-        )
-        .select("i", "j", F.round("cont", 6).alias("cont"))
-        .orderBy("i", "j")
+    from zappy_spark.operators._scoped import own
+
+    pairs = dedup.containment_pairs(
+        t(spark, d, "documents").filter(F.col("doc_id") < 5000),
+        "text",
+        "doc_id",
+        threshold=0.5,
+        num_hashes=16,
+        bands=4,
+        anchors=4,
+    )
+    return own(
+        pairs.select("i", "j", F.round("cont", 6).alias("cont")).orderBy(
+            "i", "j"
+        ),
+        pairs,
     )
 
 
@@ -327,8 +336,10 @@ def t07(spark: SparkSession, d: str) -> DataFrame:
     """TF-IDF top terms (smooth idf, sklearn convention)."""
     from zappy_spark.operators.text import tf_idf
 
+    from zappy_spark.operators._scoped import own
+
     out = tf_idf(t(spark, d, "documents"), "text", "doc_id")
-    return (
+    return own(
         out.select(
             "doc_id",
             "term",
@@ -337,7 +348,8 @@ def t07(spark: SparkSession, d: str) -> DataFrame:
             F.round("tfidf", 6).alias("ti"),
         )
         .orderBy(F.desc("ti"), "term", "doc_id")
-        .limit(50)
+        .limit(50),
+        out,
     )
 
 
@@ -1853,13 +1865,16 @@ def t13(spark: SparkSession, d: str) -> DataFrame:
     boilerplate_fraction): fraction of each doc's distinct 3-grams
     shared by ≥3 documents. The word-salad corpus shares grams
     heavily, so the score distribution is non-degenerate."""
+    from zappy_spark.operators._scoped import own
+
     out = text.boilerplate_fraction(
         t(spark, d, "documents"), "text", "doc_id", k=3, min_docs=3
     )
-    return (
+    return own(
         out.select("doc_id", "n_grams", "n_freq", "boilerplate_frac")
         .orderBy("doc_id")
-        .limit(100)
+        .limit(100),
+        out,
     )
 
 
@@ -1870,15 +1885,20 @@ def d13(spark: SparkSession, d: str) -> DataFrame:
     md5 hash family as d06, so DuckDB replays the whole pipeline.
     Instrument bounded to ``doc_id < 5000`` (a no-op at every
     testdata SF — see d14's docstring for the measured rationale)."""
+    from zappy_spark.operators._scoped import own
+
     pairs = dedup.containment_pairs(
         t(spark, d, "documents").filter(F.col("doc_id") < 5000),
         "text",
         "doc_id",
         threshold=0.5,
     )
-    return pairs.select(
-        "i", "j", F.round("cont", 6).alias("cont")
-    ).orderBy("i", "j")
+    return own(
+        pairs.select("i", "j", F.round("cont", 6).alias("cont")).orderBy(
+            "i", "j"
+        ),
+        pairs,
+    )
 
 
 def t14(spark: SparkSession, d: str) -> DataFrame:
@@ -2178,7 +2198,9 @@ def d37(spark: SparkSession, d: str) -> DataFrame:
         shingle_k=5,
         max_token_df=100_000,
     )
-    return pairs.orderBy(F.desc("jac"), "i", "j").limit(50)
+    from zappy_spark.operators._scoped import own
+
+    return own(pairs.orderBy(F.desc("jac"), "i", "j").limit(50), pairs)
 
 
 def t26(spark: SparkSession, d: str) -> DataFrame:
@@ -2387,16 +2409,18 @@ def t29(spark: SparkSession, d: str) -> DataFrame:
     windows, no self-joins;
     every count is an exact integer and the rate is one exact
     integer division (the d39 discipline)."""
-    from pyspark import StorageLevel
+    from zappy_spark.operators._scoped import cache_scoped, own
 
     docs = t(spark, d, "documents")
-    dg = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(dedup.word_shingles(F.col("text"), 3))
-        ).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dg = cache_scoped(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(dedup.word_shingles(F.col("text"), 3))
+            ).alias("gram"),
+        )
+    )
     totals = dg.groupBy("source").agg(F.count("*").alias("n_grams"))
     novel = (
         dg.groupBy("gram")
@@ -2405,7 +2429,7 @@ def t29(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_novel"))
     )
-    return (
+    return own(
         totals.join(novel, "source", "left")
         .select(
             "source",
@@ -2420,7 +2444,8 @@ def t29(spark: SparkSession, d: str) -> DataFrame:
                 "novelty_rate"
             ),
         )
-        .orderBy("source")
+        .orderBy("source"),
+        dg,
     )
 
 
