@@ -6557,3 +6557,64 @@ def test_scoped_caches_release_blocks_after_collect(spark):
                 break
             time.sleep(0.1)
         assert _blocks() == 0, f"{name} leaked persisted blocks"
+
+
+def test_graph_broadcast_gate_paths_agree(spark):
+    """r13 (VERDICT r12 item 1): the node-frame broadcast hints in
+    pagerank/label_propagation are gated on node count vs the
+    autoBroadcastJoinThreshold budget — a hard F.broadcast has no
+    size fallback and OOMs on graph-sized node sets. Both paths
+    (tiny-n broadcast / forced-large-n shuffle join) must produce
+    the same results."""
+    from zappy_spark.operators.graph import (
+        _node_broadcast_ok,
+        _parse_byte_conf,
+        label_propagation,
+        pagerank,
+    )
+
+    # conf parsing: Spark spellings of byte sizes
+    assert _parse_byte_conf("10485760b") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf(524288) == 524288
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)],
+        "i bigint, j bigint",
+    )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10485760b")
+        assert _node_broadcast_ok(spark, 6)
+        pr_b = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, exact_iters=4).collect()
+        }
+        lp_b = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iters=3).collect()
+        }
+        # force the large-n path: every positive node count exceeds
+        # a 1-byte budget
+        spark.conf.set(key, "1b")
+        assert not _node_broadcast_ok(spark, 6)
+        pr_s = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, exact_iters=4).collect()
+        }
+        lp_s = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iters=3).collect()
+        }
+        # -1 (auto-broadcast disabled) must also take the safe path
+        spark.conf.set(key, "-1")
+        assert not _node_broadcast_ok(spark, 1)
+    finally:
+        spark.conf.set(key, prev)
+    assert set(pr_b) == set(pr_s)
+    for node, rank in pr_b.items():
+        assert abs(rank - pr_s[node]) < 1e-12
+    assert lp_b == lp_s  # exact-int labels: identical either way
