@@ -177,7 +177,10 @@ def _logreg_step_agg(feat: DataFrame, w: list[int]) -> DataFrame:
 
 
 def logreg_fit_weights(
-    feat: DataFrame, n_iter: int = 8, lr_den: int = 2
+    feat: DataFrame,
+    n_iter: int = 8,
+    lr_den: int = 2,
+    checkpoint: bool = True,
 ) -> list[list[int]]:
     """Run the fixed-point GD loop over a feature frame and return
     the weight TRAJECTORY [w^(0) .. w^(n_iter)] (w^(0) = zeros) as
@@ -191,8 +194,15 @@ def logreg_fit_weights(
     iteration; the materialized frame is 4 ints per document. Same
     deterministic feature values, exact integer aggregates, so the
     trajectory is unchanged. Intermediate state within one query
-    run, not a cross-run cache."""
-    feat = feat.localCheckpoint()
+    run, not a cross-run cache.
+
+    r13: pass ``checkpoint=False`` when the CALLER already
+    materialized ``feat`` (train-then-score operators share one
+    lazily checkpointed feature frame between the GD loop and the
+    scoring pass — the fit's internal copy would otherwise be a
+    second featurization of the corpus)."""
+    if checkpoint:
+        feat = feat.localCheckpoint()
     w = [0, 0, 0, 0]
     traj = [list(w)]
     for _ in range(n_iter):
@@ -230,8 +240,11 @@ def logreg_train_fixed(
     driver collects during construction are K rows of ONE row each
     (the kmeans centroids-as-literals precedent), keeping lineage
     LINEAR in n_iter."""
-    feat = logreg_features(df, text_col)
-    traj = logreg_fit_weights(feat, n_iter, lr_den)
+    # r13: ONE lazily checkpointed feature frame feeds the GD loop
+    # AND every step's replay branch (the returned plan otherwise
+    # re-featurized the corpus once per step at collect time)
+    feat = logreg_features(df, text_col).localCheckpoint(eager=False)
+    traj = logreg_fit_weights(feat, n_iter, lr_den, checkpoint=False)
 
     out = None
     for step in range(1, n_iter + 1):
@@ -306,13 +319,18 @@ def logreg_score_ledger(
     weights, making its per-group counters exactly additive."""
     s = LOGREG_SCALE
     feat = logreg_features(df, text_col, extra=(group_col, chars_col))
-    w = (
-        weights
-        if weights is not None
-        else logreg_fit_weights(
-            feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+    if weights is not None:
+        w = weights
+    else:
+        # r13: share ONE materialized feature frame between the GD
+        # loop and the scoring pass (was two featurization passes)
+        feat = feat.localCheckpoint(eager=False)
+        w = logreg_fit_weights(
+            feat.select("y", "x1", "x2", "x3"),
+            n_iter,
+            lr_den,
+            checkpoint=False,
         )[-1]
-    )
     z = _logreg_z(w)
     rows = feat.select(group_col, chars_col, z.alias("_z"))
     p = _hard_sigmoid_p()
@@ -366,9 +384,15 @@ def filter_agreement_ledger(
 
     s = LOGREG_SCALE
     lncut = math.log(ppl_cutoff)
-    feat = logreg_features(df, text_col, extra=(id_col,))
+    # r13: one materialized feature frame for fit + verdict scoring
+    feat = logreg_features(df, text_col, extra=(id_col,)).localCheckpoint(
+        eager=False
+    )
     w = logreg_fit_weights(
-        feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+        feat.select("y", "x1", "x2", "x3"),
+        n_iter,
+        lr_den,
+        checkpoint=False,
     )
     wv = w[-1]
     z = _logreg_z(wv)
@@ -458,9 +482,15 @@ def filter_agreement_cube(
         _xcorpus_docs_ws,
     )
 
-    feat = logreg_features(df, text_col, extra=(id_col,))
+    # r13: one materialized feature frame for fit + verdict scoring
+    feat = logreg_features(df, text_col, extra=(id_col,)).localCheckpoint(
+        eager=False
+    )
     w = logreg_fit_weights(
-        feat.select("y", "x1", "x2", "x3"), n_iter, lr_den
+        feat.select("y", "x1", "x2", "x3"),
+        n_iter,
+        lr_den,
+        checkpoint=False,
     )
     z = _logreg_z(w[-1])
     p = _hard_sigmoid_p()
@@ -553,11 +583,13 @@ def logreg_holdout_eval(
     s = LOGREG_SCALE
     ho = _hash_key(id_col) < sample_threshold(holdout_frac)
     feat = logreg_features(df, text_col, extra=(group_col, id_col))
-    feat = feat.withColumn("_ho", ho)
+    # r13: one materialized feature frame for both split branches
+    feat = feat.withColumn("_ho", ho).localCheckpoint(eager=False)
     w = logreg_fit_weights(
         feat.filter(~F.col("_ho")).select("y", "x1", "x2", "x3"),
         n_iter,
         lr_den,
+        checkpoint=False,
     )[-1]
     z = _logreg_z(w)
     rows = feat.filter(F.col("_ho")).select(
@@ -1228,11 +1260,13 @@ def mcnemar_nb_vs_logreg(
     # logreg side (same split, same complement)
     ho = _hash_key(id_col) < sample_threshold(holdout_frac)
     feat = logreg_features(df, text_col, extra=(id_col,))
-    feat = feat.withColumn("_ho", ho)
+    # r13: one materialized feature frame for both split branches
+    feat = feat.withColumn("_ho", ho).localCheckpoint(eager=False)
     w = logreg_fit_weights(
         feat.filter(~F.col("_ho")).select("y", "x1", "x2", "x3"),
         n_iter,
         lr_den,
+        checkpoint=False,
     )[-1]
     z = _logreg_z(w)
     rows = feat.filter(F.col("_ho")).select(
