@@ -10,6 +10,8 @@ import importlib.util
 import sys
 from pathlib import Path
 
+import pytest
+
 from tests.conftest import SF_DIR
 
 _spec = importlib.util.spec_from_file_location(
@@ -20,6 +22,7 @@ audit = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(audit)
 
 
+@pytest.mark.slow
 def test_no_order_dependent_round_boundaries(capsys):
     old_argv = sys.argv
     sys.argv = ["audit_rounding.py", SF_DIR]

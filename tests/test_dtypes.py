@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_DIR
+from tests.conftest import ORACLE_SF_DIR
 from zappy_spark.queries import ORACLE, QUERIES
 
 
@@ -44,11 +44,11 @@ def _dtype_sig(pdf):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_output_dtypes_match_oracle(spark, duck, name):
+def test_output_dtypes_match_oracle(spark_results, duck, name):
     from tests.conftest import skip_quadratic_at_scale
 
     skip_quadratic_at_scale(name)
-    sp = QUERIES[name](spark, SF_DIR).toPandas()
+    sp = spark_results(name)[2]
     du = duck.execute(ORACLE[name]).df()
     s_sig, d_sig = _dtype_sig(sp), _dtype_sig(du)
     assert sorted(s_sig) == sorted(d_sig), (

@@ -392,6 +392,7 @@ def test_frame_sample_skips_empty_videos(spark):
     assert got == {(2, 0), (2, 10), (2, 20)}
 
 
+@pytest.mark.slow
 def test_zorder_write_clusters_both_dims(spark, tmp_path):
     """Z-ordered files must have tight min-max boxes on EVERY
     clustered dimension — the property parquet skipping prunes on.
@@ -477,6 +478,7 @@ def test_connected_components_shapes(spark):
     }
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_converges(spark):
     from zappy_spark.operators.graph import connected_components
 
@@ -490,6 +492,7 @@ def test_connected_components_long_chain_converges(spark):
     assert comps.filter(F.col("component") != 0).count() == 0
 
 
+@pytest.mark.slow
 def test_drop_cluster_dups_transitive(spark, planted_docs):
     """Transitive case pairwise removal can't express: docs a~b, b~c
     with no (a,c) pair must still collapse to one survivor."""
@@ -622,6 +625,7 @@ def test_quantize_dequantize_round_trip(spark):
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in nrm)
 
 
+@pytest.mark.slow
 def test_moments_and_pca_match_numpy(spark):
     import numpy as np
     from pyspark.sql import functions as F
@@ -673,6 +677,7 @@ def test_moments_and_pca_match_numpy(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+@pytest.mark.slow
 def test_moments_empty_frame_raises(spark):
     import pytest as _pytest
 
@@ -683,6 +688,7 @@ def test_moments_empty_frame_raises(spark):
         moments(df, "embedding")
 
 
+@pytest.mark.slow
 def test_salted_join_equals_plain_join_on_skewed_data(spark):
     from pyspark.sql import functions as F
 
@@ -706,6 +712,7 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
     assert "_zs_salt" in plan.optimizedPlan().toString()
 
 
+@pytest.mark.slow
 def test_skew_guarded_join_picks_strategy_and_matches(spark):
     """skew_guarded_join: balanced keys → plain plan (no salt
     column); pathological keys → salted plan; results identical to
@@ -1096,6 +1103,7 @@ def test_kmeans_recovers_separated_blobs(spark):
         kmeans_fit(df.limit(2), "vec", "id", k=3)
 
 
+@pytest.mark.slow
 def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     from zappy_spark.operators.similarity import (
         build_ivf_index,
@@ -2050,6 +2058,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
 
 
+@pytest.mark.slow
 def test_batch_ivfpq_probe_full_equals_exact(spark, tmp_path):
     """Batch IVF-PQ: with every cell probed and a full shortlist the
     batch probe equals the exact batch kNN; half probes keep high
@@ -2100,6 +2109,7 @@ def test_batch_ivfpq_probe_full_equals_exact(spark, tmp_path):
     assert len(part & exact) / len(exact) >= 0.6
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_concentrates_on_seed(spark):
     """restart=[seed]: mass concentrates on the seed's neighborhood
     (seed ranked first, its direct successor above distant nodes),
@@ -4456,6 +4466,7 @@ def test_unigram_lm_planted_vocab_recovery(spark):
     }
 
 
+@pytest.mark.slow
 def test_unigram_lm_partition_invariance(spark):
     """t47's exactness claim: the whole (step, piece, n_used,
     cost_next) trajectory is integer arithmetic over integer sums,
@@ -5506,6 +5517,7 @@ def test_wordpiece_greedy_respects_position_class(spark):
     assert got == {"zab": 2, "abz": 3}
 
 
+@pytest.mark.slow
 def test_tokenizer_bakeoff_integer_verdict(spark):
     """v33's winner must be a pure function of the two family
     counts, and the per-group counts must equal each family's own
@@ -5589,6 +5601,7 @@ def test_hilbert_bijective_locality_and_reference(spark):
         assert xy2d(8, r["x"], r["y"]) == r["hv"]
 
 
+@pytest.mark.slow
 def test_hilbert_write_clusters_both_dims(spark, tmp_path):
     """Hilbert-clustered files must keep BOTH dimensions' per-file
     min-max boxes tight (the parquet-skipping property), like the
@@ -6540,6 +6553,13 @@ def test_scoped_caches_release_blocks_after_collect(spark):
     def _blocks() -> int:
         return len(sc._jsc.sc().getRDDStorageInfo())
 
+    # In a full-suite session earlier tests' localCheckpoint RDDs
+    # linger until ContextCleaner drains them, so assert NET growth
+    # (settled count back at/below the baseline), not absolute zero.
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(0.5)
+    base = _blocks()
     for name in (
         "d06_lsh_neardup_pipeline",  # banded + grams caches
         "d37_prefix_jaccard",  # element-table cache
@@ -6552,11 +6572,11 @@ def test_scoped_caches_release_blocks_after_collect(spark):
         del out
         gc.collect()
         # unpersist is non-blocking; give the JVM a moment
-        for _ in range(50):
-            if _blocks() == 0:
+        for _ in range(100):
+            if _blocks() <= base:
                 break
             time.sleep(0.1)
-        assert _blocks() == 0, f"{name} leaked persisted blocks"
+        assert _blocks() <= base, f"{name} leaked persisted blocks"
 
 
 def test_graph_broadcast_gate_paths_agree(spark):

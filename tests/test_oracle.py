@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_DIR
+from tests.conftest import ORACLE_SF_DIR
 from zappy_spark.canon import canon_cell
 from zappy_spark.queries import ORACLE, QUERIES
 
@@ -28,13 +28,12 @@ def _canon_unordered(cols: list[str], rows: list[tuple]) -> tuple[int, list[str]
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark_results, duck, name):
     from tests.conftest import skip_quadratic_at_scale
 
     skip_quadratic_at_scale(name)
-    df = QUERIES[name](spark, SF_DIR)
-    s_rows = [tuple(r) for r in df.collect()]
-    s = _canon_unordered(df.columns, s_rows)
+    s_cols, s_rows, _ = spark_results(name)
+    s = _canon_unordered(s_cols, s_rows)
 
     res = duck.execute(ORACLE[name])
     d_cols = [c[0] for c in res.description]

@@ -20,6 +20,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.fixture(scope="session")
+def corpus_plans(spark):
+    """(executed, optimized) plan strings for EVERY declared query,
+    compiled once per session. r13 (VERDICT r12 item 2): the two
+    corpus-wide plan sweeps each re-built and re-analyzed all 316
+    queries (276 s + 133 s — the suite's two slowest tests); one
+    compilation pass feeds both, same assertions over the same
+    strings."""
+    out = {}
+    for name, fn in QUERIES.items():
+        qe = fn(spark, SF_DIR)._jdf.queryExecution()
+        out[name] = (
+            qe.executedPlan().toString(),
+            qe.optimizedPlan().toString(),
+        )
+    return out
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(QUERIES["z10_bool_mask"](spark, SF_DIR))
     assert "PushedFilters: [" in plan
@@ -97,7 +115,7 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "WholeStageCodegen subtrees" in codegen
 
 
-def test_no_python_udfs_in_declared_corpus(spark):
+def test_no_python_udfs_in_declared_corpus(corpus_plans):
     """Every declared query must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython stages (v02 excepted: its query vector is fetched
     driver-side by design; the scan itself is still JVM). m02 and m03
@@ -131,10 +149,10 @@ def test_no_python_udfs_in_declared_corpus(spark):
         # feeding the shot-boundary window
         "m11_shot_boundaries",
     }
-    for name, q in QUERIES.items():
+    for name, plans in corpus_plans.items():
         if name == "v02_rp_lsh_ann":
             continue
-        plan = _plan(q(spark, SF_DIR))
+        plan = plans[0]
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
         if name in arrow_entries:
             assert "MapInPandas" in plan  # the stage under test
@@ -275,7 +293,7 @@ _GLOBAL_WINDOW_WHITELIST = {
 }
 
 
-def test_no_unpartitioned_windows_outside_whitelist(spark):
+def test_no_unpartitioned_windows_outside_whitelist(corpus_plans):
     """A Window.orderBy with no partitionBy is a single-partition sort
     — the one plan shape that cannot survive 100 TB. Ban it corpus-wide
     except the three declared oracle forms (VERDICT r1 next-4).
@@ -287,8 +305,8 @@ def test_no_unpartitioned_windows_outside_whitelist(spark):
     a single partition group with no ordering markers (r70's total),
     which is parallel and fine."""
     offenders = {}
-    for name, fn in QUERIES.items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    for name, plans in corpus_plans.items():
+        plan = plans[1]
         bad = [
             ln.strip()
             for ln in plan.splitlines()

@@ -1167,6 +1167,7 @@ def test_kappa_integer_fraction_hypothesis():
     check()
 
 
+@pytest.mark.slow
 def test_bpe_hypothesis_reconstruction_and_schedule(spark):
     """hypothesis (round 9): for a random small corpus, the trained
     merge schedule equals a plain-Python BPE reference (Sennrich

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -112,6 +113,7 @@ def test_native_hll_sketch_merges_and_bounds_error(spark):
     assert abs(direct - exact) / exact < 0.05
 
 
+@pytest.mark.slow
 def test_bloom_no_false_negatives_and_mergeable(spark):
     from pyspark.sql import functions as F
 

@@ -218,6 +218,7 @@ def test_rocksdb_state_store_provider(spark, replay_dir):
             )
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_equals_batch(spark, replay_dir):
     """Stream-stream join (clicks ⋈ purchases within 1h, both sides
     watermarked) must converge to the batch interval join."""
@@ -322,6 +323,7 @@ def test_dedup_within_watermark_stream_equals_batch(spark, replay_dir):
     )
 
 
+@pytest.mark.slow
 def test_outer_interval_join_stream_equals_batch(spark, tmp_path):
     """LEFT OUTER stream-stream interval join: unmatched clicks only
     emit once the watermark passes their interval, so the replay gets
@@ -475,6 +477,7 @@ def test_anomaly_stateful_moments_exact(spark, replay_dir, tmp_path_factory):
         assert 0 <= final[k]["n_anom"] <= final[k]["n"]
 
 
+@pytest.mark.slow
 def test_windowed_distinct_stream_equals_batch(spark, tmp_path):
     """Chained stateful ops (dedup -> windowed count) give EXACT
     distinct users incrementally. Append mode only emits windows the
@@ -586,6 +589,7 @@ def test_snapshot_time_travel(spark, replay_dir, tmp_path):
     assert n == nk
 
 
+@pytest.mark.slow
 def test_gap_fill_stateful_equals_batch_locf(spark, tmp_path):
     """Drained streaming LOCF == the r64 batch spine+fill, compared
     on each user's own [first, last] hour span. Slots only emit when
@@ -1131,6 +1135,7 @@ def test_concurrency_stream_equals_batch(spark, replay_dir):
     assert g == b
 
 
+@pytest.mark.slow
 def test_cumulative_users_stream_equals_batch(spark, replay_dir):
     """dropDuplicates keep-first per user + per-day count over the
     ordered replay must equal the batch first-seen reduction's

@@ -3594,8 +3594,13 @@ def _kn3_doc_nll(docs: "DataFrame") -> "DataFrame":
         F.sum("_tc").alias("_c3"),
         F.count("*").cast("bigint").alias("_n1p3"),
     )
-    bgc = tri.groupBy("_w2", "_w3").agg(
-        F.count("*").cast("bigint").alias("_n1pb")
+    # bgc feeds ctx2 / uc / bv / the scoring join (4 consumers) —
+    # derived from the checkpointed tri, but its own agg would still
+    # replay per consumer; bigram-type-bounded, materialize lazily
+    bgc = (
+        tri.groupBy("_w2", "_w3")
+        .agg(F.count("*").cast("bigint").alias("_n1pb"))
+        .localCheckpoint(eager=False)
     )
     ctx2 = bgc.groupBy("_w2").agg(
         F.sum("_n1pb").alias("_cb"),

@@ -2829,19 +2829,34 @@ def t36(spark: SparkSession, d: str) -> DataFrame:
     exact percentile) is the production path — this entry is the
     gate that LETS a pipeline trust it."""
     li = t(spark, d, "lineitem").select("l_returnflag", "l_quantity")
-    approx = li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_quantity", F.lit(0.5), F.lit(100)
-        ).alias("_a50"),
-        F.percentile_approx(
-            "l_quantity", F.lit(0.9), F.lit(100)
-        ).alias("_a90"),
+    # r13 (VERDICT r12 item 6, fuse multi-action instruments): the
+    # sketch and the exact percentiles are the SAME groupBy over the
+    # same scan — one aggregate instead of two (2 lineitem scans
+    # become 1; the rank pass below is the only other). Identical
+    # agg functions over identical groups, so every value is
+    # unchanged.
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_quantity", F.lit(0.5), F.lit(100)
+            ).alias("_a50"),
+            F.percentile_approx(
+                "l_quantity", F.lit(0.9), F.lit(100)
+            ).alias("_a90"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias(
+                "p90"
+            ),
+            F.count("*").alias("n"),
+        )
+        # 3-row frame feeding two consumers — materialize lazily so
+        # the fused aggregate truly runs once (ReuseExchange does not
+        # fire across the join/select asymmetry)
+        .localCheckpoint(eager=False)
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
-        F.count("*").alias("n"),
-    )
+    approx = stats.select("l_returnflag", "_a50", "_a90")
+    exact = stats.select("l_returnflag", "p50", "p90", "n")
     ranks = (
         li.join(F.broadcast(approx), "l_returnflag")
         .groupBy("l_returnflag")

@@ -77,6 +77,14 @@ def get_session(
         # set per-node anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # r13 (VERDICT r12 item 4): env-gated JVM flag slot for the
+        # session-mode JIT tax experiments (e.g.
+        # SPARK_GRAFT_JVM_OPTS="-XX:CICompilerCount=16" to widen the
+        # C2 pool during whole-stage-codegen compilation storms).
+        # Unset — no behavior change; driver-only because local mode
+        # runs everything in the one JVM. (Applied below, only when
+        # non-empty: Spark rejects nothing, but an empty conf line in
+        # every Environment dump is noise.)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -86,6 +94,9 @@ def get_session(
         # Arrow for toPandas / pandas_udf (the zappy escape hatch).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    jvm_opts = os.environ.get("SPARK_GRAFT_JVM_OPTS", "").strip()
+    if jvm_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
